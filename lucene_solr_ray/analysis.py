@@ -1,0 +1,112 @@
+"""Canonical analysis chain: tokenize -> lowercase -> stopword filter.
+
+StandardAnalyzer-equivalent per FIXTURES.md §2. Reference semantics:
+- tokenizer ~ Lucene StandardTokenizer (UAX#29 approximation; reference
+  [U] lucene/core/.../analysis/standard/StandardTokenizer, maxTokenLength=255)
+- LowerCaseFilter ([U] lucene/core/.../analysis/LowerCaseFilter.java)
+- StopFilter with EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (33 words,
+  [U] lucene/core/.../analysis/en/EnglishAnalyzer.java)
+
+This module is imported by BOTH the engine (inside map_batches UDFs) and the
+brute-force oracle, so parity holds by construction.
+
+Document length ``dl`` = number of tokens emitted after the full chain.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import numpy as np
+
+# Tokens = maximal runs of \w optionally joined by . or ' (FIXTURES.md §2).
+TOKEN_RE = re.compile(r"[\w]+(?:[.'][\w]+)*", re.UNICODE)
+
+MAX_TOKEN_LEN = 255  # StandardTokenizer default maxTokenLength
+
+# Lucene EnglishAnalyzer.ENGLISH_STOP_WORDS_SET (classic 33-word list).
+STOPWORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or "
+    "such that the their then there these they this to was will with".split()
+)
+
+_UNDERSCORES = frozenset("_")
+
+
+def tokenize(text: str) -> list[str]:
+    """Full canonical chain for one string -> list of emitted tokens."""
+    if not text:
+        return []
+    text = unicodedata.normalize("NFC", text)
+    out = []
+    for tok in TOKEN_RE.findall(text):
+        if len(tok) > MAX_TOKEN_LEN:
+            continue
+        if not (set(tok) - _UNDERSCORES):  # pure-underscore token
+            continue
+        tok = tok.lower()
+        if tok in STOPWORDS:
+            continue
+        out.append(tok)
+    return out
+
+
+def analyze_texts(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized-ish batch analysis.
+
+    Parameters
+    ----------
+    texts : iterable of str (or None)
+
+    Returns
+    -------
+    (row_idx, terms, dl):
+      row_idx : int64 array, one entry per emitted token (position order)
+      terms   : object array of token strings, parallel to row_idx
+      dl      : int64 array, per input row, token count after the chain
+    """
+    row_idx_parts: list[np.ndarray] = []
+    term_parts: list[list[str]] = []
+    dl = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        toks = tokenize(text) if text is not None else []
+        n = len(toks)
+        dl[i] = n
+        if n:
+            row_idx_parts.append(np.full(n, i, dtype=np.int64))
+            term_parts.append(toks)
+    if not term_parts:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=object),
+            dl,
+        )
+    row_idx = np.concatenate(row_idx_parts)
+    terms = np.array([t for part in term_parts for t in part], dtype=object)
+    return row_idx, terms, dl
+
+
+def batch_term_counts(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-(row, term) tf counts for a batch — the map-side combiner.
+
+    Returns (row_idx, terms, tfs, dl): one entry per DISTINCT (row, term)
+    pair; ``dl`` per input row. This is the in-RAM postings-hash analogue of
+    Lucene's TermsHashPerField ([U] lucene/core/.../index/TermsHashPerField.java),
+    expressed as a vectorized unique-count.
+    """
+    row_idx, terms, dl = analyze_texts(texts)
+    if len(terms) == 0:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=object),
+            np.empty(0, dtype=np.int64),
+            dl,
+        )
+    # Factorize terms, then count distinct (row, term_code) pairs.
+    uniq_terms, codes = np.unique(terms, return_inverse=True)
+    pair_key = row_idx * len(uniq_terms) + codes
+    uniq_pairs, tfs = np.unique(pair_key, return_counts=True)
+    out_rows = uniq_pairs // len(uniq_terms)
+    out_codes = uniq_pairs % len(uniq_terms)
+    return out_rows, uniq_terms[out_codes], tfs.astype(np.int64), dl

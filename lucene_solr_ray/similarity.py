@@ -1,0 +1,66 @@
+"""Okapi BM25, Lucene 8.x form (LUCENE-8563: no (k1+1) numerator).
+
+Reference: [U] lucene/core/.../search/similarities/BM25Similarity.java.
+Formula + float-narrowing order pinned in FIXTURES.md §3; this module is
+shared by the engine AND the oracle, so parity is by construction:
+
+    idf(t)   = ln(1 + (N - df + 0.5)/(df + 0.5))        # float64
+    avgdl    = sum_dl / N                               # raw dl sum
+    w(t)     = float32(idf(t))                          # boost = 1
+    denom(d) = k1 * (1 - b + b*dl'(d)/avgdl)            # float64, per norm byte
+    s(t,d)   = float32(w(t) * tf/(tf + denom(d)))
+    score    = float32 accumulation of s over DISTINCT query terms in
+               ascending term (UTF-8 byte) order
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from lucene_solr_ray.codec.norms import DECODED_TABLE
+
+K1 = 1.2
+B = 0.75
+
+
+def idf(n_docs: int, df: int) -> float:
+    """float64 idf; callers narrow to float32 as the term weight."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def term_weight(n_docs: int, df: int) -> np.float32:
+    return np.float32(idf(n_docs, df))
+
+
+def denom_cache(avgdl: float) -> np.ndarray:
+    """256-entry float64 cache of k1*(1-b+b*dl'/avgdl), indexed by norm
+    byte — BM25Similarity's per-norm cache."""
+    return K1 * (1.0 - B + B * DECODED_TABLE.astype(np.float64) / avgdl)
+
+
+def score_term(w: np.float32, tfs: np.ndarray, norm_bytes: np.ndarray, cache: np.ndarray) -> np.ndarray:
+    """Vectorized s(t, d) -> float32 array."""
+    tfs = tfs.astype(np.float64)
+    return (np.float64(w) * (tfs / (tfs + cache[norm_bytes]))).astype(np.float32)
+
+
+def score_upper_bound(w: np.float32, max_tf, min_norm, cache: np.ndarray) -> np.float64:
+    """True float upper bound on s(t, d) over a block with impacts
+    (max_tf, min_norm): s is increasing in tf, decreasing in denom, and
+    denom is increasing in decoded dl (byte4 monotonic). A small relative
+    margin guards the float64->float32 narrowing of actual scores."""
+    mt = np.float64(max_tf)
+    ub = np.float64(w) * (mt / (mt + cache[min_norm]))
+    return ub * (1.0 + 1e-6) + 1e-12
+
+
+def accumulate(parts: list[np.ndarray]) -> np.ndarray:
+    """float32 left-to-right accumulation (parts pre-sorted by term)."""
+    if not parts:
+        return np.empty(0, dtype=np.float32)
+    acc = parts[0].astype(np.float32)
+    for p in parts[1:]:
+        acc = (acc + p).astype(np.float32)
+    return acc

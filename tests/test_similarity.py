@@ -1,0 +1,55 @@
+"""BM25 invariants — the BaseSimilarityTestCase analogue (SURVEY.md §5.1):
+scores finite, >= 0, monotonic in tf, decreasing in dl; upper bounds hold."""
+
+import math
+
+import numpy as np
+
+from lucene_solr_ray import similarity as sim
+from lucene_solr_ray.codec.norms import encode_dl
+
+
+def test_idf_matches_formula():
+    assert sim.idf(100, 10) == math.log(1 + (100 - 10 + 0.5) / (10 + 0.5))
+    assert sim.idf(1, 1) > 0  # always positive in 8.x form
+
+
+def test_score_monotonic_in_tf():
+    cache = sim.denom_cache(avgdl=8.0)
+    w = sim.term_weight(1000, 10)
+    norm = encode_dl(np.array([8]))[0]
+    tfs = np.arange(1, 100, dtype=np.int64)
+    s = sim.score_term(w, tfs, np.full(99, norm), cache)
+    assert np.all(np.diff(s.astype(np.float64)) >= 0)
+    assert np.all(s >= 0) and np.all(np.isfinite(s))
+    # saturates below idf
+    assert s[-1] < np.float32(w)
+
+
+def test_score_decreasing_in_dl():
+    cache = sim.denom_cache(avgdl=8.0)
+    w = sim.term_weight(1000, 10)
+    norms = encode_dl(np.array([1, 4, 16, 64, 256]))
+    s = sim.score_term(w, np.full(5, 3, dtype=np.int64), norms, cache)
+    assert np.all(np.diff(s.astype(np.float64)) <= 0)
+
+
+def test_upper_bound_dominates_block():
+    rng = np.random.default_rng(3)
+    cache = sim.denom_cache(avgdl=11.3)
+    w = sim.term_weight(50_000, 1234)
+    tfs = rng.integers(1, 500, size=128)
+    norms = rng.integers(0, 256, size=128)
+    s = sim.score_term(w, tfs, norms, cache)
+    ub = sim.score_upper_bound(w, tfs.max(), norms.min(), cache)
+    assert float(s.max()) <= float(ub)
+
+
+def test_accumulate_order_sensitive_float32():
+    a = np.array([0.1], dtype=np.float32)
+    b = np.array([0.2], dtype=np.float32)
+    c = np.array([0.30000004], dtype=np.float32)
+    out = sim.accumulate([a, b, c])
+    assert out.dtype == np.float32
+    expect = np.float32(np.float32(a[0] + b[0]) + c[0])
+    assert out[0] == expect
