@@ -1,0 +1,115 @@
+"""Brute-force BM25 oracle — the "reference Lucene" stand-in (FIXTURES.md §5).
+
+Pure Python/NumPy, no Ray: full-corpus in-memory inverted dict, exact
+df/tf, Lucene-faithful scoring via the SAME shared modules the engine
+uses (analysis.py, codec/norms.py, similarity.py), full-scan top-k with
+the score-desc / docID-asc tie-break of TopScoreDocCollector
+([U] lucene/core/.../search/TopScoreDocCollector.java).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_solr_ray import similarity as sim
+from lucene_solr_ray.analysis import batch_term_counts, tokenize
+from lucene_solr_ray.codec.norms import encode_dl
+
+
+def analyze_query_terms(raw_terms) -> list[str]:
+    """Query analysis: each raw term string through the canonical chain;
+    distinct results in ascending UTF-8 byte order (FIXTURES.md §3 —
+    duplicate query terms count once; accumulation order is pinned)."""
+    out: set[str] = set()
+    for raw in raw_terms:
+        out.update(tokenize(raw))
+    return sorted(out, key=lambda t: t.encode("utf-8"))
+
+
+def topk_order(docids: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k under (score desc, docid asc)."""
+    order = np.lexsort((docids, -scores.astype(np.float64)))
+    return order[:k]
+
+
+class Oracle:
+    def __init__(self, table: pa.Table):
+        # stable (conv_id, turn_idx) order -> dense docIDs
+        idx = pa.compute.sort_indices(
+            table, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        table = table.take(idx)
+        texts = table.column("text").to_pylist()
+        self.table = table
+        rows, terms, tfs, dl = batch_term_counts(texts)
+        self.n_docs = len(texts)
+        self.dl = dl
+        self.sum_dl = int(dl.sum())
+        self.norms = encode_dl(dl)
+        self.avgdl = self.sum_dl / self.n_docs if self.n_docs else 1.0
+        self.cache = sim.denom_cache(self.avgdl)
+        # term -> (docids, tfs) sorted by docid
+        self.postings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        order = np.lexsort((rows, terms.astype(str)))
+        terms_s, rows_s, tfs_s = terms[order], rows[order], tfs[order]
+        if len(terms_s):
+            uniq, starts = np.unique(terms_s, return_index=True)
+            bounds = np.append(starts, len(terms_s))
+            for i, t in enumerate(uniq):
+                lo, hi = bounds[i], bounds[i + 1]
+                self.postings[str(t)] = (rows_s[lo:hi], tfs_s[lo:hi])
+
+    def df(self, term: str) -> int:
+        p = self.postings.get(term)
+        return 0 if p is None else len(p[0])
+
+    def search(self, raw_terms, k: int = 10, mode: str = "or") -> tuple[np.ndarray, np.ndarray]:
+        """-> (docids, float32 scores), top-k, score desc / docid asc."""
+        terms = analyze_query_terms(raw_terms)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        plists = [(t, self.postings.get(t)) for t in terms]
+        present = [(t, p) for t, p in plists if p is not None]
+        if mode == "and":
+            if len(present) != len(plists) or not present:
+                return empty
+            cand = present[0][1][0]
+            for _, p in present[1:]:
+                cand = np.intersect1d(cand, p[0], assume_unique=True)
+        else:
+            if not present:
+                return empty
+            cand = np.unique(np.concatenate([p[0] for _, p in present]))
+        if len(cand) == 0:
+            return empty
+        parts = []
+        for t, p in present:
+            docids_t, tfs_t = p
+            w = sim.term_weight(self.n_docs, len(docids_t))
+            s = np.zeros(len(cand), dtype=np.float32)
+            pos = np.searchsorted(cand, docids_t)
+            hit = (pos < len(cand)) & (cand[np.minimum(pos, len(cand) - 1)] == docids_t)
+            s[pos[hit]] = sim.score_term(w, tfs_t[hit], self.norms[docids_t[hit]], self.cache)
+            parts.append(s)
+        scores = sim.accumulate(parts)
+        top = topk_order(cand, scores, k)
+        return cand[top], scores[top]
+
+    def search_all(self, query_table: pa.Table) -> pa.Table:
+        """Run the full query set -> (query_id, rank, docid, score)."""
+        qids, ranks, docids, scores = [], [], [], []
+        for row in query_table.to_pylist():
+            d, s = self.search(row["terms"], k=row["k"], mode=row["type"] if row["type"] in ("and",) else "or")
+            for r in range(len(d)):
+                qids.append(row["query_id"])
+                ranks.append(r)
+                docids.append(int(d[r]))
+                scores.append(float(s[r]))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.string()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "docid": pa.array(docids, type=pa.int64()),
+                "score": pa.array(np.array(scores, dtype=np.float32), type=pa.float32()),
+            }
+        )

@@ -1,0 +1,302 @@
+"""Index build pipeline — SURVEY.md §3 Trace A, Ray-Data-first.
+
+    read_parquet(transcripts)                      # streaming blocks
+      -> sort(["conv_id","turn_idx"])              # row invariant + docID order
+      -> [driver] per-block counts -> prefix sums  # global dense docID bases
+         (the zip_with_index workaround — the ONLY raw-ray-task step)
+      -> map_batches(analyze)                      # tokenize/lower/stop; side-
+         writes doc-ordered docs.parquet parts     # stored fields + dl/norm
+      -> groupby("bucket")                         # THE term-hash shuffle
+      -> map_groups(write bucket segment)          # sort, FOR128 encode, skip+
+                                                   # impacts, terms dict; atomic
+      -> [driver] commit manifest_N.json           # two-phase commit point
+
+Reference analogues: DWPT inversion ([U] lucene/core/.../index/
+DocumentsWriterPerThread.java, DefaultIndexingChain.java) = the per-batch
+map-side combiner in analysis.batch_term_counts; flush/codec write
+([U] .../codecs/lucene84/) = segment.write_segment; commit
+([U] .../index/IndexWriter.java commit()) = state.manifest.
+
+Skew handling (mandated, BASELINE.json:14): the shuffle key is
+``bucket = (crc32(term) % P) * S + docid_salt`` with
+``docid_salt = docid // ceil(n_docs / S)``. Every term's postings are
+range-split across S docid ranges, so a Zipf-hot term's list is spread
+over S bucket tasks instead of landing on one straggler; each partition
+p = bucket // S owns complete posting lists for its term range (query
+touches <= q partitions), reassembled in docid order at read/merge time
+because salt ranges are docid-disjoint and ascending. Map-side combine
+(distinct (doc,term) pairs per batch) shrinks shuffle rows before the
+exchange.
+
+Resume (mandated): completed bucket segments are detected on disk (or in
+the previous manifest) and filtered out of the shuffle; a fresh manifest
+generation is committed listing old + new segments with lineage.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from lucene_solr_ray.analysis import batch_term_counts
+from lucene_solr_ray.codec import DEFAULT_POSTINGS_CODEC
+from lucene_solr_ray.codec.norms import encode_dl
+from lucene_solr_ray.segment import segment_is_complete, write_segment
+from lucene_solr_ray.state.manifest import commit_manifest
+
+DOCS_DIRNAME = "docs"
+SEGMENTS_DIRNAME = "segments"
+
+
+def stable_term_hash(uniq_terms: np.ndarray) -> np.ndarray:
+    """crc32 over UTF-8 bytes — stable across processes (Python hash() is
+    salted per process and would break determinism/resume)."""
+    return np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) for t in uniq_terms), dtype=np.int64, count=len(uniq_terms)
+    )
+
+
+def segment_name(generation: int, bucket: int) -> str:
+    return f"g{generation:03d}-b{bucket:06d}"
+
+
+def segment_dir(index_dir: str, partition: int, name: str) -> str:
+    return os.path.join(index_dir, SEGMENTS_DIRNAME, f"p{partition:04d}", name)
+
+
+@ray.remote
+def _num_rows(table: pa.Table) -> int:
+    return table.num_rows
+
+
+@ray.remote
+def _add_docid(table: pa.Table, base: int) -> pa.Table:
+    docid = pa.array(np.arange(base, base + table.num_rows, dtype=np.int64))
+    return table.append_column("docid", docid)
+
+
+class _AnalyzeStage:
+    """map_batches callable: canonical analysis + docs side-write +
+    postings emission. Stateless per batch; a class only to carry config."""
+
+    def __init__(self, docs_dir: str, num_partitions: int, salt: int, salt_range: int,
+                 write_docs: bool, skip_buckets: frozenset[int]):
+        self.docs_dir = docs_dir
+        self.num_partitions = num_partitions
+        self.salt = salt
+        self.salt_range = salt_range
+        self.write_docs = write_docs
+        self.skip_buckets = skip_buckets
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        docids = batch.column("docid").to_numpy()
+        rows, terms, tfs, dl = batch_term_counts(texts)
+        norms_per_doc = encode_dl(dl)
+
+        if self.write_docs and batch.num_rows:
+            docs_table = batch.append_column("dl", pa.array(dl)).append_column(
+                "norm", pa.array(norms_per_doc, type=pa.uint8())
+            )
+            lo, hi = int(docids.min()), int(docids.max())
+            path = os.path.join(self.docs_dir, f"docs-{lo:012d}-{hi:012d}.parquet")
+            if not os.path.exists(path):
+                tmp = path + f".tmp-{os.getpid()}"
+                pq.write_table(docs_table, tmp)
+                os.rename(tmp, path)
+
+        if len(terms) == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "docid": pa.array([], type=pa.int64()),
+                    "tf": pa.array([], type=pa.int64()),
+                    "norm": pa.array([], type=pa.uint8()),
+                    "bucket": pa.array([], type=pa.int64()),
+                }
+            )
+
+    # postings rows: map-side combined already (distinct (row, term) + tf)
+        post_docids = docids[rows]
+        post_norms = norms_per_doc[rows]
+        uniq, inv = np.unique(terms, return_inverse=True)
+        part = stable_term_hash(uniq) % self.num_partitions
+        docid_salt = (post_docids // self.salt_range).clip(0, self.salt - 1)
+        bucket = part[inv] * self.salt + docid_salt
+
+        out = pa.table(
+            {
+                "term": pa.array(terms.astype(str), type=pa.string()),
+                "docid": pa.array(post_docids),
+                "tf": pa.array(tfs),
+                "norm": pa.array(post_norms, type=pa.uint8()),
+                "bucket": pa.array(bucket),
+            }
+        )
+        if self.skip_buckets:
+            keep = ~np.isin(bucket, np.fromiter(self.skip_buckets, dtype=np.int64))
+            out = out.filter(pa.array(keep))
+        return out
+
+
+def _make_segment_writer(index_dir: str, generation: int, salt: int, codec_name: str, lineage: dict):
+    def write_bucket_segment(group: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        bucket = int(group.column("bucket")[0].as_py())
+        partition = bucket // salt
+        name = segment_name(generation, bucket)
+        seg_dir = segment_dir(index_dir, partition, name)
+        meta = write_segment(
+            seg_dir,
+            np.asarray(group.column("term").to_pylist(), dtype=object),
+            group.column("docid").to_numpy(),
+            group.column("tf").to_numpy(),
+            group.column("norm").to_numpy().astype(np.int64),
+            codec_name=codec_name,
+            lineage=dict(lineage, bucket=bucket),
+        )
+        return pa.table(
+            {
+                "partition": pa.array([partition], type=pa.int32()),
+                "bucket": pa.array([bucket], type=pa.int64()),
+                "name": pa.array([name]),
+                "n_terms": pa.array([meta["n_terms"]], type=pa.int64()),
+                "n_postings": pa.array([meta["n_postings"]], type=pa.int64()),
+                "sum_tf": pa.array([meta["sum_tf"]], type=pa.int64()),
+                "postings_bytes": pa.array([meta["postings_bytes"]], type=pa.int64()),
+                "postings_crc32": pa.array([meta["postings_crc32"]], type=pa.int64()),
+                "docid_min": pa.array([meta["docid_min"]], type=pa.int64()),
+                "docid_max": pa.array([meta["docid_max"]], type=pa.int64()),
+                "wall_s": pa.array([time.perf_counter() - t0], type=pa.float64()),
+            }
+        )
+
+    return write_bucket_segment
+
+
+def build_index(
+    input_path,
+    index_dir: str,
+    num_partitions: int = 16,
+    salt: int = 1,
+    codec_name: str = DEFAULT_POSTINGS_CODEC,
+    resume: bool = True,
+    analyze_batch_size: int | None = 8192,
+) -> dict:
+    """Full build -> committed manifest dict. Ray must be initialised by
+    the caller (driver/bench/tests own the session)."""
+    os.makedirs(index_dir, exist_ok=True)
+    docs_dir = os.path.join(index_dir, DOCS_DIRNAME)
+    generation = 0  # fresh-build generation; merges bump via commit_manifest
+
+    ds = ray.data.read_parquet(input_path) if isinstance(input_path, (str, list)) else input_path
+    sorted_ds = ds.sort(["conv_id", "turn_idx"])
+    refs = sorted_ds.to_arrow_refs()
+    counts = ray.get([_num_rows.remote(r) for r in refs])
+    n_docs = int(sum(counts))
+    bases = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    doc_refs = [_add_docid.remote(r, int(b)) for r, b in zip(refs, bases)]
+    docs_ds = ray.data.from_arrow_refs(doc_refs)
+
+    # resume: segments whose bucket dirs are already complete on disk
+    total_buckets = num_partitions * salt
+    done: dict[int, str] = {}
+    if resume:
+        for bucket in range(total_buckets):
+            name = segment_name(generation, bucket)
+            if segment_is_complete(segment_dir(index_dir, bucket // salt, name)):
+                done[bucket] = name
+    docs_marker = os.path.join(index_dir, "docs.complete")
+    write_docs = not os.path.exists(docs_marker) or not resume
+    if write_docs:
+        os.makedirs(docs_dir, exist_ok=True)
+        for stale in os.listdir(docs_dir):  # boundaries may differ run-to-run
+            os.unlink(os.path.join(docs_dir, stale))
+        if os.path.exists(docs_marker):
+            os.unlink(docs_marker)
+
+    salt_range = max(1, -(-n_docs // salt))  # ceil; docid // salt_range < salt
+    t0 = time.perf_counter()
+    analyzed = docs_ds.map_batches(
+        _AnalyzeStage(docs_dir, num_partitions, salt, salt_range, write_docs, frozenset(done)),
+        batch_format="pyarrow",
+        batch_size=analyze_batch_size,
+        zero_copy_batch=True,
+    )
+    lineage = {"input": str(input_path), "n_docs": n_docs, "num_partitions": num_partitions, "salt": salt}
+    stats_rows = analyzed.groupby("bucket").map_groups(
+        _make_segment_writer(index_dir, generation, salt, codec_name, lineage),
+        batch_format="pyarrow",
+    ).take_all()
+    build_wall_s = time.perf_counter() - t0
+
+    if write_docs:
+        with open(docs_marker, "w") as fh:
+            fh.write("ok")
+
+    segments = []
+    for row in sorted(stats_rows, key=lambda r: r["bucket"]):
+        segments.append(
+            {
+                "partition": int(row["partition"]),
+                "name": row["name"],
+                "n_terms": int(row["n_terms"]),
+                "n_postings": int(row["n_postings"]),
+                "sum_tf": int(row["sum_tf"]),
+                "postings_bytes": int(row["postings_bytes"]),
+                "postings_crc32": int(row["postings_crc32"]),
+                "docid_min": int(row["docid_min"]),
+                "docid_max": int(row["docid_max"]),
+                "wall_s": float(row["wall_s"]),
+            }
+        )
+    # resumed buckets: carry stats from their on-disk meta
+    import json
+
+    for bucket, name in sorted(done.items()):
+        seg_dir = segment_dir(index_dir, bucket // salt, name)
+        with open(os.path.join(seg_dir, "meta.json")) as fh:
+            meta = json.load(fh)
+        segments.append(
+            {
+                "partition": bucket // salt,
+                "name": name,
+                "n_terms": meta["n_terms"],
+                "n_postings": meta["n_postings"],
+                "sum_tf": meta["sum_tf"],
+                "postings_bytes": meta["postings_bytes"],
+                "postings_crc32": meta["postings_crc32"],
+                "docid_min": meta["docid_min"],
+                "docid_max": meta["docid_max"],
+                "wall_s": 0.0,
+                "resumed": True,
+            }
+        )
+    segments.sort(key=lambda s: (s["partition"], s["name"]))
+    sum_dl = sum(s["sum_tf"] for s in segments)
+
+    manifest = {
+        "n_docs": n_docs,
+        "sum_dl": sum_dl,
+        "num_partitions": num_partitions,
+        "salt": salt,
+        "codec": codec_name,
+        "analysis": "standard-v1",
+        "segments": segments,
+        "metrics": {
+            "build_wall_s": build_wall_s,
+            "turns_per_s": n_docs / build_wall_s if build_wall_s > 0 else None,
+            "resumed_buckets": sorted(done),
+            "max_segment_wall_s": max((s["wall_s"] for s in segments), default=0.0),
+        },
+    }
+    gen = commit_manifest(index_dir, manifest)
+    manifest["generation"] = gen
+    return manifest

@@ -1,0 +1,335 @@
+"""Query engine — SURVEY.md §3 Trace B.
+
+Reference analogues:
+- IndexSearcher + Weight/Scorer protocol: [U] lucene/core/.../search/IndexSearcher.java
+- global term stats before scoring (idf is index-global):
+  [U] lucene/core/.../index/TermStates.java — here df/cf sum over the
+  term's partition segments; N/avgdl come from the manifest.
+- block-max WAND (LUCENE-8135): [U] .../search/WANDScorer.java,
+  ImpactsDISI.java, MaxScoreCache.java. Implemented here as a
+  *block-granular window* variant: docid space advances window by window
+  (window end = min over active terms of current block's last_docid);
+  a window is decoded + scored only if the sum of the terms' per-block
+  impact upper bounds exceeds the current k-th heap score, otherwise the
+  whole window is skipped undecoded. Skipping is exact because windows
+  advance in docid order: any later doc must strictly beat the k-th
+  (score desc, docid asc) entry to enter the top-k.
+- conjunction: [U] .../search/ConjunctionDISI.java — rarest-first block
+  leapfrog via searchsorted on skip tables; only blocks containing
+  candidates are decoded.
+- collector: [U] .../search/TopScoreDocCollector.java — score desc,
+  docID asc tie-break.
+
+Scoring parity: per-doc score = float32 accumulation of per-term float32
+contributions in ascending UTF-8 term order — bit-identical to
+oracle.Oracle by shared similarity.py code (FIXTURES.md §3).
+
+Ray query path: queries are data — ``map_batches(QueryExecutor,
+concurrency=N)`` actor pool; each actor lazily opens/caches segment
+readers (segments are immutable, so caching is trivially safe).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_solr_ray import similarity as sim
+from lucene_solr_ray.oracle import analyze_query_terms, topk_order
+from lucene_solr_ray.pipelines.build import SEGMENTS_DIRNAME, stable_term_hash
+from lucene_solr_ray.segment import SegmentReader
+from lucene_solr_ray.state.manifest import load_manifest
+
+import os
+
+
+class TermCursor:
+    """One logical posting list for a term: its segments within the
+    term's partition, docid-disjoint and ascending (build salt ranges /
+    merged generations), exposed as one concatenated block sequence."""
+
+    __slots__ = ("cursors", "blk_cursor", "blk_local", "last_docid", "max_tf", "min_norm", "n_docs")
+
+    def __init__(self, cursors):
+        self.cursors = cursors
+        per = [(i, c.skip) for i, c in enumerate(cursors) if c.n_docs > 0]
+        if per:
+            self.blk_cursor = np.concatenate([np.full(len(s), i, dtype=np.int32) for i, s in per])
+            self.blk_local = np.concatenate([np.arange(len(s), dtype=np.int32) for _, s in per])
+            self.last_docid = np.concatenate([s["last_docid"].astype(np.int64) for _, s in per])
+            self.max_tf = np.concatenate([s["max_tf"].astype(np.int64) for _, s in per])
+            self.min_norm = np.concatenate([s["min_norm"].astype(np.int64) for _, s in per])
+        else:
+            self.blk_cursor = np.empty(0, dtype=np.int32)
+            self.blk_local = np.empty(0, dtype=np.int32)
+            self.last_docid = np.empty(0, dtype=np.int64)
+            self.max_tf = np.empty(0, dtype=np.int64)
+            self.min_norm = np.empty(0, dtype=np.int64)
+        self.n_docs = sum(c.n_docs for c in cursors)
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.last_docid)
+
+    def block(self, g: int):
+        return self.cursors[self.blk_cursor[g]].block(int(self.blk_local[g]))
+
+    def block_ubs(self, w: np.float32, cache: np.ndarray) -> np.ndarray:
+        """float64 per-block score upper bounds from impacts."""
+        mt = self.max_tf.astype(np.float64)
+        ub = np.float64(w) * (mt / (mt + cache[self.min_norm]))
+        return ub * (1.0 + 1e-6) + 1e-12
+
+    def decode_all(self):
+        parts = [self.block(g) for g in range(self.n_blocks)]
+        if not parts:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        return tuple(np.concatenate([p[i] for p in parts]) for i in range(3))
+
+    def docids_in_blocks(self, blocks: np.ndarray):
+        """Concatenated (docids, tfs, norms) of the given block indices
+        (ascending)."""
+        parts = [self.block(int(g)) for g in blocks]
+        if not parts:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        return tuple(np.concatenate([p[i] for p in parts]) for i in range(3))
+
+    def gather(self, docids: np.ndarray):
+        """(tfs, norms) for docids ALL present in this list (intersection
+        results). Decodes only the blocks containing them."""
+        blocks = np.unique(np.searchsorted(self.last_docid, docids, side="left"))
+        d, t, m = self.docids_in_blocks(blocks)
+        pos = np.searchsorted(d, docids)
+        return t[pos], m[pos]
+
+
+class IndexSearcher:
+    def __init__(self, index_dir: str, generation: int | None = None):
+        self.index_dir = index_dir
+        self.manifest = load_manifest(index_dir, generation)
+        self.n_docs = self.manifest["n_docs"]
+        self.sum_dl = self.manifest["sum_dl"]
+        self.num_partitions = self.manifest["num_partitions"]
+        self.avgdl = self.sum_dl / self.n_docs if self.n_docs else 1.0
+        self.cache = sim.denom_cache(self.avgdl)
+        self._by_partition: dict[int, list[dict]] = {}
+        for seg in self.manifest["segments"]:
+            self._by_partition.setdefault(seg["partition"], []).append(seg)
+        for segs in self._by_partition.values():
+            segs.sort(key=lambda s: s["name"])  # ascending bucket/salt = docid order
+        self._readers: dict[str, SegmentReader] = {}
+
+    def _reader(self, partition: int, name: str) -> SegmentReader:
+        key = f"{partition}/{name}"
+        r = self._readers.get(key)
+        if r is None:
+            r = SegmentReader(
+                os.path.join(self.index_dir, SEGMENTS_DIRNAME, f"p{partition:04d}", name)
+            )
+            self._readers[key] = r
+        return r
+
+    def term_stats_and_cursor(self, term: str):
+        """-> (global df, global cf, TermCursor) — TermStates.build."""
+        part = int(stable_term_hash(np.array([term], dtype=object))[0]) % self.num_partitions
+        cursors = []
+        df = 0
+        cf = 0
+        from lucene_solr_ray.codec.postings import PostingsCursor
+
+        for seg in self._by_partition.get(part, ()):
+            r = self._reader(part, seg["name"])
+            i = r.lookup(term)
+            if i is not None:
+                df += int(r.df[i])
+                cf += int(r.cf[i])
+                cursors.append(PostingsCursor(r.read_blob(i), r.codec))
+        return df, cf, TermCursor(cursors) if cursors else None
+
+    # ---------------- public search ----------------
+
+    def search(self, raw_terms, k: int = 10, mode: str = "or", algorithm: str = "auto"):
+        """-> (docids int64, scores float32) top-k, score desc / docid asc."""
+        terms = analyze_query_terms(raw_terms)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        weighted = []  # (term, w, cursor) in ascending UTF-8 term order
+        for t in terms:
+            df, _cf, cur = self.term_stats_and_cursor(t)
+            if cur is None:
+                if mode == "and":
+                    return empty
+                continue
+            weighted.append((t, sim.term_weight(self.n_docs, df), cur))
+        if not weighted:
+            return empty
+        if mode == "and":
+            return self._search_and(weighted, k)
+        if algorithm == "exhaustive":
+            return self._search_or_exhaustive(weighted, k)
+        return self._search_or_wand(weighted, k)
+
+    # ---------------- OR: block-max WAND (window variant) ----------------
+
+    def _search_or_wand(self, weighted, k: int):
+        ubs = [c.block_ubs(w, self.cache) for _, w, c in weighted]
+        bi = [0] * len(weighted)
+        active = [i for i, (_, _, c) in enumerate(weighted) if c.n_blocks > 0]
+        top_d = np.empty(0, dtype=np.int64)
+        top_s = np.empty(0, dtype=np.float32)
+        theta = -np.inf
+        w_lo = 0
+        while active:
+            w_hi = min(int(weighted[i][2].last_docid[bi[i]]) for i in active)
+            ub_sum = float(sum(ubs[i][bi[i]] for i in active))
+            if ub_sum > theta:
+                window_parts = []
+                for i in active:
+                    _, _, c = weighted[i]
+                    d, t, m = c.block(bi[i])
+                    mask = (d >= w_lo) & (d <= w_hi)
+                    window_parts.append((i, d[mask], t[mask], m[mask]))
+                union = np.unique(np.concatenate([p[1] for p in window_parts]))
+                if len(union):
+                    parts = []
+                    for i, d, t, m in window_parts:  # already ascending term order
+                        s = np.zeros(len(union), dtype=np.float32)
+                        if len(d):
+                            pos = np.searchsorted(union, d)
+                            s[pos] = sim.score_term(weighted[i][1], t, m, self.cache)
+                        parts.append(s)
+                    scores = sim.accumulate(parts)
+                    top_d = np.concatenate([top_d, union])
+                    top_s = np.concatenate([top_s, scores])
+                    if len(top_d) > k:
+                        keep = topk_order(top_d, top_s, k)
+                        top_d, top_s = top_d[keep], top_s[keep]
+                    if len(top_d) == k:
+                        theta = float(top_s.min())
+            nxt = []
+            for i in active:
+                c = weighted[i][2]
+                if int(c.last_docid[bi[i]]) == w_hi:
+                    bi[i] += 1
+                if bi[i] < c.n_blocks:
+                    nxt.append(i)
+            active = nxt
+            w_lo = w_hi + 1
+        order = topk_order(top_d, top_s, k)
+        return top_d[order], top_s[order]
+
+    def _search_or_exhaustive(self, weighted, k: int):
+        """Decode-everything reference path (oracle-shaped) for A/B tests."""
+        decoded = [(t, w, c.decode_all()) for t, w, c in weighted]
+        cand = np.unique(np.concatenate([d for _, _, (d, _, _) in decoded]))
+        parts = []
+        for _, w, (d, t, m) in decoded:
+            s = np.zeros(len(cand), dtype=np.float32)
+            pos = np.searchsorted(cand, d)
+            s[pos] = sim.score_term(w, t, m, self.cache)
+            parts.append(s)
+        scores = sim.accumulate(parts)
+        top = topk_order(cand, scores, k)
+        return cand[top], scores[top]
+
+    # ---------------- AND: block leapfrog ----------------
+
+    def _search_and(self, weighted, k: int):
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        by_rarity = sorted(range(len(weighted)), key=lambda i: weighted[i][2].n_docs)
+        rare = weighted[by_rarity[0]][2]
+        cand_parts = []
+        for b in range(rare.n_blocks):
+            cand = rare.block(b)[0]
+            for j in by_rarity[1:]:
+                oc = weighted[j][2]
+                blocks = np.searchsorted(oc.last_docid, cand, side="left")
+                ok = blocks < oc.n_blocks
+                cand = cand[ok]
+                if len(cand) == 0:
+                    break
+                need = np.unique(blocks[ok])
+                od, _, _ = oc.docids_in_blocks(need)
+                sel = np.searchsorted(od, cand)
+                sel = np.minimum(sel, len(od) - 1)
+                cand = cand[od[sel] == cand]
+                if len(cand) == 0:
+                    break
+            if len(cand):
+                cand_parts.append(cand)
+        if not cand_parts:
+            return empty
+        cand = np.concatenate(cand_parts)
+        parts = []
+        for _, w, c in weighted:  # ascending term order
+            t, m = c.gather(cand)
+            parts.append(sim.score_term(w, t, m, self.cache))
+        scores = sim.accumulate(parts)
+        top = topk_order(cand, scores, k)
+        return cand[top], scores[top]
+
+    def explain(self, raw_terms, docid: int) -> list[dict]:
+        """Per-term score breakdown for one doc — the Explanation/CheckHits
+        debug aid ([U] lucene/core/.../search/Explanation.java)."""
+        out = []
+        for t in analyze_query_terms(raw_terms):
+            df, cf, cur = self.term_stats_and_cursor(t)
+            entry = {"term": t, "df": df, "cf": cf, "score": 0.0}
+            if cur is not None:
+                d, tf, m = cur.decode_all()
+                i = int(np.searchsorted(d, docid))
+                if i < len(d) and d[i] == docid:
+                    w = sim.term_weight(self.n_docs, df)
+                    entry["tf"] = int(tf[i])
+                    entry["norm"] = int(m[i])
+                    entry["score"] = float(sim.score_term(w, tf[i : i + 1], m[i : i + 1], self.cache)[0])
+            out.append(entry)
+        return out
+
+
+class QueryExecutor:
+    """Actor-pool stage: queries are data (SURVEY §3 Trace B). Segment
+    readers/term dicts are cached per actor across query batches."""
+
+    def __init__(self, index_dir: str, generation: int | None = None, algorithm: str = "auto"):
+        self.searcher = IndexSearcher(index_dir, generation)
+        self.algorithm = algorithm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids, ranks, docids, scores = [], [], [], []
+        for row in batch.to_pylist():
+            mode = "and" if row.get("type") == "and" else "or"
+            d, s = self.searcher.search(
+                row["terms"], k=int(row.get("k", 10)), mode=mode, algorithm=self.algorithm
+            )
+            for r in range(len(d)):
+                qids.append(row["query_id"])
+                ranks.append(r)
+                docids.append(int(d[r]))
+                scores.append(float(s[r]))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.string()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "docid": pa.array(docids, type=pa.int64()),
+                "score": pa.array(np.array(scores, dtype=np.float32), type=pa.float32()),
+            }
+        )
+
+
+def run_queries(index_dir: str, queries, concurrency: int = 4, batch_size: int = 64,
+                generation: int | None = None, algorithm: str = "auto"):
+    """Dataset-of-queries -> Dataset of (query_id, rank, docid, score),
+    deterministically ordered."""
+    import ray.data
+
+    ds = queries if hasattr(queries, "map_batches") else ray.data.from_arrow(queries)
+    out = ds.map_batches(
+        QueryExecutor,
+        fn_constructor_kwargs={"index_dir": index_dir, "generation": generation, "algorithm": algorithm},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    return out.sort(["query_id", "rank"])

@@ -1,0 +1,212 @@
+"""Segment layer: write-once partition-local mini-indexes.
+
+The Ray-side analogue of Lucene's segment files (SURVEY.md §1.2):
+
+    <seg_dir>/terms.parquet   sorted term dict: term, df, cf, max_tf,
+                              offset, nbytes   (~ .tim/.tip BlockTree dict,
+                              [U] lucene/core/.../codecs/blocktree/)
+    <seg_dir>/postings.bin    concatenated per-term blobs (delta + FOR128
+                              bit-packed blocks, skip + impacts; ~ .doc,
+                              [U] .../codecs/lucene84/Lucene84PostingsWriter.java)
+    <seg_dir>/meta.json       codec name, counts, checksums (~ .si)
+
+Segments are written atomically (tmp dir + rename) so a crashed build
+leaves only complete segments — the resume unit (SURVEY.md §4).
+Norm bytes live inside the postings (per posting), so a segment is fully
+self-contained for scoring; the doc-ordered docs.parquet (stored fields +
+doclen/norm doc-values columns) is written separately by the build pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_solr_ray.codec import DEFAULT_POSTINGS_CODEC, get_postings_codec
+
+TERMS_FILE = "terms.parquet"
+POSTINGS_FILE = "postings.bin"
+META_FILE = "meta.json"
+
+
+def write_segment(
+    seg_dir: str,
+    terms: np.ndarray,
+    docids: np.ndarray,
+    tfs: np.ndarray,
+    norms: np.ndarray,
+    codec_name: str = DEFAULT_POSTINGS_CODEC,
+    lineage: dict | None = None,
+) -> dict:
+    """Encode one segment from (term, docid, tf, norm) rows (any order;
+    sorted here by (term, docid) — the FreqProxTermsWriter replay step,
+    [U] lucene/core/.../index/FreqProxTermsWriter.java). Returns the
+    manifest stats record. Atomic: writes to <seg_dir>.tmp then renames."""
+    codec = get_postings_codec(codec_name)
+    order = np.lexsort((docids, terms.astype(str)))
+    terms_s = terms[order]
+    docids_s = np.asarray(docids)[order]
+    tfs_s = np.asarray(tfs)[order]
+    norms_s = np.asarray(norms)[order]
+
+    if len(terms_s):
+        uniq_terms, starts = np.unique(terms_s, return_index=True)
+        bounds = np.append(starts, len(terms_s))
+    else:
+        uniq_terms, bounds = np.empty(0, dtype=object), np.array([0])
+
+    blobs: list[bytes] = []
+    df = np.empty(len(uniq_terms), dtype=np.int64)
+    cf = np.empty(len(uniq_terms), dtype=np.int64)
+    max_tf = np.empty(len(uniq_terms), dtype=np.int64)
+    offsets = np.empty(len(uniq_terms), dtype=np.int64)
+    nbytes = np.empty(len(uniq_terms), dtype=np.int64)
+    off = 0
+    for i in range(len(uniq_terms)):
+        lo, hi = bounds[i], bounds[i + 1]
+        d, t, m = docids_s[lo:hi], tfs_s[lo:hi], norms_s[lo:hi]
+        blob = codec.encode(d, t, m)
+        blobs.append(blob)
+        df[i] = hi - lo
+        cf[i] = t.sum()
+        max_tf[i] = t.max()
+        offsets[i] = off
+        nbytes[i] = len(blob)
+        off += len(blob)
+
+    postings_bytes = b"".join(blobs)
+    terms_table = pa.table(
+        {
+            # UTF-8 byte order — pa large_binary sort == Lucene BytesRef order
+            "term": pa.array([str(t) for t in uniq_terms], type=pa.string()),
+            "df": pa.array(df),
+            "cf": pa.array(cf),
+            "max_tf": pa.array(max_tf),
+            "offset": pa.array(offsets),
+            "nbytes": pa.array(nbytes),
+        }
+    )
+
+    tmp = seg_dir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, POSTINGS_FILE), "wb") as fh:
+        fh.write(postings_bytes)
+    pq.write_table(terms_table, os.path.join(tmp, TERMS_FILE))
+    meta = {
+        "codec": codec_name,
+        "n_terms": int(len(uniq_terms)),
+        "n_postings": int(len(terms_s)),
+        "sum_tf": int(tfs_s.sum()) if len(tfs_s) else 0,
+        "docid_min": int(docids_s.min()) if len(docids_s) else -1,
+        "docid_max": int(docids_s.max()) if len(docids_s) else -1,
+        "postings_bytes": len(postings_bytes),
+        "postings_crc32": zlib.crc32(postings_bytes) & 0xFFFFFFFF,
+        "lineage": lineage or {},
+    }
+    with open(os.path.join(tmp, META_FILE), "w") as fh:
+        json.dump(meta, fh)
+    if os.path.exists(seg_dir):
+        shutil.rmtree(seg_dir)  # idempotent rebuild of the same segment
+    os.rename(tmp, seg_dir)
+    return meta
+
+
+def segment_is_complete(seg_dir: str) -> bool:
+    return all(
+        os.path.exists(os.path.join(seg_dir, f)) for f in (TERMS_FILE, POSTINGS_FILE, META_FILE)
+    )
+
+
+class SegmentReader:
+    """Read side: term dict in memory (sorted numpy arrays, binary
+    search), postings fetched by (offset, nbytes) range reads — the
+    BlockTree/FST dict replaced by Parquet + searchsorted (SURVEY §2.3)."""
+
+    def __init__(self, seg_dir: str):
+        self.seg_dir = seg_dir
+        with open(os.path.join(seg_dir, META_FILE)) as fh:
+            self.meta = json.load(fh)
+        self.codec = get_postings_codec(self.meta["codec"])
+        t = pq.read_table(os.path.join(seg_dir, TERMS_FILE))
+        self.terms = np.asarray(t.column("term").to_pylist(), dtype=object)
+        self._term_keys = np.array([s.encode("utf-8") for s in self.terms], dtype=object)
+        self.df = t.column("df").to_numpy()
+        self.cf = t.column("cf").to_numpy()
+        self.max_tf = t.column("max_tf").to_numpy()
+        self.offsets = t.column("offset").to_numpy()
+        self.nbytes = t.column("nbytes").to_numpy()
+        self._fh = None
+
+    def lookup(self, term: str) -> int | None:
+        """-> term ordinal or None. Binary search in UTF-8 byte order."""
+        key = term.encode("utf-8")
+        # object array of bytes: searchsorted works with rich comparison
+        i = int(np.searchsorted(self._term_keys, key))
+        if i < len(self.terms) and self._term_keys[i] == key:
+            return i
+        return None
+
+    def term_range(self, lo: str | None = None, hi: str | None = None) -> range:
+        """Ordinals of terms in [lo, hi) — powers prefix/range queries."""
+        i = 0 if lo is None else int(np.searchsorted(self._term_keys, lo.encode("utf-8")))
+        j = len(self.terms) if hi is None else int(np.searchsorted(self._term_keys, hi.encode("utf-8")))
+        return range(i, j)
+
+    def read_blob(self, ordinal: int) -> bytes:
+        if self._fh is None:
+            self._fh = open(os.path.join(self.seg_dir, POSTINGS_FILE), "rb")
+        self._fh.seek(int(self.offsets[ordinal]))
+        return self._fh.read(int(self.nbytes[ordinal]))
+
+    def postings(self, ordinal: int):
+        """Full decode -> (docids, tfs, norms)."""
+        return self.codec.decode(self.read_blob(ordinal))
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None
+
+
+def check_segment(seg_dir: str) -> list[str]:
+    """CheckIndex-equivalent for one segment
+    ([U] lucene/core/.../index/CheckIndex.java). Returns problem strings."""
+    problems: list[str] = []
+    r = SegmentReader(seg_dir)
+    with open(os.path.join(seg_dir, POSTINGS_FILE), "rb") as fh:
+        raw = fh.read()
+    if (zlib.crc32(raw) & 0xFFFFFFFF) != r.meta["postings_crc32"]:
+        problems.append("postings.bin crc32 mismatch")
+    if len(raw) != r.meta["postings_bytes"]:
+        problems.append("postings.bin length mismatch")
+    keys = r._term_keys
+    if len(keys) > 1 and not all(keys[i] < keys[i + 1] for i in range(len(keys) - 1)):
+        problems.append("terms not strictly sorted")
+    n_postings = 0
+    sum_tf = 0
+    for i in range(len(r.terms)):
+        d, t, m = r.postings(i)
+        if len(d) != r.df[i]:
+            problems.append(f"term {r.terms[i]!r}: df {r.df[i]} != postings len {len(d)}")
+        if int(t.sum()) != int(r.cf[i]):
+            problems.append(f"term {r.terms[i]!r}: cf mismatch")
+        if len(d) > 1 and not np.all(np.diff(d) > 0):
+            problems.append(f"term {r.terms[i]!r}: docids not strictly increasing")
+        if np.any(m > 255) or np.any(m < 0):
+            problems.append(f"term {r.terms[i]!r}: norm byte out of range")
+        n_postings += len(d)
+        sum_tf += int(t.sum())
+    if n_postings != r.meta["n_postings"]:
+        problems.append("meta n_postings mismatch")
+    if sum_tf != r.meta["sum_tf"]:
+        problems.append("meta sum_tf mismatch")
+    r.close()
+    return problems
