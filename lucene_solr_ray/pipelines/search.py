@@ -118,7 +118,9 @@ class IndexSearcher:
         for seg in self.manifest["segments"]:
             self._by_partition.setdefault(seg["partition"], []).append(seg)
         for segs in self._by_partition.values():
-            segs.sort(key=lambda s: s["name"])  # ascending bucket/salt = docid order
+            # per-term docid order across a partition's segments: salt ranges /
+            # merged generations are docid-disjoint, so docid_min orders them
+            segs.sort(key=lambda s: (s["docid_min"], s["name"]))
         self._readers: dict[str, SegmentReader] = {}
 
     def _reader(self, partition: int, name: str) -> SegmentReader:

@@ -1,0 +1,112 @@
+"""Merge & resume equivalence — FIXTURES.md §6.5/§6.6: merged index must be
+query-result-identical to the pre-merge index; resumed build identical to
+uninterrupted build."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from lucene_solr_ray.pipelines.merge import force_merge, plan_merges, run_merge_round
+from lucene_solr_ray.pipelines.search import IndexSearcher
+from lucene_solr_ray.segment import check_segment
+from lucene_solr_ray.state.manifest import load_manifest
+
+
+@pytest.fixture()
+def merged_index(ray_session, t1_index, tmp_path):
+    index_dir, _ = t1_index
+    copy = str(tmp_path / "index-copy")
+    shutil.copytree(index_dir, copy)
+    manifest = force_merge(copy, max_segments=1)
+    return copy, manifest
+
+
+def test_force_merge_reduces_segments(merged_index):
+    copy, manifest = merged_index
+    per_part: dict[int, int] = {}
+    for s in manifest["segments"]:
+        per_part[s["partition"]] = per_part.get(s["partition"], 0) + 1
+    assert all(v == 1 for v in per_part.values()), per_part
+    assert manifest["generation"] >= 1
+    # replaced dirs were gc'ed; remaining dirs valid
+    seg_dirs = glob.glob(os.path.join(copy, "segments", "p*", "g*"))
+    assert len(seg_dirs) == len(manifest["segments"])
+    for d in seg_dirs:
+        assert check_segment(d) == [], d
+
+
+def test_merged_query_parity(merged_index, t1_oracle, t1_queries):
+    copy, _ = merged_index
+    s = IndexSearcher(copy)
+    for row in t1_queries.to_pylist():
+        mode = "and" if row["type"] == "and" else "or"
+        got_d, got_s = s.search(row["terms"], k=row["k"], mode=mode)
+        exp_d, exp_s = t1_oracle.search(row["terms"], k=row["k"], mode=mode)
+        assert got_d.tolist() == exp_d.tolist(), row["query_id"]
+        assert np.array_equal(got_s, exp_s), row["query_id"]
+
+
+def test_merged_global_stats_preserved(merged_index, t1_index):
+    copy, manifest = merged_index
+    _, orig = t1_index
+    assert manifest["n_docs"] == orig["n_docs"]
+    assert sum(s["sum_tf"] for s in manifest["segments"]) == orig["sum_dl"]
+
+
+def test_plan_merges_tiered_picks_smallest():
+    manifest = {
+        "segments": [
+            {"partition": 0, "name": f"s{i}", "postings_bytes": b, "docid_min": 0}
+            for i, b in enumerate([100, 5, 10, 2, 50, 1, 7, 3, 20, 30, 40, 60])
+        ]
+    }
+    groups = plan_merges(manifest, segs_per_tier=10, max_merge_at_once=4)
+    assert len(groups) == 1
+    sizes = [s["postings_bytes"] for s in groups[0]["inputs"]]
+    assert sizes == [1, 2, 3, 5]
+
+
+def test_plan_merges_respects_max_merged_bytes():
+    manifest = {
+        "segments": [
+            {"partition": 0, "name": f"s{i}", "postings_bytes": 10**9, "docid_min": 0}
+            for i in range(12)
+        ]
+    }
+    groups = plan_merges(manifest, segs_per_tier=10, max_merge_at_once=10,
+                         max_merged_bytes=10**9)
+    assert groups == []  # any 2+ would exceed the cap
+
+
+def test_resume_skips_completed_buckets(ray_session, t1_corpus, tmp_path):
+    from lucene_solr_ray.pipelines.build import build_index
+
+    index_dir = str(tmp_path / "resume-idx")
+    m1 = build_index(t1_corpus, index_dir, num_partitions=4, salt=1)
+    # simulate crash: drop one segment dir, keep others
+    seg_dirs = sorted(glob.glob(os.path.join(index_dir, "segments", "p*", "g*")))
+    shutil.rmtree(seg_dirs[0])
+    m2 = build_index(t1_corpus, index_dir, num_partitions=4, salt=1)
+    assert len(m2["metrics"]["resumed_buckets"]) == len(seg_dirs) - 1
+    # identical segment checksums as the uninterrupted build
+    c1 = {(s["partition"], s["name"]): s["postings_crc32"] for s in m1["segments"]}
+    c2 = {(s["partition"], s["name"]): s["postings_crc32"] for s in m2["segments"]}
+    assert c1 == c2
+
+
+def test_build_determinism_across_batching(ray_session, t1_corpus, tmp_path):
+    """FIXTURES.md §6.5: different parallelism/batching -> identical
+    segment content (checksums) and manifest counts."""
+    from lucene_solr_ray.pipelines.build import build_index
+
+    d1 = str(tmp_path / "i1")
+    d2 = str(tmp_path / "i2")
+    m1 = build_index(t1_corpus, d1, num_partitions=4, salt=2, analyze_batch_size=256)
+    m2 = build_index(t1_corpus, d2, num_partitions=4, salt=2, analyze_batch_size=4096)
+    c1 = {(s["partition"], s["name"]): s["postings_crc32"] for s in m1["segments"]}
+    c2 = {(s["partition"], s["name"]): s["postings_crc32"] for s in m2["segments"]}
+    assert c1 == c2
+    assert m1["n_docs"] == m2["n_docs"] and m1["sum_dl"] == m2["sum_dl"]
