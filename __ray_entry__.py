@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (full-text index build + BM25
+query batch) on /root/testdata/sf0.001. ``queries()`` exposes one entry
+per implemented operator from SURVEY.md §2; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL where the op is SQL-expressible (BM25 scoring and
+sketch ops are validated by the pytest oracle suite instead and carry a
+rows-only check here).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
+
+Numeric convention shared with the SQL: floats become exact integers
+per-row BEFORE aggregation (cents via FLOOR(x*100+0.5)) so value hashes
+match regardless of accumulation order.
 """
 
 from __future__ import annotations
@@ -18,27 +20,185 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
+# fixed probe sets (documents vocabulary is a closed 31-word set)
+FT_TERM = "merge"
+FT_AND_TERMS = ["merge", "join", "vector"]
+FT_OR_TERMS = ["window", "vector"]
+FT_STATS_TERMS = ["merge", "join", "window", "zzz-absent"]
+FT_BM25_QUERIES = [
+    ("q-or-1", ["merge", "join"], "or"),
+    ("q-or-2", ["window", "vector", "stream"], "or"),
+    ("q-and-1", ["merge", "join"], "and"),
+    ("q-single", ["spark"], "or"),
+]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents (sort ->
+    docID assign -> analyze -> term-hash shuffle -> segment writers ->
+    manifest) and answer a BM25 top-k query batch over it."""
+    from lucene_solr_ray.functions import fulltext as ft
+
+    return ft.bm25_topk(SF0001, FT_BM25_QUERIES, k=10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from lucene_solr_ray.functions import fulltext as ft
+    from lucene_solr_ray.functions import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- full-text core (SURVEY §2.3/§2.5/§2.6) ---
+        "ft_term_docs": lambda sf: ft.boolean_retrieve(sf, [FT_TERM], mode="or"),
+        "ft_and_docs": lambda sf: ft.boolean_retrieve(sf, FT_AND_TERMS, mode="and"),
+        "ft_or_docs": lambda sf: ft.boolean_retrieve(sf, FT_OR_TERMS, mode="or"),
+        "ft_term_stats": lambda sf: ft.term_stats(sf, FT_STATS_TERMS),
+        "ft_bm25_topk": lambda sf: ft.bm25_topk(sf, FT_BM25_QUERIES, k=10),
+        # --- streaming-expression algebra (SURVEY §2.8) ---
+        "select_having": rel.select_having,
+        "rollup_agg": rel.rollup_agg,
+        "stats_global": rel.stats_global,
+        "rank_top": rel.rank_top,
+        "unique_stream": rel.unique_stream,
+        "hash_join": rel.hash_join,
+        "fetch_enrich": rel.fetch_enrich,
+        "left_outer_join": rel.left_outer_join,
+        "semi_join": rel.semi_join_customers,
+        "anti_join": rel.anti_join_customers,
+        "merge_sorted": rel.merge_sorted_names,
+        "cartesian_explode": rel.cartesian_explode,
+        # --- facets / aggs (SURVEY §2.7) ---
+        "facet_terms": rel.facet_terms,
+        "timeseries_facet": rel.timeseries_facet,
+        "significant_terms": rel.significant_terms,
+        "collapse_top_order": rel.collapse_top_order,
+        "percentile_disc": rel.percentile_disc,
+        "unique_counts": rel.unique_counts,
+    }
+
+
+_CENTS = "CAST(FLOOR({x}*100+0.5) AS BIGINT)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    c = _CENTS.format
+    split = "regexp_split_to_array(text, '\\s+')"
+    ft_stats_parts = []
+    for t in FT_STATS_TERMS:
+        ft_stats_parts.append(
+            f"SELECT '{t}' AS term, "
+            f"CAST(COUNT(CASE WHEN list_contains(sp, '{t}') THEN 1 END) AS BIGINT) AS df, "
+            f"CAST(COALESCE(SUM(len(list_filter(sp, x -> x = '{t}'))), 0) AS BIGINT) AS cf "
+            f"FROM (SELECT {split} AS sp FROM documents)"
+        )
+    return {
+        "ft_term_docs": (
+            f"SELECT doc_id FROM documents WHERE list_contains({split}, '{FT_TERM}') ORDER BY doc_id"
+        ),
+        "ft_and_docs": (
+            "SELECT doc_id FROM documents WHERE "
+            + " AND ".join(f"list_contains({split}, '{t}')" for t in FT_AND_TERMS)
+            + " ORDER BY doc_id"
+        ),
+        "ft_or_docs": (
+            "SELECT doc_id FROM documents WHERE "
+            + " OR ".join(f"list_contains({split}, '{t}')" for t in FT_OR_TERMS)
+            + " ORDER BY doc_id"
+        ),
+        "ft_term_stats": " UNION ALL ".join(ft_stats_parts),
+        # ft_bm25_topk: no SQL oracle (BM25 float semantics live in the
+        # pytest oracle, FIXTURES.md §5) -> driver rows-only check.
+        "select_having": (
+            "SELECT l_orderkey, l_linenumber, "
+            f"{c(x='l_quantity')} AS qty, "
+            f"{c(x='(l_extendedprice*(1-l_discount))')} AS revenue_cents "
+            "FROM lineitem WHERE l_quantity >= 48"
+        ),
+        "rollup_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            f"CAST(SUM({c(x='l_quantity')}) AS BIGINT) AS sum_qty, "
+            f"CAST(SUM({c(x='l_extendedprice')}) AS BIGINT) AS sum_base_cents, "
+            "COUNT(*) AS n FROM lineitem GROUP BY 1, 2"
+        ),
+        "stats_global": (
+            "SELECT COUNT(*) AS n, "
+            f"MIN({c(x='l_quantity')}) AS min_qty, "
+            f"MAX({c(x='l_quantity')}) AS max_qty, "
+            f"CAST(SUM({c(x='l_extendedprice')}) AS BIGINT) AS sum_price_cents "
+            "FROM lineitem"
+        ),
+        "rank_top": (
+            f"SELECT o_orderkey, {c(x='o_totalprice')} AS total_cents FROM orders "
+            "ORDER BY total_cents DESC, o_orderkey LIMIT 10"
+        ),
+        "unique_stream": (
+            "SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY 1 ORDER BY 1"
+        ),
+        "hash_join": (
+            "SELECT c_mktsegment, COUNT(*) AS n_orders, "
+            f"CAST(SUM({c(x='o_totalprice')}) AS BIGINT) AS sum_total_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1"
+        ),
+        "fetch_enrich": (
+            f"SELECT s_suppkey, n_name, {c(x='s_acctbal')} AS acctbal_cents "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+        ),
+        "left_outer_join": (
+            "SELECT c_nationkey, COUNT(*) AS n_customers, "
+            "CAST(SUM(COALESCE(o.n, 0)) AS BIGINT) AS sum_orders, "
+            "CAST(SUM(CASE WHEN o.n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_order_customers "
+            "FROM customer c LEFT JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders "
+            "WHERE o_orderstatus = 'P' GROUP BY 1) o ON c.c_custkey = o.o_custkey "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "semi_join": (
+            "SELECT c_custkey FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') ORDER BY 1"
+        ),
+        "anti_join": (
+            "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') ORDER BY 1"
+        ),
+        "merge_sorted": (
+            "SELECT name FROM (SELECT r_name AS name FROM region "
+            "UNION ALL SELECT n_name AS name FROM nation) ORDER BY name"
+        ),
+        "cartesian_explode": (
+            "SELECT word, COUNT(*) AS n FROM "
+            "(SELECT unnest(regexp_split_to_array(p_type, ' ')) AS word FROM part) "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "facet_terms": (
+            "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "timeseries_facet": (
+            "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n, "
+            f"CAST(SUM({c(x='value')}) AS BIGINT) AS sum_value_cents "
+            "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "significant_terms": (
+            "SELECT term, CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fg, "
+            "COUNT(*) AS bg FROM "
+            f"(SELECT unnest({split}) AS term, lang FROM documents) "
+            "GROUP BY term ORDER BY term"
+        ),
+        "collapse_top_order": (
+            "SELECT o_custkey, o_orderkey, total_cents FROM ("
+            f"SELECT o_custkey, o_orderkey, {c(x='o_totalprice')} AS total_cents, "
+            f"ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY {c(x='o_totalprice')} DESC, o_orderkey) AS rn "
+            "FROM orders) WHERE rn = 1 ORDER BY o_custkey"
+        ),
+        "percentile_disc": (
+            "WITH c AS (SELECT " + c(x="l_quantity") + " AS qty, COUNT(*) AS n FROM lineitem GROUP BY 1), "
+            "cc AS (SELECT qty, SUM(n) OVER (ORDER BY qty) AS cum FROM c), "
+            "t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c) "
+            "SELECT CAST(q_milli AS BIGINT) AS q_milli, "
+            "(SELECT MIN(qty) FROM cc, t WHERE cum >= (q_milli/1000.0)*total) AS qty "
+            "FROM (VALUES (250), (500), (750), (950)) AS qs(q_milli)"
+        ),
+        "unique_counts": (
+            "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+            "CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types FROM events"
+        ),
+    }

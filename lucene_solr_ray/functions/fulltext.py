@@ -1,0 +1,123 @@
+"""Full-text operators over the driver's ``documents`` table.
+
+Adapts documents (doc_id, text, ...) to the transcript contract schema
+(one doc = one single-turn conversation), builds/caches an index per
+sf_dir, and exposes retrieval operators as Ray Data pipelines whose
+outputs are DuckDB-checkable where semantics allow (boolean retrieval,
+df/cf stats) — BM25 top-k is validated against the pytest oracle
+instead (no SQL equivalent; see FIXTURES.md §5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+import ray.data
+
+from lucene_solr_ray.pipelines.build import build_index
+from lucene_solr_ray.pipelines.search import IndexSearcher
+from lucene_solr_ray.state.manifest import latest_generation
+
+CACHE_ROOT = os.environ.get("LSR_CACHE", "/tmp/lsr_cache")
+
+
+def transcripts_from_documents(sf_dir: str) -> ray.data.Dataset:
+    """documents -> transcript-contract schema; zero-padded conv_id keeps
+    (conv_id, turn_idx) order == doc_id order, so docid == rank(doc_id)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy()
+        n = len(doc_id)
+        return pa.table(
+            {
+                "conv_id": pa.array([f"doc-{d:012d}" for d in doc_id], type=pa.string()),
+                "turn_idx": pa.array(np.zeros(n, dtype=np.int32), type=pa.int32()),
+                "role": pa.array(["user"] * n, type=pa.string()),
+                "text": batch.column("text"),
+                "tool": pa.array([""] * n, type=pa.string()),
+                "ts": pa.array(
+                    np.datetime64("2026-01-01T00:00:00", "us")
+                    + doc_id.astype("timedelta64[s]").astype("timedelta64[us]"),
+                    type=pa.timestamp("us"),
+                ),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+
+    return ray.data.read_parquet(path).map_batches(adapt, batch_format="pyarrow")
+
+
+def docs_index(sf_dir: str, num_partitions: int = 8, salt: int = 1) -> str:
+    """Build (once, cached) the documents index for an sf_dir."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.sha1(
+        f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{num_partitions}|{salt}|v1".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"docs-index-{key}")
+    if latest_generation(index_dir) is None:
+        build_index(
+            transcripts_from_documents(sf_dir), index_dir,
+            num_partitions=num_partitions, salt=salt,
+        )
+    return index_dir
+
+
+def _docid_to_doc_id(index_dir: str) -> np.ndarray:
+    docs = pads.dataset(os.path.join(index_dir, "docs"), format="parquet").to_table(
+        columns=["docid", "doc_id"]
+    )
+    order = pa.compute.sort_indices(docs.column("docid"))
+    return docs.column("doc_id").take(order).to_numpy()
+
+
+def boolean_retrieve(sf_dir: str, terms: list[str], mode: str = "or") -> pa.Table:
+    """Boolean retrieval (TermQuery/BooleanQuery without scoring output,
+    [U] lucene/core/.../search/BooleanQuery.java) -> sorted doc_id set."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d, _ = s.search(terms, k=max(1, s.n_docs), mode=mode)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
+def term_stats(sf_dir: str, terms: list[str]) -> pa.Table:
+    """Global df/cf per term (TermStates.build analogue)."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    rows = []
+    for t in sorted(terms):
+        df, cf, _ = s.term_stats_and_cursor(t)
+        rows.append({"term": t, "df": df, "cf": cf})
+    return pa.Table.from_pylist(rows).cast(
+        pa.schema([("term", pa.string()), ("df", pa.int64()), ("cf", pa.int64())])
+    )
+
+
+def bm25_topk(sf_dir: str, queries: list[tuple[str, list[str], str]], k: int = 10) -> pa.Table:
+    """BM25 top-k via the Ray actor-pool query path -> (query_id, rank,
+    doc_id, score_milli). Scores as integer milli-points for stable
+    hashing; exact float parity is covered by the pytest oracle suite."""
+    from lucene_solr_ray.pipelines.search import run_queries
+
+    index_dir = docs_index(sf_dir)
+    qt = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in queries]),
+            "type": pa.array([q[2] for q in queries]),
+            "terms": pa.array([q[1] for q in queries], type=pa.list_(pa.string())),
+            "k": pa.array([k] * len(queries), type=pa.int32()),
+        }
+    )
+    res = run_queries(index_dir, qt, concurrency=2).to_pandas()
+    mapping = _docid_to_doc_id(index_dir)
+    res["doc_id"] = mapping[res["docid"].to_numpy()]
+    res["score_milli"] = np.round(res["score"].to_numpy().astype(np.float64) * 1000).astype(np.int64)
+    return pa.Table.from_pandas(
+        res[["query_id", "rank", "doc_id", "score_milli"]], preserve_index=False
+    )

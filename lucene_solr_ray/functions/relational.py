@@ -1,0 +1,440 @@
+"""Relational operators — Solr streaming-expressions algebra (SURVEY §2.8)
+and JSON Facet / stats aggregations (SURVEY §2.7) as Ray Data pipelines.
+
+Each function takes ``sf_dir`` and returns a Dataset / pyarrow Table whose
+column names/types match the DuckDB oracle SQL in __ray_entry__.py.
+
+Money/float outputs are converted to exact integers per-row BEFORE any
+aggregation (``floor(x*100 + 0.5)`` cents) so engine-vs-oracle sums are
+bit-exact regardless of accumulation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """floor(x*100 + 0.5) as int64 — deterministic round-half-up, same in
+    DuckDB (FLOOR) and NumPy."""
+    return pc.cast(pc.floor(pc.add(pc.multiply(arr, pa.scalar(100.0)), pa.scalar(0.5))), pa.int64())
+
+
+# ---------------- SelectStream + HavingStream ----------------
+
+def select_having(sf_dir: str) -> ray.data.Dataset:
+    """Projection + computed column + predicate filter
+    ([U] solr/solrj/.../io/stream/SelectStream.java, HavingStream.java)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        out = pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "qty": _cents(t.column("l_quantity")),
+                "revenue_cents": _cents(rev),
+            }
+        )
+        return out.filter(pc.greater_equal(t.column("l_quantity"), pa.scalar(48.0)))
+
+    return _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"]
+                 ).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------- RollupStream (grouped aggregate with map-side combine) ----------------
+
+def rollup_agg(sf_dir: str) -> ray.data.Dataset:
+    """Grouped sum/count ([U] .../io/stream/RollupStream.java) with
+    map-side partial aggregation before the shuffle (SURVEY §4 skew row:
+    per-batch combine shrinks the exchange)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": _cents(t.column("l_quantity")),
+                "base_cents": _cents(t.column("l_extendedprice")),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            }
+        )
+        return pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_cents", "sum"), ("one", "sum")]
+        ).rename_columns(["l_returnflag", "l_linestatus", "qty", "base_cents", "one"])
+
+    partials = _read(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Sum("base_cents", alias_name="sum_base_cents"),
+        Sum("one", alias_name="n"),
+    )
+
+
+# ---------------- StatsStream ----------------
+
+def stats_global(sf_dir: str) -> pa.Table:
+    """Global aggregates ([U] .../io/stream/StatsStream.java)."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"]).map_batches(
+        lambda t: pa.table(
+            {"qty": _cents(t.column("l_quantity")), "price_cents": _cents(t.column("l_extendedprice"))}
+        ),
+        batch_format="pyarrow",
+    )
+    res = ds.aggregate(
+        Count(alias_name="n"),
+        Min("qty", alias_name="min_qty"),
+        Max("qty", alias_name="max_qty"),
+        Sum("price_cents", alias_name="sum_price_cents"),
+    )
+    return pa.Table.from_pylist([{k: int(v) for k, v in res.items()}])
+
+
+# ---------------- RankStream (top-k by sort) ----------------
+
+def rank_top(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Global top-k ([U] .../io/stream/RankStream.java): sort desc + limit."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t.column("o_orderkey"), "total_cents": _cents(t.column("o_totalprice"))}
+        ),
+        batch_format="pyarrow",
+    )
+    # deterministic ties: totalprice desc then orderkey asc
+    return ds.sort(["total_cents", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+# ---------------- UniqueStream ----------------
+
+def unique_stream(sf_dir: str) -> ray.data.Dataset:
+    """Distinct values ([U] .../io/stream/UniqueStream.java)."""
+    return (
+        _read(sf_dir, "customer", ["c_mktsegment"])
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n"))
+        .sort("c_mktsegment")
+    )
+
+
+# ---------------- HashJoinStream ----------------
+
+def hash_join(sf_dir: str) -> ray.data.Dataset:
+    """Partitioned hash join ([U] .../io/stream/HashJoinStream.java) via
+    Dataset.join, then grouped rollup per market segment."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {"o_custkey": t.column("o_custkey"), "total_cents": _cents(t.column("o_totalprice"))}
+        ),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("total_cents", alias_name="sum_total_cents")
+    ).sort("c_mktsegment")
+
+
+# ---------------- FetchStream (broadcast lookup-join) ----------------
+
+def fetch_enrich(sf_dir: str) -> ray.data.Dataset:
+    """Small-side broadcast enrichment ([U] .../io/stream/FetchStream.java):
+    nation dim is ray.put once, read per actor — no shuffle."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    class Enrich:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("s_nationkey").to_numpy()
+            names = pa.array([self.lookup[int(k)] for k in keys], type=pa.string())
+            return pa.table(
+                {
+                    "s_suppkey": t.column("s_suppkey"),
+                    "n_name": names,
+                    "acctbal_cents": _cents(t.column("s_acctbal")),
+                }
+            )
+
+    return _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"]).map_batches(
+        Enrich, batch_format="pyarrow", concurrency=2
+    )
+
+
+# ---------------- Left outer join ----------------
+
+def left_outer_join(sf_dir: str) -> ray.data.Dataset:
+    """Per-nation customer count + order count with zero-order customers
+    kept via null-coalescing ([U] .../io/stream/LeftOuterJoinStream.java).
+    The right side is pre-filtered to 'P'-status orders so some customers
+    genuinely have no match."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+        .filter(lambda r: r["o_orderstatus"] == "P")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+    joined = cust.join(orders, "left_outer", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",))
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_nationkey": t.column("c_nationkey"),
+                "n_orders": pc.coalesce(t.column("n_orders"), pa.scalar(0, pa.int64())),
+                "has_none": pc.cast(pc.is_null(t.column("n_orders")), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(coalesce, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Count(alias_name="n_customers"),
+            Sum("n_orders", alias_name="sum_orders"),
+            Sum("has_none", alias_name="n_zero_order_customers"),
+        )
+        .sort("c_nationkey")
+    )
+
+
+# ---------------- IntersectStream / ComplementStream (semi / anti) ----------------
+
+def _order_custkeys(sf_dir: str, status: str = "O") -> set[int]:
+    """Distinct custkeys having an order with the given status — the
+    broadcast side of the semi/anti joins (kept small by the filter)."""
+    keys = set()
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderstatus"), pa.scalar(status))).select(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keys.update(batch.column("o_custkey").to_pylist())
+    return keys
+
+
+def semi_join_customers(sf_dir: str) -> ray.data.Dataset:
+    """Semi join via broadcast key set ([U] .../io/stream/IntersectStream.java)."""
+    ref = ray.put(np.array(sorted(_order_custkeys(sf_dir)), dtype=np.int64))
+
+    class Semi:
+        def __init__(self, keep: bool):
+            self.keys = ray.get(ref)
+            self.keep = keep
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = t.column("c_custkey").to_numpy()
+            pos = np.searchsorted(self.keys, k)
+            pos = np.minimum(pos, len(self.keys) - 1)
+            hit = self.keys[pos] == k
+            return t.filter(pa.array(hit if self.keep else ~hit))
+
+    return (
+        _read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(Semi, fn_constructor_kwargs={"keep": True},
+                     batch_format="pyarrow", concurrency=2)
+        .sort("c_custkey")
+    )
+
+
+def anti_join_customers(sf_dir: str) -> ray.data.Dataset:
+    """Anti join ([U] .../io/stream/ComplementStream.java)."""
+    ref = ray.put(np.array(sorted(_order_custkeys(sf_dir)), dtype=np.int64))
+
+    class Anti:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = t.column("c_custkey").to_numpy()
+            pos = np.searchsorted(self.keys, k)
+            pos = np.minimum(pos, len(self.keys) - 1)
+            return t.filter(pa.array(self.keys[pos] != k))
+
+    return (
+        _read(sf_dir, "customer", ["c_custkey"])
+        .map_batches(Anti, batch_format="pyarrow", concurrency=2)
+        .sort("c_custkey")
+    )
+
+
+# ---------------- MergeStream ----------------
+
+def merge_sorted_names(sf_dir: str) -> ray.data.Dataset:
+    """Merge of sorted streams ([U] .../io/stream/MergeStream.java):
+    union + re-sort (Ray Data's equivalent shape)."""
+    r = _read(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: pa.table({"name": t.column("r_name")}), batch_format="pyarrow"
+    )
+    n = _read(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda t: pa.table({"name": t.column("n_name")}), batch_format="pyarrow"
+    )
+    return r.union(n).sort("name")
+
+
+# ---------------- CartesianProductStream (explode) ----------------
+
+def cartesian_explode(sf_dir: str) -> ray.data.Dataset:
+    """Explode multi-valued field ([U] .../io/stream/CartesianProductStream.java):
+    p_type words -> one row per word -> counts."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t.column("p_type"), " ")
+        flat = pc.list_flatten(words)
+        return pa.table({"word": flat})
+
+    return (
+        _read(sf_dir, "part", ["p_type"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Count(alias_name="n"))
+        .sort("word")
+    )
+
+
+# ---------------- Facets (terms + range/timeseries) ----------------
+
+def facet_terms(sf_dir: str) -> ray.data.Dataset:
+    """JSON Facet terms facet ([U] solr/core/.../search/facet/FacetField.java):
+    counts per event_type."""
+    return (
+        _read(sf_dir, "events", ["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+        .sort("event_type")
+    )
+
+
+def timeseries_facet(sf_dir: str) -> ray.data.Dataset:
+    """Range facet over time ([U] .../io/stream/TimeSeriesStream.java):
+    per-day buckets with count + sum(value cents)."""
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        day_us = pc.multiply(pc.divide(us, pa.scalar(86_400_000_000)), pa.scalar(86_400_000_000))
+        return pa.table(
+            {
+                "day": pc.cast(day_us, pa.timestamp("us")),
+                "value_cents": _cents(t.column("value")),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["ts", "value"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="sum_value_cents"))
+        .sort("day")
+    )
+
+
+# ---------------- significantTerms ----------------
+
+def significant_terms(sf_dir: str) -> ray.data.Dataset:
+    """Foreground-vs-background term counts
+    ([U] solr/solrj/.../io/stream/SignificantTermsStream.java): documents
+    with lang='en' as foreground; scoring ratio left to the caller
+    (integer counts keep oracle comparison exact)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern_regex(t.column("text"), r"\s+"))
+        return pa.table({"term": words})
+
+    fg = (
+        _read(sf_dir, "documents", ["text", "lang"])
+        .filter(expr="lang == 'en'")
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="fg"))
+    )
+    bg = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="bg"))
+    )
+    return bg.join(fg, "left_outer", num_partitions=4, on=("term",)).map_batches(
+        lambda t: pa.table(
+            {
+                "term": t.column("term"),
+                "fg": pc.coalesce(t.column("fg"), pa.scalar(0, pa.int64())),
+                "bg": t.column("bg"),
+            }
+        ),
+        batch_format="pyarrow",
+    ).sort("term")
+
+
+# ---------------- Grouping / field collapse ----------------
+
+def collapse_top_order(sf_dir: str) -> ray.data.Dataset:
+    """Field collapse: top-1 order per customer by (totalprice desc,
+    orderkey asc) ([U] solr/core/.../search/CollapsingQParserPlugin.java,
+    lucene/grouping)."""
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["total_cents", "o_orderkey"], ascending=[False, True])
+        return g.head(1)
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "total_cents": _cents(t.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("o_custkey").map_groups(top1, batch_format="pandas").sort("o_custkey")
+
+
+# ---------------- percentile (exact, via value-count compaction) ----------------
+
+def percentile_disc(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Table:
+    """Discrete percentiles of l_quantity ([U] solr/core/.../search/facet/
+    PercentileAgg.java). Distributed shape: per-value counts (tiny domain)
+    -> driver cumsum -> quantile_disc semantics (first value with cumulative
+    fraction >= q)."""
+    counts = (
+        _read(sf_dir, "lineitem", ["l_quantity"])
+        .map_batches(lambda t: pa.table({"qty": _cents(t.column("l_quantity"))}), batch_format="pyarrow")
+        .groupby("qty")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+        .sort_values("qty")
+    )
+    total = counts["n"].sum()
+    cum = counts["n"].cumsum()
+    rows = []
+    for q in qs:
+        target = q * total
+        idx = int(np.searchsorted(cum.to_numpy(), target, side="left"))
+        rows.append({"q_milli": int(round(q * 1000)), "qty": int(counts["qty"].iloc[idx])})
+    return pa.Table.from_pylist(rows)
+
+
+# ---------------- unique counts ----------------
+
+def unique_counts(sf_dir: str) -> pa.Table:
+    """Exact distinct counts ([U] solr/core/.../search/facet/UniqueAgg.java)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    n_users = ev.groupby("user_id").aggregate(Count()).count()
+    n_types = ev.groupby("event_type").aggregate(Count()).count()
+    return pa.Table.from_pylist([{"n_users": int(n_users), "n_types": int(n_types)}])
