@@ -1,0 +1,201 @@
+"""Benchmark harness (SURVEY.md §6, BASELINE.md §4).
+
+Headline: full transcript index build (read -> sort -> docID assign ->
+analyze -> term-hash shuffle -> segment writers -> manifest) over the
+deterministic bench corpus scaled to $GRAFT_SF_DIR's sf, plus BM25 query
+latency (p50/p99 over the 200-query reference set), a merge round, and
+two representative relational pipelines over the sf tables.
+
+Prints ONE JSON line:
+  {"metric": "index_build_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": <sf>, "num_cpus": N, ...}
+
+--scaling: same job in two fresh processes (num_cpus=8 then 32) on the
+same input; reports both throughputs + efficiency (thr32/thr8)/4 and
+appends the result to BENCH/BASELINE.md. This evidences the north rule's
+N-vs-4N-cluster criterion in the single-node sandbox.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+QUERY_REPEATS = int(os.environ.get("LSR_BENCH_QUERY_REPEATS", "5"))
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_corpus(sf: float) -> str:
+    """Deterministic transcript corpus scaled to sf (FIXTURES.md tiers:
+    sf0.1 -> 100k convs ~ 800k turns). Cached; generation is untimed."""
+    from lucene_solr_ray.fixtures import write_transcripts
+
+    n_convs = max(50, int(sf * 1_000_000))
+    path = f"/tmp/lsr_bench/corpus-{n_convs}"
+    write_transcripts(path, n_convs=n_convs, seed=42, num_files=max(8, NUM_CPUS))
+    return path
+
+
+def main() -> None:
+    import numpy as np
+    import ray
+
+    # generate the corpus BEFORE ray.init: generation is driver-side and
+    # memory-heavy; doing it inside the Ray session starves the build
+    sf = sf_of(SF_DIR)
+    corpus = bench_corpus(sf)
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from lucene_solr_ray.fixtures import gen_query_set
+    from lucene_solr_ray.pipelines.build import build_index
+    from lucene_solr_ray.pipelines.merge import run_merge_round
+    from lucene_solr_ray.pipelines.search import IndexSearcher, run_queries
+
+    # warm OS page cache (untimed) so we measure compute+shuffle, not cold reads
+    ray.data.read_parquet(corpus).count()
+
+    queries: dict[str, float] = {}
+    index_dir = f"/tmp/lsr_bench/index-{os.path.basename(corpus)}-{NUM_CPUS}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    manifest = build_index(
+        corpus, index_dir, num_partitions=max(16, NUM_CPUS), salt=4, resume=False
+    )
+    build_sec = time.perf_counter() - t0
+    queries["index_build"] = round(build_sec, 3)
+    n_docs = manifest["n_docs"]
+
+    # merge round (tiered; salt=4 leaves 4 segments/partition to combine)
+    t0 = time.perf_counter()
+    run_merge_round(index_dir, segs_per_tier=1, max_merge_at_once=8)
+    queries["merge_round"] = round(time.perf_counter() - t0, 3)
+
+    # query latency: reference query set, per-query wall through IndexSearcher
+    import pyarrow.dataset as pads
+
+    texts = (
+        pads.dataset(corpus, format="parquet").head(20000, columns=["text"]).column("text").to_pylist()
+    )
+    qset = gen_query_set(texts, seed=43).to_pylist()
+    searcher = IndexSearcher(index_dir)
+    lat = []
+    t_all = time.perf_counter()
+    for _ in range(QUERY_REPEATS):
+        for row in qset:
+            tq = time.perf_counter()
+            searcher.search(row["terms"], k=row["k"], mode="and" if row["type"] == "and" else "or")
+            lat.append(time.perf_counter() - tq)
+    query_total = time.perf_counter() - t_all
+    queries["bm25_queries_total"] = round(query_total, 3)
+
+    # Ray actor-pool query path throughput
+    import pyarrow as pa
+
+    qt = gen_query_set(texts, seed=43)
+    t0 = time.perf_counter()
+    run_queries(index_dir, qt, concurrency=max(2, NUM_CPUS // 4)).count()
+    queries["bm25_ray_path"] = round(time.perf_counter() - t0, 3)
+
+    # representative wide ops over the sf tables
+    from lucene_solr_ray.functions import relational as rel
+
+    t0 = time.perf_counter()
+    rel.rollup_agg(SF_DIR).to_pandas()
+    queries["rollup_agg"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    rel.hash_join(SF_DIR).to_pandas()
+    queries["hash_join"] = round(time.perf_counter() - t0, 3)
+
+    lat_ms = np.array(lat) * 1000
+    out = {
+        "metric": "index_build_sec",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_docs": int(n_docs),
+        "turns_per_s": round(n_docs / build_sec, 1),
+        "query_p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
+        "query_p99_ms": round(float(np.percentile(lat_ms, 99)), 3),
+        "query_qps_1core": round(len(lat) / query_total, 1),
+        "skew_max_over_median_segment_wall": _skew(manifest),
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def _skew(manifest: dict) -> float:
+    import numpy as np
+
+    walls = [s["wall_s"] for s in manifest["segments"] if s.get("wall_s", 0) > 0]
+    if not walls:
+        return 0.0
+    return round(float(np.max(walls) / max(np.median(walls), 1e-9)), 2)
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
+            env=env, capture_output=True, text=True, check=True, cwd="/root/repo",
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    thr_lo, thr_hi = r_lo["turns_per_s"], r_hi["turns_per_s"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    result = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "turns_per_s_8": thr_lo,
+        "turns_per_s_32": thr_hi,
+        "sf": r_lo["sf"],
+        "queries": {"index_build_8": r_lo["value"], "index_build_32": r_hi["value"]},
+    }
+    os.makedirs("/root/repo/BENCH", exist_ok=True)
+    with open("/root/repo/BENCH/BASELINE.md", "a") as fh:
+        fh.write(
+            f"\n## scaling run sf={r_lo['sf']} ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
+            f"| num_cpus | build sec | turns/s | p50 ms | p99 ms |\n|---|---|---|---|---|\n"
+            f"| {lo} | {r_lo['value']} | {thr_lo} | {r_lo['query_p50_ms']} | {r_lo['query_p99_ms']} |\n"
+            f"| {hi} | {r_hi['value']} | {thr_hi} | {r_hi['query_p50_ms']} | {r_hi['query_p99_ms']} |\n\n"
+            f"scaling efficiency (thr32/thr8)/4 = **{eff:.3f}** (criterion: >= 0.8)\n"
+        )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

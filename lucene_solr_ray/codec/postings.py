@@ -140,13 +140,65 @@ class For128Codec:
 
     @classmethod
     def decode(cls, blob):
-        """Full decode -> (docids, tfs, norms)."""
+        """Full decode -> (docids, tfs, norms), vectorized across blocks:
+        full 128-doc blocks are byte-aligned (16*w bytes per field), so
+        blocks sharing a bit-width are gathered and unpacked in one numpy
+        pass per (field, width) group; only the tail block is scalar."""
         n, skip, data_start = cls.read_skip(blob)
         if n == 0:
             z = np.empty(0, dtype=np.int64)
             return z, z.copy(), z.copy()
-        parts = [cls.decode_block(blob, skip, data_start, n, b) for b in range(len(skip))]
-        return tuple(np.concatenate([p[i] for p in parts]) for i in range(3))
+        n_blocks = len(skip)
+        n_full = n // BLOCK  # number of complete 128-doc blocks
+        raw = np.frombuffer(blob, dtype=np.uint8)
+        starts = np.empty(n_blocks, dtype=np.int64)
+        starts[0] = data_start
+        starts[1:] = data_start + skip["end_off"][:-1].astype(np.int64)
+        wd = skip["wd"].astype(np.int64)
+        wt = skip["wt"].astype(np.int64)
+        wn = skip["wn"].astype(np.int64)
+
+        deltas = np.empty(n, dtype=np.int64)
+        tfs = np.empty(n, dtype=np.int64)
+        norms = np.empty(n, dtype=np.int64)
+
+        def fill(out: np.ndarray, field_starts: np.ndarray, widths: np.ndarray):
+            for w in np.unique(widths[:n_full]):
+                blks = np.flatnonzero(widths[:n_full] == w)
+                if w == 0:
+                    for b in blks:
+                        out[b * BLOCK : (b + 1) * BLOCK] = 0
+                    continue
+                nb = 16 * int(w)  # 128 * w / 8 bytes, always whole
+                gather = field_starts[blks][:, None] + np.arange(nb)[None, :]
+                bits = np.unpackbits(raw[gather], axis=1).reshape(-1, int(w))
+                vals = np.zeros(len(bits), dtype=np.int64)
+                for j in range(int(w)):  # shift-or over width: w vectorized passes
+                    vals = (vals << 1) | bits[:, j]
+                out_idx = (blks[:, None] * BLOCK + np.arange(BLOCK)[None, :]).ravel()
+                out[out_idx] = vals
+
+        d_starts = starts
+        t_starts = starts + ((np.minimum(BLOCK, n - np.arange(n_blocks) * BLOCK) * wd + 7) // 8)
+        m_starts = t_starts + ((np.minimum(BLOCK, n - np.arange(n_blocks) * BLOCK) * wt + 7) // 8)
+        fill(deltas, d_starts, wd)
+        fill(tfs, t_starts, wt)
+        fill(norms, m_starts, wn)
+        if n_full < n_blocks:  # tail block
+            d, t, m = cls.decode_block(blob, skip, data_start, n, n_blocks - 1)
+            lo = (n_blocks - 1) * BLOCK
+            # decode_block returns absolute docids; recover tail deltas
+            prev_last = int(skip["last_docid"][n_blocks - 2]) if n_blocks > 1 else -1
+            dd = np.empty(len(d), dtype=np.int64)
+            dd[0] = d[0] - prev_last - 1
+            dd[1:] = d[1:] - d[:-1] - 1
+            deltas[lo:] = dd
+            tfs[lo:] = t - 1
+            norms[lo:] = m - int(skip["min_norm"][n_blocks - 1])
+        docids = np.cumsum(deltas + 1) - 1
+        min_norms = np.repeat(skip["min_norm"].astype(np.int64),
+                              np.minimum(BLOCK, n - np.arange(n_blocks) * BLOCK))
+        return docids, tfs + 1, norms + min_norms
 
 
 class VarintCodec:
@@ -256,7 +308,7 @@ class PostingsCursor:
         hit = self._cache.get(b)
         if hit is None:
             hit = self.codec.decode_block(self.blob, self.skip, self.data_start, self.n_docs, b)
-            self._cache = {b: hit}  # keep only current block decoded
+            self._cache[b] = hit  # cursor is query-scoped; windows revisit blocks
         return hit
 
     def first_block_at_or_after(self, target_docid: int) -> int:

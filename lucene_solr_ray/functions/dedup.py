@@ -1,0 +1,316 @@
+"""Deduplication operators over ``documents`` — exact, profile, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding-cosine. Core training-data-pipeline
+components (SURVEY.md §2.9; Solr SignatureUpdateProcessor /
+TextProfileSignature are the reference anchors).
+
+Scale shapes: signatures are computed per batch (vectorized / hashlib),
+grouping is a hash shuffle on the signature (exact dedup), and near-dup
+candidate generation goes through band-bucket groupbys (MinHash-LSH /
+SimHash pigeonhole) so no stage ever holds the corpus in one task.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+_WS = re.compile(r"\s+")
+
+MERSENNE = (1 << 61) - 1
+
+
+def _read_docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _tokens(s: str) -> list[str]:
+    return _WS.split(s.strip()) if s and s.strip() else []
+
+
+# ---------------- exact dedup (hash-partition + per-group first) ----------------
+
+def exact_dedup(sf_dir: str) -> ray.data.Dataset:
+    """Keep the lowest doc_id per identical text (MD5 signature) —
+    SignatureUpdateProcessor + MD5Signature. Shuffle key = signature."""
+
+    def sig(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        sigs = [hashlib.md5((s or "").encode("utf-8")).hexdigest() for s in texts]
+        return pa.table({"sig": pa.array(sigs, type=pa.string()), "doc_id": t.column("doc_id")})
+
+    from ray.data.aggregate import Min
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(sig, batch_format="pyarrow")
+        .groupby("sig")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+        .sort("doc_id")
+    )
+
+
+# ---------------- TextProfileSignature (quantized tf profile) ----------------
+
+def textprofile_signature(sf_dir: str, quant_div: int = 16, min_token_len: int = 2) -> ray.data.Dataset:
+    """Near-dup signature: quantized term-frequency profile, from Nutch
+    via Solr TextProfileSignature — md5 over "term floor(tf/quant)" pairs
+    (quant = max(1, floor(max_tf / quant_div))), term-sorted, tf >= quant."""
+
+    def prof(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        sigs = []
+        for s in texts:
+            toks = [w for w in _tokens(s) if len(w) >= min_token_len]
+            if not toks:
+                sigs.append(hashlib.md5(b"").hexdigest())
+                continue
+            tf: dict[str, int] = {}
+            for w in toks:
+                tf[w] = tf.get(w, 0) + 1
+            quant = max(1, max(tf.values()) // quant_div)
+            parts = [f"{w} {tf[w] // quant}" for w in sorted(tf) if tf[w] // quant > 0]
+            sigs.append(hashlib.md5(" ".join(parts).encode("utf-8")).hexdigest())
+        return pa.table({"doc_id": t.column("doc_id"), "sig": pa.array(sigs, type=pa.string())})
+
+    return _read_docs(sf_dir).map_batches(prof, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------- shingles + MinHash-LSH ----------------
+
+def _shingle_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
+    """Distinct word-n-gram shingles as stable uint64-ish hashes."""
+    if len(tokens) < n:
+        text = " ".join(tokens)
+        return np.array([zlib.crc32(text.encode())], dtype=np.int64) if tokens else np.empty(0, np.int64)
+    out = {zlib.crc32(" ".join(tokens[i : i + n]).encode()) for i in range(len(tokens) - n + 1)}
+    return np.fromiter(out, dtype=np.int64, count=len(out))
+
+
+class _MinHasher:
+    """64 universal-hash minhashes h_i(x) = (a_i x + b_i) mod p, p Mersenne
+    prime — stateful per actor (coefficients built once)."""
+
+    def __init__(self, num_hashes: int = 64, seed: int = 7, ngram: int = 3):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, MERSENNE, size=num_hashes, dtype=np.int64)
+        self.b = rng.integers(0, MERSENNE, size=num_hashes, dtype=np.int64)
+        self.ngram = ngram
+        self.num_hashes = num_hashes
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if len(shingles) == 0:
+            return np.full(self.num_hashes, MERSENNE, dtype=np.int64)
+        # (H, S) = (a[:,None] * x[None,:] + b) mod p, object->int64 safe via Python ints is slow;
+        # use float-free modmul: numpy int64 overflow-safe via __int128? -> use np.mod on int64
+        # products can overflow; do it in two 32-bit halves instead:
+        x = shingles.astype(np.uint64)
+        b = self.b.astype(np.uint64)[:, None]
+        p = np.uint64(MERSENNE)
+        # crc32 shingles < 2^32 and a < 2^61: a*x can overflow 2^64 — split a
+        # into 31-bit halves so every product stays below 2^63, and fold the
+        # *2^31 shift through the Mersenne prime (v*2^31 mod p with v < 2^61:
+        # v = v1*2^30 + v0 -> (v1 + v0*2^31) mod p, both terms < 2^61)
+        a_lo = (self.a & ((1 << 31) - 1)).astype(np.uint64)[:, None]
+        a_hi = (self.a >> 31).astype(np.uint64)[:, None]
+        lo = (a_lo * x[None, :]) % p
+        v = (a_hi * x[None, :]) % p
+        hi = ((v >> np.uint64(30)) + ((v & np.uint64((1 << 30) - 1)) << np.uint64(31))) % p
+        prod = (lo + hi + b) % p
+        return prod.min(axis=1).astype(np.int64)
+
+
+class _MinHashStage:
+    def __init__(self, num_hashes=64, bands=16, seed=7, ngram=3):
+        self.mh = _MinHasher(num_hashes, seed, ngram)
+        self.bands = bands
+        self.rows_per_band = num_hashes // bands
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        doc_ids = t.column("doc_id").to_numpy()
+        band_ids, band_hashes, out_docs = [], [], []
+        for i, s in enumerate(texts):
+            sig = self.mh.signature(_shingle_hashes(_tokens(s), self.mh.ngram))
+            for bnd in range(self.bands):
+                chunk = sig[bnd * self.rows_per_band : (bnd + 1) * self.rows_per_band]
+                band_ids.append(bnd)
+                band_hashes.append(zlib.crc32(chunk.tobytes()))
+                out_docs.append(int(doc_ids[i]))
+        return pa.table(
+            {
+                "band": pa.array(band_ids, type=pa.int32()),
+                "band_hash": pa.array(band_hashes, type=pa.int64()),
+                "doc_id": pa.array(out_docs, type=pa.int64()),
+            }
+        )
+
+
+def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
+                      num_hashes: int = 64, bands: int = 16, ngram: int = 3) -> pa.Table:
+    """MinHash-LSH near-dup pairs: shingle -> minhash -> band buckets
+    (groupby) -> candidate pairs -> exact n-gram Jaccard verification.
+    Returns verified (doc_a, doc_b) with integer jaccard_pct."""
+    banded = _read_docs(sf_dir).map_batches(
+        _MinHashStage,
+        fn_constructor_kwargs={"num_hashes": num_hashes, "bands": bands, "ngram": ngram},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        docs = sorted(set(g["doc_id"].tolist()))
+        if len(docs) < 2 or len(docs) > 200:  # hot-bucket guard at scale
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        pairs = list(itertools.combinations(docs, 2))
+        return pd.DataFrame({"doc_a": [p[0] for p in pairs], "doc_b": [p[1] for p in pairs]})
+
+    cand = (
+        banded.groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(cand) == 0:
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                         "jaccard_pct": pa.array([], pa.int64())})
+    cand = cand.drop_duplicates().astype(np.int64)
+    # exact verification: fetch shingle sets for candidate docs (small set)
+    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
+    texts = {}
+    for batch in _read_docs(sf_dir).iter_batches(batch_size=8192, batch_format="pyarrow"):
+        ids = batch.column("doc_id").to_numpy()
+        mask = np.isin(ids, need)
+        for d, s in zip(ids[mask], np.asarray(batch.column("text").to_pylist(), dtype=object)[mask]):
+            texts[int(d)] = set(_shingle_hashes(_tokens(s), ngram).tolist())
+    rows = []
+    for a, b in zip(cand["doc_a"], cand["doc_b"]):
+        sa, sb = texts[int(a)], texts[int(b)]
+        union = len(sa | sb)
+        inter = len(sa & sb)
+        if union and inter * 100 >= int(jaccard_threshold * 100) * union:
+            rows.append({"doc_a": int(a), "doc_b": int(b), "jaccard_pct": inter * 100 // union})
+    rows.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
+    if not rows:
+        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                         "jaccard_pct": pa.array([], pa.int64())})
+    return pa.Table.from_pylist(rows)
+
+
+# ---------------- SimHash ----------------
+
+class _SimHashStage:
+    """64-bit SimHash over term-frequency features (stable crc-based
+    feature hashes; bit-majority accumulation vectorized per doc)."""
+
+    def __init__(self):
+        self.bit_masks = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, s in enumerate(texts):
+            toks = _tokens(s)
+            if not toks:
+                continue
+            tf: dict[str, int] = {}
+            for w in toks:
+                tf[w] = tf.get(w, 0) + 1
+            feats = np.array(
+                [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little") for w in tf],
+                dtype=np.uint64,
+            )
+            weights = np.fromiter(tf.values(), dtype=np.int64, count=len(tf))
+            bits = ((feats[:, None] & self.bit_masks[None, :]) != 0).astype(np.int64)
+            score = ((bits * 2 - 1) * weights[:, None]).sum(axis=0)
+            out[i] = np.bitwise_or.reduce(self.bit_masks[score > 0]) if (score > 0).any() else 0
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "simhash": pa.array([f"{v:016x}" for v in out], type=pa.string()),
+            }
+        )
+
+
+def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
+    return _read_docs(sf_dir).map_batches(_SimHashStage, batch_format="pyarrow", concurrency=2).sort("doc_id")
+
+
+def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """Near-dup pairs with Hamming distance <= k via the pigeonhole trick:
+    split 64 bits into k+1 bands; equal-band groupby yields candidates."""
+    sigs = simhash_signatures(sf_dir).to_pandas()
+    vals = np.array([int(s, 16) for s in sigs["simhash"]], dtype=np.uint64)
+    ids = sigs["doc_id"].to_numpy()
+    bands = max_hamming + 1
+    width = 64 // bands
+    cand = set()
+    for b in range(bands):
+        chunk = (vals >> np.uint64(b * width)) & np.uint64((1 << width) - 1)
+        df = pd.DataFrame({"c": chunk, "i": np.arange(len(ids))})
+        for _, g in df.groupby("c"):
+            idx = g["i"].to_numpy()
+            if 2 <= len(idx) <= 200:
+                cand.update(itertools.combinations(sorted(idx.tolist()), 2))
+    rows = []
+    for i, j in sorted(cand):
+        d = int(bin(int(vals[i]) ^ int(vals[j])).count("1"))
+        if d <= max_hamming:
+            rows.append({"doc_a": int(ids[i]), "doc_b": int(ids[j]), "hamming": d})
+    rows.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
+    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+# ---------------- n-gram Jaccard (exact, all pairs via LSH-free path) ----------------
+
+def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 50, ngram: int = 3) -> pa.Table:
+    """Exact n-gram Jaccard >= threshold pairs via shingle inverted index
+    (explode -> groupby shingle -> pair counts) — integer arithmetic only,
+    so the DuckDB oracle matches exactly."""
+    ds = _read_docs(sf_dir)
+
+    def explode(t: pa.Table) -> pa.Table:
+        doc_ids, sh = [], []
+        for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            hs = _shingle_hashes(_tokens(s), ngram)
+            doc_ids.extend([d] * len(hs))
+            sh.extend(hs.tolist())
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "sh": pa.array(sh, pa.int64())})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    # |set| per doc
+    from ray.data.aggregate import Count
+
+    sizes = exploded.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
+    size_of = dict(zip(sizes["doc_id"], sizes["n"]))
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        docs = sorted(g["doc_id"].unique().tolist())
+        if len(docs) < 2 or len(docs) > 500:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        pairs = list(itertools.combinations(docs, 2))
+        return pd.DataFrame({"doc_a": [p[0] for p in pairs], "doc_b": [p[1] for p in pairs]})
+
+    co = (
+        exploded.groupby("sh")
+        .map_groups(pair_counts, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="inter"))
+        .to_pandas()
+    )
+    rows = []
+    for a, b, inter in zip(co["doc_a"].astype(int), co["doc_b"].astype(int), co["inter"].astype(int)):
+        union = size_of[a] + size_of[b] - inter
+        if union and inter * 100 >= threshold_pct * union:
+            rows.append({"doc_a": a, "doc_b": b, "jaccard_pct": inter * 100 // union})
+    rows.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
+    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_pct", pa.int64())])
+    return pa.Table.from_pylist(rows, schema=schema)

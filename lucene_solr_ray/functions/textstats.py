@@ -1,0 +1,156 @@
+"""Text-analysis operators for training-data pipelines over ``documents``:
+token counting, quality signals, language-ID heuristic, fingerprints.
+
+Reference anchors: Solr's SignatureUpdateProcessor MD5Signature /
+TextProfileSignature ([U] solr/core/.../update/processor/
+SignatureUpdateProcessorFactory.java) for fingerprints; the langid URP
+([U] solr/contrib/langid/) for language identification. Outputs are
+exact integers/strings so the DuckDB oracles hash identically.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+_WS = re.compile(r"\s+")
+_TOKEN_OR_PUNCT = re.compile(r"[a-z0-9]+|[^a-z0-9\s]")
+
+# classic English stopword list (shared with the analyzer) — used as the
+# "englishness" signal by the language-ID heuristic
+from lucene_solr_ray.analysis import STOPWORDS
+
+
+def _read_docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def token_count(sf_dir: str) -> ray.data.Dataset:
+    """Whitespace token count per doc (the byte-cheap token estimator)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n = np.fromiter((len(_WS.split(s.strip())) if s and s.strip() else 0 for s in texts),
+                        dtype=np.int64, count=len(texts))
+        return pa.table({"doc_id": t.column("doc_id"), "n_tokens": pa.array(n)})
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def bpe_ish_count(sf_dir: str) -> ray.data.Dataset:
+    """BPE-ish token-count estimate: word runs + individual punctuation
+    marks (the regex pre-tokenizer shape used by byte-pair encoders)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n = np.fromiter((len(_TOKEN_OR_PUNCT.findall(s.lower())) if s else 0 for s in texts),
+                        dtype=np.int64, count=len(texts))
+        return pa.table({"doc_id": t.column("doc_id"), "n_bpe_tokens": pa.array(n)})
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def quality_signals(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc quality counters (length / stopword-ratio numerators kept
+    as exact integers; ratios are the caller's division)."""
+    stop = STOPWORDS
+
+    class Quality:
+        def __init__(self):
+            self.ws = _WS
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t.column("text").to_pylist()
+            n_tok = np.zeros(len(texts), dtype=np.int64)
+            n_stop = np.zeros(len(texts), dtype=np.int64)
+            n_chars = np.zeros(len(texts), dtype=np.int64)
+            for i, s in enumerate(texts):
+                if not s:
+                    continue
+                toks = self.ws.split(s.strip()) if s.strip() else []
+                n_tok[i] = len(toks)
+                n_stop[i] = sum(1 for w in toks if w in stop)
+                n_chars[i] = len(s)
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_tokens": pa.array(n_tok),
+                    "n_stopwords": pa.array(n_stop),
+                    "n_chars": pa.array(n_chars),
+                }
+            )
+
+    return _read_docs(sf_dir).map_batches(Quality, batch_format="pyarrow", concurrency=2).sort("doc_id")
+
+
+def lang_id(sf_dir: str, en_threshold_pct: int = 20) -> ray.data.Dataset:
+    """Language-ID heuristic: label 'en' when stopword tokens make up at
+    least ``en_threshold_pct`` percent of tokens (integer comparison so
+    the SQL oracle is exact); 'und' for empty docs."""
+    stop = STOPWORDS
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        labels = []
+        for s in texts:
+            toks = _WS.split(s.strip()) if s and s.strip() else []
+            if not toks:
+                labels.append("und")
+                continue
+            n_stop = sum(1 for w in toks if w in stop)
+            labels.append("en" if n_stop * 100 >= en_threshold_pct * len(toks) else "other")
+        return pa.table({"doc_id": t.column("doc_id"), "pred_lang": pa.array(labels, type=pa.string())})
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def md5_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Exact content signature — MD5Signature analogue."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        sigs = [hashlib.md5(s.lower().encode("utf-8")).hexdigest() if s is not None else None
+                for s in texts]
+        return pa.table({"doc_id": t.column("doc_id"), "sig": pa.array(sigs, type=pa.string())})
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def rolling_fingerprint(sf_dir: str, window: int = 8, base: int = 257,
+                        mod: int = (1 << 61) - 1) -> ray.data.Dataset:
+    """Karp-Rabin rolling-hash document fingerprint: min rolling hash over
+    byte windows (winnowing-lite). Deterministic; validated in pytest
+    (no SQL equivalent)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        out = np.zeros(len(texts), dtype=np.uint64)
+        for i, s in enumerate(texts):
+            b = s.encode("utf-8") if s else b""
+            if len(b) < window:
+                h = 0
+                for ch in b:
+                    h = (h * base + ch) % mod
+                out[i] = h
+                continue
+            arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+            pows = pow(base, window - 1, mod)
+            h = 0
+            best = mod
+            for j, ch in enumerate(arr):
+                if j >= window:
+                    h = (h - int(arr[j - window]) * pows) % mod
+                h = (h * base + int(ch)) % mod
+                if j >= window - 1:
+                    best = min(best, h)
+            out[i] = best
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "fingerprint": pa.array(out.astype(np.int64))})
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")

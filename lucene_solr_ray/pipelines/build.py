@@ -196,6 +196,7 @@ def build_index(
     docs_dir = os.path.join(index_dir, DOCS_DIRNAME)
     generation = 0  # fresh-build generation; merges bump via commit_manifest
 
+    t_start = time.perf_counter()
     ds = ray.data.read_parquet(input_path) if isinstance(input_path, (str, list)) else input_path
     sorted_ds = ds.sort(["conv_id", "turn_idx"])
     refs = sorted_ds.to_arrow_refs()
@@ -204,6 +205,7 @@ def build_index(
     bases = np.concatenate([[0], np.cumsum(counts)])[:-1]
     doc_refs = [_add_docid.remote(r, int(b)) for r, b in zip(refs, bases)]
     docs_ds = ray.data.from_arrow_refs(doc_refs)
+    sort_wall_s = time.perf_counter() - t_start
 
     # resume: segments whose bucket dirs are already complete on disk
     total_buckets = num_partitions * salt
@@ -291,6 +293,7 @@ def build_index(
         "analysis": "standard-v1",
         "segments": segments,
         "metrics": {
+            "sort_wall_s": sort_wall_s,
             "build_wall_s": build_wall_s,
             "turns_per_s": n_docs / build_wall_s if build_wall_s > 0 else None,
             "resumed_buckets": sorted(done),

@@ -48,10 +48,11 @@ class TermCursor:
     term's partition, docid-disjoint and ascending (build salt ranges /
     merged generations), exposed as one concatenated block sequence."""
 
-    __slots__ = ("cursors", "blk_cursor", "blk_local", "last_docid", "max_tf", "min_norm", "n_docs")
+    __slots__ = ("cursors", "blk_cursor", "blk_local", "last_docid", "max_tf", "min_norm", "n_docs", "_decoded")
 
     def __init__(self, cursors):
         self.cursors = cursors
+        self._decoded = None
         per = [(i, c.skip) for i, c in enumerate(cursors) if c.n_docs > 0]
         if per:
             self.blk_cursor = np.concatenate([np.full(len(s), i, dtype=np.int32) for i, s in per])
@@ -81,11 +82,18 @@ class TermCursor:
         return ub * (1.0 + 1e-6) + 1e-12
 
     def decode_all(self):
-        parts = [self.block(g) for g in range(self.n_blocks)]
-        if not parts:
-            z = np.empty(0, dtype=np.int64)
-            return z, z.copy(), z.copy()
-        return tuple(np.concatenate([p[i] for p in parts]) for i in range(3))
+        """Full decode, memoized — cursors are cached per searcher, so a
+        hot term's list is decoded once per actor, not once per query."""
+        if getattr(self, "_decoded", None) is None:
+            parts = [c.codec.decode(c.blob) for c in self.cursors]
+            if not parts:
+                z = np.empty(0, dtype=np.int64)
+                self._decoded = (z, z.copy(), z.copy())
+            else:
+                self._decoded = tuple(
+                    np.concatenate([p[i] for p in parts]) for i in range(3)
+                )
+        return self._decoded
 
     def docids_in_blocks(self, blocks: np.ndarray):
         """Concatenated (docids, tfs, norms) of the given block indices
@@ -122,6 +130,12 @@ class IndexSearcher:
             # merged generations are docid-disjoint, so docid_min orders them
             segs.sort(key=lambda s: (s["docid_min"], s["name"]))
         self._readers: dict[str, SegmentReader] = {}
+        # decoded-postings cache: term -> (df, cf, TermCursor). Bounded by
+        # total cached postings; segments are immutable so reuse is safe
+        # (the IndexSearcher/QueryExecutor actor's "hot lists" cache).
+        self._term_cache: dict[str, tuple] = {}
+        self._term_cache_postings = 0
+        self.term_cache_budget = 20_000_000
 
     def _reader(self, partition: int, name: str) -> SegmentReader:
         key = f"{partition}/{name}"
@@ -135,6 +149,9 @@ class IndexSearcher:
 
     def term_stats_and_cursor(self, term: str):
         """-> (global df, global cf, TermCursor) — TermStates.build."""
+        hit = self._term_cache.get(term)
+        if hit is not None:
+            return hit
         part = int(stable_term_hash(np.array([term], dtype=object))[0]) % self.num_partitions
         cursors = []
         df = 0
@@ -148,7 +165,11 @@ class IndexSearcher:
                 df += int(r.df[i])
                 cf += int(r.cf[i])
                 cursors.append(PostingsCursor(r.read_blob(i), r.codec))
-        return df, cf, TermCursor(cursors) if cursors else None
+        out = (df, cf, TermCursor(cursors) if cursors else None)
+        if self._term_cache_postings + df <= self.term_cache_budget:
+            self._term_cache[term] = out
+            self._term_cache_postings += df
+        return out
 
     # ---------------- public search ----------------
 
@@ -166,16 +187,114 @@ class IndexSearcher:
             weighted.append((t, sim.term_weight(self.n_docs, df), cur))
         if not weighted:
             return empty
+        if algorithm == "auto":
+            # dense O(N) scan beats skipping once the lists cover a large
+            # fraction of the corpus (Zipf-hot terms): WAND windows would
+            # decode nearly everything anyway, with per-window overhead.
+            if mode == "and":
+                rarest = min(c.n_docs for _, _, c in weighted)
+                algorithm = "dense" if rarest * 16 > self.n_docs else "wand"
+            else:
+                total = sum(c.n_docs for _, _, c in weighted)
+                algorithm = "dense" if total * 4 > self.n_docs else "wand"
         if mode == "and":
+            if algorithm == "dense":
+                return self._search_and_dense(weighted, k)
             return self._search_and(weighted, k)
         if algorithm == "exhaustive":
             return self._search_or_exhaustive(weighted, k)
+        if algorithm == "dense":
+            return self._search_or_dense(weighted, k)
+        if len(weighted) == 1:
+            return self._search_single(weighted[0], k)
         return self._search_or_wand(weighted, k)
+
+    # ---------------- dense scan (hot/stopword-grade term lists) ----------------
+
+    def _search_or_dense(self, weighted, k: int):
+        """Full-corpus float32 accumulator: per term (ascending order)
+        scatter its scores into a dense N-vector and accumulate — float
+        ops identical to the oracle's zero-padded accumulation, so scores
+        stay bit-equal. Matching docs are exactly those with score > 0
+        (all contributions are strictly positive)."""
+        acc = np.zeros(self.n_docs, dtype=np.float32)
+        for _, w, c in weighted:
+            d, tf, m = c.decode_all()
+            s_dense = np.zeros(self.n_docs, dtype=np.float32)
+            s_dense[d] = sim.score_term(w, tf, m, self.cache)
+            acc = (acc + s_dense).astype(np.float32)
+        cand = np.flatnonzero(acc > 0)
+        top = topk_order(cand, acc[cand], k)
+        return cand[top].astype(np.int64), acc[cand][top]
+
+    def _search_and_dense(self, weighted, k: int):
+        cnt = np.zeros(self.n_docs, dtype=np.int16)
+        decoded = []
+        for _, w, c in weighted:
+            d, tf, m = c.decode_all()
+            cnt[d] += 1
+            decoded.append((w, d, tf, m))
+        cand = np.flatnonzero(cnt == len(weighted)).astype(np.int64)
+        if len(cand) == 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        parts = []
+        for w, d, tf, m in decoded:  # ascending term order
+            pos = np.searchsorted(d, cand)
+            parts.append(sim.score_term(w, tf[pos], m[pos], self.cache))
+        scores = sim.accumulate(parts)
+        top = topk_order(cand, scores, k)
+        return cand[top], scores[top]
+
+    # ---------------- single term: max-score block ordering ----------------
+
+    def _search_single(self, weighted_term, k: int):
+        """Blocks visited in impact-upper-bound order; stop as soon as the
+        next bound can't beat the k-th score (MaxScoreCache shape,
+        [U] lucene/core/.../search/MaxScoreCache.java). Exact: bounds are
+        strict (score_upper_bound margin), so ub <= theta implies no tie."""
+        t, w, c = weighted_term
+        ubs = c.block_ubs(w, self.cache)
+        order = np.argsort(-ubs, kind="stable")
+        top_d = np.empty(0, dtype=np.int64)
+        top_s = np.empty(0, dtype=np.float32)
+        theta = -np.inf
+        for b in order:
+            if len(top_d) >= k and ubs[b] <= theta:
+                break
+            d, tf, m = c.block(int(b))
+            s = sim.score_term(w, tf, m, self.cache)
+            top_d = np.concatenate([top_d, d])
+            top_s = np.concatenate([top_s, s])
+            if len(top_d) > k:
+                keep = topk_order(top_d, top_s, k)
+                top_d, top_s = top_d[keep], top_s[keep]
+            if len(top_d) >= k:
+                theta = float(top_s.min())
+        final = topk_order(top_d, top_s, k)
+        return top_d[final], top_s[final]
 
     # ---------------- OR: block-max WAND (window variant) ----------------
 
-    def _search_or_wand(self, weighted, k: int):
-        ubs = [c.block_ubs(w, self.cache) for _, w, c in weighted]
+    def _search_or_wand(self, weighted, k: int, chunk_blocks: int = 8):
+        """Units of ``chunk_blocks`` postings blocks amortize the Python
+        loop (~1k docs per decode) while per-unit impact bounds (max over
+        member blocks) keep the block-max skipping exact."""
+        ubs = []
+        unit_last = []
+        unit_lo_blk = []
+        for _, w, c in weighted:
+            block_ubs = c.block_ubs(w, self.cache)
+            n_units = -(-len(block_ubs) // chunk_blocks) if len(block_ubs) else 0
+            pads = n_units * chunk_blocks
+            padded = np.full(pads, -np.inf)
+            padded[: len(block_ubs)] = block_ubs
+            ubs.append(padded.reshape(n_units, chunk_blocks).max(axis=1) if n_units else padded)
+            lasts = c.last_docid[min(chunk_blocks - 1, len(block_ubs) - 1) :: chunk_blocks] \
+                if len(block_ubs) else np.empty(0, dtype=np.int64)
+            if n_units and len(lasts) < n_units:
+                lasts = np.append(lasts, c.last_docid[-1])
+            unit_last.append(lasts)
+            unit_lo_blk.append(np.arange(n_units) * chunk_blocks)
         bi = [0] * len(weighted)
         active = [i for i, (_, _, c) in enumerate(weighted) if c.n_blocks > 0]
         top_d = np.empty(0, dtype=np.int64)
@@ -183,13 +302,15 @@ class IndexSearcher:
         theta = -np.inf
         w_lo = 0
         while active:
-            w_hi = min(int(weighted[i][2].last_docid[bi[i]]) for i in active)
+            w_hi = min(int(unit_last[i][bi[i]]) for i in active)
             ub_sum = float(sum(ubs[i][bi[i]] for i in active))
             if ub_sum > theta:
                 window_parts = []
                 for i in active:
                     _, _, c = weighted[i]
-                    d, t, m = c.block(bi[i])
+                    lo_blk = int(unit_lo_blk[i][bi[i]])
+                    hi_blk = min(lo_blk + chunk_blocks, c.n_blocks)
+                    d, t, m = c.docids_in_blocks(np.arange(lo_blk, hi_blk))
                     mask = (d >= w_lo) & (d <= w_hi)
                     window_parts.append((i, d[mask], t[mask], m[mask]))
                 union = np.unique(np.concatenate([p[1] for p in window_parts]))
@@ -211,10 +332,9 @@ class IndexSearcher:
                         theta = float(top_s.min())
             nxt = []
             for i in active:
-                c = weighted[i][2]
-                if int(c.last_docid[bi[i]]) == w_hi:
+                if int(unit_last[i][bi[i]]) == w_hi:
                     bi[i] += 1
-                if bi[i] < c.n_blocks:
+                if bi[i] < len(unit_last[i]):
                     nxt.append(i)
             active = nxt
             w_lo = w_hi + 1
