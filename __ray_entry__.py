@@ -45,10 +45,34 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from lucene_solr_ray.functions import ann
+    from lucene_solr_ray.functions import dedup
     from lucene_solr_ray.functions import fulltext as ft
+    from lucene_solr_ray.functions import multimodal
     from lucene_solr_ray.functions import relational as rel
+    from lucene_solr_ray.functions import textstats as ts
 
     return {
+        # --- dedup & sampling (SURVEY §2.9 + training-data ops) ---
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_textprofile": dedup.textprofile_signature,
+        "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(sf, jaccard_threshold=0.3),
+        "dedup_simhash_pairs": lambda sf: dedup.simhash_near_pairs(sf, max_hamming=3),
+        "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(sf, threshold_pct=30),
+        # --- similarity search ---
+        "ann_brute_topk": lambda sf: ann.ann_brute_topk(sf, k=10, n_queries=5),
+        "ann_ivf_topk": lambda sf: ann.ann_ivf_topk(sf, k=10, n_queries=5),
+        "embedding_label_counts": ann.embedding_label_counts,
+        # --- text analysis ---
+        "token_count": ts.token_count,
+        "bpe_ish_count": ts.bpe_ish_count,
+        "quality_signals": ts.quality_signals,
+        "lang_id": ts.lang_id,
+        "md5_fingerprint": ts.md5_fingerprint,
+        "rolling_fingerprint": ts.rolling_fingerprint,
+        # --- multimodal plumbing ---
+        "multimodal_payload_stats": multimodal.payload_stats,
+        "multimodal_fake_decode": multimodal.fake_decode,
         # --- full-text core (SURVEY §2.3/§2.5/§2.6) ---
         "ft_term_docs": lambda sf: ft.boolean_retrieve(sf, [FT_TERM], mode="or"),
         "ft_and_docs": lambda sf: ft.boolean_retrieve(sf, FT_AND_TERMS, mode="and"),
@@ -79,6 +103,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 _CENTS = "CAST(FLOOR({x}*100+0.5) AS BIGINT)"
+
+# the 33-word English stopword list as a SQL list literal (analysis.py)
+from lucene_solr_ray.analysis import STOPWORDS as _STOPWORDS
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(_STOPWORDS)) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -201,4 +230,78 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
             "CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types FROM events"
         ),
+        # --- dedup ---
+        "dedup_exact": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text) ORDER BY doc_id"
+        ),
+        "dedup_textprofile": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, COUNT(*) AS f FROM toks WHERE len(term) >= 2 GROUP BY 1, 2), "
+            "q AS (SELECT doc_id, GREATEST(1, CAST(FLOOR(MAX(f)/16.0) AS BIGINT)) AS quant FROM tf GROUP BY 1), "
+            "prof AS (SELECT tf.doc_id, tf.term, CAST(FLOOR(tf.f/q.quant) AS BIGINT) AS qf "
+            "FROM tf JOIN q ON tf.doc_id = q.doc_id WHERE FLOOR(tf.f/q.quant) > 0) "
+            "SELECT d.doc_id, md5(COALESCE(p.s, '')) AS sig FROM documents d LEFT JOIN "
+            "(SELECT doc_id, string_agg(term || ' ' || qf, ' ' ORDER BY term) AS s FROM prof GROUP BY 1) p "
+            "ON d.doc_id = p.doc_id ORDER BY d.doc_id"
+        ),
+        # dedup_minhash_lsh / dedup_simhash_pairs: probabilistic sketches,
+        # validated against exact n-gram Jaccard in pytest -> rows-only here.
+        "dedup_ngram_jaccard": (
+            "WITH docs AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a FROM documents), "
+            "tri AS (SELECT DISTINCT doc_id, list_extract(a, i) || ' ' || list_extract(a, i+1) || ' ' || "
+            "list_extract(a, i+2) AS g FROM docs, UNNEST(range(1, len(a)-1)) AS t(i) WHERE len(a) >= 3), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i FROM tri a "
+            "JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, CAST(i*100 // (sa.n + sb.n - i) AS BIGINT) AS jaccard_pct "
+            "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE i*100 >= 30*(sa.n + sb.n - i) ORDER BY doc_a, doc_b"
+        ),
+        # --- similarity search ---
+        "ann_brute_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5) "
+            "SELECT query_id, CAST(rn - 1 AS BIGINT) AS rank, neighbor_id FROM ("
+            "SELECT q.query_id, b.vec_id AS neighbor_id, ROW_NUMBER() OVER ("
+            "PARTITION BY q.query_id ORDER BY list_cosine_similarity(q.qe, b.embedding) DESC, b.vec_id) AS rn "
+            "FROM q, embeddings b WHERE b.vec_id != q.query_id) t WHERE rn <= 10 ORDER BY query_id, rank"
+        ),
+        # ann_ivf_topk: approximate (recall asserted vs brute in pytest) -> rows-only.
+        "embedding_label_counts": (
+            "SELECT label, CAST(len(embedding) AS BIGINT) AS n_dims, COUNT(*) AS n "
+            "FROM embeddings GROUP BY 1, 2 ORDER BY label"
+        ),
+        # --- text analysis ---
+        "token_count": (
+            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS n_tokens "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "bpe_ish_count": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) "
+            "AS n_bpe_tokens FROM documents ORDER BY doc_id"
+        ),
+        "quality_signals": (
+            "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE "
+            "regexp_split_to_array(trim(text), '\\s+') END AS toks, length(text) AS n_chars FROM documents) "
+            "SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, "
+            f"CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS BIGINT) AS n_stopwords, "
+            "CAST(n_chars AS BIGINT) AS n_chars FROM t ORDER BY doc_id"
+        ),
+        "lang_id": (
+            "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE "
+            "regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents) "
+            "SELECT doc_id, CASE WHEN len(toks) = 0 THEN 'und' "
+            f"WHEN len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) * 100 >= 20 * len(toks) "
+            "THEN 'en' ELSE 'other' END AS pred_lang FROM t ORDER BY doc_id"
+        ),
+        "md5_fingerprint": (
+            "SELECT doc_id, md5(lower(text)) AS sig FROM documents ORDER BY doc_id"
+        ),
+        # rolling_fingerprint: Karp-Rabin rolling hash, pytest-validated -> rows-only.
+        # --- multimodal ---
+        "multimodal_payload_stats": (
+            "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "md5(text) AS digest FROM documents ORDER BY doc_id"
+        ),
+        # multimodal_fake_decode: stub decoder (deterministic fake) -> rows-only.
     }

@@ -273,17 +273,19 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 
 def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 50, ngram: int = 3) -> pa.Table:
     """Exact n-gram Jaccard >= threshold pairs via shingle inverted index
-    (explode -> groupby shingle -> pair counts) — integer arithmetic only,
-    so the DuckDB oracle matches exactly."""
+    (explode -> groupby shingle -> pair counts) — string shingles and
+    integer arithmetic only, so the DuckDB oracle matches exactly. Docs
+    with fewer than ``ngram`` tokens produce no shingles (excluded)."""
     ds = _read_docs(sf_dir)
 
     def explode(t: pa.Table) -> pa.Table:
         doc_ids, sh = [], []
         for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
-            hs = _shingle_hashes(_tokens(s), ngram)
-            doc_ids.extend([d] * len(hs))
-            sh.extend(hs.tolist())
-        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "sh": pa.array(sh, pa.int64())})
+            toks = _tokens(s)
+            grams = {" ".join(toks[i : i + ngram]) for i in range(len(toks) - ngram + 1)}
+            doc_ids.extend([d] * len(grams))
+            sh.extend(grams)
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "sh": pa.array(sh, pa.string())})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     # |set| per doc

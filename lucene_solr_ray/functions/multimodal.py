@@ -1,0 +1,104 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+The image/audio decode libraries are not in this container, so the decode
+kernel is STUBBED (NotImplementedError) behind ``decoder="real"``; the
+Ray-side plumbing — binary schema, actor-pool stage, batch sizing,
+output layout — is real and tested with a deterministic fake decoder.
+
+At 100 TB scale the rules encoded here: binary columns stay in
+``batch_format="pyarrow"`` (no pandas object round-trip), batch_size is
+small because payload bytes dominate memory, and the decode stage is an
+actor pool so codec/model setup happens once per actor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+def payload_dataset(sf_dir: str) -> ray.data.Dataset:
+    """documents.text re-typed as an opaque binary payload column — the
+    stand-in for an image/audio bytes column with typed metadata."""
+
+    def to_binary(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "payload": pa.array([s.encode("utf-8") if s else b"" for s in texts],
+                                    type=pa.binary()),
+                "media_type": pa.array(["text/plain"] * t.num_rows, type=pa.string()),
+            }
+        )
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        to_binary, batch_format="pyarrow"
+    )
+
+
+class DecodeStage:
+    """Actor-pool decode stage. decoder="fake" derives deterministic
+    (width, height, channels) metadata from the payload hash; "real"
+    raises NotImplementedError (no image libs in this container)."""
+
+    def __init__(self, decoder: str = "fake"):
+        self.decoder = decoder
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t.column("payload").to_pylist()
+        n_bytes = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
+        digests = [hashlib.md5(p).hexdigest() for p in payloads]
+        if self.decoder == "real":
+            raise NotImplementedError(
+                "image/audio decode requires codec libraries not present in this "
+                "container; wire Pillow/torchaudio here — the actor/batch plumbing "
+                "is already in place"
+            )
+        # fake decode: metadata derived deterministically from the digest
+        width = np.fromiter((int(d[:4], 16) % 1920 + 1 for d in digests), dtype=np.int64)
+        height = np.fromiter((int(d[4:8], 16) % 1080 + 1 for d in digests), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_bytes": pa.array(n_bytes),
+                "digest": pa.array(digests, type=pa.string()),
+                "width": pa.array(width),
+                "height": pa.array(height),
+                "channels": pa.array(np.full(len(payloads), 3, dtype=np.int64)),
+            }
+        )
+
+
+def payload_stats(sf_dir: str) -> ray.data.Dataset:
+    """Byte-size + digest per payload (SQL-checkable plumbing probe)."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        payloads = t.column("payload").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_bytes": pa.array(
+                    np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
+                ),
+                "digest": pa.array([hashlib.md5(p).hexdigest() for p in payloads], type=pa.string()),
+            }
+        )
+
+    return payload_dataset(sf_dir).map_batches(stats, batch_format="pyarrow").sort("doc_id")
+
+
+def fake_decode(sf_dir: str, concurrency: int = 2, batch_size: int = 256) -> ray.data.Dataset:
+    """The full decode pipeline with the deterministic fake decoder —
+    exercises the actor-pool + small-batch layout end to end."""
+    return payload_dataset(sf_dir).map_batches(
+        DecodeStage,
+        fn_constructor_kwargs={"decoder": "fake"},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    ).sort("doc_id")

@@ -124,23 +124,27 @@ def md5_fingerprint(sf_dir: str) -> ray.data.Dataset:
 
 def rolling_fingerprint(sf_dir: str, window: int = 8, base: int = 257,
                         mod: int = (1 << 61) - 1) -> ray.data.Dataset:
-    """Karp-Rabin rolling-hash document fingerprint: min rolling hash over
-    byte windows (winnowing-lite). Deterministic; validated in pytest
-    (no SQL equivalent)."""
+    """Karp-Rabin document fingerprinting: full-doc Rabin polynomial hash
+    (``fingerprint``, discriminative per distinct text) plus the minimum
+    rolling window hash (``min_window_hash``, the winnowing-style blocking
+    key for near-dup candidate grouping). Deterministic; validated in
+    pytest (no SQL equivalent)."""
 
     def fn(t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
-        out = np.zeros(len(texts), dtype=np.uint64)
+        full = np.zeros(len(texts), dtype=np.int64)
+        winmin = np.zeros(len(texts), dtype=np.int64)
+        pows = pow(base, window - 1, mod)
         for i, s in enumerate(texts):
             b = s.encode("utf-8") if s else b""
+            h = 0
+            for ch in b:
+                h = (h * base + ch) % mod
+            full[i] = h
             if len(b) < window:
-                h = 0
-                for ch in b:
-                    h = (h * base + ch) % mod
-                out[i] = h
+                winmin[i] = h
                 continue
-            arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
-            pows = pow(base, window - 1, mod)
+            arr = np.frombuffer(b, dtype=np.uint8)
             h = 0
             best = mod
             for j, ch in enumerate(arr):
@@ -149,8 +153,9 @@ def rolling_fingerprint(sf_dir: str, window: int = 8, base: int = 257,
                 h = (h * base + int(ch)) % mod
                 if j >= window - 1:
                     best = min(best, h)
-            out[i] = best
+            winmin[i] = best
         return pa.table({"doc_id": t.column("doc_id"),
-                         "fingerprint": pa.array(out.astype(np.int64))})
+                         "fingerprint": pa.array(full),
+                         "min_window_hash": pa.array(winmin)})
 
     return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")

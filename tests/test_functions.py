@@ -1,0 +1,101 @@
+"""Dedup / ANN / text / multimodal operator tests over the driver's
+sf0.001 tables (read-only inputs; FIXTURES.md §1 secondary corpus)."""
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    return ray_session
+
+
+def test_minhash_lsh_recall_vs_exact():
+    """MinHash-LSH candidates must recover (almost) all exact n-gram
+    Jaccard pairs at the same threshold — the sketch's recall contract."""
+    from lucene_solr_ray.functions.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(SF, threshold_pct=50).to_pylist()}
+    approx = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(SF, jaccard_threshold=0.5).to_pylist()}
+    assert len(exact) > 0, "fixture corpus should contain planted near-dups"
+    # verification step makes approx a subset of exact; LSH recall >= 90%
+    assert approx <= exact
+    assert len(approx) >= 0.9 * len(exact)
+
+
+def test_simhash_pairs_are_near_dups():
+    from lucene_solr_ray.functions.dedup import ngram_jaccard_pairs, simhash_near_pairs
+
+    sim_pairs = {(r["doc_a"], r["doc_b"]) for r in simhash_near_pairs(SF, max_hamming=3).to_pylist()}
+    exact = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(SF, threshold_pct=70).to_pylist()}
+    assert len(sim_pairs) > 0
+    # very-near dups (jaccard >= 0.7) should nearly all be hamming-close
+    assert len(exact & sim_pairs) >= 0.8 * len(exact)
+
+
+def test_exact_dedup_keeps_min_doc_id():
+    from lucene_solr_ray.functions.dedup import exact_dedup
+
+    kept = exact_dedup(SF).to_pandas()["doc_id"].tolist()
+    assert kept == sorted(kept)
+    assert len(kept) <= 500
+
+
+def test_ann_ivf_recall_vs_brute():
+    from lucene_solr_ray.functions.ann import ann_brute_topk, ann_ivf_topk
+
+    brute = ann_brute_topk(SF, k=10, n_queries=5).to_pylist()
+    ivf = ann_ivf_topk(SF, k=10, n_queries=5).to_pylist()
+    b = {}
+    for r in brute:
+        b.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    i = {}
+    for r in ivf:
+        i.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(b[q] & i.get(q, set())) / len(b[q]) for q in b]
+    assert np.mean(recalls) >= 0.5, recalls  # n_probe=4/16 clusters
+
+
+def test_rolling_fingerprint_deterministic_and_discriminative():
+    from lucene_solr_ray.functions.textstats import rolling_fingerprint
+
+    a = rolling_fingerprint(SF).to_pandas()
+    b = rolling_fingerprint(SF).to_pandas()
+    assert a.equals(b)
+    assert a["fingerprint"].nunique() > 400  # distinct docs -> distinct prints
+
+
+def test_multimodal_stub_raises_and_fake_decodes():
+    import pyarrow as pa
+
+    from lucene_solr_ray.functions.multimodal import DecodeStage, fake_decode
+
+    t = pa.table({"doc_id": [1], "payload": pa.array([b"xx"], pa.binary()),
+                  "media_type": ["text/plain"]})
+    with pytest.raises(NotImplementedError):
+        DecodeStage(decoder="real")(t)
+    out = fake_decode(SF).to_pandas()
+    assert len(out) == 500
+    assert (out["width"] >= 1).all() and (out["width"] <= 1920).all()
+    assert set(out.columns) == {"doc_id", "n_bytes", "digest", "width", "height", "channels"}
+    # deterministic
+    out2 = fake_decode(SF).to_pandas()
+    assert out.equals(out2)
+
+
+def test_entry_contract_smoke():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as m
+
+    res = m.entry()
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    assert len(df) > 0
+    assert set(df.columns) == {"query_id", "rank", "doc_id", "score_milli"}
+    qs = m.queries()
+    sqls = m.oracle_sql()
+    assert set(sqls) <= set(qs)
+    assert len(qs) >= 35
