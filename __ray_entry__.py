@@ -33,6 +33,11 @@ FT_BM25_QUERIES = [
     ("q-and-1", ["merge", "join"], "and"),
     ("q-single", ["spark"], "or"),
 ]
+PERCOLATE_QUERIES = [
+    {"query_id": "sq-and", "type": "and", "terms": ["merge", "join"]},
+    {"query_id": "sq-or", "type": "or", "terms": ["vector"]},
+    {"query_id": "sq-or2", "type": "or", "terms": ["spark", "window"]},
+]
 
 
 def entry() -> Any:
@@ -48,8 +53,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_solr_ray.functions import ann
     from lucene_solr_ray.functions import dedup
     from lucene_solr_ray.functions import fulltext as ft
+    from lucene_solr_ray.functions import monitor
     from lucene_solr_ray.functions import multimodal
     from lucene_solr_ray.functions import relational as rel
+    from lucene_solr_ray.functions import sketches
     from lucene_solr_ray.functions import textstats as ts
 
     return {
@@ -73,12 +80,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing ---
         "multimodal_payload_stats": multimodal.payload_stats,
         "multimodal_fake_decode": multimodal.fake_decode,
+        # --- percolator / highlighter (SURVEY §2.5/§2.6 aux) ---
+        "percolate": lambda sf: monitor.percolate(sf, PERCOLATE_QUERIES),
+        "highlight_snippets": lambda sf: monitor.highlight(sf, ["vector", "stream"]),
+        # --- sketches (SURVEY §2.7 hll / percentile aggs) ---
+        "hll_distinct": sketches.hll_distinct,
+        "tdigest_quantiles": sketches.tdigest_quantiles,
+        # --- scalar / date functions, sampling (SURVEY §2.10, §2.9) ---
+        "scalar_functions": rel.scalar_functions,
+        "date_functions": rel.date_functions,
+        "deterministic_sample": rel.deterministic_sample,
         # --- full-text core (SURVEY §2.3/§2.5/§2.6) ---
         "ft_term_docs": lambda sf: ft.boolean_retrieve(sf, [FT_TERM], mode="or"),
         "ft_and_docs": lambda sf: ft.boolean_retrieve(sf, FT_AND_TERMS, mode="and"),
         "ft_or_docs": lambda sf: ft.boolean_retrieve(sf, FT_OR_TERMS, mode="or"),
         "ft_term_stats": lambda sf: ft.term_stats(sf, FT_STATS_TERMS),
         "ft_bm25_topk": lambda sf: ft.bm25_topk(sf, FT_BM25_QUERIES, k=10),
+        "ft_prefix_docs": lambda sf: ft.multi_term_retrieve(sf, "prefix", "s"),
+        "ft_wildcard_docs": lambda sf: ft.multi_term_retrieve(sf, "wildcard", "s*m"),
+        "ft_regexp_docs": lambda sf: ft.multi_term_retrieve(sf, "regexp", "(stream|spark)"),
+        "ft_range_docs": lambda sf: ft.multi_term_retrieve(sf, "range", "key:part"),
+        "ft_more_like_this": lambda sf: ft.more_like_this_topk(sf, doc_id=0, k=10),
         # --- streaming-expression algebra (SURVEY §2.8) ---
         "select_having": rel.select_having,
         "rollup_agg": rel.rollup_agg,
@@ -136,8 +158,49 @@ def oracle_sql() -> dict[str, str]:
             + " ORDER BY doc_id"
         ),
         "ft_term_stats": " UNION ALL ".join(ft_stats_parts),
-        # ft_bm25_topk: no SQL oracle (BM25 float semantics live in the
-        # pytest oracle, FIXTURES.md §5) -> driver rows-only check.
+        # ft_bm25_topk / ft_more_like_this: no SQL oracle (BM25 float
+        # semantics live in the pytest oracle, FIXTURES.md §5) -> rows-only.
+        "ft_prefix_docs": (
+            f"SELECT doc_id FROM documents WHERE len(list_filter({split}, "
+            f"x -> x LIKE 's%' AND NOT list_contains({_STOP_SQL}, x))) > 0 ORDER BY doc_id"
+        ),
+        "ft_wildcard_docs": (
+            f"SELECT doc_id FROM documents WHERE len(list_filter({split}, "
+            f"x -> regexp_full_match(x, 's.*m') AND NOT list_contains({_STOP_SQL}, x))) > 0 ORDER BY doc_id"
+        ),
+        "ft_regexp_docs": (
+            f"SELECT doc_id FROM documents WHERE len(list_filter({split}, "
+            f"x -> regexp_full_match(x, '(stream|spark)') AND NOT list_contains({_STOP_SQL}, x))) > 0 "
+            "ORDER BY doc_id"
+        ),
+        "ft_range_docs": (
+            f"SELECT doc_id FROM documents WHERE len(list_filter({split}, "
+            f"x -> x >= 'key' AND x < 'part' AND NOT list_contains({_STOP_SQL}, x))) > 0 ORDER BY doc_id"
+        ),
+        "percolate": (
+            f"WITH d AS (SELECT doc_id, {split} AS sp FROM documents) "
+            "SELECT doc_id, query_id FROM ("
+            "SELECT doc_id, 'sq-and' AS query_id FROM d WHERE list_contains(sp, 'merge') AND list_contains(sp, 'join') "
+            "UNION ALL SELECT doc_id, 'sq-or' FROM d WHERE list_contains(sp, 'vector') "
+            "UNION ALL SELECT doc_id, 'sq-or2' FROM d WHERE list_contains(sp, 'spark') OR list_contains(sp, 'window')"
+            ") ORDER BY doc_id, query_id"
+        ),
+        "scalar_functions": (
+            "SELECT p_partkey, CAST(ABS(p_size - 25) AS BIGINT) AS abs_size, "
+            "CAST(FLOOR(SQRT(CAST(p_size AS DOUBLE))*1000+0.5) AS BIGINT) AS sqrt_milli, "
+            "CAST(FLOOR(LN(p_retailprice)*1000+0.5) AS BIGINT) AS ln_milli, "
+            "UPPER(p_brand) AS upper_brand, p_brand || ':' || p_type AS brand_type "
+            "FROM part ORDER BY p_partkey"
+        ),
+        "date_functions": (
+            "SELECT o_orderkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr, "
+            "CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS mo, "
+            "CAST(o_orderdate + INTERVAL 7 DAY AS TIMESTAMP) AS plus7 FROM orders ORDER BY o_orderkey"
+        ),
+        "deterministic_sample": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE (doc_id * 2654435761) % 4294967296 < 429496729 ORDER BY doc_id"
+        ),
         "select_having": (
             "SELECT l_orderkey, l_linenumber, "
             f"{c(x='l_quantity')} AS qty, "

@@ -121,3 +121,33 @@ def bm25_topk(sf_dir: str, queries: list[tuple[str, list[str], str]], k: int = 1
     return pa.Table.from_pandas(
         res[["query_id", "rank", "doc_id", "score_milli"]], preserve_index=False
     )
+
+
+def multi_term_retrieve(sf_dir: str, kind: str, pattern: str) -> pa.Table:
+    """Multi-term queries (SURVEY §2.5): prefix / wildcard / regexp /
+    range expansion over the sorted term dicts -> boolean disjunction ->
+    sorted doc_id set."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    terms = s.expand_terms(kind, pattern)
+    if not terms:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    d, _ = s.search(terms, k=max(1, s.n_docs), mode="or")
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
+def more_like_this_topk(sf_dir: str, doc_id: int = 0, k: int = 10) -> pa.Table:
+    """MoreLikeThis: significant terms of one doc -> OR query -> top-k."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    mapping = _docid_to_doc_id(index_dir)
+    docid = int(np.searchsorted(mapping, doc_id))  # mapping is doc_id sorted by docid == doc_id order
+    d, sc = s.more_like_this(docid, max_terms=8, k=k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(d)), pa.int64()),
+            "doc_id": pa.array(mapping[d], pa.int64()),
+            "score_milli": pa.array(np.round(sc.astype(np.float64) * 1000).astype(np.int64)),
+        }
+    )

@@ -1,0 +1,113 @@
+"""Percolator (reverse search) + highlighter — SURVEY §2.5/§2.6 aux ops.
+
+- Percolator: Lucene ``monitor`` module shape ([U] lucene/monitor/):
+  stored queries are compiled once per actor (the stateful part), then a
+  document STREAM is matched against the whole query set per batch.
+- Highlighter: UnifiedHighlighter-lite ([U] lucene/highlighter/):
+  post-hoc snippet extraction for hits, joined to the stored fields.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from lucene_solr_ray.analysis import tokenize
+
+
+class PercolateStage:
+    """Actor-pool stage holding the compiled query set: per batch, emit
+    (doc_id, query_id) for every stored query the doc matches.
+    Query compilation (analysis + set build) happens once per actor."""
+
+    def __init__(self, queries_ref):
+        raw = ray.get(queries_ref) if not isinstance(queries_ref, list) else queries_ref
+        self.compiled = []
+        for q in raw:
+            terms = set()
+            for t in q["terms"]:
+                terms.update(tokenize(t))
+            self.compiled.append((q["query_id"], q.get("type", "or"), frozenset(terms)))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        doc_ids, query_ids = [], []
+        for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            toks = frozenset(tokenize(s or ""))
+            for qid, qtype, qterms in self.compiled:
+                if not qterms:
+                    continue
+                hit = qterms <= toks if qtype == "and" else bool(qterms & toks)
+                if hit:
+                    doc_ids.append(d)
+                    query_ids.append(qid)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "query_id": pa.array(query_ids, pa.string()),
+            }
+        )
+
+
+def percolate(sf_dir: str, stored_queries: list[dict], concurrency: int = 2) -> ray.data.Dataset:
+    """Match the documents stream against stored queries."""
+    ref = ray.put(stored_queries)
+    return (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(
+            PercolateStage,
+            fn_constructor_kwargs={"queries_ref": ref},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+        .sort(["doc_id", "query_id"])
+    )
+
+
+def highlight(sf_dir: str, terms: list[str], window_tokens: int = 5) -> ray.data.Dataset:
+    """Snippet per matching doc: the first matched term with up to
+    ``window_tokens`` whitespace tokens of context either side, matched
+    term wrapped in <em>..</em>."""
+    analyzed = set()
+    for t in terms:
+        analyzed.update(tokenize(t))
+    pattern = re.compile(
+        r"\b(" + "|".join(re.escape(t) for t in sorted(analyzed)) + r")\b", re.IGNORECASE
+    ) if analyzed else None
+
+    def fn(t: pa.Table) -> pa.Table:
+        doc_ids, snippets = [], []
+        for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            if not s or pattern is None:
+                continue
+            m = pattern.search(s)
+            if not m:
+                continue
+            words = s.split(" ")
+            # locate the word index containing the match offset
+            off = 0
+            idx = 0
+            for i, w in enumerate(words):
+                if off + len(w) >= m.start():
+                    idx = i
+                    break
+                off += len(w) + 1
+            lo = max(0, idx - window_tokens)
+            hi = min(len(words), idx + window_tokens + 1)
+            snippet_words = words[lo:hi]
+            snippet_words[idx - lo] = f"<em>{snippet_words[idx - lo]}</em>"
+            doc_ids.append(d)
+            snippets.append(" ".join(snippet_words))
+        return pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()), "snippet": pa.array(snippets, pa.string())}
+        )
+
+    return (
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort("doc_id")
+    )

@@ -438,3 +438,71 @@ def unique_counts(sf_dir: str) -> pa.Table:
     n_users = ev.groupby("user_id").aggregate(Count()).count()
     n_types = ev.groupby("event_type").aggregate(Count()).count()
     return pa.Table.from_pylist([{"n_users": int(n_users), "n_types": int(n_types)}])
+
+
+# ---------------- scalar function queries (SURVEY §2.10) ----------------
+
+def scalar_functions(sf_dir: str) -> ray.data.Dataset:
+    """Solr function-query kernels ([U] solr/core/.../search/function/):
+    abs/sqrt/ln/upper/concat as pyarrow.compute calls. Float results are
+    rounded to milli-units with FLOOR(x*1000+0.5) on both sides; libm
+    differences (<= 1 ulp) cannot cross a half-milli boundary here."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        size = pc.cast(t.column("p_size"), pa.float64())
+        price = pc.cast(t.column("p_retailprice"), pa.float64())
+        milli = lambda arr: pc.cast(
+            pc.floor(pc.add(pc.multiply(arr, pa.scalar(1000.0)), pa.scalar(0.5))), pa.int64()
+        )
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey"),
+                "abs_size": pc.cast(pc.abs(pc.subtract(t.column("p_size"), pa.scalar(25, pa.int32()))), pa.int64()),
+                "sqrt_milli": milli(pc.sqrt(size)),
+                "ln_milli": milli(pc.ln(price)),
+                "upper_brand": pc.utf8_upper(t.column("p_brand")),
+                "brand_type": pc.binary_join_element_wise(
+                    t.column("p_brand"), t.column("p_type"), ":"
+                ),
+            }
+        )
+
+    return _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice", "p_brand", "p_type"]).map_batches(
+        fn, batch_format="pyarrow"
+    ).sort("p_partkey")
+
+
+def date_functions(sf_dir: str) -> ray.data.Dataset:
+    """Date-math kernels (Solr date math NOW/DAY+7DAYS analogue):
+    extract year/month + timestamp arithmetic."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ts = t.column("o_orderdate")
+        plus7 = pc.add(pc.cast(ts, pa.int64()), pa.scalar(7 * 86_400_000_000))
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "yr": pc.cast(pc.year(ts), pa.int64()),
+                "mo": pc.cast(pc.month(ts), pa.int64()),
+                "plus7": pc.cast(plus7, pa.timestamp("us")),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+        fn, batch_format="pyarrow"
+    ).sort("o_orderkey")
+
+
+def deterministic_sample(sf_dir: str, pct: int = 10) -> ray.data.Dataset:
+    """RandomStream analogue ([U] solr/core/.../search/RandomStream.java)
+    made reproducible: multiplicative-hash sampling on doc_id (exact
+    integer arithmetic, identical in SQL) instead of an RNG."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        keep = (ids * 2654435761) % 4294967296 < (4294967296 * pct) // 100
+        return t.filter(pa.array(keep))
+
+    return _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        fn, batch_format="pyarrow"
+    ).sort("doc_id")

@@ -391,6 +391,82 @@ class IndexSearcher:
         top = topk_order(cand, scores, k)
         return cand[top], scores[top]
 
+    # ---------------- multi-term queries (SURVEY §2.5) ----------------
+
+    def expand_terms(self, kind: str, pattern: str, max_terms: int = 1024) -> list[str]:
+        """Multi-term query rewrite: scan the sorted term dicts and expand
+        to concrete terms, then run as a disjunction — the
+        PrefixQuery/WildcardQuery/RegexpQuery/TermRangeQuery shape
+        ([U] lucene/core/.../search/PrefixQuery.java, WildcardQuery.java,
+        RegexpQuery.java, TermRangeQuery.java; automata replaced by a
+        range-scan + regex filter over the dict, SURVEY §2.5).
+
+        kind: 'prefix' (pattern = prefix), 'wildcard' (* and ? globs),
+        'regexp' (full-match regex), 'range' (pattern = 'lo:hi', [lo,hi))."""
+        import re as _re
+
+        found: set[str] = set()
+        stem = None  # common prefix that bounds the dict scan
+        if kind == "prefix":
+            lo, hi, rx, stem = pattern, None, None, pattern
+        elif kind == "range":
+            lo, hi = pattern.split(":", 1)
+            rx = None
+        elif kind == "wildcard":
+            stem = pattern.split("*", 1)[0].split("?", 1)[0]
+            lo, hi = (stem or None), None
+            rx = _re.compile(_re.escape(pattern).replace(r"\*", ".*").replace(r"\?", "."))
+        elif kind == "regexp":
+            lo, hi, rx = None, None, _re.compile(pattern)
+        else:
+            raise ValueError(f"unknown multi-term kind {kind!r}")
+        for part in range(self.num_partitions):
+            for seg in self._by_partition.get(part, ()):
+                r = self._reader(part, seg["name"])
+                for i in r.term_range(lo, hi):
+                    t = str(r.terms[i])
+                    if stem and not t.startswith(stem):
+                        break  # sorted dict: past the stem's range
+                    if rx is None or rx.fullmatch(t):
+                        found.add(t)
+                        if len(found) >= max_terms:
+                            return sorted(found)
+        return sorted(found)
+
+    def search_multi_term(self, kind: str, pattern: str, k: int = 10, max_terms: int = 1024):
+        """Expanded disjunction, scored like a BooleanQuery of the matched
+        terms (engine's analysis chain is NOT re-applied: dict terms are
+        already analyzed)."""
+        terms = self.expand_terms(kind, pattern, max_terms)
+        return self.search(terms, k=k, mode="or")
+
+    def more_like_this(self, docid: int, max_terms: int = 8, k: int = 10):
+        """MoreLikeThis ([U] lucene/queries/.../mlt/MoreLikeThis.java):
+        top tf*idf terms of the doc -> OR query (the source doc itself
+        ranks first; callers may drop it)."""
+        import heapq
+
+        docs_dir = os.path.join(self.index_dir, "docs")
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(docs_dir, format="parquet").to_table(columns=["docid", "text"])
+        pos = tbl.column("docid").index(docid).as_py()
+        if pos < 0:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+        text = tbl.column("text")[pos].as_py()
+        from lucene_solr_ray.analysis import tokenize
+
+        tf: dict[str, int] = {}
+        for t in tokenize(text):
+            tf[t] = tf.get(t, 0) + 1
+        scored = []
+        for t, f in tf.items():
+            df, _, _ = self.term_stats_and_cursor(t)
+            if df > 0:
+                scored.append((f * sim.idf(self.n_docs, df), t))
+        top_terms = [t for _, t in heapq.nlargest(max_terms, scored)]
+        return self.search(top_terms, k=k, mode="or")
+
     def explain(self, raw_terms, docid: int) -> list[dict]:
         """Per-term score breakdown for one doc — the Explanation/CheckHits
         debug aid ([U] lucene/core/.../search/Explanation.java)."""

@@ -99,3 +99,57 @@ def test_entry_contract_smoke():
     sqls = m.oracle_sql()
     assert set(sqls) <= set(qs)
     assert len(qs) >= 35
+
+
+def test_hll_accuracy_vs_exact():
+    import duckdb
+
+    from lucene_solr_ray.functions.sketches import hll_distinct
+
+    est = hll_distinct(SF).to_pylist()[0]["approx_distinct"]
+    exact = duckdb.connect().execute(
+        f"SELECT COUNT(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    assert abs(est - exact) <= max(3, 0.05 * exact), (est, exact)
+
+
+def test_tdigest_accuracy_vs_exact():
+    import duckdb
+
+    from lucene_solr_ray.functions.sketches import tdigest_quantiles
+
+    got = {r["q_milli"]: r["value_est"] for r in tdigest_quantiles(SF).to_pylist()}
+    con = duckdb.connect()
+    for q_milli, q in ((500, 0.5), (900, 0.9), (990, 0.99)):
+        exact = con.execute(
+            f"SELECT quantile_cont(value, {q}) FROM read_parquet('{SF}/events.parquet')"
+        ).fetchone()[0]
+        span = con.execute(
+            f"SELECT MAX(value) - MIN(value) FROM read_parquet('{SF}/events.parquet')"
+        ).fetchone()[0]
+        assert abs(got[q_milli] - exact) <= 0.05 * span, (q, got[q_milli], exact)
+
+
+def test_multi_term_expansion():
+    from lucene_solr_ray.functions.fulltext import docs_index
+    from lucene_solr_ray.pipelines.search import IndexSearcher
+
+    s = IndexSearcher(docs_index(SF))
+    pref = s.expand_terms("prefix", "s")
+    assert all(t.startswith("s") for t in pref) and "spark" in pref
+    rng = s.expand_terms("range", "key:part")
+    assert all("key" <= t < "part" for t in rng)
+    wc = s.expand_terms("wildcard", "s*m")
+    assert wc == ["stream"]
+    rx = s.expand_terms("regexp", "(stream|spark)")
+    assert rx == ["spark", "stream"]
+
+
+def test_percolate_and_highlight_shapes():
+    from lucene_solr_ray.functions.monitor import highlight, percolate
+
+    out = percolate(SF, [{"query_id": "q1", "type": "and", "terms": ["merge", "join"]}]).to_pandas()
+    assert len(out) > 0 and set(out.columns) == {"doc_id", "query_id"}
+    hl = highlight(SF, ["vector"]).to_pandas()
+    assert len(hl) > 0
+    assert hl["snippet"].str.contains("<em>").all()
