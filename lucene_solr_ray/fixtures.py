@@ -86,6 +86,8 @@ def write_transcripts(path: str, n_convs: int, seed: int = 42, num_files: int = 
     marker = os.path.join(path, f".done-{n_convs}-{seed}-{num_files}")
     if os.path.exists(marker):
         return path
+    for stale in os.listdir(path):  # different num_files layouts must not mix
+        os.unlink(os.path.join(path, stale))
     table = gen_transcripts(n_convs, seed)
     n = table.num_rows
     per = (n + num_files - 1) // num_files

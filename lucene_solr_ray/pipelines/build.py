@@ -84,20 +84,34 @@ def _add_docid(table: pa.Table, base: int) -> pa.Table:
 
 class _AnalyzeStage:
     """map_batches callable: canonical analysis + docs side-write +
-    postings emission. Stateless per batch; a class only to carry config."""
+    postings emission. Stateless per batch; a class only to carry config.
+    When ``base_ref`` is set (conv-base docID mode) the docid column is
+    computed here as base[conv_id] + turn_idx instead of arriving
+    pre-assigned from the sort path."""
 
     def __init__(self, docs_dir: str, num_partitions: int, salt: int, salt_range: int,
-                 write_docs: bool, skip_buckets: frozenset[int]):
+                 write_docs: bool, skip_buckets: frozenset[int], base_ref=None):
         self.docs_dir = docs_dir
         self.num_partitions = num_partitions
         self.salt = salt
         self.salt_range = salt_range
         self.write_docs = write_docs
         self.skip_buckets = skip_buckets
+        self.base_ref = base_ref
+        self._bases = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        docids = batch.column("docid").to_numpy()
+        if self.base_ref is not None:
+            if self._bases is None:
+                self._bases = ray.get(self.base_ref)
+            convs = batch.column("conv_id").to_pylist()
+            turn_idx = batch.column("turn_idx").to_numpy().astype(np.int64)
+            bases = self._bases
+            docids = np.fromiter((bases[c] for c in convs), dtype=np.int64, count=len(convs)) + turn_idx
+            batch = batch.append_column("docid", pa.array(docids))
+        else:
+            docids = batch.column("docid").to_numpy()
         rows, terms, tfs, dl = batch_term_counts(texts)
         norms_per_doc = encode_dl(dl)
 
@@ -106,44 +120,68 @@ class _AnalyzeStage:
                 "norm", pa.array(norms_per_doc, type=pa.uint8())
             )
             lo, hi = int(docids.min()), int(docids.max())
-            path = os.path.join(self.docs_dir, f"docs-{lo:012d}-{hi:012d}.parquet")
+            crc = zlib.crc32(docids.tobytes()) & 0xFFFFFFFF
+            path = os.path.join(self.docs_dir, f"docs-{lo:012d}-{hi:012d}-{crc:08x}.parquet")
             if not os.path.exists(path):
                 tmp = path + f".tmp-{os.getpid()}"
                 pq.write_table(docs_table, tmp)
                 os.rename(tmp, path)
 
+        empty = pa.table(
+            {
+                "bucket": pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "docids": pa.array([], type=pa.binary()),
+                "tfs": pa.array([], type=pa.binary()),
+                "norms": pa.array([], type=pa.binary()),
+            }
+        )
         if len(terms) == 0:
-            return pa.table(
-                {
-                    "term": pa.array([], type=pa.string()),
-                    "docid": pa.array([], type=pa.int64()),
-                    "tf": pa.array([], type=pa.int64()),
-                    "norm": pa.array([], type=pa.uint8()),
-                    "bucket": pa.array([], type=pa.int64()),
-                }
-            )
+            return empty
 
-    # postings rows: map-side combined already (distinct (row, term) + tf)
+        # postings, map-side combined AND packed: one shuffle row per
+        # (term, salt-range) per batch, with the postings as little-endian
+        # int32/uint16/uint8 buffers — ~10x fewer rows and ~3x fewer bytes
+        # through the exchange than flat (term, docid, tf, norm) rows
         post_docids = docids[rows]
-        post_norms = norms_per_doc[rows]
+        post_norms = norms_per_doc[rows].astype(np.int64)
         uniq, inv = np.unique(terms, return_inverse=True)
         part = stable_term_hash(uniq) % self.num_partitions
         docid_salt = (post_docids // self.salt_range).clip(0, self.salt - 1)
-        bucket = part[inv] * self.salt + docid_salt
-
-        out = pa.table(
+        # group rows by (term, salt): docid-sorted within each group
+        group_key = inv * self.salt + docid_salt
+        order = np.lexsort((post_docids, group_key))
+        gk_s = group_key[order]
+        starts = np.flatnonzero(np.concatenate([[True], gk_s[1:] != gk_s[:-1]]))
+        bounds = np.append(starts, len(gk_s))
+        d_s = post_docids[order].astype("<i4")
+        t_s = np.minimum(tfs[order], 65535).astype("<u2")
+        m_s = post_norms[order].astype(np.uint8)
+        buckets_out, terms_out, d_out, t_out, m_out = [], [], [], [], []
+        skip = self.skip_buckets
+        for i in range(len(starts)):
+            lo, hi = bounds[i], bounds[i + 1]
+            gk = int(gk_s[lo])
+            term_i, salt_i = gk // self.salt, gk % self.salt
+            bucket = int(part[term_i]) * self.salt + salt_i
+            if skip and bucket in skip:
+                continue
+            buckets_out.append(bucket)
+            terms_out.append(str(uniq[term_i]))
+            d_out.append(d_s[lo:hi].tobytes())
+            t_out.append(t_s[lo:hi].tobytes())
+            m_out.append(m_s[lo:hi].tobytes())
+        if not buckets_out:
+            return empty
+        return pa.table(
             {
-                "term": pa.array(terms.astype(str), type=pa.string()),
-                "docid": pa.array(post_docids),
-                "tf": pa.array(tfs),
-                "norm": pa.array(post_norms, type=pa.uint8()),
-                "bucket": pa.array(bucket),
+                "bucket": pa.array(buckets_out, type=pa.int64()),
+                "term": pa.array(terms_out, type=pa.string()),
+                "docids": pa.array(d_out, type=pa.binary()),
+                "tfs": pa.array(t_out, type=pa.binary()),
+                "norms": pa.array(m_out, type=pa.binary()),
             }
         )
-        if self.skip_buckets:
-            keep = ~np.isin(bucket, np.fromiter(self.skip_buckets, dtype=np.int64))
-            out = out.filter(pa.array(keep))
-        return out
 
 
 def _make_segment_writer(index_dir: str, generation: int, salt: int, codec_name: str, lineage: dict):
@@ -153,12 +191,36 @@ def _make_segment_writer(index_dir: str, generation: int, salt: int, codec_name:
         partition = bucket // salt
         name = segment_name(generation, bucket)
         seg_dir = segment_dir(index_dir, partition, name)
-        meta = write_segment(
+
+        terms_arr = np.asarray(group.column("term").to_pylist(), dtype=object)
+        d_bufs = group.column("docids").to_pylist()
+        t_bufs = group.column("tfs").to_pylist()
+        m_bufs = group.column("norms").to_pylist()
+
+        def term_groups():
+            keys = np.array([t.encode("utf-8") for t in terms_arr], dtype=object)
+            order = np.argsort(keys, kind="stable")
+            keys_s = keys[order]
+            i = 0
+            while i < len(order):
+                j = i
+                while j < len(order) and keys_s[j] == keys_s[i]:
+                    j += 1
+                rows_idx = order[i:j]
+                d = np.concatenate([np.frombuffer(d_bufs[r], dtype="<i4") for r in rows_idx]).astype(np.int64)
+                t = np.concatenate([np.frombuffer(t_bufs[r], dtype="<u2") for r in rows_idx]).astype(np.int64)
+                m = np.concatenate([np.frombuffer(m_bufs[r], dtype=np.uint8) for r in rows_idx]).astype(np.int64)
+                if len(rows_idx) > 1:
+                    ds_order = np.argsort(d, kind="stable")  # batches interleave docid ranges
+                    d, t, m = d[ds_order], t[ds_order], m[ds_order]
+                yield keys_s[i].decode("utf-8"), d, t, m
+                i = j
+
+        from lucene_solr_ray.segment import write_segment_grouped
+
+        meta = write_segment_grouped(
             seg_dir,
-            np.asarray(group.column("term").to_pylist(), dtype=object),
-            group.column("docid").to_numpy(),
-            group.column("tf").to_numpy(),
-            group.column("norm").to_numpy().astype(np.int64),
+            term_groups(),
             codec_name=codec_name,
             lineage=dict(lineage, bucket=bucket),
         )
@@ -189,6 +251,7 @@ def build_index(
     codec_name: str = DEFAULT_POSTINGS_CODEC,
     resume: bool = True,
     analyze_batch_size: int | None = 8192,
+    docid_mode: str = "conv-base",
 ) -> dict:
     """Full build -> committed manifest dict. Ray must be initialised by
     the caller (driver/bench/tests own the session)."""
@@ -197,14 +260,69 @@ def build_index(
     generation = 0  # fresh-build generation; merges bump via commit_manifest
 
     t_start = time.perf_counter()
-    ds = ray.data.read_parquet(input_path) if isinstance(input_path, (str, list)) else input_path
-    sorted_ds = ds.sort(["conv_id", "turn_idx"])
-    refs = sorted_ds.to_arrow_refs()
-    counts = ray.get([_num_rows.remote(r) for r in refs])
-    n_docs = int(sum(counts))
-    bases = np.concatenate([[0], np.cumsum(counts)])[:-1]
-    doc_refs = [_add_docid.remote(r, int(b)) for r, b in zip(refs, bases)]
-    docs_ds = ray.data.from_arrow_refs(doc_refs)
+    ncpus = int(ray.cluster_resources().get("CPU", 8))
+    if isinstance(input_path, (str, list)):
+        # oversplit the read so the analyze stage load-balances (tail
+        # tasks otherwise straggle when blocks == CPUs)
+        ds = ray.data.read_parquet(input_path, override_num_blocks=max(64, 4 * ncpus))
+    else:
+        ds = input_path
+    base_ref = None
+    if docid_mode == "conv-base":
+        # docID = base[conv_id] + turn_idx without sorting the corpus:
+        # a tiny per-conversation groupby + driver prefix sum replaces the
+        # full-corpus range exchange, so analyze/shuffle stream end to end.
+        # Valid iff turn_idx is dense 0..n-1 per conversation (checked);
+        # falls back to the sort path otherwise. Scale note: at 10^12
+        # turns the conv->base map itself needs a two-level prefix sum
+        # (range-partition conv_ids, driver combines only partition
+        # totals) and a hash join instead of this driver dict broadcast.
+        def _conv_partial(t: pa.Table) -> pa.Table:
+            # map-side combine on pruned columns: one row per (block, conv)
+            t = t.select(["conv_id", "turn_idx"])
+            g = pa.TableGroupBy(t, ["conv_id"]).aggregate(
+                [("turn_idx", "count"), ("turn_idx", "max")]
+            )
+            return g.rename_columns(["conv_id", "n", "max_ti"])
+
+        if isinstance(input_path, (str, list)):
+            key_ds = ray.data.read_parquet(input_path, columns=["conv_id", "turn_idx"])
+        else:
+            key_ds = ds.select_columns(["conv_id", "turn_idx"])
+        # final combine on the driver (partials are tiny); a distributed
+        # groupby here costs more than the whole build at this cardinality
+        partial_tables = [
+            b
+            for b in key_ds.map_batches(
+                _conv_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            ).iter_batches(batch_size=None, batch_format="pyarrow")
+        ]
+        import pandas as _pd
+
+        conv_stats = (
+            pa.concat_tables(partial_tables)
+            .to_pandas()
+            .groupby("conv_id", sort=False)
+            .agg(n=("n", "sum"), max_ti=("max_ti", "max"))
+            .reset_index()
+        )
+        if (conv_stats["max_ti"].to_numpy() != conv_stats["n"].to_numpy() - 1).any():
+            docid_mode = "sort"  # sparse turn_idx -> need the global sort
+        else:
+            conv_stats = conv_stats.sort_values("conv_id")
+            counts_arr = conv_stats["n"].to_numpy()
+            n_docs = int(counts_arr.sum())
+            bases_arr = np.concatenate([[0], np.cumsum(counts_arr)])[:-1]
+            base_ref = ray.put(dict(zip(conv_stats["conv_id"], bases_arr.tolist())))
+            docs_ds = ds
+    if docid_mode == "sort":
+        sorted_ds = ds.sort(["conv_id", "turn_idx"])
+        refs = sorted_ds.to_arrow_refs()
+        counts = ray.get([_num_rows.remote(r) for r in refs])
+        n_docs = int(sum(counts))
+        bases = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        doc_refs = [_add_docid.remote(r, int(b)) for r, b in zip(refs, bases)]
+        docs_ds = ray.data.from_arrow_refs(doc_refs)
     sort_wall_s = time.perf_counter() - t_start
 
     # resume: segments whose bucket dirs are already complete on disk
@@ -227,7 +345,8 @@ def build_index(
     salt_range = max(1, -(-n_docs // salt))  # ceil; docid // salt_range < salt
     t0 = time.perf_counter()
     analyzed = docs_ds.map_batches(
-        _AnalyzeStage(docs_dir, num_partitions, salt, salt_range, write_docs, frozenset(done)),
+        _AnalyzeStage(docs_dir, num_partitions, salt, salt_range, write_docs,
+                      frozenset(done), base_ref),
         batch_format="pyarrow",
         batch_size=analyze_batch_size,
         zero_copy_batch=True,
@@ -291,6 +410,7 @@ def build_index(
         "salt": salt,
         "codec": codec_name,
         "analysis": "standard-v1",
+        "docid_mode": docid_mode,
         "segments": segments,
         "metrics": {
             "sort_wall_s": sort_wall_s,

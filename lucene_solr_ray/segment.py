@@ -44,52 +44,76 @@ def write_segment(
     codec_name: str = DEFAULT_POSTINGS_CODEC,
     lineage: dict | None = None,
 ) -> dict:
-    """Encode one segment from (term, docid, tf, norm) rows (any order;
-    sorted here by (term, docid) — the FreqProxTermsWriter replay step,
-    [U] lucene/core/.../index/FreqProxTermsWriter.java). Returns the
-    manifest stats record. Atomic: writes to <seg_dir>.tmp then renames."""
+    """Encode one segment from flat (term, docid, tf, norm) rows (any
+    order; grouped + sorted here — the FreqProxTermsWriter replay step,
+    [U] lucene/core/.../index/FreqProxTermsWriter.java)."""
+    docids = np.asarray(docids)
+    tfs = np.asarray(tfs)
+    norms = np.asarray(norms)
+
+    def groups():
+        if len(terms) == 0:
+            return
+        keys = np.array([t.encode("utf-8") for t in terms], dtype=object)
+        order = np.lexsort((docids, keys))
+        keys_s = keys[order]
+        uniq, starts = np.unique(keys_s, return_index=True)
+        bounds = np.append(starts, len(keys_s))
+        for i in range(len(uniq)):
+            sl = order[bounds[i] : bounds[i + 1]]
+            yield uniq[i].decode("utf-8"), docids[sl], tfs[sl], norms[sl]
+
+    return write_segment_grouped(seg_dir, groups(), codec_name=codec_name, lineage=lineage)
+
+
+def write_segment_grouped(
+    seg_dir: str,
+    term_groups,
+    codec_name: str = DEFAULT_POSTINGS_CODEC,
+    lineage: dict | None = None,
+) -> dict:
+    """Encode a segment from an iterator of (term, docids asc, tfs, norms)
+    groups in ascending UTF-8 term order. Returns the manifest stats
+    record. Atomic: writes to <seg_dir>.tmp then renames."""
     codec = get_postings_codec(codec_name)
-    order = np.lexsort((docids, terms.astype(str)))
-    terms_s = terms[order]
-    docids_s = np.asarray(docids)[order]
-    tfs_s = np.asarray(tfs)[order]
-    norms_s = np.asarray(norms)[order]
-
-    if len(terms_s):
-        uniq_terms, starts = np.unique(terms_s, return_index=True)
-        bounds = np.append(starts, len(terms_s))
-    else:
-        uniq_terms, bounds = np.empty(0, dtype=object), np.array([0])
-
     blobs: list[bytes] = []
-    df = np.empty(len(uniq_terms), dtype=np.int64)
-    cf = np.empty(len(uniq_terms), dtype=np.int64)
-    max_tf = np.empty(len(uniq_terms), dtype=np.int64)
-    offsets = np.empty(len(uniq_terms), dtype=np.int64)
-    nbytes = np.empty(len(uniq_terms), dtype=np.int64)
+    names: list[str] = []
+    df_l: list[int] = []
+    cf_l: list[int] = []
+    max_tf_l: list[int] = []
+    docid_min = None
+    docid_max = None
+    n_postings = 0
+    sum_tf = 0
     off = 0
-    for i in range(len(uniq_terms)):
-        lo, hi = bounds[i], bounds[i + 1]
-        d, t, m = docids_s[lo:hi], tfs_s[lo:hi], norms_s[lo:hi]
+    offsets: list[int] = []
+    nbytes: list[int] = []
+    for term, d, t, m in term_groups:
         blob = codec.encode(d, t, m)
         blobs.append(blob)
-        df[i] = hi - lo
-        cf[i] = t.sum()
-        max_tf[i] = t.max()
-        offsets[i] = off
-        nbytes[i] = len(blob)
+        names.append(term)
+        df_l.append(len(d))
+        cf_l.append(int(t.sum()))
+        max_tf_l.append(int(t.max()))
+        offsets.append(off)
+        nbytes.append(len(blob))
         off += len(blob)
+        n_postings += len(d)
+        sum_tf += int(t.sum())
+        lo, hi = int(d[0]), int(d[-1])
+        docid_min = lo if docid_min is None else min(docid_min, lo)
+        docid_max = hi if docid_max is None else max(docid_max, hi)
 
     postings_bytes = b"".join(blobs)
     terms_table = pa.table(
         {
-            # UTF-8 byte order — pa large_binary sort == Lucene BytesRef order
-            "term": pa.array([str(t) for t in uniq_terms], type=pa.string()),
-            "df": pa.array(df),
-            "cf": pa.array(cf),
-            "max_tf": pa.array(max_tf),
-            "offset": pa.array(offsets),
-            "nbytes": pa.array(nbytes),
+            # ascending UTF-8 byte order == Lucene BytesRef order
+            "term": pa.array(names, type=pa.string()),
+            "df": pa.array(df_l, type=pa.int64()),
+            "cf": pa.array(cf_l, type=pa.int64()),
+            "max_tf": pa.array(max_tf_l, type=pa.int64()),
+            "offset": pa.array(offsets, type=pa.int64()),
+            "nbytes": pa.array(nbytes, type=pa.int64()),
         }
     )
 
@@ -102,11 +126,11 @@ def write_segment(
     pq.write_table(terms_table, os.path.join(tmp, TERMS_FILE))
     meta = {
         "codec": codec_name,
-        "n_terms": int(len(uniq_terms)),
-        "n_postings": int(len(terms_s)),
-        "sum_tf": int(tfs_s.sum()) if len(tfs_s) else 0,
-        "docid_min": int(docids_s.min()) if len(docids_s) else -1,
-        "docid_max": int(docids_s.max()) if len(docids_s) else -1,
+        "n_terms": len(names),
+        "n_postings": n_postings,
+        "sum_tf": sum_tf,
+        "docid_min": docid_min if docid_min is not None else -1,
+        "docid_max": docid_max if docid_max is not None else -1,
         "postings_bytes": len(postings_bytes),
         "postings_crc32": zlib.crc32(postings_bytes) & 0xFFFFFFFF,
         "lineage": lineage or {},
