@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_regexp_docs": lambda sf: ft.multi_term_retrieve(sf, "regexp", "(stream|spark)"),
         "ft_range_docs": lambda sf: ft.multi_term_retrieve(sf, "range", "key:part"),
         "ft_more_like_this": lambda sf: ft.more_like_this_topk(sf, doc_id=0, k=10),
+        "ft_phrase_docs": lambda sf: ft.phrase_retrieve(sf, ["merge", "join"]),
+        "ft_phrase_topk": lambda sf: ft.phrase_topk(sf, ["merge", "join"], k=10),
         # --- streaming-expression algebra (SURVEY §2.8) ---
         "select_having": rel.select_having,
         "rollup_agg": rel.rollup_agg,
@@ -177,6 +179,11 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id FROM documents WHERE len(list_filter({split}, "
             f"x -> x >= 'key' AND x < 'part' AND NOT list_contains({_STOP_SQL}, x))) > 0 ORDER BY doc_id"
         ),
+        "ft_phrase_docs": (
+            "SELECT doc_id FROM documents WHERE "
+            "regexp_matches(text, '\\bmerge\\s+join\\b') ORDER BY doc_id"
+        ),
+        # ft_phrase_topk: scored phrase (pytest oracle) -> rows-only.
         "percolate": (
             f"WITH d AS (SELECT doc_id, {split} AS sp FROM documents) "
             "SELECT doc_id, query_id FROM ("

@@ -52,6 +52,28 @@ def tokenize(text: str) -> list[str]:
     return out
 
 
+def tokenize_with_positions(text: str) -> list[tuple[str, int]]:
+    """Canonical chain, keeping token positions. Per Lucene semantics
+    (FIXTURES.md §2): stop-filtered tokens still increment the position
+    (StopFilter keeps posIncr gaps); tokenizer-level drops (over-length,
+    pure-underscore) do not emit a position at all."""
+    if not text:
+        return []
+    text = unicodedata.normalize("NFC", text)
+    out = []
+    pos = 0
+    for tok in TOKEN_RE.findall(text):
+        if len(tok) > MAX_TOKEN_LEN:
+            continue
+        if not (set(tok) - _UNDERSCORES):
+            continue
+        low = tok.lower()
+        if low not in STOPWORDS:
+            out.append((low, pos))
+        pos += 1  # stopwords leave a gap
+    return out
+
+
 def analyze_texts(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized-ish batch analysis.
 
@@ -85,6 +107,43 @@ def analyze_texts(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     row_idx = np.concatenate(row_idx_parts)
     terms = np.array([t for part in term_parts for t in part], dtype=object)
     return row_idx, terms, dl
+
+
+def batch_term_positions(texts):
+    """Like batch_term_counts but also returns the flat positions array:
+    (rows, terms, tfs, dl, pos_flat) with one (row, term) entry per
+    distinct pair and ``pos_flat`` holding each pair's ascending token
+    positions contiguously (pair order == output order)."""
+    rows_l: list[int] = []
+    terms_l: list[str] = []
+    tfs_l: list[int] = []
+    pos_parts: list[list[int]] = []
+    dl = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        items = tokenize_with_positions(text) if text is not None else []
+        dl[i] = len(items)
+        if not items:
+            continue
+        by_term: dict[str, list[int]] = {}
+        for tok, pos in items:
+            by_term.setdefault(tok, []).append(pos)
+        for tok in by_term:
+            rows_l.append(i)
+            terms_l.append(tok)
+            tfs_l.append(len(by_term[tok]))
+            pos_parts.append(by_term[tok])
+    pos_flat = (
+        np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_parts])
+        if pos_parts
+        else np.empty(0, dtype=np.int64)
+    )
+    return (
+        np.asarray(rows_l, dtype=np.int64),
+        np.asarray(terms_l, dtype=object),
+        np.asarray(tfs_l, dtype=np.int64),
+        dl,
+        pos_flat,
+    )
 
 
 def batch_term_counts(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -54,16 +54,16 @@ def transcripts_from_documents(sf_dir: str) -> ray.data.Dataset:
 
 
 def docs_index(sf_dir: str, num_partitions: int = 8, salt: int = 1) -> str:
-    """Build (once, cached) the documents index for an sf_dir."""
+    """Build (once, cached) the positional documents index for an sf_dir."""
     src = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.sha1(
-        f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{num_partitions}|{salt}|v1".encode()
+        f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{num_partitions}|{salt}|v2-pos".encode()
     ).hexdigest()[:16]
     index_dir = os.path.join(CACHE_ROOT, f"docs-index-{key}")
     if latest_generation(index_dir) is None:
         build_index(
             transcripts_from_documents(sf_dir), index_dir,
-            num_partitions=num_partitions, salt=salt,
+            num_partitions=num_partitions, salt=salt, store_positions=True,
         )
     return index_dir
 
@@ -144,6 +144,32 @@ def more_like_this_topk(sf_dir: str, doc_id: int = 0, k: int = 10) -> pa.Table:
     mapping = _docid_to_doc_id(index_dir)
     docid = int(np.searchsorted(mapping, doc_id))  # mapping is doc_id sorted by docid == doc_id order
     d, sc = s.more_like_this(docid, max_terms=8, k=k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(d)), pa.int64()),
+            "doc_id": pa.array(mapping[d], pa.int64()),
+            "score_milli": pa.array(np.round(sc.astype(np.float64) * 1000).astype(np.int64)),
+        }
+    )
+
+
+def phrase_retrieve(sf_dir: str, phrase: list[str]) -> pa.Table:
+    """Boolean phrase containment (PhraseQuery, positions + adjacency with
+    StopFilter gaps) -> sorted doc_id set."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d, _ = s.search_phrase(phrase, k=max(1, s.n_docs))
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
+def phrase_topk(sf_dir: str, phrase: list[str], k: int = 10) -> pa.Table:
+    """Scored phrase top-k (rows-only at the driver; float parity is the
+    pytest oracle's job)."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d, sc = s.search_phrase(phrase, k=k)
+    mapping = _docid_to_doc_id(index_dir)
     return pa.table(
         {
             "rank": pa.array(np.arange(len(d)), pa.int64()),

@@ -95,6 +95,56 @@ class Oracle:
         top = topk_order(cand, scores, k)
         return cand[top], scores[top]
 
+    def search_phrase(self, raw_terms, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        """Brute-force PhraseQuery reference: position adjacency with
+        StopFilter gaps; tf = phrase freq, weight = float32 sum of idfs."""
+        from lucene_solr_ray.analysis import tokenize_with_positions
+
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        qterms: list[tuple[str, int]] = []
+        pos = 0
+        for raw in raw_terms:
+            items = tokenize_with_positions(raw)
+            for tok, p in items:
+                qterms.append((tok, pos + p))
+            pos += max((p for _, p in items), default=0) + 1
+        if not qterms:
+            return empty
+        if not hasattr(self, "_positions"):
+            self._positions: dict[str, dict[int, np.ndarray]] = {}
+            for docid, text in enumerate(self.table.column("text").to_pylist()):
+                by_term: dict[str, list[int]] = {}
+                for tok, p in tokenize_with_positions(text or ""):
+                    by_term.setdefault(tok, []).append(p)
+                for tok, ps in by_term.items():
+                    self._positions.setdefault(tok, {})[docid] = np.asarray(ps, dtype=np.int64)
+        for t, _ in qterms:
+            if t not in self._positions:
+                return empty
+        w = np.float32(sum(sim.idf(self.n_docs, len(self._positions[t])) for t, _ in qterms))
+        doc_sets = [set(self._positions[t].keys()) for t, _ in qterms]
+        cand = sorted(set.intersection(*doc_sets))
+        doc_out, freqs, norm_b = [], [], []
+        for doc in cand:
+            match = None
+            for t, qp in qterms:
+                p = self._positions[t][doc] - qp
+                match = p if match is None else np.intersect1d(match, p, assume_unique=True)
+                if len(match) == 0:
+                    break
+            if match is not None and len(match):
+                doc_out.append(doc)
+                freqs.append(len(match))
+                norm_b.append(int(self.norms[doc]))
+        if not doc_out:
+            return empty
+        d_arr = np.asarray(doc_out, dtype=np.int64)
+        scores = sim.score_term(
+            w, np.asarray(freqs, dtype=np.int64), np.asarray(norm_b, dtype=np.int64), self.cache
+        )
+        top = topk_order(d_arr, scores, k)
+        return d_arr[top], scores[top]
+
     def search_all(self, query_table: pa.Table) -> pa.Table:
         """Run the full query set -> (query_id, rank, docid, score)."""
         qids, ranks, docids, scores = [], [], [], []

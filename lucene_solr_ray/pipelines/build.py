@@ -90,7 +90,8 @@ class _AnalyzeStage:
     pre-assigned from the sort path."""
 
     def __init__(self, docs_dir: str, num_partitions: int, salt: int, salt_range: int,
-                 write_docs: bool, skip_buckets: frozenset[int], base_ref=None):
+                 write_docs: bool, skip_buckets: frozenset[int], base_ref=None,
+                 store_positions: bool = False):
         self.docs_dir = docs_dir
         self.num_partitions = num_partitions
         self.salt = salt
@@ -98,6 +99,7 @@ class _AnalyzeStage:
         self.write_docs = write_docs
         self.skip_buckets = skip_buckets
         self.base_ref = base_ref
+        self.store_positions = store_positions
         self._bases = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -112,7 +114,13 @@ class _AnalyzeStage:
             batch = batch.append_column("docid", pa.array(docids))
         else:
             docids = batch.column("docid").to_numpy()
-        rows, terms, tfs, dl = batch_term_counts(texts)
+        if self.store_positions:
+            from lucene_solr_ray.analysis import batch_term_positions
+
+            rows, terms, tfs, dl, pos_flat = batch_term_positions(texts)
+        else:
+            rows, terms, tfs, dl = batch_term_counts(texts)
+            pos_flat = None
         norms_per_doc = encode_dl(dl)
 
         if self.write_docs and batch.num_rows:
@@ -134,6 +142,7 @@ class _AnalyzeStage:
                 "docids": pa.array([], type=pa.binary()),
                 "tfs": pa.array([], type=pa.binary()),
                 "norms": pa.array([], type=pa.binary()),
+                "positions": pa.array([], type=pa.binary()),
             }
         )
         if len(terms) == 0:
@@ -157,7 +166,16 @@ class _AnalyzeStage:
         d_s = post_docids[order].astype("<i4")
         t_s = np.minimum(tfs[order], 65535).astype("<u2")
         m_s = post_norms[order].astype(np.uint8)
-        buckets_out, terms_out, d_out, t_out, m_out = [], [], [], [], []
+        if pos_flat is not None:
+            # gather per-posting position groups into `order` order
+            offs = np.concatenate([[0], np.cumsum(tfs)])
+            lens = tfs[order]
+            grp_off = np.concatenate([[0], np.cumsum(lens)])
+            idx = np.repeat(offs[:-1][order], lens) + (
+                np.arange(int(lens.sum())) - np.repeat(grp_off[:-1], lens)
+            )
+            pos_sorted = np.minimum(pos_flat[idx], 65535).astype("<u2")
+        buckets_out, terms_out, d_out, t_out, m_out, p_out = [], [], [], [], [], []
         skip = self.skip_buckets
         for i in range(len(starts)):
             lo, hi = bounds[i], bounds[i + 1]
@@ -171,6 +189,10 @@ class _AnalyzeStage:
             d_out.append(d_s[lo:hi].tobytes())
             t_out.append(t_s[lo:hi].tobytes())
             m_out.append(m_s[lo:hi].tobytes())
+            if pos_flat is not None:
+                p_out.append(pos_sorted[grp_off[lo] : grp_off[hi]].tobytes())
+            else:
+                p_out.append(b"")
         if not buckets_out:
             return empty
         return pa.table(
@@ -180,11 +202,13 @@ class _AnalyzeStage:
                 "docids": pa.array(d_out, type=pa.binary()),
                 "tfs": pa.array(t_out, type=pa.binary()),
                 "norms": pa.array(m_out, type=pa.binary()),
+                "positions": pa.array(p_out, type=pa.binary()),
             }
         )
 
 
-def _make_segment_writer(index_dir: str, generation: int, salt: int, codec_name: str, lineage: dict):
+def _make_segment_writer(index_dir: str, generation: int, salt: int, codec_name: str,
+                         lineage: dict, store_positions: bool = False):
     def write_bucket_segment(group: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
         bucket = int(group.column("bucket")[0].as_py())
@@ -196,6 +220,7 @@ def _make_segment_writer(index_dir: str, generation: int, salt: int, codec_name:
         d_bufs = group.column("docids").to_pylist()
         t_bufs = group.column("tfs").to_pylist()
         m_bufs = group.column("norms").to_pylist()
+        p_bufs = group.column("positions").to_pylist() if store_positions else None
 
         def term_groups():
             keys = np.array([t.encode("utf-8") for t in terms_arr], dtype=object)
@@ -210,10 +235,24 @@ def _make_segment_writer(index_dir: str, generation: int, salt: int, codec_name:
                 d = np.concatenate([np.frombuffer(d_bufs[r], dtype="<i4") for r in rows_idx]).astype(np.int64)
                 t = np.concatenate([np.frombuffer(t_bufs[r], dtype="<u2") for r in rows_idx]).astype(np.int64)
                 m = np.concatenate([np.frombuffer(m_bufs[r], dtype=np.uint8) for r in rows_idx]).astype(np.int64)
+                p = None
+                if p_bufs is not None:
+                    p = np.concatenate([np.frombuffer(p_bufs[r], dtype="<u2") for r in rows_idx]).astype(np.int64)
                 if len(rows_idx) > 1:
                     ds_order = np.argsort(d, kind="stable")  # batches interleave docid ranges
+                    if p is not None:
+                        offs = np.concatenate([[0], np.cumsum(t)])
+                        lens = t[ds_order]
+                        grp_off = np.concatenate([[0], np.cumsum(lens)])
+                        idx = np.repeat(offs[:-1][ds_order], lens) + (
+                            np.arange(int(lens.sum())) - np.repeat(grp_off[:-1], lens)
+                        )
+                        p = p[idx]
                     d, t, m = d[ds_order], t[ds_order], m[ds_order]
-                yield keys_s[i].decode("utf-8"), d, t, m
+                if p is not None:
+                    yield keys_s[i].decode("utf-8"), d, t, m, p
+                else:
+                    yield keys_s[i].decode("utf-8"), d, t, m
                 i = j
 
         from lucene_solr_ray.segment import write_segment_grouped
@@ -252,6 +291,7 @@ def build_index(
     resume: bool = True,
     analyze_batch_size: int | None = 8192,
     docid_mode: str = "conv-base",
+    store_positions: bool = False,
 ) -> dict:
     """Full build -> committed manifest dict. Ray must be initialised by
     the caller (driver/bench/tests own the session)."""
@@ -346,14 +386,15 @@ def build_index(
     t0 = time.perf_counter()
     analyzed = docs_ds.map_batches(
         _AnalyzeStage(docs_dir, num_partitions, salt, salt_range, write_docs,
-                      frozenset(done), base_ref),
+                      frozenset(done), base_ref, store_positions),
         batch_format="pyarrow",
         batch_size=analyze_batch_size,
         zero_copy_batch=True,
     )
     lineage = {"input": str(input_path), "n_docs": n_docs, "num_partitions": num_partitions, "salt": salt}
     stats_rows = analyzed.groupby("bucket").map_groups(
-        _make_segment_writer(index_dir, generation, salt, codec_name, lineage),
+        _make_segment_writer(index_dir, generation, salt, codec_name, lineage,
+                             store_positions),
         batch_format="pyarrow",
     ).take_all()
     build_wall_s = time.perf_counter() - t0
@@ -411,6 +452,7 @@ def build_index(
         "codec": codec_name,
         "analysis": "standard-v1",
         "docid_mode": docid_mode,
+        "positions": store_positions,
         "segments": segments,
         "metrics": {
             "sort_wall_s": sort_wall_s,

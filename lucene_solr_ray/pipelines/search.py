@@ -391,6 +391,107 @@ class IndexSearcher:
         top = topk_order(cand, scores, k)
         return cand[top], scores[top]
 
+    # ---------------- PhraseQuery (SURVEY §2.5) ----------------
+
+    def search_phrase(self, raw_terms, k: int = 10):
+        """Exact phrase match ([U] lucene/core/.../search/PhraseQuery.java):
+        candidates = conjunction of the phrase terms; verified by position
+        adjacency (positions carry StopFilter gaps, so a stopword between
+        phrase words breaks adjacency — Lucene semantics). Scored like a
+        single pseudo-term: tf = phrase frequency, weight = float32 sum of
+        the member idfs (BM25Similarity.idfExplain over the term array).
+        Requires an index built with store_positions=True."""
+        from lucene_solr_ray.analysis import tokenize_with_positions
+        from lucene_solr_ray.codec.packedints import decode_range
+
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        qterms: list[tuple[str, int]] = []
+        pos = 0
+        for raw in raw_terms:
+            items = tokenize_with_positions(raw)
+            for tok, p in items:
+                qterms.append((tok, pos + p))
+            # advance by the raw term's tokenizer positions (>= 1 slot;
+            # a dropped stopword still leaves its gap)
+            pos += max((p for _, p in items), default=0) + 1
+        if not qterms:
+            return empty
+
+        class _View:
+            __slots__ = ("segs", "docids", "norms", "_pos_blobs")
+
+            def __init__(self, entries):
+                self.segs = []
+                ds, ms = [], []
+                self._pos_blobs = {}
+                for r, i in entries:
+                    d, t, m = r.postings(i)
+                    prefix = np.concatenate([[0], np.cumsum(t)])
+                    self.segs.append((d, prefix, r, i))
+                    ds.append(d)
+                    ms.append(m)
+                self.docids = np.concatenate(ds) if ds else np.empty(0, dtype=np.int64)
+                self.norms = np.concatenate(ms) if ms else np.empty(0, dtype=np.int64)
+
+            def positions(self, docid: int) -> np.ndarray:
+                for si, (d, prefix, r, i) in enumerate(self.segs):
+                    j = int(np.searchsorted(d, docid))
+                    if j < len(d) and d[j] == docid:
+                        blob = self._pos_blobs.get(si)
+                        if blob is None:
+                            blob = r.read_pos_blob(i)
+                            self._pos_blobs[si] = blob
+                        return decode_range(blob, int(prefix[j]), int(prefix[j + 1]))
+                return np.empty(0, dtype=np.int64)
+
+        distinct = sorted({t for t, _ in qterms})
+        views: dict[str, _View] = {}
+        dfs: dict[str, int] = {}
+        for t in distinct:
+            part = int(stable_term_hash(np.array([t], dtype=object))[0]) % self.num_partitions
+            entries = []
+            df = 0
+            for seg in self._by_partition.get(part, ()):
+                r = self._reader(part, seg["name"])
+                i = r.lookup(t)
+                if i is not None:
+                    df += int(r.df[i])
+                    entries.append((r, i))
+            if df == 0:
+                return empty
+            dfs[t] = df
+            views[t] = _View(entries)
+
+        cand = views[distinct[0]].docids
+        for t in distinct[1:]:
+            cand = np.intersect1d(cand, views[t].docids, assume_unique=True)
+        if len(cand) == 0:
+            return empty
+
+        w = np.float32(sum(sim.idf(self.n_docs, dfs[t]) for t, _ in qterms))
+        first = views[distinct[0]]
+        doc_ids_out, freqs, norm_bytes = [], [], []
+        for doc in cand:
+            match = None
+            for t, qp in qterms:
+                p = views[t].positions(int(doc)) - qp
+                match = p if match is None else np.intersect1d(match, p, assume_unique=True)
+                if len(match) == 0:
+                    break
+            if match is not None and len(match):
+                doc_ids_out.append(int(doc))
+                freqs.append(len(match))
+                j = int(np.searchsorted(first.docids, doc))
+                norm_bytes.append(int(first.norms[j]))
+        if not doc_ids_out:
+            return empty
+        d_arr = np.asarray(doc_ids_out, dtype=np.int64)
+        scores = sim.score_term(
+            w, np.asarray(freqs, dtype=np.int64), np.asarray(norm_bytes, dtype=np.int64), self.cache
+        )
+        top = topk_order(d_arr, scores, k)
+        return d_arr[top], scores[top]
+
     # ---------------- multi-term queries (SURVEY §2.5) ----------------
 
     def expand_terms(self, kind: str, pattern: str, max_terms: int = 1024) -> list[str]:

@@ -32,6 +32,7 @@ from lucene_solr_ray.codec import DEFAULT_POSTINGS_CODEC, get_postings_codec
 
 TERMS_FILE = "terms.parquet"
 POSTINGS_FILE = "postings.bin"
+POSITIONS_FILE = "positions.bin"
 META_FILE = "meta.json"
 
 
@@ -72,23 +73,33 @@ def write_segment_grouped(
     codec_name: str = DEFAULT_POSTINGS_CODEC,
     lineage: dict | None = None,
 ) -> dict:
-    """Encode a segment from an iterator of (term, docids asc, tfs, norms)
-    groups in ascending UTF-8 term order. Returns the manifest stats
-    record. Atomic: writes to <seg_dir>.tmp then renames."""
+    """Encode a segment from an iterator of (term, docids asc, tfs, norms
+    [, positions_flat]) groups in ascending UTF-8 term order. The optional
+    5th element stores per-posting positions (the .pos analogue; see
+    codec/packedints.py). Returns the manifest stats record. Atomic:
+    writes to <seg_dir>.tmp then renames."""
+    from lucene_solr_ray.codec.packedints import encode_ints
+
     codec = get_postings_codec(codec_name)
     blobs: list[bytes] = []
+    pos_blobs: list[bytes] = []
     names: list[str] = []
     df_l: list[int] = []
     cf_l: list[int] = []
     max_tf_l: list[int] = []
+    pos_offsets: list[int] = []
+    pos_nbytes: list[int] = []
     docid_min = None
     docid_max = None
     n_postings = 0
     sum_tf = 0
     off = 0
+    pos_off = 0
+    has_positions = False
     offsets: list[int] = []
     nbytes: list[int] = []
-    for term, d, t, m in term_groups:
+    for group in term_groups:
+        term, d, t, m = group[0], group[1], group[2], group[3]
         blob = codec.encode(d, t, m)
         blobs.append(blob)
         names.append(term)
@@ -103,19 +114,28 @@ def write_segment_grouped(
         lo, hi = int(d[0]), int(d[-1])
         docid_min = lo if docid_min is None else min(docid_min, lo)
         docid_max = hi if docid_max is None else max(docid_max, hi)
+        if len(group) > 4:
+            has_positions = True
+            pb = encode_ints(group[4])
+            pos_blobs.append(pb)
+            pos_offsets.append(pos_off)
+            pos_nbytes.append(len(pb))
+            pos_off += len(pb)
 
     postings_bytes = b"".join(blobs)
-    terms_table = pa.table(
-        {
-            # ascending UTF-8 byte order == Lucene BytesRef order
-            "term": pa.array(names, type=pa.string()),
-            "df": pa.array(df_l, type=pa.int64()),
-            "cf": pa.array(cf_l, type=pa.int64()),
-            "max_tf": pa.array(max_tf_l, type=pa.int64()),
-            "offset": pa.array(offsets, type=pa.int64()),
-            "nbytes": pa.array(nbytes, type=pa.int64()),
-        }
-    )
+    cols = {
+        # ascending UTF-8 byte order == Lucene BytesRef order
+        "term": pa.array(names, type=pa.string()),
+        "df": pa.array(df_l, type=pa.int64()),
+        "cf": pa.array(cf_l, type=pa.int64()),
+        "max_tf": pa.array(max_tf_l, type=pa.int64()),
+        "offset": pa.array(offsets, type=pa.int64()),
+        "nbytes": pa.array(nbytes, type=pa.int64()),
+    }
+    if has_positions:
+        cols["pos_offset"] = pa.array(pos_offsets, type=pa.int64())
+        cols["pos_nbytes"] = pa.array(pos_nbytes, type=pa.int64())
+    terms_table = pa.table(cols)
 
     tmp = seg_dir + ".tmp"
     if os.path.exists(tmp):
@@ -123,9 +143,13 @@ def write_segment_grouped(
     os.makedirs(tmp, exist_ok=True)
     with open(os.path.join(tmp, POSTINGS_FILE), "wb") as fh:
         fh.write(postings_bytes)
+    if has_positions:
+        with open(os.path.join(tmp, POSITIONS_FILE), "wb") as fh:
+            fh.write(b"".join(pos_blobs))
     pq.write_table(terms_table, os.path.join(tmp, TERMS_FILE))
     meta = {
         "codec": codec_name,
+        "has_positions": has_positions,
         "n_terms": len(names),
         "n_postings": n_postings,
         "sum_tf": sum_tf,
@@ -167,7 +191,12 @@ class SegmentReader:
         self.max_tf = t.column("max_tf").to_numpy()
         self.offsets = t.column("offset").to_numpy()
         self.nbytes = t.column("nbytes").to_numpy()
+        self.has_positions = "pos_offset" in t.column_names
+        if self.has_positions:
+            self.pos_offsets = t.column("pos_offset").to_numpy()
+            self.pos_nbytes = t.column("pos_nbytes").to_numpy()
         self._fh = None
+        self._pos_fh = None
 
     def lookup(self, term: str) -> int | None:
         """-> term ordinal or None. Binary search in UTF-8 byte order."""
@@ -194,10 +223,23 @@ class SegmentReader:
         """Full decode -> (docids, tfs, norms)."""
         return self.codec.decode(self.read_blob(ordinal))
 
+    def read_pos_blob(self, ordinal: int) -> bytes:
+        """Packed positions sequence for a term (codec/packedints.py);
+        posting j's positions are values [cumsum(tf)[j-1], cumsum(tf)[j])."""
+        if not self.has_positions:
+            raise ValueError(f"segment {self.seg_dir} was built without positions")
+        if self._pos_fh is None:
+            self._pos_fh = open(os.path.join(self.seg_dir, POSITIONS_FILE), "rb")
+        self._pos_fh.seek(int(self.pos_offsets[ordinal]))
+        return self._pos_fh.read(int(self.pos_nbytes[ordinal]))
+
     def close(self):
         if self._fh is not None:
             self._fh.close()
             self._fh = None
+        if self._pos_fh is not None:
+            self._pos_fh.close()
+            self._pos_fh = None
 
 
 def check_segment(seg_dir: str) -> list[str]:

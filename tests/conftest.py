@@ -59,5 +59,5 @@ def t1_index(ray_session, t1_corpus, tmp_path_factory):
     from lucene_solr_ray.pipelines.build import build_index
 
     index_dir = str(tmp_path_factory.mktemp("index") / "t1")
-    manifest = build_index(t1_corpus, index_dir, num_partitions=8, salt=2)
+    manifest = build_index(t1_corpus, index_dir, num_partitions=8, salt=2, store_positions=True)
     return index_dir, manifest
