@@ -34,12 +34,15 @@ def topk_order(docids: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
 
 
 class Oracle:
-    def __init__(self, table: pa.Table):
-        # stable (conv_id, turn_idx) order -> dense docIDs
-        idx = pa.compute.sort_indices(
-            table, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
-        )
-        table = table.take(idx)
+    def __init__(self, table: pa.Table, presorted: bool = False):
+        # stable (conv_id, turn_idx) order -> dense docIDs. ``presorted``
+        # takes the given row order as the docID order instead (used to
+        # model incremental-append arrival order, Lucene semantics).
+        if not presorted:
+            idx = pa.compute.sort_indices(
+                table, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")]
+            )
+            table = table.take(idx)
         texts = table.column("text").to_pylist()
         self.table = table
         rows, terms, tfs, dl = batch_term_counts(texts)

@@ -292,12 +292,37 @@ def build_index(
     analyze_batch_size: int | None = 8192,
     docid_mode: str = "conv-base",
     store_positions: bool = False,
+    append: bool = False,
 ) -> dict:
     """Full build -> committed manifest dict. Ray must be initialised by
-    the caller (driver/bench/tests own the session)."""
+    the caller (driver/bench/tests own the session).
+
+    ``append=True`` is the IndexWriter.addIndexes / incremental-append
+    path: new documents get docIDs after the existing index's maxDoc
+    (Lucene arrival-order semantics), new segments join the manifest in a
+    new generation, and global stats (n_docs, sum_dl) accumulate. The
+    appended docid range is disjoint from every existing segment, so
+    per-term posting lists still concatenate in docid order at read/merge
+    time. Partitioning parameters must match the existing index."""
+    from lucene_solr_ray.state.manifest import load_manifest
+
     os.makedirs(index_dir, exist_ok=True)
     docs_dir = os.path.join(index_dir, DOCS_DIRNAME)
+    base_offset = 0
+    prev_manifest = None
     generation = 0  # fresh-build generation; merges bump via commit_manifest
+    if append:
+        prev_manifest = load_manifest(index_dir)
+        if (
+            prev_manifest["num_partitions"] != num_partitions
+            or prev_manifest["salt"] != salt
+            or prev_manifest["codec"] != codec_name
+        ):
+            raise ValueError(
+                "append requires matching num_partitions/salt/codec with the existing index"
+            )
+        base_offset = prev_manifest["n_docs"]
+        generation = prev_manifest["generation"] + 1
 
     t_start = time.perf_counter()
     ncpus = int(ray.cluster_resources().get("CPU", 8))
@@ -352,7 +377,7 @@ def build_index(
             conv_stats = conv_stats.sort_values("conv_id")
             counts_arr = conv_stats["n"].to_numpy()
             n_docs = int(counts_arr.sum())
-            bases_arr = np.concatenate([[0], np.cumsum(counts_arr)])[:-1]
+            bases_arr = np.concatenate([[0], np.cumsum(counts_arr)])[:-1] + base_offset
             base_ref = ray.put(dict(zip(conv_stats["conv_id"], bases_arr.tolist())))
             docs_ds = ds
     if docid_mode == "sort":
@@ -360,7 +385,7 @@ def build_index(
         refs = sorted_ds.to_arrow_refs()
         counts = ray.get([_num_rows.remote(r) for r in refs])
         n_docs = int(sum(counts))
-        bases = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        bases = np.concatenate([[0], np.cumsum(counts)])[:-1] + base_offset
         doc_refs = [_add_docid.remote(r, int(b)) for r, b in zip(refs, bases)]
         docs_ds = ray.data.from_arrow_refs(doc_refs)
     sort_wall_s = time.perf_counter() - t_start
@@ -374,15 +399,16 @@ def build_index(
             if segment_is_complete(segment_dir(index_dir, bucket // salt, name)):
                 done[bucket] = name
     docs_marker = os.path.join(index_dir, "docs.complete")
-    write_docs = not os.path.exists(docs_marker) or not resume
-    if write_docs:
+    write_docs = append or not os.path.exists(docs_marker) or not resume
+    if write_docs and not append:
         os.makedirs(docs_dir, exist_ok=True)
         for stale in os.listdir(docs_dir):  # boundaries may differ run-to-run
             os.unlink(os.path.join(docs_dir, stale))
         if os.path.exists(docs_marker):
             os.unlink(docs_marker)
 
-    salt_range = max(1, -(-n_docs // salt))  # ceil; docid // salt_range < salt
+    # salt over the newly-assigned docid range [base_offset, base_offset+n_docs)
+    salt_range = max(1, -(-(base_offset + n_docs) // salt))
     t0 = time.perf_counter()
     analyzed = docs_ds.map_batches(
         _AnalyzeStage(docs_dir, num_partitions, salt, salt_range, write_docs,
@@ -441,11 +467,13 @@ def build_index(
                 "resumed": True,
             }
         )
+    if append and prev_manifest is not None:
+        segments.extend(prev_manifest["segments"])
     segments.sort(key=lambda s: (s["partition"], s["name"]))
     sum_dl = sum(s["sum_tf"] for s in segments)
 
     manifest = {
-        "n_docs": n_docs,
+        "n_docs": base_offset + n_docs,
         "sum_dl": sum_dl,
         "num_partitions": num_partitions,
         "salt": salt,

@@ -1,0 +1,112 @@
+"""Whole-index validator — the CheckIndex CLI analogue
+([U] lucene/core/.../index/CheckIndex.java; FIXTURES.md §6.4).
+
+Validates, for the latest (or given) manifest generation:
+- every listed segment is complete on disk, crc32/byte counts match,
+  per-term df == decoded postings length, cf == sum tf, docids strictly
+  increasing, terms sorted;
+- per-partition: every term's docid ranges are disjoint + ascending
+  across the partition's segments (the TermCursor concat precondition);
+- global: sum of segment sum_tf == manifest sum_dl; all docids within
+  [0, n_docs); docs.parquet covers docids 0..n_docs-1 exactly once and
+  its dl/norm columns agree with codec/norms re-encoding.
+
+Usage: python tools/check_index.py <index_dir> [generation]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lucene_solr_ray.codec.norms import encode_dl
+from lucene_solr_ray.pipelines.build import SEGMENTS_DIRNAME
+from lucene_solr_ray.segment import SegmentReader, check_segment
+from lucene_solr_ray.state.manifest import load_manifest
+
+
+def check_index(index_dir: str, generation: int | None = None) -> list[str]:
+    problems: list[str] = []
+    manifest = load_manifest(index_dir, generation)
+    n_docs = manifest["n_docs"]
+
+    by_partition: dict[int, list[dict]] = {}
+    total_sum_tf = 0
+    for seg in manifest["segments"]:
+        seg_dir = os.path.join(
+            index_dir, SEGMENTS_DIRNAME, f"p{seg['partition']:04d}", seg["name"]
+        )
+        probs = check_segment(seg_dir)
+        problems.extend(f"{seg['name']}: {p}" for p in probs)
+        if seg["docid_max"] >= n_docs or (seg["docid_min"] < 0 and seg["n_postings"] > 0):
+            problems.append(f"{seg['name']}: docid range outside [0, {n_docs})")
+        total_sum_tf += seg["sum_tf"]
+        by_partition.setdefault(seg["partition"], []).append(seg)
+
+    if total_sum_tf != manifest["sum_dl"]:
+        problems.append(f"sum_tf total {total_sum_tf} != manifest sum_dl {manifest['sum_dl']}")
+
+    # per-partition: per-term docid ranges disjoint + ascending across segments
+    for partition, segs in sorted(by_partition.items()):
+        segs = sorted(segs, key=lambda s: (s["docid_min"], s["name"]))
+        readers = [
+            SegmentReader(os.path.join(index_dir, SEGMENTS_DIRNAME, f"p{partition:04d}", s["name"]))
+            for s in segs
+        ]
+        term_last: dict[str, int] = {}
+        for r in readers:
+            for i in range(len(r.terms)):
+                t = str(r.terms[i])
+                d, _, _ = r.postings(i)
+                if t in term_last and d[0] <= term_last[t]:
+                    problems.append(
+                        f"p{partition}: term {t!r} docid ranges overlap across segments"
+                    )
+                term_last[t] = int(d[-1])
+            r.close()
+
+    # docs.parquet coverage + dl/norm consistency
+    docs_dir = os.path.join(index_dir, "docs")
+    if os.path.isdir(docs_dir):
+        import pyarrow.dataset as pads
+
+        docs = pads.dataset(docs_dir, format="parquet").to_table(columns=["docid", "dl", "norm"])
+        docids = np.sort(docs.column("docid").to_numpy())
+        if len(docids) != n_docs:
+            problems.append(f"docs.parquet rows {len(docids)} != n_docs {n_docs}")
+        elif not np.array_equal(docids, np.arange(n_docs)):
+            problems.append("docs.parquet docids are not exactly 0..n_docs-1")
+        dl = docs.column("dl").to_numpy()
+        norm = docs.column("norm").to_numpy()
+        if not np.array_equal(encode_dl(dl), norm.astype(np.uint8)):
+            problems.append("docs.parquet norm column != byte4(dl)")
+        if int(dl.sum()) != manifest["sum_dl"]:
+            problems.append(f"docs dl sum {int(dl.sum())} != manifest sum_dl")
+    else:
+        problems.append("docs/ directory missing")
+    return problems
+
+
+def main() -> int:
+    index_dir = sys.argv[1]
+    generation = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    problems = check_index(index_dir, generation)
+    manifest = load_manifest(index_dir, generation)
+    print(
+        f"index {index_dir} gen={manifest['generation']}: "
+        f"{manifest['n_docs']} docs, {len(manifest['segments'])} segments"
+    )
+    if problems:
+        for p in problems:
+            print("PROBLEM:", p)
+        return 1
+    print("OK: no problems found")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
