@@ -169,3 +169,40 @@ def batch_term_counts(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.nda
     out_rows = uniq_pairs // len(uniq_terms)
     out_codes = uniq_pairs % len(uniq_terms)
     return out_rows, uniq_terms[out_codes], tfs.astype(np.int64), dl
+
+
+# ---------------- analyzer registry (SURVEY §2.11 Analyzer SPI) ----------------
+
+def whitespace_tokenize(text: str) -> list[str]:
+    """WhitespaceTokenizer ([U] lucene/analysis/common/.../core/
+    WhitespaceTokenizer.java): split on whitespace, no lowercase, no stop."""
+    return text.split() if text else []
+
+
+def keyword_tokenize(text: str) -> list[str]:
+    """KeywordTokenizer: the whole input as one atomic token."""
+    return [text] if text else []
+
+
+_HTML_TAG_RE = re.compile(r"<[^>]*>")
+
+
+def html_strip_standard_tokenize(text: str) -> list[str]:
+    """HTMLStripCharFilter ([U] lucene/analysis/common/.../charfilter/
+    HTMLStripCharFilter.java) pre-pass + the canonical standard chain."""
+    return tokenize(_HTML_TAG_RE.sub(" ", text)) if text else []
+
+
+ANALYZERS = {
+    "standard": tokenize,          # the parity-pinned canonical chain
+    "whitespace": whitespace_tokenize,
+    "keyword": keyword_tokenize,
+    "html_standard": html_strip_standard_tokenize,
+}
+
+
+def get_analyzer(name: str):
+    try:
+        return ANALYZERS[name]
+    except KeyError:
+        raise ValueError(f"unknown analyzer {name!r}; known: {sorted(ANALYZERS)}")

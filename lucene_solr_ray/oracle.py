@@ -34,7 +34,7 @@ def topk_order(docids: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
 
 
 class Oracle:
-    def __init__(self, table: pa.Table, presorted: bool = False):
+    def __init__(self, table: pa.Table, presorted: bool = False, similarity: str = "bm25"):
         # stable (conv_id, turn_idx) order -> dense docIDs. ``presorted``
         # takes the given row order as the docID order instead (used to
         # model incremental-append arrival order, Lucene semantics).
@@ -51,7 +51,8 @@ class Oracle:
         self.sum_dl = int(dl.sum())
         self.norms = encode_dl(dl)
         self.avgdl = self.sum_dl / self.n_docs if self.n_docs else 1.0
-        self.cache = sim.denom_cache(self.avgdl)
+        self.simcls = sim.get_similarity(similarity)
+        self.cache = self.simcls.denom_cache(self.avgdl)
         # term -> (docids, tfs) sorted by docid
         self.postings: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         order = np.lexsort((rows, terms.astype(str)))
@@ -88,11 +89,11 @@ class Oracle:
         parts = []
         for t, p in present:
             docids_t, tfs_t = p
-            w = sim.term_weight(self.n_docs, len(docids_t))
+            w = self.simcls.term_weight(self.n_docs, len(docids_t))
             s = np.zeros(len(cand), dtype=np.float32)
             pos = np.searchsorted(cand, docids_t)
             hit = (pos < len(cand)) & (cand[np.minimum(pos, len(cand) - 1)] == docids_t)
-            s[pos[hit]] = sim.score_term(w, tfs_t[hit], self.norms[docids_t[hit]], self.cache)
+            s[pos[hit]] = self.simcls.score_term(w, tfs_t[hit], self.norms[docids_t[hit]], self.cache)
             parts.append(s)
         scores = sim.accumulate(parts)
         top = topk_order(cand, scores, k)
@@ -124,7 +125,7 @@ class Oracle:
         for t, _ in qterms:
             if t not in self._positions:
                 return empty
-        w = np.float32(sum(sim.idf(self.n_docs, len(self._positions[t])) for t, _ in qterms))
+        w = np.float32(sum(self.simcls.idf(self.n_docs, len(self._positions[t])) for t, _ in qterms))
         doc_sets = [set(self._positions[t].keys()) for t, _ in qterms]
         cand = sorted(set.intersection(*doc_sets))
         doc_out, freqs, norm_b = [], [], []
@@ -142,7 +143,7 @@ class Oracle:
         if not doc_out:
             return empty
         d_arr = np.asarray(doc_out, dtype=np.int64)
-        scores = sim.score_term(
+        scores = self.simcls.score_term(
             w, np.asarray(freqs, dtype=np.int64), np.asarray(norm_b, dtype=np.int64), self.cache
         )
         top = topk_order(d_arr, scores, k)

@@ -75,11 +75,9 @@ class TermCursor:
     def block(self, g: int):
         return self.cursors[self.blk_cursor[g]].block(int(self.blk_local[g]))
 
-    def block_ubs(self, w: np.float32, cache: np.ndarray) -> np.ndarray:
+    def block_ubs(self, w: np.float32, cache: np.ndarray, simcls=sim.BM25) -> np.ndarray:
         """float64 per-block score upper bounds from impacts."""
-        mt = self.max_tf.astype(np.float64)
-        ub = np.float64(w) * (mt / (mt + cache[self.min_norm]))
-        return ub * (1.0 + 1e-6) + 1e-12
+        return simcls.block_upper_bounds(w, self.max_tf, self.min_norm, cache)
 
     def decode_all(self):
         """Full decode, memoized — cursors are cached per searcher, so a
@@ -114,14 +112,17 @@ class TermCursor:
 
 
 class IndexSearcher:
-    def __init__(self, index_dir: str, generation: int | None = None):
+    def __init__(self, index_dir: str, generation: int | None = None,
+                 similarity: str = "bm25"):
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir, generation)
         self.n_docs = self.manifest["n_docs"]
         self.sum_dl = self.manifest["sum_dl"]
         self.num_partitions = self.manifest["num_partitions"]
         self.avgdl = self.sum_dl / self.n_docs if self.n_docs else 1.0
-        self.cache = sim.denom_cache(self.avgdl)
+        # pluggable Similarity (SURVEY §2.11); BM25 is the parity-pinned default
+        self.simcls = sim.get_similarity(similarity)
+        self.cache = self.simcls.denom_cache(self.avgdl)
         self._by_partition: dict[int, list[dict]] = {}
         for seg in self.manifest["segments"]:
             self._by_partition.setdefault(seg["partition"], []).append(seg)
@@ -184,7 +185,7 @@ class IndexSearcher:
                 if mode == "and":
                     return empty
                 continue
-            weighted.append((t, sim.term_weight(self.n_docs, df), cur))
+            weighted.append((t, self.simcls.term_weight(self.n_docs, df), cur))
         if not weighted:
             return empty
         if algorithm == "auto":
@@ -221,7 +222,7 @@ class IndexSearcher:
         for _, w, c in weighted:
             d, tf, m = c.decode_all()
             s_dense = np.zeros(self.n_docs, dtype=np.float32)
-            s_dense[d] = sim.score_term(w, tf, m, self.cache)
+            s_dense[d] = self.simcls.score_term(w, tf, m, self.cache)
             acc = (acc + s_dense).astype(np.float32)
         cand = np.flatnonzero(acc > 0)
         top = topk_order(cand, acc[cand], k)
@@ -240,7 +241,7 @@ class IndexSearcher:
         parts = []
         for w, d, tf, m in decoded:  # ascending term order
             pos = np.searchsorted(d, cand)
-            parts.append(sim.score_term(w, tf[pos], m[pos], self.cache))
+            parts.append(self.simcls.score_term(w, tf[pos], m[pos], self.cache))
         scores = sim.accumulate(parts)
         top = topk_order(cand, scores, k)
         return cand[top], scores[top]
@@ -253,7 +254,7 @@ class IndexSearcher:
         [U] lucene/core/.../search/MaxScoreCache.java). Exact: bounds are
         strict (score_upper_bound margin), so ub <= theta implies no tie."""
         t, w, c = weighted_term
-        ubs = c.block_ubs(w, self.cache)
+        ubs = c.block_ubs(w, self.cache, self.simcls)
         order = np.argsort(-ubs, kind="stable")
         top_d = np.empty(0, dtype=np.int64)
         top_s = np.empty(0, dtype=np.float32)
@@ -262,7 +263,7 @@ class IndexSearcher:
             if len(top_d) >= k and ubs[b] <= theta:
                 break
             d, tf, m = c.block(int(b))
-            s = sim.score_term(w, tf, m, self.cache)
+            s = self.simcls.score_term(w, tf, m, self.cache)
             top_d = np.concatenate([top_d, d])
             top_s = np.concatenate([top_s, s])
             if len(top_d) > k:
@@ -283,7 +284,7 @@ class IndexSearcher:
         unit_last = []
         unit_lo_blk = []
         for _, w, c in weighted:
-            block_ubs = c.block_ubs(w, self.cache)
+            block_ubs = c.block_ubs(w, self.cache, self.simcls)
             n_units = -(-len(block_ubs) // chunk_blocks) if len(block_ubs) else 0
             pads = n_units * chunk_blocks
             padded = np.full(pads, -np.inf)
@@ -320,7 +321,7 @@ class IndexSearcher:
                         s = np.zeros(len(union), dtype=np.float32)
                         if len(d):
                             pos = np.searchsorted(union, d)
-                            s[pos] = sim.score_term(weighted[i][1], t, m, self.cache)
+                            s[pos] = self.simcls.score_term(weighted[i][1], t, m, self.cache)
                         parts.append(s)
                     scores = sim.accumulate(parts)
                     top_d = np.concatenate([top_d, union])
@@ -349,7 +350,7 @@ class IndexSearcher:
         for _, w, (d, t, m) in decoded:
             s = np.zeros(len(cand), dtype=np.float32)
             pos = np.searchsorted(cand, d)
-            s[pos] = sim.score_term(w, t, m, self.cache)
+            s[pos] = self.simcls.score_term(w, t, m, self.cache)
             parts.append(s)
         scores = sim.accumulate(parts)
         top = topk_order(cand, scores, k)
@@ -386,7 +387,7 @@ class IndexSearcher:
         parts = []
         for _, w, c in weighted:  # ascending term order
             t, m = c.gather(cand)
-            parts.append(sim.score_term(w, t, m, self.cache))
+            parts.append(self.simcls.score_term(w, t, m, self.cache))
         scores = sim.accumulate(parts)
         top = topk_order(cand, scores, k)
         return cand[top], scores[top]
@@ -468,7 +469,7 @@ class IndexSearcher:
         if len(cand) == 0:
             return empty
 
-        w = np.float32(sum(sim.idf(self.n_docs, dfs[t]) for t, _ in qterms))
+        w = np.float32(sum(self.simcls.idf(self.n_docs, dfs[t]) for t, _ in qterms))
         first = views[distinct[0]]
         doc_ids_out, freqs, norm_bytes = [], [], []
         for doc in cand:
@@ -486,7 +487,7 @@ class IndexSearcher:
         if not doc_ids_out:
             return empty
         d_arr = np.asarray(doc_ids_out, dtype=np.int64)
-        scores = sim.score_term(
+        scores = self.simcls.score_term(
             w, np.asarray(freqs, dtype=np.int64), np.asarray(norm_bytes, dtype=np.int64), self.cache
         )
         top = topk_order(d_arr, scores, k)
@@ -564,7 +565,7 @@ class IndexSearcher:
         for t, f in tf.items():
             df, _, _ = self.term_stats_and_cursor(t)
             if df > 0:
-                scored.append((f * sim.idf(self.n_docs, df), t))
+                scored.append((f * self.simcls.idf(self.n_docs, df), t))
         top_terms = [t for _, t in heapq.nlargest(max_terms, scored)]
         return self.search(top_terms, k=k, mode="or")
 
@@ -579,10 +580,10 @@ class IndexSearcher:
                 d, tf, m = cur.decode_all()
                 i = int(np.searchsorted(d, docid))
                 if i < len(d) and d[i] == docid:
-                    w = sim.term_weight(self.n_docs, df)
+                    w = self.simcls.term_weight(self.n_docs, df)
                     entry["tf"] = int(tf[i])
                     entry["norm"] = int(m[i])
-                    entry["score"] = float(sim.score_term(w, tf[i : i + 1], m[i : i + 1], self.cache)[0])
+                    entry["score"] = float(self.simcls.score_term(w, tf[i : i + 1], m[i : i + 1], self.cache)[0])
             out.append(entry)
         return out
 

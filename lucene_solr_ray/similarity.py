@@ -56,6 +56,87 @@ def score_upper_bound(w: np.float32, max_tf, min_norm, cache: np.ndarray) -> np.
     return ub * (1.0 + 1e-6) + 1e-12
 
 
+class BM25:
+    """Default similarity — thin class facade over the module functions
+    (the Similarity plug point, [U] lucene/core/.../search/similarities/;
+    SURVEY §2.11)."""
+
+    name = "bm25"
+
+    @staticmethod
+    def idf(n_docs: int, df: int) -> float:
+        return idf(n_docs, df)
+
+    @staticmethod
+    def term_weight(n_docs: int, df: int) -> np.float32:
+        return term_weight(n_docs, df)
+
+    @staticmethod
+    def denom_cache(avgdl: float) -> np.ndarray:
+        return denom_cache(avgdl)
+
+    @staticmethod
+    def score_term(w, tfs, norm_bytes, cache) -> np.ndarray:
+        return score_term(w, tfs, norm_bytes, cache)
+
+    @staticmethod
+    def score_upper_bound(w, max_tf, min_norm, cache):
+        return score_upper_bound(w, max_tf, min_norm, cache)
+
+    @staticmethod
+    def block_upper_bounds(w, max_tfs: np.ndarray, min_norms: np.ndarray, cache) -> np.ndarray:
+        mt = max_tfs.astype(np.float64)
+        ub = np.float64(w) * (mt / (mt + cache[min_norms]))
+        return ub * (1.0 + 1e-6) + 1e-12
+
+
+class ClassicTFIDF:
+    """Lucene ClassicSimilarity (TF-IDF,
+    [U] lucene/core/.../search/similarities/ClassicSimilarity.java):
+    tf = sqrt(freq), idf = 1 + ln((N+1)/(df+1)), lengthNorm = 1/sqrt(dl').
+    The per-norm "cache" slot holds the length norm."""
+
+    name = "classic"
+
+    @staticmethod
+    def idf(n_docs: int, df: int) -> float:
+        return 1.0 + math.log((n_docs + 1.0) / (df + 1.0))
+
+    @staticmethod
+    def term_weight(n_docs: int, df: int) -> np.float32:
+        return np.float32(1.0 + math.log((n_docs + 1.0) / (df + 1.0)))
+
+    @staticmethod
+    def denom_cache(avgdl: float) -> np.ndarray:
+        dl = np.maximum(DECODED_TABLE.astype(np.float64), 1.0)
+        return 1.0 / np.sqrt(dl)
+
+    @staticmethod
+    def score_term(w, tfs, norm_bytes, cache) -> np.ndarray:
+        tfs = np.asarray(tfs, dtype=np.float64)
+        return (np.float64(w) * np.sqrt(tfs) * cache[norm_bytes]).astype(np.float32)
+
+    @staticmethod
+    def score_upper_bound(w, max_tf, min_norm, cache):
+        ub = np.float64(w) * np.sqrt(np.float64(max_tf)) * cache[min_norm]
+        return ub * (1.0 + 1e-6) + 1e-12
+
+    @staticmethod
+    def block_upper_bounds(w, max_tfs: np.ndarray, min_norms: np.ndarray, cache) -> np.ndarray:
+        ub = np.float64(w) * np.sqrt(max_tfs.astype(np.float64)) * cache[min_norms]
+        return ub * (1.0 + 1e-6) + 1e-12
+
+
+SIMILARITIES = {"bm25": BM25, "classic": ClassicTFIDF}
+
+
+def get_similarity(name: str):
+    try:
+        return SIMILARITIES[name]
+    except KeyError:
+        raise ValueError(f"unknown similarity {name!r}; known: {sorted(SIMILARITIES)}")
+
+
 def accumulate(parts: list[np.ndarray]) -> np.ndarray:
     """float32 left-to-right accumulation (parts pre-sorted by term)."""
     if not parts:

@@ -101,3 +101,19 @@ def test_explain_sums_to_score(t1_index, t1_oracle):
         for e in ex:  # ascending term order
             acc = np.float32(acc + np.float32(e["score"]))
         assert acc == sc[0]
+
+
+def test_classic_similarity_parity(t1_index, t1_table, t1_queries):
+    """Pluggable similarity: engine with ClassicSimilarity matches an
+    oracle configured the same way (same index, different scorer)."""
+    from lucene_solr_ray.oracle import Oracle
+
+    index_dir, _ = t1_index
+    s = IndexSearcher(index_dir, similarity="classic")
+    oracle = Oracle(t1_table, similarity="classic")
+    for row in t1_queries.to_pylist()[:60]:
+        mode = "and" if row["type"] == "and" else "or"
+        got_d, got_s = s.search(row["terms"], k=row["k"], mode=mode)
+        exp_d, exp_s = oracle.search(row["terms"], k=row["k"], mode=mode)
+        assert got_d.tolist() == exp_d.tolist(), row["query_id"]
+        assert np.array_equal(got_s, exp_s), row["query_id"]

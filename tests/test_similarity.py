@@ -53,3 +53,29 @@ def test_accumulate_order_sensitive_float32():
     assert out.dtype == np.float32
     expect = np.float32(np.float32(a[0] + b[0]) + c[0])
     assert out[0] == expect
+
+
+def test_similarity_registry_and_classic_invariants():
+    from lucene_solr_ray.similarity import ClassicTFIDF, get_similarity
+
+    assert get_similarity("bm25").name == "bm25"
+    assert get_similarity("classic") is ClassicTFIDF
+    import pytest
+
+    with pytest.raises(ValueError):
+        get_similarity("nope")
+    cache = ClassicTFIDF.denom_cache(8.0)
+    w = ClassicTFIDF.term_weight(1000, 10)
+    s = ClassicTFIDF.score_term(w, np.arange(1, 50), np.full(49, 10), cache)
+    assert np.all(np.diff(s.astype(np.float64)) >= 0)  # increasing in tf
+    ub = ClassicTFIDF.score_upper_bound(w, 49, 10, cache)
+    assert float(s.max()) <= float(ub)
+
+
+def test_analyzer_registry():
+    from lucene_solr_ray.analysis import get_analyzer
+
+    assert get_analyzer("whitespace")("The  quick Fox") == ["The", "quick", "Fox"]
+    assert get_analyzer("keyword")("a b c") == ["a b c"]
+    assert get_analyzer("html_standard")("<p>Quick <b>fox</b></p>") == ["quick", "fox"]
+    assert get_analyzer("standard")("The quick") == ["quick"]
