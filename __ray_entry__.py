@@ -103,6 +103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_more_like_this": lambda sf: ft.more_like_this_topk(sf, doc_id=0, k=10),
         "ft_phrase_docs": lambda sf: ft.phrase_retrieve(sf, ["merge", "join"]),
         "ft_phrase_topk": lambda sf: ft.phrase_topk(sf, ["merge", "join"], k=10),
+        "ft_boolean_notfilter": lambda sf: ft.boolean_full_retrieve(
+            sf, must=["merge"], must_not=["vector"], filter_terms=["join"]),
+        "ft_sorted_by_field": lambda sf: ft.sorted_by_field_topk(sf, ["spark"], "n_chars", k=10),
+        "ft_dismax_topk": lambda sf: ft.dismax_topk(sf, ["merge", "join", "window"], 0.3, k=10),
         # --- streaming-expression algebra (SURVEY §2.8) ---
         "select_having": rel.select_having,
         "rollup_agg": rel.rollup_agg,
@@ -183,7 +187,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents WHERE "
             "regexp_matches(text, '\\bmerge\\s+join\\b') ORDER BY doc_id"
         ),
-        # ft_phrase_topk: scored phrase (pytest oracle) -> rows-only.
+        # ft_phrase_topk / ft_dismax_topk: scored (pytest oracle) -> rows-only.
+        "ft_boolean_notfilter": (
+            f"SELECT doc_id FROM documents WHERE list_contains({split}, 'merge') "
+            f"AND list_contains({split}, 'join') AND NOT list_contains({split}, 'vector') "
+            "ORDER BY doc_id"
+        ),
+        "ft_sorted_by_field": (
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS rank, "
+            "doc_id, n_chars FROM documents WHERE "
+            f"list_contains({split}, 'spark') ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
         "percolate": (
             f"WITH d AS (SELECT doc_id, {split} AS sp FROM documents) "
             "SELECT doc_id, query_id FROM ("

@@ -47,6 +47,9 @@ def transcripts_from_documents(sf_dir: str) -> ray.data.Dataset:
                     type=pa.timestamp("us"),
                 ),
                 "doc_id": batch.column("doc_id"),
+                # extra doc-values columns pass straight through to
+                # docs.parquet (sort-by-field collector uses them)
+                "n_chars": batch.column("n_chars"),
             }
         )
 
@@ -57,7 +60,7 @@ def docs_index(sf_dir: str, num_partitions: int = 8, salt: int = 1) -> str:
     """Build (once, cached) the positional documents index for an sf_dir."""
     src = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.sha1(
-        f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{num_partitions}|{salt}|v2-pos".encode()
+        f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{num_partitions}|{salt}|v3-pos".encode()
     ).hexdigest()[:16]
     index_dir = os.path.join(CACHE_ROOT, f"docs-index-{key}")
     if latest_generation(index_dir) is None:
@@ -169,6 +172,48 @@ def phrase_topk(sf_dir: str, phrase: list[str], k: int = 10) -> pa.Table:
     index_dir = docs_index(sf_dir)
     s = IndexSearcher(index_dir)
     d, sc = s.search_phrase(phrase, k=k)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(d)), pa.int64()),
+            "doc_id": pa.array(mapping[d], pa.int64()),
+            "score_milli": pa.array(np.round(sc.astype(np.float64) * 1000).astype(np.int64)),
+        }
+    )
+
+
+def boolean_full_retrieve(sf_dir: str, must: list[str], must_not: list[str],
+                          filter_terms: list[str]) -> pa.Table:
+    """General BooleanQuery retrieval (MUST + MUST_NOT + FILTER) ->
+    sorted doc_id set."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d, _ = s.search_boolean(must=must, must_not=must_not, filter_terms=filter_terms,
+                            k=max(1, s.n_docs))
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
+def sorted_by_field_topk(sf_dir: str, terms: list[str], field: str = "n_chars",
+                         k: int = 10) -> pa.Table:
+    """TopFieldCollector: matching docs ordered by a doc-values field."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d, vals = s.search_sorted_by_field(terms, field=field, k=k, descending=True)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(d)), pa.int64()),
+            "doc_id": pa.array(mapping[d], pa.int64()),
+            field: pa.array(vals.astype(np.int64)),
+        }
+    )
+
+
+def dismax_topk(sf_dir: str, terms: list[str], tie_breaker: float = 0.3, k: int = 10) -> pa.Table:
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d, sc = s.search_dismax(terms, k=k, tie_breaker=tie_breaker)
     mapping = _docid_to_doc_id(index_dir)
     return pa.table(
         {

@@ -99,6 +99,73 @@ class Oracle:
         top = topk_order(cand, scores, k)
         return cand[top], scores[top]
 
+    def search_boolean(self, should=(), must=(), must_not=(), filter_terms=(),
+                       k: int = 10, boost: dict | None = None):
+        """Brute-force general BooleanQuery (engine mirror)."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        boost = boost or {}
+
+        def load(raw_list):
+            return [(t, self.postings.get(t)) for t in analyze_query_terms(raw_list)]
+
+        must_l, should_l = load(must), load(should)
+        not_l, filt_l = load(must_not), load(filter_terms)
+        if any(p is None for _, p in must_l + filt_l):
+            return empty
+        if must_l:
+            cand = must_l[0][1][0]
+            for _, p in must_l[1:]:
+                cand = np.intersect1d(cand, p[0], assume_unique=True)
+        else:
+            present = [p for _, p in should_l if p is not None]
+            if not present:
+                return empty
+            cand = np.unique(np.concatenate([p[0] for p in present]))
+        for _, p in filt_l:
+            cand = np.intersect1d(cand, p[0], assume_unique=True)
+        for _, p in not_l:
+            if p is not None:
+                cand = np.setdiff1d(cand, p[0], assume_unique=True)
+        if len(cand) == 0:
+            return empty
+        scoring = sorted(
+            [(t, p) for t, p in must_l + should_l if p is not None],
+            key=lambda x: x[0].encode("utf-8"),
+        )
+        parts = []
+        for t, p in scoring:
+            docids_t, tfs_t = p
+            b = float(boost.get(t, 1.0))
+            w = np.float32(b * self.simcls.idf(self.n_docs, len(docids_t)))
+            s = np.zeros(len(cand), dtype=np.float32)
+            pos = np.searchsorted(cand, docids_t)
+            hit = (pos < len(cand)) & (cand[np.minimum(pos, len(cand) - 1)] == docids_t)
+            s[pos[hit]] = self.simcls.score_term(w, tfs_t[hit], self.norms[docids_t[hit]], self.cache)
+            parts.append(s)
+        scores = sim.accumulate(parts)
+        top = topk_order(cand, scores, k)
+        return cand[top], scores[top]
+
+    def search_dismax(self, raw_terms, k: int = 10, tie_breaker: float = 0.0):
+        """Brute-force DisjunctionMaxQuery (engine mirror)."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        clauses = [(t, self.postings.get(t)) for t in analyze_query_terms(raw_terms)]
+        clauses = [(t, p) for t, p in clauses if p is not None]
+        if not clauses:
+            return empty
+        cand = np.unique(np.concatenate([p[0] for _, p in clauses]))
+        parts = []
+        for t, p in clauses:
+            docids_t, tfs_t = p
+            w = self.simcls.term_weight(self.n_docs, len(docids_t))
+            s = np.zeros(len(cand), dtype=np.float32)
+            pos = np.searchsorted(cand, docids_t)
+            s[pos] = self.simcls.score_term(w, tfs_t, self.norms[docids_t], self.cache)
+            parts.append(s)
+        scores = sim.dismax_combine(parts, tie_breaker)
+        top = topk_order(cand, scores, k)
+        return cand[top], scores[top]
+
     def search_phrase(self, raw_terms, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         """Brute-force PhraseQuery reference: position adjacency with
         StopFilter gaps; tf = phrase freq, weight = float32 sum of idfs."""

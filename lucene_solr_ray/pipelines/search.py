@@ -392,6 +392,126 @@ class IndexSearcher:
         top = topk_order(cand, scores, k)
         return cand[top], scores[top]
 
+    # ---------------- BooleanQuery general form + scoring modifiers (§2.5) ----------------
+
+    def search_boolean(self, should=(), must=(), must_not=(), filter_terms=(),
+                       k: int = 10, boost: dict | None = None):
+        """Full BooleanQuery ([U] lucene/core/.../search/BooleanQuery.java):
+        MUST intersects and scores; SHOULD scores (and selects when no
+        MUST); MUST_NOT subtracts; FILTER restricts without scoring.
+        ``boost`` maps analyzed terms to BoostQuery multipliers
+        (w = float32(boost * idf))."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        boost = boost or {}
+
+        def load(raw_list):
+            out = []
+            for t in analyze_query_terms(raw_list):
+                df, _, cur = self.term_stats_and_cursor(t)
+                out.append((t, df, cur))
+            return out
+
+        must_l, should_l = load(must), load(should)
+        not_l, filt_l = load(must_not), load(filter_terms)
+        if any(c is None for _, _, c in must_l + filt_l):
+            return empty  # a required clause matches nothing
+        if must_l:
+            cand = must_l[0][2].decode_all()[0]
+            for _, _, c in must_l[1:]:
+                cand = np.intersect1d(cand, c.decode_all()[0], assume_unique=True)
+        else:
+            present = [c for _, _, c in should_l if c is not None]
+            if not present:
+                return empty
+            cand = np.unique(np.concatenate([c.decode_all()[0] for c in present]))
+        for _, _, c in filt_l:
+            cand = np.intersect1d(cand, c.decode_all()[0], assume_unique=True)
+        for _, _, c in not_l:
+            if c is not None:
+                cand = np.setdiff1d(cand, c.decode_all()[0], assume_unique=True)
+        if len(cand) == 0:
+            return empty
+        scoring = sorted(
+            [(t, df, c) for t, df, c in must_l + should_l if c is not None],
+            key=lambda x: x[0].encode("utf-8"),
+        )
+        parts = []
+        for t, df, c in scoring:
+            b = float(boost.get(t, 1.0))
+            w = np.float32(b * self.simcls.idf(self.n_docs, df))
+            d, tf, m = c.decode_all()
+            s = np.zeros(len(cand), dtype=np.float32)
+            pos = np.searchsorted(cand, d)
+            hit = (pos < len(cand)) & (cand[np.minimum(pos, len(cand) - 1)] == d)
+            s[pos[hit]] = self.simcls.score_term(w, tf[hit], m[hit], self.cache)
+            parts.append(s)
+        scores = sim.accumulate(parts)
+        top = topk_order(cand, scores, k)
+        return cand[top], scores[top]
+
+    def search_constant_score(self, raw_terms, k: int = 10, mode: str = "or", boost: float = 1.0):
+        """ConstantScoreQuery ([U] .../search/ConstantScoreQuery.java):
+        every matching doc scores exactly float32(boost)."""
+        d, _ = self.search(raw_terms, k=max(1, self.n_docs), mode=mode)
+        d = np.sort(d)[: k if k < len(d) else len(d)]  # ties -> docid asc
+        return d, np.full(len(d), np.float32(boost), dtype=np.float32)
+
+    def match_all(self, k: int = 10, boost: float = 1.0):
+        """MatchAllDocsQuery: every doc, constant score."""
+        n = min(k, self.n_docs)
+        return np.arange(n, dtype=np.int64), np.full(n, np.float32(boost), dtype=np.float32)
+
+    def search_dismax(self, raw_terms, k: int = 10, tie_breaker: float = 0.0):
+        """DisjunctionMaxQuery: per-doc max over clause scores plus
+        tie_breaker * (sum of the others)."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        clauses = []
+        for t in analyze_query_terms(raw_terms):
+            df, _, cur = self.term_stats_and_cursor(t)
+            if cur is not None:
+                clauses.append((t, self.simcls.term_weight(self.n_docs, df), cur))
+        if not clauses:
+            return empty
+        cand = np.unique(np.concatenate([c.decode_all()[0] for _, _, c in clauses]))
+        parts = []
+        for _, w, c in clauses:  # ascending term order from analyze_query_terms
+            d, tf, m = c.decode_all()
+            s = np.zeros(len(cand), dtype=np.float32)
+            pos = np.searchsorted(cand, d)
+            s[pos] = self.simcls.score_term(w, tf, m, self.cache)
+            parts.append(s)
+        scores = sim.dismax_combine(parts, tie_breaker)
+        top = topk_order(cand, scores, k)
+        return cand[top], scores[top]
+
+    # ---------------- TopFieldCollector: sort by doc values (§2.6) ----------------
+
+    def doc_values(self, field: str) -> np.ndarray:
+        """Doc-values column from docs.parquet in docID order (lazy,
+        cached) — the columnar per-field store (SURVEY §1.1 doc values)."""
+        cache = getattr(self, "_doc_values", None)
+        if cache is None:
+            cache = self._doc_values = {}
+        if field not in cache:
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(os.path.join(self.index_dir, "docs"), format="parquet").to_table(
+                columns=["docid", field]
+            )
+            order = np.argsort(t.column("docid").to_numpy(), kind="stable")
+            cache[field] = t.column(field).to_numpy()[order]
+        return cache[field]
+
+    def search_sorted_by_field(self, raw_terms, field: str, k: int = 10,
+                               descending: bool = True, mode: str = "or"):
+        """TopFieldCollector ([U] .../search/TopFieldCollector.java): hits
+        ordered by a doc-values field (ties -> docid asc) instead of score."""
+        d, _ = self.search(raw_terms, k=max(1, self.n_docs), mode=mode)
+        vals = self.doc_values(field)[d]
+        key = -vals if descending else vals
+        order = np.lexsort((d, key))[:k]
+        return d[order], vals[order]
+
     # ---------------- PhraseQuery (SURVEY §2.5) ----------------
 
     def search_phrase(self, raw_terms, k: int = 10):

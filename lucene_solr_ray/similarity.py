@@ -145,3 +145,13 @@ def accumulate(parts: list[np.ndarray]) -> np.ndarray:
     for p in parts[1:]:
         acc = (acc + p).astype(np.float32)
     return acc
+
+
+def dismax_combine(parts: list[np.ndarray], tie_breaker: float) -> np.ndarray:
+    """DisjunctionMaxQuery combine ([U] lucene/core/.../search/
+    DisjunctionMaxQuery.java): max of clause scores + tie_breaker * sum of
+    the others; float32 result, shared by engine and oracle."""
+    stack = np.stack([p.astype(np.float32) for p in parts])
+    mx = stack.max(axis=0)
+    total = stack.astype(np.float64).sum(axis=0)
+    return (mx.astype(np.float64) + tie_breaker * (total - mx.astype(np.float64))).astype(np.float32)
