@@ -43,7 +43,7 @@ def tokenize(text: str) -> list[str]:
     for tok in TOKEN_RE.findall(text):
         if len(tok) > MAX_TOKEN_LEN:
             continue
-        if not (set(tok) - _UNDERSCORES):  # pure-underscore token
+        if not tok.strip("_"):  # pure-underscore token
             continue
         tok = tok.lower()
         if tok in STOPWORDS:
@@ -88,24 +88,29 @@ def analyze_texts(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
       terms   : object array of token strings, parallel to row_idx
       dl      : int64 array, per input row, token count after the chain
     """
-    row_idx_parts: list[np.ndarray] = []
-    term_parts: list[list[str]] = []
-    dl = np.zeros(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        toks = tokenize(text) if text is not None else []
-        n = len(toks)
-        dl[i] = n
-        if n:
-            row_idx_parts.append(np.full(n, i, dtype=np.int64))
-            term_parts.append(toks)
-    if not term_parts:
-        return (
-            np.empty(0, dtype=np.int64),
-            np.empty(0, dtype=object),
-            dl,
-        )
-    row_idx = np.concatenate(row_idx_parts)
-    terms = np.array([t for part in term_parts for t in part], dtype=object)
+    import itertools
+
+    import pandas as pd
+
+    n_rows = len(texts)
+    raw_lists = [
+        TOKEN_RE.findall(unicodedata.normalize("NFC", t)) if t else [] for t in texts
+    ]
+    counts = np.fromiter((len(r) for r in raw_lists), dtype=np.int64, count=n_rows)
+    if counts.sum() == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=object), np.zeros(n_rows, np.int64)
+    flat = pd.Series(list(itertools.chain.from_iterable(raw_lists)), dtype=object)
+    # filters are conjunctive, so order doesn't matter; all vectorized:
+    # raw-length cap, pure-underscore drop, lowercase, stopword drop
+    low = flat.str.lower()
+    keep = (
+        (flat.str.len() <= MAX_TOKEN_LEN)
+        & (flat.str.strip("_") != "")
+        & ~low.isin(STOPWORDS)
+    ).to_numpy()
+    row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), counts)[keep]
+    terms = low.to_numpy()[keep]
+    dl = np.bincount(row_idx, minlength=n_rows).astype(np.int64)
     return row_idx, terms, dl
 
 
@@ -162,8 +167,12 @@ def batch_term_counts(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.nda
             np.empty(0, dtype=np.int64),
             dl,
         )
-    # Factorize terms, then count distinct (row, term_code) pairs.
-    uniq_terms, codes = np.unique(terms, return_inverse=True)
+    # Factorize terms (hash-based, O(n) — object-string np.unique would
+    # pay an O(n log n) string argsort), then count distinct pairs.
+    import pandas as pd
+
+    codes, uniq_terms = pd.factorize(terms, sort=False)
+    uniq_terms = np.asarray(uniq_terms, dtype=object)
     pair_key = row_idx * len(uniq_terms) + codes
     uniq_pairs, tfs = np.unique(pair_key, return_counts=True)
     out_rows = uniq_pairs // len(uniq_terms)
