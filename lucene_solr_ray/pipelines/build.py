@@ -107,10 +107,11 @@ class _AnalyzeStage:
         if self.base_ref is not None:
             if self._bases is None:
                 self._bases = ray.get(self.base_ref)
-            convs = batch.column("conv_id").to_pylist()
+            conv_sorted, bases_arr = self._bases
+            convs = np.asarray(batch.column("conv_id").to_pylist(), dtype=str)
             turn_idx = batch.column("turn_idx").to_numpy().astype(np.int64)
-            bases = self._bases
-            docids = np.fromiter((bases[c] for c in convs), dtype=np.int64, count=len(convs)) + turn_idx
+            idx = np.searchsorted(conv_sorted, convs)
+            docids = bases_arr[idx] + turn_idx
             batch = batch.append_column("docid", pa.array(docids))
         else:
             docids = batch.column("docid").to_numpy()
@@ -362,23 +363,27 @@ def build_index(
                 _conv_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
             ).iter_batches(batch_size=None, batch_format="pyarrow")
         ]
-        import pandas as _pd
-
-        conv_stats = (
-            pa.concat_tables(partial_tables)
-            .to_pandas()
-            .groupby("conv_id", sort=False)
-            .agg(n=("n", "sum"), max_ti=("max_ti", "max"))
-            .reset_index()
-        )
-        if (conv_stats["max_ti"].to_numpy() != conv_stats["n"].to_numpy() - 1).any():
+        # all-C combine: Arrow dictionary-encode factorizes the conv ids,
+        # bincount/maximum.at aggregate over the codes
+        _all = pa.concat_tables(partial_tables)
+        _enc = _all.column("conv_id").combine_chunks().dictionary_encode()
+        _codes = _enc.indices.to_numpy()
+        _uniq = np.asarray(_enc.dictionary.to_pylist(), dtype=str)
+        _n = np.bincount(_codes, weights=_all.column("n").to_numpy()).astype(np.int64)
+        _mx = np.full(len(_uniq), -1, dtype=np.int64)
+        np.maximum.at(_mx, _codes, _all.column("max_ti").to_numpy().astype(np.int64))
+        if (_mx != _n - 1).any():
             docid_mode = "sort"  # sparse turn_idx -> need the global sort
         else:
-            conv_stats = conv_stats.sort_values("conv_id")
-            counts_arr = conv_stats["n"].to_numpy()
+            _order = np.argsort(_uniq, kind="stable")
+            conv_sorted = _uniq[_order]
+            counts_arr = _n[_order]
             n_docs = int(counts_arr.sum())
             bases_arr = np.concatenate([[0], np.cumsum(counts_arr)])[:-1] + base_offset
-            base_ref = ray.put(dict(zip(conv_stats["conv_id"], bases_arr.tolist())))
+            # broadcast as numpy arrays (near-zero-copy per task) and look
+            # up via searchsorted — a Python dict would cost an unpickle
+            # per task and a per-row hash probe
+            base_ref = ray.put((conv_sorted, bases_arr))
             docs_ds = ds
     if docid_mode == "sort":
         sorted_ds = ds.sort(["conv_id", "turn_idx"])
@@ -418,11 +423,22 @@ def build_index(
         zero_copy_batch=True,
     )
     lineage = {"input": str(input_path), "n_docs": n_docs, "num_partitions": num_partitions, "salt": salt}
-    stats_rows = analyzed.groupby("bucket").map_groups(
-        _make_segment_writer(index_dir, generation, salt, codec_name, lineage,
-                             store_positions),
-        batch_format="pyarrow",
-    ).take_all()
+    # hash shuffle streams analyze output into aggregator actors; the
+    # default sort shuffle would materialize the whole postings stream
+    # before sampling boundaries (a hard barrier between the two stages)
+    from ray.data.context import ShuffleStrategy
+
+    ctx = ray.data.DataContext.get_current()
+    prev_strategy = ctx.shuffle_strategy
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    try:
+        stats_rows = analyzed.groupby("bucket").map_groups(
+            _make_segment_writer(index_dir, generation, salt, codec_name, lineage,
+                                 store_positions),
+            batch_format="pyarrow",
+        ).take_all()
+    finally:
+        ctx.shuffle_strategy = prev_strategy
     build_wall_s = time.perf_counter() - t0
 
     if write_docs:
