@@ -166,7 +166,7 @@ class Oracle:
         top = topk_order(cand, scores, k)
         return cand[top], scores[top]
 
-    def search_phrase(self, raw_terms, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+    def search_phrase(self, raw_terms, k: int = 10, slop: int = 0) -> tuple[np.ndarray, np.ndarray]:
         """Brute-force PhraseQuery reference: position adjacency with
         StopFilter gaps; tf = phrase freq, weight = float32 sum of idfs."""
         from lucene_solr_ray.analysis import tokenize_with_positions
@@ -193,19 +193,17 @@ class Oracle:
             if t not in self._positions:
                 return empty
         w = np.float32(sum(self.simcls.idf(self.n_docs, len(self._positions[t])) for t, _ in qterms))
+        from lucene_solr_ray.phrase import phrase_freq
+
         doc_sets = [set(self._positions[t].keys()) for t, _ in qterms]
         cand = sorted(set.intersection(*doc_sets))
         doc_out, freqs, norm_b = [], [], []
         for doc in cand:
-            match = None
-            for t, qp in qterms:
-                p = self._positions[t][doc] - qp
-                match = p if match is None else np.intersect1d(match, p, assume_unique=True)
-                if len(match) == 0:
-                    break
-            if match is not None and len(match):
+            shifted = [self._positions[t][doc] - qp for t, qp in qterms]
+            freq = phrase_freq(shifted, slop)
+            if freq:
                 doc_out.append(doc)
-                freqs.append(len(match))
+                freqs.append(freq)
                 norm_b.append(int(self.norms[doc]))
         if not doc_out:
             return empty

@@ -514,7 +514,7 @@ class IndexSearcher:
 
     # ---------------- PhraseQuery (SURVEY §2.5) ----------------
 
-    def search_phrase(self, raw_terms, k: int = 10):
+    def search_phrase(self, raw_terms, k: int = 10, slop: int = 0):
         """Exact phrase match ([U] lucene/core/.../search/PhraseQuery.java):
         candidates = conjunction of the phrase terms; verified by position
         adjacency (positions carry StopFilter gaps, so a stopword between
@@ -589,19 +589,17 @@ class IndexSearcher:
         if len(cand) == 0:
             return empty
 
+        from lucene_solr_ray.phrase import phrase_freq
+
         w = np.float32(sum(self.simcls.idf(self.n_docs, dfs[t]) for t, _ in qterms))
         first = views[distinct[0]]
         doc_ids_out, freqs, norm_bytes = [], [], []
         for doc in cand:
-            match = None
-            for t, qp in qterms:
-                p = views[t].positions(int(doc)) - qp
-                match = p if match is None else np.intersect1d(match, p, assume_unique=True)
-                if len(match) == 0:
-                    break
-            if match is not None and len(match):
+            shifted = [views[t].positions(int(doc)) - qp for t, qp in qterms]
+            freq = phrase_freq(shifted, slop)
+            if freq:
                 doc_ids_out.append(int(doc))
-                freqs.append(len(match))
+                freqs.append(freq)
                 j = int(np.searchsorted(first.docids, doc))
                 norm_bytes.append(int(first.norms[j]))
         if not doc_ids_out:

@@ -110,3 +110,18 @@ def test_build_determinism_across_batching(ray_session, t1_corpus, tmp_path):
     c2 = {(s["partition"], s["name"]): s["postings_crc32"] for s in m2["segments"]}
     assert c1 == c2
     assert m1["n_docs"] == m2["n_docs"] and m1["sum_dl"] == m2["sum_dl"]
+
+
+def test_docid_modes_produce_identical_segments(ray_session, t1_corpus, tmp_path):
+    """conv-base docID assignment (no corpus sort) must yield byte-identical
+    segments to the sort-path assignment."""
+    from lucene_solr_ray.pipelines.build import build_index
+
+    d1 = str(tmp_path / "m1")
+    d2 = str(tmp_path / "m2")
+    m1 = build_index(t1_corpus, d1, num_partitions=4, salt=2, docid_mode="conv-base")
+    m2 = build_index(t1_corpus, d2, num_partitions=4, salt=2, docid_mode="sort")
+    c1 = {(s["partition"], s["name"]): s["postings_crc32"] for s in m1["segments"]}
+    c2 = {(s["partition"], s["name"]): s["postings_crc32"] for s in m2["segments"]}
+    assert c1 == c2
+    assert m1["n_docs"] == m2["n_docs"] and m1["sum_dl"] == m2["sum_dl"]

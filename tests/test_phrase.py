@@ -73,3 +73,44 @@ def test_phrase_requires_adjacency(t1_index, t1_oracle, t1_table):
     assert d1.tolist() == e1.tolist() and d2.tolist() == e2.tolist()
     # the two queries are genuinely different match sets (gap vs no gap)
     assert set(d1.tolist()) != set(d2.tolist()) or (len(d1) == 0 and len(d2) == 0)
+
+
+def test_phrase_freq_matcher_semantics():
+    from lucene_solr_ray.phrase import phrase_freq
+
+    a = np.array([0, 10, 20])
+    b = np.array([0, 10, 21])
+    assert phrase_freq([a, b], slop=0) == 2  # 0 and 10 align exactly
+    assert phrase_freq([a, b], slop=1) == 3  # 20/21 within slop 1
+    assert phrase_freq([np.array([5])], slop=0) == 1
+    assert phrase_freq([a, np.array([], dtype=np.int64)], slop=3) == 0
+
+
+def test_sloppy_phrase_parity(t1_index, t1_oracle, t1_table):
+    index_dir, _ = t1_index
+    s = IndexSearcher(index_dir)
+    rng = np.random.default_rng(23)
+    texts = t1_table.column("text").to_pylist()
+    # near-adjacent pairs (gap 2) that exact phrase misses but slop=1 hits
+    near = set()
+    for text in texts:
+        items = tokenize_with_positions(text)
+        for (t1x, p1), (t2x, p2) in zip(items, items[2:]):
+            if p2 == p1 + 2 and t1x != t2x:
+                near.add((t1x, t2x))
+        if len(near) > 80:
+            break
+    pool = sorted(near)
+    idx = rng.choice(len(pool), size=min(20, len(pool)), replace=False)
+    n_gained = 0
+    for i in idx:
+        phrase = list(pool[i])
+        for slop in (0, 1, 2):
+            got_d, got_s = s.search_phrase(phrase, k=20, slop=slop)
+            exp_d, exp_s = t1_oracle.search_phrase(phrase, k=20, slop=slop)
+            assert got_d.tolist() == exp_d.tolist(), (phrase, slop)
+            assert np.array_equal(got_s, exp_s), (phrase, slop)
+        d0, _ = s.search_phrase(phrase, k=1000, slop=0)
+        d2, _ = s.search_phrase(phrase, k=1000, slop=2)
+        n_gained += len(d2) > len(d0)
+    assert n_gained >= 10  # slop genuinely widens matches
