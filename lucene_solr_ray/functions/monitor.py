@@ -23,28 +23,40 @@ from lucene_solr_ray.analysis import tokenize
 class PercolateStage:
     """Actor-pool stage holding the compiled query set: per batch, emit
     (doc_id, query_id) for every stored query the doc matches.
-    Query compilation (analysis + set build) happens once per actor."""
+
+    Compilation builds a term -> queries inverted index over the stored
+    set (the Lucene monitor "presearcher" idea, [U] lucene/monitor/.../
+    TermFilteredPresearcher.java): a doc only probes queries sharing at
+    least one of its tokens, so matching cost scales with overlap, not
+    with the stored-query count. Happens once per actor."""
 
     def __init__(self, queries_ref):
         raw = ray.get(queries_ref) if not isinstance(queries_ref, list) else queries_ref
         self.compiled = []
-        for q in raw:
+        self.by_term: dict[str, list[int]] = {}
+        for qi, q in enumerate(raw):
             terms = set()
             for t in q["terms"]:
                 terms.update(tokenize(t))
             self.compiled.append((q["query_id"], q.get("type", "or"), frozenset(terms)))
+            for t in terms:
+                self.by_term.setdefault(t, []).append(qi)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         doc_ids, query_ids = [], []
         for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
             toks = frozenset(tokenize(s or ""))
-            for qid, qtype, qterms in self.compiled:
-                if not qterms:
-                    continue
-                hit = qterms <= toks if qtype == "and" else bool(qterms & toks)
-                if hit:
-                    doc_ids.append(d)
-                    query_ids.append(qid)
+            cand: set[int] = set()
+            for tok in toks:
+                cand.update(self.by_term.get(tok, ()))
+            hits = []
+            for qi in cand:
+                qid, qtype, qterms = self.compiled[qi]
+                if qtype != "and" or qterms <= toks:  # candidates already share a term
+                    hits.append(qid)
+            for qid in sorted(hits):
+                doc_ids.append(d)
+                query_ids.append(qid)
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),
