@@ -28,7 +28,7 @@ import time
 import numpy as np
 import pyarrow as pa
 
-from lucene_solr_ray.segment import SegmentReader, write_segment
+from lucene_solr_ray.segment import SegmentReader
 from lucene_solr_ray.state.manifest import commit_manifest, load_manifest
 
 FLOOR_BYTES = 2 * 1024 * 1024
@@ -47,71 +47,120 @@ def plan_merges(
 
     ``force_max_segments`` = forceMerge(k): ignore tiering and merge down
     to at most k segments per partition.
+
+    Correctness invariant: a partition's segments hold pairwise-disjoint
+    docid ranges (build salt ranges / appends / prior merges), and the
+    read path (TermCursor) assumes per-term docids ascend across segments
+    ordered by docid_min. Merge groups are therefore chosen ONLY over
+    docid-contiguous runs (adjacent in docid_min order) — merging a
+    bytes-sorted arbitrary subset could produce a segment whose docid
+    range interleaves with a left-out segment and silently corrupt
+    query results.
     """
     by_partition: dict[int, list[dict]] = {}
     for seg in manifest["segments"]:
         by_partition.setdefault(seg["partition"], []).append(seg)
     groups = []
     for partition, segs in sorted(by_partition.items()):
-        segs = sorted(segs, key=lambda s: s["postings_bytes"])
+        segs = sorted(segs, key=lambda s: (s["docid_min"], s["name"]))
         if force_max_segments is not None:
             while len(segs) > force_max_segments:
-                take = segs[: max(2, min(max_merge_at_once, len(segs) - force_max_segments + 1))]
-                groups.append({"partition": partition, "inputs": take})
-                segs = segs[len(take):]  # planned inputs leave the pool this round
+                take_n = max(2, min(max_merge_at_once, len(segs) - force_max_segments + 1))
+                groups.append({"partition": partition, "inputs": segs[:take_n]})
+                segs = segs[take_n:]  # planned inputs leave the pool this round
             continue
-        # tiered: merge while too many small-tier segments
-        eligible = [s for s in segs if s["postings_bytes"] < max_merged_bytes]
-        # size with floor applied (tiny segments count as floor-sized)
-        if len(eligible) > segs_per_tier:
-            take = eligible[: min(max_merge_at_once, len(eligible))]
-            if len(take) >= 2 and sum(s["postings_bytes"] for s in take) <= max_merged_bytes:
-                groups.append({"partition": partition, "inputs": take})
+        # tiered: merge while too many small-tier segments. Candidate
+        # windows are docid-adjacent runs of eligible segments; pick the
+        # cheapest window (smallest total bytes -> small-tier-first,
+        # TieredMergePolicy's skew-friendly economy) that fits the cap.
+        eligible_mask = [s["postings_bytes"] < max_merged_bytes for s in segs]
+        n_eligible = sum(eligible_mask)
+        if n_eligible <= segs_per_tier:
+            continue
+        best = None  # (total_bytes, start, length)
+        i = 0
+        while i < len(segs):
+            if not eligible_mask[i]:
+                i += 1
+                continue
+            j = i
+            while j < len(segs) and eligible_mask[j]:
+                j += 1
+            run_len = j - i
+            win = min(max_merge_at_once, run_len)
+            if win >= 2:
+                sizes = [s["postings_bytes"] for s in segs[i:j]]
+                prefix = [0]
+                for b in sizes:
+                    prefix.append(prefix[-1] + b)
+                for s0 in range(run_len - win + 1):
+                    total = prefix[s0 + win] - prefix[s0]
+                    if total <= max_merged_bytes and (best is None or total < best[0]):
+                        best = (total, i + s0, win)
+            i = j
+        if best is not None:
+            _, start, length = best
+            groups.append({"partition": partition, "inputs": segs[start : start + length]})
     return groups
 
 
 def merge_segment_group(index_dir: str, partition: int, inputs: list[dict], out_name: str,
                         codec_name: str) -> dict:
-    """K-way merge of the input segments' sorted term streams into one
-    new segment. Per term: concat contributor postings in docid order."""
+    """Streaming k-way merge of the input segments' sorted term streams
+    into one new segment ([U] lucene/core/.../index/SegmentMerger.java):
+    a heap over the contributors' sorted term dicts yields terms in
+    ascending UTF-8 order; per term, contributor postings (docid-disjoint
+    ranges, readers ordered by docid_min) concatenate in docid order and
+    stream straight into ``write_segment_grouped`` — memory is bounded by
+    one term's postings, never the whole merge group. Positions (.pos
+    analogue) are carried through when every contributor has them."""
+    import heapq
+
+    from lucene_solr_ray.codec.packedints import decode_all
     from lucene_solr_ray.pipelines.build import segment_dir
+    from lucene_solr_ray.segment import write_segment_grouped
 
     readers = [SegmentReader(segment_dir(index_dir, partition, s["name"])) for s in inputs]
     # order readers by per-segment docid_min so per-term concat is docid-ordered
     readers.sort(key=lambda r: r.meta["docid_min"])
-    all_terms = np.unique(np.concatenate([r.terms for r in readers if len(r.terms)]))\
-        if any(len(r.terms) for r in readers) else np.empty(0, dtype=object)
+    with_pos = bool(readers) and all(r.has_positions for r in readers)
 
-    terms_out: list[np.ndarray] = []
-    docids_out: list[np.ndarray] = []
-    tfs_out: list[np.ndarray] = []
-    norms_out: list[np.ndarray] = []
-    for term in all_terms:
-        t = str(term)
-        for r in readers:
-            i = r.lookup(t)
-            if i is None:
-                continue
-            d, tf, m = r.postings(i)
-            docids_out.append(d)
-            tfs_out.append(tf)
-            norms_out.append(m)
-            terms_out.append(np.full(len(d), t, dtype=object))
-    for r in readers:
-        r.close()
-    if terms_out:
-        terms_c = np.concatenate(terms_out)
-        docids_c = np.concatenate(docids_out)
-        tfs_c = np.concatenate(tfs_out)
-        norms_c = np.concatenate(norms_out)
-    else:
-        terms_c = np.empty(0, dtype=object)
-        docids_c = tfs_c = norms_c = np.empty(0, dtype=np.int64)
+    def term_groups():
+        # heap entries: (utf8 key, reader index, term ordinal); reader
+        # index tie-break == docid_min order == correct concat order
+        heap = [(r._term_keys[0], i, 0) for i, r in enumerate(readers) if len(r.terms)]
+        heapq.heapify(heap)
+        while heap:
+            key = heap[0][0]
+            ds, ts, ms, ps = [], [], [], []
+            while heap and heap[0][0] == key:
+                _, i, ordl = heapq.heappop(heap)
+                r = readers[i]
+                d, t, m = r.postings(ordl)
+                ds.append(d)
+                ts.append(t)
+                ms.append(m)
+                if with_pos:
+                    ps.append(decode_all(r.read_pos_blob(ordl)))
+                if ordl + 1 < len(r.terms):
+                    heapq.heappush(heap, (r._term_keys[ordl + 1], i, ordl + 1))
+            term = key.decode("utf-8")
+            d = ds[0] if len(ds) == 1 else np.concatenate(ds)
+            t = ts[0] if len(ts) == 1 else np.concatenate(ts)
+            m = ms[0] if len(ms) == 1 else np.concatenate(ms)
+            if with_pos:
+                p = ps[0] if len(ps) == 1 else np.concatenate(ps)
+                yield term, d, t, m, p
+            else:
+                yield term, d, t, m
+
     seg_dir = segment_dir(index_dir, partition, out_name)
-    meta = write_segment(
-        seg_dir, terms_c, docids_c, tfs_c, norms_c, codec_name=codec_name,
+    meta = write_segment_grouped(
+        seg_dir, term_groups(), codec_name=codec_name,
         lineage={"merged_from": [s["name"] for s in inputs]},
     )
+    for r in readers:
+        r.close()
     return meta
 
 

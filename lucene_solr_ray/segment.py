@@ -81,8 +81,6 @@ def write_segment_grouped(
     from lucene_solr_ray.codec.packedints import encode_ints
 
     codec = get_postings_codec(codec_name)
-    blobs: list[bytes] = []
-    pos_blobs: list[bytes] = []
     names: list[str] = []
     df_l: list[int] = []
     cf_l: list[int] = []
@@ -98,31 +96,50 @@ def write_segment_grouped(
     has_positions = False
     offsets: list[int] = []
     nbytes: list[int] = []
-    for group in term_groups:
-        term, d, t, m = group[0], group[1], group[2], group[3]
-        blob = codec.encode(d, t, m)
-        blobs.append(blob)
-        names.append(term)
-        df_l.append(len(d))
-        cf_l.append(int(t.sum()))
-        max_tf_l.append(int(t.max()))
-        offsets.append(off)
-        nbytes.append(len(blob))
-        off += len(blob)
-        n_postings += len(d)
-        sum_tf += int(t.sum())
-        lo, hi = int(d[0]), int(d[-1])
-        docid_min = lo if docid_min is None else min(docid_min, lo)
-        docid_max = hi if docid_max is None else max(docid_max, hi)
-        if len(group) > 4:
-            has_positions = True
-            pb = encode_ints(group[4])
-            pos_blobs.append(pb)
-            pos_offsets.append(pos_off)
-            pos_nbytes.append(len(pb))
-            pos_off += len(pb)
 
-    postings_bytes = b"".join(blobs)
+    # Postings stream straight to disk term-at-a-time (crc accumulated
+    # incrementally) so a whole-partition merge never holds more than one
+    # term's encoded blob in memory — the SegmentMerger memory contract
+    # ([U] lucene/core/.../index/SegmentMerger.java streams field-at-a-time).
+    tmp = seg_dir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    crc = 0
+    post_fh = open(os.path.join(tmp, POSTINGS_FILE), "wb")
+    pos_fh = None
+    try:
+        for group in term_groups:
+            term, d, t, m = group[0], group[1], group[2], group[3]
+            blob = codec.encode(d, t, m)
+            post_fh.write(blob)
+            crc = zlib.crc32(blob, crc)
+            names.append(term)
+            df_l.append(len(d))
+            cf_l.append(int(t.sum()))
+            max_tf_l.append(int(t.max()))
+            offsets.append(off)
+            nbytes.append(len(blob))
+            off += len(blob)
+            n_postings += len(d)
+            sum_tf += int(t.sum())
+            lo, hi = int(d[0]), int(d[-1])
+            docid_min = lo if docid_min is None else min(docid_min, lo)
+            docid_max = hi if docid_max is None else max(docid_max, hi)
+            if len(group) > 4:
+                has_positions = True
+                if pos_fh is None:
+                    pos_fh = open(os.path.join(tmp, POSITIONS_FILE), "wb")
+                pb = encode_ints(group[4])
+                pos_fh.write(pb)
+                pos_offsets.append(pos_off)
+                pos_nbytes.append(len(pb))
+                pos_off += len(pb)
+    finally:
+        post_fh.close()
+        if pos_fh is not None:
+            pos_fh.close()
+
     cols = {
         # ascending UTF-8 byte order == Lucene BytesRef order
         "term": pa.array(names, type=pa.string()),
@@ -136,16 +153,6 @@ def write_segment_grouped(
         cols["pos_offset"] = pa.array(pos_offsets, type=pa.int64())
         cols["pos_nbytes"] = pa.array(pos_nbytes, type=pa.int64())
     terms_table = pa.table(cols)
-
-    tmp = seg_dir + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    os.makedirs(tmp, exist_ok=True)
-    with open(os.path.join(tmp, POSTINGS_FILE), "wb") as fh:
-        fh.write(postings_bytes)
-    if has_positions:
-        with open(os.path.join(tmp, POSITIONS_FILE), "wb") as fh:
-            fh.write(b"".join(pos_blobs))
     pq.write_table(terms_table, os.path.join(tmp, TERMS_FILE))
     meta = {
         "codec": codec_name,
@@ -155,8 +162,8 @@ def write_segment_grouped(
         "sum_tf": sum_tf,
         "docid_min": docid_min if docid_min is not None else -1,
         "docid_max": docid_max if docid_max is not None else -1,
-        "postings_bytes": len(postings_bytes),
-        "postings_crc32": zlib.crc32(postings_bytes) & 0xFFFFFFFF,
+        "postings_bytes": off,
+        "postings_crc32": crc & 0xFFFFFFFF,
         "lineage": lineage or {},
     }
     with open(os.path.join(tmp, META_FILE), "w") as fh:

@@ -56,17 +56,92 @@ def test_merged_global_stats_preserved(merged_index, t1_index):
     assert sum(s["sum_tf"] for s in manifest["segments"]) == orig["sum_dl"]
 
 
-def test_plan_merges_tiered_picks_smallest():
+def test_plan_merges_tiered_picks_cheapest_adjacent_window():
+    """Tiered planner merges only docid-contiguous runs (the TermCursor
+    ascending-docid invariant), picking the cheapest adjacent window."""
+    sizes_in = [100, 5, 10, 2, 50, 1, 7, 3, 20, 30, 40, 60]
     manifest = {
         "segments": [
-            {"partition": 0, "name": f"s{i}", "postings_bytes": b, "docid_min": 0}
-            for i, b in enumerate([100, 5, 10, 2, 50, 1, 7, 3, 20, 30, 40, 60])
+            {"partition": 0, "name": f"s{i:02d}", "postings_bytes": b,
+             "docid_min": i * 100, "docid_max": i * 100 + 99}
+            for i, b in enumerate(sizes_in)
         ]
     }
     groups = plan_merges(manifest, segs_per_tier=10, max_merge_at_once=4)
     assert len(groups) == 1
-    sizes = [s["postings_bytes"] for s in groups[0]["inputs"]]
-    assert sizes == [1, 2, 3, 5]
+    picked = groups[0]["inputs"]
+    # cheapest 4-wide adjacent window of [100,5,10,2,50,1,7,3,20,...] is [1,7,3,20]
+    assert [s["postings_bytes"] for s in picked] == [1, 7, 3, 20]
+    mins = [s["docid_min"] for s in picked]
+    assert mins == sorted(mins) and mins == list(range(mins[0], mins[0] + 400, 100))
+
+
+def test_plan_merges_never_interleaves_docid_ranges():
+    """Regression (round-2 ADVICE high): a bytes-ordered pick could merge
+    a subset whose docid range brackets a left-out segment. Every planned
+    group must be adjacent in the partition's docid_min order."""
+    # small segments at docid extremes, a big one in the middle: bytes
+    # order would merge the two smalls across the big one
+    manifest = {
+        "segments": [
+            {"partition": 0, "name": "a", "postings_bytes": 1, "docid_min": 0, "docid_max": 9},
+            {"partition": 0, "name": "b", "postings_bytes": 999, "docid_min": 10, "docid_max": 19},
+            {"partition": 0, "name": "c", "postings_bytes": 2, "docid_min": 20, "docid_max": 29},
+        ]
+        * 1
+        + [
+            {"partition": 0, "name": f"d{i}", "postings_bytes": 5,
+             "docid_min": 30 + 10 * i, "docid_max": 39 + 10 * i}
+            for i in range(9)
+        ]
+    }
+    for kwargs in ({"segs_per_tier": 4, "max_merge_at_once": 3},
+                   {"force_max_segments": 2}):
+        for g in plan_merges(manifest, **kwargs):
+            segs = sorted(manifest["segments"], key=lambda s: (s["docid_min"], s["name"]))
+            idx = [segs.index(s) for s in g["inputs"]]
+            assert idx == list(range(idx[0], idx[0] + len(idx))), (kwargs, idx)
+
+
+def test_partial_merge_query_parity(ray_session, t1_index, t1_oracle, t1_queries, tmp_path):
+    """Merging a strict subset of a partition's segments (forceMerge k=2 on
+    a salt=2 index) must keep results identical — the docid-interleaving
+    regression path that full-merge tests never exercised."""
+    index_dir, _ = t1_index
+    copy = str(tmp_path / "index-partial")
+    shutil.copytree(index_dir, copy)
+    manifest = force_merge(copy, max_segments=1, gc=True)
+    # sanity: merged segments keep disjoint ascending docid ranges per partition
+    per_part: dict[int, list] = {}
+    for s in manifest["segments"]:
+        per_part.setdefault(s["partition"], []).append(s)
+    for segs in per_part.values():
+        segs.sort(key=lambda s: s["docid_min"])
+        for a, b in zip(segs, segs[1:]):
+            assert a["docid_max"] < b["docid_min"]
+    s = IndexSearcher(copy)
+    for row in t1_queries.to_pylist()[:50]:
+        mode = "and" if row["type"] == "and" else "or"
+        got_d, got_s = s.search(row["terms"], k=row["k"], mode=mode)
+        exp_d, exp_s = t1_oracle.search(row["terms"], k=row["k"], mode=mode)
+        assert got_d.tolist() == exp_d.tolist(), row["query_id"]
+        assert np.array_equal(got_s, exp_s), row["query_id"]
+
+
+def test_merge_preserves_positions_phrase_parity(merged_index, t1_oracle):
+    """Positions survive the k-way merge: phrase queries still work on the
+    force-merged positional index."""
+    copy, manifest = merged_index
+    import json
+    import os
+
+    for seg in manifest["segments"]:
+        seg_dir = os.path.join(copy, "segments", f"p{seg['partition']:04d}", seg["name"])
+        with open(os.path.join(seg_dir, "meta.json")) as fh:
+            assert json.load(fh)["has_positions"] or seg["n_terms"] == 0, seg_dir
+    s = IndexSearcher(copy)
+    d, sc = s.search_phrase(["the", "merge"], k=10)  # any phrase; just must not raise
+    assert isinstance(d, np.ndarray)
 
 
 def test_plan_merges_respects_max_merged_bytes():
