@@ -53,8 +53,11 @@ class _BruteStage:
             cand_ids = ids[mask]
             cand_cos = row[mask]
             if len(cand_ids) > self.k:
-                part = np.argpartition(-cand_cos, self.k)[: self.k + 1]
-                cand_ids, cand_cos = cand_ids[part], cand_cos[part]
+                # exact per-batch top-k under the FINAL order (cos desc,
+                # neighbor_id asc): argpartition alone picks arbitrarily
+                # among cosine ties and can drop a tied lower-id neighbor
+                order = np.lexsort((cand_ids, -cand_cos))[: self.k]
+                cand_ids, cand_cos = cand_ids[order], cand_cos[order]
             out_q.extend([int(self.qids[qi])] * len(cand_ids))
             out_n.extend(cand_ids.tolist())
             out_c.extend(cand_cos.tolist())
@@ -150,8 +153,9 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
                 cos = xn[m] @ self.qn[qi]
                 cids = ids[m]
                 if len(cids) > self.k:
-                    part = np.argpartition(-cos, self.k)[: self.k + 1]
-                    cids, cos = cids[part], cos[part]
+                    # tie-stable per-batch top-k (cos desc, id asc) — see _BruteStage
+                    order = np.lexsort((cids, -cos))[: self.k]
+                    cids, cos = cids[order], cos[order]
                 out_q.extend([qid] * len(cids))
                 out_n.extend(cids.tolist())
                 out_c.extend(cos.tolist())

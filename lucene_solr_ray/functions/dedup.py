@@ -154,11 +154,45 @@ class _MinHashStage:
         )
 
 
+class _ShingleSetStage:
+    """Shingle-hash arrays (sorted int64 lists) for docs in a broadcast
+    candidate-id set — the verification side stays in the data plane."""
+
+    def __init__(self, ids_ref, ngram: int):
+        self.ids = ray.get(ids_ref)  # sorted int64 numpy array
+        self.ngram = ngram
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        pos = np.searchsorted(self.ids, ids)
+        pos = np.minimum(pos, len(self.ids) - 1) if len(self.ids) else pos
+        hit = (self.ids[pos] == ids) if len(self.ids) else np.zeros(len(ids), bool)
+        out_ids, out_sh = [], []
+        texts = t.column("text").to_pylist()
+        for i in np.flatnonzero(hit):
+            out_ids.append(int(ids[i]))
+            out_sh.append(np.sort(_shingle_hashes(_tokens(texts[i]), self.ngram)).tolist())
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "sh": pa.array(out_sh, pa.list_(pa.int64()))})
+
+
+_PAIRS_EMPTY = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                         "jaccard_pct": pa.array([], pa.int64())})
+
+
 def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
                       num_hashes: int = 64, bands: int = 16, ngram: int = 3) -> pa.Table:
     """MinHash-LSH near-dup pairs: shingle -> minhash -> band buckets
     (groupby) -> candidate pairs -> exact n-gram Jaccard verification.
-    Returns verified (doc_a, doc_b) with integer jaccard_pct."""
+    Returns verified (doc_a, doc_b) with integer jaccard_pct.
+
+    Scale shape: candidates come from the banded groupby; verification
+    joins the candidate pairs against per-doc shingle arrays computed in
+    a map_batches over the corpus filtered by a broadcast candidate-id
+    array (output-sized, ray.put once) — the corpus is never pulled to
+    the driver."""
+    import ray
+
     banded = _read_docs(sf_dir).map_batches(
         _MinHashStage,
         fn_constructor_kwargs={"num_hashes": num_hashes, "bands": bands, "ngram": ngram},
@@ -173,34 +207,39 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
         pairs = list(itertools.combinations(docs, 2))
         return pd.DataFrame({"doc_a": [p[0] for p in pairs], "doc_b": [p[1] for p in pairs]})
 
-    cand = (
+    from ray.data.aggregate import Count
+
+    cand_ds = (
         banded.groupby(["band", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])  # dedupe pairs found in multiple bands
+        .aggregate(Count(alias_name="n_bands"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+    cand = cand_ds.to_pandas()  # candidate pairs: output-sized, not corpus-sized
+    if len(cand) == 0:
+        return _PAIRS_EMPTY
+    cand = cand.astype(np.int64)
+    need = np.unique(np.concatenate([cand["doc_a"].to_numpy(), cand["doc_b"].to_numpy()]))
+    ids_ref = ray.put(need)
+    shing = (
+        _read_docs(sf_dir)
+        .map_batches(_ShingleSetStage, fn_constructor_kwargs={"ids_ref": ids_ref, "ngram": ngram},
+                     batch_format="pyarrow", concurrency=2)
         .to_pandas()
     )
-    if len(cand) == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                         "jaccard_pct": pa.array([], pa.int64())})
-    cand = cand.drop_duplicates().astype(np.int64)
-    # exact verification: fetch shingle sets for candidate docs (small set)
-    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    texts = {}
-    for batch in _read_docs(sf_dir).iter_batches(batch_size=8192, batch_format="pyarrow"):
-        ids = batch.column("doc_id").to_numpy()
-        mask = np.isin(ids, need)
-        for d, s in zip(ids[mask], np.asarray(batch.column("text").to_pylist(), dtype=object)[mask]):
-            texts[int(d)] = set(_shingle_hashes(_tokens(s), ngram).tolist())
+    sh_of = dict(zip(shing["doc_id"].astype(int), shing["sh"]))  # candidate docs only
+    thr = int(jaccard_threshold * 100)
     rows = []
     for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        sa, sb = texts[int(a)], texts[int(b)]
-        union = len(sa | sb)
-        inter = len(sa & sb)
-        if union and inter * 100 >= int(jaccard_threshold * 100) * union:
+        sa, sb = np.asarray(sh_of[int(a)]), np.asarray(sh_of[int(b)])
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        if union and inter * 100 >= thr * union:
             rows.append({"doc_a": int(a), "doc_b": int(b), "jaccard_pct": inter * 100 // union})
     rows.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
     if not rows:
-        return pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                         "jaccard_pct": pa.array([], pa.int64())})
+        return _PAIRS_EMPTY
     return pa.Table.from_pylist(rows)
 
 
@@ -245,37 +284,83 @@ def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
 
 def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     """Near-dup pairs with Hamming distance <= k via the pigeonhole trick:
-    split 64 bits into k+1 bands; equal-band groupby yields candidates."""
-    sigs = simhash_signatures(sf_dir).to_pandas()
-    vals = np.array([int(s, 16) for s in sigs["simhash"]], dtype=np.uint64)
-    ids = sigs["doc_id"].to_numpy()
+    split 64 bits into k+1 bands; a distributed (band, chunk) groupby
+    yields candidate buckets (same banded shape as MinHash-LSH); pairs
+    are generated + Hamming-verified INSIDE each group (the full 64-bit
+    signature rides along in the group rows), then deduped across bands
+    by a (doc_a, doc_b) groupby — no driver-side signature table."""
     bands = max_hamming + 1
     width = 64 // bands
-    cand = set()
-    for b in range(bands):
-        chunk = (vals >> np.uint64(b * width)) & np.uint64((1 << width) - 1)
-        df = pd.DataFrame({"c": chunk, "i": np.arange(len(ids))})
-        for _, g in df.groupby("c"):
-            idx = g["i"].to_numpy()
-            if 2 <= len(idx) <= 200:
-                cand.update(itertools.combinations(sorted(idx.tolist()), 2))
-    rows = []
-    for i, j in sorted(cand):
-        d = int(bin(int(vals[i]) ^ int(vals[j])).count("1"))
-        if d <= max_hamming:
-            rows.append({"doc_a": int(ids[i]), "doc_b": int(ids[j]), "hamming": d})
-    rows.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
-    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())])
-    return pa.Table.from_pylist(rows, schema=schema)
+    mask = np.uint64((1 << width) - 1)
+
+    sig_ds = _read_docs(sf_dir).map_batches(_SimHashStage, batch_format="pyarrow", concurrency=2)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        vals = np.array([int(s, 16) for s in t.column("simhash").to_pylist()], dtype=np.uint64)
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        n = len(ids)
+        out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
+        out_chunk = np.concatenate(
+            [((vals >> np.uint64(b * width)) & mask).view(np.int64) for b in range(bands)]
+        ) if n else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "chunk": pa.array(out_chunk, pa.int64()),
+                "doc_id": pa.array(np.tile(ids, bands), pa.int64()),
+                "sig": pa.array(np.tile(vals.view(np.int64), bands), pa.int64()),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2 or len(g) > 200:  # hot-bucket guard at scale
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        order = np.argsort(g["doc_id"].to_numpy())
+        ids = g["doc_id"].to_numpy()[order]
+        sigs = g["sig"].to_numpy()[order].astype(np.int64).view(np.uint64)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        ham = np.array([bin(int(sigs[i]) ^ int(sigs[j])).count("1") for i, j in zip(ii, jj)],
+                       dtype=np.int64)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"doc_a": ids[ii[keep]], "doc_b": ids[jj[keep]],
+                             "hamming": ham[keep]})
+
+    from ray.data.aggregate import Min
+
+    df = (
+        sig_ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band", "chunk"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])  # dedupe pairs found in multiple bands
+        .aggregate(Min("hamming", alias_name="hamming"))
+        .sort(["doc_a", "doc_b"])
+        .to_pandas()  # final verified pairs: output-sized
+    )
+    return pa.table(
+        {
+            "doc_a": pa.array(df["doc_a"].astype(np.int64)),
+            "doc_b": pa.array(df["doc_b"].astype(np.int64)),
+            "hamming": pa.array(df["hamming"].astype(np.int64)),
+        }
+    )
 
 
 # ---------------- n-gram Jaccard (exact, all pairs via LSH-free path) ----------------
 
-def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 50, ngram: int = 3) -> pa.Table:
+def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 50, ngram: int = 3,
+                        max_group: int | None = None) -> pa.Table:
     """Exact n-gram Jaccard >= threshold pairs via shingle inverted index
     (explode -> groupby shingle -> pair counts) — string shingles and
     integer arithmetic only, so the DuckDB oracle matches exactly. Docs
-    with fewer than ``ngram`` tokens produce no shingles (excluded)."""
+    with fewer than ``ngram`` tokens produce no shingles (excluded).
+
+    Doc shingle-set sizes join the pair-count dataset in the data plane
+    (Dataset.join twice) — no driver-side per-doc dict. ``max_group``
+    (off by default, keeping the SQL-checked path exact) fails LOUDLY if
+    a shingle group exceeds it rather than silently undercounting; real
+    100 TB corpora should use the LSH path instead of this exact one."""
     ds = _read_docs(sf_dir)
 
     def explode(t: pa.Table) -> pa.Table:
@@ -288,16 +373,21 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 50, ngram: int = 3) ->
         return pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "sh": pa.array(sh, pa.string())})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
-    # |set| per doc
     from ray.data.aggregate import Count
 
-    sizes = exploded.groupby("doc_id").aggregate(Count(alias_name="n")).to_pandas()
-    size_of = dict(zip(sizes["doc_id"], sizes["n"]))
+    # |set| per doc, kept as a Dataset for the joins below
+    sizes = exploded.groupby("doc_id").aggregate(Count(alias_name="n"))
 
     def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
         docs = sorted(g["doc_id"].unique().tolist())
-        if len(docs) < 2 or len(docs) > 500:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        if max_group is not None and len(docs) > max_group:
+            raise ValueError(
+                f"shingle group {g['sh'].iloc[0]!r} has {len(docs)} docs > max_group={max_group}; "
+                "use the MinHash-LSH path for corpora with shingles this hot"
+            )
+        if len(docs) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64)})
         pairs = list(itertools.combinations(docs, 2))
         return pd.DataFrame({"doc_a": [p[0] for p in pairs], "doc_b": [p[1] for p in pairs]})
 
@@ -306,13 +396,34 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 50, ngram: int = 3) ->
         .map_groups(pair_counts, batch_format="pandas")
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="inter"))
-        .to_pandas()
     )
-    rows = []
-    for a, b, inter in zip(co["doc_a"].astype(int), co["doc_b"].astype(int), co["inter"].astype(int)):
-        union = size_of[a] + size_of[b] - inter
-        if union and inter * 100 >= threshold_pct * union:
-            rows.append({"doc_a": a, "doc_b": b, "jaccard_pct": inter * 100 // union})
-    rows.sort(key=lambda r: (r["doc_a"], r["doc_b"]))
-    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard_pct", pa.int64())])
-    return pa.Table.from_pylist(rows, schema=schema)
+    sizes_a = sizes.map_batches(
+        lambda t: t.rename_columns(["doc_a", "n_a"]), batch_format="pyarrow"
+    )
+    sizes_b = sizes.map_batches(
+        lambda t: t.rename_columns(["doc_b", "n_b"]), batch_format="pyarrow"
+    )
+    joined = co.join(sizes_a, "inner", num_partitions=4, on=("doc_a",)).join(
+        sizes_b, "inner", num_partitions=4, on=("doc_b",)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter = t.column("inter").to_numpy().astype(np.int64)
+        union = (t.column("n_a").to_numpy() + t.column("n_b").to_numpy()).astype(np.int64) - inter
+        keep = (union > 0) & (inter * 100 >= threshold_pct * union)
+        return pa.table(
+            {
+                "doc_a": pa.array(t.column("doc_a").to_numpy()[keep], pa.int64()),
+                "doc_b": pa.array(t.column("doc_b").to_numpy()[keep], pa.int64()),
+                "jaccard_pct": pa.array(inter[keep] * 100 // union[keep], pa.int64()),
+            }
+        )
+
+    df = joined.map_batches(finish, batch_format="pyarrow").sort(["doc_a", "doc_b"]).to_pandas()
+    return pa.table(
+        {
+            "doc_a": pa.array(df["doc_a"].astype(np.int64)),
+            "doc_b": pa.array(df["doc_b"].astype(np.int64)),
+            "jaccard_pct": pa.array(df["jaccard_pct"].astype(np.int64)),
+        }
+    )
