@@ -105,6 +105,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase_topk": lambda sf: ft.phrase_topk(sf, ["merge", "join"], k=10),
         "ft_boolean_notfilter": lambda sf: ft.boolean_full_retrieve(
             sf, must=["merge"], must_not=["vector"], filter_terms=["join"]),
+        "ft_ts_range_docs": lambda sf: ft.ts_range_retrieve(
+            sf, "2026-01-01T00:02:00", "2026-01-01T00:05:00", filter_terms=["merge"]),
+        "ft_fuzzy_docs": lambda sf: ft.fuzzy_retrieve(sf, "merge~1"),
+        "ft_min_should_match": lambda sf: ft.min_should_match_retrieve(
+            sf, ["merge", "join", "vector"], mm=2),
         "ft_sorted_by_field": lambda sf: ft.sorted_by_field_topk(sf, ["spark"], "n_chars", k=10),
         "ft_dismax_topk": lambda sf: ft.dismax_topk(sf, ["merge", "join", "window"], 0.3, k=10),
         # --- streaming-expression algebra (SURVEY §2.8) ---
@@ -120,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": rel.anti_join_customers,
         "merge_sorted": rel.merge_sorted_names,
         "cartesian_explode": rel.cartesian_explode,
+        "export_sorted": rel.export_sorted,
         # --- facets / aggs (SURVEY §2.7) ---
         "facet_terms": rel.facet_terms,
         "timeseries_facet": rel.timeseries_facet,
@@ -192,6 +198,26 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id FROM documents WHERE list_contains({split}, 'merge') "
             f"AND list_contains({split}, 'join') AND NOT list_contains({split}, 'vector') "
             "ORDER BY doc_id"
+        ),
+        "ft_ts_range_docs": (
+            "SELECT doc_id FROM documents WHERE "
+            "(TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id)) >= TIMESTAMP '2026-01-01 00:02:00' "
+            "AND (TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id)) < TIMESTAMP '2026-01-01 00:05:00' "
+            f"AND list_contains({split}, 'merge') ORDER BY doc_id"
+        ),
+        "ft_fuzzy_docs": (
+            f"SELECT doc_id FROM documents WHERE len(list_filter({split}, "
+            f"x -> levenshtein(x, 'merge') <= 1 AND NOT list_contains({_STOP_SQL}, x))) > 0 "
+            "ORDER BY doc_id"
+        ),
+        "ft_min_should_match": (
+            "SELECT doc_id FROM documents WHERE "
+            f"(CAST(list_contains({split}, 'merge') AS INT) + "
+            f"CAST(list_contains({split}, 'join') AS INT) + "
+            f"CAST(list_contains({split}, 'vector') AS INT)) >= 2 ORDER BY doc_id"
+        ),
+        "export_sorted": (
+            "SELECT doc_id, lang, n_chars FROM documents ORDER BY n_chars DESC, doc_id"
         ),
         "ft_sorted_by_field": (
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS rank, "

@@ -194,6 +194,34 @@ def boolean_full_retrieve(sf_dir: str, must: list[str], must_not: list[str],
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
 
 
+def ts_range_retrieve(sf_dir: str, lo: str, hi: str, filter_terms: list[str] = ()) -> pa.Table:
+    """PointRangeQuery on the ts contract column (time-window filter,
+    composable with term FILTER clauses) -> sorted doc_id set. The
+    adapter assigns ts = 2026-01-01 + doc_id seconds, so the DuckDB
+    oracle expresses the same window arithmetically."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d = s.search_ts_range(lo, hi, filter_terms=filter_terms)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
+def fuzzy_retrieve(sf_dir: str, pattern: str) -> pa.Table:
+    """FuzzyQuery retrieval (edit-distance term expansion) -> sorted
+    doc_id set. ``pattern`` is 'term~d' (d = max edits)."""
+    return multi_term_retrieve(sf_dir, "fuzzy", pattern)
+
+
+def min_should_match_retrieve(sf_dir: str, should: list[str], mm: int) -> pa.Table:
+    """BooleanQuery minimumNumberShouldMatch: docs matching at least
+    ``mm`` of the SHOULD terms -> sorted doc_id set."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d, _ = s.search_boolean(should=should, min_should_match=mm, k=max(1, s.n_docs))
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
 def sorted_by_field_topk(sf_dir: str, terms: list[str], field: str = "n_chars",
                          k: int = 10) -> pa.Table:
     """TopFieldCollector: matching docs ordered by a doc-values field."""

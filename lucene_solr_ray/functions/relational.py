@@ -155,19 +155,28 @@ def fetch_enrich(sf_dir: str) -> ray.data.Dataset:
     """Small-side broadcast enrichment ([U] .../io/stream/FetchStream.java):
     nation dim is ray.put once, read per actor — no shuffle."""
     nation = _read(sf_dir, "nation").to_pandas()
-    ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+    # broadcast as sorted numpy arrays + searchsorted (never a Python
+    # dict: per-task unpickle and per-row hash probes are superlinear —
+    # BENCH/README broadcast lesson)
+    order = np.argsort(nation["n_nationkey"].to_numpy())
+    ref = ray.put(
+        (
+            nation["n_nationkey"].to_numpy()[order].astype(np.int64),
+            nation["n_name"].to_numpy()[order].astype(object),
+        )
+    )
 
     class Enrich:
         def __init__(self):
-            self.lookup = ray.get(ref)
+            self.keys, self.names = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t.column("s_nationkey").to_numpy()
-            names = pa.array([self.lookup[int(k)] for k in keys], type=pa.string())
+            k = t.column("s_nationkey").to_numpy().astype(np.int64)
+            pos = np.searchsorted(self.keys, k)
             return pa.table(
                 {
                     "s_suppkey": t.column("s_suppkey"),
-                    "n_name": names,
+                    "n_name": pa.array(self.names[pos], type=pa.string()),
                     "acctbal_cents": _cents(t.column("s_acctbal")),
                 }
             )
@@ -216,22 +225,36 @@ def left_outer_join(sf_dir: str) -> ray.data.Dataset:
 
 # ---------------- IntersectStream / ComplementStream (semi / anti) ----------------
 
-def _order_custkeys(sf_dir: str, status: str = "O") -> set[int]:
+def _order_custkeys(sf_dir: str, status: str = "O") -> np.ndarray:
     """Distinct custkeys having an order with the given status — the
-    broadcast side of the semi/anti joins (kept small by the filter)."""
-    keys = set()
-    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"]).map_batches(
-        lambda t: t.filter(pc.equal(t.column("o_orderstatus"), pa.scalar(status))).select(["o_custkey"]),
-        batch_format="pyarrow",
+    broadcast side of the semi/anti joins. Dedup happens DISTRIBUTED
+    (map-side per-batch unique -> groupby); only the final distinct key
+    array reaches the driver, as one sorted numpy array (if it ever
+    outgrows a broadcast, switch these joins to Dataset.join)."""
+    distinct = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": pc.unique(
+                        t.filter(pc.equal(t.column("o_orderstatus"), pa.scalar(status))).column(
+                            "o_custkey"
+                        )
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
     )
-    for batch in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        keys.update(batch.column("o_custkey").to_pylist())
-    return keys
+    return np.sort(distinct["o_custkey"].to_numpy().astype(np.int64))
 
 
 def semi_join_customers(sf_dir: str) -> ray.data.Dataset:
     """Semi join via broadcast key set ([U] .../io/stream/IntersectStream.java)."""
-    ref = ray.put(np.array(sorted(_order_custkeys(sf_dir)), dtype=np.int64))
+    ref = ray.put(_order_custkeys(sf_dir))
 
     class Semi:
         def __init__(self, keep: bool):
@@ -255,7 +278,7 @@ def semi_join_customers(sf_dir: str) -> ray.data.Dataset:
 
 def anti_join_customers(sf_dir: str) -> ray.data.Dataset:
     """Anti join ([U] .../io/stream/ComplementStream.java)."""
-    ref = ray.put(np.array(sorted(_order_custkeys(sf_dir)), dtype=np.int64))
+    ref = ray.put(_order_custkeys(sf_dir))
 
     class Anti:
         def __init__(self):
@@ -491,6 +514,26 @@ def date_functions(sf_dir: str) -> ray.data.Dataset:
     return _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
         fn, batch_format="pyarrow"
     ).sort("o_orderkey")
+
+
+def export_sorted(sf_dir: str, out_dir: str | None = None) -> ray.data.Dataset:
+    """/export-style sorted bulk export ([U] solr/core/.../handler/export/
+    ExportWriter.java): project the needed columns at the read, globally
+    sort, write partitioned Parquet (resumable multi-file output — never
+    one giant file), and return the exported rows read back from disk."""
+    import hashlib
+    import shutil
+
+    if out_dir is None:
+        key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+        out_dir = f"/tmp/lsr_export/{key}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    (
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .write_parquet(out_dir)
+    )
+    return ray.data.read_parquet(out_dir).sort(["n_chars", "doc_id"], descending=[True, False])
 
 
 def deterministic_sample(sf_dir: str, pct: int = 10) -> ray.data.Dataset:

@@ -43,6 +43,29 @@ from lucene_solr_ray.state.manifest import load_manifest
 import os
 
 
+def _levenshtein_leq(a: str, b: str, maxd: int) -> bool:
+    """Classic Levenshtein distance <= maxd, banded DP with early exit
+    (the automaton-free FuzzyQuery predicate; [U] lucene/core/.../util/
+    automaton/LevenshteinAutomata.java is the reference shape)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > maxd:
+        return False
+    if la == 0 or lb == 0:
+        return max(la, lb) <= maxd
+    prev = np.arange(lb + 1, dtype=np.int64)
+    cur = np.empty(lb + 1, dtype=np.int64)
+    for i in range(1, la + 1):
+        cur[0] = i
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        if cur.min() > maxd:
+            return False
+        prev, cur = cur, prev
+    return int(prev[lb]) <= maxd
+
+
 class TermCursor:
     """One logical posting list for a term: its segments within the
     term's partition, docid-disjoint and ascending (build salt ranges /
@@ -109,6 +132,32 @@ class TermCursor:
         d, t, m = self.docids_in_blocks(blocks)
         pos = np.searchsorted(d, docids)
         return t[pos], m[pos]
+
+    def probe(self, docids: np.ndarray):
+        """Membership probe for an ascending candidate array that may
+        contain non-members: -> (mask, tfs, norms) with tfs/norms zero
+        where mask is False. Decodes only blocks containing candidates —
+        the DISI advance(target) analogue for batch candidates."""
+        n = len(docids)
+        mask = np.zeros(n, dtype=bool)
+        tfs = np.zeros(n, dtype=np.int64)
+        norms = np.zeros(n, dtype=np.int64)
+        if n == 0 or self.n_blocks == 0:
+            return mask, tfs, norms
+        blocks = np.searchsorted(self.last_docid, docids, side="left")
+        ok = blocks < self.n_blocks
+        if not ok.any():
+            return mask, tfs, norms
+        need = np.unique(blocks[ok])
+        d, t, m = self.docids_in_blocks(need)
+        pos = np.searchsorted(d, docids[ok])
+        pos = np.minimum(pos, len(d) - 1)
+        hit = d[pos] == docids[ok]
+        idx = np.flatnonzero(ok)[hit]
+        mask[idx] = True
+        tfs[idx] = t[pos[hit]]
+        norms[idx] = m[pos[hit]]
+        return mask, tfs, norms
 
 
 class IndexSearcher:
@@ -358,12 +407,45 @@ class IndexSearcher:
 
     # ---------------- AND: block leapfrog ----------------
 
-    def _search_and(self, weighted, k: int):
+    def _search_and(self, weighted, k: int, block_max: bool = True):
+        """Rarest-first block leapfrog; with ``block_max`` the rarest
+        term's blocks are also impact-skipped (BlockMaxConjunctionScorer,
+        [U] lucene/core/.../search/BlockMaxConjunctionScorer.java): a
+        rarest block is decoded only if its own impact upper bound plus
+        each other term's max bound over the docid-overlapping block
+        range can still beat the current k-th score. Exact: bounds are
+        strict, so ub <= theta implies no top-k change."""
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
         by_rarity = sorted(range(len(weighted)), key=lambda i: weighted[i][2].n_docs)
         rare = weighted[by_rarity[0]][2]
-        cand_parts = []
+        rare_ubs = None
+        other_ubs = None
+        if block_max:
+            rare_ubs = rare.block_ubs(weighted[by_rarity[0]][1], self.cache, self.simcls)
+            other_ubs = [
+                weighted[j][2].block_ubs(weighted[j][1], self.cache, self.simcls)
+                for j in by_rarity[1:]
+            ]
+        top_d = np.empty(0, dtype=np.int64)
+        top_s = np.empty(0, dtype=np.float32)
+        theta = -np.inf
+        prev_last = -1
         for b in range(rare.n_blocks):
+            blk_last = int(rare.last_docid[b])
+            blk_lo = prev_last + 1
+            prev_last = blk_last
+            if block_max and len(top_d) >= k:
+                ub = float(rare_ubs[b])
+                for j, jubs in zip(by_rarity[1:], other_ubs):
+                    oc = weighted[j][2]
+                    g0 = int(np.searchsorted(oc.last_docid, blk_lo, side="left"))
+                    g1 = int(np.searchsorted(oc.last_docid, blk_last, side="left"))
+                    if g0 >= oc.n_blocks:
+                        ub = -np.inf
+                        break
+                    ub += float(jubs[g0 : min(g1 + 1, oc.n_blocks)].max())
+                if ub <= theta:
+                    continue  # whole rarest block skipped undecoded
             cand = rare.block(b)[0]
             for j in by_rarity[1:]:
                 oc = weighted[j][2]
@@ -379,28 +461,42 @@ class IndexSearcher:
                 cand = cand[od[sel] == cand]
                 if len(cand) == 0:
                     break
-            if len(cand):
-                cand_parts.append(cand)
-        if not cand_parts:
+            if len(cand) == 0:
+                continue
+            parts = []
+            for _, w, c in weighted:  # ascending term order
+                t, m = c.gather(cand)
+                parts.append(self.simcls.score_term(w, t, m, self.cache))
+            scores = sim.accumulate(parts)
+            top_d = np.concatenate([top_d, cand])
+            top_s = np.concatenate([top_s, scores])
+            if len(top_d) > k:
+                keep = topk_order(top_d, top_s, k)
+                top_d, top_s = top_d[keep], top_s[keep]
+            if len(top_d) >= k:
+                theta = float(top_s.min())
+        if len(top_d) == 0:
             return empty
-        cand = np.concatenate(cand_parts)
-        parts = []
-        for _, w, c in weighted:  # ascending term order
-            t, m = c.gather(cand)
-            parts.append(self.simcls.score_term(w, t, m, self.cache))
-        scores = sim.accumulate(parts)
-        top = topk_order(cand, scores, k)
-        return cand[top], scores[top]
+        top = topk_order(top_d, top_s, k)
+        return top_d[top], top_s[top]
 
     # ---------------- BooleanQuery general form + scoring modifiers (§2.5) ----------------
 
     def search_boolean(self, should=(), must=(), must_not=(), filter_terms=(),
-                       k: int = 10, boost: dict | None = None):
+                       k: int = 10, boost: dict | None = None,
+                       min_should_match: int = 0):
         """Full BooleanQuery ([U] lucene/core/.../search/BooleanQuery.java):
         MUST intersects and scores; SHOULD scores (and selects when no
-        MUST); MUST_NOT subtracts; FILTER restricts without scoring.
+        MUST); MUST_NOT subtracts; FILTER restricts without scoring;
+        ``min_should_match`` = minimumNumberShouldMatch (with MUST
+        present, SHOULD clauses are optional unless mm > 0).
         ``boost`` maps analyzed terms to BoostQuery multipliers
-        (w = float32(boost * idf))."""
+        (w = float32(boost * idf)).
+
+        Scale shape: candidate narrowing uses block-granular cursor
+        probes (TermCursor.probe — only blocks containing candidates
+        are decoded), never full decode_all intersections; the rarest
+        MUST clause seeds the candidates."""
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
         boost = boost or {}
 
@@ -415,35 +511,54 @@ class IndexSearcher:
         not_l, filt_l = load(must_not), load(filter_terms)
         if any(c is None for _, _, c in must_l + filt_l):
             return empty  # a required clause matches nothing
+        present_should = [(t, df, c) for t, df, c in should_l if c is not None]
+        # effective minimumNumberShouldMatch: with no MUST, at least one
+        # SHOULD clause must match (Lucene's implicit mm=1)
+        mm = min_should_match if must_l else max(min_should_match, 1)
+        if mm > 0 and len(present_should) < mm:
+            return empty
         if must_l:
-            cand = must_l[0][2].decode_all()[0]
-            for _, _, c in must_l[1:]:
-                cand = np.intersect1d(cand, c.decode_all()[0], assume_unique=True)
+            # rarest MUST seeds candidates; the rest narrow by block probe
+            must_sorted = sorted(must_l, key=lambda x: x[2].n_docs)
+            cand = must_sorted[0][2].decode_all()[0]
+            for _, _, c in must_sorted[1:]:
+                mask, _, _ = c.probe(cand)
+                cand = cand[mask]
+                if len(cand) == 0:
+                    return empty
         else:
-            present = [c for _, _, c in should_l if c is not None]
-            if not present:
+            cand = np.unique(np.concatenate([c.decode_all()[0] for _, _, c in present_should]))
+        for _, _, c in sorted(filt_l, key=lambda x: x[2].n_docs):
+            mask, _, _ = c.probe(cand)
+            cand = cand[mask]
+            if len(cand) == 0:
                 return empty
-            cand = np.unique(np.concatenate([c.decode_all()[0] for c in present]))
-        for _, _, c in filt_l:
-            cand = np.intersect1d(cand, c.decode_all()[0], assume_unique=True)
         for _, _, c in not_l:
             if c is not None:
-                cand = np.setdiff1d(cand, c.decode_all()[0], assume_unique=True)
-        if len(cand) == 0:
-            return empty
+                mask, _, _ = c.probe(cand)
+                cand = cand[~mask]
+                if len(cand) == 0:
+                    return empty
+        if mm > 0 and present_should:
+            should_cnt = np.zeros(len(cand), dtype=np.int32)
+            for _, _, c in present_should:
+                mask, _, _ = c.probe(cand)
+                should_cnt += mask
+            cand = cand[should_cnt >= mm]
+            if len(cand) == 0:
+                return empty
         scoring = sorted(
-            [(t, df, c) for t, df, c in must_l + should_l if c is not None],
+            [(t, df, c) for t, df, c in must_l + present_should],
             key=lambda x: x[0].encode("utf-8"),
         )
         parts = []
         for t, df, c in scoring:
             b = float(boost.get(t, 1.0))
             w = np.float32(b * self.simcls.idf(self.n_docs, df))
-            d, tf, m = c.decode_all()
+            mask, tf, m = c.probe(cand)
             s = np.zeros(len(cand), dtype=np.float32)
-            pos = np.searchsorted(cand, d)
-            hit = (pos < len(cand)) & (cand[np.minimum(pos, len(cand) - 1)] == d)
-            s[pos[hit]] = self.simcls.score_term(w, tf[hit], m[hit], self.cache)
+            if mask.any():
+                s[mask] = self.simcls.score_term(w, tf[mask], m[mask], self.cache)
             parts.append(s)
         scores = sim.accumulate(parts)
         top = topk_order(cand, scores, k)
@@ -622,11 +737,17 @@ class IndexSearcher:
         range-scan + regex filter over the dict, SURVEY §2.5).
 
         kind: 'prefix' (pattern = prefix), 'wildcard' (* and ? globs),
-        'regexp' (full-match regex), 'range' (pattern = 'lo:hi', [lo,hi))."""
+        'regexp' (full-match regex), 'range' (pattern = 'lo:hi', [lo,hi)),
+        'fuzzy' (pattern = 'term' or 'term~d', max edit distance d<=2 —
+        FuzzyQuery, [U] lucene/core/.../search/FuzzyQuery.java; the
+        Levenshtein automaton intersection is replaced by a
+        length-banded dict scan + bounded DP; classic Levenshtein, no
+        transpositions, so the DuckDB levenshtein() oracle matches)."""
         import re as _re
 
         found: set[str] = set()
         stem = None  # common prefix that bounds the dict scan
+        fuzzy = None
         if kind == "prefix":
             lo, hi, rx, stem = pattern, None, None, pattern
         elif kind == "range":
@@ -638,11 +759,29 @@ class IndexSearcher:
             rx = _re.compile(_re.escape(pattern).replace(r"\*", ".*").replace(r"\?", "."))
         elif kind == "regexp":
             lo, hi, rx = None, None, _re.compile(pattern)
+        elif kind == "fuzzy":
+            if "~" in pattern:
+                base, d = pattern.rsplit("~", 1)
+                fuzzy = (base, int(d))
+            else:
+                fuzzy = (pattern, 2)
+            lo, hi, rx = None, None, None
         else:
             raise ValueError(f"unknown multi-term kind {kind!r}")
         for part in range(self.num_partitions):
             for seg in self._by_partition.get(part, ()):
                 r = self._reader(part, seg["name"])
+                if fuzzy is not None:
+                    base, maxd = fuzzy
+                    lens = np.fromiter((len(t) for t in r.terms), dtype=np.int64,
+                                       count=len(r.terms))
+                    for i in np.flatnonzero(np.abs(lens - len(base)) <= maxd):
+                        t = str(r.terms[i])
+                        if t not in found and _levenshtein_leq(base, t, maxd):
+                            found.add(t)
+                            if len(found) >= max_terms:
+                                return sorted(found)
+                    continue
                 for i in r.term_range(lo, hi):
                     t = str(r.terms[i])
                     if stem and not t.startswith(stem):
@@ -652,6 +791,37 @@ class IndexSearcher:
                         if len(found) >= max_terms:
                             return sorted(found)
         return sorted(found)
+
+    # ---------------- PointRangeQuery on ts / numeric doc values (§2.5) ----------------
+
+    def search_ts_range(self, lo, hi, filter_terms=(), field: str = "ts") -> np.ndarray:
+        """PointRangeQuery-equivalent over a docs.parquet column
+        ([U] lucene/core/.../search/PointRangeQuery.java; the BKD tree is
+        replaced by Parquet row-group statistics pruning — pyarrow skips
+        row groups whose [min, max] stats fall outside [lo, hi)).
+        Composable with term FILTER clauses (block-probe narrowed).
+        Returns the matching docids ascending (constant-score set)."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        if isinstance(lo, str):
+            lo = np.datetime64(lo, "us")
+        if isinstance(hi, str):
+            hi = np.datetime64(hi, "us")
+        expr = (pc.field(field) >= lo) & (pc.field(field) < hi)
+        tbl = pads.dataset(os.path.join(self.index_dir, "docs"), format="parquet").to_table(
+            columns=["docid"], filter=expr
+        )
+        cand = np.sort(tbl.column("docid").to_numpy().astype(np.int64))
+        for t in analyze_query_terms(filter_terms):
+            if len(cand) == 0:
+                break
+            _, _, cur = self.term_stats_and_cursor(t)
+            if cur is None:
+                return np.empty(0, dtype=np.int64)
+            mask, _, _ = cur.probe(cand)
+            cand = cand[mask]
+        return cand
 
     def search_multi_term(self, kind: str, pattern: str, k: int = 10, max_terms: int = 1024):
         """Expanded disjunction, scored like a BooleanQuery of the matched
@@ -667,13 +837,18 @@ class IndexSearcher:
         import heapq
 
         docs_dir = os.path.join(self.index_dir, "docs")
+        import pyarrow.compute as pc
         import pyarrow.dataset as pads
 
-        tbl = pads.dataset(docs_dir, format="parquet").to_table(columns=["docid", "text"])
-        pos = tbl.column("docid").index(docid).as_py()
-        if pos < 0:
+        # predicate pushdown: docs files are docid-range named and carry
+        # row-group stats, so only the file/row-group holding this doc is
+        # read — never the whole stored-fields table
+        tbl = pads.dataset(docs_dir, format="parquet").to_table(
+            columns=["docid", "text"], filter=pc.field("docid") == docid
+        )
+        if tbl.num_rows == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-        text = tbl.column("text")[pos].as_py()
+        text = tbl.column("text")[0].as_py()
         from lucene_solr_ray.analysis import tokenize
 
         tf: dict[str, int] = {}

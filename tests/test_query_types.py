@@ -69,3 +69,125 @@ def test_sort_by_field_collector(searcher, t1_oracle, t1_table):
     exp = sorted(exp_docs.tolist(), key=lambda x: (-t1_oracle.dl[x], x))[:10]
     assert d.tolist() == exp
     assert np.all(np.diff(vals.astype(np.int64)) <= 0)
+
+
+def _docid_order_texts(t1_table):
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(t1_table, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")])
+    return t1_table.take(idx).column("text").to_pylist()
+
+
+def test_blockmax_and_ab_parity(searcher, t1_queries):
+    """BlockMaxConjunction skipping must not change results vs the plain
+    leapfrog (block_max=False) at small k."""
+    n_checked = 0
+    for row in t1_queries.to_pylist():
+        if row["type"] != "and" or len(row["terms"]) < 2:
+            continue
+        terms = row["terms"]
+        from lucene_solr_ray.oracle import analyze_query_terms
+
+        weighted = []
+        missing = False
+        for t in analyze_query_terms(terms):
+            df, _, cur = searcher.term_stats_and_cursor(t)
+            if cur is None:
+                missing = True
+                break
+            weighted.append((t, searcher.simcls.term_weight(searcher.n_docs, df), cur))
+        if missing or len(weighted) < 2:
+            continue
+        for k in (3, 10):
+            d1, s1 = searcher._search_and(weighted, k, block_max=True)
+            d2, s2 = searcher._search_and(weighted, k, block_max=False)
+            assert d1.tolist() == d2.tolist(), (terms, k)
+            assert np.array_equal(s1, s2), (terms, k)
+        n_checked += 1
+    assert n_checked >= 5  # the fixture query set must exercise this
+
+
+def test_min_should_match(searcher, t1_table):
+    from lucene_solr_ray.analysis import tokenize
+
+    texts = _docid_order_texts(t1_table)
+    terms = ["w0000", "w0003", "w0007"]
+    for mm in (1, 2, 3):
+        got_d, _ = searcher.search_boolean(should=terms, min_should_match=mm,
+                                           k=searcher.n_docs)
+        exp = [i for i, tx in enumerate(texts)
+               if sum(t in set(tokenize(tx)) for t in terms) >= mm]
+        assert sorted(got_d.tolist()) == exp, mm
+    # mm larger than clause count -> empty
+    got_d, _ = searcher.search_boolean(should=terms, min_should_match=4, k=10)
+    assert len(got_d) == 0
+    # mm with MUST present restricts SHOULD
+    got_d, _ = searcher.search_boolean(must=["w0001"], should=terms,
+                                       min_should_match=2, k=searcher.n_docs)
+    exp = [i for i, tx in enumerate(texts)
+           if "w0001" in set(tokenize(tx))
+           and sum(t in set(tokenize(tx)) for t in terms) >= 2]
+    assert sorted(got_d.tolist()) == exp
+
+
+def test_probe_matches_decode(searcher):
+    _, _, cur = searcher.term_stats_and_cursor("w0000")
+    d_all = cur.decode_all()[0]
+    probe_ids = np.unique(np.concatenate([d_all[::3], d_all[::3] + 1, [0, searcher.n_docs + 10]]))
+    mask, tfs, norms = cur.probe(probe_ids)
+    expected = np.isin(probe_ids, d_all)
+    assert np.array_equal(mask, expected)
+    # tf/norm values for members match the decoded list
+    _, tf_all, m_all = cur.decode_all()
+    pos = np.searchsorted(d_all, probe_ids[mask])
+    assert np.array_equal(tfs[mask], tf_all[pos])
+    assert np.array_equal(norms[mask], m_all[pos])
+
+
+def test_fuzzy_expansion_and_search(searcher, t1_table):
+    from lucene_solr_ray.analysis import tokenize
+
+    texts = _docid_order_texts(t1_table)
+    vocab = set()
+    for tx in texts:
+        vocab.update(tokenize(tx))
+    from lucene_solr_ray.pipelines.search import _levenshtein_leq
+
+    for base, maxd in (("w0000", 1), ("w0010", 2)):
+        got = set(searcher.expand_terms("fuzzy", f"{base}~{maxd}"))
+        exp = {t for t in vocab if _levenshtein_leq(base, t, maxd)}
+        assert got == exp, (base, maxd)
+        d, _ = searcher.search_multi_term("fuzzy", f"{base}~{maxd}", k=searcher.n_docs)
+        exp_docs = [i for i, tx in enumerate(texts) if set(tokenize(tx)) & exp]
+        assert sorted(d.tolist()) == exp_docs
+
+
+def test_levenshtein_leq_basic():
+    from lucene_solr_ray.pipelines.search import _levenshtein_leq
+
+    assert _levenshtein_leq("merge", "merge", 0)
+    assert _levenshtein_leq("merge", "marge", 1)
+    assert not _levenshtein_leq("merge", "marge", 0)
+    assert _levenshtein_leq("merge", "mergers", 2)
+    assert not _levenshtein_leq("merge", "mergers", 1)
+    assert _levenshtein_leq("", "ab", 2)
+    assert not _levenshtein_leq("", "abc", 2)
+
+
+def test_ts_range_query(searcher, t1_table):
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(t1_table, sort_keys=[("conv_id", "ascending"), ("turn_idx", "ascending")])
+    ordered = t1_table.take(idx)
+    ts = ordered.column("ts").to_numpy()
+    lo, hi = np.datetime64("2026-01-01T02:00:00", "us"), np.datetime64("2026-01-01T05:00:00", "us")
+    exp = np.flatnonzero((ts >= lo) & (ts < hi))
+    got = searcher.search_ts_range(str(lo), str(hi))
+    assert got.tolist() == exp.tolist()
+    # composed with a term FILTER clause
+    from lucene_solr_ray.analysis import tokenize
+
+    texts = ordered.column("text").to_pylist()
+    exp_f = [i for i in exp if "w0000" in set(tokenize(texts[i]))]
+    got_f = searcher.search_ts_range(str(lo), str(hi), filter_terms=["w0000"])
+    assert got_f.tolist() == exp_f
