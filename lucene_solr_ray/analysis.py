@@ -118,37 +118,63 @@ def batch_term_positions(texts):
     """Like batch_term_counts but also returns the flat positions array:
     (rows, terms, tfs, dl, pos_flat) with one (row, term) entry per
     distinct pair and ``pos_flat`` holding each pair's ascending token
-    positions contiguously (pair order == output order)."""
-    rows_l: list[int] = []
-    terms_l: list[str] = []
-    tfs_l: list[int] = []
-    pos_parts: list[list[int]] = []
-    dl = np.zeros(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        items = tokenize_with_positions(text) if text is not None else []
-        dl[i] = len(items)
-        if not items:
-            continue
-        by_term: dict[str, list[int]] = {}
-        for tok, pos in items:
-            by_term.setdefault(tok, []).append(pos)
-        for tok in by_term:
-            rows_l.append(i)
-            terms_l.append(tok)
-            tfs_l.append(len(by_term[tok]))
-            pos_parts.append(by_term[tok])
-    pos_flat = (
-        np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_parts])
-        if pos_parts
-        else np.empty(0, dtype=np.int64)
+    positions contiguously (pair order == output order).
+
+    Vectorized like ``analyze_texts`` (the positional path used to be a
+    per-row/per-token Python loop — every positional build paid it):
+    token positions come from a cumulative count of position-emitting
+    tokens per row (StopFilter semantics: stopwords increment the
+    position but emit nothing; tokenizer-level drops don't increment)."""
+    import itertools
+
+    import pandas as pd
+
+    n_rows = len(texts)
+    raw_lists = [
+        TOKEN_RE.findall(unicodedata.normalize("NFC", t)) if t else [] for t in texts
+    ]
+    counts = np.fromiter((len(r) for r in raw_lists), dtype=np.int64, count=n_rows)
+    empty = (
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=object),
+        np.empty(0, dtype=np.int64),
+        np.zeros(n_rows, np.int64),
+        np.empty(0, dtype=np.int64),
     )
-    return (
-        np.asarray(rows_l, dtype=np.int64),
-        np.asarray(terms_l, dtype=object),
-        np.asarray(tfs_l, dtype=np.int64),
-        dl,
-        pos_flat,
-    )
+    if counts.sum() == 0:
+        return empty
+    flat = pd.Series(list(itertools.chain.from_iterable(raw_lists)), dtype=object)
+    low = flat.str.lower()
+    # position-emitting tokens: pass tokenizer-level filters (length cap,
+    # pure-underscore) — stopwords among them take a position slot
+    emits_pos = ((flat.str.len() <= MAX_TOKEN_LEN) & (flat.str.strip("_") != "")).to_numpy()
+    keep = emits_pos & ~low.isin(STOPWORDS).to_numpy()
+    row_all = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+    # within-row position of each emitting token = #emitting tokens
+    # strictly before it in the same row
+    before = np.cumsum(emits_pos) - emits_pos  # global count strictly before i
+    offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    # clip: a trailing zero-count row's offset == len(flat); the value is
+    # never used (repeat count 0) but the index must stay in bounds
+    row_base = np.repeat(before[np.minimum(offsets, len(emits_pos) - 1)], counts)
+    pos_all = before - row_base
+    row_idx = row_all[keep]
+    terms = low.to_numpy()[keep]
+    pos_emit = pos_all[keep]
+    dl = np.bincount(row_idx, minlength=n_rows).astype(np.int64)
+    if len(terms) == 0:
+        return empty[0], empty[1], empty[2], dl, empty[4]
+    codes, uniq_terms = pd.factorize(terms, sort=False)
+    uniq_terms = np.asarray(uniq_terms, dtype=object)
+    pair_key = row_idx * len(uniq_terms) + codes
+    order = np.argsort(pair_key, kind="stable")  # stable: positions stay ascending per pair
+    pk_s = pair_key[order]
+    starts = np.flatnonzero(np.concatenate([[True], pk_s[1:] != pk_s[:-1]]))
+    bounds = np.append(starts, len(pk_s))
+    tfs = np.diff(bounds).astype(np.int64)
+    out_rows = pk_s[starts] // len(uniq_terms)
+    out_codes = pk_s[starts] % len(uniq_terms)
+    return out_rows, uniq_terms[out_codes], tfs, dl, pos_emit[order]
 
 
 def batch_term_counts(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

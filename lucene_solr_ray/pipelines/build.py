@@ -82,6 +82,27 @@ def _add_docid(table: pa.Table, base: int) -> pa.Table:
     return table.append_column("docid", docid)
 
 
+@ray.remote
+def _conv_block_stats(table: pa.Table) -> tuple[int, int]:
+    """(sum of per-conv turn counts, #convs with sparse turn_idx) for one
+    sorted conv-aggregate block — the only thing the driver pulls in the
+    two-level prefix sum (per-block totals, not per-conv rows)."""
+    n = table.column("n").to_numpy().astype(np.int64)
+    mx = table.column("max_ti").to_numpy().astype(np.int64)
+    return int(n.sum()), int((mx != n - 1).sum())
+
+
+@ray.remote
+def _conv_block_bases(table: pa.Table, block_offset: int) -> pa.Table:
+    """Second level of the prefix sum: per-conv docID bases within one
+    conv_id-sorted block, shifted by the block's global offset."""
+    n = table.column("n").to_numpy().astype(np.int64)
+    bases = block_offset + np.concatenate([[0], np.cumsum(n)])[:-1]
+    return pa.table(
+        {"conv_id": table.column("conv_id"), "base": pa.array(bases, type=pa.int64())}
+    )
+
+
 class _AnalyzeStage:
     """map_batches callable: canonical analysis + docs side-write +
     postings emission. Stateless per batch; a class only to carry config.
@@ -104,7 +125,14 @@ class _AnalyzeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        if self.base_ref is not None:
+        if "base" in batch.column_names:
+            # conv-base-join mode: per-conv base arrived via the hash join
+            docids = (
+                batch.column("base").to_numpy().astype(np.int64)
+                + batch.column("turn_idx").to_numpy().astype(np.int64)
+            )
+            batch = batch.drop_columns(["base"]).append_column("docid", pa.array(docids))
+        elif self.base_ref is not None:
             if self._bases is None:
                 self._bases = ray.get(self.base_ref)
             conv_sorted, bases_arr = self._bases
@@ -164,8 +192,15 @@ class _AnalyzeStage:
         gk_s = group_key[order]
         starts = np.flatnonzero(np.concatenate([[True], gk_s[1:] != gk_s[:-1]]))
         bounds = np.append(starts, len(gk_s))
+        if len(tfs) and int(tfs.max()) > 65535:
+            # fail loudly: silent clamping would corrupt cf/sum_dl and
+            # break oracle parity for a pathological >65535-tf doc
+            raise ValueError(
+                f"term frequency {int(tfs.max())} overflows the uint16 shuffle "
+                "packing; widen the packed tf field for this corpus"
+            )
         d_s = post_docids[order].astype("<i4")
-        t_s = np.minimum(tfs[order], 65535).astype("<u2")
+        t_s = tfs[order].astype("<u2")
         m_s = post_norms[order].astype(np.uint8)
         if pos_flat is not None:
             # gather per-posting position groups into `order` order
@@ -175,7 +210,13 @@ class _AnalyzeStage:
             idx = np.repeat(offs[:-1][order], lens) + (
                 np.arange(int(lens.sum())) - np.repeat(grp_off[:-1], lens)
             )
-            pos_sorted = np.minimum(pos_flat[idx], 65535).astype("<u2")
+            if len(pos_flat) and int(pos_flat.max()) > 65535:
+                raise ValueError(
+                    f"token position {int(pos_flat.max())} overflows the uint16 "
+                    "shuffle packing (doc has > 65536 token slots); widen the "
+                    "packed position field for this corpus"
+                )
+            pos_sorted = pos_flat[idx].astype("<u2")
         buckets_out, terms_out, d_out, t_out, m_out, p_out = [], [], [], [], [], []
         skip = self.skip_buckets
         for i in range(len(starts)):
@@ -334,15 +375,24 @@ def build_index(
     else:
         ds = input_path
     base_ref = None
-    if docid_mode == "conv-base":
+    if docid_mode in ("conv-base", "conv-base-join"):
         # docID = base[conv_id] + turn_idx without sorting the corpus:
-        # a tiny per-conversation groupby + driver prefix sum replaces the
+        # a per-conversation combine + prefix sum replaces the
         # full-corpus range exchange, so analyze/shuffle stream end to end.
         # Valid iff turn_idx is dense 0..n-1 per conversation (checked);
-        # falls back to the sort path otherwise. Scale note: at 10^12
-        # turns the conv->base map itself needs a two-level prefix sum
-        # (range-partition conv_ids, driver combines only partition
-        # totals) and a hash join instead of this driver dict broadcast.
+        # falls back to the sort path otherwise.
+        #
+        # Two variants:
+        # - "conv-base" (default at sandbox scale): driver combines the
+        #   tiny per-block partials and broadcasts (conv_sorted, bases)
+        #   numpy arrays. Right up to ~10^7 conversations.
+        # - "conv-base-join": the two-level distributed prefix sum — a
+        #   distributed groupby + conv_id sort builds per-conv counts,
+        #   the driver pulls ONLY per-block totals (ints) for the first
+        #   prefix level, each block computes its in-block bases, and
+        #   the (conv_id, base) dataset hash-joins the corpus. No
+        #   conversation-sized structure ever lands on the driver —
+        #   the 10^12-turn path.
         def _conv_partial(t: pa.Table) -> pa.Table:
             # map-side combine on pruned columns: one row per (block, conv)
             t = t.select(["conv_id", "turn_idx"])
@@ -355,6 +405,34 @@ def build_index(
             key_ds = ray.data.read_parquet(input_path, columns=["conv_id", "turn_idx"])
         else:
             key_ds = ds.select_columns(["conv_id", "turn_idx"])
+    if docid_mode == "conv-base-join":
+        from ray.data.aggregate import Max as _Max
+        from ray.data.aggregate import Sum as _Sum
+
+        agg = (
+            key_ds.map_batches(
+                _conv_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            )
+            .groupby("conv_id")
+            .aggregate(_Sum("n", alias_name="n"), _Max("max_ti", alias_name="max_ti"))
+        )
+        sorted_refs = agg.sort("conv_id").to_arrow_refs()
+        stats = ray.get([_conv_block_stats.remote(r) for r in sorted_refs])
+        if sum(bad for _, bad in stats) > 0:
+            docid_mode = "sort"  # sparse turn_idx -> need the global sort
+        else:
+            totals = [t for t, _ in stats]
+            n_docs = int(sum(totals))
+            block_offsets = np.concatenate([[0], np.cumsum(totals)])[:-1] + base_offset
+            conv_base_ds = ray.data.from_arrow_refs(
+                [_conv_block_bases.remote(r, int(o)) for r, o in zip(sorted_refs, block_offsets)]
+            )
+            docs_ds = ds.join(
+                conv_base_ds, "inner",
+                num_partitions=max(8, ncpus // 2),
+                on=("conv_id",),
+            )
+    if docid_mode == "conv-base":
         # final combine on the driver (partials are tiny); a distributed
         # groupby here costs more than the whole build at this cardinality
         partial_tables = [

@@ -200,3 +200,19 @@ def test_docid_modes_produce_identical_segments(ray_session, t1_corpus, tmp_path
     c2 = {(s["partition"], s["name"]): s["postings_crc32"] for s in m2["segments"]}
     assert c1 == c2
     assert m1["n_docs"] == m2["n_docs"] and m1["sum_dl"] == m2["sum_dl"]
+
+
+def test_conv_base_join_mode_identical_segments(ray_session, t1_corpus, tmp_path):
+    """The two-level distributed prefix sum (conv-base-join: groupby +
+    sorted per-block bases + hash join) must yield byte-identical segments
+    to the driver-combine conv-base path."""
+    from lucene_solr_ray.pipelines.build import build_index
+
+    d1 = str(tmp_path / "j1")
+    d2 = str(tmp_path / "j2")
+    m1 = build_index(t1_corpus, d1, num_partitions=4, salt=2, docid_mode="conv-base-join")
+    m2 = build_index(t1_corpus, d2, num_partitions=4, salt=2, docid_mode="conv-base")
+    c1 = {(s["partition"], s["name"]): s["postings_crc32"] for s in m1["segments"]}
+    c2 = {(s["partition"], s["name"]): s["postings_crc32"] for s in m2["segments"]}
+    assert c1 == c2
+    assert m1["n_docs"] == m2["n_docs"] and m1["sum_dl"] == m2["sum_dl"]
