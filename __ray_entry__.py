@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_ts_range_docs": lambda sf: ft.ts_range_retrieve(
             sf, "2026-01-01T00:02:00", "2026-01-01T00:05:00", filter_terms=["merge"]),
         "ft_fuzzy_docs": lambda sf: ft.fuzzy_retrieve(sf, "merge~1"),
+        "ft_delete_requery": lambda sf: ft.delete_requery(
+            sf, delete_terms=["vector"], query_terms=["merge"]),
         "ft_min_should_match": lambda sf: ft.min_should_match_retrieve(
             sf, ["merge", "join", "vector"], mm=2),
         "ft_sorted_by_field": lambda sf: ft.sorted_by_field_topk(sf, ["spark"], "n_chars", k=10),
@@ -209,6 +211,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id FROM documents WHERE len(list_filter({split}, "
             f"x -> levenshtein(x, 'merge') <= 1 AND NOT list_contains({_STOP_SQL}, x))) > 0 "
             "ORDER BY doc_id"
+        ),
+        "ft_delete_requery": (
+            f"SELECT doc_id FROM documents WHERE list_contains({split}, 'merge') "
+            f"AND NOT list_contains({split}, 'vector') ORDER BY doc_id"
         ),
         "ft_min_should_match": (
             "SELECT doc_id FROM documents WHERE "

@@ -194,6 +194,28 @@ def boolean_full_retrieve(sf_dir: str, must: list[str], must_not: list[str],
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
 
 
+def delete_requery(sf_dir: str, delete_terms: list[str], query_terms: list[str]) -> pa.Table:
+    """Deletes end-to-end: copy the cached index, tombstone every doc
+    matching ``delete_terms`` (delete-by-query commit), expunge via
+    forceMerge, and re-run a term query — surviving doc_ids only
+    (IndexWriter.deleteDocuments(Query) + forceMergeDeletes)."""
+    import shutil
+
+    from lucene_solr_ray.pipelines.deletes import delete_by_query
+    from lucene_solr_ray.pipelines.merge import force_merge
+
+    src = docs_index(sf_dir)
+    tmp = src + "-delcopy"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(src, tmp)
+    delete_by_query(tmp, delete_terms, mode="or")
+    force_merge(tmp, max_segments=1, expunge_deletes=True)
+    s = IndexSearcher(tmp)
+    d, _ = s.search(query_terms, k=max(1, s.n_docs), mode="or")
+    mapping = _docid_to_doc_id(tmp)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
 def ts_range_retrieve(sf_dir: str, lo: str, hi: str, filter_terms: list[str] = ()) -> pa.Table:
     """PointRangeQuery on the ts contract column (time-window filter,
     composable with term FILTER clauses) -> sorted doc_id set. The

@@ -34,19 +34,26 @@ class PercolateStage:
         raw = ray.get(queries_ref) if not isinstance(queries_ref, list) else queries_ref
         self.compiled = []
         self.by_term: dict[str, list[int]] = {}
+        # queries whose terms all analyze away (stopwords/empty) can never
+        # be routed by the term index; they match every document — the
+        # ANYTOKEN fallback of TermFilteredPresearcher
+        self.termless: list[int] = []
         for qi, q in enumerate(raw):
             terms = set()
             for t in q["terms"]:
                 terms.update(tokenize(t))
             self.compiled.append((q["query_id"], q.get("type", "or"), frozenset(terms)))
-            for t in terms:
-                self.by_term.setdefault(t, []).append(qi)
+            if terms:
+                for t in terms:
+                    self.by_term.setdefault(t, []).append(qi)
+            else:
+                self.termless.append(qi)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         doc_ids, query_ids = [], []
         for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
             toks = frozenset(tokenize(s or ""))
-            cand: set[int] = set()
+            cand: set[int] = set(self.termless)
             for tok in toks:
                 cand.update(self.by_term.get(tok, ()))
             hits = []

@@ -1,0 +1,80 @@
+"""Deletes / updates — the BufferedUpdatesStream + .liv analogue
+([U] lucene/core/.../index/BufferedUpdatesStream.java, the per-segment
+liveDocs bitset of [U] .../codecs/lucene80/Lucene80LiveDocsFormat.java).
+
+docIDs are global in this layout (term-hash partitions each cover the
+whole docid space), so tombstones live in ONE sorted docid table per
+manifest generation (``deletes-<crc>.parquet``) instead of per-segment
+bitsets. Commit protocol matches Lucene: a delete writes a new deletes
+file and commits a new manifest generation referencing it; segment data
+is untouched. Readers filter candidates against the tombstone set at
+collection time (the liveDocs test in every DISI), so deleted docs stop
+matching immediately while df/cf/norm statistics keep counting them
+until a merge purges the postings — Lucene semantics.
+
+Purging: ``run_merge_round(expunge_deletes=True)`` (or
+``force_merge(..., expunge_deletes=True)``) drops tombstoned postings
+while rewriting segments; after a full rewrite (forceMerge) the
+tombstone table is cleared and sum_dl recomputed from the merged
+segments. n_docs stays maxDoc (docids are never renumbered — they are
+the stable row identity), so dense accumulators stay correctly sized.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from lucene_solr_ray.state.manifest import commit_manifest, load_manifest
+
+DELETES_DIRNAME = "deletes"
+
+
+def load_deletes(index_dir: str, manifest: dict) -> np.ndarray | None:
+    """Sorted int64 tombstone docids for a manifest generation, or None."""
+    name = manifest.get("deletes_file")
+    if not name:
+        return None
+    t = pq.read_table(os.path.join(index_dir, DELETES_DIRNAME, name), columns=["docid"])
+    return t.column("docid").to_numpy().astype(np.int64)
+
+
+def _write_deletes(index_dir: str, docids: np.ndarray) -> str:
+    os.makedirs(os.path.join(index_dir, DELETES_DIRNAME), exist_ok=True)
+    crc = zlib.crc32(docids.tobytes()) & 0xFFFFFFFF
+    name = f"deletes-{len(docids):010d}-{crc:08x}.parquet"
+    path = os.path.join(index_dir, DELETES_DIRNAME, name)
+    if not os.path.exists(path):
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(pa.table({"docid": pa.array(docids, pa.int64())}), tmp)
+        os.rename(tmp, path)
+    return name
+
+
+def delete_docs(index_dir: str, docids) -> dict:
+    """Tombstone the given global docids (deleteDocuments(Term..) by id);
+    idempotent union with existing tombstones; commits a new generation."""
+    manifest = load_manifest(index_dir)
+    new = np.asarray(sorted(set(int(d) for d in docids)), dtype=np.int64)
+    prev = load_deletes(index_dir, manifest)
+    merged = np.union1d(prev, new) if prev is not None else new
+    name = _write_deletes(index_dir, merged)
+    new_manifest = dict(manifest, deletes_file=name, n_deleted=int(len(merged)))
+    new_manifest.pop("generation", None)
+    gen = commit_manifest(index_dir, new_manifest)
+    new_manifest["generation"] = gen
+    return new_manifest
+
+
+def delete_by_query(index_dir: str, terms, mode: str = "or") -> dict:
+    """IndexWriter.deleteDocuments(Query): tombstone every doc matching
+    the boolean term query."""
+    from lucene_solr_ray.pipelines.search import IndexSearcher
+
+    s = IndexSearcher(index_dir)
+    d, _ = s.search(terms, k=max(1, s.n_docs), mode=mode)
+    return delete_docs(index_dir, d.tolist())

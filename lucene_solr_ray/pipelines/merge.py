@@ -105,7 +105,7 @@ def plan_merges(
 
 
 def merge_segment_group(index_dir: str, partition: int, inputs: list[dict], out_name: str,
-                        codec_name: str) -> dict:
+                        codec_name: str, deleted: np.ndarray | None = None) -> dict:
     """Streaming k-way merge of the input segments' sorted term streams
     into one new segment ([U] lucene/core/.../index/SegmentMerger.java):
     a heap over the contributors' sorted term dicts yields terms in
@@ -148,8 +148,22 @@ def merge_segment_group(index_dir: str, partition: int, inputs: list[dict], out_
             d = ds[0] if len(ds) == 1 else np.concatenate(ds)
             t = ts[0] if len(ts) == 1 else np.concatenate(ts)
             m = ms[0] if len(ms) == 1 else np.concatenate(ms)
+            p = None
             if with_pos:
                 p = ps[0] if len(ps) == 1 else np.concatenate(ps)
+            if deleted is not None and len(deleted):
+                # expunge: drop tombstoned postings (and their position
+                # slices) while the segment is being rewritten anyway
+                pos_idx = np.searchsorted(deleted, d)
+                pos_idx = np.minimum(pos_idx, len(deleted) - 1)
+                keep = deleted[pos_idx] != d
+                if not keep.all():
+                    if p is not None:
+                        p = p[np.repeat(keep, t)]
+                    d, t, m = d[keep], t[keep], m[keep]
+                if len(d) == 0:
+                    continue  # term fully expunged
+            if p is not None:
                 yield term, d, t, m, p
             else:
                 yield term, d, t, m
@@ -166,10 +180,18 @@ def merge_segment_group(index_dir: str, partition: int, inputs: list[dict], out_
 
 def run_merge_round(index_dir: str, generation: int | None = None,
                     force_max_segments: int | None = None, gc: bool = True,
-                    **plan_kwargs) -> dict | None:
+                    expunge_deletes: bool = False, **plan_kwargs) -> dict | None:
     """Plan + execute one merge round on Ray; commit a new generation.
-    Returns the new manifest, or None if nothing to merge."""
+    Returns the new manifest, or None if nothing to merge.
+
+    ``expunge_deletes``: purge tombstoned postings while rewriting
+    (IndexWriter.forceMergeDeletes analogue). The tombstone table is
+    cleared — and sum_dl recomputed from segment stats — only once EVERY
+    segment has been rewritten this round (global tombstones can only be
+    dropped when no stale segment remains)."""
     import ray.data
+
+    from lucene_solr_ray.pipelines.deletes import load_deletes
 
     manifest = load_manifest(index_dir, generation)
     groups = plan_merges(manifest, force_max_segments=force_max_segments, **plan_kwargs)
@@ -177,6 +199,7 @@ def run_merge_round(index_dir: str, generation: int | None = None,
         return None
     gen = manifest["generation"]
     codec_name = manifest["codec"]
+    deleted = load_deletes(index_dir, manifest) if expunge_deletes else None
     descriptors = [
         {
             "partition": g["partition"],
@@ -192,7 +215,8 @@ def run_merge_round(index_dir: str, generation: int | None = None,
         for row in batch.to_pylist():
             t0 = time.perf_counter()
             inputs = [seg_by_key[(row["partition"], n)] for n in row["inputs"]]
-            meta = merge_segment_group(index_dir, row["partition"], inputs, row["out_name"], codec_name)
+            meta = merge_segment_group(index_dir, row["partition"], inputs, row["out_name"],
+                                       codec_name, deleted=deleted)
             rows.append(
                 {
                     "partition": row["partition"],
@@ -230,6 +254,17 @@ def run_merge_round(index_dir: str, generation: int | None = None,
         segments=new_segs,
         metrics=dict(manifest.get("metrics", {}), merge_round_groups=len(groups)),
     )
+    if deleted is not None and len(deleted) and not kept:
+        # every segment rewritten with tombstones applied -> no stale
+        # postings remain; drop the tombstone table and recompute the
+        # live token total (n_docs stays maxDoc: docids are never
+        # renumbered — they are the stable row identity)
+        new_manifest.pop("deletes_file", None)
+        new_manifest["n_deleted"] = 0
+        new_manifest["n_docs_purged"] = int(
+            manifest.get("n_docs_purged", 0) + len(deleted)
+        )
+        new_manifest["sum_dl"] = sum(s["sum_tf"] for s in new_segs)
     new_manifest.pop("generation", None)
     new_gen = commit_manifest(index_dir, new_manifest)
     new_manifest["generation"] = new_gen
@@ -241,12 +276,15 @@ def run_merge_round(index_dir: str, generation: int | None = None,
     return new_manifest
 
 
-def force_merge(index_dir: str, max_segments: int = 1, gc: bool = True) -> dict:
+def force_merge(index_dir: str, max_segments: int = 1, gc: bool = True,
+                expunge_deletes: bool = False) -> dict:
     """forceMerge(k): repeated rounds until <= k segments per partition
-    ([U] lucene/core/.../index/IndexWriter.java forceMerge)."""
+    ([U] lucene/core/.../index/IndexWriter.java forceMerge;
+    expunge_deletes -> forceMergeDeletes)."""
     manifest = load_manifest(index_dir)
     while True:
-        out = run_merge_round(index_dir, force_max_segments=max_segments, gc=gc)
+        out = run_merge_round(index_dir, force_max_segments=max_segments, gc=gc,
+                              expunge_deletes=expunge_deletes)
         if out is None:
             return manifest
         manifest = out

@@ -165,10 +165,13 @@ class IndexSearcher:
                  similarity: str = "bm25"):
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir, generation)
-        self.n_docs = self.manifest["n_docs"]
+        self.n_docs = self.manifest["n_docs"]  # maxDoc: allocation bound, docids stable
         self.sum_dl = self.manifest["sum_dl"]
         self.num_partitions = self.manifest["num_partitions"]
-        self.avgdl = self.sum_dl / self.n_docs if self.n_docs else 1.0
+        # scoring doc count = docCount: excludes docs purged at merge
+        # (deleted-but-unpurged docs still count — Lucene stats semantics)
+        self.n_scoring = self.n_docs - int(self.manifest.get("n_docs_purged", 0))
+        self.avgdl = self.sum_dl / self.n_scoring if self.n_scoring else 1.0
         # pluggable Similarity (SURVEY §2.11); BM25 is the parity-pinned default
         self.simcls = sim.get_similarity(similarity)
         self.cache = self.simcls.denom_cache(self.avgdl)
@@ -179,6 +182,10 @@ class IndexSearcher:
             # per-term docid order across a partition's segments: salt ranges /
             # merged generations are docid-disjoint, so docid_min orders them
             segs.sort(key=lambda s: (s["docid_min"], s["name"]))
+        # tombstones (deletes): sorted global docids, the liveDocs test
+        from lucene_solr_ray.pipelines.deletes import load_deletes
+
+        self.deleted = load_deletes(index_dir, self.manifest)
         self._readers: dict[str, SegmentReader] = {}
         # decoded-postings cache: term -> (df, cf, TermCursor). Bounded by
         # total cached postings; segments are immutable so reuse is safe
@@ -221,6 +228,22 @@ class IndexSearcher:
             self._term_cache_postings += df
         return out
 
+    def _live(self, d: np.ndarray) -> np.ndarray:
+        """Drop tombstoned docids — the liveDocs filter every collector
+        applies before a doc can enter the top-k."""
+        if self.deleted is None or len(d) == 0 or len(self.deleted) == 0:
+            return d
+        pos = np.searchsorted(self.deleted, d)
+        pos = np.minimum(pos, len(self.deleted) - 1)
+        return d[self.deleted[pos] != d]
+
+    def _live_mask(self, d: np.ndarray) -> np.ndarray:
+        if self.deleted is None or len(self.deleted) == 0:
+            return np.ones(len(d), dtype=bool)
+        pos = np.searchsorted(self.deleted, d)
+        pos = np.minimum(pos, len(self.deleted) - 1)
+        return self.deleted[pos] != d
+
     # ---------------- public search ----------------
 
     def search(self, raw_terms, k: int = 10, mode: str = "or", algorithm: str = "auto"):
@@ -234,7 +257,7 @@ class IndexSearcher:
                 if mode == "and":
                     return empty
                 continue
-            weighted.append((t, self.simcls.term_weight(self.n_docs, df), cur))
+            weighted.append((t, self.simcls.term_weight(self.n_scoring, df), cur))
         if not weighted:
             return empty
         if algorithm == "auto":
@@ -273,7 +296,7 @@ class IndexSearcher:
             s_dense = np.zeros(self.n_docs, dtype=np.float32)
             s_dense[d] = self.simcls.score_term(w, tf, m, self.cache)
             acc = (acc + s_dense).astype(np.float32)
-        cand = np.flatnonzero(acc > 0)
+        cand = self._live(np.flatnonzero(acc > 0))
         top = topk_order(cand, acc[cand], k)
         return cand[top].astype(np.int64), acc[cand][top]
 
@@ -284,7 +307,7 @@ class IndexSearcher:
             d, tf, m = c.decode_all()
             cnt[d] += 1
             decoded.append((w, d, tf, m))
-        cand = np.flatnonzero(cnt == len(weighted)).astype(np.int64)
+        cand = self._live(np.flatnonzero(cnt == len(weighted)).astype(np.int64))
         if len(cand) == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
         parts = []
@@ -312,6 +335,11 @@ class IndexSearcher:
             if len(top_d) >= k and ubs[b] <= theta:
                 break
             d, tf, m = c.block(int(b))
+            if self.deleted is not None:
+                lm = self._live_mask(d)
+                d, tf, m = d[lm], tf[lm], m[lm]
+                if len(d) == 0:
+                    continue
             s = self.simcls.score_term(w, tf, m, self.cache)
             top_d = np.concatenate([top_d, d])
             top_s = np.concatenate([top_s, s])
@@ -363,14 +391,18 @@ class IndexSearcher:
                     d, t, m = c.docids_in_blocks(np.arange(lo_blk, hi_blk))
                     mask = (d >= w_lo) & (d <= w_hi)
                     window_parts.append((i, d[mask], t[mask], m[mask]))
-                union = np.unique(np.concatenate([p[1] for p in window_parts]))
+                union = self._live(np.unique(np.concatenate([p[1] for p in window_parts])))
                 if len(union):
                     parts = []
                     for i, d, t, m in window_parts:  # already ascending term order
                         s = np.zeros(len(union), dtype=np.float32)
                         if len(d):
                             pos = np.searchsorted(union, d)
-                            s[pos] = self.simcls.score_term(weighted[i][1], t, m, self.cache)
+                            pos = np.minimum(pos, len(union) - 1)
+                            hit = union[pos] == d
+                            s[pos[hit]] = self.simcls.score_term(
+                                weighted[i][1], t[hit], m[hit], self.cache
+                            )
                         parts.append(s)
                     scores = sim.accumulate(parts)
                     top_d = np.concatenate([top_d, union])
@@ -394,12 +426,14 @@ class IndexSearcher:
     def _search_or_exhaustive(self, weighted, k: int):
         """Decode-everything reference path (oracle-shaped) for A/B tests."""
         decoded = [(t, w, c.decode_all()) for t, w, c in weighted]
-        cand = np.unique(np.concatenate([d for _, _, (d, _, _) in decoded]))
+        cand = self._live(np.unique(np.concatenate([d for _, _, (d, _, _) in decoded])))
         parts = []
         for _, w, (d, t, m) in decoded:
             s = np.zeros(len(cand), dtype=np.float32)
             pos = np.searchsorted(cand, d)
-            s[pos] = self.simcls.score_term(w, t, m, self.cache)
+            pos = np.minimum(pos, len(cand) - 1) if len(cand) else pos
+            hit = (cand[pos] == d) if len(cand) else np.zeros(len(d), bool)
+            s[pos[hit]] = self.simcls.score_term(w, t[hit], m[hit], self.cache)
             parts.append(s)
         scores = sim.accumulate(parts)
         top = topk_order(cand, scores, k)
@@ -446,7 +480,7 @@ class IndexSearcher:
                     ub += float(jubs[g0 : min(g1 + 1, oc.n_blocks)].max())
                 if ub <= theta:
                     continue  # whole rarest block skipped undecoded
-            cand = rare.block(b)[0]
+            cand = self._live(rare.block(b)[0])
             for j in by_rarity[1:]:
                 oc = weighted[j][2]
                 blocks = np.searchsorted(oc.last_docid, cand, side="left")
@@ -520,14 +554,16 @@ class IndexSearcher:
         if must_l:
             # rarest MUST seeds candidates; the rest narrow by block probe
             must_sorted = sorted(must_l, key=lambda x: x[2].n_docs)
-            cand = must_sorted[0][2].decode_all()[0]
+            cand = self._live(must_sorted[0][2].decode_all()[0])
             for _, _, c in must_sorted[1:]:
                 mask, _, _ = c.probe(cand)
                 cand = cand[mask]
                 if len(cand) == 0:
                     return empty
         else:
-            cand = np.unique(np.concatenate([c.decode_all()[0] for _, _, c in present_should]))
+            cand = self._live(
+                np.unique(np.concatenate([c.decode_all()[0] for _, _, c in present_should]))
+            )
         for _, _, c in sorted(filt_l, key=lambda x: x[2].n_docs):
             mask, _, _ = c.probe(cand)
             cand = cand[mask]
@@ -554,7 +590,7 @@ class IndexSearcher:
         parts = []
         for t, df, c in scoring:
             b = float(boost.get(t, 1.0))
-            w = np.float32(b * self.simcls.idf(self.n_docs, df))
+            w = np.float32(b * self.simcls.idf(self.n_scoring, df))
             mask, tf, m = c.probe(cand)
             s = np.zeros(len(cand), dtype=np.float32)
             if mask.any():
@@ -572,9 +608,9 @@ class IndexSearcher:
         return d, np.full(len(d), np.float32(boost), dtype=np.float32)
 
     def match_all(self, k: int = 10, boost: float = 1.0):
-        """MatchAllDocsQuery: every doc, constant score."""
-        n = min(k, self.n_docs)
-        return np.arange(n, dtype=np.int64), np.full(n, np.float32(boost), dtype=np.float32)
+        """MatchAllDocsQuery: every live doc, constant score."""
+        d = self._live(np.arange(self.n_docs, dtype=np.int64))[:k]
+        return d, np.full(len(d), np.float32(boost), dtype=np.float32)
 
     def search_dismax(self, raw_terms, k: int = 10, tie_breaker: float = 0.0):
         """DisjunctionMaxQuery: per-doc max over clause scores plus
@@ -584,16 +620,20 @@ class IndexSearcher:
         for t in analyze_query_terms(raw_terms):
             df, _, cur = self.term_stats_and_cursor(t)
             if cur is not None:
-                clauses.append((t, self.simcls.term_weight(self.n_docs, df), cur))
+                clauses.append((t, self.simcls.term_weight(self.n_scoring, df), cur))
         if not clauses:
             return empty
-        cand = np.unique(np.concatenate([c.decode_all()[0] for _, _, c in clauses]))
+        cand = self._live(np.unique(np.concatenate([c.decode_all()[0] for _, _, c in clauses])))
+        if len(cand) == 0:
+            return empty
         parts = []
         for _, w, c in clauses:  # ascending term order from analyze_query_terms
             d, tf, m = c.decode_all()
             s = np.zeros(len(cand), dtype=np.float32)
             pos = np.searchsorted(cand, d)
-            s[pos] = self.simcls.score_term(w, tf, m, self.cache)
+            pos = np.minimum(pos, len(cand) - 1)
+            hit = cand[pos] == d
+            s[pos[hit]] = self.simcls.score_term(w, tf[hit], m[hit], self.cache)
             parts.append(s)
         scores = sim.dismax_combine(parts, tie_breaker)
         top = topk_order(cand, scores, k)
@@ -698,7 +738,7 @@ class IndexSearcher:
             dfs[t] = df
             views[t] = _View(entries)
 
-        cand = views[distinct[0]].docids
+        cand = self._live(views[distinct[0]].docids)
         for t in distinct[1:]:
             cand = np.intersect1d(cand, views[t].docids, assume_unique=True)
         if len(cand) == 0:
@@ -706,7 +746,7 @@ class IndexSearcher:
 
         from lucene_solr_ray.phrase import phrase_freq
 
-        w = np.float32(sum(self.simcls.idf(self.n_docs, dfs[t]) for t, _ in qterms))
+        w = np.float32(sum(self.simcls.idf(self.n_scoring, dfs[t]) for t, _ in qterms))
         first = views[distinct[0]]
         doc_ids_out, freqs, norm_bytes = [], [], []
         for doc in cand:
@@ -812,7 +852,7 @@ class IndexSearcher:
         tbl = pads.dataset(os.path.join(self.index_dir, "docs"), format="parquet").to_table(
             columns=["docid"], filter=expr
         )
-        cand = np.sort(tbl.column("docid").to_numpy().astype(np.int64))
+        cand = self._live(np.sort(tbl.column("docid").to_numpy().astype(np.int64)))
         for t in analyze_query_terms(filter_terms):
             if len(cand) == 0:
                 break
@@ -858,7 +898,7 @@ class IndexSearcher:
         for t, f in tf.items():
             df, _, _ = self.term_stats_and_cursor(t)
             if df > 0:
-                scored.append((f * self.simcls.idf(self.n_docs, df), t))
+                scored.append((f * self.simcls.idf(self.n_scoring, df), t))
         top_terms = [t for _, t in heapq.nlargest(max_terms, scored)]
         return self.search(top_terms, k=k, mode="or")
 
@@ -873,7 +913,7 @@ class IndexSearcher:
                 d, tf, m = cur.decode_all()
                 i = int(np.searchsorted(d, docid))
                 if i < len(d) and d[i] == docid:
-                    w = self.simcls.term_weight(self.n_docs, df)
+                    w = self.simcls.term_weight(self.n_scoring, df)
                     entry["tf"] = int(tf[i])
                     entry["norm"] = int(m[i])
                     entry["score"] = float(self.simcls.score_term(w, tf[i : i + 1], m[i : i + 1], self.cache)[0])
