@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": ts.lang_id,
         "md5_fingerprint": ts.md5_fingerprint,
         "rolling_fingerprint": ts.rolling_fingerprint,
+        "stemmed_term_counts": ts.stemmed_term_counts,
         # --- multimodal plumbing ---
         "multimodal_payload_stats": multimodal.payload_stats,
         "multimodal_fake_decode": multimodal.fake_decode,

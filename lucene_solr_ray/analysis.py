@@ -206,6 +206,215 @@ def batch_term_counts(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.nda
     return out_rows, uniq_terms[out_codes], tfs.astype(np.int64), dl
 
 
+# ---------------- Porter stemmer (SURVEY §2.2 stemmers) ----------------
+#
+# Classic Porter (1980) algorithm, reimplemented from the published
+# description ([U] lucene/analysis/common/.../en/PorterStemFilter.java
+# wraps the same algorithm; the algorithm itself is public domain).
+
+_VOWELS = frozenset("aeiou")
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return True if i == 0 else not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """m = number of VC sequences in the [C](VC)^m[V] form."""
+    m = 0
+    i = 0
+    n = len(stem)
+    while i < n and _is_cons(stem, i):
+        i += 1
+    while i < n:
+        while i < n and not _is_cons(stem, i):
+            i += 1
+        if i >= n:
+            break
+        m += 1
+        while i < n and _is_cons(stem, i):
+            i += 1
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1)
+
+
+def _cvc(w: str) -> bool:
+    """*o: ends cvc where the final c is not w, x or y."""
+    if len(w) < 3:
+        return False
+    return (
+        _is_cons(w, len(w) - 3)
+        and not _is_cons(w, len(w) - 2)
+        and _is_cons(w, len(w) - 1)
+        and w[-1] not in "wxy"
+    )
+
+
+_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+]
+_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def porter_stem(w: str) -> str:
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    flag = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and _has_vowel(w[:-2]):
+        w = w[:-2]
+        flag = True
+    elif w.endswith("ing") and _has_vowel(w[:-3]):
+        w = w[:-3]
+        flag = True
+    if flag:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _ends_double_cons(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in _STEP2:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in _STEP3:
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 4
+    for suf in _STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _measure(stem) > 1:
+                if suf == "ion" and not stem.endswith(("s", "t")):
+                    pass
+                else:
+                    w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+# ---------------- ASCIIFoldingFilter + token filters (SURVEY §2.2) ----------------
+
+def ascii_fold(token: str) -> str:
+    """ASCIIFoldingFilter-lite ([U] lucene/analysis/common/.../
+    miscellaneous/ASCIIFoldingFilter.java): NFD-decompose and strip
+    combining marks, plus the common ligature/special-letter mappings."""
+    special = {"ß": "ss", "æ": "ae", "œ": "oe", "ø": "o", "đ": "d", "ð": "d",
+               "þ": "th", "ł": "l", "ħ": "h", "ı": "i", "ŋ": "n"}
+    out = []
+    for ch in token:
+        low = special.get(ch)
+        if low is not None:
+            out.append(low)
+            continue
+        decomp = unicodedata.normalize("NFD", ch)
+        kept = "".join(c for c in decomp if not unicodedata.combining(c))
+        out.append(kept)
+    return "".join(out)
+
+
+def shingle_filter(tokens: list[str], min_size: int = 2, max_size: int = 2,
+                   sep: str = " ") -> list[str]:
+    """ShingleFilter ([U] lucene/analysis/common/.../shingle/
+    ShingleFilter.java): token n-grams, unigrams NOT included."""
+    out = []
+    for n in range(min_size, max_size + 1):
+        out.extend(sep.join(tokens[i : i + n]) for i in range(len(tokens) - n + 1))
+    return out
+
+
+def ngram_filter(tokens: list[str], min_gram: int = 2, max_gram: int = 3) -> list[str]:
+    """NGramTokenFilter ([U] lucene/analysis/common/.../ngram/
+    NGramTokenFilter.java): character n-grams per token, position order."""
+    out = []
+    for tok in tokens:
+        for n in range(min_gram, max_gram + 1):
+            out.extend(tok[i : i + n] for i in range(len(tok) - n + 1))
+    return out
+
+
+_WD_SPLIT = re.compile(r"[^0-9A-Za-z]+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])")
+
+
+def word_delimiter_split(token: str) -> list[str]:
+    """WordDelimiterGraphFilter core rules ([U] lucene/analysis/common/
+    .../miscellaneous/WordDelimiterGraphFilter.java): split on
+    non-alphanumerics, case transitions, and letter<->digit boundaries."""
+    return [p for p in _WD_SPLIT.split(token) if p]
+
+
+def synonym_filter(tokens: list[str], mapping: dict[str, list[str]]) -> list[str]:
+    """SynonymGraphFilter-lite ([U] lucene/analysis/common/.../synonym/
+    SynonymGraphFilter.java): single-token synonyms injected at the same
+    position (original kept, like expand=true)."""
+    out = []
+    for tok in tokens:
+        out.append(tok)
+        out.extend(mapping.get(tok, ()))
+    return out
+
+
+def english_tokenize(text: str) -> list[str]:
+    """EnglishAnalyzer-equivalent chain: standard chain + PorterStemFilter
+    ([U] lucene/core/.../analysis/en/EnglishAnalyzer.java)."""
+    return [porter_stem(t) for t in tokenize(text)]
+
+
+def folding_tokenize(text: str) -> list[str]:
+    """Standard chain + ASCIIFoldingFilter applied to each emitted token."""
+    return [ascii_fold(t) for t in tokenize(text)]
+
+
 # ---------------- analyzer registry (SURVEY §2.11 Analyzer SPI) ----------------
 
 def whitespace_tokenize(text: str) -> list[str]:
@@ -233,6 +442,8 @@ ANALYZERS = {
     "whitespace": whitespace_tokenize,
     "keyword": keyword_tokenize,
     "html_standard": html_strip_standard_tokenize,
+    "english": english_tokenize,   # standard + Porter stem
+    "folding": folding_tokenize,   # standard + ASCII folding
 }
 
 

@@ -159,3 +159,28 @@ def rolling_fingerprint(sf_dir: str, window: int = 8, base: int = 257,
                          "min_window_hash": pa.array(winmin)})
 
     return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def stemmed_term_counts(sf_dir: str) -> ray.data.Dataset:
+    """Porter-stemmed term histogram over documents (the EnglishAnalyzer
+    chain inside map_batches; [U] lucene/analysis/common/.../en/
+    PorterStemFilter.java). No SQL oracle (DuckDB's fts/stem extension
+    is unavailable offline) — the stemmer itself is pytest-validated
+    against the published Porter vectors."""
+    from ray.data.aggregate import Count
+
+    from lucene_solr_ray.analysis import english_tokenize
+
+    def explode(t: pa.Table) -> pa.Table:
+        terms = []
+        for s in t.column("text").to_pylist():
+            terms.extend(english_tokenize(s or ""))
+        return pa.table({"term": pa.array(terms, pa.string())})
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="n"))
+        .sort("term")
+    )

@@ -45,3 +45,68 @@ def test_batch_term_counts_combiner():
 def test_nfc_normalization():
     # decomposed e + combining acute must equal precomposed é
     assert tokenize("café") == tokenize("café") == ["café"]
+
+
+def test_porter_stemmer_vectors():
+    """Classic Porter algorithm vectors (full-algorithm outputs)."""
+    from lucene_solr_ray.analysis import porter_stem
+
+    vec = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti", "cats": "cat",
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "sing": "sing", "conflated": "conflat",
+        "troubled": "troubl", "sized": "size", "hopping": "hop", "tanned": "tan",
+        "falling": "fall", "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+        "filing": "file", "happy": "happi", "sky": "sky", "relational": "relat",
+        "conditional": "condit", "rational": "ration", "digitizer": "digit",
+        "operator": "oper", "feudalism": "feudal", "decisiveness": "decis",
+        "hopefulness": "hope", "callousness": "callous", "formaliti": "formal",
+        "sensitiviti": "sensit", "sensibiliti": "sensibl", "triplicate": "triplic",
+        "formative": "form", "formalize": "formal", "electriciti": "electr",
+        "electrical": "electr", "hopeful": "hope", "goodness": "good",
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "gyroscopic": "gyroscop", "adjustable": "adjust",
+        "defensible": "defens", "irritant": "irrit", "replacement": "replac",
+        "adjustment": "adjust", "dependent": "depend", "adoption": "adopt",
+        "communism": "commun", "activate": "activ", "angulariti": "angular",
+        "homologous": "homolog", "effective": "effect", "bowdlerize": "bowdler",
+        "probate": "probat", "rate": "rate", "cease": "ceas", "controll": "control",
+        "roll": "roll", "generalization": "gener", "oscillators": "oscil",
+    }
+    bad = {w: (porter_stem(w), e) for w, e in vec.items() if porter_stem(w) != e}
+    assert not bad, bad
+
+
+def test_ascii_folding():
+    from lucene_solr_ray.analysis import ascii_fold, folding_tokenize
+
+    assert ascii_fold("café") == "cafe"
+    assert ascii_fold("naïve") == "naive"
+    assert ascii_fold("Über") == "Uber"
+    assert ascii_fold("straße") == "strasse"
+    assert ascii_fold("œuvre") == "oeuvre"
+    assert ascii_fold("plain") == "plain"
+    assert folding_tokenize("Café naïve THE") == ["café".replace("é", "e"), "naive"]
+
+
+def test_token_filters():
+    from lucene_solr_ray.analysis import (
+        ngram_filter,
+        shingle_filter,
+        synonym_filter,
+        word_delimiter_split,
+    )
+
+    assert shingle_filter(["a", "b", "c"]) == ["a b", "b c"]
+    assert shingle_filter(["a", "b", "c"], 2, 3) == ["a b", "b c", "a b c"]
+    assert ngram_filter(["abcd"], 2, 3) == ["ab", "bc", "cd", "abc", "bcd"]
+    assert word_delimiter_split("PowerShot500-XL") == ["Power", "Shot", "500", "XL"]
+    assert word_delimiter_split("wi-fi") == ["wi", "fi"]
+    assert synonym_filter(["fast", "car"], {"fast": ["quick"]}) == ["fast", "quick", "car"]
+
+
+def test_english_analyzer_registered():
+    from lucene_solr_ray.analysis import get_analyzer
+
+    en = get_analyzer("english")
+    assert en("merging the merges") == ["merg", "merg"]
