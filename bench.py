@@ -126,6 +126,20 @@ def main() -> None:
         print(json.dumps(out))
         return
 
+    # positional build (phrase-capable index): tracks the vectorized
+    # positional analysis path — must stay within ~1.3x of the
+    # non-positional build's turns/s
+    pos_dir = f"{root}/index-pos-{os.path.basename(corpus)}-{NUM_CPUS}"
+    shutil.rmtree(pos_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_index(
+        corpus, pos_dir, num_partitions=max(16, NUM_CPUS), salt=4, resume=False,
+        store_positions=True,
+    )
+    build_pos_sec = time.perf_counter() - t0
+    queries["index_build_positional"] = round(build_pos_sec, 3)
+    shutil.rmtree(pos_dir, ignore_errors=True)
+
     # merge round (tiered; salt=4 leaves 4 segments/partition to combine)
     t0 = time.perf_counter()
     run_merge_round(index_dir, segs_per_tier=1, max_merge_at_once=8)
@@ -177,6 +191,7 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "n_docs": int(n_docs),
         "turns_per_s": round(n_docs / build_sec, 1),
+        "turns_per_s_positional": round(n_docs / build_pos_sec, 1),
         "query_p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
         "query_p99_ms": round(float(np.percentile(lat_ms, 99)), 3),
         "query_qps_1core": round(len(lat) / query_total, 1),
@@ -202,7 +217,7 @@ def scaling() -> None:
         # input; same input for both CPU budgets
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    LSR_BENCH_BUILD_ONLY="1",
-                   LSR_BENCH_CONVS_MULT=os.environ.get("LSR_BENCH_CONVS_MULT", "4"))
+                   LSR_BENCH_CONVS_MULT=os.environ.get("LSR_BENCH_CONVS_MULT", "8"))
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
             env=env, capture_output=True, text=True, check=True, cwd="/root/repo",
@@ -239,7 +254,7 @@ def scaling() -> None:
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/BASELINE.md", "a") as fh:
         fh.write(
-            f"\n## scaling run sf={r_lo['sf']} x{os.environ.get('LSR_BENCH_CONVS_MULT', '4')} corpus ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
+            f"\n## scaling run sf={r_lo['sf']} x{os.environ.get('LSR_BENCH_CONVS_MULT', '8')} corpus ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
             f"| num_cpus | build sec | turns/s |\n|---|---|---|\n"
             f"| {lo} | {r_lo['value']} | {thr_lo} |\n"
             f"| {hi} | {r_hi['value']} | {thr_hi} |\n\n"

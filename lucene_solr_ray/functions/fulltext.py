@@ -246,16 +246,34 @@ def min_should_match_retrieve(sf_dir: str, should: list[str], mm: int) -> pa.Tab
 
 def sorted_by_field_topk(sf_dir: str, terms: list[str], field: str = "n_chars",
                          k: int = 10) -> pa.Table:
-    """TopFieldCollector: matching docs ordered by a doc-values field."""
+    """TopFieldCollector in the data plane: the hit docids become a
+    Dataset, join the docs.parquet doc-values columns (pruned read), and
+    a distributed sort + limit produces the top-k — neither the full
+    doc-values column nor the whole match set is sorted in one process
+    (the scale path for ranking a large match set by a field)."""
+    import ray.data
+
     index_dir = docs_index(sf_dir)
     s = IndexSearcher(index_dir)
-    d, vals = s.search_sorted_by_field(terms, field=field, k=k, descending=True)
-    mapping = _docid_to_doc_id(index_dir)
+    d, _ = s.search(terms, k=max(1, s.n_docs), mode="or")
+    if len(d) == 0:
+        return pa.table({"rank": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
+                         field: pa.array([], pa.int64())})
+    hits = ray.data.from_arrow(pa.table({"docid": pa.array(np.sort(d), pa.int64())}))
+    docs = ray.data.read_parquet(
+        os.path.join(index_dir, "docs"), columns=["docid", field, "doc_id"]
+    )
+    top = (
+        hits.join(docs, "inner", num_partitions=4, on=("docid",))
+        .sort([field, "docid"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
     return pa.table(
         {
-            "rank": pa.array(np.arange(len(d)), pa.int64()),
-            "doc_id": pa.array(mapping[d], pa.int64()),
-            field: pa.array(vals.astype(np.int64)),
+            "rank": pa.array(np.arange(len(top)), pa.int64()),
+            "doc_id": pa.array(top["doc_id"].to_numpy().astype(np.int64)),
+            field: pa.array(top[field].to_numpy().astype(np.int64)),
         }
     )
 
