@@ -115,6 +115,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, ["merge", "join", "vector"], mm=2),
         "ft_sorted_by_field": lambda sf: ft.sorted_by_field_topk(sf, ["spark"], "n_chars", k=10),
         "ft_dismax_topk": lambda sf: ft.dismax_topk(sf, ["merge", "join", "window"], 0.3, k=10),
+        "ft_spell_suggest": lambda sf: ft.spell_suggest(sf, "mergee", max_suggestions=5),
+        "ft_prefix_suggest": lambda sf: ft.prefix_suggest(sf, "s", k=5),
+        "ft_term_vector": lambda sf: ft.term_vector(sf, doc_id=3),
         # --- streaming-expression algebra (SURVEY §2.8) ---
         "select_having": rel.select_having,
         "rollup_agg": rel.rollup_agg,
@@ -131,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_sorted": rel.export_sorted,
         # --- facets / aggs (SURVEY §2.7) ---
         "facet_terms": rel.facet_terms,
+        "facet_stats_ext": rel.stats_extended,
         "timeseries_facet": rel.timeseries_facet,
         "significant_terms": rel.significant_terms,
         "collapse_top_order": rel.collapse_top_order,
@@ -230,6 +234,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS rank, "
             "doc_id, n_chars FROM documents WHERE "
             f"list_contains({split}, 'spark') ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "ft_spell_suggest": (
+            f"WITH toks AS (SELECT doc_id, unnest({split}) AS x FROM documents), "
+            f"vocab AS (SELECT x AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks "
+            f"WHERE NOT list_contains({_STOP_SQL}, x) GROUP BY x), "
+            "cand AS (SELECT term, CAST(levenshtein(term, 'mergee') AS BIGINT) AS distance, df "
+            "FROM vocab WHERE levenshtein(term, 'mergee') BETWEEN 1 AND 2) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY distance, df DESC, term) - 1 AS BIGINT) AS sugg_rank, "
+            "term, distance, df FROM cand ORDER BY distance, df DESC, term LIMIT 5"
+        ),
+        "ft_prefix_suggest": (
+            f"WITH toks AS (SELECT unnest({split}) AS x FROM documents), "
+            f"vocab AS (SELECT x AS term, CAST(COUNT(*) AS BIGINT) AS cf FROM toks "
+            f"WHERE NOT list_contains({_STOP_SQL}, x) AND x LIKE 's%' GROUP BY x) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, term) - 1 AS BIGINT) AS sugg_rank, "
+            "term, cf FROM vocab ORDER BY cf DESC, term LIMIT 5"
+        ),
+        "ft_term_vector": (
+            f"SELECT x AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM "
+            f"(SELECT unnest({split}) AS x FROM documents WHERE doc_id = 3) "
+            f"WHERE NOT list_contains({_STOP_SQL}, x) GROUP BY x ORDER BY term"
+        ),
+        "facet_stats_ext": (
+            f"WITH e AS (SELECT event_type, {c(x='value')} AS cents, value FROM events) "
+            "SELECT event_type, COUNT(*) AS n, "
+            "CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_cents, "
+            "CAST(SUM(cents * cents) AS BIGINT) AS sumsq_cents2 "
+            "FROM e GROUP BY event_type ORDER BY event_type"
         ),
         "percolate": (
             f"WITH d AS (SELECT doc_id, {split} AS sp FROM documents) "

@@ -404,6 +404,31 @@ def synonym_filter(tokens: list[str], mapping: dict[str, list[str]]) -> list[str
     return out
 
 
+_CJK_RE = re.compile(r"[぀-ヿ㐀-鿿豈-﫿]+")
+
+
+def cjk_bigram_tokenize(text: str) -> list[str]:
+    """CJKAnalyzer-equivalent ([U] lucene/analysis/common/.../cjk/
+    CJKBigramFilter.java): CJK runs emit overlapping character bigrams
+    (a lone CJK char emits itself); non-CJK spans go through the
+    standard chain."""
+    if not text:
+        return []
+    out = []
+    last = 0
+    for m in _CJK_RE.finditer(text):
+        if m.start() > last:
+            out.extend(tokenize(text[last : m.start()]))
+        run = m.group()
+        if len(run) == 1:
+            out.append(run)
+        else:
+            out.extend(run[i : i + 2] for i in range(len(run) - 1))
+        last = m.end()
+    out.extend(tokenize(text[last:]))
+    return out
+
+
 def english_tokenize(text: str) -> list[str]:
     """EnglishAnalyzer-equivalent chain: standard chain + PorterStemFilter
     ([U] lucene/core/.../analysis/en/EnglishAnalyzer.java)."""
@@ -444,6 +469,7 @@ ANALYZERS = {
     "html_standard": html_strip_standard_tokenize,
     "english": english_tokenize,   # standard + Porter stem
     "folding": folding_tokenize,   # standard + ASCII folding
+    "cjk": cjk_bigram_tokenize,    # CJK bigrams + standard for non-CJK
 }
 
 

@@ -278,6 +278,42 @@ def sorted_by_field_topk(sf_dir: str, terms: list[str], field: str = "n_chars",
     )
 
 
+def spell_suggest(sf_dir: str, term: str, max_suggestions: int = 5, max_edits: int = 2) -> pa.Table:
+    """DirectSpellChecker suggestions (distance asc, df desc, term asc)."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    rows = [
+        {"sugg_rank": i, "term": t, "distance": d, "df": df}
+        for i, (t, d, df) in enumerate(s.suggest_spelling(term, max_suggestions, max_edits))
+    ]
+    schema = pa.schema([("sugg_rank", pa.int64()), ("term", pa.string()),
+                        ("distance", pa.int64()), ("df", pa.int64())])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def prefix_suggest(sf_dir: str, prefix: str, k: int = 5) -> pa.Table:
+    """Prefix suggester ranked by collection frequency."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    rows = [
+        {"sugg_rank": i, "term": t, "cf": cf}
+        for i, (t, cf) in enumerate(s.suggest_prefix(prefix, k))
+    ]
+    schema = pa.schema([("sugg_rank", pa.int64()), ("term", pa.string()), ("cf", pa.int64())])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def term_vector(sf_dir: str, doc_id: int) -> pa.Table:
+    """Per-doc term vector (re-analysis of stored fields)."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    mapping = _docid_to_doc_id(index_dir)
+    docid = int(np.searchsorted(mapping, doc_id))
+    rows = [{"term": t, "tf": f} for t, f in s.term_vector(docid)]
+    schema = pa.schema([("term", pa.string()), ("tf", pa.int64())])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
 def dismax_topk(sf_dir: str, terms: list[str], tie_breaker: float = 0.3, k: int = 10) -> pa.Table:
     index_dir = docs_index(sf_dir)
     s = IndexSearcher(index_dir)

@@ -105,6 +105,47 @@ def stats_global(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist([{k: int(v) for k, v in res.items()}])
 
 
+def stats_extended(sf_dir: str) -> ray.data.Dataset:
+    """Extended facet agg fns ([U] solr/core/.../search/facet/
+    StddevAgg.java, VarianceAgg.java, SumsqAgg.java, MissingAgg.java,
+    CountValsAgg.java) per group. Exact-integer distributed shape: the
+    shuffle carries only (n, n_missing, sum_cents, sumsq_cents2) partials;
+    variance/stddev derive from those moments downstream (kept as raw
+    integer moments here so the DuckDB oracle hashes bit-exact)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("value"))
+        missing = pc.is_null(t.column("value"))
+        tt = pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "n_missing": pc.cast(missing, pa.int64()),
+                "sum_cents": cents,
+                "sumsq_cents2": pc.multiply(cents, cents),
+            }
+        )
+        return (
+            pa.TableGroupBy(tt, ["event_type"])
+            .aggregate([("one", "sum"), ("n_missing", "sum"), ("sum_cents", "sum"),
+                        ("sumsq_cents2", "sum")])
+            .rename_columns(["event_type", "one", "n_missing", "sum_cents", "sumsq_cents2"])
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("one", alias_name="n"),
+            Sum("n_missing", alias_name="n_missing"),
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("sumsq_cents2", alias_name="sumsq_cents2"),
+        )
+        .sort("event_type")
+    )
+
+
 # ---------------- RankStream (top-k by sort) ----------------
 
 def rank_top(sf_dir: str, k: int = 10) -> ray.data.Dataset:

@@ -870,6 +870,35 @@ class IndexSearcher:
         terms = self.expand_terms(kind, pattern, max_terms)
         return self.search(terms, k=k, mode="or")
 
+    # ---------------- suggesters / spellcheck (SURVEY §2.6) ----------------
+
+    def suggest_spelling(self, term: str, max_suggestions: int = 5, max_edits: int = 2):
+        """DirectSpellChecker analogue ([U] lucene/suggest/.../spell/
+        DirectSpellChecker.java): dictionary terms within ``max_edits``,
+        ranked by (edit distance asc, df desc, term asc). Returns
+        [(term, distance, df)]."""
+        out = []
+        for t in self.expand_terms("fuzzy", f"{term}~{max_edits}", max_terms=100_000):
+            if t == term:
+                continue
+            dist = next(d for d in range(1, max_edits + 1) if _levenshtein_leq(term, t, d))
+            df, _, _ = self.term_stats_and_cursor(t)
+            out.append((t, dist, df))
+        out.sort(key=lambda x: (x[1], -x[2], x[0]))
+        return out[:max_suggestions]
+
+    def suggest_prefix(self, prefix: str, k: int = 5):
+        """Prefix suggester ([U] lucene/suggest/.../analyzing/
+        AnalyzingSuggester.java shape): dictionary terms with the prefix,
+        ranked by collection frequency desc (the suggester weight), term
+        asc. Returns [(term, cf)]."""
+        out = []
+        for t in self.expand_terms("prefix", prefix, max_terms=100_000):
+            _, cf, _ = self.term_stats_and_cursor(t)
+            out.append((t, cf))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
     def more_like_this(self, docid: int, max_terms: int = 8, k: int = 10):
         """MoreLikeThis ([U] lucene/queries/.../mlt/MoreLikeThis.java):
         top tf*idf terms of the doc -> OR query (the source doc itself
@@ -901,6 +930,25 @@ class IndexSearcher:
                 scored.append((f * self.simcls.idf(self.n_scoring, df), t))
         top_terms = [t for _, t in heapq.nlargest(max_terms, scored)]
         return self.search(top_terms, k=k, mode="or")
+
+    def term_vector(self, docid: int) -> list[tuple[str, int]]:
+        """Per-doc term vector ([U] lucene/core/.../index/TermVectors.java;
+        the 'from stored fields by re-analysis' path Lucene's highlighter
+        uses when vectors aren't stored): fetch the doc via parquet
+        predicate pushdown, re-run the canonical chain, return sorted
+        (term, tf) pairs."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        from lucene_solr_ray.analysis import batch_term_counts
+
+        tbl = pads.dataset(os.path.join(self.index_dir, "docs"), format="parquet").to_table(
+            columns=["docid", "text"], filter=pc.field("docid") == docid
+        )
+        if tbl.num_rows == 0:
+            return []
+        _, terms, tfs, _ = batch_term_counts([tbl.column("text")[0].as_py()])
+        return sorted((str(t), int(f)) for t, f in zip(terms, tfs))
 
     def explain(self, raw_terms, docid: int) -> list[dict]:
         """Per-term score breakdown for one doc — the Explanation/CheckHits

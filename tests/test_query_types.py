@@ -191,3 +191,55 @@ def test_ts_range_query(searcher, t1_table):
     exp_f = [i for i in exp if "w0000" in set(tokenize(texts[i]))]
     got_f = searcher.search_ts_range(str(lo), str(hi), filter_terms=["w0000"])
     assert got_f.tolist() == exp_f
+
+
+def test_suggesters(searcher, t1_table):
+    from lucene_solr_ray.analysis import tokenize
+    from lucene_solr_ray.pipelines.search import _levenshtein_leq
+
+    texts = _docid_order_texts(t1_table)
+    df = {}
+    cf = {}
+    for tx in texts:
+        toks = tokenize(tx)
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+        for t in toks:
+            cf[t] = cf.get(t, 0) + 1
+    # spellcheck: distance asc, df desc, term asc
+    got = searcher.suggest_spelling("w0001x", max_suggestions=5, max_edits=2)
+    cand = []
+    for t in df:
+        for d in (1, 2):
+            if _levenshtein_leq("w0001x", t, d):
+                cand.append((t, d, df[t]))
+                break
+    cand.sort(key=lambda x: (x[1], -x[2], x[0]))
+    assert got == cand[:5]
+    # prefix suggester: cf desc, term asc
+    got_p = searcher.suggest_prefix("w00", k=5)
+    exp_p = sorted(((t, cf[t]) for t in cf if t.startswith("w00")),
+                   key=lambda x: (-x[1], x[0]))[:5]
+    assert got_p == exp_p
+
+
+def test_term_vector(searcher, t1_table):
+    from lucene_solr_ray.analysis import tokenize
+
+    texts = _docid_order_texts(t1_table)
+    for docid in (0, 5, len(texts) - 1):
+        tv = searcher.term_vector(docid)
+        exp = {}
+        for t in tokenize(texts[docid]):
+            exp[t] = exp.get(t, 0) + 1
+        assert tv == sorted(exp.items())
+    assert searcher.term_vector(10**9) == []
+
+
+def test_cjk_bigram_analyzer():
+    from lucene_solr_ray.analysis import cjk_bigram_tokenize
+
+    assert cjk_bigram_tokenize("日本語テスト") == ["日本", "本語", "語テ", "テス", "スト"]
+    assert cjk_bigram_tokenize("the 中文 word") == ["中文", "word"]
+    assert cjk_bigram_tokenize("中") == ["中"]
+    assert cjk_bigram_tokenize("plain text only") == ["plain", "text", "only"]
