@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_solr_ray.functions import relational as rel
     from lucene_solr_ray.functions import sketches
     from lucene_solr_ray.functions import textstats as ts
+    from lucene_solr_ray.sources import ingest, urp
 
     return {
         # --- dedup & sampling (SURVEY §2.9 + training-data ops) ---
@@ -81,6 +82,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing ---
         "multimodal_payload_stats": multimodal.payload_stats,
         "multimodal_fake_decode": multimodal.fake_decode,
+        # --- ingest: DIH / Tika / URP chain (SURVEY §2.1/§2.2) ---
+        "dih_csv_ingest": ingest.dih_ingest,
+        "tika_extract": ingest.tika_extract,
+        "urp_chain_process": urp.urp_chain_process,
         # --- percolator / highlighter (SURVEY §2.5/§2.6 aux) ---
         "percolate": lambda sf: monitor.percolate(sf, PERCOLATE_QUERIES),
         "highlight_snippets": lambda sf: monitor.highlight(sf, ["vector", "stream"]),
@@ -454,4 +459,22 @@ def oracle_sql() -> dict[str, str]:
             "md5(text) AS digest FROM documents ORDER BY doc_id"
         ),
         # multimodal_fake_decode: stub decoder (deterministic fake) -> rows-only.
+        # --- ingest ---
+        "dih_csv_ingest": (
+            "SELECT doc_id, COALESCE(regexp_extract(text, '^(\\S+)'), '') AS first_tok, "
+            "source || ':' || lang AS src_lang, n_chars FROM documents ORDER BY doc_id"
+        ),
+        "tika_extract": (
+            "SELECT doc_id, "
+            "CASE WHEN doc_id % 7 = 0 THEN 'application/pdf' ELSE 'text/html' END AS content_type, "
+            "CASE WHEN doc_id % 7 = 0 THEN md5('') ELSE md5(text) END AS sig "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "urp_chain_process": (
+            "SELECT doc_id, lower(lang) AS lang_lc, "
+            "md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS sig, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS n_tokens "
+            "FROM documents ORDER BY doc_id"
+        ),
     }

@@ -1,0 +1,141 @@
+"""Solr UpdateRequestProcessor chain ([U] solr/core/.../update/processor/
+UpdateRequestProcessorChain.java) re-expressed Ray-Data-first: a chain is
+an ordered list of vectorized document processors fused into ONE
+`map_batches` stage, so a 100 TB ingest pays a single pass regardless of
+chain length.  Each processor is `pa.Table -> pa.Table` over the batch
+(never per-row driver code); stateful processors compile their config
+once in ``__init__`` (the chain object is the actor's state).
+
+Built-in processors mirror the stock Solr ones:
+- TrimFieldUpdateProcessorFactory         -> TrimFields
+- RegexReplaceProcessorFactory            -> RegexReplace
+- FieldMutating (lowercase)               -> LowerCaseFields
+- SignatureUpdateProcessorFactory (MD5)   -> MD5Signature
+- CountFieldValuesUpdateProcessorFactory  -> TokenCount
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+class TrimFields:
+    """utf8_trim_whitespace over the named fields."""
+
+    def __init__(self, fields: list[str]):
+        self.fields = fields
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        for f in self.fields:
+            col = pc.utf8_trim_whitespace(pc.fill_null(pc.cast(t.column(f), pa.string()), ""))
+            t = t.set_column(t.schema.get_field_index(f), f, col)
+        return t
+
+
+class RegexReplace:
+    def __init__(self, field: str, pattern: str, replacement: str):
+        self.field, self.pattern, self.replacement = field, pattern, replacement
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = pc.replace_substring_regex(
+            pc.fill_null(pc.cast(t.column(self.field), pa.string()), ""),
+            pattern=self.pattern,
+            replacement=self.replacement,
+        )
+        return t.set_column(t.schema.get_field_index(self.field), self.field, col)
+
+
+class LowerCaseFields:
+    def __init__(self, fields: list[str], suffix: str = ""):
+        self.fields, self.suffix = fields, suffix
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        for f in self.fields:
+            col = pc.utf8_lower(pc.fill_null(pc.cast(t.column(f), pa.string()), ""))
+            name = f + self.suffix
+            if name in t.column_names:
+                t = t.set_column(t.schema.get_field_index(name), name, col)
+            else:
+                t = t.append_column(name, col)
+        return t
+
+
+class MD5Signature:
+    """SignatureUpdateProcessorFactory with MD5Signature over the
+    concatenated source fields -> ``out`` column."""
+
+    def __init__(self, fields: list[str], out: str = "sig"):
+        self.fields, self.out = fields, out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cols = [pc.fill_null(pc.cast(t.column(f), pa.string()), "").to_pylist() for f in self.fields]
+        sigs = [
+            hashlib.md5("|".join(vals).encode("utf-8")).hexdigest() for vals in zip(*cols)
+        ] if cols else []
+        return t.append_column(self.out, pa.array(sigs, type=pa.string()))
+
+
+class TokenCount:
+    """Whitespace token count of ``field`` -> ``out`` (int64)."""
+
+    def __init__(self, field: str, out: str = "n_tokens"):
+        self.field, self.out = field, out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        s = pc.utf8_trim_whitespace(pc.fill_null(pc.cast(t.column(self.field), pa.string()), ""))
+        toks = pc.split_pattern_regex(s, pattern=r"\s+")
+        n = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        empty = pc.equal(s, pa.scalar("")).to_numpy(zero_copy_only=False)
+        n = np.where(empty, 0, n).astype(np.int64)
+        return t.append_column(self.out, pa.array(n, type=pa.int64()))
+
+
+class URPChain:
+    """The fused chain — ONE callable-class map_batches stage."""
+
+    def __init__(self, processors):
+        # processors arrive as (cls, kwargs) pairs so actor construction
+        # happens on the worker, once, like Solr's factory.getInstance()
+        self.processors = [cls(**kw) for cls, kw in processors]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        for p in self.processors:
+            t = p(t)
+        return t
+
+
+def run_chain(ds: ray.data.Dataset, processors, concurrency: int = 2) -> ray.data.Dataset:
+    return ds.map_batches(
+        URPChain,
+        fn_constructor_kwargs={"processors": processors},
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+
+
+def urp_chain_process(sf_dir: str) -> ray.data.Dataset:
+    """The driver-contract entry: trim text -> collapse whitespace ->
+    lowercase lang -> MD5 signature of the normalized text -> token
+    count.  Column names match the DuckDB oracle."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    out = run_chain(
+        ds,
+        [
+            (TrimFields, {"fields": ["text"]}),
+            (RegexReplace, {"field": "text", "pattern": r"\s+", "replacement": " "}),
+            (LowerCaseFields, {"fields": ["lang"], "suffix": "_lc"}),
+            (MD5Signature, {"fields": ["text"], "out": "sig"}),
+            (TokenCount, {"field": "text", "out": "n_tokens"}),
+        ],
+    )
+    return out.select_columns(["doc_id", "lang_lc", "sig", "n_tokens"]).sort("doc_id")
