@@ -1,0 +1,75 @@
+"""TopicStream / DaemonStream ([U] solr/solrj/.../io/stream/
+TopicStream.java, DaemonStream.java) — checkpointed pub-sub pull over
+the index.
+
+Solr's TopicStream returns documents matching a query whose version is
+greater than the stored checkpoint, then advances the checkpoint; a
+DaemonStream re-runs an inner stream on an interval.  Here the
+monotonic version is the global docID (docIDs are assigned in stable
+(conv_id, turn_idx) order and appends allocate past maxDoc, so docid is
+exactly the `_version_` analogue).  Checkpoints are tiny JSON documents
+committed with tmp+fsync+rename — the same two-phase pattern as the
+manifest, so a crashed poller never skips documents (at-least-once, as
+in Solr).
+
+At scale each topic partition can poll independently: the checkpoint
+key is (topic_id, partition) and the underlying search already fans out
+per-partition; here a single checkpoint covers the whole index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from lucene_solr_ray.pipelines.search import IndexSearcher
+
+
+class Topic:
+    def __init__(self, index_dir: str, topic_id: str, checkpoint_dir: str):
+        self.index_dir = index_dir
+        self.topic_id = topic_id
+        self.checkpoint_dir = checkpoint_dir
+        os.makedirs(checkpoint_dir, exist_ok=True)
+
+    @property
+    def _ckpt_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, f"topic-{self.topic_id}.json")
+
+    def checkpoint(self) -> int:
+        """Last-delivered docid (exclusive lower bound), -1 if fresh."""
+        if not os.path.exists(self._ckpt_path):
+            return -1
+        with open(self._ckpt_path) as fh:
+            return int(json.load(fh)["checkpoint"])
+
+    def _commit(self, ckpt: int) -> None:
+        tmp = self._ckpt_path + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump({"topic_id": self.topic_id, "checkpoint": int(ckpt)}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, self._ckpt_path)
+
+    def poll(self, terms, mode: str = "or", batch_size: int = 10_000) -> pa.Table:
+        """Deliver matching docs with docid > checkpoint, oldest first,
+        at most batch_size, then advance the checkpoint (TopicStream.read
+        semantics: checkpoint moves to the max delivered version)."""
+        searcher = IndexSearcher(self.index_dir)  # fresh reader sees appends
+        ckpt = self.checkpoint()
+        docids, _ = searcher.search(terms, k=max(1, searcher.n_docs), mode=mode)
+        docids = np.sort(docids.astype(np.int64))
+        docids = docids[docids > ckpt][:batch_size]
+        if len(docids):
+            self._commit(int(docids.max()))
+        return pa.table({"docid": pa.array(np.sort(docids), pa.int64())})
+
+
+def run_daemon(topic: Topic, terms, iterations: int, mode: str = "or") -> list[pa.Table]:
+    """DaemonStream: repeatedly run the inner topic poll (the sandbox has
+    no wall-clock scheduling in tasks; the interval loop is the caller's —
+    each iteration is one daemon tick)."""
+    return [topic.poll(terms, mode=mode) for _ in range(iterations)]

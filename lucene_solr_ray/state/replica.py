@@ -1,0 +1,108 @@
+"""Index replication — the Lucene replicator module re-expressed for a
+shared-nothing Ray cluster ([U] lucene/replicator/.../IndexRevision.java,
+ReplicationClient.java, IndexReplicationHandler.java).
+
+A *revision* is a committed manifest generation; replication is
+pull-based and incremental: the replica diffs the primary's latest
+revision against its own files and fetches only what is missing.
+Segments are immutable and content-addressed (name = (generation,
+bucket); crc32 in the manifest), so a present-and-size-matching file is
+never re-copied — re-replication after a small append moves only the
+new segments, not the index.  Copies fan out as Ray tasks (one per
+segment dir — file I/O, not batch transforms, so raw tasks are the
+right tool).  The manifest is published LAST via the replica's own
+two-phase commit, mirroring IndexReplicationHandler's
+"copy files, then sync segments_N" order: a crash mid-copy leaves the
+replica's previous revision authoritative.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import ray
+
+from lucene_solr_ray.state.manifest import (
+    commit_manifest,
+    latest_generation,
+    load_manifest,
+)
+
+
+def _copy_file(src: str, dst: str) -> int:
+    """Copy one file if absent or size-mismatched; returns bytes copied."""
+    if os.path.exists(dst) and os.path.getsize(dst) == os.path.getsize(src):
+        return 0
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    tmp = dst + f".tmp-{os.getpid()}"
+    shutil.copyfile(src, tmp)
+    os.rename(tmp, dst)
+    return os.path.getsize(dst)
+
+
+@ray.remote
+def _copy_tree(src_dir: str, dst_dir: str) -> int:
+    n = 0
+    for name in sorted(os.listdir(src_dir)):
+        n += _copy_file(os.path.join(src_dir, name), os.path.join(dst_dir, name))
+    return n
+
+
+def _segment_relpath(seg: dict) -> str:
+    return os.path.join("segments", f"p{seg['partition']:04d}", seg["name"])
+
+
+def replicate(primary_dir: str, replica_dir: str, gc: bool = True) -> dict:
+    """Pull the primary's latest revision into replica_dir.  Returns
+    {generation, n_segments_copied, bytes_copied, gc_removed}."""
+    manifest = load_manifest(primary_dir)
+    os.makedirs(replica_dir, exist_ok=True)
+
+    # 1. fetch missing segment dirs in parallel (immutable => skip-if-present)
+    futs = []
+    copied_names = []
+    for seg in manifest["segments"]:
+        rel = _segment_relpath(seg)
+        src = os.path.join(primary_dir, rel)
+        dst = os.path.join(replica_dir, rel)
+        if not os.path.isdir(dst) or set(os.listdir(dst)) != set(os.listdir(src)):
+            futs.append(_copy_tree.remote(src, dst))
+            copied_names.append(seg["name"])
+    # 2. stored fields + tombstones: flat file dirs, immutable files
+    for sub in ("docs", "deletes"):
+        src_sub = os.path.join(primary_dir, sub)
+        if os.path.isdir(src_sub):
+            futs.append(_copy_tree.remote(src_sub, os.path.join(replica_dir, sub)))
+    nbytes = sum(ray.get(futs)) if futs else 0
+    marker = os.path.join(primary_dir, "docs.complete")
+    if os.path.exists(marker):
+        _copy_file(marker, os.path.join(replica_dir, "docs.complete"))
+
+    # 3. publish: replica keeps its own generation counter (a revision
+    # sequence local to this client, like ReplicationClient's handler)
+    src_gen = manifest["generation"]
+    pub = {k: v for k, v in manifest.items() if k != "generation"}
+    pub["replicated_from"] = {"path": primary_dir, "generation": src_gen}
+    gen = commit_manifest(replica_dir, pub)
+
+    # 4. gc: drop replica segment dirs no revision references any more
+    removed = []
+    if gc:
+        live = {_segment_relpath(s) for s in manifest["segments"]}
+        seg_root = os.path.join(replica_dir, "segments")
+        if os.path.isdir(seg_root):
+            for part in sorted(os.listdir(seg_root)):
+                pdir = os.path.join(seg_root, part)
+                for name in sorted(os.listdir(pdir)):
+                    rel = os.path.join("segments", part, name)
+                    if rel not in live:
+                        shutil.rmtree(os.path.join(pdir, name))
+                        removed.append(rel)
+
+    return {
+        "generation": gen,
+        "n_segments_copied": len(copied_names),
+        "bytes_copied": nbytes,
+        "gc_removed": removed,
+    }
