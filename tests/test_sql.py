@@ -1,0 +1,78 @@
+"""SqlStream mini-planner: every supported SQL shape is compared against
+DuckDB running the IDENTICAL string on the same parquet."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("orders", "customer", "part"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con.sql(sql).df()
+
+
+def _ray(sql: str) -> pd.DataFrame:
+    from lucene_solr_ray.functions.sql import execute
+
+    return execute(SF, sql).to_pandas()
+
+
+def _check(sql: str):
+    got = _ray(sql).reset_index(drop=True)
+    exp = _duck(sql).reset_index(drop=True)
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    if not list(got.columns) == list(exp.columns):
+        raise AssertionError(f"schema {list(got.columns)} != {list(exp.columns)}")
+    g = got.sort_values(list(got.columns)).reset_index(drop=True)
+    e = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice >= 200000",
+        "SELECT o_orderkey AS k, o_orderstatus AS st FROM orders WHERE o_orderstatus = 'F'",
+        "SELECT COUNT(*) AS n FROM orders",
+        "SELECT COUNT(*) AS n, SUM(o_custkey) AS s FROM orders WHERE o_custkey < 50",
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
+        "SELECT c_mktsegment, MIN(c_custkey) AS lo, MAX(c_custkey) AS hi "
+        "FROM customer GROUP BY c_mktsegment",
+        "SELECT p_brand, COUNT(*) AS n FROM part WHERE p_size >= 10 AND p_size <= 30 "
+        "GROUP BY p_brand",
+        "SELECT o_orderkey FROM orders WHERE o_orderstatus != 'O' ORDER BY o_orderkey LIMIT 7",
+    ],
+)
+def test_sql_shapes_match_duckdb(ray_session, sql):
+    _check(sql)
+
+
+def test_sql_order_desc_limit(ray_session):
+    sql = "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey DESC LIMIT 5"
+    got = _ray(sql)
+    exp = _duck(sql)
+    # ordered comparison — ORDER BY must be preserved through LIMIT
+    assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT * FROM orders",                                 # star unsupported
+        "SELECT o_orderkey FROM orders JOIN customer ON 1=1",   # join unsupported
+        "SELECT AVG(o_totalprice) FROM orders",                 # avg unsupported
+        "SELECT o_orderkey, COUNT(*) FROM orders",              # non-grouped col
+        "SELECT o_orderkey FROM orders GROUP BY o_orderkey",    # group w/o agg
+        "DELETE FROM orders",                                   # not a select
+    ],
+)
+def test_sql_unsupported_raises(sql):
+    from lucene_solr_ray.functions.sql import parse_select
+
+    with pytest.raises(ValueError):
+        parse_select(sql)
