@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_solr_ray.functions import relational as rel
     from lucene_solr_ray.functions import sketches
     from lucene_solr_ray.functions import textstats as ts
+    from lucene_solr_ray.functions import graph
     from lucene_solr_ray.functions import sql as sqlmod
     from lucene_solr_ray.sources import ingest, urp
 
@@ -83,8 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing ---
         "multimodal_payload_stats": multimodal.payload_stats,
         "multimodal_fake_decode": multimodal.fake_decode,
-        # --- SqlStream (SURVEY §2.8) ---
+        # --- SqlStream / graph streams (SURVEY §2.8) ---
         "sql_stream_agg": sqlmod.sql_stream_agg,
+        "gather_nodes": graph.gather_nodes,
         # --- ingest: DIH / Tika / URP chain (SURVEY §2.1/§2.2) ---
         "dih_csv_ingest": ingest.dih_ingest,
         "tika_extract": ingest.tika_extract,
@@ -464,6 +466,12 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_fake_decode: stub decoder (deterministic fake) -> rows-only.
         # --- SqlStream: the oracle runs the IDENTICAL SQL our planner ran ---
         "sql_stream_agg": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_DEMO"]).SQL_DEMO,
+        "gather_nodes": (
+            "SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_edges FROM lineitem "
+            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders JOIN customer "
+            "ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING') "
+            "GROUP BY l_suppkey ORDER BY l_suppkey"
+        ),
         # --- ingest ---
         "dih_csv_ingest": (
             "SELECT doc_id, COALESCE(regexp_extract(text, '^(\\S+)'), '') AS first_tok, "

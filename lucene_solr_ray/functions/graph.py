@@ -1,0 +1,203 @@
+"""Graph traversal streams ([U] solr/solrj/.../io/graph/
+GatherNodesStream.java, ShortestPathStream.java) re-expressed
+Ray-Data-first.
+
+A *hop* is a distributed semi-join: frontier ⋈ edges on the from-column,
+then a distinct on the to-column — both hash-shuffled, never a driver
+set, so a 10^9-node frontier walks the same code path as ten nodes.
+Multi-hop walks compose hops; BFS shortest-path keeps the visited set AS
+A DATASET and anti-joins it out of each new frontier (Solr's
+ShortestPathStream does the same partition-level joins per level).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count
+
+
+def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _with_schema(schema: dict):
+    """Batch fn: rebuild each batch with exactly the declared schema."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or any(k not in t.column_names for k in schema):
+            return pa.table({k: pa.array([], typ) for k, typ in schema.items()})
+        return pa.table({k: pc.cast(t.column(k), typ) for k, typ in schema.items()})
+
+    return fn
+
+
+@ray.remote
+def _fix_block(tbl: pa.Table, schema: dict) -> pa.Table:
+    if tbl.num_rows == 0 or any(k not in tbl.column_names for k in schema):
+        return pa.table({k: pa.array([], typ) for k, typ in schema.items()})
+    return pa.table({k: pc.cast(tbl.column(k), typ) for k, typ in schema.items()})
+
+
+@ray.remote
+def _block_rows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+def _repair(ds: ray.data.Dataset, schema: dict) -> ray.data.Dataset:
+    """Ray 2.49's hash-shuffle join chokes on EMPTY input blocks (a join
+    partition whose builder receives no schema-carrying shard finalizes a
+    schema-less table -> 'no match for key field').  map_batches never
+    runs on empty blocks, so repair at the block level: rebuild each
+    block with the declared schema and DROP empty blocks entirely.
+    Blocks stay in the object store — the driver routes only refs and
+    per-block row counts — so this is safe on corpus-sized datasets.
+    Callers must handle a genuinely-empty dataset BEFORE joining it
+    (guard with .count() == 0)."""
+    refs = ds.to_arrow_refs()
+    sizes = ray.get([_block_rows.remote(r) for r in refs])
+    keep = [_fix_block.remote(r, schema) for r, n in zip(refs, sizes) if n > 0]
+    if not keep:
+        return ray.data.from_arrow(pa.table({k: pa.array([], t) for k, t in schema.items()}))
+    return ray.data.from_arrow_refs(keep)
+
+
+def hop(frontier: ray.data.Dataset, edges: ray.data.Dataset,
+        from_col: str, to_col: str, num_partitions: int = 8) -> ray.data.Dataset:
+    """One gatherNodes traversal: distinct to-nodes reachable from the
+    frontier. frontier has one column named `from_col`."""
+    joined = edges.join(frontier, "inner", num_partitions=num_partitions, on=(from_col,))
+    distinct = (
+        _repair(joined, {to_col: pa.int64()})
+        .groupby(to_col)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns([to_col])
+    )
+    return _repair(distinct, {to_col: pa.int64()})
+
+
+def gather_nodes(sf_dir: str, segment: str = "BUILDING") -> ray.data.Dataset:
+    """Two-hop gather: customers in `segment` -> their orders -> the
+    suppliers on those orders' line items; returns distinct supplier
+    nodes with traversal counts (gatherNodes' count(*) aggregation)."""
+    roots = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("c_mktsegment"), pa.scalar(segment))).select(
+                ["c_custkey"]
+            ).rename_columns(["o_custkey"]),
+            batch_format="pyarrow",
+        )
+    )
+    roots = _repair(roots, {"o_custkey": pa.int64()})
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+    order_nodes = hop(roots, orders, "o_custkey", "o_orderkey").rename_columns(["l_orderkey"])
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+    joined = lineitem.join(order_nodes, "inner", num_partitions=8, on=("l_orderkey",))
+    return (
+        _repair(joined, {"l_suppkey": pa.int64()})
+        .groupby("l_suppkey")
+        .aggregate(Count(alias_name="n_edges"))
+        .sort("l_suppkey")
+    )
+
+
+def bfs_distance(edges: ray.data.Dataset, src: int, dst: int, max_hops: int = 6,
+                 num_partitions: int = 8) -> int:
+    """ShortestPathStream: BFS distance in a bipartite graph given as an
+    edges Dataset with columns (node:int64, via:int64) — two nodes are
+    adjacent when they share a `via` value. Returns -1 if unreachable
+    within max_hops.
+
+    Each level is dataset joins + an anti-join against the visited
+    dataset; frontiers are materialized per level (they are node-id
+    sized, not corpus sized) so lineage doesn't recompute level N-1 for
+    every level-N hop.  Only the tiny termination flag reaches the
+    driver."""
+    if src == dst:
+        return 0
+    frontier = ray.data.from_arrow(pa.table({"node": pa.array([src], pa.int64())}))
+    visited = frontier
+    for level in range(1, max_hops + 1):
+        vias = hop(frontier, edges, "node", "via", num_partitions)
+        if vias.count() == 0:
+            return -1  # dead-end frontier: no outgoing edges
+        rev = edges.join(vias, "inner", num_partitions=num_partitions, on=("via",))
+        nxt = _repair(
+            _repair(rev, {"node": pa.int64()})
+            .groupby("node")
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["node"]),
+            {"node": pa.int64()},
+        )
+        # anti-join visited: left outer join + null filter
+        lj = nxt.join(
+            visited.map_batches(
+                lambda t: t.append_column("_seen", pa.array(np.ones(len(t), np.int8))),
+                batch_format="pyarrow",
+            ),
+            "left_outer",
+            num_partitions=num_partitions,
+            on=("node",),
+        )
+        def unseen(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "node" not in t.column_names:
+                return pa.table({"node": pa.array([], pa.int64())})
+            return pa.table(
+                {"node": pc.cast(t.filter(pc.is_null(t.column("_seen"))).column("node"), pa.int64())}
+            )
+
+        frontier = _repair(
+            _repair(lj, {"node": pa.int64(), "_seen": pa.int8()}).map_batches(
+                unseen, batch_format="pyarrow"
+            ),
+            {"node": pa.int64()},
+        )
+        hits = frontier.map_batches(
+            lambda t: pa.table(
+                {
+                    "hit": pa.array(
+                        [
+                            int(
+                                pc.sum(
+                                    pc.cast(pc.equal(t.column("node"), pa.scalar(dst)), pa.int64())
+                                ).as_py()
+                                or 0
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("hit")
+        if hits:
+            return level
+        if frontier.count() == 0:
+            return -1
+        visited = _repair(visited.union(frontier), {"node": pa.int64()})
+    return -1
+
+
+def supplier_distance(sf_dir: str, src_supp: int, dst_supp: int, max_hops: int = 6) -> int:
+    """BFS over the supplier—part bipartite graph from lineitem (edge
+    when a supplier ships a part); distance in supplier steps."""
+    edges = (
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pc.cast(t.column("l_suppkey"), pa.int64()),
+                    "via": pc.cast(t.column("l_partkey"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["node", "via"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["node", "via"])
+    )
+    return bfs_distance(edges, src_supp, dst_supp, max_hops)
