@@ -58,7 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_solr_ray.functions import relational as rel
     from lucene_solr_ray.functions import sketches
     from lucene_solr_ray.functions import textstats as ts
-    from lucene_solr_ray.functions import graph
+    from lucene_solr_ray.functions import expr, geo, graph
     from lucene_solr_ray.functions import sql as sqlmod
     from lucene_solr_ray.sources import ingest, urp
 
@@ -142,7 +142,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_sorted": rel.merge_sorted_names,
         "cartesian_explode": rel.cartesian_explode,
         "export_sorted": rel.export_sorted,
+        # --- spatial / expressions (SURVEY §2.6 aux) ---
+        "geo_bbox_dist": geo.geo_bbox_dist,
+        "expression_sort": expr.expression_sort,
         # --- facets / aggs (SURVEY §2.7) ---
+        "taxonomy_facets": rel.taxonomy_facets,
         "facet_terms": rel.facet_terms,
         "facet_stats_ext": rel.stats_extended,
         "timeseries_facet": rel.timeseries_facet,
@@ -466,6 +470,30 @@ def oracle_sql() -> dict[str, str]:
         # multimodal_fake_decode: stub decoder (deterministic fake) -> rows-only.
         # --- SqlStream: the oracle runs the IDENTICAL SQL our planner ran ---
         "sql_stream_agg": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_DEMO"]).SQL_DEMO,
+        "geo_bbox_dist": (
+            # identical coordinate derivation + haversine as geo.py
+            "WITH g AS (SELECT c_custkey, "
+            "CAST(((c_custkey * 37) % 180) AS DOUBLE) - 90 + 0.5 AS lat, "
+            "CAST(((c_custkey * 73) % 360) AS DOUBLE) - 180 + 0.5 AS lon FROM customer) "
+            "SELECT c_custkey, CAST(FLOOR(2 * 6371.0087714 * asin(sqrt("
+            "pow(sin(radians(12.5 - lat)/2), 2) + "
+            "cos(radians(lat)) * cos(radians(12.5)) * pow(sin(radians(42.5 - lon)/2), 2)"
+            ")) * 10 + 0.5) AS BIGINT) AS dist_100m FROM g "
+            "WHERE lat BETWEEN -60 AND 60 AND lon BETWEEN -120 AND 120 ORDER BY c_custkey"
+        ),
+        "expression_sort": (
+            "WITH e AS (SELECT p_partkey, CAST(FLOOR((sqrt(CAST(p_size AS DOUBLE)) * 2 + "
+            "ln(p_retailprice) / 3 - abs(CAST(p_size AS DOUBLE) - 25)) * 1000 + 0.5) AS BIGINT) "
+            "AS expr_milli FROM part) "
+            "SELECT p_partkey, expr_milli FROM e ORDER BY expr_milli DESC, p_partkey LIMIT 100"
+        ),
+        "taxonomy_facets": (
+            "WITH w AS (SELECT regexp_split_to_array(p_type, ' ') AS a FROM part) "
+            "SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+            "SELECT list_extract(a, 1) AS path FROM w "
+            "UNION ALL SELECT list_extract(a, 1) || '/' || list_extract(a, 2) FROM w WHERE len(a) >= 2"
+            ") GROUP BY path ORDER BY path"
+        ),
         "gather_nodes": (
             "SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_edges FROM lineitem "
             "WHERE l_orderkey IN (SELECT o_orderkey FROM orders JOIN customer "

@@ -385,6 +385,34 @@ def facet_terms(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def taxonomy_facets(sf_dir: str) -> ray.data.Dataset:
+    """Hierarchical (taxonomy) facet counts ([U] lucene/facet/.../taxonomy/
+    TaxonomyFacetCounts.java): each part's p_type words form a category
+    path; every document contributes a count to each ancestor node, so
+    the output has one row per level-1 node and per level-1/level-2 node
+    — the drill-down tree Solr's facet.pivot / Lucene's taxonomy index
+    return.  One vectorized explode + one groupby shuffle."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(pc.cast(t.column("p_type"), pa.string()), " ")
+        l1 = pc.list_element(parts, 0)
+        # level-2 node only for docs whose path is >= 2 deep
+        has2 = pc.greater_equal(pc.list_value_length(parts), 2)
+        l2 = pc.binary_join(pc.list_slice(parts, 0, 2), "/").filter(has2)
+        return pa.table({"path": pa.concat_arrays([
+            pc.cast(l1, pa.string()).combine_chunks(),
+            pc.cast(l2, pa.string()).combine_chunks(),
+        ])})
+
+    return (
+        _read(sf_dir, "part", ["p_type"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Count(alias_name="n"))
+        .sort("path")
+    )
+
+
 def timeseries_facet(sf_dir: str) -> ray.data.Dataset:
     """Range facet over time ([U] .../io/stream/TimeSeriesStream.java):
     per-day buckets with count + sum(value cents)."""
