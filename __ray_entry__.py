@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": lambda sf: dedup.minhash_lsh_pairs(sf, jaccard_threshold=0.3),
         "dedup_simhash_pairs": lambda sf: dedup.simhash_near_pairs(sf, max_hamming=3),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(sf, threshold_pct=30),
+        "dedup_embedding_cosine": lambda sf: dedup.embedding_cosine_pairs(sf, threshold=0.42),
+        "dedup_embedding_lsh": lambda sf: dedup.embedding_lsh_pairs(sf, threshold=0.42),
         # --- similarity search ---
         "ann_brute_topk": lambda sf: ann.ann_brute_topk(sf, k=10, n_queries=5),
         "ann_ivf_topk": lambda sf: ann.ann_ivf_topk(sf, k=10, n_queries=5),
@@ -408,8 +410,18 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, string_agg(term || ' ' || qf, ' ' ORDER BY term) AS s FROM prof GROUP BY 1) p "
             "ON d.doc_id = p.doc_id ORDER BY d.doc_id"
         ),
-        # dedup_minhash_lsh / dedup_simhash_pairs: probabilistic sketches,
-        # validated against exact n-gram Jaccard in pytest -> rows-only here.
+        # dedup_minhash_lsh / dedup_simhash_pairs / dedup_embedding_lsh:
+        # probabilistic sketches, validated against the exact twins in
+        # pytest -> rows-only here.
+        "dedup_embedding_cosine": (
+            # threshold 0.42 sits >=3e-5 away from every pair's cosine at
+            # sf0.001/0.01/0.1 (measured), so float64 rounding can't flip
+            # membership between numpy and DuckDB.
+            "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42 "
+            "ORDER BY doc_a, doc_b"
+        ),
         "dedup_ngram_jaccard": (
             "WITH docs AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a FROM documents), "
             "tri AS (SELECT DISTINCT doc_id, list_extract(a, i) || ' ' || list_extract(a, i+1) || ' ' || "

@@ -427,3 +427,158 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 50, ngram: int = 3,
             "jaccard_pct": pa.array(df["jaccard_pct"].astype(np.int64)),
         }
     )
+
+
+# ---------------- embedding-cosine near-dup ----------------
+
+def _emb_chunks(sf_dir: str, chunk_rows: int):
+    """Yield (ids, normalized float64 matrix) chunks of the embeddings
+    table as object-store refs — the driver holds only one chunk at a
+    time (bounded memory), workers fetch refs zero-copy."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    refs = []
+    import ray as _ray
+    for b in ds.iter_batches(batch_size=chunk_rows, batch_format="pyarrow"):
+        ids = b.column("vec_id").to_numpy().astype(np.int64)
+        x = np.array(b.column("embedding").to_pylist(), dtype=np.float64)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        refs.append(_ray.put((ids, xn)))
+    return refs
+
+
+class _BlockPairStage:
+    """Exact cosine over one (chunk_i, chunk_j) block pair: a float64
+    matmul per pair, emitting only (doc_a < doc_b) rows above threshold.
+    Workers hold exactly two chunks — O(n^2/P) compute, O(chunk^2)
+    memory, nothing corpus-sized anywhere."""
+
+    def __init__(self, refs, threshold: float):
+        self.refs = refs  # list of ObjectRefs; ray.get is per-pair, cached by plasma
+        self.threshold = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import ray as _ray
+        out_a, out_b = [], []
+        for i, j in zip(t.column("i").to_pylist(), t.column("j").to_pylist()):
+            ids_i, xi = _ray.get(self.refs[i])
+            ids_j, xj = _ray.get(self.refs[j])
+            cos = xi @ xj.T
+            if i == j:
+                iu = np.triu_indices(len(ids_i), k=1)
+                keep = cos[iu] >= self.threshold
+                a, b = ids_i[iu[0][keep]], ids_j[iu[1][keep]]
+            else:
+                ii, jj = np.nonzero(cos >= self.threshold)
+                a, b = ids_i[ii], ids_j[jj]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out_a.extend(lo.tolist())
+            out_b.extend(hi.tolist())
+        return pa.table(
+            {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64())}
+        )
+
+
+def embedding_cosine_pairs(sf_dir: str, threshold: float = 0.42,
+                           chunk_rows: int = 4096) -> ray.data.Dataset:
+    """EXACT embedding near-dup: all (a, b) with cosine >= threshold, via
+    a distributed block-pair cartesian (each unordered chunk pair is
+    scored by exactly one task, so no cross-band dedupe is needed).
+    This is the exactness baseline; the 100 TB path is
+    ``embedding_lsh_pairs`` (banding prunes the pair space)."""
+    refs = _emb_chunks(sf_dir, chunk_rows)
+    n = len(refs)
+    pair_rows = [{"i": i, "j": j} for i in range(n) for j in range(i, n)]
+    pairs = ray.data.from_items(pair_rows)
+    return (
+        pairs.map_batches(
+            _BlockPairStage,
+            fn_constructor_kwargs={"refs": refs, "threshold": threshold},
+            batch_format="pyarrow",
+            batch_size=1,
+            concurrency=2,
+        )
+        .sort(["doc_a", "doc_b"])
+    )
+
+
+class _HyperplaneStage:
+    """Random-hyperplane (SRP) signatures: sign(X @ P) packed into band
+    chunks. Planes are seeded and built once per actor; the normalized
+    embedding rides along in the group rows (as in the SimHash path) so
+    verification happens inside the bucket, not on the driver."""
+
+    def __init__(self, n_planes: int = 64, bands: int = 16, seed: int = 19):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((64, n_planes))  # (dim, n_planes)
+        self.bands = bands
+        self.r = n_planes // bands
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        if self.planes.shape[0] != x.shape[1]:
+            rng = np.random.default_rng(19)
+            self.planes = rng.standard_normal((x.shape[1], self.planes.shape[1]))
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        bits = (xn @ self.planes) >= 0  # (n, n_planes)
+        n = len(ids)
+        weights = 1 << np.arange(self.r, dtype=np.int64)
+        out = {"band": [], "chunk": [], "vec_id": [], "emb": []}
+        emb_list = [row.tolist() for row in xn]
+        for b in range(self.bands):
+            chunk = bits[:, b * self.r:(b + 1) * self.r].astype(np.int64) @ weights
+            out["band"].extend([b] * n)
+            out["chunk"].extend(chunk.tolist())
+            out["vec_id"].extend(ids.tolist())
+            out["emb"].extend(emb_list)
+        return pa.table(
+            {
+                "band": pa.array(out["band"], pa.int32()),
+                "chunk": pa.array(out["chunk"], pa.int64()),
+                "vec_id": pa.array(out["vec_id"], pa.int64()),
+                "emb": pa.array(out["emb"], pa.list_(pa.float64())),
+            }
+        )
+
+
+def embedding_lsh_pairs(sf_dir: str, threshold: float = 0.42,
+                        n_planes: int = 64, bands: int = 16,
+                        max_bucket: int = 1000) -> ray.data.Dataset:
+    """Approximate embedding near-dup at scale: SRP-LSH banding
+    ((band, chunk) groupby) prunes the pair space; exact cosine verify
+    runs INSIDE each bucket; a final (doc_a, doc_b) groupby dedupes
+    across bands. Recall vs the exact block-pair path is asserted in
+    tests (1 - (1 - p^r)^b with p = 1 - theta/pi)."""
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                              "doc_b": pd.Series([], dtype=np.int64)})
+        if len(g) < 2 or len(g) > max_bucket:  # hot-bucket guard at scale
+            return empty
+        order = np.argsort(g["vec_id"].to_numpy())
+        ids = g["vec_id"].to_numpy()[order]
+        x = np.array(g["emb"].tolist(), dtype=np.float64)[order]
+        cos = x @ x.T
+        iu = np.triu_indices(len(ids), k=1)
+        keep = cos[iu] >= threshold
+        return pd.DataFrame({"doc_a": ids[iu[0][keep]], "doc_b": ids[iu[1][keep]]})
+
+    from ray.data.aggregate import Count
+
+    sig = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(
+        _HyperplaneStage,
+        fn_constructor_kwargs={"n_planes": n_planes, "bands": bands},
+        batch_format="pyarrow",
+        concurrency=2,
+    )
+    return (
+        sig.groupby(["band", "chunk"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])  # dedupe pairs found in multiple bands
+        .aggregate(Count(alias_name="n_bands"))
+        .sort(["doc_a", "doc_b"])
+    )

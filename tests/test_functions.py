@@ -153,3 +153,17 @@ def test_percolate_and_highlight_shapes():
     hl = highlight(SF, ["vector"]).to_pandas()
     assert len(hl) > 0
     assert hl["snippet"].str.contains("<em>").all()
+
+
+def test_embedding_cosine_lsh_recall_vs_exact():
+    """SRP-LSH pairs must be a subset of (verify step) and near-complete
+    vs the exact block-pair path at the same threshold."""
+    from lucene_solr_ray.functions.dedup import embedding_cosine_pairs, embedding_lsh_pairs
+
+    exact = {(r["doc_a"], r["doc_b"])
+             for r in embedding_cosine_pairs(SF, threshold=0.42).take_all()}
+    approx = {(r["doc_a"], r["doc_b"])
+              for r in embedding_lsh_pairs(SF, threshold=0.42).take_all()}
+    assert approx <= exact  # bucket verify is exact -> no false positives
+    assert len(exact) > 0
+    assert len(approx) / len(exact) >= 0.85  # 1-(1-p^4)^16 ~ 0.94 at cos 0.42
