@@ -58,7 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_solr_ray.functions import relational as rel
     from lucene_solr_ray.functions import sketches
     from lucene_solr_ray.functions import textstats as ts
-    from lucene_solr_ray.functions import expr, geo, graph
+    from lucene_solr_ray.functions import classify, expr, geo, graph, ltr
     from lucene_solr_ray.functions import sql as sqlmod
     from lucene_solr_ray.sources import ingest, urp
 
@@ -147,6 +147,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- spatial / expressions (SURVEY §2.6 aux) ---
         "geo_bbox_dist": geo.geo_bbox_dist,
         "expression_sort": expr.expression_sort,
+        # --- LTR / classification (SURVEY §2.6/§2.7 aux) ---
+        "ltr_linear_rescore": ltr.ltr_linear_rescore,
+        "ltr_trees_rescore": ltr.ltr_trees_rescore,
+        "ltr_bm25_rescore": ltr.bm25_rescore,
+        "knn_classify": classify.knn_classify,
+        "nb_classify": classify.nb_classify,
         # --- facets / aggs (SURVEY §2.7) ---
         "taxonomy_facets": rel.taxonomy_facets,
         "facet_terms": rel.facet_terms,
@@ -499,6 +505,19 @@ def oracle_sql() -> dict[str, str]:
             "AS expr_milli FROM part) "
             "SELECT p_partkey, expr_milli FROM e ORDER BY expr_milli DESC, p_partkey LIMIT 100"
         ),
+        # LTR: integer weights x integer features -> hash-exact; the SQL
+        # is generated FROM the model dicts so model and oracle can't drift.
+        "ltr_linear_rescore": __import__(
+            "lucene_solr_ray.functions.ltr", fromlist=["linear_oracle_sql"]
+        ).linear_oracle_sql(),
+        "ltr_trees_rescore": __import__(
+            "lucene_solr_ray.functions.ltr", fromlist=["trees_oracle_sql"]
+        ).trees_oracle_sql(),
+        # ltr_bm25_rescore: BM25 originalScore feature -> rows-only (pytest oracle).
+        "knn_classify": __import__(
+            "lucene_solr_ray.functions.classify", fromlist=["KNN_ORACLE_SQL"]
+        ).KNN_ORACLE_SQL,
+        # nb_classify: float log-probs -> rows-only (pytest planted-corpus oracle).
         "taxonomy_facets": (
             "WITH w AS (SELECT regexp_split_to_array(p_type, ' ') AS a FROM part) "
             "SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM ("

@@ -1,0 +1,213 @@
+"""Classification ([U] lucene/classification/.../KNearestNeighborClassifier.java,
+SimpleNaiveBayesClassifier.java) re-expressed on Ray Data.
+
+- KNN: majority label of the k nearest neighbors by cosine over the
+  ``embeddings`` table — per-batch partial top-k against a broadcast
+  query matrix (the ann.py shape), output-sized driver merge, SQL-exact
+  ((cos DESC, vec_id) neighbor order; (count DESC, label) vote order).
+- Naive Bayes: model trained with map-side partial (class, term) counts
+  combined on the driver (model is vocab x classes — sketch-sized, like
+  sketches.py), broadcast back as sorted numpy arrays + searchsorted
+  (never dicts; CLAUDE.md), vectorized log-prob scoring per batch.
+  Float log-probs have no exact SQL oracle -> pytest-validated on a
+  planted corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+
+# ---------------- KNN classifier ----------------
+
+
+class _KnnVoteStage:
+    def __init__(self, q_ref, qids, k):
+        self.q = ray.get(q_ref)
+        self.qn = self.q / np.linalg.norm(self.q, axis=1, keepdims=True)
+        self.qids = qids
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        labels = t.column("label").to_numpy().astype(np.int64)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        cos = self.qn @ xn.T
+        out_q, out_n, out_l, out_c = [], [], [], []
+        for qi, qid in enumerate(self.qids):
+            mask = ids != qid
+            ci, li, coi = ids[mask], labels[mask], cos[qi][mask]
+            if len(ci) > self.k:
+                order = np.lexsort((ci, -coi))[: self.k]
+                ci, li, coi = ci[order], li[order], coi[order]
+            out_q.extend([int(qid)] * len(ci))
+            out_n.extend(ci.tolist())
+            out_l.extend(li.tolist())
+            out_c.extend(coi.tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "label": pa.array(out_l, pa.int64()),
+                "cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+
+def knn_classify(sf_dir: str, k: int = 10, n_queries: int = 20) -> pa.Table:
+    """Predict each of the first ``n_queries`` vectors' labels from the
+    k-NN majority vote (ties: count desc, label asc) among all OTHER
+    vectors -> (query_id, predicted)."""
+    head = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .sort("vec_id").limit(n_queries).to_pandas()
+    )
+    qids = head["vec_id"].to_numpy().astype(np.int64)
+    q_ref = ray.put(np.array(head["embedding"].tolist(), dtype=np.float64))
+    partials = (
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+        )
+        .map_batches(
+            _KnnVoteStage,
+            fn_constructor_kwargs={"q_ref": q_ref, "qids": qids, "k": k},
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=2,
+        )
+        .to_pandas()  # output-sized: n_queries * k per input block
+    )
+    rows = []
+    for qid, g in partials.groupby("query_id"):
+        order = np.lexsort((g["neighbor_id"].to_numpy(), -g["cos"].to_numpy()))[:k]
+        votes = g["label"].to_numpy()[order]
+        counts = np.bincount(votes)
+        best = np.lexsort((np.arange(len(counts)), -counts))[0]
+        rows.append({"query_id": int(qid), "predicted": int(best)})
+    rows.sort(key=lambda r: r["query_id"])
+    return pa.Table.from_pylist(
+        rows, schema=pa.schema([("query_id", pa.int64()), ("predicted", pa.int64())])
+    )
+
+
+KNN_ORACLE_SQL = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings "
+    "ORDER BY vec_id LIMIT 20), "
+    "nn AS (SELECT q.query_id, b.label, ROW_NUMBER() OVER (PARTITION BY q.query_id "
+    "ORDER BY list_cosine_similarity(q.qe, b.embedding) DESC, b.vec_id) AS rn "
+    "FROM q JOIN embeddings b ON b.vec_id <> q.query_id), "
+    "votes AS (SELECT query_id, label, COUNT(*) AS c FROM nn WHERE rn <= 10 GROUP BY 1, 2) "
+    "SELECT query_id, CAST(label AS BIGINT) AS predicted FROM ("
+    "SELECT query_id, label, ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY c DESC, label) AS r FROM votes) WHERE r = 1 ORDER BY query_id"
+)
+
+
+# ---------------- Naive Bayes text classifier ----------------
+
+
+def train_naive_bayes(ds: ray.data.Dataset, text_col: str = "text",
+                      class_col: str = "lang", alpha: float = 1.0) -> dict:
+    """Map-side partial (class, term) counts -> driver combine (model is
+    vocab x classes), returning numpy model arrays."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern_regex(pc.cast(t.column(text_col), pa.string()), r"\s+")
+        flat = pc.list_flatten(parts).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(parts).to_numpy()
+        nonempty = flat != ""  # empty tokens would collide with the prior marker
+        flat, parent = flat[nonempty], parent[nonempty]
+        cls = t.column(class_col).to_numpy(zero_copy_only=False)[parent]
+        key = np.char.add(np.char.add(cls.astype(str), "\t"), flat.astype(str))
+        uk, counts = np.unique(key, return_counts=True)
+        cl, tm = np.char.partition(uk, "\t")[:, 0], np.char.partition(uk, "\t")[:, 2]
+        # per-class doc counts for the prior
+        ucls, dcounts = np.unique(t.column(class_col).to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table(
+            {
+                "cls": pa.array(np.concatenate([cl, ucls]).tolist(), pa.string()),
+                "term": pa.array(tm.tolist() + [""] * len(ucls), pa.string()),
+                "count": pa.array(np.concatenate([counts, dcounts]), pa.int64()),
+            }
+        )
+
+    import pandas as pd
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    combined = parts.groupby(["cls", "term"], as_index=False)["count"].sum()
+    classes = np.sort(combined["cls"].unique())
+    vocab = np.sort(combined.loc[combined["term"] != "", "term"].unique())
+    c_idx = {c: i for i, c in enumerate(classes)}
+    counts = np.zeros((len(classes), len(vocab)), dtype=np.float64)
+    priors = np.zeros(len(classes), dtype=np.float64)
+    tpos = np.searchsorted(vocab, combined["term"].to_numpy())
+    for cls, term, cnt, tp in zip(combined["cls"], combined["term"],
+                                  combined["count"], tpos):
+        if term == "":
+            priors[c_idx[cls]] += cnt
+        else:
+            counts[c_idx[cls], tp] += cnt
+    totals = counts.sum(axis=1, keepdims=True)
+    log_cond = np.log((counts + alpha) / (totals + alpha * len(vocab)))
+    log_unseen = np.log(alpha / (totals[:, 0] + alpha * len(vocab)))
+    log_prior = np.log(priors / priors.sum())
+    return {
+        "classes": classes, "vocab": vocab, "log_cond": log_cond,
+        "log_unseen": log_unseen, "log_prior": log_prior,
+    }
+
+
+class _NbPredictStage:
+    """Model broadcast once per actor (ray.put ref); vectorized scoring:
+    token -> vocab index via searchsorted, per-doc class scores via
+    np.add.at over (doc, class) partial matrices."""
+
+    def __init__(self, model_ref, text_col: str = "text"):
+        self.m = ray.get(model_ref)
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = self.m
+        parts = pc.split_pattern_regex(pc.cast(t.column(self.text_col), pa.string()), r"\s+")
+        flat = pc.list_flatten(parts).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(parts).to_numpy()
+        nonempty = flat != ""
+        flat, parent = flat[nonempty], parent[nonempty]
+        n = len(t)
+        pos = np.searchsorted(m["vocab"], flat)
+        pos_c = np.clip(pos, 0, len(m["vocab"]) - 1)
+        known = m["vocab"][pos_c] == flat
+        scores = np.tile(m["log_prior"], (n, 1))  # (n, C)
+        for ci in range(len(m["classes"])):
+            contrib = np.where(known, m["log_cond"][ci][pos_c], m["log_unseen"][ci])
+            scores[:, ci] += np.bincount(parent, weights=contrib, minlength=n)
+        best = np.argmax(scores, axis=1)  # argmax -> first (lowest class) on ties
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "predicted": pa.array(m["classes"][best].tolist(), pa.string()),
+            }
+        )
+
+
+def nb_classify(sf_dir: str) -> ray.data.Dataset:
+    """Train on the whole documents table (lang as class), predict every
+    doc's lang -> (doc_id, predicted). Deterministic; accuracy semantics
+    are pytest-validated on a planted corpus (synthetic test langs are
+    not text-correlated)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    model = train_naive_bayes(ds)
+    model_ref = ray.put(model)
+    return ds.map_batches(
+        _NbPredictStage,
+        fn_constructor_kwargs={"model_ref": model_ref},
+        batch_format="pyarrow",
+        concurrency=2,
+    ).select_columns(["doc_id", "predicted"]).sort("doc_id")

@@ -1,0 +1,85 @@
+"""LTR model evaluation + Naive Bayes classifier semantics (planted
+corpus — the sf tables' lang labels are not text-correlated, so accuracy
+is asserted against a corpus whose classes ARE separable)."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tree_eval_matches_scalar_walk():
+    from lucene_solr_ray.functions.ltr import TREES_MODEL, eval_trees
+
+    rng = np.random.default_rng(5)
+    feats = {
+        "tf_term": rng.integers(0, 5, 200),
+        "n_tokens": rng.integers(5, 60, 200),
+        "n_chars": rng.integers(50, 400, 200),
+        "is_en": rng.integers(0, 2, 200),
+    }
+
+    def walk(node, i):
+        if "value" in node:
+            return node["value"]
+        branch = "left" if feats[node["feature"]][i] < node["threshold"] else "right"
+        return walk(node[branch], i)
+
+    got = eval_trees(TREES_MODEL, feats)
+    exp = np.array([sum(walk(t, i) for t in TREES_MODEL) for i in range(200)])
+    assert np.array_equal(got, exp)
+
+
+def test_ltr_bm25_rescore_is_deterministic_and_candidate_subset():
+    from lucene_solr_ray.functions import ltr
+    from lucene_solr_ray.functions.fulltext import bm25_topk
+
+    a = ltr.bm25_rescore(SF, terms=["merge", "sort"], n_candidates=50, k=10)
+    b = ltr.bm25_rescore(SF, terms=["merge", "sort"], n_candidates=50, k=10)
+    assert a.equals(b)
+    assert a.num_rows == 10
+    # reranked ids must come from the first-pass candidate set
+    first_pass = {r["doc_id"] for r in bm25_topk(SF, [("q", ["merge", "sort"], "or")], k=50).to_pylist()}
+    assert set(a.column("doc_id").to_pylist()) <= first_pass
+    # scores non-increasing
+    s = a.column("ltr_score").to_numpy()
+    assert (np.diff(s) <= 0).all()
+
+
+def test_naive_bayes_planted_corpus_accuracy():
+    from lucene_solr_ray.functions.classify import _NbPredictStage, train_naive_bayes
+    import ray
+
+    rng = np.random.default_rng(7)
+    vocab = {
+        "sports": ["goal", "match", "team", "score", "league"],
+        "tech": ["kernel", "compile", "deploy", "server", "bug"],
+        "food": ["bake", "roast", "spice", "flour", "simmer"],
+    }
+    shared = ["the", "and", "with", "of"]
+    rows = []
+    for i in range(300):
+        cls = list(vocab)[i % 3]
+        words = list(rng.choice(vocab[cls], 8)) + list(rng.choice(shared, 4))
+        rng.shuffle(words)
+        rows.append({"doc_id": i, "text": " ".join(words), "lang": cls})
+    ds = ray.data.from_items(rows)
+    model = train_naive_bayes(ds)
+    assert sorted(model["classes"]) == ["food", "sports", "tech"]
+    stage = _NbPredictStage(ray.put(model))
+    out = stage(pa.Table.from_pylist(rows))
+    acc = np.mean(np.array(out.column("predicted").to_pylist())
+                  == np.array([r["lang"] for r in rows]))
+    assert acc >= 0.99, acc
+
+
+def test_knn_classify_schema_and_determinism():
+    from lucene_solr_ray.functions.classify import knn_classify
+
+    a = knn_classify(SF, k=5, n_queries=8)
+    b = knn_classify(SF, k=5, n_queries=8)
+    assert a.equals(b)
+    assert a.num_rows == 8
+    assert a.column_names == ["query_id", "predicted"]
