@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- SqlStream / graph streams (SURVEY §2.8) ---
         "sql_stream_agg": sqlmod.sql_stream_agg,
         "gather_nodes": graph.gather_nodes,
+        "shortest_path": graph.shortest_path_pairs,
         # --- ingest: DIH / Tika / URP chain (SURVEY §2.1/§2.2) ---
         "dih_csv_ingest": ingest.dih_ingest,
         "tika_extract": ingest.tika_extract,
@@ -524,6 +525,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT list_extract(a, 1) AS path FROM w "
             "UNION ALL SELECT list_extract(a, 1) || '/' || list_extract(a, 2) FROM w WHERE len(a) >= 2"
             ") GROUP BY path ORDER BY path"
+        ),
+        "shortest_path": (
+            # BFS distance == MIN(d) over the level-bounded recursive walk;
+            # UNION dedupes (src, node, d) so the walk terminates.
+            "WITH RECURSIVE adj AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v "
+            "FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey), "
+            "pairs(src, dst) AS (VALUES (1, 7), (2, 50)), "
+            "walk(src, node, d) AS ("
+            "SELECT src, src, 0 FROM pairs UNION "
+            "SELECT w.src, adj.v, w.d + 1 FROM walk w JOIN adj ON adj.u = w.node WHERE w.d < 4) "
+            "SELECT CAST(p.src AS BIGINT) AS src, CAST(p.dst AS BIGINT) AS dst, "
+            "CAST(COALESCE(MIN(w.d), -1) AS BIGINT) AS distance "
+            "FROM pairs p LEFT JOIN walk w ON w.src = p.src AND w.node = p.dst "
+            "GROUP BY p.src, p.dst ORDER BY src, dst"
         ),
         "gather_nodes": (
             "SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_edges FROM lineitem "

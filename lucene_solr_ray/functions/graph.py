@@ -201,3 +201,36 @@ def supplier_distance(sf_dir: str, src_supp: int, dst_supp: int, max_hops: int =
         .select_columns(["node", "via"])
     )
     return bfs_distance(edges, src_supp, dst_supp, max_hops)
+
+
+def shortest_path_pairs(sf_dir: str, pairs=((1, 7), (2, 50)), max_hops: int = 4) -> pa.Table:
+    """Driver entry for ShortestPathStream: BFS distance for a fixed set
+    of (src, dst) supplier pairs -> (src, dst, distance); -1 when
+    unreachable within max_hops. Oracle: recursive CTE over the same
+    shared-part adjacency."""
+    edges = (
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pc.cast(t.column("l_suppkey"), pa.int64()),
+                    "via": pc.cast(t.column("l_partkey"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["node", "via"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["node", "via"])
+        .materialize()  # edge list: one row per distinct (supplier, part) — shared by all pairs/levels
+    )
+    rows = [
+        # num_partitions=2: frontiers are node-id sized; at real scale pass
+        # a higher value (the joins repartition the big edge side anyway)
+        {"src": s, "dst": d, "distance": bfs_distance(edges, s, d, max_hops, num_partitions=2)}
+        for s, d in pairs
+    ]
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema([("src", pa.int64()), ("dst", pa.int64()), ("distance", pa.int64())]),
+    )
