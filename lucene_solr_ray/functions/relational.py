@@ -22,7 +22,12 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    # drop the parquet pandas metadata: it makes pa.Schema unhashable,
+    # which defeats Ray's join/shuffle schema dedup (log spam + extra
+    # schema unification work in HashShuffleAggregator)
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
 
 
 def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
