@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_spell_suggest": lambda sf: ft.spell_suggest(sf, "mergee", max_suggestions=5),
         "ft_prefix_suggest": lambda sf: ft.prefix_suggest(sf, "s", k=5),
         "ft_term_vector": lambda sf: ft.term_vector(sf, doc_id=3),
+        "ft_fielded_search": lambda sf: ft.fielded_retrieve(
+            sf, must=["merge"], dv_filters={"lang": "en", "source": ["src1", "src2", "src3"]}),
         # --- streaming-expression algebra (SURVEY §2.8) ---
         "select_having": rel.select_having,
         "rollup_agg": rel.rollup_agg,
@@ -278,6 +280,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT x AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM "
             f"(SELECT unnest({split}) AS x FROM documents WHERE doc_id = 3) "
             f"WHERE NOT list_contains({_STOP_SQL}, x) GROUP BY x ORDER BY term"
+        ),
+        "ft_fielded_search": (
+            f"SELECT doc_id FROM documents WHERE list_contains({split}, 'merge') "
+            "AND lang = 'en' AND source IN ('src1', 'src2', 'src3') ORDER BY doc_id"
         ),
         "facet_stats_ext": (
             f"WITH e AS (SELECT event_type, {c(x='value')} AS cents, value FROM events) "

@@ -48,8 +48,11 @@ def transcripts_from_documents(sf_dir: str) -> ray.data.Dataset:
                 ),
                 "doc_id": batch.column("doc_id"),
                 # extra doc-values columns pass straight through to
-                # docs.parquet (sort-by-field collector uses them)
+                # docs.parquet (sort-by-field collector + schema-routed
+                # docvalues filters use them)
                 "n_chars": batch.column("n_chars"),
+                "lang": batch.column("lang"),
+                "source": batch.column("source"),
             }
         )
 
@@ -60,7 +63,7 @@ def docs_index(sf_dir: str, num_partitions: int = 8, salt: int = 1) -> str:
     """Build (once, cached) the positional documents index for an sf_dir."""
     src = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.sha1(
-        f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{num_partitions}|{salt}|v3-pos".encode()
+        f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{num_partitions}|{salt}|v4-pos".encode()
     ).hexdigest()[:16]
     index_dir = os.path.join(CACHE_ROOT, f"docs-index-{key}")
     if latest_generation(index_dir) is None:
@@ -190,6 +193,19 @@ def boolean_full_retrieve(sf_dir: str, must: list[str], must_not: list[str],
     s = IndexSearcher(index_dir)
     d, _ = s.search_boolean(must=must, must_not=must_not, filter_terms=filter_terms,
                             k=max(1, s.n_docs))
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
+def fielded_retrieve(sf_dir: str, must: list[str], dv_filters: dict) -> pa.Table:
+    """Schema-routed fielded search (Solr q + fq over docValues
+    StrFields, [U] solr/core/.../schema/IndexSchema.java /
+    StrField.java): text MUST terms against the inverted index,
+    ``dv_filters`` (field -> value or list) pushed down into
+    docs.parquet as predicate filters -> sorted doc_id set."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d, _ = s.search_boolean(must=must, dv_filters=dv_filters, k=max(1, s.n_docs))
     mapping = _docid_to_doc_id(index_dir)
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
 

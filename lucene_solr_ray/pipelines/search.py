@@ -518,7 +518,8 @@ class IndexSearcher:
 
     def search_boolean(self, should=(), must=(), must_not=(), filter_terms=(),
                        k: int = 10, boost: dict | None = None,
-                       min_should_match: int = 0):
+                       min_should_match: int = 0,
+                       dv_filters: dict | None = None, schema=None):
         """Full BooleanQuery ([U] lucene/core/.../search/BooleanQuery.java):
         MUST intersects and scores; SHOULD scores (and selects when no
         MUST); MUST_NOT subtracts; FILTER restricts without scoring;
@@ -527,12 +528,27 @@ class IndexSearcher:
         ``boost`` maps analyzed terms to BoostQuery multipliers
         (w = float32(boost * idf)).
 
+        ``dv_filters`` adds schema-routed FILTER clauses over docvalues
+        (string) fields — Solr's ``fq=field:value`` on a docValues
+        StrField ([U] solr/core/.../schema/StrField.java): equality /
+        isin predicates pushed down into docs.parquet (only matching
+        row groups' docid column is read), never scored. ``schema``
+        defaults to the transcript contract's IndexSchema.
+
         Scale shape: candidate narrowing uses block-granular cursor
         probes (TermCursor.probe — only blocks containing candidates
         are decoded), never full decode_all intersections; the rarest
         MUST clause seeds the candidates."""
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
         boost = boost or {}
+        dv_cand = None
+        if dv_filters:
+            from lucene_solr_ray.state.schema import TRANSCRIPTS_SCHEMA
+
+            sch = schema if schema is not None else TRANSCRIPTS_SCHEMA
+            dv_cand = self._docvalues_match(sch.dv_expr(dv_filters))
+            if len(dv_cand) == 0:
+                return empty
 
         def load(raw_list):
             out = []
@@ -546,9 +562,11 @@ class IndexSearcher:
         if any(c is None for _, _, c in must_l + filt_l):
             return empty  # a required clause matches nothing
         present_should = [(t, df, c) for t, df, c in should_l if c is not None]
-        # effective minimumNumberShouldMatch: with no MUST, at least one
-        # SHOULD clause must match (Lucene's implicit mm=1)
-        mm = min_should_match if must_l else max(min_should_match, 1)
+        # effective minimumNumberShouldMatch: with no MUST (and not a
+        # pure-filter query), at least one SHOULD clause must match
+        # (Lucene's implicit mm=1)
+        pure_filter = not must_l and not should_l and dv_cand is not None
+        mm = min_should_match if (must_l or pure_filter) else max(min_should_match, 1)
         if mm > 0 and len(present_should) < mm:
             return empty
         if must_l:
@@ -560,10 +578,20 @@ class IndexSearcher:
                 cand = cand[mask]
                 if len(cand) == 0:
                     return empty
-        else:
+        elif present_should:
             cand = self._live(
                 np.unique(np.concatenate([c.decode_all()[0] for _, _, c in present_should]))
             )
+        elif dv_cand is not None:
+            # pure docvalues-filter query: constant-score filter match
+            # (Lucene's MatchAll + FILTER shape)
+            cand = self._live(dv_cand)
+        else:
+            return empty
+        if dv_cand is not None and (must_l or present_should):
+            cand = np.intersect1d(cand, dv_cand, assume_unique=True)
+            if len(cand) == 0:
+                return empty
         for _, _, c in sorted(filt_l, key=lambda x: x[2].n_docs):
             mask, _, _ = c.probe(cand)
             cand = cand[mask]
@@ -587,6 +615,9 @@ class IndexSearcher:
             [(t, df, c) for t, df, c in must_l + present_should],
             key=lambda x: x[0].encode("utf-8"),
         )
+        if not scoring:  # pure-filter query: constant score 0.0, docid asc
+            d = cand[: min(k, len(cand))]
+            return d, np.zeros(len(d), dtype=np.float32)
         parts = []
         for t, df, c in scoring:
             b = float(boost.get(t, 1.0))
@@ -599,6 +630,19 @@ class IndexSearcher:
         scores = sim.accumulate(parts)
         top = topk_order(cand, scores, k)
         return cand[top], scores[top]
+
+    def _docvalues_match(self, expr) -> np.ndarray:
+        """Docids whose docs.parquet row matches a pyarrow dataset
+        expression — parquet predicate pushdown (row-group stats +
+        dictionary pruning) replaces Lucene's docValues fq iteration;
+        only the docid column of surviving row groups is materialized.
+        Returns ascending int64 docids."""
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(os.path.join(self.index_dir, "docs"), format="parquet").to_table(
+            columns=["docid"], filter=expr
+        )
+        return np.sort(tbl.column("docid").to_numpy().astype(np.int64))
 
     def search_constant_score(self, raw_terms, k: int = 10, mode: str = "or", boost: float = 1.0):
         """ConstantScoreQuery ([U] .../search/ConstantScoreQuery.java):
