@@ -133,6 +133,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_term_vector": lambda sf: ft.term_vector(sf, doc_id=3),
         "ft_fielded_search": lambda sf: ft.fielded_retrieve(
             sf, must=["merge"], dv_filters={"lang": "en", "source": ["src1", "src2", "src3"]}),
+        # --- TopicStream / Replicator (SURVEY §2.8 / §2.1) ---
+        "topic_stream_poll": lambda sf: __import__(
+            "lucene_solr_ray.functions.topic", fromlist=["topic_poll_batches"]
+        ).topic_poll_batches(sf, terms=("merge",), batch_size=100, n_polls=2),
+        "replica_search": lambda sf: __import__(
+            "lucene_solr_ray.state.replica", fromlist=["replica_retrieve"]
+        ).replica_retrieve(sf, terms=("vector",)),
         # --- streaming-expression algebra (SURVEY §2.8) ---
         "select_having": rel.select_having,
         "rollup_agg": rel.rollup_agg,
@@ -284,6 +291,17 @@ def oracle_sql() -> dict[str, str]:
         "ft_fielded_search": (
             f"SELECT doc_id FROM documents WHERE list_contains({split}, 'merge') "
             "AND lang = 'en' AND source IN ('src1', 'src2', 'src3') ORDER BY doc_id"
+        ),
+        "topic_stream_poll": (
+            # two successive checkpointed polls of 100 == the first two
+            # 100-row slices of matching docs in doc_id order
+            f"WITH m AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn "
+            f"FROM documents WHERE list_contains({split}, 'merge')) "
+            "SELECT CAST(rn // 100 AS BIGINT) AS poll, doc_id FROM m "
+            "WHERE rn < 200 ORDER BY poll, doc_id"
+        ),
+        "replica_search": (
+            f"SELECT doc_id FROM documents WHERE list_contains({split}, 'vector') ORDER BY doc_id"
         ),
         "facet_stats_ext": (
             f"WITH e AS (SELECT event_type, {c(x='value')} AS cents, value FROM events) "

@@ -200,12 +200,21 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
         concurrency=2,
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        # returns Arrow (not pandas): pandas->Arrow conversion attaches
+        # schema metadata that defeats Ray's schema-hash dedup in the
+        # downstream groupby shuffle
         docs = sorted(set(g["doc_id"].tolist()))
         if len(docs) < 2 or len(docs) > 200:  # hot-bucket guard at scale
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        pairs = list(itertools.combinations(docs, 2))
-        return pd.DataFrame({"doc_a": [p[0] for p in pairs], "doc_b": [p[1] for p in pairs]})
+            pairs = []
+        else:
+            pairs = list(itertools.combinations(docs, 2))
+        return pa.table(
+            {
+                "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+                "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
 
     from ray.data.aggregate import Count
 
@@ -312,11 +321,12 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        # Arrow return: keeps the downstream shuffle's schemas metadata-free
         if len(g) < 2 or len(g) > 200:  # hot-bucket guard at scale
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64),
-                                 "hamming": pd.Series([], dtype=np.int64)})
+            e = np.empty(0, dtype=np.int64)
+            return pa.table({"doc_a": pa.array(e), "doc_b": pa.array(e),
+                             "hamming": pa.array(e)})
         order = np.argsort(g["doc_id"].to_numpy())
         ids = g["doc_id"].to_numpy()[order]
         sigs = g["sig"].to_numpy()[order].astype(np.int64).view(np.uint64)
@@ -324,8 +334,9 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         ham = np.array([bin(int(sigs[i]) ^ int(sigs[j])).count("1") for i, j in zip(ii, jj)],
                        dtype=np.int64)
         keep = ham <= max_hamming
-        return pd.DataFrame({"doc_a": ids[ii[keep]], "doc_b": ids[jj[keep]],
-                             "hamming": ham[keep]})
+        return pa.table({"doc_a": pa.array(ids[ii[keep]].astype(np.int64)),
+                         "doc_b": pa.array(ids[jj[keep]].astype(np.int64)),
+                         "hamming": pa.array(ham[keep])})
 
     from ray.data.aggregate import Min
 
@@ -378,18 +389,21 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 50, ngram: int = 3,
     # |set| per doc, kept as a Dataset for the joins below
     sizes = exploded.groupby("doc_id").aggregate(Count(alias_name="n"))
 
-    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+    def pair_counts(g: pd.DataFrame) -> pa.Table:
+        # Arrow return: keeps the downstream shuffle's schemas metadata-free
         docs = sorted(g["doc_id"].unique().tolist())
         if max_group is not None and len(docs) > max_group:
             raise ValueError(
                 f"shingle group {g['sh'].iloc[0]!r} has {len(docs)} docs > max_group={max_group}; "
                 "use the MinHash-LSH path for corpora with shingles this hot"
             )
-        if len(docs) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64)})
-        pairs = list(itertools.combinations(docs, 2))
-        return pd.DataFrame({"doc_a": [p[0] for p in pairs], "doc_b": [p[1] for p in pairs]})
+        pairs = list(itertools.combinations(docs, 2)) if len(docs) >= 2 else []
+        return pa.table(
+            {
+                "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
+                "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
 
     co = (
         exploded.groupby("sh")
@@ -552,18 +566,19 @@ def embedding_lsh_pairs(sf_dir: str, threshold: float = 0.42,
     across bands. Recall vs the exact block-pair path is asserted in
     tests (1 - (1 - p^r)^b with p = 1 - theta/pi)."""
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                              "doc_b": pd.Series([], dtype=np.int64)})
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        # Arrow return: keeps the downstream shuffle's schemas metadata-free
         if len(g) < 2 or len(g) > max_bucket:  # hot-bucket guard at scale
-            return empty
+            e = np.empty(0, dtype=np.int64)
+            return pa.table({"doc_a": pa.array(e), "doc_b": pa.array(e)})
         order = np.argsort(g["vec_id"].to_numpy())
         ids = g["vec_id"].to_numpy()[order]
         x = np.array(g["emb"].tolist(), dtype=np.float64)[order]
         cos = x @ x.T
         iu = np.triu_indices(len(ids), k=1)
         keep = cos[iu] >= threshold
-        return pd.DataFrame({"doc_a": ids[iu[0][keep]], "doc_b": ids[iu[1][keep]]})
+        return pa.table({"doc_a": pa.array(ids[iu[0][keep]].astype(np.int64)),
+                         "doc_b": pa.array(ids[iu[1][keep]].astype(np.int64))})
 
     from ray.data.aggregate import Count
 

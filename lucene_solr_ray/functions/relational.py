@@ -485,9 +485,10 @@ def collapse_top_order(sf_dir: str) -> ray.data.Dataset:
     orderkey asc) ([U] solr/core/.../search/CollapsingQParserPlugin.java,
     lucene/grouping)."""
 
-    def top1(g: pd.DataFrame) -> pd.DataFrame:
+    def top1(g: pd.DataFrame) -> pa.Table:
+        # Arrow return: avoids pandas schema metadata in the sort shuffle
         g = g.sort_values(["total_cents", "o_orderkey"], ascending=[False, True])
-        return g.head(1)
+        return pa.Table.from_pandas(g.head(1), preserve_index=False).replace_schema_metadata(None)
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]).map_batches(
         lambda t: pa.table(

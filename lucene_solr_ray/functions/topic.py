@@ -68,6 +68,35 @@ class Topic:
         return pa.table({"docid": pa.array(np.sort(docids), pa.int64())})
 
 
+def topic_poll_batches(sf_dir: str, terms=("merge",), batch_size: int = 100,
+                       n_polls: int = 2) -> pa.Table:
+    """Driver entry: n_polls successive TopicStream reads from a fresh
+    checkpoint over the documents index — poll p delivers the p-th
+    batch_size slice of matching docs in docid (== doc_id) order, and
+    the committed checkpoint guarantees no doc is delivered twice."""
+    import shutil
+    import tempfile
+
+    from lucene_solr_ray.functions.fulltext import _docid_to_doc_id, docs_index
+
+    index_dir = docs_index(sf_dir)
+    ckpt_dir = tempfile.mkdtemp(prefix="lsr-topic-")
+    try:
+        t = Topic(index_dir, "driver", ckpt_dir)
+        mapping = _docid_to_doc_id(index_dir)
+        polls, doc_ids = [], []
+        for p in range(n_polls):
+            tb = t.poll(list(terms), batch_size=batch_size)
+            for d in tb.column("docid").to_pylist():
+                polls.append(p)
+                doc_ids.append(int(mapping[d]))
+        return pa.table(
+            {"poll": pa.array(polls, pa.int64()), "doc_id": pa.array(doc_ids, pa.int64())}
+        )
+    finally:
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
 def run_daemon(topic: Topic, terms, iterations: int, mode: str = "or") -> list[pa.Table]:
     """DaemonStream: repeatedly run the inner topic poll (the sandbox has
     no wall-clock scheduling in tasks; the interval loop is the caller's —

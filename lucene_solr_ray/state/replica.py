@@ -106,3 +106,22 @@ def replicate(primary_dir: str, replica_dir: str, gc: bool = True) -> dict:
         "bytes_copied": nbytes,
         "gc_removed": removed,
     }
+
+
+def replica_retrieve(sf_dir: str, terms=("vector",)):
+    """Driver entry: replicate the documents index into a replica dir
+    (incremental pull; a second call copies nothing) and answer a term
+    query FROM THE REPLICA — result must equal the primary's."""
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_solr_ray.functions.fulltext import _docid_to_doc_id, docs_index
+    from lucene_solr_ray.pipelines.search import IndexSearcher
+
+    primary = docs_index(sf_dir)
+    replica_dir = primary + "-replica"
+    replicate(primary, replica_dir)
+    s = IndexSearcher(replica_dir)
+    d, _ = s.search(list(terms), k=max(1, s.n_docs), mode="or")
+    mapping = _docid_to_doc_id(replica_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
