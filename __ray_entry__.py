@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_range_docs": lambda sf: ft.multi_term_retrieve(sf, "range", "key:part"),
         "ft_more_like_this": lambda sf: ft.more_like_this_topk(sf, doc_id=0, k=10),
         "ft_phrase_docs": lambda sf: ft.phrase_retrieve(sf, ["merge", "join"]),
+        "ft_multi_phrase_docs": lambda sf: ft.multi_phrase_retrieve(
+            sf, [["merge", "join"], ["vector"]]),
         "ft_phrase_topk": lambda sf: ft.phrase_topk(sf, ["merge", "join"], k=10),
         "ft_boolean_notfilter": lambda sf: ft.boolean_full_retrieve(
             sf, must=["merge"], must_not=["vector"], filter_terms=["join"]),
@@ -231,6 +233,10 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_docs": (
             "SELECT doc_id FROM documents WHERE "
             "regexp_matches(text, '\\bmerge\\s+join\\b') ORDER BY doc_id"
+        ),
+        "ft_multi_phrase_docs": (
+            "SELECT doc_id FROM documents WHERE "
+            "regexp_matches(text, '\\b(merge|join)\\s+vector\\b') ORDER BY doc_id"
         ),
         # ft_phrase_topk / ft_dismax_topk: scored (pytest oracle) -> rows-only.
         "ft_boolean_notfilter": (

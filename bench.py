@@ -181,6 +181,17 @@ def main() -> None:
     rel.hash_join(SF_DIR).to_pandas()
     queries["hash_join"] = round(time.perf_counter() - t0, 3)
 
+    # training-data pipeline headliners over the sf documents/embeddings
+    from lucene_solr_ray.functions import ann as annmod
+    from lucene_solr_ray.functions import dedup as dedupmod
+
+    t0 = time.perf_counter()
+    dedupmod.minhash_lsh_pairs(SF_DIR, jaccard_threshold=0.3)
+    queries["dedup_minhash_lsh"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    annmod.ann_brute_topk(SF_DIR, k=10, n_queries=5)
+    queries["ann_brute_topk"] = round(time.perf_counter() - t0, 3)
+
     lat_ms = np.array(lat) * 1000
     out = {
         "metric": "index_build_sec",

@@ -16,11 +16,13 @@ import pandas as pd
 import pyarrow as pa
 
 import ray
+
+from lucene_solr_ray.io_utils import read_parquet_clean
 import ray.data
 
 
 def _read_emb(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
@@ -181,7 +183,7 @@ def embedding_label_counts(sf_dir: str) -> ray.data.Dataset:
     """Label histogram + dimensionality check (vector-column groupby)."""
     from ray.data.aggregate import Count
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
 
     def dims(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -20,6 +20,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
+
+from lucene_solr_ray.io_utils import read_parquet_clean
 import ray.data
 
 
@@ -65,13 +67,13 @@ def knn_classify(sf_dir: str, k: int = 10, n_queries: int = 20) -> pa.Table:
     k-NN majority vote (ties: count desc, label asc) among all OTHER
     vectors -> (query_id, predicted)."""
     head = (
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .sort("vec_id").limit(n_queries).to_pandas()
     )
     qids = head["vec_id"].to_numpy().astype(np.int64)
     q_ref = ray.put(np.array(head["embedding"].tolist(), dtype=np.float64))
     partials = (
-        ray.data.read_parquet(
+        read_parquet_clean(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
         )
         .map_batches(
@@ -200,7 +202,7 @@ def nb_classify(sf_dir: str) -> ray.data.Dataset:
     doc's lang -> (doc_id, predicted). Deterministic; accuracy semantics
     are pytest-validated on a planted corpus (synthetic test langs are
     not text-correlated)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     model = train_naive_bayes(ds)

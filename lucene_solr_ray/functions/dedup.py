@@ -22,13 +22,15 @@ import pyarrow as pa
 
 import ray.data
 
+from lucene_solr_ray.io_utils import read_parquet_clean
+
 _WS = re.compile(r"\s+")
 
 MERSENNE = (1 << 61) - 1
 
 
 def _read_docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
 def _tokens(s: str) -> list[str]:
@@ -449,7 +451,7 @@ def _emb_chunks(sf_dir: str, chunk_rows: int):
     """Yield (ids, normalized float64 matrix) chunks of the embeddings
     table as object-store refs — the driver holds only one chunk at a
     time (bounded memory), workers fetch refs zero-copy."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     refs = []
@@ -582,7 +584,7 @@ def embedding_lsh_pairs(sf_dir: str, threshold: float = 0.42,
 
     from ray.data.aggregate import Count
 
-    sig = ray.data.read_parquet(
+    sig = read_parquet_clean(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(
         _HyperplaneStage,

@@ -23,6 +23,8 @@ import pyarrow as pa
 
 import ray.data
 
+from lucene_solr_ray.io_utils import read_parquet_clean
+
 _TOKEN_RE = re.compile(r"\s*(?:(\d+\.\d+|\d+)|([A-Za-z_]\w*)|(.))")
 
 _FUNCS = {
@@ -173,7 +175,7 @@ class _ExprStage:
 def expression_sort(sf_dir: str, k: int = 100) -> ray.data.Dataset:
     """Expression-computed sort key over part, top-k (TopFieldCollector
     over an expression ValueSource)."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size", "p_retailprice"]
     )
     out = ds.map_batches(

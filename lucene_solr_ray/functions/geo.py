@@ -18,6 +18,8 @@ import pyarrow as pa
 
 import ray.data
 
+from lucene_solr_ray.io_utils import read_parquet_clean
+
 EARTH_RADIUS_KM = 6371.0087714  # WGS84 mean radius, as Lucene GeoUtils
 
 
@@ -64,7 +66,7 @@ class _GeoStage:
 
 def geo_bbox_dist(sf_dir: str, origin=(12.5, 42.5), bbox=(-60.0, 60.0, -120.0, 120.0)) -> ray.data.Dataset:
     """Driver entry: customers inside the bbox with geodist to origin."""
-    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    ds = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
     return ds.map_batches(
         _GeoStage,
         fn_constructor_kwargs={"origin_lat": origin[0], "origin_lon": origin[1], "bbox": bbox},

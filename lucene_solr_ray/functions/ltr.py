@@ -19,6 +19,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from lucene_solr_ray.io_utils import read_parquet_clean
+
 # ---------------- feature extraction (vectorized) ----------------
 
 
@@ -119,7 +121,7 @@ class _LtrStage:
 
 
 def _rescore(sf_dir: str, term: str, model, kind: str, k: int) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang", "n_chars"],
     )

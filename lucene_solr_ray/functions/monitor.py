@@ -15,6 +15,8 @@ import numpy as np
 import pyarrow as pa
 
 import ray
+
+from lucene_solr_ray.io_utils import read_parquet_clean
 import ray.data
 
 from lucene_solr_ray.analysis import tokenize
@@ -76,7 +78,7 @@ def percolate(sf_dir: str, stored_queries: list[dict], concurrency: int = 2) -> 
     """Match the documents stream against stored queries."""
     ref = ray.put(stored_queries)
     return (
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(
             PercolateStage,
             fn_constructor_kwargs={"queries_ref": ref},
@@ -126,7 +128,7 @@ def highlight(sf_dir: str, terms: list[str], window_tokens: int = 5) -> ray.data
         )
 
     return (
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(fn, batch_format="pyarrow")
         .sort("doc_id")
     )

@@ -17,6 +17,8 @@ import pyarrow as pa
 
 import ray.data
 
+from lucene_solr_ray.io_utils import read_parquet_clean
+
 HLL_P = 12  # 4096 registers -> ~1.6% standard error
 _M = 1 << HLL_P
 _ALPHA = 0.7213 / (1 + 1.079 / _M)
@@ -56,7 +58,7 @@ def _hll_estimate(regs: np.ndarray) -> float:
 
 def hll_distinct(sf_dir: str, table: str = "events", column: str = "user_id") -> pa.Table:
     """Approximate distinct count: per-batch registers, merged by max."""
-    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
+    ds = read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=[column])
 
     def partial(t: pa.Table) -> pa.Table:
         vals = t.column(column).to_numpy().astype(np.int64)
@@ -98,7 +100,7 @@ def tdigest_quantiles(sf_dir: str, table: str = "events", column: str = "value",
                       qs=(0.5, 0.9, 0.99), max_centroids: int = 128) -> pa.Table:
     """Approximate quantiles via mergeable centroids (t-digest shape:
     per-batch centroid sets, pairwise-merged then compressed)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[column])
+    ds = read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=[column])
 
     def partial(t: pa.Table) -> pa.Table:
         vals = np.sort(t.column(column).to_numpy().astype(np.float64))

@@ -28,6 +28,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+
+from lucene_solr_ray.io_utils import read_parquet_clean
 from ray.data.aggregate import Count, Max, Min, Sum
 
 _AGG_FNS = {"count", "sum", "min", "max"}
@@ -145,7 +147,7 @@ def execute(sf_dir: str, sql: str) -> ray.data.Dataset:
         | {c for c, _, _ in plan["where"]}
         | set(plan["group"])
     )
-    ds = ray.data.read_parquet(f"{sf_dir}/{plan['table']}.parquet", columns=cols or None)
+    ds = read_parquet_clean(f"{sf_dir}/{plan['table']}.parquet", columns=cols or None)
 
     if plan["where"]:
         preds = list(plan["where"])

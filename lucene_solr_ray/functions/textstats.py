@@ -19,6 +19,8 @@ import pyarrow as pa
 
 import ray.data
 
+from lucene_solr_ray.io_utils import read_parquet_clean
+
 _WS = re.compile(r"\s+")
 _TOKEN_OR_PUNCT = re.compile(r"[a-z0-9]+|[^a-z0-9\s]")
 
@@ -28,7 +30,7 @@ from lucene_solr_ray.analysis import STOPWORDS
 
 
 def _read_docs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
 def token_count(sf_dir: str) -> ray.data.Dataset:

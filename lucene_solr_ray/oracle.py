@@ -166,6 +166,18 @@ class Oracle:
         top = topk_order(cand, scores, k)
         return cand[top], scores[top]
 
+    def _ensure_positions(self) -> None:
+        from lucene_solr_ray.analysis import tokenize_with_positions
+
+        if not hasattr(self, "_positions"):
+            self._positions: dict[str, dict[int, np.ndarray]] = {}
+            for docid, text in enumerate(self.table.column("text").to_pylist()):
+                by_term: dict[str, list[int]] = {}
+                for tok, p in tokenize_with_positions(text or ""):
+                    by_term.setdefault(tok, []).append(p)
+                for tok, ps in by_term.items():
+                    self._positions.setdefault(tok, {})[docid] = np.asarray(ps, dtype=np.int64)
+
     def search_phrase(self, raw_terms, k: int = 10, slop: int = 0) -> tuple[np.ndarray, np.ndarray]:
         """Brute-force PhraseQuery reference: position adjacency with
         StopFilter gaps; tf = phrase freq, weight = float32 sum of idfs."""
@@ -181,14 +193,7 @@ class Oracle:
             pos += max((p for _, p in items), default=0) + 1
         if not qterms:
             return empty
-        if not hasattr(self, "_positions"):
-            self._positions: dict[str, dict[int, np.ndarray]] = {}
-            for docid, text in enumerate(self.table.column("text").to_pylist()):
-                by_term: dict[str, list[int]] = {}
-                for tok, p in tokenize_with_positions(text or ""):
-                    by_term.setdefault(tok, []).append(p)
-                for tok, ps in by_term.items():
-                    self._positions.setdefault(tok, {})[docid] = np.asarray(ps, dtype=np.int64)
+        self._ensure_positions()
         for t, _ in qterms:
             if t not in self._positions:
                 return empty
@@ -201,6 +206,56 @@ class Oracle:
         for doc in cand:
             shifted = [self._positions[t][doc] - qp for t, qp in qterms]
             freq = phrase_freq(shifted, slop)
+            if freq:
+                doc_out.append(doc)
+                freqs.append(freq)
+                norm_b.append(int(self.norms[doc]))
+        if not doc_out:
+            return empty
+        d_arr = np.asarray(doc_out, dtype=np.int64)
+        scores = self.simcls.score_term(
+            w, np.asarray(freqs, dtype=np.int64), np.asarray(norm_b, dtype=np.int64), self.cache
+        )
+        top = topk_order(d_arr, scores, k)
+        return d_arr[top], scores[top]
+
+    def search_multi_phrase(self, slots, k: int = 10, slop: int = 0) -> tuple[np.ndarray, np.ndarray]:
+        """Brute-force MultiPhraseQuery reference: slot i matches any of
+        its terms at position i; per-slot positions are the union over
+        the slot's present terms; weight = float32 sum of present-term
+        idfs in sorted term order (engine mirrors this exactly)."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        if not slots:
+            return empty
+        self._ensure_positions()
+        slot_terms = []
+        present_all: set[str] = set()
+        for raw_slot in slots:
+            present = sorted(
+                {t for t in analyze_query_terms(list(raw_slot)) if t in self._positions}
+            )
+            if not present:
+                return empty
+            slot_terms.append(present)
+            present_all.update(present)
+        w = np.float32(
+            sum(self.simcls.idf(self.n_docs, len(self._positions[t]))
+                for t in sorted(present_all))
+        )
+        from lucene_solr_ray.phrase import phrase_freq
+
+        slot_docs = [
+            set().union(*(self._positions[t].keys() for t in terms)) for terms in slot_terms
+        ]
+        cand = sorted(set.intersection(*slot_docs))
+        doc_out, freqs, norm_b = [], [], []
+        for doc in cand:
+            per_slot = []
+            for qp, terms in enumerate(slot_terms):
+                arrs = [self._positions[t][doc] for t in terms if doc in self._positions[t]]
+                merged = np.unique(np.concatenate(arrs)) if arrs else np.empty(0, np.int64)
+                per_slot.append(merged - qp)
+            freq = phrase_freq(per_slot, slop)
             if freq:
                 doc_out.append(doc)
                 freqs.append(freq)

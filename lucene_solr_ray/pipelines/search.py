@@ -160,6 +160,44 @@ class TermCursor:
         return mask, tfs, norms
 
 
+class _PositionalView:
+    """Merged per-term view over a partition's segments for positional
+    queries: global docid/norm arrays plus lazy per-segment position
+    blobs (decoded per doc on demand)."""
+
+    __slots__ = ("segs", "docids", "norms", "_pos_blobs")
+
+    def __init__(self, entries):
+        self.segs = []
+        ds, ms = [], []
+        self._pos_blobs = {}
+        for r, i in entries:
+            d, t, m = r.postings(i)
+            prefix = np.concatenate([[0], np.cumsum(t)])
+            self.segs.append((d, prefix, r, i))
+            ds.append(d)
+            ms.append(m)
+        self.docids = np.concatenate(ds) if ds else np.empty(0, dtype=np.int64)
+        self.norms = np.concatenate(ms) if ms else np.empty(0, dtype=np.int64)
+
+    def positions(self, docid: int) -> np.ndarray:
+        from lucene_solr_ray.codec.packedints import decode_range
+
+        for si, (d, prefix, r, i) in enumerate(self.segs):
+            j = int(np.searchsorted(d, docid))
+            if j < len(d) and d[j] == docid:
+                blob = self._pos_blobs.get(si)
+                if blob is None:
+                    blob = r.read_pos_blob(i)
+                    self._pos_blobs[si] = blob
+                return decode_range(blob, int(prefix[j]), int(prefix[j + 1]))
+        return np.empty(0, dtype=np.int64)
+
+    def norm_of(self, docid: int) -> int:
+        j = int(np.searchsorted(self.docids, docid))
+        return int(self.norms[j])
+
+
 class IndexSearcher:
     def __init__(self, index_dir: str, generation: int | None = None,
                  similarity: str = "bm25"):
@@ -713,6 +751,20 @@ class IndexSearcher:
 
     # ---------------- PhraseQuery (SURVEY §2.5) ----------------
 
+    def _pos_view(self, term: str):
+        """(merged positional view, global df) for one analyzed term —
+        df == 0 means the term is absent (view is None)."""
+        part = int(stable_term_hash(np.array([term], dtype=object))[0]) % self.num_partitions
+        entries = []
+        df = 0
+        for seg in self._by_partition.get(part, ()):
+            r = self._reader(part, seg["name"])
+            i = r.lookup(term)
+            if i is not None:
+                df += int(r.df[i])
+                entries.append((r, i))
+        return (_PositionalView(entries) if df else None), df
+
     def search_phrase(self, raw_terms, k: int = 10, slop: int = 0):
         """Exact phrase match ([U] lucene/core/.../search/PhraseQuery.java):
         candidates = conjunction of the phrase terms; verified by position
@@ -722,7 +774,6 @@ class IndexSearcher:
         the member idfs (BM25Similarity.idfExplain over the term array).
         Requires an index built with store_positions=True."""
         from lucene_solr_ray.analysis import tokenize_with_positions
-        from lucene_solr_ray.codec.packedints import decode_range
 
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
         qterms: list[tuple[str, int]] = []
@@ -737,50 +788,15 @@ class IndexSearcher:
         if not qterms:
             return empty
 
-        class _View:
-            __slots__ = ("segs", "docids", "norms", "_pos_blobs")
-
-            def __init__(self, entries):
-                self.segs = []
-                ds, ms = [], []
-                self._pos_blobs = {}
-                for r, i in entries:
-                    d, t, m = r.postings(i)
-                    prefix = np.concatenate([[0], np.cumsum(t)])
-                    self.segs.append((d, prefix, r, i))
-                    ds.append(d)
-                    ms.append(m)
-                self.docids = np.concatenate(ds) if ds else np.empty(0, dtype=np.int64)
-                self.norms = np.concatenate(ms) if ms else np.empty(0, dtype=np.int64)
-
-            def positions(self, docid: int) -> np.ndarray:
-                for si, (d, prefix, r, i) in enumerate(self.segs):
-                    j = int(np.searchsorted(d, docid))
-                    if j < len(d) and d[j] == docid:
-                        blob = self._pos_blobs.get(si)
-                        if blob is None:
-                            blob = r.read_pos_blob(i)
-                            self._pos_blobs[si] = blob
-                        return decode_range(blob, int(prefix[j]), int(prefix[j + 1]))
-                return np.empty(0, dtype=np.int64)
-
         distinct = sorted({t for t, _ in qterms})
-        views: dict[str, _View] = {}
+        views: dict[str, _PositionalView] = {}
         dfs: dict[str, int] = {}
         for t in distinct:
-            part = int(stable_term_hash(np.array([t], dtype=object))[0]) % self.num_partitions
-            entries = []
-            df = 0
-            for seg in self._by_partition.get(part, ()):
-                r = self._reader(part, seg["name"])
-                i = r.lookup(t)
-                if i is not None:
-                    df += int(r.df[i])
-                    entries.append((r, i))
+            view, df = self._pos_view(t)
             if df == 0:
                 return empty
             dfs[t] = df
-            views[t] = _View(entries)
+            views[t] = view
 
         cand = self._live(views[distinct[0]].docids)
         for t in distinct[1:]:
@@ -801,6 +817,82 @@ class IndexSearcher:
                 freqs.append(freq)
                 j = int(np.searchsorted(first.docids, doc))
                 norm_bytes.append(int(first.norms[j]))
+        if not doc_ids_out:
+            return empty
+        d_arr = np.asarray(doc_ids_out, dtype=np.int64)
+        scores = self.simcls.score_term(
+            w, np.asarray(freqs, dtype=np.int64), np.asarray(norm_bytes, dtype=np.int64), self.cache
+        )
+        top = topk_order(d_arr, scores, k)
+        return d_arr[top], scores[top]
+
+    def search_multi_phrase(self, slots, k: int = 10, slop: int = 0):
+        """MultiPhraseQuery ([U] lucene/core/.../search/MultiPhraseQuery.java):
+        ``slots`` is a list of term alternatives per phrase position —
+        slot i matches if ANY of its terms occurs at position i (the
+        synonym-phrase case). Candidates = conjunction over slots of the
+        union of each slot's posting lists; per-candidate verification
+        merges (np.union1d) the slot terms' shifted positions before the
+        same phrase_freq adjacency check as PhraseQuery. Scored as one
+        pseudo-term: tf = phrase frequency, weight = float32 sum of the
+        idfs of every PRESENT term (absent terms contribute nothing, as
+        MultiPhraseWeight only collects TermStates with docFreq > 0).
+        Requires store_positions=True."""
+        from lucene_solr_ray.phrase import phrase_freq
+
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        if not slots:
+            return empty
+        views: dict[str, _PositionalView] = {}
+        dfs: dict[str, int] = {}
+        slot_terms: list[list[str]] = []
+        for raw_slot in slots:
+            present = []
+            for t in analyze_query_terms(list(raw_slot)):
+                if t not in views:
+                    view, df = self._pos_view(t)
+                    if df == 0:
+                        continue
+                    views[t], dfs[t] = view, df
+                if t in views:
+                    present.append(t)
+            if not present:
+                return empty  # a slot with no present term matches nothing
+            slot_terms.append(sorted(set(present)))
+
+        slot_docs = [
+            np.unique(np.concatenate([views[t].docids for t in terms]))
+            for terms in slot_terms
+        ]
+        cand = self._live(slot_docs[0])
+        for d in slot_docs[1:]:
+            cand = np.intersect1d(cand, d, assume_unique=True)
+            if len(cand) == 0:
+                return empty
+
+        w = np.float32(
+            sum(self.simcls.idf(self.n_scoring, dfs[t])
+                for t in sorted(dfs))  # sorted: deterministic float32 sum order
+        )
+        doc_ids_out, freqs, norm_bytes = [], [], []
+        for doc in cand:
+            per_slot = []
+            for qp, terms in enumerate(slot_terms):
+                pos_arrays = [views[t].positions(int(doc)) for t in terms]
+                merged = np.union1d(pos_arrays[0], pos_arrays[1]) if len(pos_arrays) == 2 \
+                    else (pos_arrays[0] if len(pos_arrays) == 1
+                          else np.unique(np.concatenate(pos_arrays)))
+                per_slot.append(merged - qp)
+            freq = phrase_freq(per_slot, slop)
+            if freq:
+                doc_ids_out.append(int(doc))
+                freqs.append(freq)
+                for t in slot_terms[0]:
+                    v = views[t]
+                    j = int(np.searchsorted(v.docids, doc))
+                    if j < len(v.docids) and v.docids[j] == doc:
+                        norm_bytes.append(int(v.norms[j]))
+                        break
         if not doc_ids_out:
             return empty
         d_arr = np.asarray(doc_ids_out, dtype=np.int64)

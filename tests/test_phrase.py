@@ -114,3 +114,45 @@ def test_sloppy_phrase_parity(t1_index, t1_oracle, t1_table):
         d2, _ = s.search_phrase(phrase, k=1000, slop=2)
         n_gained += len(d2) > len(d0)
     assert n_gained >= 10  # slop genuinely widens matches
+
+
+def test_multi_phrase_parity(t1_index, t1_oracle, t1_table):
+    """MultiPhraseQuery: synonym slots built from corpus-adjacent pairs —
+    engine vs oracle rank + bit-equal scores; multi-phrase must cover at
+    least the union of its single-phrase expansions."""
+    index_dir, _ = t1_index
+    s = IndexSearcher(index_dir)
+    rng = np.random.default_rng(29)
+    texts = t1_table.column("text").to_pylist()
+    pairs = set()
+    for text in texts:
+        items = tokenize_with_positions(text)
+        for (t1x, p1), (t2x, p2) in zip(items, items[1:]):
+            if p2 == p1 + 1 and t1x != t2x:
+                pairs.add((t1x, t2x))
+        if len(pairs) > 100:
+            break
+    pool = sorted(pairs)
+    n_nonempty = 0
+    for _ in range(15):
+        (a1, b1), (a2, b2) = (pool[rng.integers(len(pool))] for _ in range(2))
+        slots = [[a1, a2], [b1]]
+        got_d, got_s = s.search_multi_phrase(slots, k=50)
+        exp_d, exp_s = t1_oracle.search_multi_phrase(slots, k=50)
+        assert got_d.tolist() == exp_d.tolist(), slots
+        assert np.array_equal(got_s, exp_s), slots
+        n_nonempty += len(got_d) > 0
+        # containment: every single-expansion phrase match is a multi-phrase match
+        all_k = max(1, s.n_docs)
+        md, _ = s.search_multi_phrase(slots, k=all_k)
+        for first in (a1, a2):
+            pd_, _ = s.search_phrase([first, b1], k=all_k)
+            assert set(pd_.tolist()) <= set(md.tolist()), (slots, first)
+    assert n_nonempty >= 10
+    # a slot with only absent terms matches nothing
+    d, _ = s.search_multi_phrase([["zz-absent"], ["w0000"]], k=10)
+    assert len(d) == 0
+    # absent ALTERNATIVE within a slot is ignored, not fatal
+    d1, s1 = s.search_multi_phrase([[pool[0][0], "zz-absent"], [pool[0][1]]], k=10)
+    e1, es1 = t1_oracle.search_multi_phrase([[pool[0][0], "zz-absent"], [pool[0][1]]], k=10)
+    assert d1.tolist() == e1.tolist() and np.array_equal(s1, es1)
