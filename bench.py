@@ -77,7 +77,15 @@ def main() -> None:
     from lucene_solr_ray.pipelines.search import IndexSearcher, run_queries
 
     # warm OS page cache + spin up the worker/aggregator pools (untimed):
-    # we measure steady-state throughput, not process cold-start
+    # we measure steady-state throughput, not process cold-start.
+    # NOTE: parquet count() answers from file METADATA and leaves the
+    # data pages cold — a timed build then reads the corpus from the
+    # slow shared disk (measured: 2.9s vs 46s for the same read op).
+    # Touch every byte explicitly.
+    for name in sorted(os.listdir(corpus)):
+        with open(os.path.join(corpus, name), "rb") as fh:
+            while fh.read(1 << 24):
+                pass
     ray.data.read_parquet(corpus).count()
     import pyarrow as _pa
 
@@ -236,41 +244,48 @@ def scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    trials = int(os.environ.get("LSR_BENCH_TRIALS", "2"))
+    trials = int(os.environ.get("LSR_BENCH_TRIALS", "3"))
 
-    def best_of(ncpu: int) -> dict:
-        best = None
-        for _ in range(trials):
-            os.sync()  # settle page-cache writeback from the previous run
-            time.sleep(2)
-            r = run(ncpu)
-            if best is None or r["value"] < best["value"]:
-                best = r
-        return best
-
-    r_lo, r_hi = best_of(lo), best_of(hi)
-    thr_lo, thr_hi = r_lo["turns_per_s"], r_hi["turns_per_s"]
-    eff = (thr_hi / thr_lo) / (hi / lo)
+    # INTERLEAVED pairs: the host shows large slow drift (the same build
+    # measured 36-48 s across an hour), so running all-lo then all-hi
+    # lets the drift bias the ratio either way. Each (lo, hi) pair runs
+    # back-to-back so drift mostly cancels within a pair; the reported
+    # efficiency is the MEDIAN of per-pair efficiencies.
+    pairs = []
+    for _ in range(trials):
+        os.sync()  # settle page-cache writeback from the previous run
+        time.sleep(2)
+        r_lo = run(lo)
+        os.sync()
+        time.sleep(2)
+        r_hi = run(hi)
+        pairs.append((r_lo, r_hi))
+    effs = [(p[1]["turns_per_s"] / p[0]["turns_per_s"]) / (hi / lo) for p in pairs]
+    order = sorted(range(len(pairs)), key=lambda i: effs[i])
+    mid = order[len(order) // 2]
+    r_lo, r_hi = pairs[mid]
+    eff = effs[mid]
     result = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "sec_8": r_lo["value"],
         "sec_32": r_hi["value"],
-        "turns_per_s_8": thr_lo,
-        "turns_per_s_32": thr_hi,
+        "turns_per_s_8": r_lo["turns_per_s"],
+        "turns_per_s_32": r_hi["turns_per_s"],
+        "per_pair_efficiency": [round(e, 3) for e in effs],
         "sf": r_lo["sf"],
         "queries": {"index_build_8": r_lo["value"], "index_build_32": r_hi["value"]},
     }
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/BASELINE.md", "a") as fh:
         fh.write(
-            f"\n## scaling run sf={r_lo['sf']} x{os.environ.get('LSR_BENCH_CONVS_MULT', '8')} corpus ({time.strftime('%Y-%m-%d %H:%M:%S')})\n\n"
+            f"\n## scaling run sf={r_lo['sf']} x{os.environ.get('LSR_BENCH_CONVS_MULT', '8')} corpus ({time.strftime('%Y-%m-%d %H:%M:%S')}, interleaved pairs)\n\n"
             f"| num_cpus | build sec | turns/s |\n|---|---|---|\n"
-            f"| {lo} | {r_lo['value']} | {thr_lo} |\n"
-            f"| {hi} | {r_hi['value']} | {thr_hi} |\n\n"
-            f"n_docs = {r_lo['n_docs']}; "
-            f"scaling efficiency (thr32/thr8)/4 = **{eff:.3f}** (criterion: >= 0.8)\n"
+            f"| {lo} | {r_lo['value']} | {r_lo['turns_per_s']} |\n"
+            f"| {hi} | {r_hi['value']} | {r_hi['turns_per_s']} |\n\n"
+            f"n_docs = {r_lo['n_docs']}; per-pair efficiencies {[round(e, 3) for e in effs]}; "
+            f"median scaling efficiency (thr32/thr8)/4 = **{eff:.3f}** (criterion: >= 0.8)\n"
         )
     print(json.dumps(result))
 

@@ -324,6 +324,48 @@ def _make_segment_writer(index_dir: str, generation: int, salt: int, codec_name:
     return write_bucket_segment
 
 
+_STATS_SCHEMA = pa.schema(
+    [
+        ("partition", pa.int32()),
+        ("bucket", pa.int64()),
+        ("name", pa.string()),
+        ("n_terms", pa.int64()),
+        ("n_postings", pa.int64()),
+        ("sum_tf", pa.int64()),
+        ("postings_bytes", pa.int64()),
+        ("postings_crc32", pa.int64()),
+        ("docid_min", pa.int64()),
+        ("docid_max", pa.int64()),
+        ("wall_s", pa.float64()),
+    ]
+)
+
+
+def _make_partition_writer(index_dir: str, generation: int, salt: int, codec_name: str,
+                           lineage: dict, store_positions: bool = False):
+    """Partition-level writer for the hash shuffle: one map task per hash
+    partition, grouping its block by bucket locally (replaces
+    GroupedData.map_groups, whose aggregator-side sort crashes on hash
+    partitions that received zero rows — their blocks have no schema)."""
+    write_one = _make_segment_writer(index_dir, generation, salt, codec_name,
+                                     lineage, store_positions)
+
+    def write_partition(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:  # partition owned no live bucket
+            return _STATS_SCHEMA.empty_table()
+        buckets = block.column("bucket").to_numpy()
+        order = np.argsort(buckets, kind="stable")
+        b_s = buckets[order]
+        starts = np.flatnonzero(np.concatenate([[True], b_s[1:] != b_s[:-1]]))
+        bounds = np.append(starts, len(b_s))
+        out = []
+        for i in range(len(starts)):
+            out.append(write_one(block.take(order[bounds[i] : bounds[i + 1]])))
+        return pa.concat_tables(out)
+
+    return write_partition
+
+
 def build_index(
     input_path,
     index_dir: str,
@@ -502,21 +544,37 @@ def build_index(
     )
     lineage = {"input": str(input_path), "n_docs": n_docs, "num_partitions": num_partitions, "salt": salt}
     # hash shuffle streams analyze output into aggregator actors; the
-    # default sort shuffle would materialize the whole postings stream
-    # before sampling boundaries (a hard barrier between the two stages)
+    # default sort shuffle materializes the whole postings stream before
+    # sampling boundaries (a hard barrier between the two stages).
+    # GroupedData.map_groups dispatches on the DATASET's captured
+    # DataContext (a creation-time snapshot — mutating the global
+    # context here has no effect), so set the strategy on the
+    # dataset's own context; explicit num_partitions bounds the
+    # aggregator-actor count (the default parallelism requests more
+    # aggregators than small-CPU sessions can schedule and stalls).
     from ray.data.context import ShuffleStrategy
 
-    ctx = ray.data.DataContext.get_current()
-    prev_strategy = ctx.shuffle_strategy
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    prev_strategy = analyzed.context.shuffle_strategy
+    analyzed.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    shuffle_partitions = min(total_buckets, max(8, ncpus))
     try:
-        stats_rows = analyzed.groupby("bucket").map_groups(
-            _make_segment_writer(index_dir, generation, salt, codec_name, lineage,
-                                 store_positions),
+        # hash-repartition by bucket (sort=False: the aggregator-side
+        # sort_by crashes on zero-row partitions) + a partition-level
+        # writer that groups by bucket locally
+        shuffled = analyzed.repartition(shuffle_partitions, keys=["bucket"], sort=False)
+        out_ds = shuffled.map_batches(
+            _make_partition_writer(index_dir, generation, salt, codec_name, lineage,
+                                   store_positions),
+            batch_size=None,
             batch_format="pyarrow",
-        ).take_all()
+        )
+        stats_rows = out_ds.take_all()
+        if os.environ.get("LSR_BUILD_STATS"):
+            import sys as _sys
+
+            print(out_ds.stats(), file=_sys.stderr)
     finally:
-        ctx.shuffle_strategy = prev_strategy
+        analyzed.context.shuffle_strategy = prev_strategy
     build_wall_s = time.perf_counter() - t0
 
     if write_docs:
