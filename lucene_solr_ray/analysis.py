@@ -74,6 +74,27 @@ def tokenize_with_positions(text: str) -> list[tuple[str, int]]:
     return out
 
 
+def _token_filters(flat_list):
+    """Per-flat-token (low, emits_pos, keep) arrays, computed once per
+    DISTINCT raw token (hash factorize) and gathered back through the
+    codes — Zipf batches carry ~100x fewer distinct tokens than tokens,
+    and the per-token semantics stay the canonical chain's Python
+    ``str.lower`` / ``strip('_')`` / length cap / stopword test
+    verbatim (bit-identical to the oracle's per-row tokenize)."""
+    import pandas as pd
+
+    codes, uniq = pd.factorize(np.asarray(flat_list, dtype=object), sort=False)
+    u_low = np.array([t.lower() for t in uniq], dtype=object)
+    u_emits = np.fromiter(
+        ((len(t) <= MAX_TOKEN_LEN) and t.strip("_") != "" for t in uniq),
+        dtype=bool, count=len(uniq),
+    )
+    u_keep = u_emits & np.fromiter(
+        (t not in STOPWORDS for t in u_low), dtype=bool, count=len(uniq)
+    )
+    return u_low[codes], u_emits[codes], u_keep[codes]
+
+
 def analyze_texts(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized-ish batch analysis.
 
@@ -90,8 +111,6 @@ def analyze_texts(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """
     import itertools
 
-    import pandas as pd
-
     n_rows = len(texts)
     raw_lists = [
         TOKEN_RE.findall(unicodedata.normalize("NFC", t)) if t else [] for t in texts
@@ -99,17 +118,12 @@ def analyze_texts(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     counts = np.fromiter((len(r) for r in raw_lists), dtype=np.int64, count=n_rows)
     if counts.sum() == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=object), np.zeros(n_rows, np.int64)
-    flat = pd.Series(list(itertools.chain.from_iterable(raw_lists)), dtype=object)
-    # filters are conjunctive, so order doesn't matter; all vectorized:
-    # raw-length cap, pure-underscore drop, lowercase, stopword drop
-    low = flat.str.lower()
-    keep = (
-        (flat.str.len() <= MAX_TOKEN_LEN)
-        & (flat.str.strip("_") != "")
-        & ~low.isin(STOPWORDS)
-    ).to_numpy()
+    # filters are conjunctive, so order doesn't matter; computed per
+    # distinct raw token: raw-length cap, pure-underscore drop,
+    # lowercase, stopword drop
+    low, _, keep = _token_filters(list(itertools.chain.from_iterable(raw_lists)))
     row_idx = np.repeat(np.arange(n_rows, dtype=np.int64), counts)[keep]
-    terms = low.to_numpy()[keep]
+    terms = low[keep]
     dl = np.bincount(row_idx, minlength=n_rows).astype(np.int64)
     return row_idx, terms, dl
 
@@ -143,12 +157,9 @@ def batch_term_positions(texts):
     )
     if counts.sum() == 0:
         return empty
-    flat = pd.Series(list(itertools.chain.from_iterable(raw_lists)), dtype=object)
-    low = flat.str.lower()
     # position-emitting tokens: pass tokenizer-level filters (length cap,
     # pure-underscore) — stopwords among them take a position slot
-    emits_pos = ((flat.str.len() <= MAX_TOKEN_LEN) & (flat.str.strip("_") != "")).to_numpy()
-    keep = emits_pos & ~low.isin(STOPWORDS).to_numpy()
+    low, emits_pos, keep = _token_filters(list(itertools.chain.from_iterable(raw_lists)))
     row_all = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
     # within-row position of each emitting token = #emitting tokens
     # strictly before it in the same row
@@ -159,7 +170,7 @@ def batch_term_positions(texts):
     row_base = np.repeat(before[np.minimum(offsets, len(emits_pos) - 1)], counts)
     pos_all = before - row_base
     row_idx = row_all[keep]
-    terms = low.to_numpy()[keep]
+    terms = low[keep]
     pos_emit = pos_all[keep]
     dl = np.bincount(row_idx, minlength=n_rows).astype(np.int64)
     if len(terms) == 0:
