@@ -118,6 +118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase_docs": lambda sf: ft.phrase_retrieve(sf, ["merge", "join"]),
         "ft_multi_phrase_docs": lambda sf: ft.multi_phrase_retrieve(
             sf, [["merge", "join"], ["vector"]]),
+        "ft_query_parser": lambda sf: ft.query_parser_retrieve(
+            sf, '+"merge join" -vector lang:en'),
         "ft_phrase_topk": lambda sf: ft.phrase_topk(sf, ["merge", "join"], k=10),
         "ft_boolean_notfilter": lambda sf: ft.boolean_full_retrieve(
             sf, must=["merge"], must_not=["vector"], filter_terms=["join"]),
@@ -237,6 +239,11 @@ def oracle_sql() -> dict[str, str]:
         "ft_multi_phrase_docs": (
             "SELECT doc_id FROM documents WHERE "
             "regexp_matches(text, '\\b(merge|join)\\s+vector\\b') ORDER BY doc_id"
+        ),
+        "ft_query_parser": (
+            "SELECT doc_id FROM documents WHERE "
+            "regexp_matches(text, '\\bmerge\\s+join\\b') "
+            f"AND NOT list_contains({split}, 'vector') AND lang = 'en' ORDER BY doc_id"
         ),
         # ft_phrase_topk / ft_dismax_topk: scored (pytest oracle) -> rows-only.
         "ft_boolean_notfilter": (

@@ -197,6 +197,17 @@ def boolean_full_retrieve(sf_dir: str, must: list[str], must_not: list[str],
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
 
 
+def query_parser_retrieve(sf_dir: str, query: str) -> pa.Table:
+    """Classic query-string parsing + execution ([U] lucene/queryparser/
+    .../classic/QueryParser.java): occur prefixes, phrases, multi-term
+    expansion, boosts, docvalues field filters -> sorted doc_id set."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d, _ = s.search_parsed(query, k=max(1, s.n_docs))
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
 def multi_phrase_retrieve(sf_dir: str, slots: list[list[str]]) -> pa.Table:
     """MultiPhraseQuery retrieval ([U] lucene/core/.../search/
     MultiPhraseQuery.java): slot i matches any of its terms at phrase

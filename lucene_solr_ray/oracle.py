@@ -146,6 +146,110 @@ class Oracle:
         top = topk_order(cand, scores, k)
         return cand[top], scores[top]
 
+    def search_clauses(self, clauses, k: int = 10, min_should_match: int = 0):
+        """Brute-force mirror of IndexSearcher.search_clauses (clause
+        groups with multi-term alternatives + phrase clauses; no
+        docvalues filters — those are engine-side parquet pushdown and
+        are tested against the stored columns directly)."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        loaded = []
+        for cl in clauses:
+            occur = cl["occur"]
+            boost = float(cl.get("boost", 1.0))
+            if cl.get("kind", "terms") == "phrase":
+                d, s = self.search_phrase(cl["terms"], k=max(1, self.n_docs),
+                                          slop=int(cl.get("slop", 0)))
+                o = np.argsort(d)
+                m = {"kind": "phrase", "docs": d[o],
+                     "scores": (np.float32(boost) * s[o]).astype(np.float32)}
+                if len(d) == 0 and occur in ("must", "filter"):
+                    return empty
+            else:
+                alts = [(t, self.postings[t]) for t in analyze_query_terms(cl["terms"])
+                        if t in self.postings]
+                if not alts and occur in ("must", "filter"):
+                    return empty
+                m = {"kind": "terms", "alts": alts, "boost": boost}
+            loaded.append((occur, m))
+
+        def all_docs(m):
+            if m["kind"] == "phrase":
+                return m["docs"]
+            if not m["alts"]:
+                return np.empty(0, dtype=np.int64)
+            return np.unique(np.concatenate([p[0] for _, p in m["alts"]]))
+
+        def match_set(m):
+            return set(all_docs(m).tolist())
+
+        musts = [m for oc, m in loaded if oc == "must"]
+        shoulds = [m for oc, m in loaded if oc == "should"]
+        present_should = [m for m in shoulds
+                          if (m["kind"] == "phrase" and len(m["docs"])) or
+                             (m["kind"] == "terms" and m["alts"])]
+        pure_filter = not musts and not shoulds and any(oc == "filter" for oc, _ in loaded)
+        mm = min_should_match if (musts or pure_filter) else max(min_should_match, 1)
+        if mm > 0 and len(present_should) < mm:
+            return empty
+        if musts:
+            cand = all_docs(musts[0])
+            for m in musts[1:]:
+                cand = np.intersect1d(cand, all_docs(m), assume_unique=True)
+        elif present_should:
+            cand = np.unique(np.concatenate([all_docs(m) for m in present_should]))
+        elif pure_filter:
+            filt = [all_docs(m) for oc, m in loaded if oc == "filter"]
+            cand = filt[0]
+            for d in filt[1:]:
+                cand = np.intersect1d(cand, d, assume_unique=True)
+        else:
+            return empty
+        for oc, m in loaded:
+            if oc == "filter" and not pure_filter:
+                cand = np.intersect1d(cand, all_docs(m), assume_unique=True)
+            elif oc == "must_not":
+                cand = np.setdiff1d(cand, all_docs(m), assume_unique=True)
+        if len(cand) == 0:
+            return empty
+        if mm > 0 and present_should:
+            cnt = np.zeros(len(cand), dtype=np.int32)
+            for m in present_should:
+                s = match_set(m)
+                cnt += np.fromiter((int(d) in s for d in cand), dtype=np.int32, count=len(cand))
+            cand = cand[cnt >= mm]
+            if len(cand) == 0:
+                return empty
+
+        parts = []
+        for oc, m in loaded:
+            if oc not in ("must", "should"):
+                continue
+            if m["kind"] == "phrase":
+                s = np.zeros(len(cand), dtype=np.float32)
+                if len(m["docs"]):
+                    pos = np.searchsorted(m["docs"], cand)
+                    pos = np.minimum(pos, len(m["docs"]) - 1)
+                    hit = m["docs"][pos] == cand
+                    s[hit] = m["scores"][pos[hit]]
+                parts.append(s)
+            else:
+                for t, p in m["alts"]:
+                    docids_t, tfs_t = p
+                    w = np.float32(m["boost"] * self.simcls.idf(self.n_docs, len(docids_t)))
+                    s = np.zeros(len(cand), dtype=np.float32)
+                    pos = np.searchsorted(cand, docids_t)
+                    hit = (pos < len(cand)) & (cand[np.minimum(pos, len(cand) - 1)] == docids_t)
+                    s[pos[hit]] = self.simcls.score_term(
+                        w, tfs_t[hit], self.norms[docids_t[hit]], self.cache
+                    )
+                    parts.append(s)
+        if not parts:
+            d = cand[: min(k, len(cand))]
+            return d, np.zeros(len(d), dtype=np.float32)
+        scores = sim.accumulate(parts)
+        top = topk_order(cand, scores, k)
+        return cand[top], scores[top]
+
     def search_dismax(self, raw_terms, k: int = 10, tie_breaker: float = 0.0):
         """Brute-force DisjunctionMaxQuery (engine mirror)."""
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))

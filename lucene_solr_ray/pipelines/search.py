@@ -669,6 +669,163 @@ class IndexSearcher:
         top = topk_order(cand, scores, k)
         return cand[top], scores[top]
 
+    def search_clauses(self, clauses, k: int = 10, min_should_match: int = 0,
+                       dv_filters: dict | None = None, schema=None):
+        """Generalized BooleanQuery over CLAUSE GROUPS — the execution
+        target of the classic query parser ([U] lucene/queryparser/.../
+        classic/QueryParser.java -> BooleanQuery of rewritten
+        sub-queries). Each clause is a dict:
+
+          {"occur": "must"|"should"|"must_not"|"filter",
+           "kind": "terms"|"phrase",
+           "terms": [...],   # alternatives (terms) / word sequence (phrase)
+           "boost": 1.0, "slop": 0}
+
+        A terms clause with multiple alternatives is a rewritten
+        multi-term query (wildcard/fuzzy/range expansion): it MATCHES if
+        any alternative matches and SCORES as the float32 sum over its
+        matching alternatives (ScoringBooleanQueryRewrite), while
+        counting once for occur/minimumNumberShouldMatch. Scoring
+        accumulation order is pinned: clause input order, alternatives
+        in analyzed (byte-sorted) order."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
+        dv_cand = None
+        if dv_filters:
+            from lucene_solr_ray.state.schema import TRANSCRIPTS_SCHEMA
+
+            sch = schema if schema is not None else TRANSCRIPTS_SCHEMA
+            dv_cand = self._docvalues_match(sch.dv_expr(dv_filters))
+            if len(dv_cand) == 0:
+                return empty
+
+        loaded = []  # (occur, matcher-dict)
+        for cl in clauses:
+            occur = cl["occur"]
+            boost = float(cl.get("boost", 1.0))
+            if cl.get("kind", "terms") == "phrase":
+                d, s = self.search_phrase(cl["terms"], k=max(1, self.n_docs),
+                                          slop=int(cl.get("slop", 0)))
+                o = np.argsort(d)
+                m = {"kind": "phrase", "docs": d[o],
+                     "scores": (np.float32(boost) * s[o]).astype(np.float32),
+                     "n_docs": len(d)}
+                if len(d) == 0 and occur in ("must", "filter"):
+                    return empty
+            else:
+                alts = []
+                for t in analyze_query_terms(cl["terms"]):
+                    df, _, cur = self.term_stats_and_cursor(t)
+                    if cur is not None:
+                        alts.append((t, df, cur))
+                if not alts and occur in ("must", "filter"):
+                    return empty
+                m = {"kind": "terms", "alts": alts, "boost": boost,
+                     "n_docs": sum(c.n_docs for _, _, c in alts)}
+            loaded.append((occur, m))
+
+        def all_docs(m) -> np.ndarray:
+            if m["kind"] == "phrase":
+                return m["docs"]
+            if not m["alts"]:
+                return np.empty(0, dtype=np.int64)
+            return np.unique(np.concatenate([c.decode_all()[0] for _, _, c in m["alts"]]))
+
+        def match_mask(m, cand) -> np.ndarray:
+            if m["kind"] == "phrase":
+                pos = np.searchsorted(m["docs"], cand)
+                pos = np.minimum(pos, max(0, len(m["docs"]) - 1))
+                return (m["docs"][pos] == cand) if len(m["docs"]) else np.zeros(len(cand), bool)
+            mask = np.zeros(len(cand), dtype=bool)
+            for _, _, c in m["alts"]:
+                sub, _, _ = c.probe(cand)
+                mask |= sub
+            return mask
+
+        musts = [m for oc, m in loaded if oc == "must"]
+        shoulds = [m for oc, m in loaded if oc == "should"]
+        present_should = [m for m in shoulds
+                          if (m["kind"] == "phrase" and len(m["docs"])) or
+                             (m["kind"] == "terms" and m["alts"])]
+        pure_filter = not musts and not shoulds and (
+            dv_cand is not None or any(oc == "filter" for oc, _ in loaded))
+        mm = min_should_match if (musts or pure_filter) else max(min_should_match, 1)
+        if mm > 0 and len(present_should) < mm:
+            return empty
+        if musts:
+            seed = min(musts, key=lambda m: m["n_docs"])
+            cand = self._live(all_docs(seed))
+            for m in musts:
+                if m is seed:
+                    continue
+                cand = cand[match_mask(m, cand)]
+                if len(cand) == 0:
+                    return empty
+        elif present_should:
+            cand = self._live(np.unique(np.concatenate([all_docs(m) for m in present_should])))
+        elif pure_filter:
+            filt_docs = [all_docs(m) for oc, m in loaded if oc == "filter"]
+            if dv_cand is not None:
+                filt_docs.append(dv_cand)
+            cand = self._live(filt_docs[0])
+            for d in filt_docs[1:]:
+                cand = np.intersect1d(cand, d, assume_unique=True)
+        else:
+            return empty
+        if dv_cand is not None and (musts or present_should):
+            cand = np.intersect1d(cand, dv_cand, assume_unique=True)
+        for oc, m in loaded:
+            if len(cand) == 0:
+                return empty
+            if oc == "filter" and not pure_filter:
+                cand = cand[match_mask(m, cand)]
+            elif oc == "must_not":
+                cand = cand[~match_mask(m, cand)]
+        if len(cand) == 0:
+            return empty
+        if mm > 0 and present_should:
+            cnt = np.zeros(len(cand), dtype=np.int32)
+            for m in present_should:
+                cnt += match_mask(m, cand)
+            cand = cand[cnt >= mm]
+            if len(cand) == 0:
+                return empty
+
+        parts = []
+        for oc, m in loaded:
+            if oc not in ("must", "should"):
+                continue
+            if m["kind"] == "phrase":
+                s = np.zeros(len(cand), dtype=np.float32)
+                if len(m["docs"]):
+                    pos = np.searchsorted(m["docs"], cand)
+                    pos = np.minimum(pos, len(m["docs"]) - 1)
+                    hit = m["docs"][pos] == cand
+                    s[hit] = m["scores"][pos[hit]]
+                parts.append(s)
+            else:
+                for t, df, c in m["alts"]:  # analyzed order (byte-sorted)
+                    w = np.float32(m["boost"] * self.simcls.idf(self.n_scoring, df))
+                    mask, tf, nb = c.probe(cand)
+                    s = np.zeros(len(cand), dtype=np.float32)
+                    if mask.any():
+                        s[mask] = self.simcls.score_term(w, tf[mask], nb[mask], self.cache)
+                    parts.append(s)
+        if not parts:  # pure-filter query: constant score 0, docid asc
+            d = cand[: min(k, len(cand))]
+            return d, np.zeros(len(d), dtype=np.float32)
+        scores = sim.accumulate(parts)
+        top = topk_order(cand, scores, k)
+        return cand[top], scores[top]
+
+    def search_parsed(self, query: str, k: int = 10, schema=None):
+        """Parse a classic query string and execute it (QueryParser +
+        BooleanQuery of rewritten sub-queries)."""
+        from lucene_solr_ray.queryparser import parse_query
+
+        clauses, dv_filters = parse_query(query, searcher=self, schema=schema)
+        return self.search_clauses(clauses, k=k, dv_filters=dv_filters or None,
+                                   schema=schema)
+
     def _docvalues_match(self, expr) -> np.ndarray:
         """Docids whose docs.parquet row matches a pyarrow dataset
         expression — parquet predicate pushdown (row-group stats +

@@ -1,0 +1,112 @@
+"""Classic query parser: parse structure, occur rules, and engine vs
+oracle parity through search_clauses ([U] lucene/queryparser/.../classic/
+QueryParser.java; SURVEY §2.5 query-parsers row)."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_ray.pipelines.search import IndexSearcher
+from lucene_solr_ray.queryparser import parse_query
+
+
+@pytest.fixture(scope="module")
+def searcher(t1_index):
+    index_dir, _ = t1_index
+    return IndexSearcher(index_dir)
+
+
+def test_parse_occur_rules():
+    clauses, dv = parse_query("+a b -c")
+    assert [c["occur"] for c in clauses] == ["must", "should", "must_not"]
+    assert [c["terms"] for c in clauses] == [["a"], ["b"], ["c"]]
+    assert dv == {}
+    # classic AND promotes both neighbours
+    clauses, _ = parse_query("a AND b c")
+    assert [c["occur"] for c in clauses] == ["must", "must", "should"]
+    clauses, _ = parse_query("a OR b")
+    assert [c["occur"] for c in clauses] == ["should", "should"]
+    clauses, _ = parse_query("a NOT b")
+    assert [c["occur"] for c in clauses] == ["should", "must_not"]
+
+
+def test_parse_phrase_boost_fields():
+    clauses, dv = parse_query('"x y"~2 z^1.5 role:user lang:en lang:de')
+    assert clauses[0] == {"kind": "phrase", "terms": ["x", "y"], "slop": 2,
+                          "occur": "should"}
+    assert clauses[1]["terms"] == ["z"] and clauses[1]["boost"] == 1.5
+    assert dv == {"role": "user", "lang": ["en", "de"]}
+    # point-served fields are rejected loudly
+    with pytest.raises(ValueError, match="docvalues"):
+        parse_query("ts:2026-01-01")
+    # text: scopes to the default field
+    clauses, _ = parse_query("text:hello")
+    assert clauses[0]["terms"] == ["hello"]
+
+
+def test_parse_expansions(searcher):
+    clauses, _ = parse_query("w000*", searcher=searcher)
+    assert clauses[0]["kind"] == "terms" and len(clauses[0]["terms"]) >= 2
+    clauses, _ = parse_query("w0000~1", searcher=searcher)
+    assert "w0000" in clauses[0]["terms"]
+    clauses, _ = parse_query("[w0000 TO w0002]", searcher=searcher)
+    assert "w0000" in clauses[0]["terms"] and "w0002" in clauses[0]["terms"]
+    with pytest.raises(ValueError, match="needs a searcher"):
+        parse_query("w0*")
+
+
+QUERIES = [
+    "+w0000 w0005 -w0002",
+    "w0000 AND w0001",
+    "w0000 OR w0003 OR w0007",
+    '"w0000 w0001" w0003',
+    '+"w0000 w0001"~1',
+    "w000* -w0004",
+    "w0001~1",
+    "[w0000 TO w0004] -w0002",
+    "w0000^2.5 w0005",
+    "+w0000 +zz-absent",
+    "zz-absent",
+]
+
+
+def test_parsed_query_parity(searcher, t1_oracle):
+    n_nonempty = 0
+    for q in QUERIES:
+        clauses, dv = parse_query(q, searcher=searcher)
+        assert dv == {}
+        got_d, got_s = searcher.search_clauses(clauses, k=20)
+        exp_d, exp_s = t1_oracle.search_clauses(clauses, k=20)
+        assert got_d.tolist() == exp_d.tolist(), q
+        assert np.array_equal(got_s, exp_s), q
+        n_nonempty += len(got_d) > 0
+    assert n_nonempty >= 8
+
+
+def test_parsed_dv_filter(searcher, t1_index):
+    import os
+
+    import pyarrow.dataset as pads
+
+    index_dir, _ = t1_index
+    t = pads.dataset(os.path.join(index_dir, "docs"), format="parquet").to_table(
+        columns=["docid", "role"]
+    )
+    order = np.argsort(t.column("docid").to_numpy(), kind="stable")
+    roles = t.column("role").to_numpy(zero_copy_only=False)[order]
+    role = roles[0]
+    got_d, _ = searcher.search_parsed(f"+w0000 role:{role}", k=searcher.n_docs)
+    plain_d, _ = searcher.search_parsed("+w0000", k=searcher.n_docs)
+    assert got_d.tolist() == [d for d in plain_d.tolist() if roles[d] == role]
+    assert len(got_d) > 0
+
+
+def test_multi_term_clause_semantics(searcher, t1_oracle):
+    """A MUST multi-term clause matches docs matching ANY alternative
+    (rewrite-as-one-clause), unlike listing the terms as separate MUSTs."""
+    clauses, _ = parse_query("+w000*", searcher=searcher)
+    d_any, _ = searcher.search_clauses(clauses, k=searcher.n_docs)
+    alts = clauses[0]["terms"]
+    all_and, _ = searcher.search(alts, k=searcher.n_docs, mode="and")
+    all_or, _ = searcher.search(alts, k=searcher.n_docs, mode="or")
+    assert set(d_any.tolist()) == set(all_or.tolist())
+    assert set(all_and.tolist()) <= set(d_any.tolist())
