@@ -37,6 +37,7 @@ PERCOLATE_QUERIES = [
     {"query_id": "sq-and", "type": "and", "terms": ["merge", "join"]},
     {"query_id": "sq-or", "type": "or", "terms": ["vector"]},
     {"query_id": "sq-or2", "type": "or", "terms": ["spark", "window"]},
+    {"query_id": "sq-parsed", "type": "parsed", "query": '+vector +"merge join" -spark'},
 ]
 
 
@@ -329,7 +330,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, query_id FROM ("
             "SELECT doc_id, 'sq-and' AS query_id FROM d WHERE list_contains(sp, 'merge') AND list_contains(sp, 'join') "
             "UNION ALL SELECT doc_id, 'sq-or' FROM d WHERE list_contains(sp, 'vector') "
-            "UNION ALL SELECT doc_id, 'sq-or2' FROM d WHERE list_contains(sp, 'spark') OR list_contains(sp, 'window')"
+            "UNION ALL SELECT doc_id, 'sq-or2' FROM d WHERE list_contains(sp, 'spark') OR list_contains(sp, 'window') "
+            "UNION ALL SELECT d.doc_id, 'sq-parsed' FROM d JOIN documents doc ON d.doc_id = doc.doc_id "
+            "WHERE list_contains(sp, 'vector') AND regexp_matches(doc.text, '\\bmerge\\s+join\\b') "
+            "AND NOT list_contains(sp, 'spark')"
             ") ORDER BY doc_id, query_id"
         ),
         "scalar_functions": (

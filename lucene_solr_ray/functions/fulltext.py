@@ -84,10 +84,13 @@ def _docid_to_doc_id(index_dir: str) -> np.ndarray:
 
 def boolean_retrieve(sf_dir: str, terms: list[str], mode: str = "or") -> pa.Table:
     """Boolean retrieval (TermQuery/BooleanQuery without scoring output,
-    [U] lucene/core/.../search/BooleanQuery.java) -> sorted doc_id set."""
+    [U] lucene/core/.../search/BooleanQuery.java) -> sorted doc_id set.
+    Uses the streaming iter_matches shape (windowed block decode, no
+    scoring, no full-match materialization inside the engine)."""
     index_dir = docs_index(sf_dir)
     s = IndexSearcher(index_dir)
-    d, _ = s.search(terms, k=max(1, s.n_docs), mode=mode)
+    chunks = list(s.iter_matches(terms, mode=mode))
+    d = np.concatenate(chunks) if chunks else np.empty(0, dtype=np.int64)
     mapping = _docid_to_doc_id(index_dir)
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
 

@@ -33,6 +33,9 @@ class PercolateStage:
     with the stored-query count. Happens once per actor."""
 
     def __init__(self, queries_ref):
+        from lucene_solr_ray.oracle import analyze_query_terms as _aq
+        from lucene_solr_ray.queryparser import parse_query
+
         raw = ray.get(queries_ref) if not isinstance(queries_ref, list) else queries_ref
         self.compiled = []
         self.by_term: dict[str, list[int]] = {}
@@ -41,15 +44,88 @@ class PercolateStage:
         # ANYTOKEN fallback of TermFilteredPresearcher
         self.termless: list[int] = []
         for qi, q in enumerate(raw):
-            terms = set()
-            for t in q["terms"]:
-                terms.update(tokenize(t))
-            self.compiled.append((q["query_id"], q.get("type", "or"), frozenset(terms)))
+            qtype = q.get("type", "or")
+            if qtype == "parsed":
+                # classic query string: terms/phrases/occur prefixes.
+                # Wildcard/fuzzy/range atoms need a term dict and dv
+                # filters need stored fields — both raise here (monitor
+                # matches against single documents, not an index).
+                clauses, dv = parse_query(q["query"], searcher=None)
+                if dv:
+                    raise ValueError(
+                        f"percolator query {q['query_id']!r}: docvalues "
+                        "filters are not supported in the doc stream"
+                    )
+                for cl in clauses:
+                    if cl["kind"] == "terms":
+                        cl["_alts"] = frozenset(_aq(cl["terms"]))
+                # routing terms: any positive clause vocabulary
+                terms = set()
+                for cl in clauses:
+                    if cl["occur"] != "must_not":
+                        if cl["kind"] == "terms":
+                            terms.update(cl["_alts"])
+                        else:
+                            for w in cl["terms"]:
+                                terms.update(tokenize(w))
+                self.compiled.append((q["query_id"], "parsed", clauses))
+            else:
+                terms = set()
+                for t in q["terms"]:
+                    terms.update(tokenize(t))
+                self.compiled.append((q["query_id"], qtype, frozenset(terms)))
             if terms:
                 for t in terms:
                     self.by_term.setdefault(t, []).append(qi)
             else:
                 self.termless.append(qi)
+
+    @staticmethod
+    def _matches_parsed(clauses, toks: frozenset, text: str) -> bool:
+        from lucene_solr_ray.analysis import tokenize_with_positions
+        from lucene_solr_ray.phrase import phrase_freq
+
+        pos_of = None  # lazy per-doc positional map, phrase clauses only
+
+        def clause_hit(cl) -> bool:
+            nonlocal pos_of
+            if cl["kind"] == "terms":
+                return any(a in toks for a in cl["_alts"])
+            if pos_of is None:
+                pos_of = {}
+                for tok, p in tokenize_with_positions(text or ""):
+                    pos_of.setdefault(tok, []).append(p)
+            arrs = []
+            for qp, w in enumerate(cl["terms"]):
+                emitted = tokenize(w)
+                if not emitted:  # stopword slot: gap, not a constraint
+                    continue
+                ps = pos_of.get(emitted[0])
+                if ps is None:
+                    return False
+                arrs.append(np.asarray(ps, dtype=np.int64) - qp)
+            return bool(arrs) and phrase_freq(arrs, int(cl.get("slop", 0))) > 0
+
+        n_should = matched_should = 0
+        has_must = False
+        for cl in clauses:
+            occur = cl["occur"]
+            if occur in ("must", "filter"):
+                has_must = True
+                if not clause_hit(cl):
+                    return False
+            elif occur == "must_not":
+                if clause_hit(cl):
+                    return False
+            else:
+                n_should += 1
+                if clause_hit(cl):
+                    matched_should += 1
+        if n_should and not has_must:
+            return matched_should >= 1  # implicit mm=1 without MUST
+        # all MUST/FILTER clauses held (or none existed: zero-clause /
+        # pure-must_not queries match nothing, Lucene semantics)
+        return has_must
 
     def __call__(self, t: pa.Table) -> pa.Table:
         doc_ids, query_ids = [], []
@@ -60,8 +136,11 @@ class PercolateStage:
                 cand.update(self.by_term.get(tok, ()))
             hits = []
             for qi in cand:
-                qid, qtype, qterms = self.compiled[qi]
-                if qtype != "and" or qterms <= toks:  # candidates already share a term
+                qid, qtype, qbody = self.compiled[qi]
+                if qtype == "parsed":
+                    if self._matches_parsed(qbody, toks, s or ""):
+                        hits.append(qid)
+                elif qtype != "and" or qbody <= toks:  # candidates already share a term
                     hits.append(qid)
             for qid in sorted(hits):
                 doc_ids.append(d)

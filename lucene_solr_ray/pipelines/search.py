@@ -817,6 +817,54 @@ class IndexSearcher:
         top = topk_order(cand, scores, k)
         return cand[top], scores[top]
 
+    def iter_matches(self, raw_terms, mode: str = "or", window: int = 1 << 17):
+        """Stream the matching docids of a boolean term query in
+        ascending order, one docid WINDOW at a time — the production
+        retrieval shape for unscored match sets (/export, delete-by-
+        query, downstream joins). Only the postings blocks overlapping
+        the current window are decoded (skip-table bounded), so memory
+        is O(window + blocks-in-window), never O(matches) — unlike
+        ``search(k=n_docs)``, which materializes and scores every match.
+        Yields int64 arrays; tombstoned docs are filtered."""
+        terms = analyze_query_terms(raw_terms)
+        curs = []
+        for t in terms:
+            _, _, c = self.term_stats_and_cursor(t)
+            if c is None or c.n_blocks == 0:
+                if mode == "and":
+                    return
+                continue
+            curs.append(c)
+        if not curs:
+            return
+        ends = [int(c.last_docid[-1]) for c in curs]
+        hi_all = (min(ends) if mode == "and" else max(ends)) + 1
+        lo = 0
+        while lo < hi_all:
+            hi = min(lo + window, hi_all)
+            per_term = []
+            for c in curs:
+                g0 = int(np.searchsorted(c.last_docid, lo, side="left"))
+                g1 = min(int(np.searchsorted(c.last_docid, hi - 1, side="left")) + 1,
+                         c.n_blocks)
+                if g0 >= g1:
+                    per_term.append(np.empty(0, dtype=np.int64))
+                    continue
+                d, _, _ = c.docids_in_blocks(np.arange(g0, g1))
+                per_term.append(d[(d >= lo) & (d < hi)])
+            if mode == "and":
+                out = per_term[0]
+                for d in per_term[1:]:
+                    out = np.intersect1d(out, d, assume_unique=True)
+                    if len(out) == 0:
+                        break
+            else:
+                out = np.unique(np.concatenate(per_term))
+            out = self._live(out)
+            if len(out):
+                yield out
+            lo = hi
+
     def search_parsed(self, query: str, k: int = 10, schema=None):
         """Parse a classic query string and execute it (QueryParser +
         BooleanQuery of rewritten sub-queries)."""

@@ -167,3 +167,29 @@ def test_embedding_cosine_lsh_recall_vs_exact():
     assert approx <= exact  # bucket verify is exact -> no false positives
     assert len(exact) > 0
     assert len(approx) / len(exact) >= 0.85  # 1-(1-p^4)^16 ~ 0.94 at cos 0.42
+
+
+def test_percolate_parsed_matcher():
+    """Parsed-query percolation: occur semantics + phrase positions with
+    stopword gaps evaluated per document (no index needed)."""
+    from lucene_solr_ray.functions.monitor import PercolateStage
+
+    stage = PercolateStage([
+        {"query_id": "p1", "type": "parsed", "query": '+alpha +"beta gamma" -delta'},
+        {"query_id": "p2", "type": "parsed", "query": "alpha epsilon"},
+        {"query_id": "p3", "type": "parsed", "query": '+"beta the gamma"'},
+    ])
+    import pyarrow as pa
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma words",        # p1 (phrase adjacent), p2
+            "alpha beta gamma delta",        # -delta kills p1; p2 matches
+            "beta the gamma alpha",          # p3 (stopword gap phrase); p2; p1 no (beta gamma not adjacent)
+            "epsilon only here",             # p2 (should: any)
+        ]),
+    })
+    out = stage(docs)
+    pairs = sorted(zip(out.column("doc_id").to_pylist(), out.column("query_id").to_pylist()))
+    assert pairs == [(0, "p1"), (0, "p2"), (1, "p2"), (2, "p2"), (2, "p3"), (3, "p2")]

@@ -243,3 +243,22 @@ def test_cjk_bigram_analyzer():
     assert cjk_bigram_tokenize("the 中文 word") == ["中文", "word"]
     assert cjk_bigram_tokenize("中") == ["中"]
     assert cjk_bigram_tokenize("plain text only") == ["plain", "text", "only"]
+
+
+def test_iter_matches_streaming(searcher):
+    """Windowed streaming match iterator == full search match set, for
+    OR and AND, with windows small enough to force multiple chunks."""
+    for mode in ("or", "and"):
+        full, _ = searcher.search(["w0000", "w0001"], k=max(1, searcher.n_docs), mode=mode)
+        expect = np.sort(full)
+        for window in (64, 1 << 17):
+            chunks = list(searcher.iter_matches(["w0000", "w0001"], mode=mode, window=window))
+            got = np.concatenate(chunks) if chunks else np.empty(0, dtype=np.int64)
+            assert got.tolist() == expect.tolist(), (mode, window)
+            assert all(np.all(np.diff(c) > 0) for c in chunks)
+        assert len(list(searcher.iter_matches(["w0000", "w0001"], mode=mode, window=64))) > 1
+    # absent term: AND yields nothing, OR equals the present term's list
+    assert list(searcher.iter_matches(["w0000", "zz-absent"], mode="and")) == []
+    d_or = np.concatenate(list(searcher.iter_matches(["w0000", "zz-absent"], mode="or")))
+    d_full, _ = searcher.search(["w0000"], k=max(1, searcher.n_docs))
+    assert d_or.tolist() == np.sort(d_full).tolist()
