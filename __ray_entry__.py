@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "timeseries_facet": rel.timeseries_facet,
         "significant_terms": rel.significant_terms,
         "collapse_top_order": rel.collapse_top_order,
+        "grouping_topk": lambda sf: rel.grouping_topk(sf, k=2),
         "percentile_disc": rel.percentile_disc,
         "unique_counts": rel.unique_counts,
     }
@@ -431,6 +432,12 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT o_custkey, o_orderkey, {c(x='o_totalprice')} AS total_cents, "
             f"ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY {c(x='o_totalprice')} DESC, o_orderkey) AS rn "
             "FROM orders) WHERE rn = 1 ORDER BY o_custkey"
+        ),
+        "grouping_topk": (
+            "SELECT o_custkey, o_orderkey, total_cents, CAST(rn - 1 AS BIGINT) AS group_rank FROM ("
+            f"SELECT o_custkey, o_orderkey, {c(x='o_totalprice')} AS total_cents, "
+            f"ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY {c(x='o_totalprice')} DESC, o_orderkey) AS rn "
+            "FROM orders) WHERE rn <= 2 ORDER BY o_custkey, group_rank"
         ),
         "percentile_disc": (
             "WITH c AS (SELECT " + c(x="l_quantity") + " AS qty, COUNT(*) AS n FROM lineitem GROUP BY 1), "

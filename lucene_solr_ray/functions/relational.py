@@ -503,6 +503,34 @@ def collapse_top_order(sf_dir: str) -> ray.data.Dataset:
     return ds.groupby("o_custkey").map_groups(top1, batch_format="pandas").sort("o_custkey")
 
 
+def grouping_topk(sf_dir: str, k: int = 2) -> ray.data.Dataset:
+    """Result grouping ([U] lucene/grouping/, Solr group.field with
+    group.limit=k): top-k orders per customer by (totalprice desc,
+    orderkey asc) with an in-group rank column — the general form of
+    collapse (k=1)."""
+
+    def topk(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["total_cents", "o_orderkey"], ascending=[False, True]).head(k)
+        g = g.assign(group_rank=np.arange(len(g), dtype=np.int64))
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "total_cents": _cents(t.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        ds.groupby("o_custkey")
+        .map_groups(topk, batch_format="pandas")
+        .sort(["o_custkey", "group_rank"])
+    )
+
+
 # ---------------- percentile (exact, via value-count compaction) ----------------
 
 def percentile_disc(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Table:
