@@ -106,6 +106,7 @@ def write_segment_grouped(
         shutil.rmtree(tmp)
     os.makedirs(tmp, exist_ok=True)
     crc = 0
+    pos_crc = 0
     post_fh = open(os.path.join(tmp, POSTINGS_FILE), "wb")
     pos_fh = None
     try:
@@ -132,6 +133,7 @@ def write_segment_grouped(
                     pos_fh = open(os.path.join(tmp, POSITIONS_FILE), "wb")
                 pb = encode_ints(group[4])
                 pos_fh.write(pb)
+                pos_crc = zlib.crc32(pb, pos_crc)
                 pos_offsets.append(pos_off)
                 pos_nbytes.append(len(pb))
                 pos_off += len(pb)
@@ -163,6 +165,8 @@ def write_segment_grouped(
         "docid_min": docid_min if docid_min is not None else -1,
         "docid_max": docid_max if docid_max is not None else -1,
         "postings_bytes": off,
+        "positions_bytes": pos_off,
+        "positions_crc32": pos_crc & 0xFFFFFFFF,
         "postings_crc32": crc & 0xFFFFFFFF,
         "lineage": lineage or {},
     }
@@ -260,6 +264,13 @@ def check_segment(seg_dir: str) -> list[str]:
         problems.append("postings.bin crc32 mismatch")
     if len(raw) != r.meta["postings_bytes"]:
         problems.append("postings.bin length mismatch")
+    if r.has_positions and "positions_crc32" in r.meta:
+        with open(os.path.join(seg_dir, POSITIONS_FILE), "rb") as fh:
+            praw = fh.read()
+        if (zlib.crc32(praw) & 0xFFFFFFFF) != r.meta["positions_crc32"]:
+            problems.append("positions.bin crc32 mismatch")
+        if len(praw) != r.meta["positions_bytes"]:
+            problems.append("positions.bin length mismatch")
     keys = r._term_keys
     if len(keys) > 1 and not all(keys[i] < keys[i + 1] for i in range(len(keys) - 1)):
         problems.append("terms not strictly sorted")

@@ -50,7 +50,10 @@ def check_index(index_dir: str, generation: int | None = None) -> list[str]:
     if total_sum_tf != manifest["sum_dl"]:
         problems.append(f"sum_tf total {total_sum_tf} != manifest sum_dl {manifest['sum_dl']}")
 
-    # per-partition: per-term docid ranges disjoint + ascending across segments
+    # per-partition: per-term docid ranges disjoint + ascending across
+    # segments; positional segments: per-term positions count == cf
+    # (the .pos <-> .doc cross-check of CheckIndex.testPostings)
+    check_positions = bool(manifest.get("positions"))
     for partition, segs in sorted(by_partition.items()):
         segs = sorted(segs, key=lambda s: (s["docid_min"], s["name"]))
         readers = [
@@ -59,15 +62,48 @@ def check_index(index_dir: str, generation: int | None = None) -> list[str]:
         ]
         term_last: dict[str, int] = {}
         for r in readers:
+            if check_positions and not r.has_positions:
+                problems.append(
+                    f"p{partition}: segment {os.path.basename(r.seg_dir)} lacks "
+                    "positions but manifest says positions=True"
+                )
             for i in range(len(r.terms)):
                 t = str(r.terms[i])
-                d, _, _ = r.postings(i)
+                d, tfs, _ = r.postings(i)
                 if t in term_last and d[0] <= term_last[t]:
                     problems.append(
                         f"p{partition}: term {t!r} docid ranges overlap across segments"
                     )
                 term_last[t] = int(d[-1])
+                if check_positions and r.has_positions:
+                    from lucene_solr_ray.codec.packedints import decode_all
+
+                    try:
+                        pos = decode_all(r.read_pos_blob(i))
+                    except Exception as e:  # truncated / corrupt .pos data
+                        problems.append(f"p{partition}: term {t!r} positions undecodable: {e}")
+                        continue
+                    if len(pos) != int(tfs.sum()):
+                        problems.append(
+                            f"p{partition}: term {t!r} positions count {len(pos)} "
+                            f"!= sum(tf) {int(tfs.sum())}"
+                        )
+                    elif len(pos) and (pos.min() < 0 or pos.max() > 65535):
+                        problems.append(f"p{partition}: term {t!r} position out of range")
             r.close()
+
+    # tombstones (.liv analogue): every deleted docid in [0, n_docs),
+    # unique, and count == manifest n_docs_purged accounting
+    from lucene_solr_ray.pipelines.deletes import load_deletes
+
+    deleted = load_deletes(index_dir, manifest)
+    if deleted is not None and len(deleted):
+        if deleted.min() < 0 or deleted.max() >= n_docs:
+            problems.append("tombstoned docid outside [0, n_docs)")
+        if len(np.unique(deleted)) != len(deleted):
+            problems.append("duplicate docids in tombstone set")
+    if int(manifest.get("n_docs_purged", 0)) > n_docs:
+        problems.append("n_docs_purged exceeds n_docs")
 
     # docs.parquet coverage + dl/norm consistency
     docs_dir = os.path.join(index_dir, "docs")
