@@ -117,3 +117,38 @@ def test_classic_similarity_parity(t1_index, t1_table, t1_queries):
         exp_d, exp_s = oracle.search(row["terms"], k=row["k"], mode=mode)
         assert got_d.tolist() == exp_d.tolist(), row["query_id"]
         assert np.array_equal(got_s, exp_s), row["query_id"]
+
+
+def test_build_sparse_buckets(ray_session, tmp_path):
+    """A corpus whose vocabulary hits only a few buckets leaves most
+    hash-shuffle partitions with ZERO rows — the partition writer must
+    tolerate the schema-less empty blocks Ray produces for them
+    (regression: aggregator-side sort crashed on these during resume)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.pipelines.build import build_index
+    from lucene_solr_ray.pipelines.search import IndexSearcher
+
+    corpus = str(tmp_path / "sparse")
+    os.makedirs(corpus, exist_ok=True)
+    n = 40
+    pq.write_table(
+        pa.table({
+            "conv_id": pa.array([f"c{i:04d}" for i in range(n)]),
+            "turn_idx": pa.array([0] * n, pa.int32()),
+            "role": pa.array(["user"] * n),
+            "text": pa.array(["solo" if i % 2 else "solo duo" for i in range(n)]),
+            "tool": pa.array([""] * n),
+            "ts": pa.array([0] * n, pa.timestamp("us")),
+        }),
+        os.path.join(corpus, "part-0.parquet"),
+    )
+    index_dir = str(tmp_path / "sparse-idx")
+    m = build_index(corpus, index_dir, num_partitions=16, salt=2, resume=False)
+    assert m["n_docs"] == n
+    s = IndexSearcher(index_dir)
+    d, _ = s.search(["solo"], k=n)
+    assert len(d) == n
+    d, _ = s.search(["duo"], k=n)
+    assert len(d) == n // 2
