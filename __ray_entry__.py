@@ -183,6 +183,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _CENTS = "CAST(FLOOR({x}*100+0.5) AS BIGINT)"
 
+
+def _ft_oracle():
+    from lucene_solr_ray.functions import ft_oracle
+
+    return ft_oracle
+
 # the 33-word English stopword list as a SQL list literal (analysis.py)
 from lucene_solr_ray.analysis import STOPWORDS as _STOPWORDS
 
@@ -215,8 +221,15 @@ def oracle_sql() -> dict[str, str]:
             + " ORDER BY doc_id"
         ),
         "ft_term_stats": " UNION ALL ".join(ft_stats_parts),
-        # ft_bm25_topk / ft_more_like_this: no SQL oracle (BM25 float
-        # semantics live in the pytest oracle, FIXTURES.md §5) -> rows-only.
+        # BM25-scored entries: rank-only outputs; the SQL replicates the
+        # pinned float32 narrowing order (DuckDB FLOAT is IEEE float32),
+        # generated from the same constants the engine scores with
+        # (functions/ft_oracle.py; gap bound in tests/test_ft_oracle_sql.py).
+        "ft_bm25_topk": _ft_oracle().bm25_topk_sql(FT_BM25_QUERIES, k=10),
+        "ft_phrase_topk": _ft_oracle().phrase_topk_sql(["merge", "join"], k=10),
+        "ft_dismax_topk": _ft_oracle().dismax_topk_sql(["merge", "join", "window"], 0.3, k=10),
+        "ft_more_like_this": _ft_oracle().more_like_this_sql(0, 8, 10),
+        "ltr_bm25_rescore": _ft_oracle().ltr_bm25_rescore_sql(["merge", "sort"], 100, 20),
         "ft_prefix_docs": (
             f"SELECT doc_id FROM documents WHERE len(list_filter({split}, "
             f"x -> x LIKE 's%' AND NOT list_contains({_STOP_SQL}, x))) > 0 ORDER BY doc_id"
@@ -247,7 +260,6 @@ def oracle_sql() -> dict[str, str]:
             "regexp_matches(text, '\\bmerge\\s+join\\b') "
             f"AND NOT list_contains({split}, 'vector') AND lang = 'en' ORDER BY doc_id"
         ),
-        # ft_phrase_topk / ft_dismax_topk: scored (pytest oracle) -> rows-only.
         "ft_boolean_notfilter": (
             f"SELECT doc_id FROM documents WHERE list_contains({split}, 'merge') "
             f"AND list_contains({split}, 'join') AND NOT list_contains({split}, 'vector') "
@@ -562,7 +574,6 @@ def oracle_sql() -> dict[str, str]:
         "ltr_trees_rescore": __import__(
             "lucene_solr_ray.functions.ltr", fromlist=["trees_oracle_sql"]
         ).trees_oracle_sql(),
-        # ltr_bm25_rescore: BM25 originalScore feature -> rows-only (pytest oracle).
         "knn_classify": __import__(
             "lucene_solr_ray.functions.classify", fromlist=["KNN_ORACLE_SQL"]
         ).KNN_ORACLE_SQL,

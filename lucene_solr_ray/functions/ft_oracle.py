@@ -1,0 +1,269 @@
+"""DuckDB SQL oracle generators for the SCORED full-text entries.
+
+BM25 (Lucene 8.x form) is SQL-expressible on this corpus because
+(a) whitespace split + stop filter == the analysis chain here (proved by
+the boolean ft_* oracles), (b) DuckDB's FLOAT is IEEE float32, so the
+engine's pinned float-narrowing order (FIXTURES.md §3, similarity.py) can
+be replicated literally: every float32 narrowing becomes
+``CAST(<double expr> AS FLOAT)``, and the float32 left-to-right score
+accumulation becomes a nested CAST fold (exact: a float64 sum of two
+float32 values is exact, so one CAST = one IEEE float32 rounding — the
+same operation numpy's ``(a + b).astype(float32)`` performs), and
+(c) byte4 norm quantisation (codec/norms.py) is "greatest representable
+value <= dl", a 252-entry VALUES lookup generated from the SAME
+DECODED_TABLE the engine scores with.
+
+The driver-facing outputs are RANK-ONLY (query_id, rank, doc_id): float
+scores never enter the hash. Rank equality still requires the replicated
+float32 scores to order identically, which they do bit-for-bit except
+for a theoretical last-ulp ln() divergence between libm and DuckDB —
+tests/test_ft_oracle_sql.py measures the inter-rank score gaps and
+asserts they exceed that bound by orders of magnitude.
+
+Shared-constant discipline: STOPWORDS / DECODED_TABLE / K1 / B are
+imported from the engine modules, so engine and oracle cannot drift.
+"""
+
+from __future__ import annotations
+
+from lucene_solr_ray.analysis import STOPWORDS
+from lucene_solr_ray.codec.norms import DECODED_TABLE
+from lucene_solr_ray.similarity import B, K1
+
+_STOP = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
+# distinct byte4-representable doc lengths; decode(encode(dl)) ==
+# greatest representable value <= dl (encode truncates to 4 sig bits)
+_REPS = ", ".join(f"({int(v)})" for v in sorted({int(v) for v in DECODED_TABLE}))
+
+
+def _esc(t: str) -> str:
+    return t.replace("'", "''")
+
+
+def prelude_ctes() -> str:
+    """Shared CTEs: stop-filtered tokens, dl, corpus stats, per-doc BM25
+    denominator (k1*(1-b+b*dl'/avgdl), float64, dl' byte4-quantised)."""
+    return (
+        "toks AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE "
+        "list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        f"x -> NOT list_contains({_STOP}, x)) END AS tk FROM documents), "
+        f"reps(v) AS (VALUES {_REPS}), "
+        "dltab AS (SELECT doc_id, len(tk) AS dl FROM toks), "
+        "stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+        "CAST(SUM(dl) AS DOUBLE) AS sum_dl FROM dltab), "
+        # numpy op order pinned: K1 * ((1-B) + (B*dl')/avgdl)
+        f"denom AS (SELECT d.doc_id, {K1!r}*(({1.0 - B!r}) + "
+        f"({B!r}*CAST((SELECT MAX(v) FROM reps WHERE v <= d.dl) AS DOUBLE))"
+        "/(stats.sum_dl/stats.n)) AS dn FROM dltab d, stats)"
+    )
+
+
+def tf_cte(name: str, term: str) -> str:
+    return (f"{name} AS (SELECT doc_id, "
+            f"len(list_filter(tk, x -> x = '{_esc(term)}')) AS tf FROM toks)")
+
+
+def w_cte(name: str, tf_name: str) -> str:
+    """float32 term weight = float32(ln(1 + (N - df + 0.5)/(df + 0.5)))."""
+    return (
+        f"{name} AS (SELECT CAST(ln(1.0 + ((stats.n - d.df) + 0.5)/(d.df + 0.5)) AS FLOAT) AS w "
+        f"FROM (SELECT CAST(COUNT(CASE WHEN tf > 0 THEN 1 END) AS DOUBLE) AS df FROM {tf_name}) d, stats)"
+    )
+
+
+def score_expr(tf_alias: str, w_name: str) -> str:
+    """float32 s(t,d) = float32(w64 * tf/(tf + denom)); absent term -> exact 0
+    (adding float32 0.0 is the identity, matching the engine's dense path)."""
+    return (
+        f"CASE WHEN {tf_alias}.tf > 0 THEN "
+        f"CAST(CAST((SELECT w FROM {w_name}) AS DOUBLE) * "
+        f"(CAST({tf_alias}.tf AS DOUBLE)/(CAST({tf_alias}.tf AS DOUBLE) + denom.dn)) AS FLOAT) "
+        "ELSE CAST(0.0 AS FLOAT) END"
+    )
+
+
+def fold_f32(exprs: list[str]) -> str:
+    """Left-to-right float32 accumulation (FIXTURES §3 pinned order)."""
+    acc = exprs[0]
+    for e in exprs[1:]:
+        acc = f"CAST(CAST({acc} AS DOUBLE) + CAST({e} AS DOUBLE) AS FLOAT)"
+    return acc
+
+
+def bm25_topk_sql(queries: list[tuple[str, list[str], str]], k: int = 10) -> str:
+    """Oracle for fulltext.bm25_topk -> (query_id, rank, doc_id)."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    ctes = [prelude_ctes()]
+    selects = []
+    for qi, (qid, raw_terms, mode) in enumerate(queries):
+        terms = analyze_query_terms(raw_terms)  # distinct, ascending UTF-8
+        tf_names, w_names = [], []
+        for ti, t in enumerate(terms):
+            tf_n, w_n = f"tf_q{qi}_{ti}", f"w_q{qi}_{ti}"
+            ctes.append(tf_cte(tf_n, t))
+            ctes.append(w_cte(w_n, tf_n))
+            tf_names.append(tf_n)
+            w_names.append(w_n)
+        aliases = [f"t{ti}" for ti in range(len(terms))]
+        joins = f"{tf_names[0]} {aliases[0]}"
+        for tf_n, a in zip(tf_names[1:], aliases[1:]):
+            joins += f" JOIN {tf_n} {a} ON {aliases[0]}.doc_id = {a}.doc_id"
+        joins += f" JOIN denom ON denom.doc_id = {aliases[0]}.doc_id"
+        fold = fold_f32([score_expr(a, w_n) for a, w_n in zip(aliases, w_names)])
+        glue = " AND " if mode == "and" else " OR "
+        cond = glue.join(f"{a}.tf > 0" for a in aliases)
+        selects.append(
+            f"SELECT '{_esc(qid)}' AS query_id, rank, doc_id FROM ("
+            "SELECT doc_id, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+            f"FROM (SELECT {aliases[0]}.doc_id AS doc_id, {fold} AS score "
+            f"FROM {joins} WHERE {cond}) sub"
+            f") ranked WHERE rank < {int(k)}"
+        )
+    return ("WITH " + ", ".join(ctes) + " "
+            + " UNION ALL ".join(f"({s})" for s in selects)
+            + " ORDER BY query_id, rank")
+
+
+def phrase_topk_sql(phrase: list[str], k: int = 10) -> str:
+    """Oracle for fulltext.phrase_topk: tf = non-overlapping adjacent
+    occurrence count (StopFilter position gaps == textual adjacency on
+    this corpus), weight = float32(sum of member idfs in phrase order)."""
+    pat = "\\b" + "\\s+".join(_esc(t) for t in phrase) + "\\b"
+    ctes = [prelude_ctes()]
+    tf_names = []
+    for ti, t in enumerate(phrase):
+        tf_n = f"tf_p{ti}"
+        ctes.append(tf_cte(tf_n, t))
+        tf_names.append(tf_n)
+    # idf sum in PHRASE order (search_phrase sums over qterms as given)
+    idf_terms = []
+    for tf_n in tf_names:
+        idf_terms.append(
+            f"(SELECT ln(1.0 + ((stats.n - d.df) + 0.5)/(d.df + 0.5)) "
+            f"FROM (SELECT CAST(COUNT(CASE WHEN tf > 0 THEN 1 END) AS DOUBLE) AS df FROM {tf_n}) d, stats)"
+        )
+    w = "CAST(" + " + ".join(idf_terms) + " AS FLOAT)"
+    ctes.append(f"wp AS (SELECT {w} AS w)")
+    ctes.append(
+        "ptf AS (SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        f"'{pat}')) AS BIGINT) AS tf FROM documents)"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT rank, doc_id FROM ("
+        "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+        "FROM (SELECT p.doc_id, "
+        "CAST(CAST((SELECT w FROM wp) AS DOUBLE) * "
+        "(CAST(p.tf AS DOUBLE)/(CAST(p.tf AS DOUBLE) + denom.dn)) AS FLOAT) AS score "
+        "FROM ptf p JOIN denom ON denom.doc_id = p.doc_id WHERE p.tf > 0) s"
+        f") WHERE rank < {int(k)} ORDER BY rank"
+    )
+
+
+def dismax_topk_sql(terms: list[str], tie_breaker: float, k: int = 10) -> str:
+    """Oracle for fulltext.dismax_topk: float32 per-clause scores (missing
+    clause -> exact 0), score = float32(max64 + tie*(sum64 - max64)) with
+    the float64 sum taken in ascending term order (dismax_combine)."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    ts = analyze_query_terms(terms)
+    ctes = [prelude_ctes()]
+    aliases = []
+    parts = []
+    for ti, t in enumerate(ts):
+        tf_n, w_n, a = f"tf_d{ti}", f"w_d{ti}", f"t{ti}"
+        ctes.append(tf_cte(tf_n, t))
+        ctes.append(w_cte(w_n, tf_n))
+        aliases.append((tf_n, a))
+        parts.append(score_expr(a, w_n))
+    joins = f"{aliases[0][0]} {aliases[0][1]}"
+    for tf_n, a in aliases[1:]:
+        joins += f" JOIN {tf_n} {a} ON {aliases[0][1]}.doc_id = {a}.doc_id"
+    joins += f" JOIN denom ON denom.doc_id = {aliases[0][1]}.doc_id"
+    cond = " OR ".join(f"{a}.tf > 0" for _, a in aliases)
+    mx = "GREATEST(" + ", ".join(f"s{i}" for i in range(len(ts))) + ")"
+    total = " + ".join(f"CAST(s{i} AS DOUBLE)" for i in range(len(ts)))
+    part_cols = ", ".join(f"{p} AS s{i}" for i, p in enumerate(parts))
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT rank, doc_id FROM ("
+        "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+        "FROM (SELECT doc_id, "
+        f"CAST(CAST({mx} AS DOUBLE) + {tie_breaker!r}*(({total}) - CAST({mx} AS DOUBLE)) AS FLOAT) AS score "
+        f"FROM (SELECT {aliases[0][1]}.doc_id AS doc_id, {part_cols} "
+        f"FROM {joins} WHERE {cond}) p) s"
+        f") WHERE rank < {int(k)} ORDER BY rank"
+    )
+
+
+def more_like_this_sql(doc_id: int, max_terms: int = 8, k: int = 10) -> str:
+    """Oracle for fulltext.more_like_this_topk: top tf*idf terms of the
+    source doc (ties -> larger term, heapq.nlargest tuple order) -> BM25
+    OR query. Term set is data-dependent, so the float32 accumulation is
+    a list_reduce fold over per-term scores in ascending term order."""
+    return (
+        "WITH " + prelude_ctes() + ", "
+        f"src AS (SELECT unnest(tk) AS term FROM toks WHERE doc_id = {int(doc_id)}), "
+        "srctf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS f FROM src GROUP BY term), "
+        "alldf AS (SELECT x AS term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df "
+        "FROM (SELECT doc_id, unnest(tk) AS x FROM toks) GROUP BY x), "
+        "sel AS (SELECT term FROM ("
+        "SELECT s.term, s.f * ln(1.0 + ((stats.n - a.df) + 0.5)/(a.df + 0.5)) AS tfidf "
+        "FROM srctf s JOIN alldf a ON s.term = a.term, stats WHERE a.df > 0"
+        f") ORDER BY tfidf DESC, term DESC LIMIT {int(max_terms)}), "
+        "selw AS (SELECT a.term, CAST(ln(1.0 + ((stats.n - a.df) + 0.5)/(a.df + 0.5)) AS FLOAT) AS w "
+        "FROM alldf a JOIN sel USING (term), stats), "
+        "seltf AS (SELECT t.doc_id, s.term, len(list_filter(t.tk, x -> x = s.term)) AS tf "
+        "FROM toks t, sel s), "
+        "scores AS (SELECT st.doc_id, st.term, "
+        "CAST(CAST(w.w AS DOUBLE) * (CAST(st.tf AS DOUBLE)/(CAST(st.tf AS DOUBLE) + denom.dn)) AS FLOAT) AS s "
+        "FROM seltf st JOIN selw w ON st.term = w.term "
+        "JOIN denom ON denom.doc_id = st.doc_id WHERE st.tf > 0), "
+        "folded AS (SELECT doc_id, list_reduce(list(s ORDER BY term), "
+        "(a, b) -> CAST(CAST(a AS DOUBLE) + CAST(b AS DOUBLE) AS FLOAT)) AS score "
+        "FROM scores GROUP BY doc_id) "
+        "SELECT rank, doc_id FROM ("
+        "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+        f"FROM folded) WHERE rank < {int(k)} ORDER BY rank"
+    )
+
+
+def ltr_bm25_rescore_sql(terms: list[str], n_candidates: int = 100, k: int = 20) -> str:
+    """Oracle for ltr.bm25_rescore: BM25 OR top-N first pass, milli-floored
+    base score + integer features (whitespace tf of terms[0], lang=='en'),
+    reranked by (blend desc, doc_id asc) to top-k."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    ts = analyze_query_terms(terms)
+    ctes = [prelude_ctes()]
+    aliases, folds = [], []
+    for ti, t in enumerate(ts):
+        tf_n, w_n, a = f"tf_l{ti}", f"w_l{ti}", f"t{ti}"
+        ctes.append(tf_cte(tf_n, t))
+        ctes.append(w_cte(w_n, tf_n))
+        aliases.append((tf_n, a))
+        folds.append(score_expr(a, w_n))
+    joins = f"{aliases[0][0]} {aliases[0][1]}"
+    for tf_n, a in aliases[1:]:
+        joins += f" JOIN {tf_n} {a} ON {aliases[0][1]}.doc_id = {a}.doc_id"
+    joins += f" JOIN denom ON denom.doc_id = {aliases[0][1]}.doc_id"
+    cond = " OR ".join(f"{a}.tf > 0" for _, a in aliases)
+    fold = fold_f32(folds)
+    term0 = _esc(terms[0])
+    return (
+        "WITH " + ", ".join(ctes) + ", "
+        f"firstpass AS (SELECT doc_id, score FROM ("
+        "SELECT doc_id, score, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn "
+        f"FROM (SELECT {aliases[0][1]}.doc_id AS doc_id, {fold} AS score "
+        f"FROM {joins} WHERE {cond}) s0) s1 WHERE rn <= {int(n_candidates)}), "
+        "feats AS (SELECT f.doc_id, "
+        "CAST(FLOOR(CAST(f.score AS DOUBLE)*1000 + 0.5) AS BIGINT) "
+        f"+ 10*len(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x = '{term0}')) "
+        "+ 5*(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS blend "
+        "FROM firstpass f JOIN documents d ON f.doc_id = d.doc_id) "
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY blend DESC, doc_id) - 1 AS BIGINT) AS rank, "
+        "doc_id, CAST(blend AS BIGINT) AS ltr_score FROM feats "
+        f"ORDER BY blend DESC, doc_id LIMIT {int(k)}"
+    )

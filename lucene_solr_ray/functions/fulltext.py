@@ -110,8 +110,11 @@ def term_stats(sf_dir: str, terms: list[str]) -> pa.Table:
 
 def bm25_topk(sf_dir: str, queries: list[tuple[str, list[str], str]], k: int = 10) -> pa.Table:
     """BM25 top-k via the Ray actor-pool query path -> (query_id, rank,
-    doc_id, score_milli). Scores as integer milli-points for stable
-    hashing; exact float parity is covered by the pytest oracle suite."""
+    doc_id). RANK-ONLY output: the float32 scores never enter the driver
+    hash (the DuckDB oracle, ft_oracle.bm25_topk_sql, replicates the
+    pinned float32 narrowing and orders identically — measured gap bound
+    in tests/test_ft_oracle_sql.py; exact float parity is additionally
+    covered by the pytest oracle suite)."""
     from lucene_solr_ray.pipelines.search import run_queries
 
     index_dir = docs_index(sf_dir)
@@ -123,12 +126,12 @@ def bm25_topk(sf_dir: str, queries: list[tuple[str, list[str], str]], k: int = 1
             "k": pa.array([k] * len(queries), type=pa.int32()),
         }
     )
-    res = run_queries(index_dir, qt, concurrency=2).to_pandas()
+    res = run_queries(index_dir, qt).to_pandas()
     mapping = _docid_to_doc_id(index_dir)
     res["doc_id"] = mapping[res["docid"].to_numpy()]
-    res["score_milli"] = np.round(res["score"].to_numpy().astype(np.float64) * 1000).astype(np.int64)
+    res["rank"] = res["rank"].astype(np.int64)
     return pa.Table.from_pandas(
-        res[["query_id", "rank", "doc_id", "score_milli"]], preserve_index=False
+        res[["query_id", "rank", "doc_id"]], preserve_index=False
     )
 
 
@@ -152,12 +155,11 @@ def more_like_this_topk(sf_dir: str, doc_id: int = 0, k: int = 10) -> pa.Table:
     s = IndexSearcher(index_dir)
     mapping = _docid_to_doc_id(index_dir)
     docid = int(np.searchsorted(mapping, doc_id))  # mapping is doc_id sorted by docid == doc_id order
-    d, sc = s.more_like_this(docid, max_terms=8, k=k)
+    d, _sc = s.more_like_this(docid, max_terms=8, k=k)
     return pa.table(
         {
             "rank": pa.array(np.arange(len(d)), pa.int64()),
             "doc_id": pa.array(mapping[d], pa.int64()),
-            "score_milli": pa.array(np.round(sc.astype(np.float64) * 1000).astype(np.int64)),
         }
     )
 
@@ -173,17 +175,16 @@ def phrase_retrieve(sf_dir: str, phrase: list[str]) -> pa.Table:
 
 
 def phrase_topk(sf_dir: str, phrase: list[str], k: int = 10) -> pa.Table:
-    """Scored phrase top-k (rows-only at the driver; float parity is the
-    pytest oracle's job)."""
+    """Scored phrase top-k, rank-only output (SQL oracle:
+    ft_oracle.phrase_topk_sql; float parity is the pytest oracle's job)."""
     index_dir = docs_index(sf_dir)
     s = IndexSearcher(index_dir)
-    d, sc = s.search_phrase(phrase, k=k)
+    d, _sc = s.search_phrase(phrase, k=k)
     mapping = _docid_to_doc_id(index_dir)
     return pa.table(
         {
             "rank": pa.array(np.arange(len(d)), pa.int64()),
             "doc_id": pa.array(mapping[d], pa.int64()),
-            "score_milli": pa.array(np.round(sc.astype(np.float64) * 1000).astype(np.int64)),
         }
     )
 
@@ -356,14 +357,15 @@ def term_vector(sf_dir: str, doc_id: int) -> pa.Table:
 
 
 def dismax_topk(sf_dir: str, terms: list[str], tie_breaker: float = 0.3, k: int = 10) -> pa.Table:
+    """DisMax top-k, rank-only output (SQL oracle:
+    ft_oracle.dismax_topk_sql)."""
     index_dir = docs_index(sf_dir)
     s = IndexSearcher(index_dir)
-    d, sc = s.search_dismax(terms, k=k, tie_breaker=tie_breaker)
+    d, _sc = s.search_dismax(terms, k=k, tie_breaker=tie_breaker)
     mapping = _docid_to_doc_id(index_dir)
     return pa.table(
         {
             "rank": pa.array(np.arange(len(d)), pa.int64()),
             "doc_id": pa.array(mapping[d], pa.int64()),
-            "score_milli": pa.array(np.round(sc.astype(np.float64) * 1000).astype(np.int64)),
         }
     )

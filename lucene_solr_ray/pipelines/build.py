@@ -581,6 +581,34 @@ def build_index(
         with open(docs_marker, "w") as fh:
             fh.write("ok")
 
+    # fail LOUDLY if any bucket produced more than one stats row: the
+    # partition writer assumes each bucket's rows arrive in exactly one
+    # block (true for Ray 2.49's hash-shuffle finalize, which emits one
+    # block per partition — but there is an upstream TODO to split big
+    # blocks). A straddled bucket means write_segment_grouped rmtree+
+    # renamed the same seg_dir twice (each half overwriting the other):
+    # remove the half-written segments and abort BEFORE the manifest
+    # commit so no generation ever references them.
+    seen_buckets: dict[int, int] = {}
+    for row in stats_rows:
+        seen_buckets[int(row["bucket"])] = seen_buckets.get(int(row["bucket"]), 0) + 1
+    dup = sorted(b for b, c in seen_buckets.items() if c > 1) + sorted(
+        b for b in seen_buckets if b in done
+    )
+    if dup:
+        for row in stats_rows:
+            if int(row["bucket"]) in dup:
+                shutil.rmtree(
+                    segment_dir(index_dir, int(row["partition"]), row["name"]),
+                    ignore_errors=True,
+                )
+        raise RuntimeError(
+            f"build shuffle emitted multiple blocks for bucket(s) {dup[:8]} "
+            "(hash-shuffle one-block-per-partition assumption violated, or a "
+            "resumed bucket was rewritten); half-written segments removed, "
+            "manifest not committed — re-run the build"
+        )
+
     segments = []
     for row in sorted(stats_rows, key=lambda r: r["bucket"]):
         segments.append(

@@ -13,11 +13,20 @@ matching immediately while df/cf/norm statistics keep counting them
 until a merge purges the postings — Lucene semantics.
 
 Purging: ``run_merge_round(expunge_deletes=True)`` (or
-``force_merge(..., expunge_deletes=True)``) drops tombstoned postings
-while rewriting segments; after a full rewrite (forceMerge) the
-tombstone table is cleared and sum_dl recomputed from the merged
-segments. n_docs stays maxDoc (docids are never renumbered — they are
-the stable row identity), so dense accumulators stay correctly sized.
+``force_merge(..., expunge_deletes=True)``) plans a rewrite of EVERY
+segment whose docid range intersects the tombstone set (singleton
+groups when tiering wouldn't touch them — forceMergeDeletes rewrites
+any segment containing deletions) and drops tombstoned postings while
+rewriting. After the round no stale postings remain anywhere, so the
+tombstones move to the persisted ``purged`` set (a second sorted-docid
+table): purged docs are excluded from scoring stats (n_scoring,
+sum_dl recomputed from live segments) AND keep being filtered from
+docs.parquet-backed paths (match_all / ts-range / docvalues), whose
+rows are never rewritten. The purged set is a set-union across
+expunges, so re-deleting an already-purged docid can never
+double-count n_docs_purged. n_docs stays maxDoc (docids are never
+renumbered — they are the stable row identity), so dense accumulators
+stay correctly sized.
 """
 
 from __future__ import annotations
@@ -34,19 +43,29 @@ from lucene_solr_ray.state.manifest import commit_manifest, load_manifest
 DELETES_DIRNAME = "deletes"
 
 
-def load_deletes(index_dir: str, manifest: dict) -> np.ndarray | None:
-    """Sorted int64 tombstone docids for a manifest generation, or None."""
-    name = manifest.get("deletes_file")
+def _load_docid_table(index_dir: str, manifest: dict, key: str) -> np.ndarray | None:
+    name = manifest.get(key)
     if not name:
         return None
     t = pq.read_table(os.path.join(index_dir, DELETES_DIRNAME, name), columns=["docid"])
     return t.column("docid").to_numpy().astype(np.int64)
 
 
-def _write_deletes(index_dir: str, docids: np.ndarray) -> str:
+def load_deletes(index_dir: str, manifest: dict) -> np.ndarray | None:
+    """Sorted int64 tombstone docids for a manifest generation, or None."""
+    return _load_docid_table(index_dir, manifest, "deletes_file")
+
+
+def load_purged(index_dir: str, manifest: dict) -> np.ndarray | None:
+    """Sorted int64 docids whose postings have been physically purged by
+    an expunge merge; permanently non-live, or None."""
+    return _load_docid_table(index_dir, manifest, "purged_file")
+
+
+def _write_docid_table(index_dir: str, docids: np.ndarray, prefix: str) -> str:
     os.makedirs(os.path.join(index_dir, DELETES_DIRNAME), exist_ok=True)
     crc = zlib.crc32(docids.tobytes()) & 0xFFFFFFFF
-    name = f"deletes-{len(docids):010d}-{crc:08x}.parquet"
+    name = f"{prefix}-{len(docids):010d}-{crc:08x}.parquet"
     path = os.path.join(index_dir, DELETES_DIRNAME, name)
     if not os.path.exists(path):
         tmp = path + f".tmp-{os.getpid()}"
@@ -55,15 +74,31 @@ def _write_deletes(index_dir: str, docids: np.ndarray) -> str:
     return name
 
 
+def _write_deletes(index_dir: str, docids: np.ndarray) -> str:
+    return _write_docid_table(index_dir, docids, "deletes")
+
+
 def delete_docs(index_dir: str, docids) -> dict:
     """Tombstone the given global docids (deleteDocuments(Term..) by id);
-    idempotent union with existing tombstones; commits a new generation."""
+    idempotent union with existing tombstones; commits a new generation.
+    Docids outside [0, n_docs) are rejected (no such doc can exist), and
+    docids already purged by a prior expunge are dropped (their postings
+    are gone and they are permanently non-live — re-deleting them must
+    not inflate n_deleted or a later n_docs_purged)."""
     manifest = load_manifest(index_dir)
+    n_docs = int(manifest["n_docs"])
     new = np.asarray(sorted(set(int(d) for d in docids)), dtype=np.int64)
+    if len(new) and (new[0] < 0 or new[-1] >= n_docs):
+        bad = new[(new < 0) | (new >= n_docs)]
+        raise ValueError(f"delete_docs: docids outside [0, {n_docs}): {bad[:8].tolist()}")
+    purged = load_purged(index_dir, manifest)
+    if purged is not None and len(purged):
+        new = np.setdiff1d(new, purged, assume_unique=True)
     prev = load_deletes(index_dir, manifest)
     merged = np.union1d(prev, new) if prev is not None else new
-    name = _write_deletes(index_dir, merged)
-    new_manifest = dict(manifest, deletes_file=name, n_deleted=int(len(merged)))
+    new_manifest = dict(manifest, n_deleted=int(len(merged)))
+    if len(merged):
+        new_manifest["deletes_file"] = _write_deletes(index_dir, merged)
     new_manifest.pop("generation", None)
     gen = commit_manifest(index_dir, new_manifest)
     new_manifest["generation"] = gen

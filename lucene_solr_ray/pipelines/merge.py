@@ -42,11 +42,20 @@ def plan_merges(
     floor_bytes: int = FLOOR_BYTES,
     max_merged_bytes: int = MAX_MERGED_BYTES,
     force_max_segments: int | None = None,
+    tombstones: np.ndarray | None = None,
 ) -> list[dict]:
     """Pure planner -> merge groups [{partition, inputs: [seg dicts]}].
 
     ``force_max_segments`` = forceMerge(k): ignore tiering and merge down
     to at most k segments per partition.
+
+    ``tombstones`` (sorted docids, expunge mode): EVERY segment whose
+    docid range intersects the tombstone set must be rewritten this
+    round (forceMergeDeletes rewrites any segment containing deletions,
+    even when segment counts are already within bounds) — segments the
+    tiering/force plan left out get singleton rewrite groups. This
+    full-coverage guarantee is what lets the caller clear the tombstone
+    table after one round.
 
     Correctness invariant: a partition's segments hold pairwise-disjoint
     docid ranges (build salt ranges / appends / prior merges), and the
@@ -101,6 +110,16 @@ def plan_merges(
         if best is not None:
             _, start, length = best
             groups.append({"partition": partition, "inputs": segs[start : start + length]})
+    if tombstones is not None and len(tombstones):
+        planned = {(g["partition"], s["name"]) for g in groups for s in g["inputs"]}
+        for partition, segs in sorted(by_partition.items()):
+            for s in sorted(segs, key=lambda s: (s["docid_min"], s["name"])):
+                if (partition, s["name"]) in planned:
+                    continue
+                lo = int(np.searchsorted(tombstones, s["docid_min"]))
+                hi = int(np.searchsorted(tombstones, s["docid_max"], side="right"))
+                if hi > lo:  # at least one tombstoned docid in range
+                    groups.append({"partition": partition, "inputs": [s]})
     return groups
 
 
@@ -185,21 +204,50 @@ def run_merge_round(index_dir: str, generation: int | None = None,
     Returns the new manifest, or None if nothing to merge.
 
     ``expunge_deletes``: purge tombstoned postings while rewriting
-    (IndexWriter.forceMergeDeletes analogue). The tombstone table is
-    cleared — and sum_dl recomputed from segment stats — only once EVERY
-    segment has been rewritten this round (global tombstones can only be
-    dropped when no stale segment remains)."""
+    (IndexWriter.forceMergeDeletes analogue). The planner is given the
+    tombstone set, so every segment whose docid range intersects it is
+    rewritten this round (singleton groups if tiering wouldn't touch
+    them); afterwards no stale postings remain anywhere, the tombstones
+    move to the persisted ``purged`` set, and sum_dl is recomputed from
+    ALL live segments (kept + new — kept segments are tombstone-free by
+    construction, so the invariant sum(segment sum_tf) == sum_dl
+    holds after partial-rewrite rounds too)."""
     import ray.data
 
-    from lucene_solr_ray.pipelines.deletes import load_deletes
+    from lucene_solr_ray.pipelines.deletes import load_deletes, load_purged, _write_docid_table
 
     manifest = load_manifest(index_dir, generation)
-    groups = plan_merges(manifest, force_max_segments=force_max_segments, **plan_kwargs)
+    deleted = load_deletes(index_dir, manifest) if expunge_deletes else None
+    if deleted is not None and not len(deleted):
+        deleted = None
+    groups = plan_merges(manifest, force_max_segments=force_max_segments,
+                         tombstones=deleted, **plan_kwargs)
+
+    def _retire_tombstones(m: dict) -> dict:
+        """Move the (fully-applied) tombstones into the purged set."""
+        prev_purged = load_purged(index_dir, manifest)
+        purged = np.union1d(prev_purged, deleted) if prev_purged is not None else deleted
+        m.pop("deletes_file", None)
+        m["n_deleted"] = 0
+        m["purged_file"] = _write_docid_table(index_dir, purged, "purged")
+        m["n_docs_purged"] = int(len(purged))
+        m["sum_dl"] = sum(s["sum_tf"] for s in m["segments"])
+        return m
+
     if not groups:
-        return None
+        if deleted is None:
+            return None
+        # expunge requested but no segment's docid range intersects the
+        # tombstones (e.g. empty docs, or postings already purged): no
+        # postings to drop, but the tombstones are fully applied — commit
+        # a bookkeeping generation retiring them into the purged set.
+        new_manifest = _retire_tombstones(dict(manifest))
+        new_manifest.pop("generation", None)
+        new_gen = commit_manifest(index_dir, new_manifest)
+        new_manifest["generation"] = new_gen
+        return new_manifest
     gen = manifest["generation"]
     codec_name = manifest["codec"]
-    deleted = load_deletes(index_dir, manifest) if expunge_deletes else None
     descriptors = [
         {
             "partition": g["partition"],
@@ -254,17 +302,13 @@ def run_merge_round(index_dir: str, generation: int | None = None,
         segments=new_segs,
         metrics=dict(manifest.get("metrics", {}), merge_round_groups=len(groups)),
     )
-    if deleted is not None and len(deleted) and not kept:
-        # every segment rewritten with tombstones applied -> no stale
-        # postings remain; drop the tombstone table and recompute the
-        # live token total (n_docs stays maxDoc: docids are never
-        # renumbered — they are the stable row identity)
-        new_manifest.pop("deletes_file", None)
-        new_manifest["n_deleted"] = 0
-        new_manifest["n_docs_purged"] = int(
-            manifest.get("n_docs_purged", 0) + len(deleted)
-        )
-        new_manifest["sum_dl"] = sum(s["sum_tf"] for s in new_segs)
+    if deleted is not None and len(deleted):
+        # the planner guaranteed every tombstone-intersecting segment was
+        # rewritten this round -> no stale postings remain (kept segments
+        # are tombstone-free by construction); retire the tombstones into
+        # the purged set and recompute the live token total (n_docs stays
+        # maxDoc: docids are never renumbered — the stable row identity)
+        new_manifest = _retire_tombstones(new_manifest)
     new_manifest.pop("generation", None)
     new_gen = commit_manifest(index_dir, new_manifest)
     new_manifest["generation"] = new_gen

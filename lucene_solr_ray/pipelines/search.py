@@ -220,10 +220,18 @@ class IndexSearcher:
             # per-term docid order across a partition's segments: salt ranges /
             # merged generations are docid-disjoint, so docid_min orders them
             segs.sort(key=lambda s: (s["docid_min"], s["name"]))
-        # tombstones (deletes): sorted global docids, the liveDocs test
-        from lucene_solr_ray.pipelines.deletes import load_deletes
+        # non-live docids = active tombstones UNION docs purged by a past
+        # expunge: purged docs' postings are gone (term queries can't see
+        # them) but their docs.parquet rows remain, so match_all/ts-range/
+        # docvalues paths must keep filtering them via this same set.
+        from lucene_solr_ray.pipelines.deletes import load_deletes, load_purged
 
-        self.deleted = load_deletes(index_dir, self.manifest)
+        tomb = load_deletes(index_dir, self.manifest)
+        purged = load_purged(index_dir, self.manifest)
+        if tomb is not None and purged is not None:
+            self.deleted = np.union1d(tomb, purged)
+        else:
+            self.deleted = purged if tomb is None else tomb
         self._readers: dict[str, SegmentReader] = {}
         # decoded-postings cache: term -> (df, cf, TermCursor). Bounded by
         # total cached postings; segments are immutable so reuse is safe

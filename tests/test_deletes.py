@@ -7,7 +7,12 @@ import shutil
 import numpy as np
 import pytest
 
-from lucene_solr_ray.pipelines.deletes import delete_by_query, delete_docs, load_deletes
+from lucene_solr_ray.pipelines.deletes import (
+    delete_by_query,
+    delete_docs,
+    load_deletes,
+    load_purged,
+)
 from lucene_solr_ray.pipelines.merge import force_merge
 from lucene_solr_ray.pipelines.search import IndexSearcher
 from lucene_solr_ray.state.manifest import load_manifest
@@ -95,9 +100,15 @@ def test_expunge_deletes_on_force_merge(deletable_index):
     assert manifest.get("deletes_file") is None
     assert manifest.get("n_docs_purged") == len(victims)
     assert load_deletes(deletable_index, manifest) is None
+    # tombstones retired into the persisted purged set: postings are gone,
+    # but docs.parquet rows remain so the searcher keeps filtering them
+    purged = load_purged(deletable_index, manifest)
+    assert purged is not None and purged.tolist() == victims
     post = IndexSearcher(deletable_index)
-    assert post.deleted is None
+    assert post.deleted is not None and post.deleted.tolist() == victims
     assert post.n_scoring == post.n_docs - len(victims)
+    d, _ = post.match_all(k=post.n_docs)
+    assert not (set(d.tolist()) & set(victims))
     # purged postings: df/avgdl change so ranking may shift, but the
     # matching SET is identical to the tombstone-filtered pre-purge set
     for terms, exp in pre_res.items():
@@ -105,6 +116,53 @@ def test_expunge_deletes_on_force_merge(deletable_index):
         assert sorted(d.tolist()) == sorted(exp), terms
     # global stats: sum_dl now equals the live token total
     assert manifest["sum_dl"] == sum(s["sum_tf"] for s in manifest["segments"])
+
+
+def test_partial_expunge_keeps_sum_dl_invariant(deletable_index):
+    """A partial expunge round (only tombstone-intersecting segments
+    rewritten, others kept) must leave sum(segment sum_tf) == sum_dl and
+    a clean CheckIndex (ADVICE r2: partial rounds used to skip the
+    recompute)."""
+    from tools.check_index import check_index
+
+    from lucene_solr_ray.pipelines.merge import run_merge_round
+
+    manifest = load_manifest(deletable_index)
+    seg = min(manifest["segments"], key=lambda s: int(s["docid_min"]))
+    lo, hi = int(seg["docid_min"]), int(seg["docid_max"])
+    victims = list(range(lo, min(lo + 9, hi + 1), 3))
+    delete_docs(deletable_index, victims)
+    m = run_merge_round(deletable_index, expunge_deletes=True)
+    assert m is not None
+    assert m["sum_dl"] == sum(s["sum_tf"] for s in m["segments"])
+    assert m.get("deletes_file") is None and m["n_deleted"] == 0
+    assert m["n_docs_purged"] == len(victims)
+    assert check_index(deletable_index) == []
+
+
+def test_delete_validation_and_purged_redelete(deletable_index):
+    """Out-of-range docids are rejected; re-deleting already-purged
+    docids is dropped so n_docs_purged never double-counts (ADVICE r2)."""
+    from tools.check_index import check_index
+
+    s0 = IndexSearcher(deletable_index)
+    with pytest.raises(ValueError):
+        delete_docs(deletable_index, [s0.n_docs])
+    with pytest.raises(ValueError):
+        delete_docs(deletable_index, [-1])
+    victims = list(range(0, s0.n_docs, 11))
+    delete_docs(deletable_index, victims)
+    force_merge(deletable_index, max_segments=1, expunge_deletes=True)
+    m1 = load_manifest(deletable_index)
+    assert m1["n_docs_purged"] == len(victims)
+    # second expunge on an already-merged index (max_segments satisfied)
+    # must still rewrite tombstoned segments, and purged re-deletes drop
+    m2 = delete_docs(deletable_index, victims[:5] + [1, 2])
+    assert m2["n_deleted"] == 2
+    force_merge(deletable_index, max_segments=1, expunge_deletes=True)
+    m3 = load_manifest(deletable_index)
+    assert m3["n_docs_purged"] == len(victims) + 2
+    assert check_index(deletable_index) == []
 
 
 def test_expunge_preserves_positions(deletable_index):

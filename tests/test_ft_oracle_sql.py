@@ -1,0 +1,86 @@
+"""Scored-entry SQL oracles (functions/ft_oracle.py): DuckDB replicates
+the engine's pinned float32 BM25 narrowing, so rank-only outputs match
+bit-for-bit — plus the measured rank-stability gap bound that justifies
+trusting DuckDB's ln() (the one op not guaranteed identical to libm).
+"""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+BM25_QUERIES = [
+    ("q-or-1", ["merge", "join"], "or"),
+    ("q-or-2", ["window", "vector", "stream"], "or"),
+    ("q-and-1", ["merge", "join"], "and"),
+    ("q-single", ["spark"], "or"),
+]
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _ray(ray_session):
+    return ray_session
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    return c
+
+
+def _eq(eng, ora):
+    e = eng.to_pandas().reset_index(drop=True)
+    o = ora.df().reset_index(drop=True)
+    assert list(e.columns) == list(o.columns), (list(e.columns), list(o.columns))
+    for c in e.columns:
+        assert e[c].astype(str).tolist() == o[c].astype(str).tolist(), c
+
+
+def test_bm25_topk_matches_duckdb(con):
+    from lucene_solr_ray.functions import ft_oracle as FO
+    from lucene_solr_ray.functions.fulltext import bm25_topk
+
+    _eq(bm25_topk(SF, BM25_QUERIES, k=10), con.sql(FO.bm25_topk_sql(BM25_QUERIES, k=10)))
+
+
+def test_phrase_dismax_mlt_ltr_match_duckdb(con):
+    from lucene_solr_ray.functions import ft_oracle as FO
+    from lucene_solr_ray.functions import ltr
+    from lucene_solr_ray.functions.fulltext import (
+        dismax_topk,
+        more_like_this_topk,
+        phrase_topk,
+    )
+
+    _eq(phrase_topk(SF, ["merge", "join"], k=10),
+        con.sql(FO.phrase_topk_sql(["merge", "join"], k=10)))
+    _eq(dismax_topk(SF, ["merge", "join", "window"], 0.3, k=10),
+        con.sql(FO.dismax_topk_sql(["merge", "join", "window"], 0.3, k=10)))
+    _eq(more_like_this_topk(SF, doc_id=0, k=10),
+        con.sql(FO.more_like_this_sql(0, 8, 10)))
+    _eq(ltr.bm25_rescore(SF), con.sql(FO.ltr_bm25_rescore_sql(["merge", "sort"], 100, 20)))
+
+
+def test_rank_stability_gap_bound():
+    """Adjacent ranked float32 scores are either EXACTLY equal (both
+    sides tie-break by docid) or separated by > 2 float32 ulps — so a
+    last-ulp float64 ln() divergence between DuckDB and libm (relative
+    2^-52, five orders below one float32 ulp) cannot reorder ranks."""
+    from lucene_solr_ray.functions.fulltext import docs_index
+    from lucene_solr_ray.pipelines.search import IndexSearcher
+
+    s = IndexSearcher(docs_index(SF))
+    checked = 0
+    for _qid, terms, mode in BM25_QUERIES:
+        _d, sc = s.search(terms, k=s.n_docs, mode=mode)
+        sc = sc.astype(np.float32)
+        for a, b in zip(sc[:-1], sc[1:]):
+            if a == b:
+                continue
+            gap = float(a) - float(b)
+            ulp = float(np.spacing(a))
+            assert gap > 2 * ulp, (float(a), float(b), gap, ulp)
+            checked += 1
+    assert checked > 100  # the bound was actually exercised

@@ -94,7 +94,7 @@ def test_entry_contract_smoke():
     res = m.entry()
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     assert len(df) > 0
-    assert set(df.columns) == {"query_id", "rank", "doc_id", "score_milli"}
+    assert set(df.columns) == {"query_id", "rank", "doc_id"}
     qs = m.queries()
     sqls = m.oracle_sql()
     assert set(sqls) <= set(qs)

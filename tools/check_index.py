@@ -92,9 +92,10 @@ def check_index(index_dir: str, generation: int | None = None) -> list[str]:
                         problems.append(f"p{partition}: term {t!r} position out of range")
             r.close()
 
-    # tombstones (.liv analogue): every deleted docid in [0, n_docs),
-    # unique, and count == manifest n_docs_purged accounting
-    from lucene_solr_ray.pipelines.deletes import load_deletes
+    # tombstones (.liv analogue) + purged set: every docid in
+    # [0, n_docs), unique, the two sets disjoint, and n_docs_purged ==
+    # len(purged set) (the set union makes re-deletes count once)
+    from lucene_solr_ray.pipelines.deletes import load_deletes, load_purged
 
     deleted = load_deletes(index_dir, manifest)
     if deleted is not None and len(deleted):
@@ -102,6 +103,16 @@ def check_index(index_dir: str, generation: int | None = None) -> list[str]:
             problems.append("tombstoned docid outside [0, n_docs)")
         if len(np.unique(deleted)) != len(deleted):
             problems.append("duplicate docids in tombstone set")
+    purged = load_purged(index_dir, manifest)
+    if purged is not None and len(purged):
+        if purged.min() < 0 or purged.max() >= n_docs:
+            problems.append("purged docid outside [0, n_docs)")
+        if len(np.unique(purged)) != len(purged):
+            problems.append("duplicate docids in purged set")
+        if deleted is not None and len(np.intersect1d(deleted, purged)):
+            problems.append("tombstone set intersects purged set")
+    if int(manifest.get("n_docs_purged", 0)) != (0 if purged is None else len(purged)):
+        problems.append("n_docs_purged != len(purged set)")
     if int(manifest.get("n_docs_purged", 0)) > n_docs:
         problems.append("n_docs_purged exceeds n_docs")
 
@@ -120,8 +131,18 @@ def check_index(index_dir: str, generation: int | None = None) -> list[str]:
         norm = docs.column("norm").to_numpy()
         if not np.array_equal(encode_dl(dl), norm.astype(np.uint8)):
             problems.append("docs.parquet norm column != byte4(dl)")
-        if int(dl.sum()) != manifest["sum_dl"]:
-            problems.append(f"docs dl sum {int(dl.sum())} != manifest sum_dl")
+        # sum_dl counts live postings only: purged docs keep their
+        # docs.parquet rows but their postings (and dl contribution)
+        # were dropped at expunge time
+        live_dl = dl[np.argsort(docs.column("docid").to_numpy())]
+        if purged is not None and len(purged):
+            mask = np.ones(n_docs, dtype=bool)
+            mask[purged] = False
+            live_sum = int(live_dl[mask].sum()) if len(live_dl) == n_docs else int(dl.sum())
+        else:
+            live_sum = int(dl.sum())
+        if live_sum != manifest["sum_dl"]:
+            problems.append(f"docs live dl sum {live_sum} != manifest sum_dl")
     else:
         problems.append("docs/ directory missing")
     return problems
