@@ -100,7 +100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "highlight_snippets": lambda sf: monitor.highlight(sf, ["vector", "stream"]),
         # --- sketches (SURVEY §2.7 hll / percentile aggs) ---
         "hll_distinct": sketches.hll_distinct,
-        "tdigest_quantiles": sketches.tdigest_quantiles,
+        # max_centroids=16384 >= every batch -> singleton centroids, the
+        # sketch's exact regime (SQL-checkable); bench/pytest use the real
+        # compression budget
+        "tdigest_quantiles": lambda sf: sketches.tdigest_quantiles(sf, max_centroids=16384),
         # --- scalar / date functions, sampling (SURVEY §2.10, §2.9) ---
         "scalar_functions": rel.scalar_functions,
         "date_functions": rel.date_functions,
@@ -188,6 +191,12 @@ def _ft_oracle():
     from lucene_solr_ray.functions import ft_oracle
 
     return ft_oracle
+
+
+def _data_oracle():
+    from lucene_solr_ray.functions import data_oracle
+
+    return data_oracle
 
 # the 33-word English stopword list as a SQL list literal (analysis.py)
 from lucene_solr_ray.analysis import STOPWORDS as _STOPWORDS
@@ -477,9 +486,10 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, string_agg(term || ' ' || qf, ' ' ORDER BY term) AS s FROM prof GROUP BY 1) p "
             "ON d.doc_id = p.doc_id ORDER BY d.doc_id"
         ),
-        # dedup_minhash_lsh / dedup_simhash_pairs / dedup_embedding_lsh:
-        # probabilistic sketches, validated against the exact twins in
-        # pytest -> rows-only here.
+        # dedup_simhash_pairs: pigeonhole banding is COMPLETE for
+        # hamming <= k, so the exact all-pairs SQL is a true oracle
+        # (simhash replicated bit-for-bit via md5_number_upper).
+        "dedup_simhash_pairs": _data_oracle().simhash_pairs_sql(3),
         "dedup_embedding_cosine": (
             # threshold 0.42 sits >=3e-5 away from every pair's cosine at
             # sf0.001/0.01/0.1 (measured), so float64 rounding can't flip
@@ -540,13 +550,17 @@ def oracle_sql() -> dict[str, str]:
         "md5_fingerprint": (
             "SELECT doc_id, md5(lower(text)) AS sig FROM documents ORDER BY doc_id"
         ),
-        # rolling_fingerprint: Karp-Rabin rolling hash, pytest-validated -> rows-only.
+        "rolling_fingerprint": _data_oracle().rolling_fingerprint_sql(),
+        "stemmed_term_counts": _data_oracle().stemmed_term_counts_sql(),
         # --- multimodal ---
         "multimodal_payload_stats": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "md5(text) AS digest FROM documents ORDER BY doc_id"
         ),
-        # multimodal_fake_decode: stub decoder (deterministic fake) -> rows-only.
+        "multimodal_fake_decode": _data_oracle().multimodal_fake_decode_sql(),
+        "highlight_snippets": _data_oracle().highlight_sql(["vector", "stream"]),
+        "hll_distinct": _data_oracle().hll_distinct_sql(),
+        "tdigest_quantiles": _data_oracle().tdigest_quantiles_sql(),
         # --- SqlStream: the oracle runs the IDENTICAL SQL our planner ran ---
         "sql_stream_agg": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_DEMO"]).SQL_DEMO,
         "geo_bbox_dist": (
@@ -577,7 +591,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_classify": __import__(
             "lucene_solr_ray.functions.classify", fromlist=["KNN_ORACLE_SQL"]
         ).KNN_ORACLE_SQL,
-        # nb_classify: float log-probs -> rows-only (pytest planted-corpus oracle).
+        "nb_classify": _data_oracle().nb_classify_sql(),
         "taxonomy_facets": (
             "WITH w AS (SELECT regexp_split_to_array(p_type, ' ') AS a FROM part) "
             "SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM ("

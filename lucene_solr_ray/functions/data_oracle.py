@@ -1,0 +1,298 @@
+"""DuckDB SQL oracle generators for the data-pipeline entries (the
+dedup / fingerprint / sketch / multimodal / classify family) — the
+companion of ft_oracle.py for non-search operators.
+
+Exactness arguments, per oracle:
+- multimodal_fake_decode: md5-hex arithmetic — integers end to end.
+- highlight_snippets: the first text-level regex match lies in the first
+  whitespace word containing any match (the pattern cannot span spaces),
+  so the word-level SQL reproduces the engine's offset scan exactly.
+- stemmed_term_counts: the corpus vocabulary is CLOSED (31 words + a few
+  punctuation variants across all sf dirs), so the term->stem map is a
+  generated VALUES table from the engine's Porter stemmer — which is
+  itself pytest-validated against the published Porter vectors (the LTR
+  "oracle generated from the model" pattern).  The tokenizer chain
+  (TOKEN_RE + len<=255 + underscore + lower + stop) is replicated
+  literally in SQL.
+- rolling_fingerprint: Karp-Rabin mod 2^61-1 is integer arithmetic;
+  DuckDB HUGEINT list_reduce replicates it exactly.  The engine hashes
+  UTF-8 BYTES while SQL uses codepoints — identical because the corpus
+  is pure ASCII (asserted in tests/test_data_oracle_sql.py).
+- simhash: md5_number_upper(t) == int.from_bytes(md5(t)[:8], 'little')
+  (DuckDB's md5_number halves are little-endian), and the pigeonhole
+  band search is COMPLETE for hamming <= k, so the engine's banded
+  output equals the exact all-pairs SQL.
+- hll_distinct: the estimator is integerized (see sketches.py) — the
+  register harmonic sum is computed as an exact HUGEINT (sum of
+  2^(64-reg)), and the bias constant as a rational; only the
+  linear-counting branch keeps one float ln(), whose result is floored
+  at milli precision with a measured distance-to-boundary bound.
+"""
+
+from __future__ import annotations
+
+from lucene_solr_ray.analysis import STOPWORDS
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
+
+_MERSENNE61 = (1 << 61) - 1
+
+# the analysis.TOKEN_RE pattern with the quote SQL-escaped ('' inside SQL)
+_TOKEN_SQL = r"\w+(?:[.'']\w+)*"
+
+
+def multimodal_fake_decode_sql() -> str:
+    """Oracle for multimodal.fake_decode (deterministic fake decoder:
+    width/height from md5-hex prefixes, byte length, constant channels)."""
+    return (
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        "md5(text) AS digest, "
+        "CAST(CAST(concat('0x', substr(md5(text), 1, 4)) AS INT) % 1920 + 1 AS BIGINT) AS width, "
+        "CAST(CAST(concat('0x', substr(md5(text), 5, 4)) AS INT) % 1080 + 1 AS BIGINT) AS height, "
+        "CAST(3 AS BIGINT) AS channels FROM documents ORDER BY doc_id"
+    )
+
+
+def highlight_sql(terms: list[str], window_tokens: int = 5) -> str:
+    """Oracle for monitor.highlight: first word containing a
+    \\b-bounded case-insensitive match of any analyzed term, +/-
+    ``window_tokens`` single-space-split words of context, match word
+    wrapped in <em>..</em>."""
+    from lucene_solr_ray.analysis import tokenize
+
+    analyzed = set()
+    for t in terms:
+        analyzed.update(tokenize(t))
+    alt = "|".join(sorted(analyzed))
+    w = int(window_tokens)
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents), "
+        "hit AS (SELECT doc_id, ws, list_min(list_filter(range(1, len(ws)+1), "
+        f"i -> regexp_matches(ws[i], '(?i)\\b({alt})\\b'))) AS idx FROM w), "
+        f"m AS (SELECT doc_id, ws, idx, GREATEST(1, idx-{w}) AS lo, "
+        f"LEAST(len(ws), idx+{w}) AS hi FROM hit WHERE idx IS NOT NULL) "
+        "SELECT doc_id, array_to_string(list_transform(range(lo, hi+1), "
+        "j -> CASE WHEN j = idx THEN '<em>' || ws[j] || '</em>' ELSE ws[j] END), ' ') AS snippet "
+        "FROM m ORDER BY doc_id"
+    )
+
+
+def stemmed_term_counts_sql() -> str:
+    """Oracle for textstats.stemmed_term_counts.  The term->stem VALUES
+    map is generated from the engine's porter_stem over the union of the
+    distinct analyzed tokens of every testdata sf dir (closed vocabulary,
+    deterministic at generation time)."""
+    import duckdb
+
+    from lucene_solr_ray.analysis import porter_stem
+
+    con = duckdb.connect()
+    vocab: set[str] = set()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        rows = con.sql(
+            "SELECT DISTINCT lower(tok) FROM ("
+            f"SELECT unnest(regexp_extract_all(text, '{_TOKEN_SQL}')) AS tok "
+            f"FROM read_parquet('/root/testdata/{sf}/documents.parquet')) "
+            "WHERE length(tok) <= 255 AND trim(tok, '_') != ''"
+        ).fetchall()
+        vocab.update(r[0] for r in rows)
+    con.close()
+    vocab -= STOPWORDS
+    vals = ", ".join(
+        "('{}', '{}')".format(wd.replace("'", "''"), porter_stem(wd).replace("'", "''"))
+        for wd in sorted(vocab)
+    )
+    return (
+        "WITH toks AS (SELECT lower(tok) AS tok FROM ("
+        f"SELECT unnest(regexp_extract_all(text, '{_TOKEN_SQL}')) AS tok FROM documents) "
+        "WHERE length(tok) <= 255 AND trim(tok, '_') != ''), "
+        f"stems(tok, stem) AS (VALUES {vals}) "
+        "SELECT s.stem AS term, CAST(COUNT(*) AS BIGINT) AS n FROM toks t "
+        f"JOIN stems s ON t.tok = s.tok WHERE NOT list_contains({_STOP_SQL}, t.tok) "
+        "GROUP BY s.stem ORDER BY term"
+    )
+
+
+def rolling_fingerprint_sql(window: int = 8, base: int = 257) -> str:
+    """Oracle for textstats.rolling_fingerprint: Karp-Rabin polynomial
+    hashes mod 2^61-1 as exact HUGEINT folds over codepoints (== UTF-8
+    bytes on this ASCII corpus)."""
+    p = _MERSENNE61
+
+    def fold(char_range: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+            f"list_transform({char_range}, c_i -> CAST(unicode(text[c_i]) AS HUGEINT))), "
+            f"(acc, ch) -> (acc * {base} + ch) % {p})"
+        )
+
+    full = fold("range(1, length(text)+1)")
+    win = fold(f"range(j, j+{window})")
+    return (
+        f"WITH f AS (SELECT doc_id AS fdoc, {full} AS fp, length(text) AS n FROM documents) "
+        "SELECT fdoc AS doc_id, CAST(fp AS BIGINT) AS fingerprint, "
+        f"CAST(CASE WHEN n < {window} THEN fp ELSE "
+        f"(SELECT list_min(list_transform(range(1, n-{window}+2), j -> {win}))) "
+        "END AS BIGINT) AS min_window_hash "
+        "FROM f JOIN documents d ON f.fdoc = d.doc_id ORDER BY doc_id"
+    )
+
+
+def _mulmod64_sql(a: str, b_const: int) -> str:
+    """(a * b) mod 2^64 for HUGEINT expressions: 32-bit split so every
+    product stays inside HUGEINT."""
+    m64 = (1 << 64) - 1
+    m32 = (1 << 32) - 1
+    return (
+        f"((({a}) & {m32}) * {b_const} + "
+        f"((((({a}) >> 32) & {m32}) * ({b_const & m32}) & {m32}) << 32)) & {m64}"
+    )
+
+
+def _splitmix64_sql(x: str) -> tuple[list[str], str]:
+    """splitmix64 as chained lateral column aliases (DuckDB allows a
+    SELECT item to reference earlier aliases) — returns (alias defs,
+    final alias name).  Mirrors sketches._hll_registers bit for bit."""
+    m64 = (1 << 64) - 1
+    defs = [
+        f"(({x}) + 11400714819323198485) & {m64} AS z0",
+        f"({_mulmod64_sql('xor(z0, z0 >> 30)', 0xBF58476D1CE4E5B9)}) AS z1",
+        f"({_mulmod64_sql('xor(z1, z1 >> 27)', 0x94D049BB133111EB)}) AS z2",
+        "xor(z2, z2 >> 31) AS z",
+    ]
+    return defs, "z"
+
+
+def hll_distinct_sql(column: str = "user_id", table: str = "events",
+                     p: int = 12) -> str:
+    """Oracle for sketches.hll_distinct: registers via splitmix64
+    (replicated with exact HUGEINT arithmetic), harmonic sum as the exact
+    integer sum(2^(64-reg)), bias constant as a rational -> the raw-range
+    estimate is bit-exact; the linear-counting branch keeps one ln()
+    (floor(x+0.5)-pinned, boundary distance measured in tests)."""
+    m = 1 << p
+    alpha_num = 7213 * m
+    alpha_den = 10 * (1000 * m + 1079)
+    mix_defs, z = _splitmix64_sql(f"CAST({column} AS HUGEINT)")
+    # leading-zeros probe, identical to the engine's shift cascade:
+    # rank starts at 1; for shift in (32,16,8,4,2,1): if probe < 2^(64-shift)
+    # then rank += shift, probe <<= shift (mod 2^64)
+    m64 = (1 << 64) - 1
+    rank_defs = [f"({z} << {p}) & {m64} AS p0", "1 AS r0"]
+    prev_p, prev_r = "p0", "r0"
+    for si, shift in enumerate((32, 16, 8, 4, 2, 1)):
+        thr = 1 << (64 - shift)
+        rank_defs.append(
+            f"CASE WHEN {prev_p} < {thr} THEN ({prev_p} << {shift}) & {m64} "
+            f"ELSE {prev_p} END AS p{si+1}"
+        )
+        rank_defs.append(
+            f"CASE WHEN {prev_p} < {thr} THEN {prev_r} + {shift} ELSE {prev_r} END AS r{si+1}"
+        )
+        prev_p, prev_r = f"p{si+1}", f"r{si+1}"
+    all_defs = ", ".join(mix_defs + rank_defs)
+    return (
+        f"WITH mixed AS (SELECT {all_defs} FROM {table}), "
+        f"ranked AS (SELECT {z} >> {64 - p} AS idx, "
+        f"LEAST({prev_r}, {64 - p + 1}) AS rank FROM mixed), "
+        "regs AS (SELECT idx, MAX(rank) AS reg FROM ranked GROUP BY idx), "
+        "s AS (SELECT SUM(CAST(1 AS HUGEINT) << (64 - reg)) "
+        f"+ ({m} - COUNT(*)) * (CAST(1 AS HUGEINT) << 64) AS s64, "
+        f"{m} - COUNT(*) AS zeros FROM regs), "
+        f"est AS (SELECT (({alpha_num} * CAST({m} AS HUGEINT) * {m} * "
+        f"(CAST(1 AS HUGEINT) << 64) * 2) // ({alpha_den} * s64) + 1) // 2 AS raw, "
+        "zeros FROM s) "
+        "SELECT CAST(CASE WHEN raw * 2 <= " + str(5 * m) + " AND zeros > 0 "
+        f"THEN FLOOR({m} * ln({m} / CAST(zeros AS DOUBLE)) + 0.5) "
+        "ELSE raw END AS BIGINT) AS approx_distinct FROM est"
+    )
+
+
+def tdigest_quantiles_sql(qs=(0.5, 0.9, 0.99), column: str = "value",
+                          table: str = "events") -> str:
+    """Oracle for sketches.tdigest_quantiles IN ITS EXACT REGIME
+    (max_centroids >= every batch size -> singleton centroids): midpoint
+    interpolation over the sorted raw values with the engine's pinned
+    float op order (sketches._quantile_milli), milli-floored."""
+    q_rows = ", ".join(f"({int(round(q * 1000))}, CAST({q!r} AS DOUBLE))" for q in qs)
+    return (
+        f"WITH v AS (SELECT {column} AS x, "
+        f"ROW_NUMBER() OVER (ORDER BY {column}) AS j FROM {table}), "
+        f"n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table}), "
+        f"qq(q_milli, q) AS (VALUES {q_rows}), "
+        "t AS (SELECT q_milli, q * n AS target, n FROM qq, n), "
+        # np.searchsorted(cum, target, 'right') with cum_j = j - 0.5:
+        # i = floor(target + 0.5) + 1 clamped to [2, n]; x1 = (i-1) - 0.5
+        "pick AS (SELECT q_milli, target, "
+        "GREATEST(2, LEAST(n, CAST(FLOOR(target + 0.5) AS BIGINT) + 1)) AS i, n FROM t) "
+        "SELECT q_milli, CAST(FLOOR((CASE "
+        "WHEN target <= 0.5 THEN (SELECT x FROM v WHERE j = 1) "
+        "WHEN target >= n - 0.5 THEN (SELECT x FROM v WHERE j = n) "
+        "ELSE (SELECT lo.x + (hi.x - lo.x) * ((target - (pick.i - 1.5)) / 1.0) "
+        "FROM v lo, v hi WHERE lo.j = pick.i - 1 AND hi.j = pick.i) "
+        "END) * 1000.0 + 0.5) AS BIGINT) AS value_milli "
+        "FROM pick ORDER BY q_milli"
+    )
+
+
+def nb_classify_sql() -> str:
+    """Oracle for classify.nb_classify: the multinomial NB model (alpha=1,
+    lang classes, whitespace tokens) retrained inside SQL with exact
+    integer counts; only ln() and the score sums are float.  The
+    engine/SQL float sums may differ in the last ~1e-13 while the measured
+    min class margin is 3.4e-4 (tests/test_data_oracle_sql.py), so the
+    argmax label — the only hashed output — cannot flip.  Ties (empty
+    docs with equal class priors) are exact on both sides and break to
+    the lexicographically smallest class, matching np.argmax."""
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(list_filter("
+        "regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term FROM documents), "
+        "cls AS (SELECT lang AS c, CAST(COUNT(*) AS DOUBLE) AS docs "
+        "FROM documents GROUP BY lang), "
+        "tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents), "
+        "tc AS (SELECT d.lang AS c, t.term, CAST(COUNT(*) AS DOUBLE) AS cnt "
+        "FROM toks t JOIN documents d USING (doc_id) GROUP BY 1, 2), "
+        "vocab AS (SELECT DISTINCT term FROM toks), "
+        "vs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM vocab), "
+        "ctot AS (SELECT c, SUM(cnt) AS ct FROM tc GROUP BY c), "
+        "logcond AS (SELECT cl.c, vb.term, "
+        "ln((COALESCE(tc.cnt, 0) + 1.0) / (ctot.ct + vs.v)) AS lc "
+        "FROM (SELECT c FROM cls) cl CROSS JOIN vocab vb "
+        "LEFT JOIN tc ON tc.c = cl.c AND tc.term = vb.term "
+        "JOIN ctot ON ctot.c = cl.c, vs), "
+        "scores AS (SELECT t.doc_id, lc.c, SUM(lc.lc) AS s FROM toks t "
+        "JOIN logcond lc ON lc.term = t.term GROUP BY 1, 2), "
+        "allsc AS (SELECT d.doc_id, cl.c, ln(cl.docs / tot.n) + COALESCE(s.s, 0) AS score "
+        "FROM documents d CROSS JOIN cls cl "
+        "LEFT JOIN scores s ON s.doc_id = d.doc_id AND s.c = cl.c, tot) "
+        "SELECT doc_id, c AS predicted FROM (SELECT doc_id, c, "
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn FROM allsc) "
+        "WHERE rn = 1 ORDER BY doc_id"
+    )
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """EXACT oracle for dedup.simhash_near_pairs: the pigeonhole band
+    search is complete for hamming <= k, so the engine's output equals
+    the exact all-pairs Hamming filter.  SimHash is replicated bit by
+    bit: feature = md5_number_upper(term) (little-endian 8-byte md5 ==
+    the engine's int.from_bytes(digest[:8], 'little')), weight = tf over
+    whitespace tokens, bit set when the tf-weighted +/-1 vote is > 0."""
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(list_filter("
+        "regexp_split_to_array(text, '\\s+'), x -> x != '')) AS term FROM documents), "
+        "tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS f "
+        "FROM toks GROUP BY doc_id, term), "
+        "votes AS (SELECT doc_id, i, SUM(CASE WHEN "
+        "(md5_number_upper(term) >> i) & 1 = 1 THEN f ELSE -f END) AS score "
+        "FROM tf, range(0, 64) AS r(i) GROUP BY doc_id, i), "
+        "sims AS (SELECT d.doc_id, COALESCE(v.sim, CAST(0 AS UBIGINT)) AS sim FROM documents d "
+        "LEFT JOIN (SELECT doc_id, SUM(CASE WHEN score > 0 THEN "
+        "CAST(1 AS UBIGINT) << i ELSE CAST(0 AS UBIGINT) END) AS sim "
+        "FROM votes GROUP BY doc_id) v ON d.doc_id = v.doc_id) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming "
+        "FROM sims a JOIN sims b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.sim, b.sim)) <= {int(max_hamming)} "
+        "ORDER BY doc_a, doc_b"
+    )

@@ -48,12 +48,26 @@ def _hll_registers(values: np.ndarray) -> np.ndarray:
     return regs
 
 
-def _hll_estimate(regs: np.ndarray) -> float:
-    est = _ALPHA * _M * _M / np.sum(2.0 ** (-regs.astype(np.float64)))
+# alpha = 0.7213/(1 + 1.079/M) == 7213*M / (10*(1000*M + 1079)) exactly
+_ALPHA_NUM = 7213 * _M
+_ALPHA_DEN = 10 * (1000 * _M + 1079)
+
+
+def _hll_estimate(regs: np.ndarray) -> int:
+    """Integer-exact HLL estimate (round-half-up): the register harmonic
+    sum is computed as the exact integer S64 = sum(2^(64-reg)) and the
+    bias constant as a rational, so the raw-range estimate is pure
+    integer arithmetic that a DuckDB HUGEINT oracle reproduces bit for
+    bit (data_oracle.hll_distinct_sql).  Only the linear-counting branch
+    keeps one float ln(); its floor(x+0.5) boundary distance is measured
+    in tests."""
+    s64 = sum(1 << (64 - int(r)) for r in regs)  # M=4096 terms: exact, cheap
+    est2 = (_ALPHA_NUM * _M * _M * (1 << 64) * 2) // (_ALPHA_DEN * s64)
+    est = (est2 + 1) // 2
     zeros = int((regs == 0).sum())
-    if est <= 2.5 * _M and zeros:
-        est = _M * np.log(_M / zeros)  # linear counting for small cardinalities
-    return float(est)
+    if est * 2 <= 5 * _M and zeros:
+        est = int(np.floor(_M * np.log(_M / zeros) + 0.5))  # linear counting
+    return est
 
 
 def hll_distinct(sf_dir: str, table: str = "events", column: str = "user_id") -> pa.Table:
@@ -71,7 +85,7 @@ def hll_distinct(sf_dir: str, table: str = "events", column: str = "user_id") ->
     ):
         for blob in batch.column("regs").to_pylist():
             merged = np.maximum(merged, np.frombuffer(blob, dtype=np.int8))
-    return pa.table({"approx_distinct": pa.array([int(round(_hll_estimate(merged)))], pa.int64())})
+    return pa.table({"approx_distinct": pa.array([_hll_estimate(merged)], pa.int64())})
 
 
 # ---------------- t-digest-lite (mergeable centroid quantile sketch) ----------------
@@ -108,6 +122,14 @@ def tdigest_quantiles(sf_dir: str, table: str = "events", column: str = "value",
         if n == 0:
             return pa.table({"means": pa.array([], pa.list_(pa.float64())),
                              "weights": pa.array([], pa.list_(pa.float64()))})
+        if n <= max_centroids:
+            # centroid budget exceeds the batch: every value is its own
+            # centroid (t-digest as delta -> inf), which makes the whole
+            # sketch EXACT — the driver gate runs in this regime
+            # (max_centroids=16384) so the SQL oracle can interpolate the
+            # sorted raw values; bench/pytest use the real budget (128)
+            return pa.table({"means": pa.array([vals.tolist()]),
+                             "weights": pa.array([[1.0] * n])})
         # arcsine-scale cut points: tiny centroids at the tails (t-digest
         # k1 scale function), so extreme quantiles stay sharp
         ks = np.linspace(-1.0, 1.0, min(max_centroids, n) + 1)
@@ -131,11 +153,33 @@ def tdigest_quantiles(sf_dir: str, table: str = "events", column: str = "value",
             if len(all_means) > 4 * max_centroids:
                 all_means, all_weights = _compress(all_means, all_weights, max_centroids)
     means, weights = _compress(all_means, all_weights, max_centroids)
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
     cum = np.cumsum(weights) - weights / 2
     total = weights.sum()
     rows = []
     for q in qs:
         target = q * total
         rows.append({"q_milli": int(round(q * 1000)),
-                     "value_est": float(np.interp(target, cum, means))})
-    return pa.Table.from_pylist(rows)
+                     "value_milli": _quantile_milli(target, cum, means)})
+    return pa.Table.from_pylist(
+        rows, schema=pa.schema([("q_milli", pa.int64()), ("value_milli", pa.int64())])
+    )
+
+
+def _quantile_milli(target: float, cum: np.ndarray, means: np.ndarray) -> int:
+    """Centroid interpolation with a PINNED float op order (np.interp's
+    semantics, written out so the DuckDB oracle can replicate it bit for
+    bit when centroid spacing is 1.0), milli-floored per the driver float
+    convention."""
+    if target <= cum[0]:
+        v = float(means[0])
+    elif target >= cum[-1]:
+        v = float(means[-1])
+    else:
+        i = int(np.searchsorted(cum, target, side="right"))
+        i = min(i, len(cum) - 1)
+        x1, x2 = float(cum[i - 1]), float(cum[i])
+        y1, y2 = float(means[i - 1]), float(means[i])
+        v = y1 + (y2 - y1) * ((target - x1) / (x2 - x1))
+    return int(np.floor(v * 1000.0 + 0.5))

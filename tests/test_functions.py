@@ -118,7 +118,7 @@ def test_tdigest_accuracy_vs_exact():
 
     from lucene_solr_ray.functions.sketches import tdigest_quantiles
 
-    got = {r["q_milli"]: r["value_est"] for r in tdigest_quantiles(SF).to_pylist()}
+    got = {r["q_milli"]: r["value_milli"] / 1000.0 for r in tdigest_quantiles(SF).to_pylist()}
     con = duckdb.connect()
     for q_milli, q in ((500, 0.5), (900, 0.9), (990, 0.99)):
         exact = con.execute(
