@@ -17,7 +17,7 @@ import pyarrow as pa
 
 import ray
 
-from lucene_solr_ray.io_utils import read_parquet_clean
+from lucene_solr_ray.io_utils import pool_size, read_parquet_clean
 import ray.data
 
 
@@ -84,7 +84,7 @@ def ann_brute_topk(sf_dir: str, k: int = 10, n_queries: int = 5) -> pa.Table:
             fn_constructor_kwargs={"q_ref": q_ref, "qids": qids, "k": k},
             batch_format="pyarrow",
             batch_size=4096,
-            concurrency=2,
+            concurrency=pool_size(),
         )
         .to_pandas()
     )
@@ -166,7 +166,7 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
                              "cos": pa.array(out_c, pa.float64())})
 
     partials = _read_emb(sf_dir).map_batches(
-        IvfStage, batch_format="pyarrow", batch_size=4096, concurrency=2
+        IvfStage, batch_format="pyarrow", batch_size=4096, concurrency=pool_size()
     ).to_pandas()
     rows = []
     for qid, g in partials.groupby("query_id"):

@@ -21,7 +21,7 @@ import pyarrow.compute as pc
 
 import ray
 
-from lucene_solr_ray.io_utils import read_parquet_clean
+from lucene_solr_ray.io_utils import pool_size, read_parquet_clean
 import ray.data
 
 
@@ -81,7 +81,7 @@ def knn_classify(sf_dir: str, k: int = 10, n_queries: int = 20) -> pa.Table:
             fn_constructor_kwargs={"q_ref": q_ref, "qids": qids, "k": k},
             batch_format="pyarrow",
             batch_size=4096,
-            concurrency=2,
+            concurrency=pool_size(),
         )
         .to_pandas()  # output-sized: n_queries * k per input block
     )
@@ -211,5 +211,5 @@ def nb_classify(sf_dir: str) -> ray.data.Dataset:
         _NbPredictStage,
         fn_constructor_kwargs={"model_ref": model_ref},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=pool_size(),
     ).select_columns(["doc_id", "predicted"]).sort("doc_id")

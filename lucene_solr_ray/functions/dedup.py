@@ -22,7 +22,7 @@ import pyarrow as pa
 
 import ray.data
 
-from lucene_solr_ray.io_utils import read_parquet_clean
+from lucene_solr_ray.io_utils import pool_size, read_parquet_clean
 
 _WS = re.compile(r"\s+")
 
@@ -199,7 +199,7 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
         _MinHashStage,
         fn_constructor_kwargs={"num_hashes": num_hashes, "bands": bands, "ngram": ngram},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=pool_size(),
     )
 
     def bucket_pairs(g: pd.DataFrame) -> pa.Table:
@@ -236,7 +236,7 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
     shing = (
         _read_docs(sf_dir)
         .map_batches(_ShingleSetStage, fn_constructor_kwargs={"ids_ref": ids_ref, "ngram": ngram},
-                     batch_format="pyarrow", concurrency=2)
+                     batch_format="pyarrow", concurrency=pool_size())
         .to_pandas()
     )
     sh_of = dict(zip(shing["doc_id"].astype(int), shing["sh"]))  # candidate docs only
@@ -290,7 +290,7 @@ class _SimHashStage:
 
 
 def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
-    return _read_docs(sf_dir).map_batches(_SimHashStage, batch_format="pyarrow", concurrency=2).sort("doc_id")
+    return _read_docs(sf_dir).map_batches(_SimHashStage, batch_format="pyarrow", concurrency=pool_size()).sort("doc_id")
 
 
 def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
@@ -304,7 +304,7 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
 
-    sig_ds = _read_docs(sf_dir).map_batches(_SimHashStage, batch_format="pyarrow", concurrency=2)
+    sig_ds = _read_docs(sf_dir).map_batches(_SimHashStage, batch_format="pyarrow", concurrency=pool_size())
 
     def band_rows(t: pa.Table) -> pa.Table:
         vals = np.array([int(s, 16) for s in t.column("simhash").to_pylist()], dtype=np.uint64)
@@ -513,7 +513,7 @@ def embedding_cosine_pairs(sf_dir: str, threshold: float = 0.42,
             fn_constructor_kwargs={"refs": refs, "threshold": threshold},
             batch_format="pyarrow",
             batch_size=1,
-            concurrency=2,
+            concurrency=pool_size(),
         )
         .sort(["doc_a", "doc_b"])
     )
@@ -590,7 +590,7 @@ def embedding_lsh_pairs(sf_dir: str, threshold: float = 0.42,
         _HyperplaneStage,
         fn_constructor_kwargs={"n_planes": n_planes, "bands": bands},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=pool_size(),
     )
     return (
         sig.groupby(["band", "chunk"])

@@ -23,7 +23,7 @@ import pyarrow as pa
 
 import ray.data
 
-from lucene_solr_ray.io_utils import read_parquet_clean
+from lucene_solr_ray.io_utils import pool_size, read_parquet_clean
 
 _TOKEN_RE = re.compile(r"\s*(?:(\d+\.\d+|\d+)|([A-Za-z_]\w*)|(.))")
 
@@ -181,7 +181,7 @@ def expression_sort(sf_dir: str, k: int = 100) -> ray.data.Dataset:
     out = ds.map_batches(
         _ExprStage,
         fn_constructor_kwargs={"expression": PART_EXPR, "columns": ["p_size", "p_retailprice"]},
-        concurrency=2,
+        concurrency=pool_size(),
         batch_format="pyarrow",
     )
     return out.sort(["expr_milli", "p_partkey"], descending=[True, False]).limit(k)

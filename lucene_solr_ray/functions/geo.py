@@ -18,7 +18,7 @@ import pyarrow as pa
 
 import ray.data
 
-from lucene_solr_ray.io_utils import read_parquet_clean
+from lucene_solr_ray.io_utils import pool_size, read_parquet_clean
 
 EARTH_RADIUS_KM = 6371.0087714  # WGS84 mean radius, as Lucene GeoUtils
 
@@ -70,6 +70,6 @@ def geo_bbox_dist(sf_dir: str, origin=(12.5, 42.5), bbox=(-60.0, 60.0, -120.0, 1
     return ds.map_batches(
         _GeoStage,
         fn_constructor_kwargs={"origin_lat": origin[0], "origin_lon": origin[1], "bbox": bbox},
-        concurrency=2,
+        concurrency=pool_size(),
         batch_format="pyarrow",
     ).sort("c_custkey")

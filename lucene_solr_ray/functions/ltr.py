@@ -19,7 +19,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from lucene_solr_ray.io_utils import read_parquet_clean
+from lucene_solr_ray.io_utils import pool_size, read_parquet_clean
 
 # ---------------- feature extraction (vectorized) ----------------
 
@@ -129,7 +129,7 @@ def _rescore(sf_dir: str, term: str, model, kind: str, k: int) -> ray.data.Datas
         _LtrStage,
         fn_constructor_kwargs={"term": term, "model": model, "kind": kind},
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=pool_size(),
     )
     return scored.sort(["ltr_score", "doc_id"], descending=[True, False]).limit(k)
 

@@ -153,8 +153,12 @@ class PercolateStage:
         )
 
 
-def percolate(sf_dir: str, stored_queries: list[dict], concurrency: int = 2) -> ray.data.Dataset:
+def percolate(sf_dir: str, stored_queries: list[dict], concurrency=None) -> ray.data.Dataset:
     """Match the documents stream against stored queries."""
+    from lucene_solr_ray.io_utils import pool_size
+
+    if concurrency is None:
+        concurrency = pool_size()
     ref = ray.put(stored_queries)
     return (
         read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

@@ -20,6 +20,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from lucene_solr_ray.io_utils import pool_size
+
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
     # drop the parquet pandas metadata: it makes pa.Schema unhashable,
@@ -228,7 +230,7 @@ def fetch_enrich(sf_dir: str) -> ray.data.Dataset:
             )
 
     return _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"]).map_batches(
-        Enrich, batch_format="pyarrow", concurrency=2
+        Enrich, batch_format="pyarrow", concurrency=pool_size()
     )
 
 
@@ -317,7 +319,7 @@ def semi_join_customers(sf_dir: str) -> ray.data.Dataset:
     return (
         _read(sf_dir, "customer", ["c_custkey"])
         .map_batches(Semi, fn_constructor_kwargs={"keep": True},
-                     batch_format="pyarrow", concurrency=2)
+                     batch_format="pyarrow", concurrency=pool_size())
         .sort("c_custkey")
     )
 
@@ -338,7 +340,7 @@ def anti_join_customers(sf_dir: str) -> ray.data.Dataset:
 
     return (
         _read(sf_dir, "customer", ["c_custkey"])
-        .map_batches(Anti, batch_format="pyarrow", concurrency=2)
+        .map_batches(Anti, batch_format="pyarrow", concurrency=pool_size())
         .sort("c_custkey")
     )
 

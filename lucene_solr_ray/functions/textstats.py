@@ -19,7 +19,7 @@ import pyarrow as pa
 
 import ray.data
 
-from lucene_solr_ray.io_utils import read_parquet_clean
+from lucene_solr_ray.io_utils import pool_size, read_parquet_clean
 
 _WS = re.compile(r"\s+")
 _TOKEN_OR_PUNCT = re.compile(r"[a-z0-9]+|[^a-z0-9\s]")
@@ -88,7 +88,7 @@ def quality_signals(sf_dir: str) -> ray.data.Dataset:
                 }
             )
 
-    return _read_docs(sf_dir).map_batches(Quality, batch_format="pyarrow", concurrency=2).sort("doc_id")
+    return _read_docs(sf_dir).map_batches(Quality, batch_format="pyarrow", concurrency=pool_size()).sort("doc_id")
 
 
 def lang_id(sf_dir: str, en_threshold_pct: int = 20) -> ray.data.Dataset:
@@ -194,7 +194,6 @@ def rolling_fingerprint(sf_dir: str, window: int = 8, base: int = 257,
                              "fingerprint": pa.array(full),
                              "min_window_hash": pa.array(winmin)})
 
-    from lucene_solr_ray.io_utils import pool_size
 
     return _read_docs(sf_dir).map_batches(
         Rolling, batch_format="pyarrow", concurrency=pool_size()

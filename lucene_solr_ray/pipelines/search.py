@@ -1348,11 +1348,16 @@ class QueryExecutor:
         )
 
 
-def run_queries(index_dir: str, queries, concurrency: int = 4, batch_size: int = 64,
+def run_queries(index_dir: str, queries, concurrency=None, batch_size: int = 64,
                 generation: int | None = None, algorithm: str = "auto"):
     """Dataset-of-queries -> Dataset of (query_id, rank, docid, score),
     deterministically ordered."""
     import ray.data
+
+    from lucene_solr_ray.io_utils import pool_size
+
+    if concurrency is None:
+        concurrency = pool_size()
 
     ds = queries if hasattr(queries, "map_batches") else ray.data.from_arrow(queries)
     out = ds.map_batches(

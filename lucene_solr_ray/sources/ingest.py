@@ -31,6 +31,8 @@ import pyarrow.csv as pacsv
 
 import ray.data
 
+from lucene_solr_ray.io_utils import pool_size
+
 CACHE_ROOT = os.environ.get("LSR_CACHE", "/tmp/lsr_cache")
 
 
@@ -119,7 +121,7 @@ def dih_ingest(sf_dir: str, fmt: str = "csv") -> ray.data.Dataset:
         ds = ray.data.read_json(path)
     else:
         raise ValueError(f"unknown DIH source format: {fmt}")
-    return ds.map_batches(_DIHTransformStage, concurrency=2, batch_format="pyarrow").sort("doc_id")
+    return ds.map_batches(_DIHTransformStage, concurrency=pool_size(), batch_format="pyarrow").sort("doc_id")
 
 
 # ---------------- Tika-style content extraction ----------------
@@ -209,6 +211,6 @@ def tika_extract(sf_dir: str) -> ray.data.Dataset:
     return (
         ds.map_batches(wrap, batch_format="pyarrow")
         .map_batches(_TikaStage, fn_constructor_kwargs={"decoder": "stub"},
-                     concurrency=2, batch_size=256, batch_format="pyarrow")
+                     concurrency=pool_size(), batch_size=256, batch_format="pyarrow")
         .sort("doc_id")
     )
