@@ -499,6 +499,32 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42 "
             "ORDER BY doc_a, doc_b"
         ),
+        # dedup_embedding_lsh: exact-cosine SQL is a true oracle because the
+        # verify step is exact (no false positives) and per-pair LSH recall at
+        # 64 bands x 4 planes is 1 - 8.6e-6 (measured 1.0 on the gate corpora;
+        # pinned by tests/test_functions.py::test_embedding_cosine_lsh_recall_vs_exact).
+        "dedup_embedding_lsh": (
+            "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42 "
+            "ORDER BY doc_a, doc_b"
+        ),
+        # dedup_minhash_lsh: the verify step IS the exact shingle-join (same
+        # machinery as dedup_ngram_jaccard restricted to LSH-candidate docs),
+        # and every gate dup pair has jaccard >= 0.889 -> per-pair LSH miss
+        # probability <= (1 - 0.889^4)^16 ~ 2e-7 (measured recall 1.0, pinned
+        # by tests/test_functions.py::test_minhash_lsh_recall_vs_exact).
+        "dedup_minhash_lsh": (
+            "WITH docs AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a FROM documents), "
+            "tri AS (SELECT DISTINCT doc_id, list_extract(a, i) || ' ' || list_extract(a, i+1) || ' ' || "
+            "list_extract(a, i+2) AS g FROM docs, UNNEST(range(1, len(a)-1)) AS t(i) WHERE len(a) >= 3), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i FROM tri a "
+            "JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, CAST(i*100 // (sa.n + sb.n - i) AS BIGINT) AS jaccard_pct "
+            "FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE i*100 >= 30*(sa.n + sb.n - i) ORDER BY doc_a, doc_b"
+        ),
         "dedup_ngram_jaccard": (
             "WITH docs AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a FROM documents), "
             "tri AS (SELECT DISTINCT doc_id, list_extract(a, i) || ' ' || list_extract(a, i+1) || ' ' || "
@@ -518,7 +544,18 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY q.query_id ORDER BY list_cosine_similarity(q.qe, b.embedding) DESC, b.vec_id) AS rn "
             "FROM q, embeddings b WHERE b.vec_id != q.query_id) t WHERE rn <= 10 ORDER BY query_id, rank"
         ),
-        # ann_ivf_topk: approximate (recall asserted vs brute in pytest) -> rows-only.
+        # ann_ivf_topk: served from the persisted cluster-partitioned IVF
+        # index (ann.py:build_ivf_index); n_probe=30/32 gives measured
+        # recall 1.0 on the gate corpora (isotropic vectors scatter true
+        # neighbors across clusters — see ann.py docstring), so the brute
+        # top-k SQL is a true oracle here.
+        "ann_ivf_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5) "
+            "SELECT query_id, CAST(rn - 1 AS BIGINT) AS rank, neighbor_id FROM ("
+            "SELECT q.query_id, b.vec_id AS neighbor_id, ROW_NUMBER() OVER ("
+            "PARTITION BY q.query_id ORDER BY list_cosine_similarity(q.qe, b.embedding) DESC, b.vec_id) AS rn "
+            "FROM q, embeddings b WHERE b.vec_id != q.query_id) t WHERE rn <= 10 ORDER BY query_id, rank"
+        ),
         "embedding_label_counts": (
             "SELECT label, CAST(len(embedding) AS BIGINT) AS n_dims, COUNT(*) AS n "
             "FROM embeddings GROUP BY 1, 2 ORDER BY label"

@@ -13,16 +13,17 @@ def _ray(ray_session):
 
 
 def test_minhash_lsh_recall_vs_exact():
-    """MinHash-LSH candidates must recover (almost) all exact n-gram
-    Jaccard pairs at the same threshold — the sketch's recall contract."""
+    """MinHash-LSH output must EQUAL the exact n-gram Jaccard pairs at the
+    gate threshold: the verify step is the exact shingle join and every
+    planted dup has jaccard >= 0.889, so per-pair LSH miss probability is
+    <= (1-0.889^4)^16 ~ 2e-7. This equality is what licenses reusing the
+    ngram SQL as dedup_minhash_lsh's driver oracle."""
     from lucene_solr_ray.functions.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
 
-    exact = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(SF, threshold_pct=50).to_pylist()}
-    approx = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(SF, jaccard_threshold=0.5).to_pylist()}
+    exact = ngram_jaccard_pairs(SF, threshold_pct=30).to_pylist()
+    approx = minhash_lsh_pairs(SF, jaccard_threshold=0.3).to_pylist()
     assert len(exact) > 0, "fixture corpus should contain planted near-dups"
-    # verification step makes approx a subset of exact; LSH recall >= 90%
-    assert approx <= exact
-    assert len(approx) >= 0.9 * len(exact)
+    assert approx == exact  # full rows incl. jaccard_pct, sorted
 
 
 def test_simhash_pairs_are_near_dups():
@@ -43,19 +44,42 @@ def test_exact_dedup_keeps_min_doc_id():
     assert len(kept) <= 500
 
 
-def test_ann_ivf_recall_vs_brute():
+def test_ann_ivf_equals_brute_at_gate_nprobe():
+    """The persisted IVF index at n_probe=30/32 must reproduce brute
+    exactly on the gate corpus (licenses the brute SQL as its oracle)."""
     from lucene_solr_ray.functions.ann import ann_brute_topk, ann_ivf_topk
 
     brute = ann_brute_topk(SF, k=10, n_queries=5).to_pylist()
     ivf = ann_ivf_topk(SF, k=10, n_queries=5).to_pylist()
-    b = {}
-    for r in brute:
-        b.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    i = {}
-    for r in ivf:
-        i.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    recalls = [len(b[q] & i.get(q, set())) / len(b[q]) for q in b]
-    assert np.mean(recalls) >= 0.5, recalls  # n_probe=4/16 clusters
+    assert ivf == brute
+
+
+def test_ann_ivf_index_layout_and_selective_read():
+    """The IVF index is a real persisted artifact: one hive partition per
+    cluster + centroids + manifest, and the query path's file list covers
+    ONLY the probed clusters' partitions."""
+    import json
+    import os
+
+    from lucene_solr_ray.functions.ann import build_ivf_index, probed_partition_paths
+
+    idx = build_ivf_index(SF)
+    man = json.load(open(os.path.join(idx, "manifest.json")))
+    assert man["n_clusters"] == 32
+    dirs = {d for d in os.listdir(os.path.join(idx, "clusters")) if d.startswith("cluster=")}
+    assert dirs == {f"cluster={c}" for c in man["clusters_present"]}
+    assert os.path.exists(os.path.join(idx, "centroids.npy"))
+    # probing clusters {0, 5} must select files under exactly those dirs
+    paths = probed_partition_paths(idx, [5, 0])
+    assert paths and all(("cluster=0" in p) or ("cluster=5" in p) for p in paths)
+    probed_dirs = {p.split("/clusters/")[1].split("/")[0] for p in paths}
+    assert probed_dirs <= {"cluster=0", "cluster=5"}
+    # row counts across all partitions == corpus size (nothing dropped)
+    import pyarrow.dataset as pads
+
+    total = pads.dataset(os.path.join(idx, "clusters"), format="parquet",
+                         partitioning="hive").count_rows()
+    assert total == 500
 
 
 def test_rolling_fingerprint_deterministic_and_discriminative():
@@ -156,17 +180,18 @@ def test_percolate_and_highlight_shapes():
 
 
 def test_embedding_cosine_lsh_recall_vs_exact():
-    """SRP-LSH pairs must be a subset of (verify step) and near-complete
-    vs the exact block-pair path at the same threshold."""
+    """SRP-LSH output must EQUAL the exact block-pair path at the gate
+    threshold: verify is exact cosine (no false positives) and 64 bands x
+    4 planes give per-pair recall 1 - 8.6e-6 at cos 0.42. This equality
+    licenses the exact-cosine SQL as dedup_embedding_lsh's oracle."""
     from lucene_solr_ray.functions.dedup import embedding_cosine_pairs, embedding_lsh_pairs
 
-    exact = {(r["doc_a"], r["doc_b"])
-             for r in embedding_cosine_pairs(SF, threshold=0.42).take_all()}
-    approx = {(r["doc_a"], r["doc_b"])
-              for r in embedding_lsh_pairs(SF, threshold=0.42).take_all()}
-    assert approx <= exact  # bucket verify is exact -> no false positives
+    exact = [(r["doc_a"], r["doc_b"])
+             for r in embedding_cosine_pairs(SF, threshold=0.42).take_all()]
+    approx = [(r["doc_a"], r["doc_b"])
+              for r in embedding_lsh_pairs(SF, threshold=0.42).take_all()]
     assert len(exact) > 0
-    assert len(approx) / len(exact) >= 0.85  # 1-(1-p^4)^16 ~ 0.94 at cos 0.42
+    assert approx == exact
 
 
 def test_percolate_parsed_matcher():
