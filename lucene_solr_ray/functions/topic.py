@@ -9,8 +9,11 @@ monotonic version is the global docID (docIDs are assigned in stable
 (conv_id, turn_idx) order and appends allocate past maxDoc, so docid is
 exactly the `_version_` analogue).  Checkpoints are tiny JSON documents
 committed with tmp+fsync+rename — the same two-phase pattern as the
-manifest, so a crashed poller never skips documents (at-least-once, as
-in Solr).
+manifest. Delivery contract: ``read()`` + ``ack()`` is at-least-once
+(the checkpoint commits only after the caller confirms consumption, so
+a crashed poller re-reads rather than skips); the one-shot ``poll()``
+convenience commits before the caller sees the batch and is therefore
+at-most-once — use read/ack when documents must not be lost.
 
 At scale each topic partition can poll independently: the checkpoint
 key is (topic_id, partition) and the underlying search already fans out
@@ -54,18 +57,34 @@ class Topic:
             os.fsync(fh.fileno())
         os.rename(tmp, self._ckpt_path)
 
-    def poll(self, terms, mode: str = "or", batch_size: int = 10_000) -> pa.Table:
-        """Deliver matching docs with docid > checkpoint, oldest first,
-        at most batch_size, then advance the checkpoint (TopicStream.read
-        semantics: checkpoint moves to the max delivered version)."""
+    def read(self, terms, mode: str = "or", batch_size: int = 10_000) -> pa.Table:
+        """Read matching docs with docid > checkpoint, oldest first, at
+        most batch_size — WITHOUT advancing the checkpoint. The caller
+        persists/consumes the batch, then calls ``ack(max docid)``; a
+        crash before the ack re-delivers the same batch on the next read
+        (at-least-once, as in Solr's TopicStream)."""
         searcher = IndexSearcher(self.index_dir)  # fresh reader sees appends
         ckpt = self.checkpoint()
         docids, _ = searcher.search(terms, k=max(1, searcher.n_docs), mode=mode)
         docids = np.sort(docids.astype(np.int64))
         docids = docids[docids > ckpt][:batch_size]
-        if len(docids):
-            self._commit(int(docids.max()))
-        return pa.table({"docid": pa.array(np.sort(docids), pa.int64())})
+        return pa.table({"docid": pa.array(docids, pa.int64())})
+
+    def ack(self, max_docid: int) -> None:
+        """Commit the checkpoint AFTER the caller has consumed the batch
+        (the second phase of read/ack). Monotonic: never moves backward."""
+        if int(max_docid) > self.checkpoint():
+            self._commit(int(max_docid))
+
+    def poll(self, terms, mode: str = "or", batch_size: int = 10_000) -> pa.Table:
+        """read + immediate ack in one call. NOTE: because the checkpoint
+        commits before the caller touches the batch, a crash between this
+        return and downstream persistence loses the batch — AT-MOST-ONCE.
+        Callers needing Solr's at-least-once contract use read()/ack()."""
+        out = self.read(terms, mode=mode, batch_size=batch_size)
+        if out.num_rows:
+            self.ack(int(out.column("docid")[out.num_rows - 1].as_py()))
+        return out
 
 
 def topic_poll_batches(sf_dir: str, terms=("merge",), batch_size: int = 100,
@@ -86,10 +105,12 @@ def topic_poll_batches(sf_dir: str, terms=("merge",), batch_size: int = 100,
         mapping = _docid_to_doc_id(index_dir)
         polls, doc_ids = [], []
         for p in range(n_polls):
-            tb = t.poll(list(terms), batch_size=batch_size)
+            tb = t.read(list(terms), batch_size=batch_size)
             for d in tb.column("docid").to_pylist():
                 polls.append(p)
                 doc_ids.append(int(mapping[d]))
+            if tb.num_rows:  # ack AFTER consumption: at-least-once
+                t.ack(int(tb.column("docid")[tb.num_rows - 1].as_py()))
         return pa.table(
             {"poll": pa.array(polls, pa.int64()), "doc_id": pa.array(doc_ids, pa.int64())}
         )

@@ -103,3 +103,28 @@ def test_topic_poll_and_daemon(ray_session, t1_corpus, tmp_path):
     s2 = IndexSearcher(index_dir)
     full, _ = s2.search(["w0000"], k=s2.n_docs, mode="or")
     assert sorted(got) == sorted(int(x) for x in full)
+
+
+def test_topic_read_ack_at_least_once(ray_session, t1_corpus, tmp_path):
+    """read() without ack() re-delivers the same batch (a crashed poller
+    never skips documents); ack() after consumption advances, and a
+    stale ack never moves the checkpoint backward."""
+    from lucene_solr_ray.functions.topic import Topic
+    from lucene_solr_ray.pipelines.build import build_index
+
+    index_dir = str(tmp_path / "idx")
+    build_index(t1_corpus, index_dir, num_partitions=4, salt=1)
+    topic = Topic(index_dir, "t-ack", str(tmp_path / "ckpt"))
+
+    b1 = topic.read(["w0000"], batch_size=3)
+    assert b1.num_rows == 3
+    # no ack -> simulated crash: the SAME batch comes back
+    b2 = topic.read(["w0000"], batch_size=3)
+    assert b2["docid"].to_pylist() == b1["docid"].to_pylist()
+    topic.ack(int(b1["docid"][2].as_py()))
+    b3 = topic.read(["w0000"], batch_size=3)
+    assert b3.num_rows == 0 or min(b3["docid"].to_pylist()) > max(b1["docid"].to_pylist())
+    # stale ack (older docid) must not rewind the checkpoint
+    ckpt_before = topic.checkpoint()
+    topic.ack(int(b1["docid"][0].as_py()))
+    assert topic.checkpoint() == ckpt_before
