@@ -217,6 +217,66 @@ def batch_term_counts(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.nda
     return out_rows, uniq_terms[out_codes], tfs.astype(np.int64), dl
 
 
+def batch_term_vectors(texts):
+    """Per-(row, term) entries WITH positions and character offsets — the
+    stored-term-vectors producer ([U] lucene/core/.../codecs/lucene50/
+    Lucene50TermVectorsFormat stores (term, freq, positions, offsets) per
+    doc). Returns (rows, terms, tfs, pos_flat, start_flat, end_flat):
+    pair order matches ``batch_term_positions``; the three flat arrays are
+    aligned (one entry per token occurrence, ascending position within
+    each pair). Offsets index into the NFC-normalized text (the same form
+    every chain here tokenizes).
+    """
+    import itertools
+
+    import pandas as pd
+
+    n_rows = len(texts)
+    match_lists = [
+        list(TOKEN_RE.finditer(unicodedata.normalize("NFC", t))) if t else []
+        for t in texts
+    ]
+    counts = np.fromiter((len(r) for r in match_lists), dtype=np.int64, count=n_rows)
+    empty = (
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=object),
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+    )
+    if counts.sum() == 0:
+        return empty
+    flat = list(itertools.chain.from_iterable(match_lists))
+    starts = np.fromiter((m.start() for m in flat), dtype=np.int64, count=len(flat))
+    ends = np.fromiter((m.end() for m in flat), dtype=np.int64, count=len(flat))
+    low, emits_pos, keep = _token_filters([m.group(0) for m in flat])
+    row_all = np.repeat(np.arange(n_rows, dtype=np.int64), counts)
+    before = np.cumsum(emits_pos) - emits_pos
+    offsets = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    row_base = np.repeat(before[np.minimum(offsets, len(emits_pos) - 1)], counts)
+    pos_all = before - row_base
+    row_idx = row_all[keep]
+    terms = low[keep]
+    pos_emit = pos_all[keep]
+    st_emit = starts[keep]
+    en_emit = ends[keep]
+    if len(terms) == 0:
+        return empty
+    codes, uniq_terms = pd.factorize(terms, sort=False)
+    uniq_terms = np.asarray(uniq_terms, dtype=object)
+    pair_key = row_idx * len(uniq_terms) + codes
+    order = np.argsort(pair_key, kind="stable")  # stable: occurrences stay ascending
+    pk_s = pair_key[order]
+    starts_idx = np.flatnonzero(np.concatenate([[True], pk_s[1:] != pk_s[:-1]]))
+    bounds = np.append(starts_idx, len(pk_s))
+    tfs = np.diff(bounds).astype(np.int64)
+    out_rows = pk_s[starts_idx] // len(uniq_terms)
+    out_codes = pk_s[starts_idx] % len(uniq_terms)
+    return (out_rows, uniq_terms[out_codes], tfs,
+            pos_emit[order], st_emit[order], en_emit[order])
+
+
 # ---------------- Porter stemmer (SURVEY §2.2 stemmers) ----------------
 #
 # Classic Porter (1980) algorithm, reimplemented from the published

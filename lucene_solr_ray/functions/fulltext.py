@@ -63,13 +63,14 @@ def docs_index(sf_dir: str, num_partitions: int = 8, salt: int = 1) -> str:
     """Build (once, cached) the positional documents index for an sf_dir."""
     src = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.sha1(
-        f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{num_partitions}|{salt}|v4-pos".encode()
+        f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{num_partitions}|{salt}|v5-tv".encode()
     ).hexdigest()[:16]
     index_dir = os.path.join(CACHE_ROOT, f"docs-index-{key}")
     if latest_generation(index_dir) is None:
         build_index(
             transcripts_from_documents(sf_dir), index_dir,
             num_partitions=num_partitions, salt=salt, store_positions=True,
+            store_term_vectors=True,
         )
     return index_dir
 

@@ -112,7 +112,10 @@ class _AnalyzeStage:
 
     def __init__(self, docs_dir: str, num_partitions: int, salt: int, salt_range: int,
                  write_docs: bool, skip_buckets: frozenset[int], base_ref=None,
-                 store_positions: bool = False):
+                 store_positions: bool = False, store_term_vectors: bool = False,
+                 tvs_dir: str | None = None):
+        self.store_term_vectors = store_term_vectors
+        self.tvs_dir = tvs_dir
         self.docs_dir = docs_dir
         self.num_partitions = num_partitions
         self.salt = salt
@@ -162,6 +165,36 @@ class _AnalyzeStage:
             if not os.path.exists(path):
                 tmp = path + f".tmp-{os.getpid()}"
                 pq.write_table(docs_table, tmp)
+                os.rename(tmp, path)
+
+        if self.store_term_vectors and self.write_docs and batch.num_rows:
+            # stored term vectors ([U] lucene/core/.../codecs/lucene50/
+            # Lucene50TermVectorsFormat): per-doc (term, tf, positions,
+            # offsets), docid-range-named parquet so readers prune to the
+            # one file/row-group holding a doc — same idempotent write
+            # protocol as the stored-fields side-write above
+            from lucene_solr_ray.analysis import batch_term_vectors
+
+            tv_rows, tv_terms, tv_tfs, tv_pos, tv_st, tv_en = batch_term_vectors(texts)
+            off = np.concatenate([[0], np.cumsum(tv_tfs)]).astype(np.int32)
+            tv_table = pa.table(
+                {
+                    "docid": pa.array(docids[tv_rows], pa.int64()),
+                    "term": pa.array(tv_terms.astype(str), pa.string()),
+                    "tf": pa.array(tv_tfs, pa.int32()),
+                    "positions": pa.ListArray.from_arrays(off, pa.array(tv_pos, pa.int32())),
+                    "starts": pa.ListArray.from_arrays(off, pa.array(tv_st, pa.int32())),
+                    "ends": pa.ListArray.from_arrays(off, pa.array(tv_en, pa.int32())),
+                }
+            )
+            tv_order = np.argsort(docids[tv_rows], kind="stable")
+            tv_table = tv_table.take(pa.array(tv_order))  # docid order -> row-group stats prune
+            lo, hi = int(docids.min()), int(docids.max())
+            crc = zlib.crc32(docids.tobytes()) & 0xFFFFFFFF
+            path = os.path.join(self.tvs_dir, f"tvs-{lo:012d}-{hi:012d}-{crc:08x}.parquet")
+            if not os.path.exists(path):
+                tmp = path + f".tmp-{os.getpid()}"
+                pq.write_table(tv_table, tmp)
                 os.rename(tmp, path)
 
         empty = pa.table(
@@ -376,6 +409,7 @@ def build_index(
     analyze_batch_size: int | None = 8192,
     docid_mode: str = "conv-base",
     store_positions: bool = False,
+    store_term_vectors: bool = False,
     append: bool = False,
 ) -> dict:
     """Full build -> committed manifest dict. Ray must be initialised by
@@ -392,6 +426,7 @@ def build_index(
 
     os.makedirs(index_dir, exist_ok=True)
     docs_dir = os.path.join(index_dir, DOCS_DIRNAME)
+    tvs_dir = os.path.join(index_dir, "tvs")
     base_offset = 0
     prev_manifest = None
     generation = 0  # fresh-build generation; merges bump via commit_manifest
@@ -531,13 +566,19 @@ def build_index(
             os.unlink(os.path.join(docs_dir, stale))
         if os.path.exists(docs_marker):
             os.unlink(docs_marker)
+    if store_term_vectors and write_docs:
+        os.makedirs(tvs_dir, exist_ok=True)
+        if not append:
+            for stale in os.listdir(tvs_dir):
+                os.unlink(os.path.join(tvs_dir, stale))
 
     # salt over the newly-assigned docid range [base_offset, base_offset+n_docs)
     salt_range = max(1, -(-(base_offset + n_docs) // salt))
     t0 = time.perf_counter()
     analyzed = docs_ds.map_batches(
         _AnalyzeStage(docs_dir, num_partitions, salt, salt_range, write_docs,
-                      frozenset(done), base_ref, store_positions),
+                      frozenset(done), base_ref, store_positions,
+                      store_term_vectors, tvs_dir),
         batch_format="pyarrow",
         batch_size=analyze_batch_size,
         zero_copy_batch=True,
@@ -661,6 +702,7 @@ def build_index(
         "analysis": "standard-v1",
         "docid_mode": docid_mode,
         "positions": store_positions,
+        "term_vectors": store_term_vectors,
         "segments": segments,
         "metrics": {
             "sort_wall_s": sort_wall_s,

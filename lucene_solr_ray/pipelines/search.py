@@ -1280,12 +1280,43 @@ class IndexSearcher:
         top_terms = [t for _, t in heapq.nlargest(max_terms, scored)]
         return self.search(top_terms, k=k, mode="or")
 
+    def term_vector_detail(self, docid: int) -> list[dict]:
+        """STORED term vector ([U] lucene/core/.../codecs/lucene50/
+        Lucene50TermVectorsFormat — per-doc (term, tf, positions,
+        offsets) persisted at build time behind store_term_vectors):
+        read via parquet predicate pushdown on the docid-range-named tvs
+        files; no re-analysis, no stored-text read. Empty when the index
+        was built without term vectors (callers fall back)."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        tvs_dir = os.path.join(self.index_dir, "tvs")
+        if not os.path.isdir(tvs_dir):
+            return []
+        tbl = pads.dataset(tvs_dir, format="parquet").to_table(
+            filter=pc.field("docid") == docid
+        )
+        out = [
+            {
+                "term": str(tbl.column("term")[i].as_py()),
+                "tf": int(tbl.column("tf")[i].as_py()),
+                "positions": list(tbl.column("positions")[i].as_py()),
+                "starts": list(tbl.column("starts")[i].as_py()),
+                "ends": list(tbl.column("ends")[i].as_py()),
+            }
+            for i in range(tbl.num_rows)
+        ]
+        out.sort(key=lambda r: r["term"])
+        return out
+
     def term_vector(self, docid: int) -> list[tuple[str, int]]:
-        """Per-doc term vector ([U] lucene/core/.../index/TermVectors.java;
-        the 'from stored fields by re-analysis' path Lucene's highlighter
-        uses when vectors aren't stored): fetch the doc via parquet
-        predicate pushdown, re-run the canonical chain, return sorted
-        (term, tf) pairs."""
+        """Per-doc term vector ([U] lucene/core/.../index/TermVectors.java):
+        served from STORED vectors when the index has them, else the
+        'from stored fields by re-analysis' fallback Lucene's highlighter
+        uses when vectors aren't stored. Sorted (term, tf) pairs."""
+        stored = self.term_vector_detail(docid)
+        if stored:
+            return [(r["term"], r["tf"]) for r in stored]
         import pyarrow.compute as pc
         import pyarrow.dataset as pads
 
@@ -1298,6 +1329,42 @@ class IndexSearcher:
             return []
         _, terms, tfs, _ = batch_term_counts([tbl.column("text")[0].as_py()])
         return sorted((str(t), int(f)) for t, f in zip(terms, tfs))
+
+    def highlight_doc(self, docid: int, raw_terms, pre: str = "<em>",
+                      post: str = "</em>") -> str | None:
+        """Highlight from STORED term-vector offsets: exact character
+        spans, no re-tokenization of the text (the unified highlighter's
+        offsets-from-vectors path, [U] lucene/highlighter/.../uhighlight/).
+        Returns the marked-up text, or None if the doc doesn't exist or
+        the index stores no vectors."""
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        stored = self.term_vector_detail(docid)
+        if not stored:
+            return None
+        want = set(analyze_query_terms(raw_terms))
+        spans = []
+        for r in stored:
+            if r["term"] in want:
+                spans.extend(zip(r["starts"], r["ends"]))
+        tbl = pads.dataset(os.path.join(self.index_dir, "docs"), format="parquet").to_table(
+            columns=["docid", "text"], filter=pc.field("docid") == docid
+        )
+        if tbl.num_rows == 0:
+            return None
+        import unicodedata
+
+        text = unicodedata.normalize("NFC", tbl.column("text")[0].as_py())
+        out, last = [], 0
+        for s, e in sorted(spans):
+            out.append(text[last:s])
+            out.append(pre)
+            out.append(text[s:e])
+            out.append(post)
+            last = e
+        out.append(text[last:])
+        return "".join(out)
 
     def explain(self, raw_terms, docid: int) -> list[dict]:
         """Per-term score breakdown for one doc — the Explanation/CheckHits

@@ -262,3 +262,48 @@ def test_iter_matches_streaming(searcher):
     d_or = np.concatenate(list(searcher.iter_matches(["w0000", "zz-absent"], mode="or")))
     d_full, _ = searcher.search(["w0000"], k=max(1, searcher.n_docs))
     assert d_or.tolist() == np.sort(d_full).tolist()
+
+
+def test_stored_term_vectors_and_highlight(ray_session, t1_corpus, t1_table, tmp_path_factory):
+    """store_term_vectors=True persists per-doc (term, tf, positions,
+    offsets); term_vector is then served from the tvs files (no
+    re-analysis) and highlight_doc marks exact character spans."""
+    import os
+    import unicodedata
+
+    from lucene_solr_ray.analysis import tokenize, tokenize_with_positions
+    from lucene_solr_ray.pipelines.build import build_index
+
+    index_dir = str(tmp_path_factory.mktemp("tvidx") / "idx")
+    build_index(t1_corpus, index_dir, num_partitions=4, salt=1,
+                store_positions=True, store_term_vectors=True)
+    assert os.path.isdir(os.path.join(index_dir, "tvs"))
+    s = IndexSearcher(index_dir)
+    texts = _docid_order_texts(t1_table)
+    for docid in (0, 7, len(texts) - 1):
+        text = unicodedata.normalize("NFC", texts[docid])
+        # (term, tf) matches the canonical chain
+        exp = {}
+        for t in tokenize(text):
+            exp[t] = exp.get(t, 0) + 1
+        assert s.term_vector(docid) == sorted(exp.items())
+        detail = s.term_vector_detail(docid)
+        assert detail, "stored vectors must exist"
+        # positions match the positional chain; offsets slice to the term
+        exp_pos = {}
+        for t, p in tokenize_with_positions(text):
+            exp_pos.setdefault(t, []).append(p)
+        for r in detail:
+            assert r["positions"] == exp_pos[r["term"]]
+            for st, en in zip(r["starts"], r["ends"]):
+                assert text[st:en].lower() == r["term"]
+    # highlight: every marked span is exactly a query-term occurrence
+    probe_term = detail[0]["term"]
+    hl = s.highlight_doc(len(texts) - 1, [probe_term])
+    assert hl is not None and f"<em>" in hl
+    stripped = hl.replace("<em>", "").replace("</em>", "")
+    assert stripped == unicodedata.normalize("NFC", texts[len(texts) - 1])
+    # index without vectors -> None (callers fall back)
+    plain_dir = str(tmp_path_factory.mktemp("tvplain") / "idx")
+    build_index(t1_corpus, plain_dir, num_partitions=4, salt=1)
+    assert IndexSearcher(plain_dir).highlight_doc(0, [probe_term]) is None
