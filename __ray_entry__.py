@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "md5_fingerprint": ts.md5_fingerprint,
         "rolling_fingerprint": ts.rolling_fingerprint,
         "stemmed_term_counts": ts.stemmed_term_counts,
+        "lang_dispatch_token_counts": ts.lang_dispatch_token_counts,
+        "charfilter_token_counts": ts.charfilter_token_counts,
         # --- multimodal plumbing ---
         "multimodal_payload_stats": multimodal.payload_stats,
         "multimodal_fake_decode": multimodal.fake_decode,
@@ -127,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase_topk": lambda sf: ft.phrase_topk(sf, ["merge", "join"], k=10),
         "ft_boolean_notfilter": lambda sf: ft.boolean_full_retrieve(
             sf, must=["merge"], must_not=["vector"], filter_terms=["join"]),
+        "ft_numeric_range_docs": lambda sf: ft.numeric_range_retrieve(
+            sf, "n_chars", 100, 300, filter_terms=["merge"]),
         "ft_ts_range_docs": lambda sf: ft.ts_range_retrieve(
             sf, "2026-01-01T00:02:00", "2026-01-01T00:05:00", filter_terms=["merge"]),
         "ft_fuzzy_docs": lambda sf: ft.fuzzy_retrieve(sf, "merge~1"),
@@ -273,6 +277,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id FROM documents WHERE list_contains({split}, 'merge') "
             f"AND list_contains({split}, 'join') AND NOT list_contains({split}, 'vector') "
             "ORDER BY doc_id"
+        ),
+        "ft_numeric_range_docs": (
+            "SELECT doc_id FROM documents WHERE n_chars >= 100 AND n_chars < 300 "
+            f"AND list_contains({split}, 'merge') ORDER BY doc_id"
         ),
         "ft_ts_range_docs": (
             "SELECT doc_id FROM documents WHERE "
@@ -589,6 +597,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rolling_fingerprint": _data_oracle().rolling_fingerprint_sql(),
         "stemmed_term_counts": _data_oracle().stemmed_term_counts_sql(),
+        # lang_dispatch: zh/ja/ko rows route through the CJK chain, which
+        # degenerates to the standard chain on this CJK-free corpus (the
+        # routing itself shows in the analyzer column; real-CJK behavior is
+        # pinned in tests/test_analysis.py)
+        "lang_dispatch_token_counts": (
+            "WITH t AS (SELECT doc_id, lang, CASE WHEN trim(text) = '' THEN [] ELSE "
+            "regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents) "
+            "SELECT doc_id, CASE WHEN lang IN ('zh', 'ja', 'ko') THEN 'cjk' ELSE 'standard' END "
+            "AS analyzer, "
+            f"CAST(len(list_filter(toks, x -> NOT list_contains({_STOP_SQL}, x))) AS BIGINT) "
+            "AS n_tokens FROM t ORDER BY doc_id"
+        ),
+        # charfilter chain rewrites whole-word merge->combine and the char
+        # sequence window->pane BEFORE tokenizing; neither target token
+        # exists in the corpus, so rewritten counts == original counts
+        "charfilter_token_counts": (
+            "WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents) "
+            "SELECT doc_id, CAST(len(list_filter(toks, x -> x = 'merge')) AS BIGINT) AS n_combine, "
+            "CAST(len(list_filter(toks, x -> x = 'window')) AS BIGINT) AS n_pane "
+            "FROM t ORDER BY doc_id"
+        ),
         # --- multimodal ---
         "multimodal_payload_stats": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "

@@ -533,6 +533,59 @@ def html_strip_standard_tokenize(text: str) -> list[str]:
     return tokenize(_HTML_TAG_RE.sub(" ", text)) if text else []
 
 
+class MappingCharFilter:
+    """[U] lucene/analysis/common/.../charfilter/MappingCharFilter.java:
+    greedy longest-match character-sequence replacement applied BEFORE
+    tokenization. One compiled alternation (longest keys first — Lucene's
+    FST picks the longest match the same way); state built once, so the
+    instance is safe to hold in a per-actor analyzer chain."""
+
+    def __init__(self, mappings: dict[str, str]):
+        self.mappings = dict(mappings)
+        keys = sorted(self.mappings, key=len, reverse=True)
+        self._re = re.compile("|".join(re.escape(k) for k in keys)) if keys else None
+
+    def __call__(self, text: str) -> str:
+        if not text or self._re is None:
+            return text or ""
+        return self._re.sub(lambda m: self.mappings[m.group(0)], text)
+
+
+class PatternReplaceCharFilter:
+    """[U] lucene/analysis/common/.../pattern/PatternReplaceCharFilter.java:
+    regex replacement over the raw character stream before the tokenizer."""
+
+    def __init__(self, pattern: str, replacement: str):
+        self._re = re.compile(pattern)
+        self.replacement = replacement
+
+    def __call__(self, text: str) -> str:
+        return self._re.sub(self.replacement, text) if text else ""
+
+
+def char_filtered_tokenize(char_filters, tokenizer=None):
+    """Compose char filters (applied in order) in front of a token chain —
+    the CharFilter slot of Lucene's Analyzer contract."""
+    tok = tokenizer or tokenize
+
+    def fn(text: str) -> list[str]:
+        for f in char_filters:
+            text = f(text)
+        return tok(text)
+
+    return fn
+
+
+# per-language analyzer dispatch (lang_id output routes each doc to its
+# language's chain — kuromoji/nori/smartcn stand-ins: CJK bigram for
+# zh/ja/ko, the canonical standard chain otherwise)
+CJK_LANGS = frozenset({"zh", "ja", "ko"})
+
+
+def analyzer_for_lang(lang: str):
+    return cjk_bigram_tokenize if lang in CJK_LANGS else tokenize
+
+
 ANALYZERS = {
     "standard": tokenize,          # the parity-pinned canonical chain
     "whitespace": whitespace_tokenize,
@@ -541,6 +594,14 @@ ANALYZERS = {
     "english": english_tokenize,   # standard + Porter stem
     "folding": folding_tokenize,   # standard + ASCII folding
     "cjk": cjk_bigram_tokenize,    # CJK bigrams + standard for non-CJK
+    # canned char-filtered chains (the configurable path is
+    # char_filtered_tokenize([MappingCharFilter(...), ...]))
+    "quote_mapping_standard": char_filtered_tokenize(
+        [MappingCharFilter({"‘": "'", "’": "'", "“": '"', "”": '"'})]
+    ),
+    "nodigits_standard": char_filtered_tokenize(
+        [PatternReplaceCharFilter(r"\d+", " ")]
+    ),
 }
 
 

@@ -370,3 +370,17 @@ def dismax_topk(sf_dir: str, terms: list[str], tie_breaker: float = 0.3, k: int 
             "doc_id": pa.array(mapping[d], pa.int64()),
         }
     )
+
+
+def numeric_range_retrieve(sf_dir: str, field: str, lo: int, hi: int,
+                           filter_terms: list[str] = ()) -> pa.Table:
+    """PointRangeQuery on an arbitrary NUMERIC doc-values column
+    ([U] lucene/core/.../search/PointRangeQuery.java over an IntPoint
+    field; the BKD tree's role is played by parquet row-group statistics
+    pruning, as in the ts path) -> sorted doc_id set, composable with
+    term FILTER clauses."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d = s.search_ts_range(int(lo), int(hi), filter_terms=filter_terms, field=field)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})

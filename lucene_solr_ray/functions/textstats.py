@@ -223,3 +223,72 @@ def stemmed_term_counts(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Count(alias_name="n"))
         .sort("term")
     )
+
+
+def lang_dispatch_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """Per-language analyzer dispatch (langid URP -> analyzer routing,
+    [U] solr/contrib/langid + lucene/analysis/{kuromoji,nori,smartcn}
+    stand-ins): each doc's ``lang`` column picks its chain — CJK bigram
+    for zh/ja/ko, the canonical standard chain otherwise — and the entry
+    reports (doc_id, analyzer, n_tokens).
+
+    Oracle note: this corpus's zh/ja/ko rows contain no CJK codepoints,
+    so the CJK chain degenerates to the standard chain on them and the
+    SQL oracle is the stopword-filtered whitespace count for every row
+    (the dispatch itself IS exercised — the analyzer column proves the
+    routing, and tests feed real CJK text through the same path)."""
+    from lucene_solr_ray.analysis import CJK_LANGS, analyzer_for_lang, analyze_texts
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        langs = t.column("lang").to_pylist()
+        texts = t.column("text").to_pylist()
+        n = len(texts)
+        out = np.zeros(n, np.int64)
+        cjk_rows = [i for i, lg in enumerate(langs) if lg in CJK_LANGS]
+        std_rows = [i for i, lg in enumerate(langs) if lg not in CJK_LANGS]
+        if std_rows:  # vectorized standard chain for the bulk
+            _, _, dl = analyze_texts([texts[i] for i in std_rows])
+            out[std_rows] = dl
+        for i in cjk_rows:  # CJK rows only walk the bigram chain
+            out[i] = len(analyzer_for_lang(langs[i])(texts[i]))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "analyzer": pa.array(
+                ["cjk" if lg in CJK_LANGS else "standard" for lg in langs], pa.string()),
+            "n_tokens": pa.array(out),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def charfilter_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """Char-filter chain demo over real data: PatternReplaceCharFilter
+    rewrites whole-word 'merge' -> 'combine', MappingCharFilter maps the
+    character sequence 'window' -> 'pane', THEN the standard chain runs;
+    the entry counts the rewritten terms per doc. Neither replacement
+    token exists in the corpus vocabulary, so the oracle is the original
+    merge/window counts."""
+    from lucene_solr_ray.analysis import (MappingCharFilter, PatternReplaceCharFilter,
+                                          char_filtered_tokenize)
+
+    chain = char_filtered_tokenize([
+        PatternReplaceCharFilter(r"\bmerge\b", "combine"),
+        MappingCharFilter({"window": "pane"}),
+    ])
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n_comb = np.zeros(len(texts), np.int64)
+        n_pane = np.zeros(len(texts), np.int64)
+        for i, s in enumerate(texts):
+            toks = chain(s)
+            n_comb[i] = sum(1 for w in toks if w == "combine")
+            n_pane[i] = sum(1 for w in toks if w == "pane")
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_combine": pa.array(n_comb),
+                         "n_pane": pa.array(n_pane)})
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")

@@ -110,3 +110,46 @@ def test_english_analyzer_registered():
 
     en = get_analyzer("english")
     assert en("merging the merges") == ["merg", "merg"]
+
+
+def test_mapping_char_filter_longest_match():
+    from lucene_solr_ray.analysis import MappingCharFilter, char_filtered_tokenize
+
+    f = MappingCharFilter({"ab": "X", "abc": "Y", "’": "'"})
+    assert f("abc ab a’b") == "Y X a'b"  # longest key wins, like Lucene's FST
+    chain = char_filtered_tokenize([MappingCharFilter({"window": "pane"})])
+    assert chain("the window merge") == ["pane", "merge"]  # stopword still dropped
+
+
+def test_pattern_replace_char_filter():
+    from lucene_solr_ray.analysis import PatternReplaceCharFilter, char_filtered_tokenize
+
+    chain = char_filtered_tokenize([PatternReplaceCharFilter(r"\bmerge\b", "combine")])
+    assert chain("merge merged merge") == ["combine", "merged", "combine"]
+    assert chain("") == []
+
+
+def test_char_filters_compose_in_order():
+    from lucene_solr_ray.analysis import (MappingCharFilter, PatternReplaceCharFilter,
+                                          char_filtered_tokenize)
+
+    chain = char_filtered_tokenize([
+        PatternReplaceCharFilter(r"\d+", "merge"),
+        MappingCharFilter({"merge": "join"}),  # sees the pattern's output
+    ])
+    assert chain("42 stream") == ["join", "stream"]
+
+
+def test_lang_routed_analyzer_cjk():
+    from lucene_solr_ray.analysis import analyzer_for_lang
+
+    assert analyzer_for_lang("zh")("中文分析 merge") == [
+        "中文", "文分", "分析", "merge"]
+    # the standard chain treats the CJK run as ONE \w token; the routed
+    # chain bigrams it — the dispatch is observable
+    assert analyzer_for_lang("en")("中文分析 merge") == ["中文分析", "merge"]
+    assert analyzer_for_lang("en")("the merge") == ["merge"]
+    from lucene_solr_ray.analysis import get_analyzer
+
+    assert get_analyzer("quote_mapping_standard")("it’s fine") == ["it's", "fine"]
+    assert get_analyzer("nodigits_standard")("ab12cd 7 merge") == ["ab", "cd", "merge"]
