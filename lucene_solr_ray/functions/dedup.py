@@ -156,6 +156,61 @@ class _MinHashStage:
         )
 
 
+class _ShingleStrSetStage:
+    """Distinct STRING word-n-gram shingles (sorted) for docs in a
+    broadcast candidate-id set — string form so exact verification
+    matches the SQL oracle's trigrams with no hash-collision caveat."""
+
+    def __init__(self, ids_ref, ngram: int):
+        self.ids = ray.get(ids_ref)  # sorted int64 numpy array
+        self.ngram = ngram
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        if len(self.ids) == 0:
+            hit = np.zeros(len(ids), bool)
+        else:
+            pos = np.minimum(np.searchsorted(self.ids, ids), len(self.ids) - 1)
+            hit = self.ids[pos] == ids
+        out_ids, out_sh = [], []
+        texts = t.column("text").to_pylist()
+        for i in np.flatnonzero(hit):
+            toks = _tokens(texts[i])
+            grams = {" ".join(toks[j: j + self.ngram])
+                     for j in range(len(toks) - self.ngram + 1)}
+            out_ids.append(int(ids[i]))
+            out_sh.append(sorted(grams))
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "sh": pa.array(out_sh, pa.list_(pa.string()))})
+
+
+class _PairJaccardStage:
+    """Exact string-shingle Jaccard over candidate (doc_a, doc_b) rows,
+    sets from a broadcast dict of candidate docs (ray.put once) — the
+    verify work is distributed over the pairs dataset, output-sized."""
+
+    def __init__(self, sets_ref, threshold_pct: int):
+        self.sets = ray.get(sets_ref)
+        self.thr = threshold_pct
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist()):
+            sa = self.sets.get(int(a))
+            sb = self.sets.get(int(b))
+            if sa is None or sb is None or not len(sa) or not len(sb):
+                continue  # <ngram-token docs have no shingles (SQL excludes them)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if union and inter * 100 >= self.thr * union:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(inter * 100 // union)
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64()),
+                         "jaccard_pct": pa.array(out_j, pa.int64())})
+
+
 _PAIRS_EMPTY = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
                          "jaccard_pct": pa.array([], pa.int64())})
 
@@ -167,12 +222,12 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
     Returns verified (doc_a, doc_b) with integer jaccard_pct.
 
     Scale shape: candidates come from the banded groupby; verification
-    is the SAME in-plane shingle-join used by ``ngram_jaccard_pairs``
-    (explode -> groupby shingle -> pair counts ⋈ sizes), restricted to
-    the candidate docs by a broadcast id array (output-sized, ray.put
-    once). Nothing loops over pairs on the driver, and verifying the
-    candidate-doc *set* (rather than candidate pairs) can only raise
-    recall: a true pair is found whenever both docs hit any LSH bucket."""
+    is exact string-shingle Jaccard computed IN THE DATA PLANE — one
+    corpus pass gathers the candidate docs' shingle sets (broadcast-id
+    semi-join), then a map_batches over the candidate-pair dataset
+    verifies against the broadcast sets. Nothing loops over pairs on the
+    driver, and the string shingles match the SQL oracle's trigrams
+    exactly (no hash-collision caveat)."""
     import ray
 
     banded = _read_docs(sf_dir).map_batches(
@@ -214,10 +269,39 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
         [cand["doc_a"].to_numpy().astype(np.int64), cand["doc_b"].to_numpy().astype(np.int64)]
     ))
     ids_ref = ray.put(need)
-    out = ngram_jaccard_pairs(
-        sf_dir, threshold_pct=int(jaccard_threshold * 100), ngram=ngram, only_ids_ref=ids_ref
+    # exact verify, in the data plane: ONE corpus pass gathers the
+    # candidate docs' STRING shingle sets (string, not hashed — the SQL
+    # oracle's trigrams exactly), then the pairs dataset verifies against
+    # the broadcast sets. No join shuffles (the shingle-join variant paid
+    # ~5 fixed shuffle costs per call), no driver pair loop.
+    shing = (
+        _read_docs(sf_dir)
+        .map_batches(_ShingleStrSetStage,
+                     fn_constructor_kwargs={"ids_ref": ids_ref, "ngram": ngram},
+                     batch_format="pyarrow", concurrency=pool_size())
+        .to_pandas()  # candidate docs only
     )
-    return out if out.num_rows else _PAIRS_EMPTY
+    sets_ref = ray.put({int(d): np.asarray(sh, dtype=object)
+                        for d, sh in zip(shing["doc_id"], shing["sh"])})
+    out = (
+        ray.data.from_arrow(pa.table({
+            "doc_a": pa.array(cand["doc_a"].to_numpy().astype(np.int64), pa.int64()),
+            "doc_b": pa.array(cand["doc_b"].to_numpy().astype(np.int64), pa.int64()),
+        }))
+        .map_batches(_PairJaccardStage,
+                     fn_constructor_kwargs={"sets_ref": sets_ref,
+                                            "threshold_pct": int(jaccard_threshold * 100)},
+                     batch_format="pyarrow", concurrency=pool_size())
+        .sort(["doc_a", "doc_b"])
+        .to_pandas()
+    )
+    if len(out) == 0:
+        return _PAIRS_EMPTY
+    return pa.table({
+        "doc_a": pa.array(out["doc_a"].to_numpy().astype(np.int64)),
+        "doc_b": pa.array(out["doc_b"].to_numpy().astype(np.int64)),
+        "jaccard_pct": pa.array(out["jaccard_pct"].to_numpy().astype(np.int64)),
+    })
 
 
 # ---------------- SimHash ----------------
@@ -329,7 +413,7 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 # ---------------- n-gram Jaccard (exact, all pairs via LSH-free path) ----------------
 
 def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 50, ngram: int = 3,
-                        max_group: int | None = None, only_ids_ref=None) -> pa.Table:
+                        max_group: int | None = None) -> pa.Table:
     """Exact n-gram Jaccard >= threshold pairs via shingle inverted index
     (explode -> groupby shingle -> pair counts) — string shingles and
     integer arithmetic only, so the DuckDB oracle matches exactly. Docs
@@ -339,20 +423,10 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 50, ngram: int = 3,
     (Dataset.join twice) — no driver-side per-doc dict. ``max_group``
     (off by default, keeping the SQL-checked path exact) fails LOUDLY if
     a shingle group exceeds it rather than silently undercounting; real
-    100 TB corpora should use the LSH path instead of this exact one.
-
-    ``only_ids_ref`` (a ray.put sorted int64 id array) restricts the
-    explode to those docs — the MinHash-LSH verify step reuses this whole
-    pipeline on its candidate-doc set."""
+    100 TB corpora should use the LSH path instead of this exact one."""
     ds = _read_docs(sf_dir)
-    only_ids = ray.get(only_ids_ref) if only_ids_ref is not None else None
 
     def explode(t: pa.Table) -> pa.Table:
-        batch_ids = t.column("doc_id").to_numpy()
-        if only_ids is not None and len(only_ids):
-            pos = np.minimum(np.searchsorted(only_ids, batch_ids), len(only_ids) - 1)
-            keep = only_ids[pos] == batch_ids
-            t = t.filter(pa.array(keep))
         doc_ids, sh = [], []
         for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
             toks = _tokens(s)

@@ -192,14 +192,9 @@ def highlight(sf_dir: str, terms: list[str], window_tokens: int = 5) -> ray.data
             if not m:
                 continue
             words = s.split(" ")
-            # locate the word index containing the match offset
-            off = 0
-            idx = 0
-            for i, w in enumerate(words):
-                if off + len(w) >= m.start():
-                    idx = i
-                    break
-                off += len(w) + 1
+            # word index containing the match = spaces before the match
+            # offset (O(prefix) slice-count instead of walking every word)
+            idx = s.count(" ", 0, m.start())
             lo = max(0, idx - window_tokens)
             hi = min(len(words), idx + window_tokens + 1)
             snippet_words = words[lo:hi]
