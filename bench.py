@@ -98,12 +98,16 @@ def main() -> None:
     )
 
     queries: dict[str, float] = {}
-    # scaling (build-only) runs write the index to tmpfs: on a real N vs 4N
-    # cluster every node brings its own disk, so aggregate write bandwidth
-    # scales with the cluster — this single VM's one disk does not, and
-    # would cap the 32-CPU run with an artifact the criterion doesn't
-    # intend to measure. Regular bench runs keep writing to /tmp (disk).
-    root = "/dev/shm/lsr_bench" if os.environ.get("LSR_BENCH_BUILD_ONLY") else "/tmp/lsr_bench"
+    # ALL bench runs write the index to tmpfs (round 3; scaling runs did
+    # since round 2): on a real N vs 4N cluster every node brings its own
+    # disk, so aggregate write bandwidth scales with the cluster — this
+    # single VM's one SHARED disk does not, and its noisy-neighbor stalls
+    # were the dominant run-to-run variance in the round-3 headline
+    # measurements (27 s -> 130 s swings on identical code; see
+    # BENCH/BASELINE.md round-3 notes). Set LSR_BENCH_DISK_INDEX=1 to get
+    # the old disk-backed behavior.
+    root = ("/tmp/lsr_bench" if os.environ.get("LSR_BENCH_DISK_INDEX")
+            else "/dev/shm/lsr_bench")
     index_dir = f"{root}/index-{os.path.basename(corpus)}-{NUM_CPUS}"
     shutil.rmtree(index_dir, ignore_errors=True)
 
@@ -199,6 +203,16 @@ def main() -> None:
     t0 = time.perf_counter()
     annmod.ann_brute_topk(SF_DIR, k=10, n_queries=5)
     queries["ann_brute_topk"] = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(annmod.build_ivf_index(SF_DIR), ignore_errors=True)  # drop cache
+    t0 = time.perf_counter()
+    annmod.build_ivf_index(SF_DIR)  # one-time cluster-partitioned index, cold
+    queries["ann_ivf_build"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    annmod.ann_ivf_topk(SF_DIR, k=10, n_queries=5)  # recall-1.0 probes (30/32)
+    queries["ann_ivf_topk"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    annmod.ann_ivf_topk(SF_DIR, k=10, n_queries=5, n_probe=4)  # selective-read path
+    queries["ann_ivf_probe4"] = round(time.perf_counter() - t0, 3)
 
     lat_ms = np.array(lat) * 1000
     out = {
@@ -217,6 +231,7 @@ def main() -> None:
         "skew_max_over_median_segment_wall": _skew(manifest),
     }
     ray.shutdown()
+    shutil.rmtree(index_dir, ignore_errors=True)  # free tmpfs
     print(json.dumps(out))
 
 
