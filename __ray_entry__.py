@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_solr_ray.functions import sketches
     from lucene_solr_ray.functions import textstats as ts
     from lucene_solr_ray.functions import classify, expr, geo, graph, ltr
+    from lucene_solr_ray.functions import solrapi
     from lucene_solr_ray.functions import sql as sqlmod
     from lucene_solr_ray.sources import ingest, urp
 
@@ -145,6 +146,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_term_vector": lambda sf: ft.term_vector(sf, doc_id=3),
         "ft_fielded_search": lambda sf: ft.fielded_retrieve(
             sf, must=["merge"], dv_filters={"lang": "en", "source": ["src1", "src2", "src3"]}),
+        # --- Solr request-handler surface (SURVEY §2.11) ---
+        "solr_select_docs": solrapi.solr_select_docs,
+        "solr_select_scored": solrapi.solr_select_scored,
+        "solr_select_dismax": solrapi.solr_select_dismax,
+        "solr_select_facets": solrapi.solr_select_facets,
+        "solr_select_stats": solrapi.solr_select_stats,
+        "solr_select_highlight": solrapi.solr_select_highlight,
         # --- TopicStream / Replicator (SURVEY §2.8 / §2.1) ---
         "topic_stream_poll": lambda sf: __import__(
             "lucene_solr_ray.functions.topic", fromlist=["topic_poll_batches"]
@@ -335,6 +343,50 @@ def oracle_sql() -> dict[str, str]:
         "ft_fielded_search": (
             f"SELECT doc_id FROM documents WHERE list_contains({split}, 'merge') "
             "AND lang = 'en' AND source IN ('src1', 'src2', 'src3') ORDER BY doc_id"
+        ),
+        # --- Solr /select request pipeline (solrapi; q='merge join' is
+        # default-OR over two SHOULD clauses; fold order = clause order) ---
+        "solr_select_docs": (
+            f"WITH m AS (SELECT doc_id, n_chars, lang FROM documents WHERE "
+            f"(list_contains({split}, 'merge') OR list_contains({split}, 'join')) "
+            "AND lang = 'en') "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS rank, "
+            "doc_id, n_chars, lang FROM m ORDER BY n_chars DESC, doc_id LIMIT 10 OFFSET 5"
+        ),
+        "solr_select_scored": _ft_oracle().clause_order_topk_sql(["merge", "join"], k=10),
+        "solr_select_dismax": _ft_oracle().dismax_topk_sql(["merge", "join", "vector"], 0.3, k=10),
+        "solr_select_facets": (
+            f"WITH m AS (SELECT doc_id, lang, source, n_chars FROM documents WHERE "
+            f"list_contains({split}, 'merge') OR list_contains({split}, 'join')) "
+            "SELECT 'lang' AS field, lang AS value, CAST(COUNT(*) AS BIGINT) AS count "
+            "FROM m GROUP BY lang "
+            "UNION ALL "
+            "SELECT 'source' AS field, source AS value, CAST(COUNT(*) AS BIGINT) AS count "
+            "FROM m GROUP BY source "
+            "UNION ALL "
+            "SELECT 'n_chars' AS field, CAST(150 * g AS VARCHAR) AS value, "
+            "CAST(COALESCE(c, 0) AS BIGINT) AS count FROM generate_series(0, 3) s(g) "
+            "LEFT JOIN (SELECT n_chars // 150 AS b, COUNT(*) AS c FROM m "
+            "WHERE n_chars >= 0 AND n_chars < 600 GROUP BY b) h ON h.b = s.g "
+            "ORDER BY field, value"
+        ),
+        "solr_select_stats": (
+            f"WITH m AS (SELECT n_chars FROM documents WHERE "
+            f"list_contains({split}, 'merge') OR list_contains({split}, 'join')) "
+            "SELECT 'n_chars' AS field, CAST(COUNT(n_chars) AS BIGINT) AS n, "
+            "CAST(COUNT(*) - COUNT(n_chars) AS BIGINT) AS n_missing, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum, "
+            "CAST(MIN(n_chars) AS BIGINT) AS min, CAST(MAX(n_chars) AS BIGINT) AS max FROM m"
+        ),
+        "solr_select_highlight": (
+            # page = scored top-5; snippet = every 'merge'/'join' token
+            # wrapped (stored-TV offsets == \\b word spans on this pure
+            # [a-z ] corpus — asserted in tests/test_solrapi.py)
+            "WITH ranked AS ("
+            + _ft_oracle().clause_order_topk_sql(["merge", "join"], k=5)
+            + ") SELECT d.doc_id, regexp_replace(d.text, '\\b(merge|join)\\b', "
+            "'<em>\\1</em>', 'g') AS snippet "
+            "FROM documents d JOIN ranked r ON r.doc_id = d.doc_id ORDER BY d.doc_id"
         ),
         "topic_stream_poll": (
             # two successive checkpointed polls of 100 == the first two

@@ -162,6 +162,37 @@ def phrase_topk_sql(phrase: list[str], k: int = 10) -> str:
     )
 
 
+def clause_order_topk_sql(terms: list[str], k: int = 10, offset: int = 0) -> str:
+    """Oracle for the /select scored page (solrapi via search_clauses):
+    OR match over single-term SHOULD clauses, float32 score fold in
+    CLAUSE INPUT ORDER (search_clauses pins accumulation to clause order,
+    unlike search()'s analyzed ascending order) -> (rank, doc_id) rows
+    [offset, offset+k)."""
+    ctes = [prelude_ctes()]
+    tf_names, w_names = [], []
+    for ti, t in enumerate(terms):
+        tf_n, w_n = f"tf_s{ti}", f"w_s{ti}"
+        ctes.append(tf_cte(tf_n, t))
+        ctes.append(w_cte(w_n, tf_n))
+        tf_names.append(tf_n)
+        w_names.append(w_n)
+    aliases = [f"t{ti}" for ti in range(len(terms))]
+    joins = f"{tf_names[0]} {aliases[0]}"
+    for tf_n, a in zip(tf_names[1:], aliases[1:]):
+        joins += f" JOIN {tf_n} {a} ON {aliases[0]}.doc_id = {a}.doc_id"
+    joins += f" JOIN denom ON denom.doc_id = {aliases[0]}.doc_id"
+    fold = fold_f32([score_expr(a, w_n) for a, w_n in zip(aliases, w_names)])
+    cond = " OR ".join(f"{a}.tf > 0" for a in aliases)
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT rank, doc_id FROM ("
+        "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+        f"FROM (SELECT {aliases[0]}.doc_id AS doc_id, {fold} AS score "
+        f"FROM {joins} WHERE {cond}) sub"
+        f") ranked WHERE rank >= {int(offset)} AND rank < {int(offset) + int(k)} ORDER BY rank"
+    )
+
+
 def dismax_topk_sql(terms: list[str], tie_breaker: float, k: int = 10) -> str:
     """Oracle for fulltext.dismax_topk: float32 per-clause scores (missing
     clause -> exact 0), score = float32(max64 + tie*(sum64 - max64)) with
