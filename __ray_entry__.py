@@ -60,7 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_solr_ray.functions import sketches
     from lucene_solr_ray.functions import textstats as ts
     from lucene_solr_ray.functions import classify, expr, geo, graph, ltr
-    from lucene_solr_ray.functions import solrapi
+    from lucene_solr_ray.functions import solrapi, streamexpr
     from lucene_solr_ray.functions import sql as sqlmod
     from lucene_solr_ray.sources import ingest, urp
 
@@ -153,6 +153,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "solr_select_facets": solrapi.solr_select_facets,
         "solr_select_stats": solrapi.solr_select_stats,
         "solr_select_highlight": solrapi.solr_select_highlight,
+        # --- streaming-expression TEXT language (SURVEY §2.11/§2.8) ---
+        "stream_expr_rollup": streamexpr.stream_expr_rollup,
+        "stream_expr_top": streamexpr.stream_expr_top,
+        "stream_expr_having_unique": streamexpr.stream_expr_having_unique,
         # --- TopicStream / Replicator (SURVEY §2.8 / §2.1) ---
         "topic_stream_poll": lambda sf: __import__(
             "lucene_solr_ray.functions.topic", fromlist=["topic_poll_batches"]
@@ -387,6 +391,21 @@ def oracle_sql() -> dict[str, str]:
             + ") SELECT d.doc_id, regexp_replace(d.text, '\\b(merge|join)\\b', "
             "'<em>\\1</em>', 'g') AS snippet "
             "FROM documents d JOIN ranked r ON r.doc_id = d.doc_id ORDER BY d.doc_id"
+        ),
+        # --- streaming-expression text language (streamexpr) ---
+        "stream_expr_rollup": (
+            f"SELECT source, CAST(COUNT(*) AS BIGINT) AS count, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars FROM documents "
+            f"WHERE list_contains({split}, 'merge') OR list_contains({split}, 'join') "
+            "GROUP BY source ORDER BY source"
+        ),
+        "stream_expr_top": (
+            "SELECT doc_id AS id, n_chars AS len FROM documents WHERE lang = 'en' "
+            "ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "stream_expr_having_unique": (
+            "SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS count "
+            "FROM documents GROUP BY lang HAVING COUNT(DISTINCT source) > 2 ORDER BY lang"
         ),
         "topic_stream_poll": (
             # two successive checkpointed polls of 100 == the first two

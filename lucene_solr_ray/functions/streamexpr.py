@@ -1,0 +1,371 @@
+"""Solr streaming-expression LANGUAGE: parse the text form
+(``rollup(search(documents, q="..", fl=".."), over="..", count(*))``)
+and build the equivalent Ray Data pipeline through a function registry.
+
+Reference shapes (upstream paths; the local checkout is a tombstone):
+- [U] solr/solrj/src/java/org/apache/solr/client/solrj/io/stream/expr/
+  StreamExpressionParser.java — the nested-call grammar: an expression
+  is ``name(arg, key=value, nested(...))``; values are bare words or
+  double-quoted strings.
+- [U] solr/solrj/.../io/stream/StreamFactory.java — the name ->
+  stream-class registry this module's STREAM_FUNCTIONS mirrors.
+- [U] solr/solrj/.../io/stream/{CloudSolrStream,SelectStream,
+  RollupStream,SortStream,RankStream,UniqueStream,HavingStream}.java
+- [U] solr/solrj/.../io/stream/metrics/{CountMetric,SumMetric,
+  MinMetric,MaxMetric}.java
+
+The typed/fixed relational pipelines live in functions/relational.py;
+this module is the TEXT surface over the same algebra, executing against
+the documents index (search() = the lucene QParser via
+IndexSearcher.search_parsed, match set filtered in the data plane with a
+broadcast sorted-docid membership stage — never a driver row loop).
+
+Metric output names are deterministic: ``count(*)`` -> ``count``,
+``sum(f)`` -> ``sum_f``, ``min(f)`` -> ``min_f``, ``max(f)`` -> ``max_f``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from lucene_solr_ray.io_utils import pool_size
+
+# ---------------------------------------------------------------------------
+# Parser ([U] .../io/stream/expr/StreamExpressionParser.java)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Node:
+    name: str
+    args: list = field(default_factory=list)      # positional: str | Node
+    kwargs: dict = field(default_factory=dict)    # named: str | Node
+
+
+def parse_expr(s: str) -> Node:
+    """Parse one streaming expression; fails loudly on trailing junk."""
+    node, i = _parse_call(s, _skip_ws(s, 0))
+    i = _skip_ws(s, i)
+    if i != len(s):
+        raise ValueError(f"trailing characters at {i}: {s[i:]!r}")
+    return node
+
+
+def _skip_ws(s: str, i: int) -> int:
+    while i < len(s) and s[i].isspace():
+        i += 1
+    return i
+
+
+def _parse_call(s: str, i: int) -> tuple[Node, int]:
+    j = i
+    while j < len(s) and (s[j].isalnum() or s[j] in "_."):
+        j += 1
+    name = s[i:j]
+    if not name:
+        raise ValueError(f"expected function name at {i}: {s[i:i+20]!r}")
+    j = _skip_ws(s, j)
+    if j >= len(s) or s[j] != "(":
+        raise ValueError(f"expected '(' after {name!r} at {j}")
+    node = Node(name)
+    j = _skip_ws(s, j + 1)
+    while j < len(s) and s[j] != ")":
+        key, val, j = _parse_arg(s, j)
+        if key is None:
+            node.args.append(val)
+        else:
+            node.kwargs[key] = val
+        j = _skip_ws(s, j)
+        if j < len(s) and s[j] == ",":
+            j = _skip_ws(s, j + 1)
+    if j >= len(s):
+        raise ValueError(f"unterminated call {name!r}")
+    return node, j + 1
+
+
+def _parse_arg(s: str, i: int) -> tuple[str | None, object, int]:
+    # key=value? scan for '=' before any of , ( ) "
+    j = i
+    while j < len(s) and s[j] not in '=,()"':
+        j += 1
+    if j < len(s) and s[j] == "=":
+        key = s[i:j].strip()
+        val, j2 = _parse_value(s, _skip_ws(s, j + 1))
+        return key, val, j2
+    val, j2 = _parse_value(s, i)
+    return None, val, j2
+
+
+def _parse_value(s: str, i: int) -> tuple[object, int]:
+    if s[i] == '"':
+        j = s.index('"', i + 1)
+        return s[i + 1 : j], j + 1
+    # nested call iff an identifier is directly followed by '('
+    j = i
+    while j < len(s) and (s[j].isalnum() or s[j] in "_."):
+        j += 1
+    if j < len(s) and s[_skip_ws(s, j)] == "(" and j > i:
+        return _parse_call(s, i)
+    # bare token (number, *, identifier)
+    j = i
+    while j < len(s) and s[j] not in ",()":
+        j += 1
+    tok = s[i:j].strip()
+    if not tok:
+        raise ValueError(f"empty value at {i}")
+    return tok, j
+
+
+# ---------------------------------------------------------------------------
+# Stream builders ([U] .../io/stream/StreamFactory.java registry)
+# ---------------------------------------------------------------------------
+
+
+class _MatchProjectStage:
+    """Filter a docs.parquet batch to the broadcast match set and project
+    the fl columns — the data-plane shape of CloudSolrStream's /export
+    pull (one corpus pass, output only matching rows)."""
+
+    def __init__(self, ids_ref, fl: list[str]):
+        self.ids = ray.get(ids_ref)
+        self.fl = fl
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        docid = batch.column("docid").to_numpy()
+        pos = np.searchsorted(self.ids, docid)
+        pos[pos >= len(self.ids)] = 0
+        mask = (self.ids[pos] == docid) if len(self.ids) else np.zeros(len(docid), bool)
+        return batch.select(self.fl).filter(pa.array(mask))
+
+
+def _build_search(node: Node, ctx: dict) -> ray.data.Dataset:
+    """search(collection, q="...", fl="a,b", sort="f asc")
+    ([U] .../io/stream/CloudSolrStream.java): lucene QParser match set,
+    fl projection in the data plane."""
+    from lucene_solr_ray.functions.fulltext import docs_index
+    from lucene_solr_ray.pipelines.search import IndexSearcher
+
+    if not node.args or node.args[0] != "documents":
+        raise ValueError("search(): first arg must be the collection 'documents'")
+    q = node.kwargs.get("q", "*:*")
+    fl = [f.strip() for f in node.kwargs.get("fl", "doc_id").split(",") if f.strip()]
+    index_dir = docs_index(ctx["sf_dir"])
+    s = IndexSearcher(index_dir)
+    if q.strip() in ("", "*:*"):
+        docids, _ = s.match_all(k=max(1, s.n_docs))
+    else:
+        docids, _ = s.search_parsed(q, k=max(1, s.n_docs))
+    ids_ref = ray.put(np.sort(np.asarray(docids, dtype=np.int64)))
+    ds = ray.data.read_parquet(
+        os.path.join(index_dir, "docs"), columns=["docid"] + fl
+    ).map_batches(
+        _MatchProjectStage,
+        fn_constructor_kwargs={"ids_ref": ids_ref, "fl": fl},
+        batch_format="pyarrow", concurrency=pool_size(),
+    )
+    if "sort" in node.kwargs:
+        cols, desc = _parse_sort(node.kwargs["sort"])
+        ds = ds.sort(cols, descending=desc)
+    return ds
+
+
+def _build_select(node: Node, ctx: dict) -> ray.data.Dataset:
+    """select(stream, "a as x", "b") ([U] SelectStream.java):
+    projection + rename."""
+    ds = _build(node.args[0], ctx)
+    spec = []
+    for a in node.args[1:]:
+        parts = a.split()
+        if len(parts) == 3 and parts[1] == "as":
+            spec.append((parts[0], parts[2]))
+        elif len(parts) == 1:
+            spec.append((parts[0], parts[0]))
+        else:
+            raise ValueError(f"select(): bad field spec {a!r}")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({dst: t.column(src) for src, dst in spec})
+
+    return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _metric_plan(metrics: list[Node]) -> list[tuple[str, str, str]]:
+    """-> (kind, column, output_name) per metric node."""
+    plan = []
+    for m in metrics:
+        if not isinstance(m, Node):
+            raise ValueError(f"expected a metric call, got {m!r}")
+        if m.name == "count":
+            plan.append(("count", "*", "count"))
+        elif m.name in ("sum", "min", "max"):
+            (col,) = m.args
+            plan.append((m.name, col, f"{m.name}_{col}"))
+        else:
+            raise ValueError(f"unknown metric {m.name!r} (have count/sum/min/max)")
+    return plan
+
+
+def _build_rollup(node: Node, ctx: dict) -> ray.data.Dataset:
+    """rollup(stream, over="a,b", count(*), sum(f), ...)
+    ([U] RollupStream.java + metrics/): map-side partial aggregation
+    (per-batch Arrow groupby) before the small key shuffle — the
+    relational.rollup_agg combine shape."""
+    ds = _build(node.args[0], ctx)
+    over = [f.strip() for f in node.kwargs["over"].split(",") if f.strip()]
+    plan = _metric_plan(node.args[1:])
+
+    aggs = [("__one", "sum")] + [(f"__{k}_{c}", k) for k, c, _ in plan if k != "count"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {g: t.column(g) for g in over}
+        cols["__one"] = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        for k, c, _ in plan:
+            if k != "count":
+                cols[f"__{k}_{c}"] = t.column(c)
+        pt = pa.table(cols)
+        out = pa.TableGroupBy(pt, over).aggregate([(c, k) for c, k in aggs])
+        return out.rename_columns(over + [c for c, _ in aggs])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    ray_aggs = []
+    for k, c, name in plan:
+        if k == "count":
+            ray_aggs.append(Sum("__one", alias_name=name))
+        elif k == "sum":
+            ray_aggs.append(Sum(f"__sum_{c}", alias_name=name))
+        elif k == "min":
+            ray_aggs.append(Min(f"__min_{c}", alias_name=name))
+        elif k == "max":
+            ray_aggs.append(Max(f"__max_{c}", alias_name=name))
+    return partials.groupby(over).aggregate(*ray_aggs)
+
+
+def _parse_sort(spec: str) -> tuple[list[str], list[bool]]:
+    cols, desc = [], []
+    for part in spec.split(","):
+        toks = part.split()
+        if not toks:
+            continue
+        cols.append(toks[0])
+        d = toks[1].lower() if len(toks) > 1 else "asc"
+        if d not in ("asc", "desc"):
+            raise ValueError(f"bad sort direction {d!r}")
+        desc.append(d == "desc")
+    return cols, desc
+
+
+def _build_sort(node: Node, ctx: dict) -> ray.data.Dataset:
+    """sort(stream, by="f desc, g asc") ([U] SortStream.java)."""
+    ds = _build(node.args[0], ctx)
+    cols, desc = _parse_sort(node.kwargs["by"])
+    return ds.sort(cols, descending=desc)
+
+
+def _build_top(node: Node, ctx: dict) -> ray.data.Dataset:
+    """top(stream, n=K, sort="...") ([U] RankStream.java): distributed
+    sort + limit."""
+    ds = _build(node.args[0], ctx)
+    cols, desc = _parse_sort(node.kwargs["sort"])
+    return ds.sort(cols, descending=desc).limit(int(node.kwargs["n"]))
+
+
+def _build_unique(node: Node, ctx: dict) -> ray.data.Dataset:
+    """unique(stream, over="f,g") ([U] UniqueStream.java): distinct key
+    tuples — per-batch Arrow distinct (map-side combine) before the
+    hash-partition dedup."""
+    ds = _build(node.args[0], ctx)
+    over = [f.strip() for f in node.kwargs["over"].split(",") if f.strip()]
+
+    def keys_only(t: pa.Table) -> pa.Table:
+        return t.select(over).group_by(over).aggregate([])
+
+    partial = ds.map_batches(keys_only, batch_format="pyarrow")
+    return partial.groupby(over).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+_HAVING_OPS = {
+    "gt": lambda c, v: lambda t: pa.compute.greater(t.column(c), pa.scalar(v)),
+    "lt": lambda c, v: lambda t: pa.compute.less(t.column(c), pa.scalar(v)),
+    "eq": lambda c, v: lambda t: pa.compute.equal(t.column(c), pa.scalar(v)),
+}
+
+
+def _build_having(node: Node, ctx: dict) -> ray.data.Dataset:
+    """having(stream, gt(field, value)) ([U] HavingStream.java)."""
+    ds = _build(node.args[0], ctx)
+    cond = node.args[1]
+    if not isinstance(cond, Node) or cond.name not in _HAVING_OPS:
+        raise ValueError(f"having(): unknown condition {cond!r} (have gt/lt/eq)")
+    col, raw = cond.args
+    try:
+        val: object = int(raw)
+    except ValueError:
+        val = raw
+    pred = _HAVING_OPS[cond.name](col, val)
+    return ds.map_batches(lambda t: t.filter(pred(t)), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+STREAM_FUNCTIONS = {
+    "search": _build_search,
+    "select": _build_select,
+    "rollup": _build_rollup,
+    "sort": _build_sort,
+    "top": _build_top,
+    "unique": _build_unique,
+    "having": _build_having,
+}
+
+
+def _build(node, ctx: dict) -> ray.data.Dataset:
+    if not isinstance(node, Node):
+        raise ValueError(f"expected a stream expression, got {node!r}")
+    if node.name not in STREAM_FUNCTIONS:
+        raise ValueError(
+            f"unknown stream function {node.name!r} (have {sorted(STREAM_FUNCTIONS)})"
+        )
+    return STREAM_FUNCTIONS[node.name](node, ctx)
+
+
+def run_stream(sf_dir: str, expression: str) -> ray.data.Dataset:
+    """Parse + execute one streaming expression against ``sf_dir``'s
+    documents collection; returns the lazy Dataset."""
+    return _build(parse_expr(expression), {"sf_dir": sf_dir})
+
+
+# ---------------------------------------------------------------------------
+# Driver-contract entries
+# ---------------------------------------------------------------------------
+
+
+def stream_expr_rollup(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(
+        sf_dir,
+        'rollup(search(documents, q="merge join", fl="source,n_chars"), '
+        "over=\"source\", count(*), sum(n_chars))",
+    )
+
+
+def stream_expr_top(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(
+        sf_dir,
+        'top(select(search(documents, q="lang:en", fl="doc_id,n_chars"), '
+        'doc_id as id, n_chars as len), n=10, sort="len desc, id asc")',
+    )
+
+
+def stream_expr_having_unique(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(
+        sf_dir,
+        'having(rollup(unique(search(documents, q="*:*", fl="lang,source"), '
+        'over="lang,source"), over="lang", count(*)), gt(count, 2))',
+    )

@@ -1,0 +1,75 @@
+"""Streaming-expression text language (functions/streamexpr.py):
+parser grammar, registry dispatch, and execution equivalence against
+plain DuckDB over the sf0.001 documents table."""
+
+import duckdb
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def se(ray_session):
+    from lucene_solr_ray.functions import streamexpr
+
+    return streamexpr
+
+
+def test_parser_nested_named_positional(se):
+    n = se.parse_expr(
+        'rollup(search(documents, q="a b", fl="x,y"), over="x", count(*), sum(y))'
+    )
+    assert n.name == "rollup" and n.kwargs["over"] == "x"
+    inner = n.args[0]
+    assert inner.name == "search" and inner.args == ["documents"]
+    assert inner.kwargs == {"q": "a b", "fl": "x,y"}
+    metrics = n.args[1:]
+    assert [m.name for m in metrics] == ["count", "sum"]
+    assert metrics[0].args == ["*"] and metrics[1].args == ["y"]
+
+
+def test_parser_whitespace_and_quotes(se):
+    n = se.parse_expr('top( select( search(documents , q="lang:en (x)") ), n=5, sort="a desc" )')
+    assert n.name == "top" and n.kwargs["n"] == "5"
+    assert n.args[0].args[0].kwargs["q"] == "lang:en (x)"  # parens inside quotes
+
+
+def test_parser_failures(se):
+    with pytest.raises(ValueError, match="trailing"):
+        se.parse_expr("search(documents)x")
+    with pytest.raises(ValueError, match="unterminated"):
+        se.parse_expr("search(documents")
+    with pytest.raises(ValueError, match="unknown stream function"):
+        se.run_stream(SF, "frobnicate(documents)")
+    with pytest.raises(ValueError, match="unknown metric"):
+        se.run_stream(SF, 'rollup(search(documents), over="lang", median(n_chars))')
+    with pytest.raises(ValueError, match="collection"):
+        se.run_stream(SF, 'search(lineitem, q="x")')
+
+
+def test_search_rollup_matches_duckdb(se):
+    got = se.run_stream(
+        SF,
+        'rollup(search(documents, q="vector", fl="lang,n_chars"), '
+        'over="lang", count(*), sum(n_chars), min(n_chars), max(n_chars))',
+    ).to_pandas().sort_values("lang").reset_index(drop=True)
+    exp = duckdb.sql(
+        f"""SELECT lang, COUNT(*) AS count, SUM(n_chars) AS sum_n_chars,
+                MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+            FROM read_parquet('{SF}/documents.parquet')
+            WHERE list_contains(regexp_split_to_array(text, '\\s+'), 'vector')
+            GROUP BY lang ORDER BY lang"""
+    ).df()
+    assert got["lang"].tolist() == exp["lang"].tolist()
+    for c in ("count", "sum_n_chars", "min_n_chars", "max_n_chars"):
+        assert got[c].astype(int).tolist() == exp[c].astype(int).tolist()
+
+
+def test_having_filters_and_sort_orders(se):
+    got = se.run_stream(
+        SF,
+        'sort(having(rollup(search(documents, q="*:*", fl="source,n_chars"), '
+        'over="source", count(*)), gt(count, 24)), by="count desc, source asc")',
+    ).to_pandas()
+    assert (got["count"] > 24).all()
+    assert got["count"].is_monotonic_decreasing
