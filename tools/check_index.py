@@ -118,6 +118,7 @@ def check_index(index_dir: str, generation: int | None = None) -> list[str]:
 
     # docs.parquet coverage + dl/norm consistency
     docs_dir = os.path.join(index_dir, "docs")
+    docs = None
     if os.path.isdir(docs_dir):
         import pyarrow.dataset as pads
 
@@ -145,6 +146,53 @@ def check_index(index_dir: str, generation: int | None = None) -> list[str]:
             problems.append(f"docs live dl sum {live_sum} != manifest sum_dl")
     else:
         problems.append("docs/ directory missing")
+
+    # stored term vectors (CheckIndex.testTermVectors analogue): per-row
+    # tf == len(positions) == len(starts) == len(ends); start < end per
+    # occurrence; positions ascending within a (doc, term) row; per-doc
+    # sum(tf) == dl (vectors store the same stop-filtered chain output
+    # the norms count); offsets inside the NFC text bounds
+    if manifest.get("term_vectors"):
+        tvs_dir = os.path.join(index_dir, "tvs")
+        if not os.path.isdir(tvs_dir):
+            problems.append("manifest says term_vectors=True but tvs/ missing")
+        elif docs is not None and len(docs) == n_docs:
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pads
+
+            tv = pads.dataset(tvs_dir, format="parquet").to_table()
+            tf = tv.column("tf").to_numpy()
+            for col in ("positions", "starts", "ends"):
+                lens = pc.list_value_length(tv.column(col)).to_numpy()
+                if not np.array_equal(lens, tf):
+                    problems.append(f"tvs: len({col}) != tf on some rows")
+            st = pc.list_flatten(tv.column("starts")).to_numpy()
+            en = pc.list_flatten(tv.column("ends")).to_numpy()
+            if len(st) and not (st < en).all():
+                problems.append("tvs: start >= end on some occurrence")
+            pos = pc.list_flatten(tv.column("positions")).to_numpy()
+            if len(pos):
+                # row bounds from the ACTUAL list lengths (tf may be the
+                # corrupt column under test)
+                row_end = np.cumsum(pc.list_value_length(tv.column("positions")).to_numpy())
+                interior = np.ones(len(pos), dtype=bool)
+                interior[np.concatenate([[0], row_end[:-1]])] = False
+                if not (np.diff(pos, prepend=pos[:1])[interior] > 0).all():
+                    problems.append("tvs: positions not ascending within a row")
+            tv_doc = tv.column("docid").to_numpy()
+            order = np.argsort(tv_doc, kind="stable")
+            uniq, start_idx = np.unique(tv_doc[order], return_index=True)
+            per_doc_tf = np.add.reduceat(tf[order], start_idx) if len(tf) else np.empty(0, np.int64)
+            dl_by_docid = np.zeros(n_docs, dtype=np.int64)
+            dl_by_docid[docs.column("docid").to_numpy()] = docs.column("dl").to_numpy()
+            if (uniq >= n_docs).any() or (uniq < 0).any():
+                problems.append("tvs: docid outside [0, n_docs)")
+            elif not np.array_equal(per_doc_tf, dl_by_docid[uniq]):
+                problems.append("tvs: per-doc sum(tf) != dl")
+            covered = np.zeros(n_docs, dtype=bool)
+            covered[uniq[(uniq >= 0) & (uniq < n_docs)]] = True
+            if (dl_by_docid[~covered] > 0).any():
+                problems.append("tvs: docs with dl > 0 missing from term vectors")
     return problems
 
 
