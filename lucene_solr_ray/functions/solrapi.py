@@ -100,22 +100,12 @@ def _parse_fq(fq_params: list[str], schema) -> tuple[dict, list[str]]:
 # ---------------------------------------------------------------------------
 
 
-class _FacetPartialStage:
-    """Per-batch value counts of one docvalues column restricted to the
-    broadcast match set — partial tables only, merged on the driver."""
+def _facet_partial(field: str):
+    """Stateless per-batch value counts of one docvalues column (the
+    match restriction composes upstream via restricted_docs)."""
 
-    def __init__(self, ids_ref, field: str):
-        self.ids = ray.get(ids_ref)  # sorted int64 match docids
-        self.field = field
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        docid = batch.column("docid").to_numpy()
-        pos = np.searchsorted(self.ids, docid)
-        pos[pos >= len(self.ids)] = 0
-        mask = len(self.ids) > 0
-        mask = (self.ids[pos] == docid) if mask else np.zeros(len(docid), bool)
-        vals = batch.column(self.field).filter(pa.array(mask))
-        vc = vals.value_counts()
+    def fn(batch: pa.Table) -> pa.Table:
+        vc = batch.column(field).value_counts()
         if len(vc) == 0:
             return pa.table({"value": pa.array([], pa.string()),
                              "count": pa.array([], pa.int64())})
@@ -124,43 +114,31 @@ class _FacetPartialStage:
             "count": vc.field("counts").cast(pa.int64()),
         })
 
+    return fn
 
-class _RangePartialStage:
-    """Per-batch histogram of one numeric column over [start, end) with
-    fixed ``gap`` buckets, restricted to the broadcast match set."""
 
-    def __init__(self, ids_ref, field: str, start: int, end: int, gap: int):
-        self.ids = ray.get(ids_ref)
-        self.field, self.start, self.end, self.gap = field, start, end, gap
+def _range_partial(field: str, start: int, end: int, gap: int):
+    """Stateless per-batch histogram of one numeric column over
+    [start, end) with fixed ``gap`` buckets."""
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        docid = batch.column("docid").to_numpy()
-        pos = np.searchsorted(self.ids, docid)
-        pos[pos >= len(self.ids)] = 0
-        mask = (self.ids[pos] == docid) if len(self.ids) else np.zeros(len(docid), bool)
-        x = batch.column(self.field).to_numpy(zero_copy_only=False)[mask]
-        x = x[(x >= self.start) & (x < self.end)]
-        n_buckets = (self.end - self.start + self.gap - 1) // self.gap
-        b = ((x - self.start) // self.gap).astype(np.int64)
+    def fn(batch: pa.Table) -> pa.Table:
+        x = batch.column(field).to_numpy(zero_copy_only=False)
+        x = x[(x >= start) & (x < end)]
+        n_buckets = (end - start + gap - 1) // gap
+        b = ((x - start) // gap).astype(np.int64)
         counts = np.bincount(b, minlength=n_buckets).astype(np.int64)
-        lo = self.start + self.gap * np.arange(n_buckets, dtype=np.int64)
+        lo = start + gap * np.arange(n_buckets, dtype=np.int64)
         return pa.table({"bucket_lo": pa.array(lo), "count": pa.array(counts)})
 
+    return fn
 
-class _StatsPartialStage:
-    """Per-batch (n, n_missing, sum, min, max) of one numeric column over
-    the broadcast match set ([U] solr StatsComponent)."""
 
-    def __init__(self, ids_ref, field: str):
-        self.ids = ray.get(ids_ref)
-        self.field = field
+def _stats_partial(field: str):
+    """Stateless per-batch (n, n_missing, sum, min, max) of one numeric
+    column ([U] solr StatsComponent)."""
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        docid = batch.column("docid").to_numpy()
-        pos = np.searchsorted(self.ids, docid)
-        pos[pos >= len(self.ids)] = 0
-        mask = (self.ids[pos] == docid) if len(self.ids) else np.zeros(len(docid), bool)
-        col = batch.column(self.field).filter(pa.array(mask))
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch.column(field)
         valid = col.drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
             "n": pa.array([len(valid)], pa.int64()),
@@ -170,9 +148,56 @@ class _StatsPartialStage:
             "max": pa.array([int(valid.max()) if len(valid) else None], pa.int64()),
         })
 
+    return fn
+
 
 def _docs_ds(index_dir: str, columns: list[str]) -> ray.data.Dataset:
     return ray.data.read_parquet(os.path.join(index_dir, "docs"), columns=columns)
+
+
+# one int64 id array per actor; above this the broadcast would dominate
+# worker heaps, so the restriction becomes a hash join instead
+BROADCAST_ID_LIMIT = 32_000_000  # ids = 256 MB
+
+
+class _MembershipStage:
+    """Filter a docs batch to the broadcast sorted match set (zero-copy
+    ray.put array, one fetch per actor)."""
+
+    def __init__(self, ids_ref):
+        self.ids = ray.get(ids_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        docid = batch.column("docid").to_numpy()
+        pos = np.searchsorted(self.ids, docid)
+        pos[pos >= len(self.ids)] = 0
+        mask = (self.ids[pos] == docid) if len(self.ids) else np.zeros(len(docid), bool)
+        return batch.filter(pa.array(mask))
+
+
+def restricted_docs(index_dir: str, match_docids: np.ndarray, columns: list[str],
+                    match_all: bool = False) -> ray.data.Dataset:
+    """docs.parquet columns restricted to the match set, scale-shaped:
+    match-all -> plain pruned read (nothing shipped); small/medium match
+    sets -> broadcast sorted-id membership filter (one object-store copy,
+    zero-copy per actor); huge match sets (> BROADCAST_ID_LIMIT) -> hash
+    join against the hits Dataset (the all-to-all is unavoidable once the
+    id set itself is distributed-sized)."""
+    ds = _docs_ds(index_dir, ["docid"] + [c for c in columns if c != "docid"])
+    if match_all:
+        return ds
+    if len(match_docids) <= BROADCAST_ID_LIMIT:
+        ids_ref = ray.put(np.asarray(match_docids, dtype=np.int64))
+        return ds.map_batches(
+            _MembershipStage, fn_constructor_kwargs={"ids_ref": ids_ref},
+            batch_format="pyarrow", concurrency=pool_size(),
+        )
+    hits = ray.data.from_numpy(np.asarray(match_docids, dtype=np.int64)).map_batches(
+        lambda b: pa.table({"docid": pa.array(b["data"], pa.int64())}),
+        batch_format="numpy",
+    )
+    _, ncpus = pool_size()
+    return ds.join(hits, "inner", num_partitions=max(4, ncpus), on=("docid",))
 
 
 # ---------------------------------------------------------------------------
@@ -232,6 +257,9 @@ class QueryComponent:
 
         req["num_found"] = len(docids)
         req["match_docids"] = np.sort(np.asarray(docids, dtype=np.int64))
+        # every live doc matched -> downstream components need no
+        # restriction at all (nothing shipped for q=*:* facets/stats)
+        req["match_is_all"] = len(docids) == s.n_docs
 
         fl = [f for f in p.get("fl", "doc_id").split(",") if f]
         if sort == "score desc":
@@ -247,17 +275,15 @@ class QueryComponent:
     @staticmethod
     def _field_sort_page(req: dict, field: str, direction: str,
                          start: int, rows: int) -> np.ndarray:
-        """sort=<field> asc|desc: distributed join + sort + limit over
-        the full match set (the TopFieldCollector data-plane shape of
-        fulltext.sorted_by_field_topk), docid ascending tiebreak."""
+        """sort=<field> asc|desc: restrict to the match set in the data
+        plane, then distributed sort + limit (the TopFieldCollector
+        shape of fulltext.sorted_by_field_topk), docid asc tiebreak."""
         index_dir = req["searcher"].index_dir
         ids = req["match_docids"]
         if len(ids) == 0:
             return np.empty(0, dtype=np.int64)
-        hits = ray.data.from_arrow(pa.table({"docid": pa.array(ids, pa.int64())}))
-        docs = _docs_ds(index_dir, ["docid", field])
         top = (
-            hits.join(docs, "inner", num_partitions=4, on=("docid",))
+            restricted_docs(index_dir, ids, [field], req["match_is_all"])
             .sort([field, "docid"], descending=[direction == "desc", False])
             .limit(start + rows)
             .to_pandas()
@@ -303,17 +329,15 @@ class FacetComponent:
         if str(p.get("facet", "")).lower() != "true":
             return
         index_dir = req["searcher"].index_dir
-        ids_ref = ray.put(req["match_docids"])
+        ids, is_all = req["match_docids"], req["match_is_all"]
         out: list[pa.Table] = []
 
         ff = p.get("facet.field", [])
         for field in [ff] if isinstance(ff, str) else ff:
             if req["schema"].serve(field) != "docvalues":
                 raise ValueError(f"facet.field {field!r} needs a docvalues (string) field")
-            partials = _docs_ds(index_dir, ["docid", field]).map_batches(
-                _FacetPartialStage,
-                fn_constructor_kwargs={"ids_ref": ids_ref, "field": field},
-                batch_format="pyarrow", concurrency=pool_size(),
+            partials = restricted_docs(index_dir, ids, [field], is_all).map_batches(
+                _facet_partial(field), batch_format="pyarrow",
             ).to_pandas()
             merged = partials.groupby("value", as_index=False)["count"].sum()
             merged = merged[merged["count"] > 0].sort_values("value")
@@ -327,11 +351,8 @@ class FacetComponent:
         for field in [fr] if isinstance(fr, str) else fr:
             pref = f"f.{field}.facet.range."
             lo = int(p[pref + "start"]); hi = int(p[pref + "end"]); gap = int(p[pref + "gap"])
-            partials = _docs_ds(index_dir, ["docid", field]).map_batches(
-                _RangePartialStage,
-                fn_constructor_kwargs={"ids_ref": ids_ref, "field": field,
-                                       "start": lo, "end": hi, "gap": gap},
-                batch_format="pyarrow", concurrency=pool_size(),
+            partials = restricted_docs(index_dir, ids, [field], is_all).map_batches(
+                _range_partial(field, lo, hi, gap), batch_format="pyarrow",
             ).to_pandas()
             merged = partials.groupby("bucket_lo", as_index=False)["count"].sum().sort_values("bucket_lo")
             out.append(pa.table({
@@ -363,14 +384,12 @@ class StatsComponent:
         if str(p.get("stats", "")).lower() != "true":
             return
         index_dir = req["searcher"].index_dir
-        ids_ref = ray.put(req["match_docids"])
+        ids, is_all = req["match_docids"], req["match_is_all"]
         sf = p.get("stats.field", [])
         rows = []
         for field in [sf] if isinstance(sf, str) else sf:
-            partials = _docs_ds(index_dir, ["docid", field]).map_batches(
-                _StatsPartialStage,
-                fn_constructor_kwargs={"ids_ref": ids_ref, "field": field},
-                batch_format="pyarrow", concurrency=pool_size(),
+            partials = restricted_docs(index_dir, ids, [field], is_all).map_batches(
+                _stats_partial(field), batch_format="pyarrow",
             ).to_pandas()
             nn = partials["min"].dropna()
             xx = partials["max"].dropna()

@@ -26,16 +26,12 @@ Metric output names are deterministic: ``count(*)`` -> ``count``,
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 
 import numpy as np
 import pyarrow as pa
-import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
-
-from lucene_solr_ray.io_utils import pool_size
+from ray.data.aggregate import Max, Min, Sum
 
 # ---------------------------------------------------------------------------
 # Parser ([U] .../io/stream/expr/StreamExpressionParser.java)
@@ -128,28 +124,13 @@ def _parse_value(s: str, i: int) -> tuple[object, int]:
 # ---------------------------------------------------------------------------
 
 
-class _MatchProjectStage:
-    """Filter a docs.parquet batch to the broadcast match set and project
-    the fl columns — the data-plane shape of CloudSolrStream's /export
-    pull (one corpus pass, output only matching rows)."""
-
-    def __init__(self, ids_ref, fl: list[str]):
-        self.ids = ray.get(ids_ref)
-        self.fl = fl
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        docid = batch.column("docid").to_numpy()
-        pos = np.searchsorted(self.ids, docid)
-        pos[pos >= len(self.ids)] = 0
-        mask = (self.ids[pos] == docid) if len(self.ids) else np.zeros(len(docid), bool)
-        return batch.select(self.fl).filter(pa.array(mask))
-
-
 def _build_search(node: Node, ctx: dict) -> ray.data.Dataset:
     """search(collection, q="...", fl="a,b", sort="f asc")
     ([U] .../io/stream/CloudSolrStream.java): lucene QParser match set,
-    fl projection in the data plane."""
+    fl projection restricted in the data plane (solrapi.restricted_docs:
+    match-all ships nothing, medium sets broadcast, huge sets hash-join)."""
     from lucene_solr_ray.functions.fulltext import docs_index
+    from lucene_solr_ray.functions.solrapi import restricted_docs
     from lucene_solr_ray.pipelines.search import IndexSearcher
 
     if not node.args or node.args[0] != "documents":
@@ -162,14 +143,10 @@ def _build_search(node: Node, ctx: dict) -> ray.data.Dataset:
         docids, _ = s.match_all(k=max(1, s.n_docs))
     else:
         docids, _ = s.search_parsed(q, k=max(1, s.n_docs))
-    ids_ref = ray.put(np.sort(np.asarray(docids, dtype=np.int64)))
-    ds = ray.data.read_parquet(
-        os.path.join(index_dir, "docs"), columns=["docid"] + fl
-    ).map_batches(
-        _MatchProjectStage,
-        fn_constructor_kwargs={"ids_ref": ids_ref, "fl": fl},
-        batch_format="pyarrow", concurrency=pool_size(),
-    )
+    ids = np.sort(np.asarray(docids, dtype=np.int64))
+    ds = restricted_docs(index_dir, ids, fl, match_all=len(ids) == s.n_docs)
+    ds = ds.map_batches(lambda t: t.select(fl), batch_format="pyarrow",
+                        zero_copy_batch=True)
     if "sort" in node.kwargs:
         cols, desc = _parse_sort(node.kwargs["sort"])
         ds = ds.sort(cols, descending=desc)
