@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_term_vector": lambda sf: ft.term_vector(sf, doc_id=3),
         "ft_fielded_search": lambda sf: ft.fielded_retrieve(
             sf, must=["merge"], dv_filters={"lang": "en", "source": ["src1", "src2", "src3"]}),
+        "ft_terms_enum": lambda sf: ft.terms_enum(sf, "s", limit=20),
+        "ft_atomic_update_rtg": lambda sf: ft.atomic_update_rtg(sf, [7, 123, 400]),
         # --- Solr request-handler surface (SURVEY §2.11) ---
         "solr_select_docs": solrapi.solr_select_docs,
         "solr_select_scored": solrapi.solr_select_scored,
@@ -197,6 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_topk": lambda sf: rel.grouping_topk(sf, k=2),
         "percentile_disc": rel.percentile_disc,
         "unique_counts": rel.unique_counts,
+        "facet_nested": rel.facet_nested,
+        "cursor_mark_pages": rel.cursor_mark_pages,
     }
 
 
@@ -773,5 +777,35 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN trim(text) = '' THEN 0 ELSE "
             "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS n_tokens "
             "FROM documents ORDER BY doc_id"
+        ),
+        # --- TermsComponent / cursorMark / nested facets / atomic update ---
+        "ft_terms_enum": (
+            f"WITH t AS (SELECT doc_id, unnest(list_distinct(list_filter({split}, "
+            f"x -> x LIKE 's%' AND NOT list_contains({_STOP_SQL}, x)))) AS term FROM documents) "
+            "SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM t "
+            "GROUP BY term ORDER BY term LIMIT 20"
+        ),
+        "ft_atomic_update_rtg": (
+            "SELECT doc_id, text || ' zzzupdated' AS text FROM documents "
+            "WHERE doc_id IN (7, 123, 400) ORDER BY doc_id"
+        ),
+        "cursor_mark_pages": (
+            "WITH o AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "
+            "row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1 AS rn FROM documents) "
+            "SELECT CAST(rn // 50 AS BIGINT) AS page, CAST(rn % 50 AS BIGINT) AS page_rank, "
+            "doc_id, n_chars FROM o WHERE rn < 150 ORDER BY rn"
+        ),
+        "facet_nested": (
+            "WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY 1, 2), "
+            "ltop AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS lang_count FROM c "
+            "GROUP BY 1 ORDER BY lang_count DESC, lang LIMIT 3), "
+            "sub AS (SELECT c.lang, c.source, c.cnt, c.sum_chars, "
+            "row_number() OVER (PARTITION BY c.lang ORDER BY c.cnt DESC, c.source ASC) - 1 AS sub_rank "
+            "FROM c JOIN ltop ON c.lang = ltop.lang) "
+            "SELECT sub.lang, ltop.lang_count, sub.source, sub.sub_rank, "
+            "sub.cnt AS sub_count, sub.sum_chars AS sub_sum_chars "
+            "FROM sub JOIN ltop ON sub.lang = ltop.lang WHERE sub.sub_rank < 2 "
+            "ORDER BY ltop.lang_count DESC, sub.lang, sub.sub_rank"
         ),
     }

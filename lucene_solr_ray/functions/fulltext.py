@@ -384,3 +384,149 @@ def numeric_range_retrieve(sf_dir: str, field: str, lo: int, hi: int,
     d = s.search_ts_range(int(lo), int(hi), filter_terms=filter_terms, field=field)
     mapping = _docid_to_doc_id(index_dir)
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
+def terms_enum(sf_dir: str, prefix: str, limit: int = 20) -> pa.Table:
+    """TermsComponent /terms ([U] solr/core/.../handler/component/
+    TermsComponent.java): enumerate index terms matching a prefix with
+    their document frequency, sorted by term.
+
+    Scale shape: a Ray Data read over every segment's ``terms.parquet``
+    (the dict is term-sorted, so parquet row-group statistics prune the
+    prefix range at the read) -> per-term df sum across segments ->
+    sort + limit. The corpus text is never touched; only term-dict
+    files, whose total size is vocabulary-bound, move."""
+    from lucene_solr_ray.pipelines.build import segment_dir
+    from lucene_solr_ray.state.manifest import load_manifest
+
+    index_dir = docs_index(sf_dir)
+    manifest = load_manifest(index_dir)
+    if manifest.get("deletes_file") or manifest.get("purged_file"):
+        raise ValueError("terms_enum df counts ignore tombstones; expunge first")
+    paths = [
+        os.path.join(segment_dir(index_dir, s["partition"], s["name"]), "terms.parquet")
+        for s in manifest["segments"]
+    ]
+    lo, hi = prefix, prefix + "￿"
+
+    def pref(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(pc.greater_equal(t.column("term"), pa.scalar(lo)),
+                       pc.less(t.column("term"), pa.scalar(hi)))
+        return t.select(["term", "df"]).filter(keep)
+
+    agg = (
+        ray.data.read_parquet(paths, columns=["term", "df"])
+        .map_batches(pref, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .sum("df")
+        .sort("term")
+        .limit(limit)
+        .to_arrow_refs()
+    )
+    import ray as _ray
+
+    parts = [_ray.get(r) for r in agg]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+    out = pa.concat_tables(parts).sort_by("term")  # output-sized (<= limit rows)
+    return pa.table({"term": out.column("term"),
+                     "df": out.column("sum(df)").cast(pa.int64())})
+
+
+def _rtg_live(index_dir: str, manifest: dict) -> "np.ndarray":
+    """Union of tombstoned + purged docids (non-live set) for RTG."""
+    from lucene_solr_ray.pipelines.deletes import load_deletes, load_purged
+
+    parts = [x for x in (load_deletes(index_dir, manifest), load_purged(index_dir, manifest))
+             if x is not None and len(x)]
+    if not parts:
+        return np.empty(0, dtype=np.int64)
+    return np.union1d(*parts) if len(parts) == 2 else parts[0]
+
+
+def realtime_get(index_dir: str, doc_ids: list[int]) -> pa.Table:
+    """RealTimeGet ([U] solr/core/.../handler/component/
+    RealTimeGetComponent.java): latest live stored-fields row per doc_id.
+    Reads only the docs.parquet files whose docid range can hold the ids
+    (row-group pruning via the filter); the latest version of a doc is
+    its highest live docid (appends always assign docids after maxDoc)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as _pads
+
+    from lucene_solr_ray.state.manifest import load_manifest
+
+    manifest = load_manifest(index_dir)
+    dead = _rtg_live(index_dir, manifest)
+    t = _pads.dataset(os.path.join(index_dir, "docs"), format="parquet").to_table(
+        columns=["docid", "doc_id", "text"],
+        filter=_pads.field("doc_id").isin([int(d) for d in doc_ids]),
+    )
+    if len(dead):
+        live = ~np.isin(t.column("docid").to_numpy(), dead)
+        t = t.filter(pa.array(live))
+    df = t.to_pandas().sort_values("docid").groupby("doc_id", as_index=False).last()
+    df = df.sort_values("doc_id")
+    return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                     "text": pa.array(df["text"].tolist(), pa.string())})
+
+
+def atomic_update_rtg(sf_dir: str, update_ids: list[int], suffix: str = " zzzupdated") -> pa.Table:
+    """Atomic update end-to-end ([U] solr DistributedUpdateProcessor
+    atomic 'set' + RealTimeGetComponent): copy the cached index, apply a
+    set-field update to ``update_ids`` (tombstone old version + append
+    the new version as a fresh generation via build_index(append=True)),
+    then answer a term query for a token present ONLY in updated text
+    and RealTimeGet the stored fields. Output (doc_id, text) proves the
+    update is both searchable and retrievable, and the old version is
+    neither."""
+    import shutil
+
+    from lucene_solr_ray.pipelines.deletes import delete_docs
+    from lucene_solr_ray.state.manifest import load_manifest
+
+    update_ids = sorted(int(d) for d in update_ids)
+    src = docs_index(sf_dir)
+    tmp = src + "-updcopy"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(src, tmp)
+
+    manifest = load_manifest(tmp)
+    mapping = _docid_to_doc_id(tmp)
+    old_docids = np.searchsorted(mapping, np.asarray(update_ids, dtype=np.int64))
+    # current stored fields -> updated rows (atomic 'set' on text)
+    cur = realtime_get(tmp, update_ids).to_pandas().set_index("doc_id")
+    rows = []
+    for did in update_ids:
+        new_text = str(cur.loc[did, "text"]) + suffix
+        rows.append({
+            "conv_id": f"upd-{did:012d}", "turn_idx": np.int32(0), "role": "user",
+            "text": new_text, "tool": "",
+            "ts": np.datetime64("2026-01-01T00:00:00", "us") + np.timedelta64(int(did), "s"),
+            "doc_id": np.int64(did), "n_chars": np.int64(len(new_text)),
+            "lang": "en", "source": "update",
+        })
+    upd = pa.Table.from_pylist(rows, schema=pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()), ("role", pa.string()),
+        ("text", pa.string()), ("tool", pa.string()), ("ts", pa.timestamp("us")),
+        ("doc_id", pa.int64()), ("n_chars", pa.int64()), ("lang", pa.string()),
+        ("source", pa.string()),
+    ]))
+    delete_docs(tmp, old_docids.tolist())
+    build_index(
+        ray.data.from_arrow(upd), tmp,
+        num_partitions=manifest["num_partitions"], salt=manifest["salt"],
+        store_positions=manifest.get("positions", False),
+        store_term_vectors=manifest.get("term_vectors", False),
+        append=True,
+    )
+    # the update token matches exactly the updated docs...
+    s = IndexSearcher(tmp)
+    d, _ = s.search([suffix.strip()], k=max(1, s.n_docs), mode="or")
+    mapping2 = _docid_to_doc_id(tmp)
+    hit_ids = np.sort(mapping2[d])
+    assert hit_ids.tolist() == update_ids, (hit_ids, update_ids)
+    # ...and RTG returns the new stored fields for them
+    return realtime_get(tmp, update_ids)

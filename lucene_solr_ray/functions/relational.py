@@ -654,3 +654,101 @@ def deterministic_sample(sf_dir: str, pct: int = 10) -> ray.data.Dataset:
     return _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
         fn, batch_format="pyarrow"
     ).sort("doc_id")
+
+
+# ---------------- cursorMark deep paging ----------------
+
+def cursor_mark_pages(sf_dir: str, page_size: int = 50, n_pages: int = 3) -> pa.Table:
+    """cursorMark deep paging ([U] solr/solrj/.../params/CursorMarkParams,
+    solr/core/.../search/CursorMark.java): stateless deep pagination over
+    a total sort order (n_chars DESC, doc_id ASC — doc_id is the uniqueKey
+    tie-break Solr requires). Each page is an INDEPENDENT distributed
+    query: filter strictly-after-cursor (pushed into the scan) -> sort ->
+    limit(page_size); the cursor is the last row's sort key. No page ever
+    re-reads rows an earlier page returned, and unlike start=N paging no
+    page sorts more than (page worth + candidates) rows on the driver."""
+    cursor = None  # (n_chars, doc_id) of the last row served
+    out_pages = []
+    for page in range(n_pages):
+        ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        if cursor is not None:
+            c_n, c_d = cursor
+
+            def after(t: pa.Table, c_n=c_n, c_d=c_d) -> pa.Table:
+                n = t.column("n_chars")
+                d = t.column("doc_id")
+                keep = pc.or_(
+                    pc.less(n, pa.scalar(c_n)),
+                    pc.and_(pc.equal(n, pa.scalar(c_n)), pc.greater(d, pa.scalar(c_d))),
+                )
+                return t.filter(keep)
+
+            ds = ds.map_batches(after, batch_format="pyarrow", zero_copy_batch=True)
+        rows = (
+            ds.sort(["n_chars", "doc_id"], descending=[True, False])
+            .limit(page_size)
+            .to_pandas()
+        )
+        if len(rows) == 0:
+            break
+        cursor = (int(rows["n_chars"].iloc[-1]), int(rows["doc_id"].iloc[-1]))
+        out_pages.append(pa.table({
+            "page": pa.array(np.full(len(rows), page), pa.int64()),
+            "page_rank": pa.array(np.arange(len(rows)), pa.int64()),
+            "doc_id": pa.array(rows["doc_id"].to_numpy(), pa.int64()),
+            "n_chars": pa.array(rows["n_chars"].to_numpy(), pa.int64()),
+        }))
+    return pa.concat_tables(out_pages)
+
+
+# ---------------- JSON Facet nested subfacets ----------------
+
+def facet_nested(sf_dir: str, top_langs: int = 3, top_sources: int = 2) -> pa.Table:
+    """Nested JSON facets ([U] solr/core/.../search/facet/FacetField.java
+    subfacets): terms facet on ``lang`` (top-N buckets by count desc,
+    value asc) with a nested terms subfacet on ``source`` (top-M per lang
+    bucket) carrying count + sum(n_chars) metrics.
+
+    Scale shape: ONE map-side partial groupby (lang, source) inside
+    map_batches shrinks the exchange to |langs|x|sources| rows per block
+    before the distributed combine; bucket selection (top-N / top-M)
+    happens on the combined facet table, which is cardinality-sized, not
+    corpus-sized."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pa.table({
+            "lang": t.column("lang"), "source": t.column("source"),
+            "n_chars": t.column("n_chars"),
+        }).to_pandas()
+        g = df.groupby(["lang", "source"], as_index=False).agg(
+            cnt=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False).cast(pa.schema([
+            ("lang", pa.string()), ("source", pa.string()),
+            ("cnt", pa.int64()), ("sum_chars", pa.int64()),
+        ]))
+
+    combined = (
+        _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "source"])
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("sum_chars", alias_name="sum_chars"))
+        .to_pandas()
+    )
+    # bucket selection on the facet table (cardinality-sized)
+    lang_tot = combined.groupby("lang", as_index=False)["cnt"].sum()
+    lang_tot = lang_tot.sort_values(["cnt", "lang"], ascending=[False, True]).head(top_langs)
+    keep = combined[combined["lang"].isin(lang_tot["lang"])].copy()
+    keep = keep.sort_values(["lang", "cnt", "source"], ascending=[True, False, True])
+    keep["sub_rank"] = keep.groupby("lang").cumcount()
+    keep = keep[keep["sub_rank"] < top_sources]
+    keep = keep.merge(lang_tot.rename(columns={"cnt": "lang_count"}), on="lang")
+    keep = keep.sort_values(["lang_count", "lang", "sub_rank"],
+                            ascending=[False, True, True])
+    return pa.table({
+        "lang": pa.array(keep["lang"].tolist(), pa.string()),
+        "lang_count": pa.array(keep["lang_count"].to_numpy(), pa.int64()),
+        "source": pa.array(keep["source"].tolist(), pa.string()),
+        "sub_rank": pa.array(keep["sub_rank"].to_numpy(), pa.int64()),
+        "sub_count": pa.array(keep["cnt"].to_numpy(), pa.int64()),
+        "sub_sum_chars": pa.array(keep["sum_chars"].to_numpy(), pa.int64()),
+    })

@@ -688,12 +688,20 @@ def build_index(
                 "resumed": True,
             }
         )
+    carry: dict = {}
     if append and prev_manifest is not None:
         segments.extend(prev_manifest["segments"])
+        # tombstones survive an append: carry the deletes/purged tables
+        # forward (an atomic update = delete old version + append new —
+        # dropping the tombstones here would resurrect the old version)
+        for key in ("deletes_file", "purged_file", "n_deleted", "n_docs_purged"):
+            if key in prev_manifest:
+                carry[key] = prev_manifest[key]
     segments.sort(key=lambda s: (s["partition"], s["name"]))
     sum_dl = sum(s["sum_tf"] for s in segments)
 
     manifest = {
+        **carry,
         "n_docs": base_offset + n_docs,
         "sum_dl": sum_dl,
         "num_partitions": num_partitions,
