@@ -140,6 +140,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_min_should_match": lambda sf: ft.min_should_match_retrieve(
             sf, ["merge", "join", "vector"], mm=2),
         "ft_sorted_by_field": lambda sf: ft.sorted_by_field_topk(sf, ["spark"], "n_chars", k=10),
+        "ft_index_sorted_topk": lambda sf: ft.index_sorted_topk(
+            sf, ["merge", "vector"], "n_chars", k=10),
+        "ft_span_near_docs": lambda sf: ft.span_near_retrieve(
+            sf, ["merge", "vector"], slop=3, in_order=False),
+        "ft_span_near_ordered": lambda sf: ft.span_near_retrieve(
+            sf, ["merge", "vector"], slop=5, in_order=True),
+        "ft_span_first_docs": lambda sf: ft.span_first_retrieve(sf, "merge", end=8),
         "ft_dismax_topk": lambda sf: ft.dismax_topk(sf, ["merge", "join", "window"], 0.3, k=10),
         "ft_spell_suggest": lambda sf: ft.spell_suggest(sf, "mergee", max_suggestions=5),
         "ft_prefix_suggest": lambda sf: ft.prefix_suggest(sf, "s", k=5),
@@ -197,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_terms": rel.significant_terms,
         "collapse_top_order": rel.collapse_top_order,
         "grouping_topk": lambda sf: rel.grouping_topk(sf, k=2),
+        "expand_collapsed": lambda sf: rel.expand_collapsed(sf, page_size=20, expand_rows=2),
         "percentile_disc": rel.percentile_disc,
         "unique_counts": rel.unique_counts,
         "facet_nested": rel.facet_nested,
@@ -326,6 +334,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS rank, "
             "doc_id, n_chars FROM documents WHERE "
             f"list_contains({split}, 'spark') ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "ft_index_sorted_topk": (
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS rank, "
+            "doc_id, n_chars FROM documents WHERE "
+            f"list_contains({split}, 'merge') OR list_contains({split}, 'vector') "
+            "ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        # span positions == whitespace ordinality - 1 (FIXTURES: each
+        # whitespace token analyzes to exactly one position slot)
+        "ft_span_near_docs": (
+            f"WITH toks AS (SELECT doc_id, unnest(l) AS term, "
+            f"CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos "
+            f"FROM (SELECT doc_id, {split} AS l FROM documents)), "
+            "a AS (SELECT doc_id, pos FROM toks WHERE term = 'merge'), "
+            "b AS (SELECT doc_id, pos FROM toks WHERE term = 'vector') "
+            "SELECT DISTINCT a.doc_id AS doc_id FROM a JOIN b ON a.doc_id = b.doc_id "
+            "WHERE abs(a.pos - b.pos) - 1 <= 3 ORDER BY doc_id"
+        ),
+        "ft_span_near_ordered": (
+            f"WITH toks AS (SELECT doc_id, unnest(l) AS term, "
+            f"CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos "
+            f"FROM (SELECT doc_id, {split} AS l FROM documents)), "
+            "a AS (SELECT doc_id, pos FROM toks WHERE term = 'merge'), "
+            "b AS (SELECT doc_id, pos FROM toks WHERE term = 'vector') "
+            "SELECT DISTINCT a.doc_id AS doc_id FROM a JOIN b ON a.doc_id = b.doc_id "
+            "WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 5 ORDER BY doc_id"
+        ),
+        "ft_span_first_docs": (
+            f"SELECT doc_id FROM documents WHERE "
+            f"list_position({split}, 'merge') BETWEEN 1 AND 8 ORDER BY doc_id"
         ),
         "ft_spell_suggest": (
             f"WITH toks AS (SELECT doc_id, unnest({split}) AS x FROM documents), "
@@ -542,6 +580,16 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT o_custkey, o_orderkey, {c(x='o_totalprice')} AS total_cents, "
             f"ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY {c(x='o_totalprice')} DESC, o_orderkey) AS rn "
             "FROM orders) WHERE rn <= 2 ORDER BY o_custkey, group_rank"
+        ),
+        "expand_collapsed": (
+            f"WITH ranked AS (SELECT o_custkey, o_orderkey, {c(x='o_totalprice')} AS total_cents, "
+            f"ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY {c(x='o_totalprice')} DESC, o_orderkey) AS rn "
+            "FROM orders), "
+            "heads AS (SELECT o_custkey FROM ranked WHERE rn = 1 "
+            "ORDER BY total_cents DESC, o_orderkey LIMIT 20) "
+            "SELECT r.o_custkey, r.o_orderkey, r.total_cents, CAST(r.rn - 2 AS BIGINT) AS expand_rank "
+            "FROM ranked r JOIN heads h ON r.o_custkey = h.o_custkey "
+            "WHERE r.rn BETWEEN 2 AND 3 ORDER BY r.o_custkey, expand_rank"
         ),
         "percentile_disc": (
             "WITH c AS (SELECT " + c(x="l_quantity") + " AS qty, COUNT(*) AS n FROM lineitem GROUP BY 1), "

@@ -75,6 +75,71 @@ def docs_index(sf_dir: str, num_partitions: int = 8, salt: int = 1) -> str:
     return index_dir
 
 
+def span_near_retrieve(sf_dir: str, clauses: list[str], slop: int = 0,
+                       in_order: bool = False) -> pa.Table:
+    """SpanNearQuery match set ([U] lucene/core/.../search/spans/
+    SpanNearQuery.java) -> sorted doc_id set."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d = s.search_span_near(clauses, slop=slop, in_order=in_order)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
+def span_first_retrieve(sf_dir: str, term: str, end: int) -> pa.Table:
+    """SpanFirstQuery match set ([U] .../spans/SpanFirstQuery.java) ->
+    sorted doc_id set."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d = s.search_span_first(term, end)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
+def docs_index_sorted(sf_dir: str, field: str = "n_chars",
+                      num_partitions: int = 8, salt: int = 1) -> str:
+    """Build (once, cached) a documents index with an index-time sort
+    ([U] IndexWriterConfig.setIndexSort): docids assigned in
+    (field desc, conv_id) order, enabling early-terminating sorted
+    queries."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.sha1(
+        f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{num_partitions}|{salt}"
+        f"|sorted-{field}-desc|v1-isort".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"docs-index-{key}")
+    if latest_generation(index_dir) is None:
+        build_index(
+            transcripts_from_documents(sf_dir), index_dir,
+            num_partitions=num_partitions, salt=salt,
+            docid_mode=f"sorted-by:{field}:desc",
+        )
+    return index_dir
+
+
+def index_sorted_topk(sf_dir: str, terms: list[str], field: str = "n_chars",
+                      k: int = 10) -> pa.Table:
+    """EarlyTerminatingSortingCollector over an index-time-sorted index:
+    docid order == (field desc, doc_id) order, so the first k streamed
+    matches ARE the top-k — only the leading postings windows decode and
+    only k doc-values rows are fetched (parquet filter pushdown). The
+    un-sorted-index equivalent is ft_sorted_by_field's full
+    match-set⋈docs sort."""
+    index_dir = docs_index_sorted(sf_dir, field)
+    s = IndexSearcher(index_dir)
+    d, vals = s.search_sorted_by_field(terms, field, k=k, descending=True,
+                                       window=1 << 12)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(d)), pa.int64()),
+            "doc_id": pa.array(mapping[d].astype(np.int64) if len(d) else
+                               np.empty(0, np.int64), pa.int64()),
+            field: pa.array(np.asarray(vals).astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def _docid_to_doc_id(index_dir: str) -> np.ndarray:
     docs = pads.dataset(os.path.join(index_dir, "docs"), format="parquet").to_table(
         columns=["docid", "doc_id"]

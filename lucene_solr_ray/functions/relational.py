@@ -533,6 +533,82 @@ def grouping_topk(sf_dir: str, k: int = 2) -> ray.data.Dataset:
     )
 
 
+def expand_collapsed(sf_dir: str, page_size: int = 20, expand_rows: int = 2) -> pa.Table:
+    """ExpandComponent ([U] solr/core/.../handler/component/
+    ExpandComponent.java): after collapsing orders to the top-1 per
+    customer, the expand section returns — for each group HEAD on the
+    current page — the top ``expand_rows`` OTHER members of that group.
+
+    Scale shape: the collapse itself is the distributed grouping_topk
+    pass; only the page (``page_size`` heads, output-sized) lands on the
+    driver; expansion filters the corpus by a BROADCAST page-key set
+    inside map_batches (no second shuffle keyed on the full corpus) and
+    re-groups only the surviving page groups."""
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "total_cents": _cents(t.column("o_totalprice")),
+            }
+        )
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]).map_batches(
+        project, batch_format="pyarrow"
+    )
+
+    def top1(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["total_cents", "o_orderkey"], ascending=[False, True])
+        return pa.Table.from_pandas(g.head(1), preserve_index=False).replace_schema_metadata(None)
+
+    heads = (
+        ds.groupby("o_custkey")
+        .map_groups(top1, batch_format="pandas")
+        .sort(["total_cents", "o_orderkey"], descending=[True, False])
+        .limit(page_size)
+        .to_pandas()
+    )  # the page: output-sized
+    page_keys = np.sort(heads["o_custkey"].to_numpy())
+    if len(page_keys) == 0:
+        return pa.table({c: pa.array([], pa.int64()) for c in
+                         ("o_custkey", "o_orderkey", "total_cents", "expand_rank")})
+    keys_ref = ray.put(page_keys)
+
+    class _PageFilter:
+        def __init__(self):
+            self._keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t.column("o_custkey").to_numpy()
+            pos = np.searchsorted(self._keys, ck)
+            pos = np.minimum(pos, len(self._keys) - 1)
+            return t.filter(pa.array(self._keys[pos] == ck))
+
+    def topn_rest(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["total_cents", "o_orderkey"], ascending=[False, True])
+        g = g.iloc[1 : 1 + expand_rows]  # drop the head, keep the next N
+        g = g.assign(expand_rank=np.arange(len(g), dtype=np.int64))
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    out = (
+        ds.map_batches(_PageFilter, batch_format="pyarrow",
+                       concurrency=pool_size())
+        .groupby("o_custkey")
+        .map_groups(topn_rest, batch_format="pandas")
+        .sort(["o_custkey", "expand_rank"])
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "o_custkey": pa.array(out["o_custkey"].to_numpy().astype(np.int64)),
+            "o_orderkey": pa.array(out["o_orderkey"].to_numpy().astype(np.int64)),
+            "total_cents": pa.array(out["total_cents"].to_numpy().astype(np.int64)),
+            "expand_rank": pa.array(out["expand_rank"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
 # ---------------- percentile (exact, via value-count compaction) ----------------
 
 def percentile_disc(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Table:

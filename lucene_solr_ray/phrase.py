@@ -19,6 +19,68 @@ from __future__ import annotations
 import numpy as np
 
 
+def span_near_unordered(pos_lists: list[np.ndarray], slop: int) -> bool:
+    """NearSpansUnordered existence test ([U] lucene/core/.../search/
+    spans/NearSpansUnordered.java), single-term clauses: does ANY window
+    containing >= one position from every list have
+    (max - min + 1) - n_clauses <= slop? Classic sliding window over the
+    source-tagged merged position stream."""
+    n = len(pos_lists)
+    if n == 0 or any(len(p) == 0 for p in pos_lists):
+        return False
+    allpos = np.concatenate(pos_lists)
+    src = np.concatenate([np.full(len(p), i, dtype=np.int64)
+                          for i, p in enumerate(pos_lists)])
+    order = np.argsort(allpos, kind="stable")
+    allpos, src = allpos[order], src[order]
+    need = n
+    count = np.zeros(n, dtype=np.int64)
+    lo = 0
+    for hi in range(len(allpos)):
+        if count[src[hi]] == 0:
+            need -= 1
+        count[src[hi]] += 1
+        while need == 0:
+            width = int(allpos[hi] - allpos[lo] + 1) - n
+            if width <= slop:
+                return True
+            count[src[lo]] -= 1
+            if count[src[lo]] == 0:
+                need += 1
+            lo += 1
+    return False
+
+
+def span_near_ordered(pos_lists: list[np.ndarray], slop: int) -> bool:
+    """NearSpansOrdered existence test ([U] .../spans/NearSpansOrdered.java),
+    single-term clauses: positions strictly increasing in clause order
+    (each span starts after the previous span's end) with total gap
+    (p_last - p_first + 1) - n <= slop. Greedy next-greater leapfrog from
+    each start finds the minimal end, so existence is exact."""
+    n = len(pos_lists)
+    if n == 0 or any(len(p) == 0 for p in pos_lists):
+        return False
+    if n == 1:
+        return True
+    for p0 in pos_lists[0]:
+        cur = int(p0)
+        ok = True
+        for lst in pos_lists[1:]:
+            j = int(np.searchsorted(lst, cur, side="right"))
+            if j >= len(lst):
+                ok = False
+                break
+            cur = int(lst[j])
+        if ok and (cur - int(p0) + 1) - n <= slop:
+            return True
+        if not ok:
+            # no later start can complete either once a list is exhausted
+            # above cur only if cur grows monotonically — starts increase,
+            # so every later p0 fails the same exhausted list too
+            return False
+    return False
+
+
 def phrase_freq(shifted_positions: list[np.ndarray], slop: int = 0) -> int:
     """Number of disjoint sloppy matches given query-shifted, ascending
     position arrays (one per phrase term)."""

@@ -430,6 +430,22 @@ def build_index(
     base_offset = 0
     prev_manifest = None
     generation = 0  # fresh-build generation; merges bump via commit_manifest
+    # index-time sorting ([U] lucene/core/.../index/IndexWriterConfig.java
+    # setIndexSort): docid order == (field, conv_id, turn_idx) order, so a
+    # query sorted by that field early-terminates after k matches in docid
+    # order (EarlyTerminatingSortingCollector semantics). Spelled
+    # docid_mode="sorted-by:<field>[:desc]"; recorded in the manifest so
+    # the query side can prove the sort before early-terminating.
+    index_sort = None
+    if docid_mode.startswith("sorted-by:"):
+        spec = docid_mode.split(":")
+        index_sort = {"field": spec[1],
+                      "descending": len(spec) > 2 and spec[2] == "desc"}
+        if append:
+            raise ValueError(
+                "append would place new docids after maxDoc, breaking the "
+                "global index sort — rebuild or use an unsorted index"
+            )
     if append:
         prev_manifest = load_manifest(index_dir)
         if (
@@ -540,8 +556,17 @@ def build_index(
             # per task and a per-row hash probe
             base_ref = ray.put((conv_sorted, bases_arr))
             docs_ds = ds
-    if docid_mode == "sort":
-        sorted_ds = ds.sort(["conv_id", "turn_idx"])
+    if docid_mode == "sort" or index_sort is not None:
+        if index_sort is not None:
+            # global distributed sort by (field, conv_id, turn_idx): Ray's
+            # range-partitioned sort keeps blocks ordered, so the same
+            # per-block-count prefix sum assigns docids in sort order
+            sorted_ds = ds.sort(
+                [index_sort["field"], "conv_id", "turn_idx"],
+                descending=[index_sort["descending"], False, False],
+            )
+        else:
+            sorted_ds = ds.sort(["conv_id", "turn_idx"])
         refs = sorted_ds.to_arrow_refs()
         counts = ray.get([_num_rows.remote(r) for r in refs])
         n_docs = int(sum(counts))
@@ -709,6 +734,7 @@ def build_index(
         "codec": codec_name,
         "analysis": "standard-v1",
         "docid_mode": docid_mode,
+        **({"index_sort": index_sort} if index_sort is not None else {}),
         "positions": store_positions,
         "term_vectors": store_term_vectors,
         "segments": segments,

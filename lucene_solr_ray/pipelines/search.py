@@ -953,9 +953,46 @@ class IndexSearcher:
         return cache[field]
 
     def search_sorted_by_field(self, raw_terms, field: str, k: int = 10,
-                               descending: bool = True, mode: str = "or"):
+                               descending: bool = True, mode: str = "or",
+                               window: int = 1 << 17):
         """TopFieldCollector ([U] .../search/TopFieldCollector.java): hits
-        ordered by a doc-values field (ties -> docid asc) instead of score."""
+        ordered by a doc-values field (ties -> docid asc) instead of score.
+
+        When the index was built with docid_mode="sorted-by:<field>[:desc]"
+        matching this query's sort, docid order IS sort order, so the
+        first k matches streamed by iter_matches are the answer —
+        EarlyTerminatingSortingCollector ([U] lucene/core/.../search/
+        EarlyTerminatingSortingCollector.java, Lucene 8 index sorting):
+        only the postings blocks of the first few docid windows decode,
+        never the full match set. ``last_sorted_windows`` records how many
+        windows were consumed (tests assert the early exit)."""
+        isort = self.manifest.get("index_sort")
+        self.last_sorted_windows = 0
+        if (isort and isort["field"] == field
+                and bool(isort["descending"]) == bool(descending)):
+            chunks, n = [], 0
+            for d in self.iter_matches(raw_terms, mode=mode, window=window):
+                self.last_sorted_windows += 1
+                chunks.append(d)
+                n += len(d)
+                if n >= k:
+                    break  # docid order == sort order: done
+            if not chunks:
+                return (np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.int64))
+            d = np.concatenate(chunks)[:k]
+            # fetch values for ONLY the k winners (parquet filter pushdown;
+            # the full doc-values column never materializes on this path)
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(
+                os.path.join(self.index_dir, "docs"), format="parquet"
+            ).to_table(columns=["docid", field],
+                       filter=pads.field("docid").isin(pa.array(d)))
+            dv = t.column("docid").to_numpy()
+            vals = t.column(field).to_numpy()[np.argsort(dv)][
+                np.searchsorted(np.sort(dv), d)]
+            return d, vals
         d, _ = self.search(raw_terms, k=max(1, self.n_docs), mode=mode)
         vals = self.doc_values(field)[d]
         key = -vals if descending else vals
@@ -1114,6 +1151,65 @@ class IndexSearcher:
         )
         top = topk_order(d_arr, scores, k)
         return d_arr[top], scores[top]
+
+    # ---------------- span queries (SURVEY §2.5) ----------------
+
+    def _span_clause_views(self, raw_clauses):
+        """Analyze each span clause to ONE term (order preserved — spans
+        are order-sensitive, unlike analyze_query_terms' sorted set) and
+        fetch its positional view. None if any clause is absent/empty."""
+        from lucene_solr_ray.analysis import tokenize
+
+        terms = []
+        for raw in raw_clauses:
+            toks = tokenize(raw)
+            if len(toks) != 1:
+                raise ValueError(f"span clause must analyze to one term: {raw!r}")
+            terms.append(toks[0])
+        views = {}
+        for t in set(terms):
+            view, df = self._pos_view(t)
+            if df == 0:
+                return None, terms
+            views[t] = view
+        return views, terms
+
+    def search_span_near(self, raw_clauses, slop: int = 0,
+                         in_order: bool = False) -> np.ndarray:
+        """SpanNearQuery over single-term clauses ([U] lucene/core/.../
+        search/spans/SpanNearQuery.java): unscored ascending-docid match
+        set of docs where all clause terms co-occur within total gap
+        <= slop, optionally in clause order. Candidates = positional-view
+        conjunction; per-candidate verify via the shared span matchers in
+        phrase.py (parity by construction with any oracle reusing them).
+        Requires store_positions=True."""
+        from lucene_solr_ray.phrase import span_near_ordered, span_near_unordered
+
+        views, terms = self._span_clause_views(raw_clauses)
+        if views is None:
+            return np.empty(0, dtype=np.int64)
+        cand = self._live(views[terms[0]].docids)
+        for t in terms[1:]:
+            cand = np.intersect1d(cand, views[t].docids, assume_unique=True)
+            if len(cand) == 0:
+                return cand.astype(np.int64)
+        match = span_near_ordered if in_order else span_near_unordered
+        out = [int(doc) for doc in cand
+               if match([views[t].positions(int(doc)) for t in terms], slop)]
+        return np.asarray(out, dtype=np.int64)
+
+    def search_span_first(self, raw_clause, end: int) -> np.ndarray:
+        """SpanFirstQuery ([U] .../spans/SpanFirstQuery.java): docs where
+        the term occurs with span end <= ``end``, i.e. position <= end-1
+        (single-term spans have width 1). Position lists are ascending,
+        so only each doc's FIRST position is inspected."""
+        views, terms = self._span_clause_views([raw_clause])
+        if views is None:
+            return np.empty(0, dtype=np.int64)
+        v = views[terms[0]]
+        cand = self._live(v.docids)
+        out = [int(doc) for doc in cand if int(v.positions(int(doc))[0]) <= end - 1]
+        return np.asarray(out, dtype=np.int64)
 
     # ---------------- multi-term queries (SURVEY §2.5) ----------------
 

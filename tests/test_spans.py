@@ -1,0 +1,99 @@
+"""Span queries ([U] lucene/core/.../search/spans/): SpanNearQuery
+(ordered + unordered) and SpanFirstQuery vs a naive per-doc reference
+over the same analyzed positions."""
+
+import numpy as np
+import pytest
+
+from lucene_solr_ray.analysis import tokenize_with_positions
+from lucene_solr_ray.phrase import span_near_ordered, span_near_unordered
+from lucene_solr_ray.pipelines.search import IndexSearcher
+
+
+def test_span_matchers_semantics():
+    a = np.array([0, 10], dtype=np.int64)
+    b = np.array([3, 13], dtype=np.int64)
+    # closest pairs (0,3) and (10,13) both have gap 2 -> slop 2 matches,
+    # slop 1 doesn't
+    assert span_near_unordered([a, b], 2)
+    assert not span_near_unordered([a, b], 1)
+    # order-insensitive: (12, 10) pair has gap 1
+    assert span_near_unordered([b, a], 2)
+    assert span_near_unordered([np.array([5]), np.array([4])], 0)
+    # ordered: requires a.pos < b.pos
+    assert span_near_ordered([a, b], 2)
+    assert not span_near_ordered([np.array([5]), np.array([4])], 5)
+    assert span_near_ordered([np.array([5]), np.array([9])], 3)
+    assert not span_near_ordered([np.array([5]), np.array([9])], 2)
+    # three clauses, strictly increasing chain
+    assert span_near_ordered(
+        [np.array([0]), np.array([2]), np.array([4])], 2)
+    assert not span_near_ordered(
+        [np.array([0]), np.array([2]), np.array([4])], 1)
+    assert span_near_unordered(
+        [np.array([4]), np.array([0]), np.array([2])], 2)
+    # empty list never matches
+    assert not span_near_unordered([a, np.array([], dtype=np.int64)], 99)
+    assert not span_near_ordered([np.array([], dtype=np.int64)], 99)
+
+
+def _naive_spans(table, clauses, slop, in_order):
+    """Reference: analyze every doc's text, apply the shared matchers."""
+    texts = table.column("text").to_pylist()
+    out = []
+    for docid_like, text in enumerate(texts):
+        pos_by_term = {}
+        for tok, p in tokenize_with_positions(text):
+            pos_by_term.setdefault(tok, []).append(p)
+        lists = [np.array(pos_by_term.get(c, []), dtype=np.int64)
+                 for c in clauses]
+        m = span_near_ordered if in_order else span_near_unordered
+        if m(lists, slop):
+            out.append(docid_like)
+    return out
+
+
+@pytest.mark.parametrize("clauses,slop,in_order", [
+    (["w0000", "w0001"], 0, False),
+    (["w0000", "w0001"], 2, False),
+    (["w0000", "w0001"], 2, True),
+    (["w0001", "w0000"], 2, True),
+    (["w0000", "w0002", "w0001"], 4, False),
+])
+def test_span_near_parity(t1_index, t1_table, clauses, slop, in_order):
+    index_dir, _ = t1_index
+    s = IndexSearcher(index_dir)
+    got = s.search_span_near(clauses, slop=slop, in_order=in_order)
+    # docid == row rank under (conv_id, turn_idx) sort (FIXTURES §1)
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(t1_table, sort_keys=[("conv_id", "ascending"),
+                                                 ("turn_idx", "ascending")])
+    sorted_table = t1_table.take(order)
+    exp = _naive_spans(sorted_table, clauses, slop, in_order)
+    assert got.tolist() == exp, (clauses, slop, in_order)
+
+
+def test_span_first_parity(t1_index, t1_table):
+    index_dir, _ = t1_index
+    s = IndexSearcher(index_dir)
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(t1_table, sort_keys=[("conv_id", "ascending"),
+                                                 ("turn_idx", "ascending")])
+    texts = t1_table.take(order).column("text").to_pylist()
+    for term, end in [("w0000", 3), ("w0001", 1), ("w0000", 1)]:
+        got = s.search_span_first(term, end)
+        exp = []
+        for i, text in enumerate(texts):
+            firsts = [p for tok, p in tokenize_with_positions(text) if tok == term]
+            if firsts and min(firsts) <= end - 1:
+                exp.append(i)
+        assert got.tolist() == exp, (term, end)
+
+
+def test_span_absent_term(t1_index):
+    index_dir, _ = t1_index
+    s = IndexSearcher(index_dir)
+    assert len(s.search_span_near(["w0000", "zzznope"], slop=9)) == 0
+    assert len(s.search_span_first("zzznope", 100)) == 0
