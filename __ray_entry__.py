@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_solr_ray.functions import multimodal
     from lucene_solr_ray.functions import relational as rel
     from lucene_solr_ray.functions import sketches
+    from lucene_solr_ray.functions import windows as win
     from lucene_solr_ray.functions import textstats as ts
     from lucene_solr_ray.functions import classify, expr, geo, graph, ltr
     from lucene_solr_ray.functions import solrapi, streamexpr
@@ -147,7 +148,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_span_near_ordered": lambda sf: ft.span_near_retrieve(
             sf, ["merge", "vector"], slop=5, in_order=True),
         "ft_span_first_docs": lambda sf: ft.span_first_retrieve(sf, "merge", end=8),
+        "ft_span_or_near": lambda sf: ft.span_or_near_retrieve(
+            sf, [["merge", "join"], "vector"], slop=4, in_order=False),
+        "ft_span_not_docs": lambda sf: ft.span_not_retrieve(
+            sf, "vector", "merge", pre=2, post=2),
         "ft_dismax_topk": lambda sf: ft.dismax_topk(sf, ["merge", "join", "window"], 0.3, k=10),
+        "ft_rerank_topk": lambda sf: ft.rerank_topk(
+            sf, ["merge", "join"], ["vector"], weight=2.0, top_n=60, k=10),
         "ft_spell_suggest": lambda sf: ft.spell_suggest(sf, "mergee", max_suggestions=5),
         "ft_prefix_suggest": lambda sf: ft.prefix_suggest(sf, "s", k=5),
         "ft_term_vector": lambda sf: ft.term_vector(sf, doc_id=3),
@@ -201,6 +208,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_terms": rel.facet_terms,
         "facet_stats_ext": rel.stats_extended,
         "timeseries_facet": rel.timeseries_facet,
+        "asof_join": win.asof_join,
+        "session_window": lambda sf: win.session_window(sf, gap_minutes=30),
+        "sliding_window_agg": lambda sf: win.sliding_window_agg(sf, preceding=2),
+        "range_join_bands": win.range_join_bands,
+        "facet_queries": rel.facet_queries,
         "significant_terms": rel.significant_terms,
         "collapse_top_order": rel.collapse_top_order,
         "grouping_topk": lambda sf: rel.grouping_topk(sf, k=2),
@@ -265,6 +277,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_topk": _ft_oracle().bm25_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_phrase_topk": _ft_oracle().phrase_topk_sql(["merge", "join"], k=10),
         "ft_dismax_topk": _ft_oracle().dismax_topk_sql(["merge", "join", "window"], 0.3, k=10),
+        "ft_rerank_topk": _ft_oracle().rerank_topk_sql(
+            ["merge", "join"], ["vector"], weight=2.0, top_n=60, k=10),
         "ft_more_like_this": _ft_oracle().more_like_this_sql(0, 8, 10),
         "ltr_bm25_rescore": _ft_oracle().ltr_bm25_rescore_sql(["merge", "sort"], 100, 20),
         "ft_prefix_docs": (
@@ -364,6 +378,25 @@ def oracle_sql() -> dict[str, str]:
         "ft_span_first_docs": (
             f"SELECT doc_id FROM documents WHERE "
             f"list_position({split}, 'merge') BETWEEN 1 AND 8 ORDER BY doc_id"
+        ),
+        "ft_span_or_near": (
+            f"WITH toks AS (SELECT doc_id, unnest(l) AS term, "
+            f"CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos "
+            f"FROM (SELECT doc_id, {split} AS l FROM documents)), "
+            "a AS (SELECT doc_id, pos FROM toks WHERE term IN ('merge', 'join')), "
+            "b AS (SELECT doc_id, pos FROM toks WHERE term = 'vector') "
+            "SELECT DISTINCT a.doc_id AS doc_id FROM a JOIN b ON a.doc_id = b.doc_id "
+            "WHERE abs(a.pos - b.pos) - 1 <= 4 ORDER BY doc_id"
+        ),
+        "ft_span_not_docs": (
+            f"WITH toks AS (SELECT doc_id, unnest(l) AS term, "
+            f"CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos "
+            f"FROM (SELECT doc_id, {split} AS l FROM documents)), "
+            "v AS (SELECT doc_id, pos FROM toks WHERE term = 'vector'), "
+            "m AS (SELECT doc_id, pos FROM toks WHERE term = 'merge') "
+            "SELECT DISTINCT v.doc_id AS doc_id FROM v WHERE NOT EXISTS ("
+            "SELECT 1 FROM m WHERE m.doc_id = v.doc_id "
+            "AND m.pos BETWEEN v.pos - 2 AND v.pos + 2) ORDER BY doc_id"
         ),
         "ft_spell_suggest": (
             f"WITH toks AS (SELECT doc_id, unnest({split}) AS x FROM documents), "
@@ -562,6 +595,50 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n, "
             f"CAST(SUM({c(x='value')}) AS BIGINT) AS sum_value_cents "
             "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "asof_join": (
+            "SELECT l.event_id, l.user_id, l.ts, r.ts AS right_ts "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') l "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id"
+        ),
+        "session_window": (
+            "WITH m AS (SELECT user_id, ts, CASE WHEN "
+            "LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE "
+            "THEN 1 ELSE 0 END AS new_s FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "s AS (SELECT user_id, ts, CAST(SUM(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) "
+            "AS session_idx FROM m) "
+            "SELECT user_id, session_idx, COUNT(*) AS n_events, "
+            "MIN(ts) AS start_ts, MAX(ts) AS end_ts FROM s "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "sliding_window_agg": (
+            "WITH b AS (SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, "
+            f"COUNT(*) AS n, CAST(SUM({c(x='value')}) AS BIGINT) AS sum_cents "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT event_type, hour, n, sum_cents, "
+            "CAST(SUM(sum_cents) OVER (PARTITION BY event_type ORDER BY hour "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_cents "
+            "FROM b ORDER BY event_type, hour"
+        ),
+        "facet_queries": (
+            "SELECT facet, n_docs FROM ("
+            "SELECT 'type_purchase' AS facet, CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_docs FROM events "
+            f"UNION ALL SELECT 'value_ge_100', CAST(COUNT(CASE WHEN {c(x='value')} >= 10000 THEN 1 END) AS BIGINT) FROM events "
+            "UNION ALL SELECT 'jan_2024', CAST(COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01' THEN 1 END) AS BIGINT) FROM events "
+            f"UNION ALL SELECT 'purchase_over_50', CAST(COUNT(CASE WHEN event_type = 'purchase' AND {c(x='value')} >= 5000 THEN 1 END) AS BIGINT) FROM events"
+            ") ORDER BY facet"
+        ),
+        "range_join_bands": (
+            "WITH bands(band_id, lo, hi) AS (VALUES "
+            "(CAST(0 AS BIGINT), 0, 5000), (1, 5000, 10000), (2, 10000, 15000), "
+            "(3, 15000, 9223372036854775807)), "
+            f"e AS (SELECT {c(x='value')} AS cents FROM events) "
+            "SELECT band_id, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents "
+            "FROM e JOIN bands ON e.cents >= bands.lo AND e.cents < bands.hi "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "significant_terms": (
             "SELECT term, CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fg, "

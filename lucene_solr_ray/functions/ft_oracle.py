@@ -126,6 +126,50 @@ def bm25_topk_sql(queries: list[tuple[str, list[str], str]], k: int = 10) -> str
             + " ORDER BY query_id, rank")
 
 
+def rerank_topk_sql(main_terms: list[str], rerank_terms: list[str],
+                    weight: float, top_n: int, k: int) -> str:
+    """Oracle for fulltext.rerank_topk ([U] solr/core/.../search/
+    ReRankQParserPlugin.java): combined = float32(float64(main_f32) +
+    weight * float64(sec_f32)), sec = 0 for top-N docs the rerank query
+    misses (LEFT JOIN) — the exact op order the engine pins."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    ctes = [prelude_ctes()]
+
+    def build(tag: str, terms: list[str]) -> tuple[str, str]:
+        tf_names, w_names = [], []
+        for ti, t in enumerate(terms):
+            tf_n, w_n = f"tf_{tag}{ti}", f"w_{tag}{ti}"
+            ctes.append(tf_cte(tf_n, t))
+            ctes.append(w_cte(w_n, tf_n))
+            tf_names.append(tf_n)
+            w_names.append(w_n)
+        aliases = [f"{tag}a{ti}" for ti in range(len(terms))]
+        joins = f"{tf_names[0]} {aliases[0]}"
+        for tf_n, a in zip(tf_names[1:], aliases[1:]):
+            joins += f" JOIN {tf_n} {a} ON {aliases[0]}.doc_id = {a}.doc_id"
+        joins += f" JOIN denom ON denom.doc_id = {aliases[0]}.doc_id"
+        fold = fold_f32([score_expr(a, w_n) for a, w_n in zip(aliases, w_names)])
+        cond = " OR ".join(f"{a}.tf > 0" for a in aliases)
+        return (f"SELECT {aliases[0]}.doc_id AS doc_id, {fold} AS score "
+                f"FROM {joins} WHERE {cond}"), fold
+
+    main_sel, _ = build("m", analyze_query_terms(main_terms))
+    sec_sel, _ = build("s", analyze_query_terms(rerank_terms))
+    ctes.append(f"mainq AS (SELECT doc_id, score FROM ({main_sel}) "
+                f"ORDER BY score DESC, doc_id LIMIT {int(top_n)})")
+    ctes.append(f"secq AS ({sec_sel})")
+    combined = (f"CAST(CAST(m.score AS DOUBLE) + {float(weight)!r} * "
+                "CAST(COALESCE(s.score, CAST(0.0 AS FLOAT)) AS DOUBLE) AS FLOAT)")
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT rank, doc_id FROM (SELECT m.doc_id AS doc_id, "
+        f"CAST(ROW_NUMBER() OVER (ORDER BY {combined} DESC, m.doc_id) - 1 AS BIGINT) AS rank "
+        "FROM mainq m LEFT JOIN secq s ON m.doc_id = s.doc_id) ranked "
+        f"WHERE rank < {int(k)} ORDER BY rank"
+    )
+
+
 def phrase_topk_sql(phrase: list[str], k: int = 10) -> str:
     """Oracle for fulltext.phrase_topk: tf = non-overlapping adjacent
     occurrence count (StopFilter position gaps == textual adjacency on

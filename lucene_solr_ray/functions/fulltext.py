@@ -86,6 +86,29 @@ def span_near_retrieve(sf_dir: str, clauses: list[str], slop: int = 0,
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
 
 
+def span_or_near_retrieve(sf_dir: str, clauses: list, slop: int = 0,
+                          in_order: bool = False) -> pa.Table:
+    """SpanNearQuery with SpanOrQuery clauses ([U] .../spans/
+    SpanOrQuery.java): a list clause matches at the union of its
+    alternatives' positions."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d = s.search_span_near(clauses, slop=slop, in_order=in_order)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
+def span_not_retrieve(sf_dir: str, include: str, exclude: str,
+                      pre: int = 0, post: int = 0) -> pa.Table:
+    """SpanNotQuery match set ([U] .../spans/SpanNotQuery.java) ->
+    sorted doc_id set."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d = s.search_span_not(include, exclude, pre=pre, post=post)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
 def span_first_retrieve(sf_dir: str, term: str, end: int) -> pa.Table:
     """SpanFirstQuery match set ([U] .../spans/SpanFirstQuery.java) ->
     sorted doc_id set."""
@@ -199,6 +222,38 @@ def bm25_topk(sf_dir: str, queries: list[tuple[str, list[str], str]], k: int = 1
     return pa.Table.from_pandas(
         res[["query_id", "rank", "doc_id"]], preserve_index=False
     )
+
+
+def rerank_topk(sf_dir: str, main_terms: list[str], rerank_terms: list[str],
+                weight: float = 2.0, top_n: int = 60, k: int = 10) -> pa.Table:
+    """ReRankQParser ([U] solr/core/.../search/ReRankQParserPlugin.java):
+    take the main query's BM25 top-N, add ``weight`` x the rerank
+    query's BM25 score for docs it matches (0 otherwise), re-sort the N
+    by combined score (ties -> doc_id). RANK-ONLY output; combine op
+    order pinned float32(float64(main) + weight*float64(sec)) and
+    replicated literally by ft_oracle.rerank_topk_sql."""
+    from lucene_solr_ray.oracle import topk_order
+
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d_main, s_main = s.search(main_terms, k=top_n, mode="or")
+    d_sec, s_sec = s.search(rerank_terms, k=max(1, s.n_docs), mode="or")
+    order = np.argsort(d_sec)
+    d_sec_sorted, s_sec_sorted = d_sec[order], s_sec[order]
+    pos = np.searchsorted(d_sec_sorted, d_main)
+    pos = np.minimum(pos, max(0, len(d_sec_sorted) - 1))
+    hit = (len(d_sec_sorted) > 0) & (d_sec_sorted[pos] == d_main) if len(d_sec_sorted) else np.zeros(len(d_main), bool)
+    sec = np.where(hit, s_sec_sorted[pos] if len(d_sec_sorted) else 0.0,
+                   np.float32(0.0)).astype(np.float32)
+    combined = (s_main.astype(np.float64)
+                + float(weight) * sec.astype(np.float64)).astype(np.float32)
+    top = topk_order(d_main, combined, k)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({
+        "rank": pa.array(np.arange(len(top)), pa.int64()),
+        "doc_id": pa.array(mapping[d_main[top]].astype(np.int64) if len(top)
+                           else np.empty(0, np.int64), pa.int64()),
+    })
 
 
 def multi_term_retrieve(sf_dir: str, kind: str, pattern: str) -> pa.Table:

@@ -609,6 +609,41 @@ def expand_collapsed(sf_dir: str, page_size: int = 20, expand_rows: int = 2) -> 
     )
 
 
+def facet_queries(sf_dir: str) -> pa.Table:
+    """Solr ``facet.query`` ([U] solr/core/.../handler/component/
+    FacetComponent.java): counts for a fixed list of arbitrary predicate
+    facets, all evaluated in ONE corpus pass — each map batch emits a
+    partial count vector (one int per facet query), combined by a tiny
+    output-sized aggregation. No shuffle of row data at all."""
+    qdefs = [
+        ("type_purchase", lambda t: pc.equal(t.column("event_type"), "purchase")),
+        ("value_ge_100", lambda t: pc.greater_equal(_cents(t.column("value")), 10_000)),
+        ("jan_2024", lambda t: pc.and_(
+            pc.greater_equal(t.column("ts"), pa.scalar(np.datetime64("2024-01-01", "us"))),
+            pc.less(t.column("ts"), pa.scalar(np.datetime64("2024-02-01", "us"))))),
+        ("purchase_over_50", lambda t: pc.and_(
+            pc.equal(t.column("event_type"), "purchase"),
+            pc.greater_equal(_cents(t.column("value")), 5_000))),
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "facet": pa.array([name for name, _ in qdefs]),
+            "n": pa.array([int(pc.sum(pc.cast(fn(t), pa.int64())).as_py() or 0)
+                           for name, fn in qdefs], pa.int64()),
+        })
+
+    return pa.Table.from_pandas(
+        _read(sf_dir, "events", ["event_type", "value", "ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("facet")
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .sort("facet")
+        .to_pandas(),
+        preserve_index=False,
+    ).replace_schema_metadata(None)
+
+
 # ---------------- percentile (exact, via value-count compaction) ----------------
 
 def percentile_disc(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Table:

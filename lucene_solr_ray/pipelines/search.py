@@ -1155,47 +1155,114 @@ class IndexSearcher:
     # ---------------- span queries (SURVEY §2.5) ----------------
 
     def _span_clause_views(self, raw_clauses):
-        """Analyze each span clause to ONE term (order preserved — spans
-        are order-sensitive, unlike analyze_query_terms' sorted set) and
-        fetch its positional view. None if any clause is absent/empty."""
+        """Analyze each span clause to its term alternatives (a str
+        clause is one term; a list clause is a SpanOrQuery of terms —
+        [U] .../spans/SpanOrQuery.java). Order preserved — spans are
+        order-sensitive, unlike analyze_query_terms' sorted set. Returns
+        (views, clause_terms); views is None if any clause has NO
+        present alternative (a SpanOr clause survives if >=1 term
+        exists; absent alternatives just contribute nothing)."""
         from lucene_solr_ray.analysis import tokenize
 
-        terms = []
+        clause_terms: list[list[str]] = []
         for raw in raw_clauses:
-            toks = tokenize(raw)
-            if len(toks) != 1:
-                raise ValueError(f"span clause must analyze to one term: {raw!r}")
-            terms.append(toks[0])
+            alts = [raw] if isinstance(raw, str) else list(raw)
+            terms = []
+            for alt in alts:
+                toks = tokenize(alt)
+                if len(toks) != 1:
+                    raise ValueError(
+                        f"span clause must analyze to one term: {alt!r}")
+                terms.append(toks[0])
+            clause_terms.append(terms)
         views = {}
-        for t in set(terms):
-            view, df = self._pos_view(t)
-            if df == 0:
-                return None, terms
-            views[t] = view
-        return views, terms
+        for terms in clause_terms:
+            present = []
+            for t in terms:
+                if t in views:
+                    present.append(t)
+                    continue
+                view, df = self._pos_view(t)
+                if df:
+                    views[t] = view
+                    present.append(t)
+            if not present:
+                return None, clause_terms
+        return views, clause_terms
+
+    def _span_clause_positions(self, views, terms: list[str], doc: int) -> np.ndarray:
+        """Merged ascending positions of a (possibly SpanOr) clause in
+        ``doc`` — union of each present alternative's position list."""
+        lists = [p for t in terms if t in views
+                 for p in (views[t].positions(doc),) if len(p)]
+        if not lists:
+            return np.empty(0, dtype=np.int64)
+        if len(lists) == 1:
+            return lists[0]
+        return np.unique(np.concatenate(lists))
 
     def search_span_near(self, raw_clauses, slop: int = 0,
                          in_order: bool = False) -> np.ndarray:
-        """SpanNearQuery over single-term clauses ([U] lucene/core/.../
-        search/spans/SpanNearQuery.java): unscored ascending-docid match
-        set of docs where all clause terms co-occur within total gap
-        <= slop, optionally in clause order. Candidates = positional-view
-        conjunction; per-candidate verify via the shared span matchers in
-        phrase.py (parity by construction with any oracle reusing them).
-        Requires store_positions=True."""
+        """SpanNearQuery ([U] lucene/core/.../search/spans/
+        SpanNearQuery.java): unscored ascending-docid match set of docs
+        where every clause matches within total gap <= slop, optionally
+        in clause order. A clause is one term (str) or a SpanOrQuery of
+        term alternatives (list of str — [U] .../spans/SpanOrQuery.java).
+        Candidates = conjunction of per-clause docid unions; per-candidate
+        verify via the shared span matchers in phrase.py (parity by
+        construction with any oracle reusing them). Requires
+        store_positions=True."""
         from lucene_solr_ray.phrase import span_near_ordered, span_near_unordered
 
-        views, terms = self._span_clause_views(raw_clauses)
+        views, clause_terms = self._span_clause_views(raw_clauses)
         if views is None:
             return np.empty(0, dtype=np.int64)
-        cand = self._live(views[terms[0]].docids)
-        for t in terms[1:]:
-            cand = np.intersect1d(cand, views[t].docids, assume_unique=True)
+        cand = None
+        for terms in clause_terms:
+            present = [t for t in terms if t in views]
+            docs = (views[present[0]].docids if len(present) == 1 else
+                    np.unique(np.concatenate([views[t].docids for t in present])))
+            cand = docs if cand is None else np.intersect1d(cand, docs, assume_unique=True)
             if len(cand) == 0:
                 return cand.astype(np.int64)
+        cand = self._live(cand)
         match = span_near_ordered if in_order else span_near_unordered
         out = [int(doc) for doc in cand
-               if match([views[t].positions(int(doc)) for t in terms], slop)]
+               if match([self._span_clause_positions(views, terms, int(doc))
+                         for terms in clause_terms], slop)]
+        return np.asarray(out, dtype=np.int64)
+
+    def search_span_not(self, include, exclude, pre: int = 0,
+                        post: int = 0) -> np.ndarray:
+        """SpanNotQuery ([U] .../spans/SpanNotQuery.java), single-term
+        spans: docs with an ``include`` occurrence whose expanded window
+        [p - pre, p + post] contains NO ``exclude`` occurrence. With
+        pre=post=0 distinct terms never collide (width-1 spans), so the
+        useful form sets pre/post > 0 ('include not preceded/followed by
+        exclude within N positions'). Vectorized per doc: searchsorted
+        of each include position into the exclude list."""
+        views, clause_terms = self._span_clause_views([include])
+        if views is None:
+            return np.empty(0, dtype=np.int64)
+        inc = views[clause_terms[0][0]]
+        evs, ets = self._span_clause_views([exclude])
+        cand = self._live(inc.docids)
+        if evs is None:
+            return np.sort(cand).astype(np.int64)
+        exc = evs[ets[0][0]]
+        out = []
+        exc_docs = set(exc.docids.tolist())
+        for doc in cand:
+            p = inc.positions(int(doc))
+            if int(doc) not in exc_docs:
+                out.append(int(doc))
+                continue
+            q = exc.positions(int(doc))
+            # an exclude in [p-pre, p+post] kills that include position
+            lo = np.searchsorted(q, p - pre, side="left")
+            hi = np.searchsorted(q, p + post, side="right")
+            if bool(np.any(lo == hi)):  # some include window is clean
+                out.append(int(doc))
         return np.asarray(out, dtype=np.int64)
 
     def search_span_first(self, raw_clause, end: int) -> np.ndarray:
@@ -1203,10 +1270,10 @@ class IndexSearcher:
         the term occurs with span end <= ``end``, i.e. position <= end-1
         (single-term spans have width 1). Position lists are ascending,
         so only each doc's FIRST position is inspected."""
-        views, terms = self._span_clause_views([raw_clause])
+        views, clause_terms = self._span_clause_views([raw_clause])
         if views is None:
             return np.empty(0, dtype=np.int64)
-        v = views[terms[0]]
+        v = views[clause_terms[0][0]]
         cand = self._live(v.docids)
         out = [int(doc) for doc in cand if int(v.positions(int(doc))[0]) <= end - 1]
         return np.asarray(out, dtype=np.int64)

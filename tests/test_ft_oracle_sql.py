@@ -63,6 +63,22 @@ def test_phrase_dismax_mlt_ltr_match_duckdb(con):
     _eq(ltr.bm25_rescore(SF), con.sql(FO.ltr_bm25_rescore_sql(["merge", "sort"], 100, 20)))
 
 
+def test_rerank_topk_matches_duckdb(con):
+    from lucene_solr_ray.functions import ft_oracle as FO
+    from lucene_solr_ray.functions.fulltext import rerank_topk
+
+    _eq(rerank_topk(SF, ["merge", "join"], ["vector"], weight=2.0, top_n=60, k=10),
+        con.sql(FO.rerank_topk_sql(["merge", "join"], ["vector"],
+                                   weight=2.0, top_n=60, k=10)))
+    # weight=0 degenerates to the main query's own ranking
+    from lucene_solr_ray.functions.fulltext import bm25_topk
+
+    base = bm25_topk(SF, [("q", ["merge", "join"], "or")], k=10).to_pandas()
+    rr = rerank_topk(SF, ["merge", "join"], ["vector"], weight=0.0,
+                     top_n=60, k=10).to_pandas()
+    assert rr["doc_id"].tolist() == base["doc_id"].tolist()
+
+
 def test_rank_stability_gap_bound():
     """Adjacent ranked float32 scores are either EXACTLY equal (both
     sides tie-break by docid) or separated by > 2 float32 ulps — so a

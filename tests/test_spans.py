@@ -97,3 +97,61 @@ def test_span_absent_term(t1_index):
     s = IndexSearcher(index_dir)
     assert len(s.search_span_near(["w0000", "zzznope"], slop=9)) == 0
     assert len(s.search_span_first("zzznope", 100)) == 0
+    # a SpanOr clause with one absent alternative still matches via the other
+    got_or = s.search_span_near([["w0000", "zzznope"], "w0001"], slop=9)
+    got_plain = s.search_span_near(["w0000", "w0001"], slop=9)
+    assert got_or.tolist() == got_plain.tolist()
+    # all alternatives absent -> empty
+    assert len(s.search_span_near([["zzza", "zzzb"], "w0001"], slop=9)) == 0
+
+
+def _sorted_texts(t1_table):
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(t1_table, sort_keys=[("conv_id", "ascending"),
+                                                 ("turn_idx", "ascending")])
+    return t1_table.take(order).column("text").to_pylist()
+
+
+def test_span_or_near_parity(t1_index, t1_table):
+    index_dir, _ = t1_index
+    s = IndexSearcher(index_dir)
+    clauses = [["w0000", "w0003"], "w0001"]
+    slop = 2
+    got = s.search_span_near(clauses, slop=slop, in_order=False)
+    exp = []
+    for i, text in enumerate(_sorted_texts(t1_table)):
+        pos_by_term = {}
+        for tok, p in tokenize_with_positions(text):
+            pos_by_term.setdefault(tok, []).append(p)
+        lists = []
+        ok = True
+        for c in clauses:
+            alts = [c] if isinstance(c, str) else c
+            merged = sorted({p for a in alts for p in pos_by_term.get(a, [])})
+            if not merged:
+                ok = False
+                break
+            lists.append(np.array(merged, dtype=np.int64))
+        if ok and span_near_unordered(lists, slop):
+            exp.append(i)
+    assert got.tolist() == exp
+
+
+def test_span_not_parity(t1_index, t1_table):
+    index_dir, _ = t1_index
+    s = IndexSearcher(index_dir)
+    for include, exclude, pre, post in [("w0000", "w0001", 2, 2),
+                                        ("w0000", "w0001", 0, 0),
+                                        ("w0000", "zzznope", 3, 3)]:
+        got = s.search_span_not(include, exclude, pre=pre, post=post)
+        exp = []
+        for i, text in enumerate(_sorted_texts(t1_table)):
+            pos_by_term = {}
+            for tok, p in tokenize_with_positions(text):
+                pos_by_term.setdefault(tok, []).append(p)
+            inc = pos_by_term.get(include, [])
+            exc = pos_by_term.get(exclude, [])
+            if any(all(not (p - pre <= q <= p + post) for q in exc) for p in inc):
+                exp.append(i)
+        assert got.tolist() == exp, (include, exclude, pre, post)
