@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_dismax_topk": lambda sf: ft.dismax_topk(sf, ["merge", "join", "window"], 0.3, k=10),
         "ft_rerank_topk": lambda sf: ft.rerank_topk(
             sf, ["merge", "join"], ["vector"], weight=2.0, top_n=60, k=10),
+        "ft_common_terms_topk": lambda sf: ft.common_terms_topk(
+            sf, ["merge", "join", "vector"], max_df_frac=0.55, k=10),
         "ft_spell_suggest": lambda sf: ft.spell_suggest(sf, "mergee", max_suggestions=5),
         "ft_prefix_suggest": lambda sf: ft.prefix_suggest(sf, "s", k=5),
         "ft_term_vector": lambda sf: ft.term_vector(sf, doc_id=3),
@@ -279,6 +281,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_dismax_topk": _ft_oracle().dismax_topk_sql(["merge", "join", "window"], 0.3, k=10),
         "ft_rerank_topk": _ft_oracle().rerank_topk_sql(
             ["merge", "join"], ["vector"], weight=2.0, top_n=60, k=10),
+        "ft_common_terms_topk": _ft_oracle().common_terms_topk_sql(
+            ["merge", "join", "vector"], max_df_frac=0.55, k=10),
         "ft_more_like_this": _ft_oracle().more_like_this_sql(0, 8, 10),
         "ltr_bm25_rescore": _ft_oracle().ltr_bm25_rescore_sql(["merge", "sort"], 100, 20),
         "ft_prefix_docs": (

@@ -253,6 +253,37 @@ def _skew(manifest: dict) -> float:
     return round(float(np.max(walls) / max(np.median(walls), 1e-9)), 2)
 
 
+def _control_worker(t_end: float, q) -> None:
+    units = 0
+    x = 1.0
+    while time.monotonic() < t_end:
+        for _ in range(10_000):
+            x = x * 1.0000001 + 1e-9
+        units += 1
+    q.put(units + (x == -1))  # keep x live
+
+
+def _cpu_control(nproc: int, seconds: float = 3.0) -> float:
+    """Aggregate busy-loop work units completed by ``nproc`` concurrent
+    processes in a fixed window — measures what the VM actually delivers
+    at that parallelism RIGHT NOW (noisy-neighbor tenancy makes the
+    8->32 CPU ratio drift between 3.2x and 3.5x on this host; see
+    BENCH/BASELINE.md round-3 ceiling notes). Used to normalize each
+    scaling pair by the concurrently-measured hardware ceiling."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    t_end = time.monotonic() + seconds + 0.5  # 0.5s spawn allowance
+    procs = [ctx.Process(target=_control_worker, args=(t_end, q)) for _ in range(nproc)]
+    for p in procs:
+        p.start()
+    total = sum(q.get() for _ in procs)
+    for p in procs:
+        p.join()
+    return float(total)
+
+
 def scaling() -> None:
     def run(ncpu: int) -> dict:
         # scaling evidence: build-only, 4x corpus — the fixed session/stage
@@ -279,19 +310,28 @@ def scaling() -> None:
     # back-to-back so drift mostly cancels within a pair; the reported
     # efficiency is the MEDIAN of per-pair efficiencies.
     pairs = []
+    ceilings = []
     for _ in range(trials):
         os.sync()  # settle page-cache writeback from the previous run
         time.sleep(2)
+        c_lo = _cpu_control(lo)
         r_lo = run(lo)
         os.sync()
         time.sleep(2)
+        c_hi = _cpu_control(hi)
         r_hi = run(hi)
         pairs.append((r_lo, r_hi))
+        # what a PERFECTLY parallel CPU-bound job could achieve on this
+        # host during this pair: measured 8->32 aggregate-CPU ratio / 4
+        ceilings.append((c_hi / c_lo) / (hi / lo))
     effs = [(p[1]["turns_per_s"] / p[0]["turns_per_s"]) / (hi / lo) for p in pairs]
+    norm_effs = [min(e / c, 1.0) if c > 0 else e for e, c in zip(effs, ceilings)]
     order = sorted(range(len(pairs)), key=lambda i: effs[i])
     mid = order[len(order) // 2]
     r_lo, r_hi = pairs[mid]
     eff = effs[mid]
+    norm_order = sorted(range(len(pairs)), key=lambda i: norm_effs[i])
+    norm_eff = norm_effs[norm_order[len(norm_order) // 2]]
     result = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -301,6 +341,8 @@ def scaling() -> None:
         "turns_per_s_8": r_lo["turns_per_s"],
         "turns_per_s_32": r_hi["turns_per_s"],
         "per_pair_efficiency": [round(e, 3) for e in effs],
+        "per_pair_cpu_ceiling": [round(c, 3) for c in ceilings],
+        "ceiling_normalized_efficiency": round(norm_eff, 3),
         "sf": r_lo["sf"],
         "queries": {"index_build_8": r_lo["value"], "index_build_32": r_hi["value"]},
     }
@@ -313,6 +355,9 @@ def scaling() -> None:
             f"| {hi} | {r_hi['value']} | {r_hi['turns_per_s']} |\n\n"
             f"n_docs = {r_lo['n_docs']}; per-pair efficiencies {[round(e, 3) for e in effs]}; "
             f"median scaling efficiency (thr32/thr8)/4 = **{eff:.3f}** (criterion: >= 0.8)\n"
+            f"per-pair CPU ceilings (concurrent busy-loop control, (units32/units8)/4) = "
+            f"{[round(c, 3) for c in ceilings]}; median ceiling-normalized efficiency = "
+            f"**{norm_eff:.3f}** (what the build achieves of what this VM can physically deliver)\n"
         )
     print(json.dumps(result))
 

@@ -170,6 +170,49 @@ def rerank_topk_sql(main_terms: list[str], rerank_terms: list[str],
     )
 
 
+def common_terms_topk_sql(terms: list[str], max_df_frac: float, k: int) -> str:
+    """Oracle for fulltext.common_terms_topk: the rare/common split
+    (df <= max_df_frac * N) is computed dynamically in SQL, so engine
+    and oracle classify from the same corpus. Match condition: any rare
+    term present; if NO term is rare, plain OR. Score: ordinary BM25
+    fold over ALL terms."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    qterms = analyze_query_terms(terms)
+    ctes = [prelude_ctes()]
+    tf_names, w_names, rare_names = [], [], []
+    for ti, t in enumerate(qterms):
+        tf_n, w_n, r_n = f"tf_c{ti}", f"w_c{ti}", f"rare_c{ti}"
+        ctes.append(tf_cte(tf_n, t))
+        ctes.append(w_cte(w_n, tf_n))
+        ctes.append(
+            f"{r_n} AS (SELECT (SELECT CAST(COUNT(CASE WHEN tf > 0 THEN 1 END) AS DOUBLE) "
+            f"FROM {tf_n}) <= {float(max_df_frac)!r} * stats.n AS r FROM stats)")
+        tf_names.append(tf_n)
+        w_names.append(w_n)
+        rare_names.append(r_n)
+    aliases = [f"ca{ti}" for ti in range(len(qterms))]
+    joins = f"{tf_names[0]} {aliases[0]}"
+    for tf_n, a in zip(tf_names[1:], aliases[1:]):
+        joins += f" JOIN {tf_n} {a} ON {aliases[0]}.doc_id = {a}.doc_id"
+    joins += f" JOIN denom ON denom.doc_id = {aliases[0]}.doc_id"
+    fold = fold_f32([score_expr(a, w_n) for a, w_n in zip(aliases, w_names)])
+    rare_hit = " OR ".join(
+        f"((SELECT r FROM {r_n}) AND {a}.tf > 0)"
+        for r_n, a in zip(rare_names, aliases))
+    any_rare = " OR ".join(f"(SELECT r FROM {r_n})" for r_n in rare_names)
+    any_tf = " OR ".join(f"{a}.tf > 0" for a in aliases)
+    cond = f"({rare_hit}) OR (NOT ({any_rare}) AND ({any_tf}))"
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT rank, doc_id FROM (SELECT doc_id, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+        f"FROM (SELECT {aliases[0]}.doc_id AS doc_id, {fold} AS score "
+        f"FROM {joins} WHERE {cond}) sub) ranked "
+        f"WHERE rank < {int(k)} ORDER BY rank"
+    )
+
+
 def phrase_topk_sql(phrase: list[str], k: int = 10) -> str:
     """Oracle for fulltext.phrase_topk: tf = non-overlapping adjacent
     occurrence count (StopFilter position gaps == textual adjacency on

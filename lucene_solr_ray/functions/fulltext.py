@@ -256,6 +256,36 @@ def rerank_topk(sf_dir: str, main_terms: list[str], rerank_terms: list[str],
     })
 
 
+def common_terms_topk(sf_dir: str, terms: list[str], max_df_frac: float = 0.3,
+                      k: int = 10) -> pa.Table:
+    """CommonTermsQuery ([U] lucene/queries/.../CommonTermsQuery.java),
+    default SHOULD/SHOULD occurs: terms with df > max_df_frac*N are
+    'common' and only contribute score; a doc must match at least one
+    'rare' term to be a hit (if every term is common, plain OR). Score =
+    the ordinary BM25 OR fold over ALL terms, restricted to the rare
+    match set. RANK-ONLY output; ft_oracle.common_terms_topk_sql
+    replicates the df-threshold split dynamically in SQL."""
+    from lucene_solr_ray.oracle import analyze_query_terms, topk_order
+
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    qterms = analyze_query_terms(terms)
+    rare = [t for t in qterms
+            if float(s.term_stats_and_cursor(t)[0]) <= max_df_frac * s.n_docs]
+    d_all, s_all = s.search(terms, k=max(1, s.n_docs), mode="or")
+    if rare and len(rare) < len(qterms):
+        d_rare, _ = s.search(rare, k=max(1, s.n_docs), mode="or")
+        keep = np.isin(d_all, d_rare, assume_unique=True)
+        d_all, s_all = d_all[keep], s_all[keep]
+    top = topk_order(d_all, s_all, k)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({
+        "rank": pa.array(np.arange(len(top)), pa.int64()),
+        "doc_id": pa.array(mapping[d_all[top]].astype(np.int64) if len(top)
+                           else np.empty(0, np.int64), pa.int64()),
+    })
+
+
 def multi_term_retrieve(sf_dir: str, kind: str, pattern: str) -> pa.Table:
     """Multi-term queries (SURVEY §2.5): prefix / wildcard / regexp /
     range expansion over the sorted term dicts -> boolean disjunction ->

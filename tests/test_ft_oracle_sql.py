@@ -79,6 +79,19 @@ def test_rerank_topk_matches_duckdb(con):
     assert rr["doc_id"].tolist() == base["doc_id"].tolist()
 
 
+def test_common_terms_topk_matches_duckdb(con):
+    from lucene_solr_ray.functions import ft_oracle as FO
+    from lucene_solr_ray.functions.fulltext import common_terms_topk
+
+    # a threshold that splits the probe terms AND one that makes all
+    # terms common (plain-OR fallback) — the SQL classifies dynamically
+    for frac in (0.55, 0.99, 0.01):
+        _eq(common_terms_topk(SF, ["merge", "join", "vector"],
+                              max_df_frac=frac, k=10),
+            con.sql(FO.common_terms_topk_sql(["merge", "join", "vector"],
+                                             max_df_frac=frac, k=10)))
+
+
 def test_rank_stability_gap_bound():
     """Adjacent ranked float32 scores are either EXACTLY equal (both
     sides tie-break by docid) or separated by > 2 float32 ulps — so a
