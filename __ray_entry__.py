@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, ["merge", "join", "vector"], max_df_frac=0.55, k=10),
         "ft_spell_suggest": lambda sf: ft.spell_suggest(sf, "mergee", max_suggestions=5),
         "ft_prefix_suggest": lambda sf: ft.prefix_suggest(sf, "s", k=5),
+        "ft_infix_suggest": lambda sf: ft.infix_suggest(sf, "or", k=5),
         "ft_term_vector": lambda sf: ft.term_vector(sf, doc_id=3),
         "ft_fielded_search": lambda sf: ft.fielded_retrieve(
             sf, must=["merge"], dv_filters={"lang": "en", "source": ["src1", "src2", "src3"]}),
@@ -198,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_sorted": rel.export_sorted,
         # --- spatial / expressions (SURVEY §2.6 aux) ---
         "geo_bbox_dist": geo.geo_bbox_dist,
+        "geo_heatmap": geo.geo_heatmap,
         "expression_sort": expr.expression_sort,
         # --- LTR / classification (SURVEY §2.6/§2.7 aux) ---
         "ltr_linear_rescore": ltr.ltr_linear_rescore,
@@ -415,6 +417,13 @@ def oracle_sql() -> dict[str, str]:
             f"WITH toks AS (SELECT unnest({split}) AS x FROM documents), "
             f"vocab AS (SELECT x AS term, CAST(COUNT(*) AS BIGINT) AS cf FROM toks "
             f"WHERE NOT list_contains({_STOP_SQL}, x) AND x LIKE 's%' GROUP BY x) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, term) - 1 AS BIGINT) AS sugg_rank, "
+            "term, cf FROM vocab ORDER BY cf DESC, term LIMIT 5"
+        ),
+        "ft_infix_suggest": (
+            f"WITH toks AS (SELECT unnest({split}) AS x FROM documents), "
+            f"vocab AS (SELECT x AS term, CAST(COUNT(*) AS BIGINT) AS cf FROM toks "
+            f"WHERE NOT list_contains({_STOP_SQL}, x) AND x LIKE '%or%' GROUP BY x) "
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, term) - 1 AS BIGINT) AS sugg_rank, "
             "term, cf FROM vocab ORDER BY cf DESC, term LIMIT 5"
         ),
@@ -843,6 +852,12 @@ def oracle_sql() -> dict[str, str]:
             "cos(radians(lat)) * cos(radians(12.5)) * pow(sin(radians(42.5 - lon)/2), 2)"
             ")) * 10 + 0.5) AS BIGINT) AS dist_100m FROM g "
             "WHERE lat BETWEEN -60 AND 60 AND lon BETWEEN -120 AND 120 ORDER BY c_custkey"
+        ),
+        "geo_heatmap": (
+            "SELECT ((c_custkey * 37) % 180) // 10 AS grid_row, "
+            "((c_custkey * 73) % 360) // 10 AS grid_col, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs FROM customer "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "expression_sort": (
             "WITH e AS (SELECT p_partkey, CAST(FLOOR((sqrt(CAST(p_size AS DOUBLE)) * 2 + "

@@ -301,7 +301,11 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N and 4N parallelism levels. Default 8->32 saturates the host; on
+    # noisy-tenant windows 4->16 leaves physical headroom so the ratio
+    # measures the JOB, not the neighbors (record both).
+    lo = int(os.environ.get("LSR_SCALE_LO", "8"))
+    hi = int(os.environ.get("LSR_SCALE_HI", str(lo * 4)))
     trials = int(os.environ.get("LSR_BENCH_TRIALS", "3"))
 
     # INTERLEAVED pairs: the host shows large slow drift (the same build
@@ -336,15 +340,15 @@ def scaling() -> None:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
-        "turns_per_s_8": r_lo["turns_per_s"],
-        "turns_per_s_32": r_hi["turns_per_s"],
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"turns_per_s_{lo}": r_lo["turns_per_s"],
+        f"turns_per_s_{hi}": r_hi["turns_per_s"],
         "per_pair_efficiency": [round(e, 3) for e in effs],
         "per_pair_cpu_ceiling": [round(c, 3) for c in ceilings],
         "ceiling_normalized_efficiency": round(norm_eff, 3),
         "sf": r_lo["sf"],
-        "queries": {"index_build_8": r_lo["value"], "index_build_32": r_hi["value"]},
+        "queries": {f"index_build_{lo}": r_lo["value"], f"index_build_{hi}": r_hi["value"]},
     }
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/BASELINE.md", "a") as fh:
@@ -354,8 +358,8 @@ def scaling() -> None:
             f"| {lo} | {r_lo['value']} | {r_lo['turns_per_s']} |\n"
             f"| {hi} | {r_hi['value']} | {r_hi['turns_per_s']} |\n\n"
             f"n_docs = {r_lo['n_docs']}; per-pair efficiencies {[round(e, 3) for e in effs]}; "
-            f"median scaling efficiency (thr32/thr8)/4 = **{eff:.3f}** (criterion: >= 0.8)\n"
-            f"per-pair CPU ceilings (concurrent busy-loop control, (units32/units8)/4) = "
+            f"median scaling efficiency (thr{hi}/thr{lo})/{hi // lo} = **{eff:.3f}** (criterion: >= 0.8)\n"
+            f"per-pair CPU ceilings (concurrent busy-loop control, (units{hi}/units{lo})/{hi // lo}) = "
             f"{[round(c, 3) for c in ceilings]}; median ceiling-normalized efficiency = "
             f"**{norm_eff:.3f}** (what the build achieves of what this VM can physically deliver)\n"
         )

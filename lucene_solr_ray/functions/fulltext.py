@@ -496,6 +496,18 @@ def prefix_suggest(sf_dir: str, prefix: str, k: int = 5) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=schema)
 
 
+def infix_suggest(sf_dir: str, fragment: str, k: int = 5) -> pa.Table:
+    """AnalyzingInfixSuggester: contains-match suggestions ranked by cf."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    rows = [
+        {"sugg_rank": i, "term": t, "cf": cf}
+        for i, (t, cf) in enumerate(s.suggest_infix(fragment, k))
+    ]
+    schema = pa.schema([("sugg_rank", pa.int64()), ("term", pa.string()), ("cf", pa.int64())])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
 def term_vector(sf_dir: str, doc_id: int) -> pa.Table:
     """Per-doc term vector (re-analysis of stored fields)."""
     index_dir = docs_index(sf_dir)

@@ -73,3 +73,42 @@ def geo_bbox_dist(sf_dir: str, origin=(12.5, 42.5), bbox=(-60.0, 60.0, -120.0, 1
         concurrency=pool_size(),
         batch_format="pyarrow",
     ).sort("c_custkey")
+
+
+def geo_heatmap(sf_dir: str, cell_deg: int = 10) -> pa.Table:
+    """Heatmap faceting ([U] solr/core/.../handler/component/
+    SpatialHeatmapFacets.java, facet.heatmap): counts over a lat/lon
+    grid at ``cell_deg`` resolution. Grid-cell assignment is pure
+    integer arithmetic on the derived coordinates (row = lat-index//cell,
+    col = lon-index//cell), so engine and SQL oracle agree exactly.
+    One corpus pass of per-batch partial (row, col) counts -> an
+    output-sized (18 x 36 cells at 10 degrees) combine; no row shuffle.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t.column("c_custkey").to_numpy().astype(np.int64)
+        row = ((key * 37) % 180) // cell_deg
+        col = ((key * 73) % 360) // cell_deg
+        g = pd.DataFrame({"grid_row": row, "grid_col": col}).groupby(
+            ["grid_row", "grid_col"], sort=False).size().reset_index(name="n")
+        return pa.table({
+            "grid_row": pa.array(g["grid_row"].to_numpy(), pa.int64()),
+            "grid_col": pa.array(g["grid_col"].to_numpy(), pa.int64()),
+            "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    out = (
+        read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["grid_row", "grid_col"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .sort(["grid_row", "grid_col"])
+        .to_pandas()
+    )
+    return pa.table({
+        "grid_row": pa.array(out["grid_row"].to_numpy().astype(np.int64)),
+        "grid_col": pa.array(out["grid_col"].to_numpy().astype(np.int64)),
+        "n_docs": pa.array(out["n_docs"].to_numpy().astype(np.int64)),
+    })

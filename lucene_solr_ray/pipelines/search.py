@@ -1411,6 +1411,20 @@ class IndexSearcher:
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
+    def suggest_infix(self, fragment: str, k: int = 5):
+        """AnalyzingInfixSuggester analogue ([U] lucene/suggest/.../
+        analyzing/AnalyzingInfixSuggester.java): dictionary terms
+        CONTAINING the fragment anywhere (the infix twist vs prefix-only
+        FSTs), ranked by collection frequency desc (suggester weight),
+        term asc. The scan walks the sorted per-partition term dicts
+        once — corpus text is never touched. Returns [(term, cf)]."""
+        out = []
+        for t in self.expand_terms("wildcard", f"*{fragment}*", max_terms=100_000):
+            _, cf, _ = self.term_stats_and_cursor(t)
+            out.append((t, cf))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
     def more_like_this(self, docid: int, max_terms: int = 8, k: int = 10):
         """MoreLikeThis ([U] lucene/queries/.../mlt/MoreLikeThis.java):
         top tf*idf terms of the doc -> OR query (the source doc itself
