@@ -217,6 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_agg": lambda sf: win.sliding_window_agg(sf, preceding=2),
         "range_join_bands": win.range_join_bands,
         "facet_queries": rel.facet_queries,
+        "pivot_facets": rel.pivot_facets,
+        "scored_join_topk": lambda sf: rel.scored_join_topk(sf, k=20),
         "significant_terms": rel.significant_terms,
         "collapse_top_order": rel.collapse_top_order,
         "grouping_topk": lambda sf: rel.grouping_topk(sf, k=2),
@@ -635,6 +637,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(sum_cents) OVER (PARTITION BY event_type ORDER BY hour "
             "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving_cents "
             "FROM b ORDER BY event_type, hour"
+        ),
+        "pivot_facets": (
+            "WITH leaves AS (SELECT l_returnflag, l_linestatus, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+            f"COUNT(*) AS n, CAST(SUM({c(x='l_quantity')}) AS BIGINT) AS sum_qty_cents "
+            "FROM lineitem GROUP BY 1, 2, 3), "
+            "l1 AS (SELECT l_returnflag, CAST(ROW_NUMBER() OVER (ORDER BY SUM(n) DESC, l_returnflag) - 1 AS BIGINT) AS rank1 "
+            "FROM leaves GROUP BY l_returnflag), "
+            "l2 AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY SUM(n) DESC, l_linestatus) - 1 AS BIGINT) AS rank2 "
+            "FROM leaves GROUP BY l_returnflag, l_linestatus) "
+            "SELECT l1.rank1, l2.rank2, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY leaves.l_returnflag, leaves.l_linestatus "
+            "ORDER BY leaves.n DESC, leaves.l_linenumber) - 1 AS BIGINT) AS rank3, "
+            "leaves.l_returnflag, leaves.l_linestatus, leaves.l_linenumber, "
+            "CAST(leaves.n AS BIGINT) AS n, leaves.sum_qty_cents "
+            "FROM leaves JOIN l1 ON leaves.l_returnflag = l1.l_returnflag "
+            "JOIN l2 ON leaves.l_returnflag = l2.l_returnflag AND leaves.l_linestatus = l2.l_linestatus "
+            "ORDER BY rank1, rank2, rank3"
+        ),
+        "scored_join_topk": (
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_cents DESC, o_orderkey) - 1 AS BIGINT) AS rank, "
+            "o_orderkey, score_cents FROM ("
+            "SELECT l_orderkey AS o_orderkey, "
+            "CAST(MAX(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)) AS BIGINT) AS score_cents "
+            "FROM lineitem GROUP BY 1) "
+            "ORDER BY score_cents DESC, o_orderkey LIMIT 20"
         ),
         "facet_queries": (
             "SELECT facet, n_docs FROM ("

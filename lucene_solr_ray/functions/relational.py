@@ -609,6 +609,101 @@ def expand_collapsed(sf_dir: str, page_size: int = 20, expand_rows: int = 2) -> 
     )
 
 
+def pivot_facets(sf_dir: str) -> pa.Table:
+    """3-level pivot faceting ([U] solr/core/.../handler/component/
+    PivotFacetProcessor.java, facet.pivot=f1,f2,f3): the full pivot tree
+    over (l_returnflag -> l_linestatus -> l_linenumber) with count +
+    sum(qty cents) per node and the Solr default count-desc rank at
+    every level (ties -> value asc).
+
+    Scale shape: ONE map-side partial groupby on the 3-key tuple (the
+    only corpus pass); the pivot tree itself is output-sized
+    (|flags| x |status| x |linenumbers| ~ 42 rows), so the hierarchical
+    ranking runs on the driver like every other output-sized step."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "l_linenumber": pc.cast(t.column("l_linenumber"), pa.int64()),
+            "qty_cents": _cents(t.column("l_quantity")),
+        })
+
+    leaves = (
+        _read(sf_dir, "lineitem",
+              ["l_returnflag", "l_linestatus", "l_linenumber", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus", "l_linenumber"])
+        .aggregate(Count(alias_name="n"), Sum("qty_cents", alias_name="sum_qty_cents"))
+        .to_pandas()
+    )  # output-sized pivot tree
+    l1 = leaves.groupby("l_returnflag", as_index=False)["n"].sum()
+    l1 = l1.sort_values(["n", "l_returnflag"], ascending=[False, True]).reset_index(drop=True)
+    l1["rank1"] = np.arange(len(l1), dtype=np.int64)
+    l2 = leaves.groupby(["l_returnflag", "l_linestatus"], as_index=False)["n"].sum()
+    l2 = l2.sort_values(["l_returnflag", "n", "l_linestatus"],
+                        ascending=[True, False, True]).reset_index(drop=True)
+    l2["rank2"] = l2.groupby("l_returnflag").cumcount().astype("int64")
+    out = leaves.sort_values(
+        ["l_returnflag", "l_linestatus", "n", "l_linenumber"],
+        ascending=[True, True, False, True]).reset_index(drop=True)
+    out["rank3"] = out.groupby(["l_returnflag", "l_linestatus"]).cumcount().astype("int64")
+    out = out.merge(l1[["l_returnflag", "rank1"]], on="l_returnflag")
+    out = out.merge(l2[["l_returnflag", "l_linestatus", "rank2"]],
+                    on=["l_returnflag", "l_linestatus"])
+    out = out.sort_values(["rank1", "rank2", "rank3"]).reset_index(drop=True)
+    return pa.table({
+        "rank1": pa.array(out["rank1"].to_numpy().astype(np.int64)),
+        "rank2": pa.array(out["rank2"].to_numpy().astype(np.int64)),
+        "rank3": pa.array(out["rank3"].to_numpy().astype(np.int64)),
+        "l_returnflag": pa.array(out["l_returnflag"].astype(str)),
+        "l_linestatus": pa.array(out["l_linestatus"].astype(str)),
+        "l_linenumber": pa.array(out["l_linenumber"].to_numpy().astype(np.int64)),
+        "n": pa.array(out["n"].to_numpy().astype(np.int64)),
+        "sum_qty_cents": pa.array(out["sum_qty_cents"].to_numpy().astype(np.int64)),
+    })
+
+
+def scored_join_topk(sf_dir: str, k: int = 20) -> pa.Table:
+    """JoinUtil.createJoinQuery with ScoreMode.Max ([U] lucene/join/.../
+    JoinUtil.java): join lineitem -> orders on orderkey where each
+    order's joined score is the MAX per-line revenue
+    (floor(extendedprice*(1-discount)*100+0.5) cents, IEEE-deterministic
+    both sides); top-k orders by joined score, ties orderkey asc.
+
+    Map-side partial max per (batch, orderkey) -> groupby Max -> per-batch
+    partial top-k -> output-sized driver merge. The orders side needs no
+    shuffle at all: orderkey is already the join identity."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ep = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        rev = np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)
+        df = pd.DataFrame({"o_orderkey": key, "rev": rev})
+        g = df.groupby("o_orderkey", sort=False)["rev"].max().reset_index()
+        return pa.table({
+            "o_orderkey": pa.array(g["o_orderkey"].to_numpy(), pa.int64()),
+            "score_cents": pa.array(g["rev"].to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Max("score_cents", alias_name="score_cents"))
+        .sort(["score_cents", "o_orderkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    agg = agg.reset_index(drop=True)
+    return pa.table({
+        "rank": pa.array(np.arange(len(agg), dtype=np.int64)),
+        "o_orderkey": pa.array(agg["o_orderkey"].to_numpy().astype(np.int64)),
+        "score_cents": pa.array(agg["score_cents"].to_numpy().astype(np.int64)),
+    })
+
+
 def facet_queries(sf_dir: str) -> pa.Table:
     """Solr ``facet.query`` ([U] solr/core/.../handler/component/
     FacetComponent.java): counts for a fixed list of arbitrary predicate
