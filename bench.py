@@ -10,10 +10,15 @@ Prints ONE JSON line:
   {"metric": "index_build_sec", "value": <sec>, "unit": "sec",
    "queries": {...per-pipeline sec...}, "sf": <sf>, "num_cpus": N, ...}
 
---scaling: same job in two fresh processes (num_cpus=8 then 32) on the
-same input; reports both throughputs + efficiency (thr32/thr8)/4 and
-appends the result to BENCH/BASELINE.md. This evidences the north rule's
-N-vs-4N-cluster criterion in the single-node sandbox.
+--scaling: same job in two fresh processes (num_cpus = LSR_SCALE_LO
+then LSR_SCALE_HI, default 8 then 32) on the same input; reports both
+throughputs + efficiency (thr_hi/thr_lo)/(hi/lo), plus a per-pair
+busy-loop CPU-ceiling control and the ceiling-normalized efficiency,
+and appends the result to BENCH/BASELINE.md. This evidences the north
+rule's N-vs-4N-cluster criterion in the single-node sandbox; the 2->8
+pair models a real cluster most closely because both levels sit below
+the box's measured memory-bandwidth saturation point (BENCH/BASELINE.md
+round-3 structural finding).
 """
 
 from __future__ import annotations
