@@ -713,3 +713,112 @@ def embedding_lsh_pairs(sf_dir: str, threshold: float = 0.42,
         )
         .sort(["doc_a", "doc_b"])
     )
+
+
+# ---------------- near-dup connected components / canonical keep ----------------
+
+def connected_components(edges: ray.data.Dataset, max_rounds: int = 64,
+                         num_partitions: int = 8) -> ray.data.Dataset:
+    """Distributed connected components over an undirected edge Dataset
+    (columns ``doc_a``/``doc_b``) by min-label propagation: every node
+    starts labeled with itself; each round every node takes the minimum
+    of its own and its neighbors' labels (hash-join on the edge list +
+    per-node Min) until no label changes. Converges in <= graph-diameter
+    rounds — near-dup clusters are low-diameter by construction (every
+    member pairs with most others), so rounds stay single digits.
+
+    Scale shape: the edge list is pair-output-sized (<< corpus); each
+    round is one partitioned join + one groupby-Min over it, and only a
+    scalar changed-count reaches the driver. The label table is
+    materialized per round (node-sized) so the lazy lineage doesn't
+    re-execute from round 0. Reference anchor: dedup canonicalization in
+    SignatureUpdateProcessor keeps one doc per signature group ([U]
+    solr/core/.../update/processor/SignatureUpdateProcessorFactory.java);
+    this generalizes keep-one to transitive near-dup clusters.
+    """
+    from ray.data.aggregate import Min
+
+    def sym(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy().astype(np.int64)
+        b = t.column("doc_b").to_numpy().astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges2 = edges.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def init_label(t: pa.Table) -> pa.Table:
+        n = t.column("src")
+        return pa.table({"node": n, "lab": n})
+
+    labels = (
+        edges2.groupby("src").aggregate(Min("dst", alias_name="_m"))
+        .map_batches(lambda t: pa.table({"node": t.column("src"),
+                                         "lab": pa.compute.min_element_wise(
+                                             t.column("src"), t.column("_m"))}),
+                     batch_format="pyarrow")
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        nbr = edges2.join(labels, "inner", num_partitions=num_partitions,
+                          on=("src",), right_on=("node",))
+        cand = (
+            nbr.map_batches(lambda t: pa.table({"cnode": t.column("dst"),
+                                                "clab": t.column("lab")}),
+                            batch_format="pyarrow")
+            .groupby("cnode").aggregate(Min("clab", alias_name="nmin"))
+        )
+        merged = labels.join(cand, "left_outer", num_partitions=num_partitions,
+                             on=("node",), right_on=("cnode",))
+
+        def step(t: pa.Table) -> pa.Table:
+            old = t.column("lab").to_numpy().astype(np.int64)
+            nm = t.column("nmin").to_numpy(zero_copy_only=False)
+            nm = np.where(pd.isna(nm), old, nm).astype(np.int64)
+            new = np.minimum(old, nm)
+            return pa.table({"node": t.column("node"),
+                             "lab": pa.array(new),
+                             "chg": pa.array((new < old).astype(np.int64))})
+
+        labels = merged.map_batches(step, batch_format="pyarrow").materialize()
+        if labels.sum("chg") == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+    return labels.select_columns(["node", "lab"])
+
+
+def dedup_connected_components(sf_dir: str, threshold_pct: int = 30,
+                               ngram: int = 3) -> pa.Table:
+    """Near-dup clustering + canonical-keep over the exact n-gram Jaccard
+    pair graph: pairs at jaccard >= threshold become edges, connected
+    components get the component-minimum doc_id as canonical, and
+    ``keep`` marks the one document per cluster a dedup pass retains.
+    Output is cluster-member-sized (isolated docs are implicitly kept and
+    not listed). At 100 TB the upstream pair Dataset (LSH-verified pairs)
+    plugs straight into connected_components without materializing."""
+    pairs = ngram_jaccard_pairs(sf_dir, threshold_pct=threshold_pct, ngram=ngram)
+    edges = ray.data.from_arrow(pairs.select(["doc_a", "doc_b"]))
+    labels = connected_components(edges)
+    from ray.data.aggregate import Count
+
+    sizes = labels.groupby("lab").aggregate(Count(alias_name="n_members")) \
+        .map_batches(lambda t: t.rename_columns(["slab", "n_members"]),
+                     batch_format="pyarrow")
+    out = (
+        labels.join(sizes, "inner", num_partitions=4, on=("lab",), right_on=("slab",))
+        .map_batches(lambda t: pa.table({
+            "doc_id": t.column("node"),
+            "canon_id": t.column("lab"),
+            "n_members": t.column("n_members"),
+            "keep": pa.compute.cast(pa.compute.equal(t.column("node"), t.column("lab")), pa.int64()),
+        }), batch_format="pyarrow")
+        .sort("doc_id")
+    )
+    df = out.to_pandas()
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].astype(np.int64)),
+        "canon_id": pa.array(df["canon_id"].astype(np.int64)),
+        "n_members": pa.array(df["n_members"].astype(np.int64)),
+        "keep": pa.array(df["keep"].astype(np.int64)),
+    })

@@ -218,3 +218,46 @@ def test_percolate_parsed_matcher():
     out = stage(docs)
     pairs = sorted(zip(out.column("doc_id").to_pylist(), out.column("query_id").to_pylist()))
     assert pairs == [(0, "p1"), (0, "p2"), (1, "p2"), (2, "p2"), (2, "p3"), (3, "p2")]
+
+
+def test_connected_components_matches_union_find():
+    """Min-label propagation fixpoint == union-find closure on the real
+    near-dup pair graph, including a synthetic long path (diameter 5) to
+    force multi-round convergence."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from lucene_solr_ray.functions.dedup import (connected_components,
+                                                 dedup_connected_components,
+                                                 ngram_jaccard_pairs)
+
+    # synthetic: path 100-101-102-103-104-105 plus a far singleton edge
+    path = pa.table({"doc_a": pa.array([100, 101, 102, 103, 104, 7], pa.int64()),
+                     "doc_b": pa.array([101, 102, 103, 104, 105, 9], pa.int64())})
+    labs = connected_components(ray.data.from_arrow(path)).to_pandas()
+    got = dict(zip(labs["node"], labs["lab"]))
+    assert all(got[n] == 100 for n in range(100, 106))
+    assert got[7] == 7 and got[9] == 7
+
+    # real pairs at sf0.001 vs union-find
+    pairs = ngram_jaccard_pairs("/root/testdata/sf0.001", threshold_pct=30).to_pandas()
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.doc_a, pairs.doc_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {n: find(n) for n in parent}
+    import collections
+    sizes = collections.Counter(comp.values())
+    exp = sorted((n, c, sizes[c], int(n == c)) for n, c in comp.items())
+    t = dedup_connected_components("/root/testdata/sf0.001")
+    got_rows = sorted(zip(t["doc_id"].to_pylist(), t["canon_id"].to_pylist(),
+                          t["n_members"].to_pylist(), t["keep"].to_pylist()))
+    assert got_rows == exp
