@@ -60,7 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from lucene_solr_ray.functions import sketches
     from lucene_solr_ray.functions import windows as win
     from lucene_solr_ray.functions import textstats as ts
-    from lucene_solr_ray.functions import classify, expr, geo, graph, ltr
+    from lucene_solr_ray.functions import classify, curation, expr, geo, graph, ltr
     from lucene_solr_ray.functions import solrapi, streamexpr
     from lucene_solr_ray.functions import sql as sqlmod
     from lucene_solr_ray.sources import ingest, urp
@@ -89,6 +89,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stemmed_term_counts": ts.stemmed_term_counts,
         "lang_dispatch_token_counts": ts.lang_dispatch_token_counts,
         "charfilter_token_counts": ts.charfilter_token_counts,
+        # --- training-data curation (decontam / repetition / PII) ---
+        "decontaminate_ngram": curation.decontaminate_ngram,
+        "repetition_signals": curation.repetition_signals,
+        "pii_scan": curation.pii_scan,
         # --- multimodal plumbing ---
         "multimodal_payload_stats": multimodal.payload_stats,
         "multimodal_fake_decode": multimodal.fake_decode,
@@ -858,6 +862,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rolling_fingerprint": _data_oracle().rolling_fingerprint_sql(),
         "stemmed_term_counts": _data_oracle().stemmed_term_counts_sql(),
+        "decontaminate_ngram": _data_oracle().decontaminate_sql(),
+        "repetition_signals": _data_oracle().repetition_sql(),
+        "pii_scan": _data_oracle().pii_scan_sql(),
         # lang_dispatch: zh/ja/ko rows route through the CJK chain, which
         # degenerates to the standard chain on this CJK-free corpus (the
         # routing itself shows in the analyzer column; real-CJK behavior is

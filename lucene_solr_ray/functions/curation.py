@@ -1,0 +1,206 @@
+"""Training-data curation operators: benchmark decontamination,
+repetition (Gopher-style) quality signals, PII detection/redaction.
+
+These are the filter passes a 100-TB pretraining pipeline runs between
+dedup and indexing. Reference anchors: the repetition thresholds follow
+the published Gopher data-quality rules (Rae et al. 2021, table A1
+shape: duplicate-line/top-ngram fractions); decontamination follows the
+published n-gram-overlap protocol (GPT-3 appendix C: flag training docs
+sharing any N-gram with the eval set). All outputs are exact integers so
+the DuckDB oracles hash identically.
+
+Scale shapes: the benchmark n-gram set is eval-sized (tiny vs corpus) —
+broadcast once via ray.put as a sorted numpy array, membership tested
+per batch with searchsorted (at real scale the broadcast becomes a
+Bloom filter of hashes plus an exact audit of flagged docs); repetition
+and PII are per-batch map_batches with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from lucene_solr_ray.io_utils import pool_size, read_parquet_clean
+
+_WS = re.compile(r"\s+")
+
+
+def _read_docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def _tokens(s: str) -> list[str]:
+    return _WS.split(s.strip()) if s and s.strip() else []
+
+
+# ---------------- benchmark decontamination ----------------
+
+def decontaminate_ngram(sf_dir: str, ngram: int = 5, bench_mod: int = 37) -> ray.data.Dataset:
+    """Flag training documents sharing any word ``ngram``-gram with the
+    held-out benchmark set (stand-in: docs with doc_id % bench_mod == 0,
+    deterministic so the SQL oracle selects the same set). Output, per
+    non-benchmark doc: the count of its DISTINCT n-grams that appear in
+    the benchmark set and the contaminated flag.
+
+    The benchmark gram set is collected to the driver (eval-set-sized by
+    definition) and broadcast as ONE sorted numpy unicode array; each
+    corpus batch tests membership with searchsorted — zero shuffle, one
+    corpus pass."""
+    bench = (
+        _read_docs(sf_dir)
+        .filter(lambda r: r["doc_id"] % bench_mod == 0)
+        .map_batches(_gram_explode(ngram), batch_format="pyarrow")
+    )
+    grams = np.unique(np.asarray(bench.to_pandas()["g"], dtype=object).astype(str))
+    grams_ref = ray.put(grams)
+
+    class Flag:
+        def __init__(self):
+            self.grams = ray.get(grams_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            texts = t.column("text").to_pylist()
+            n_hit = np.zeros(len(texts), np.int64)
+            for i, s in enumerate(texts):
+                toks = _tokens(s)
+                gs = {" ".join(toks[j:j + ngram]) for j in range(len(toks) - ngram + 1)}
+                if not gs or not len(self.grams):
+                    continue
+                # np.isin promotes to the common unicode width (no
+                # truncation pitfall, unlike casting to grams.dtype)
+                n_hit[i] = int(np.isin(np.array(sorted(gs), dtype=str), self.grams).sum())
+            return pa.table({
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "n_contaminated": pa.array(n_hit),
+                "contaminated": pa.array((n_hit > 0).astype(np.int64)),
+            })
+
+    return (
+        _read_docs(sf_dir)
+        .filter(lambda r: r["doc_id"] % bench_mod != 0)
+        .map_batches(Flag, batch_format="pyarrow", concurrency=pool_size())
+        .sort("doc_id")
+    )
+
+
+def _gram_explode(ngram: int):
+    def fn(t: pa.Table) -> pa.Table:
+        out = set()
+        for s in t.column("text").to_pylist():
+            toks = _tokens(s)
+            out.update(" ".join(toks[j:j + ngram]) for j in range(len(toks) - ngram + 1))
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+    return fn
+
+
+# ---------------- repetition signals (Gopher-style) ----------------
+
+def repetition_signals(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc repetition counters (exact-integer numerators of the
+    Gopher duplicate-fraction rules): token totals/distincts, the most
+    frequent unigram's count, and bigram totals + the most frequent
+    bigram's count. A filter rule like 'drop if top-bigram fraction >
+    0.18' is then an integer comparison downstream."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n = len(texts)
+        n_tok = np.zeros(n, np.int64)
+        n_distinct = np.zeros(n, np.int64)
+        max_uni = np.zeros(n, np.int64)
+        n_bi = np.zeros(n, np.int64)
+        max_bi = np.zeros(n, np.int64)
+        for i, s in enumerate(texts):
+            toks = _tokens(s)
+            if not toks:
+                continue
+            a = np.asarray(toks, dtype=object)
+            _, cnt = np.unique(a.astype(str), return_counts=True)
+            n_tok[i] = len(toks)
+            n_distinct[i] = len(cnt)
+            max_uni[i] = cnt.max()
+            if len(toks) >= 2:
+                bi = np.asarray([toks[j] + " " + toks[j + 1] for j in range(len(toks) - 1)], dtype=str)
+                _, bcnt = np.unique(bi, return_counts=True)
+                n_bi[i] = len(bi)
+                max_bi[i] = bcnt.max()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": pa.array(n_tok),
+            "n_distinct_tokens": pa.array(n_distinct),
+            "max_unigram_count": pa.array(max_uni),
+            "n_bigrams": pa.array(n_bi),
+            "max_bigram_count": pa.array(max_bi),
+        })
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------- PII detection / redaction ----------------
+
+# RE2-compatible patterns (no lookaround/backrefs) so Python re and the
+# DuckDB oracle's regexp functions agree byte-for-byte.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b",
+}
+
+
+def pii_signals(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Dataset:
+    """Count and redact PII spans (email / IPv4 / phone) per document.
+    Patterns are compiled once per actor; redaction replaces each span
+    with ``<TYPE>`` in pattern-dict order. Returns doc_id + per-type
+    counts + the redacted text's length (the full redacted text is the
+    write-path payload; the entry keeps the length so the gate hash
+    stays compact)."""
+
+    class Pii:
+        def __init__(self):
+            self.pats = [(name, re.compile(p)) for name, p in PII_PATTERNS.items()]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t.column(text_col).to_pylist()
+            n = len(texts)
+            counts = {name: np.zeros(n, np.int64) for name, _ in self.pats}
+            red_len = np.zeros(n, np.int64)
+            for i, s in enumerate(texts):
+                s = s or ""
+                for name, pat in self.pats:
+                    s, k = pat.subn(f"<{name.upper()}>", s)
+                    counts[name][i] = k
+                red_len[i] = len(s)
+            cols = {"doc_id": t.column("doc_id")}
+            for name, _ in self.pats:
+                cols[f"n_{name}"] = pa.array(counts[name])
+            cols["redacted_len"] = pa.array(red_len)
+            return pa.table(cols)
+
+    return ds.map_batches(Pii, batch_format="pyarrow", concurrency=pool_size())
+
+
+def pii_scan(sf_dir: str) -> ray.data.Dataset:
+    """PII entry over the synthetic corpus. The fixture corpus contains
+    no PII by construction, so the entry scans a deterministically
+    augmented view (text + one email/IP/phone derived from doc_id — the
+    SQL oracle derives the identical view), exercising match + redaction
+    with non-zero counts while staying exactly reproducible."""
+
+    def augment(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        texts = t.column("text").to_pylist()
+        aug = [
+            f"{s} contact u{d}@example.org ip 10.0.{d % 256}.{d % 100} tel 555-{d % 900 + 100:03d}-{d % 9000 + 1000:04d}"
+            for d, s in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": t.column("doc_id"), "text": pa.array(aug, pa.string())})
+
+    ds = _read_docs(sf_dir).map_batches(augment, batch_format="pyarrow")
+    return pii_signals(ds).sort("doc_id")

@@ -296,3 +296,65 @@ def simhash_pairs_sql(max_hamming: int = 3) -> str:
         f"WHERE bit_count(xor(a.sim, b.sim)) <= {int(max_hamming)} "
         "ORDER BY doc_a, doc_b"
     )
+
+
+def decontaminate_sql(ngram: int = 5, bench_mod: int = 37) -> str:
+    """Oracle for curation.decontaminate_ngram: the benchmark set and the
+    distinct-gram semantics are replicated literally (doc_id % mod picks
+    the same eval docs; DISTINCT per-doc grams; membership = IN)."""
+    parts = "||' '||".join(f"list_extract(a,i+{j})" if j else "list_extract(a,i)"
+                           for j in range(ngram))
+    return (
+        "WITH docs AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a FROM documents), "
+        f"g AS (SELECT DISTINCT doc_id, {parts} AS g "
+        f"FROM docs, UNNEST(range(1, len(a)-{ngram-2})) AS t(i) WHERE len(a) >= {ngram}), "
+        f"bench AS (SELECT DISTINCT g FROM g WHERE doc_id % {bench_mod} = 0), "
+        f"hits AS (SELECT doc_id, COUNT(*) AS n FROM g WHERE doc_id % {bench_mod} != 0 "
+        "AND g IN (SELECT g FROM bench) GROUP BY 1) "
+        "SELECT d.doc_id, CAST(COALESCE(n,0) AS BIGINT) AS n_contaminated, "
+        "CAST(COALESCE(n,0) > 0 AS BIGINT) AS contaminated "
+        f"FROM (SELECT doc_id FROM documents WHERE doc_id % {bench_mod} != 0) d "
+        "LEFT JOIN hits USING (doc_id) ORDER BY doc_id"
+    )
+
+
+def repetition_sql() -> str:
+    """Oracle for curation.repetition_signals (exact integer counters)."""
+    return (
+        "WITH docs AS (SELECT doc_id, regexp_split_to_array(text,'\\s+') AS a FROM documents), "
+        "tok AS (SELECT doc_id, t FROM docs, UNNEST(a) AS u(t)), "
+        "uc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1,2), "
+        "uni AS (SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct, MAX(c) AS mx FROM uc GROUP BY 1), "
+        "big AS (SELECT doc_id, list_extract(a,i)||' '||list_extract(a,i+1) AS g FROM docs, "
+        "UNNEST(range(1,len(a))) AS t(i) WHERE len(a)>=2), "
+        "bc AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY 1,2), "
+        "bi AS (SELECT doc_id, SUM(c) AS nb, MAX(c) AS mb FROM bc GROUP BY 1) "
+        "SELECT d.doc_id, CAST(COALESCE(n_tokens,0) AS BIGINT) AS n_tokens, "
+        "CAST(COALESCE(n_distinct,0) AS BIGINT) AS n_distinct_tokens, "
+        "CAST(COALESCE(mx,0) AS BIGINT) AS max_unigram_count, "
+        "CAST(COALESCE(nb,0) AS BIGINT) AS n_bigrams, CAST(COALESCE(mb,0) AS BIGINT) AS max_bigram_count "
+        "FROM documents d LEFT JOIN uni USING(doc_id) LEFT JOIN bi USING(doc_id) ORDER BY doc_id"
+    )
+
+
+def pii_scan_sql() -> str:
+    """Oracle for curation.pii_scan: derives the identical augmented text
+    and replicates the engine's SEQUENTIAL redaction (each pattern's
+    count/replace runs on the previous pattern's redacted output).
+    Patterns are the RE2-compatible curation.PII_PATTERNS."""
+    from lucene_solr_ray.functions.curation import PII_PATTERNS
+    e, i, p = PII_PATTERNS["email"], PII_PATTERNS["ipv4"], PII_PATTERNS["phone"]
+    return (
+        "WITH aug AS (SELECT doc_id, text || ' contact u' || doc_id || '@example.org ip 10.0.' || (doc_id % 256) "
+        "|| '.' || (doc_id % 100) || ' tel 555-' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' "
+        "|| CAST(doc_id % 9000 + 1000 AS VARCHAR) AS s FROM documents), "
+        f"r1 AS (SELECT doc_id, s, len(regexp_extract_all(s, '{e}')) AS n_email, "
+        f"regexp_replace(s, '{e}', '<EMAIL>', 'g') AS s1 FROM aug), "
+        f"r2 AS (SELECT doc_id, n_email, len(regexp_extract_all(s1, '{i}')) AS n_ipv4, "
+        f"regexp_replace(s1, '{i}', '<IPV4>', 'g') AS s2 FROM r1), "
+        f"r3 AS (SELECT doc_id, n_email, n_ipv4, len(regexp_extract_all(s2, '{p}')) AS n_phone, "
+        f"regexp_replace(s2, '{p}', '<PHONE>', 'g') AS s3 FROM r2) "
+        "SELECT doc_id, CAST(n_email AS BIGINT) AS n_email, CAST(n_ipv4 AS BIGINT) AS n_ipv4, "
+        "CAST(n_phone AS BIGINT) AS n_phone, CAST(length(s3) AS BIGINT) AS redacted_len "
+        "FROM r3 ORDER BY doc_id"
+    )

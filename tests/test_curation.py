@@ -1,0 +1,63 @@
+"""Curation operators: decontamination, repetition signals, PII scan.
+Oracle equivalence at sf0.001 (the sf0.01 run is the driver gate's job)
+plus unit probes the corpus can't exercise."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+
+SF = "/root/testdata/sf0.001"
+
+
+def _con():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    return con
+
+
+def test_curation_oracle_equivalence(ray_session):
+    from lucene_solr_ray.functions import curation, data_oracle
+    con = _con()
+    for fn, sql in [
+        (curation.decontaminate_ngram, data_oracle.decontaminate_sql()),
+        (curation.repetition_signals, data_oracle.repetition_sql()),
+        (curation.pii_scan, data_oracle.pii_scan_sql()),
+    ]:
+        got = fn(SF).to_pandas().reset_index(drop=True)
+        exp = con.execute(sql).fetchdf()
+        assert list(got.columns) == list(exp.columns)
+        assert got.equals(exp.astype(got.dtypes.to_dict())), fn.__name__
+
+
+def test_pii_signals_units(ray_session):
+    """Redaction counts + sequential semantics on crafted strings the
+    synthetic corpus can't produce: multiple matches, boundary cases,
+    no matches."""
+    import ray.data
+    from lucene_solr_ray.functions.curation import pii_signals
+
+    rows = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a@b.co and c.d+x@e-f.org twice",
+            "ip 1.2.3.4 then 255.255.255.255 call 123-456-7890",
+            "no pii here 1234-567-8901 is not a phone (4-digit prefix)",
+            "",
+        ], pa.string()),
+    })
+    out = pii_signals(ray.data.from_arrow(rows)).to_pandas().sort_values("doc_id")
+    assert out["n_email"].tolist() == [2, 0, 0, 0]
+    assert out["n_ipv4"].tolist() == [0, 2, 0, 0]
+    # 1234-567-8901: \b before the 3-digit group fails inside digits -> no match
+    assert out["n_phone"].tolist() == [0, 1, 0, 0]
+    assert out["redacted_len"].tolist()[3] == 0
+
+
+def test_decontaminate_excludes_benchmark_and_short_docs(ray_session):
+    """Benchmark docs (doc_id % 37 == 0) never appear in the output; a
+    doc shorter than the gram width counts zero."""
+    from lucene_solr_ray.functions.curation import decontaminate_ngram
+    out = decontaminate_ngram(SF).to_pandas()
+    assert (out["doc_id"] % 37 != 0).all()
+    assert ((out["contaminated"] == 1) == (out["n_contaminated"] > 0)).all()
+    # self-consistency with the oracle covers the rest
