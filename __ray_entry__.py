@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_ngram": curation.decontaminate_ngram,
         "repetition_signals": curation.repetition_signals,
         "pii_scan": curation.pii_scan,
+        # --- document clustering (ClusteringComponent analogue) ---
+        "cluster_kmeans_docs": classify.cluster_kmeans_docs,
         # --- multimodal plumbing ---
         "multimodal_payload_stats": multimodal.payload_stats,
         "multimodal_fake_decode": multimodal.fake_decode,
@@ -865,6 +867,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_ngram": _data_oracle().decontaminate_sql(),
         "repetition_signals": _data_oracle().repetition_sql(),
         "pii_scan": _data_oracle().pii_scan_sql(),
+        "cluster_kmeans_docs": _data_oracle().cluster_kmeans_sql(),
         # lang_dispatch: zh/ja/ko rows route through the CJK chain, which
         # degenerates to the standard chain on this CJK-free corpus (the
         # routing itself shows in the analyzer column; real-CJK behavior is

@@ -213,3 +213,118 @@ def nb_classify(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
         concurrency=pool_size(),
     ).select_columns(["doc_id", "predicted"]).sort("doc_id")
+
+
+# ---------------- document clustering (exact-integer k-means) ----------------
+
+# the fixture corpus's closed vocabulary (identical across sf dirs —
+# asserted in tests); the tf-profile feature space for clustering
+CLUSTER_VOCAB: tuple[str, ...] = (
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+)
+
+
+def _profiles(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc integer term-count profile over CLUSTER_VOCAB (words not
+    in the vocabulary are ignored — the fixture vocab is closed, so
+    nothing is)."""
+    vocab = np.array(CLUSTER_VOCAB, dtype=str)
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        out = np.zeros((len(texts), len(vocab)), np.int64)
+        for i, s in enumerate(texts):
+            toks = (s or "").split()
+            if not toks:
+                continue
+            w, c = np.unique(np.asarray(toks, dtype=str), return_counts=True)
+            pos = np.searchsorted(vocab, w)
+            ok = (pos < len(vocab)) & (vocab[np.minimum(pos, len(vocab) - 1)] == w)
+            out[i, pos[ok]] = c[ok]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "f": pa.array(out.tolist(), pa.list_(pa.int64()))})
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+class _AssignSumStage:
+    """One k-means iteration's map side: assign each doc to the nearest
+    centroid (exact integer squared euclidean, ties to the lowest cid)
+    and emit the batch's per-cluster profile sums + counts — a k x (d+1)
+    integer partial, so the driver combine is model-sized, never
+    corpus-sized (the map-side-combine groupby shape)."""
+
+    def __init__(self, cent_ref):
+        self.cent = ray.get(cent_ref)  # (k, d) int64
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        f = np.array(t.column("f").to_pylist(), dtype=np.int64)
+        d2 = ((f[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # first min == lowest cid
+        k, d = self.cent.shape
+        sums = np.zeros((k, d), np.int64)
+        counts = np.zeros(k, np.int64)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                sums[c] = f[m].sum(axis=0)
+                counts[c] = int(m.sum())
+        return pa.table({"cid": pa.array(np.arange(k, dtype=np.int64)),
+                         "s": pa.array(sums.tolist(), pa.list_(pa.int64())),
+                         "n": pa.array(counts)})
+
+
+def cluster_kmeans_docs(sf_dir: str, k: int = 8, iters: int = 5) -> ray.data.Dataset:
+    """Document clustering over integer tf profiles — the Solr
+    ClusteringComponent analogue ([U] solr/contrib/clustering/.../
+    CarrotClusteringEngine.java; algorithm swapped for k-means, which is
+    SQL-oracle-able). EXACT INTEGER arithmetic end to end: distances are
+    int64 squared euclidean and each new centroid component is the
+    round-half-up integer mean (2*S + n) // (2*n), so the DuckDB oracle
+    replicates every iteration bit-for-bit (no float summation-order
+    hazard). Empty clusters keep their previous centroid. Init: profiles
+    of the k smallest doc_ids.
+
+    Scale shape: profiles are computed once and reused; each iteration
+    is one map_batches pass emitting k x (d+1) integer partials (driver
+    combine is model-sized); centroids broadcast via ray.put."""
+    prof = _profiles(sf_dir).materialize()
+    head = prof.sort("doc_id").limit(k).to_pandas()
+    cent = np.array(head["f"].tolist(), dtype=np.int64)
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+        partials = prof.map_batches(
+            _AssignSumStage, fn_constructor_kwargs={"cent_ref": cent_ref},
+            batch_format="pyarrow", concurrency=pool_size(),
+        ).to_pandas()
+        kk, d = cent.shape
+        sums = np.zeros((kk, d), np.int64)
+        counts = np.zeros(kk, np.int64)
+        for cid, g in partials.groupby("cid"):
+            sums[cid] = np.array(g["s"].tolist(), dtype=np.int64).sum(axis=0)
+            counts[cid] = int(g["n"].sum())
+        nz = counts > 0
+        cent = cent.copy()
+        cent[nz] = (2 * sums[nz] + counts[nz, None]) // (2 * counts[nz, None])
+
+    cent_ref = ray.put(cent)
+
+    class Final:
+        def __init__(self):
+            self.cent = ray.get(cent_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            f = np.array(t.column("f").to_pylist(), dtype=np.int64)
+            d2 = ((f[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1).astype(np.int64)
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "cluster_id": pa.array(assign),
+                             "dist_sq": pa.array(d2[np.arange(len(f)), assign])})
+
+    return prof.map_batches(Final, batch_format="pyarrow",
+                            concurrency=pool_size()).sort("doc_id")

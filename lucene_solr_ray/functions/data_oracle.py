@@ -358,3 +358,48 @@ def pii_scan_sql() -> str:
         "CAST(n_phone AS BIGINT) AS n_phone, CAST(length(s3) AS BIGINT) AS redacted_len "
         "FROM r3 ORDER BY doc_id"
     )
+
+
+def cluster_kmeans_sql(k: int = 8, iters: int = 5) -> str:
+    """Oracle for classify.cluster_kmeans_docs — the k-means iterations
+    UNROLLED as chained CTEs. Exact because the engine is integer-only:
+    distances are int64 squared euclidean (values < 2^53, so DuckDB's
+    DOUBLE list_inner_product is exact) and centroid updates are the
+    round-half-up integer mean (2*S + n) // (2*n) in both systems; ties
+    break to the lowest cid via the window ORDER BY."""
+    from lucene_solr_ray.functions.classify import CLUSTER_VOCAB
+    d = len(CLUSTER_VOCAB)
+    fexpr = "[" + ", ".join(f"len(list_filter(sp, x -> x = '{w}'))" for w in CLUSTER_VOCAB) + "]"
+
+    def dist(fa: str, ca: str) -> str:
+        return (f"list_inner_product({fa}::DOUBLE[], {fa}::DOUBLE[]) "
+                f"- 2*list_inner_product({fa}::DOUBLE[], {ca}::DOUBLE[]) "
+                f"+ list_inner_product({ca}::DOUBLE[], {ca}::DOUBLE[])")
+
+    sql = (
+        "WITH docs AS (SELECT doc_id, regexp_split_to_array(text,'\\s+') AS sp FROM documents), "
+        f"feat AS (SELECT doc_id, {fexpr}::BIGINT[] AS f FROM docs), "
+        "cent0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS cid, f AS c "
+        f"FROM (SELECT doc_id, f FROM feat ORDER BY doc_id LIMIT {k})), "
+    )
+    prev = "cent0"
+    for it in range(1, iters + 1):
+        sql += (
+            f"a{it} AS (SELECT doc_id, f, cid FROM ("
+            f"SELECT feat.doc_id, feat.f, {prev}.cid, "
+            f"ROW_NUMBER() OVER (PARTITION BY feat.doc_id ORDER BY {dist('feat.f', prev + '.c')}, {prev}.cid) AS rn "
+            f"FROM feat, {prev}) WHERE rn = 1), "
+            f"s{it} AS (SELECT cid, i, SUM(f[i]) AS s, COUNT(*) AS n "
+            f"FROM a{it}, UNNEST(range(1, {d + 1})) AS t(i) GROUP BY cid, i), "
+            f"n{it} AS (SELECT cid, list((2*s + n) // (2*n) ORDER BY i) AS c FROM s{it} GROUP BY cid), "
+            f"cent{it} AS (SELECT p.cid, COALESCE(nn.c, p.c) AS c FROM {prev} p LEFT JOIN n{it} nn USING (cid)), "
+        )
+        prev = f"cent{it}"
+    sql += (
+        "fin AS (SELECT doc_id, cid, dist FROM ("
+        f"SELECT feat.doc_id, {prev}.cid, {dist('feat.f', prev + '.c')} AS dist, "
+        f"ROW_NUMBER() OVER (PARTITION BY feat.doc_id ORDER BY {dist('feat.f', prev + '.c')}, {prev}.cid) AS rn "
+        f"FROM feat, {prev}) WHERE rn = 1) "
+        "SELECT doc_id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist_sq FROM fin ORDER BY doc_id"
+    )
+    return sql

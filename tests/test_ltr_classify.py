@@ -83,3 +83,27 @@ def test_knn_classify_schema_and_determinism():
     assert a.equals(b)
     assert a.num_rows == 8
     assert a.column_names == ["query_id", "predicted"]
+
+
+def test_cluster_kmeans_exact_oracle_and_vocab_closure(ray_session):
+    """Exact-integer k-means == the unrolled SQL at sf0.001; the vocab
+    the feature space assumes is closed over the corpus; rerun is
+    deterministic."""
+    import duckdb
+    from lucene_solr_ray.functions import data_oracle
+    from lucene_solr_ray.functions.classify import CLUSTER_VOCAB, cluster_kmeans_docs
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    vocab = {w for (w,) in con.execute(
+        "SELECT DISTINCT unnest(regexp_split_to_array(text,'\\s+')) FROM documents").fetchall()}
+    assert vocab <= set(CLUSTER_VOCAB)
+
+    got = cluster_kmeans_docs(sf).to_pandas().reset_index(drop=True)
+    exp = con.execute(data_oracle.cluster_kmeans_sql()).fetchdf()
+    assert got.equals(exp.astype(got.dtypes.to_dict()))
+    again = cluster_kmeans_docs(sf).to_pandas().reset_index(drop=True)
+    assert got.equals(again)
+    # every cluster is used at this scale (non-degenerate clustering)
+    assert got["cluster_id"].nunique() == 8
