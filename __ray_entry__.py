@@ -167,7 +167,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_spell_suggest": lambda sf: ft.spell_suggest(sf, "mergee", max_suggestions=5),
         "ft_prefix_suggest": lambda sf: ft.prefix_suggest(sf, "s", k=5),
         "ft_infix_suggest": lambda sf: ft.infix_suggest(sf, "or", k=5),
+        "ft_free_text_suggest": lambda sf: ft.free_text_suggest(sf, "merge", k=10),
         "ft_term_vector": lambda sf: ft.term_vector(sf, doc_id=3),
+        "ft_tv_component": lambda sf: ft.tv_component(sf, "vector", max_docs=20),
         "ft_fielded_search": lambda sf: ft.fielded_retrieve(
             sf, must=["merge"], dv_filters={"lang": "en", "source": ["src1", "src2", "src3"]}),
         "ft_terms_enum": lambda sf: ft.terms_enum(sf, "s", limit=20),
@@ -441,6 +443,14 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT unnest({split}) AS x FROM documents WHERE doc_id = 3) "
             f"WHERE NOT list_contains({_STOP_SQL}, x) GROUP BY x ORDER BY term"
         ),
+        "ft_free_text_suggest": (
+            f"WITH docs AS (SELECT {split} AS a FROM documents), "
+            "bg AS (SELECT list_extract(a, i) AS w1, list_extract(a, i+1) AS w2 "
+            "FROM docs, UNNEST(range(1, len(a))) AS t(i) WHERE len(a) >= 2) "
+            "SELECT w2 AS next_term, CAST(COUNT(*) AS BIGINT) AS n FROM bg "
+            "WHERE w1 = 'merge' GROUP BY 1 ORDER BY n DESC, next_term LIMIT 10"
+        ),
+        "ft_tv_component": _ft_oracle().tv_component_sql("vector", max_docs=20),
         "ft_fielded_search": (
             f"SELECT doc_id FROM documents WHERE list_contains({split}, 'merge') "
             "AND lang = 'en' AND source IN ('src1', 'src2', 'src3') ORDER BY doc_id"

@@ -385,3 +385,30 @@ def ltr_bm25_rescore_sql(terms: list[str], n_candidates: int = 100, k: int = 20)
         "doc_id, CAST(blend AS BIGINT) AS ltr_score FROM feats "
         f"ORDER BY blend DESC, doc_id LIMIT {int(k)}"
     )
+
+
+def tv_component_sql(query_term: str, max_docs: int = 20) -> str:
+    """Oracle for fulltext.tv_component: re-derives every stored-TV field
+    from the text. Positions = whitespace ordinal - 1 (every token,
+    stopwords included, consumes one position — the StopFilter gap rule);
+    char offsets = running sum of len+1 (single-space corpus, pure ASCII
+    so byte == codepoint); stopwords are position-consuming but emit no
+    vector entry; df is the global analyzed document frequency."""
+    split = "regexp_split_to_array(text, '\\s+')"
+    return (
+        f"WITH m AS (SELECT doc_id FROM documents WHERE list_contains({split}, '{_esc(query_term)}') "
+        f"ORDER BY doc_id LIMIT {max_docs}), "
+        f"docs AS (SELECT d.doc_id, {split} AS a FROM documents d JOIN m USING (doc_id)), "
+        "tok AS (SELECT doc_id, i, list_extract(a, i) AS t FROM docs, "
+        "UNNEST(range(1, len(a)+1)) AS u(i)), "
+        "off AS (SELECT doc_id, i, t, SUM(len(t)+1) OVER (PARTITION BY doc_id ORDER BY i "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (len(t)+1) AS st FROM tok), "
+        f"kept AS (SELECT doc_id, t AS term, i-1 AS pos, st, st + len(t) AS en FROM off "
+        f"WHERE NOT list_contains({_STOP}, t)), "
+        "dfs AS (SELECT t AS term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, unnest("
+        f"list_filter({split}, x -> NOT list_contains({_STOP}, x))) AS t FROM documents) GROUP BY 1) "
+        "SELECT k.doc_id, k.term, CAST(COUNT(*) AS BIGINT) AS tf, CAST(ANY_VALUE(dfs.df) AS BIGINT) AS df, "
+        "CAST(MIN(k.pos) AS BIGINT) AS first_pos, CAST(MIN(k.st) AS BIGINT) AS first_start, "
+        "CAST(MIN(k.en) AS BIGINT) AS first_end "
+        "FROM kept k JOIN dfs USING (term) GROUP BY k.doc_id, k.term ORDER BY k.doc_id, k.term"
+    )

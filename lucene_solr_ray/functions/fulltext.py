@@ -692,3 +692,75 @@ def atomic_update_rtg(sf_dir: str, update_ids: list[int], suffix: str = " zzzupd
     assert hit_ids.tolist() == update_ids, (hit_ids, update_ids)
     # ...and RTG returns the new stored fields for them
     return realtime_get(tmp, update_ids)
+
+
+def tv_component(sf_dir: str, query_term: str = "vector", max_docs: int = 20) -> pa.Table:
+    """Solr TermVectorComponent (/tvrh, [U] solr/core/.../handler/
+    component/TermVectorComponent.java): for the first ``max_docs``
+    documents matching the query, every stored term-vector entry —
+    (term, tf, first position, first char offsets) plus the term's
+    GLOBAL df (tv.df=true) — served entirely from the persisted tvs/
+    parquet (docid predicate pushdown) and the term dictionaries; the
+    stored text is never read or re-analyzed."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    mapping = _docid_to_doc_id(index_dir)
+    chunks = list(s.iter_matches([query_term], mode="or"))
+    d = np.concatenate(chunks) if chunks else np.empty(0, dtype=np.int64)
+    doc_ids = np.sort(mapping[d])[:max_docs]
+    # doc_id -> docid (mapping is docid-indexed)
+    inv = np.argsort(mapping)
+    docids = inv[np.searchsorted(mapping[inv], doc_ids)]
+
+    tbl = pads.dataset(os.path.join(index_dir, "tvs"), format="parquet").to_table(
+        filter=pa.compute.field("docid").isin(pa.array(docids.astype(np.int64)))
+    )
+    did = tbl.column("docid").to_numpy().astype(np.int64)
+    doc_of = mapping[did]
+    terms = tbl.column("term").to_pylist()
+    dfs = {t: s.term_stats_and_cursor(t)[0] for t in sorted(set(terms))}
+    rows = []
+    for i in range(tbl.num_rows):
+        pos = tbl.column("positions")[i].as_py()
+        st = tbl.column("starts")[i].as_py()
+        en = tbl.column("ends")[i].as_py()
+        rows.append({
+            "doc_id": int(doc_of[i]), "term": terms[i],
+            "tf": int(tbl.column("tf")[i].as_py()), "df": int(dfs[terms[i]]),
+            "first_pos": int(pos[0]), "first_start": int(st[0]), "first_end": int(en[0]),
+        })
+    rows.sort(key=lambda r: (r["doc_id"], r["term"]))
+    schema = pa.schema([("doc_id", pa.int64()), ("term", pa.string()), ("tf", pa.int64()),
+                        ("df", pa.int64()), ("first_pos", pa.int64()),
+                        ("first_start", pa.int64()), ("first_end", pa.int64())])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def free_text_suggest(sf_dir: str, context: str = "merge", k: int = 10) -> ray.data.Dataset:
+    """FreeTextSuggester ([U] lucene/suggest/.../analyzing/
+    FreeTextSuggester.java): n-gram language-model suggestion — given a
+    context word, rank continuations by bigram frequency (count desc,
+    term asc). One corpus pass; the context filter is pushed into the
+    map side so only matching-bigram partials reach the groupby (the
+    exchange is next-vocab-sized, not corpus-sized)."""
+    from ray.data.aggregate import Sum
+
+    from lucene_solr_ray.io_utils import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def bigrams(t: pa.Table) -> pa.Table:
+        import collections
+        c = collections.Counter()
+        for s in t.column("text").to_pylist():
+            toks = (s or "").split()
+            c.update(toks[i + 1] for i in range(len(toks) - 1) if toks[i] == context)
+        return pa.table({"next_term": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    return (
+        ds.map_batches(bigrams, batch_format="pyarrow")
+        .groupby("next_term").aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "next_term"], descending=[True, False])
+        .limit(k)
+    )

@@ -307,3 +307,32 @@ def test_stored_term_vectors_and_highlight(ray_session, t1_corpus, t1_table, tmp
     plain_dir = str(tmp_path_factory.mktemp("tvplain") / "idx")
     build_index(t1_corpus, plain_dir, num_partitions=4, salt=1)
     assert IndexSearcher(plain_dir).highlight_doc(0, [probe_term]) is None
+
+
+def test_tv_component_and_free_text_suggest(ray_session):
+    """TermVectorComponent rows == the text-derived oracle at sf0.001
+    (positions/offsets/df from storage, never re-analysis); FreeText
+    bigram suggestions ranked (count desc, term asc)."""
+    import duckdb
+    from lucene_solr_ray.functions import ft_oracle
+    from lucene_solr_ray.functions.fulltext import free_text_suggest, tv_component
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    got = tv_component(sf, "vector", max_docs=20).to_pandas().reset_index(drop=True)
+    exp = con.execute(ft_oracle.tv_component_sql("vector", max_docs=20)).fetchdf()
+    assert got.equals(exp.astype(got.dtypes.to_dict()))
+    assert (got["first_end"] - got["first_start"] == got["term"].str.len()).all()
+
+    sug = free_text_suggest(sf, "merge", k=10).to_pandas()
+    assert len(sug) == 10
+    n = sug["n"].to_numpy()
+    assert (n[:-1] >= n[1:]).all()  # count-desc order
+    exp_sug = con.execute(
+        "WITH docs AS (SELECT regexp_split_to_array(text, '\\s+') AS a FROM documents), "
+        "bg AS (SELECT list_extract(a, i) AS w1, list_extract(a, i+1) AS w2 "
+        "FROM docs, UNNEST(range(1, len(a))) AS t(i) WHERE len(a) >= 2) "
+        "SELECT w2 AS next_term, CAST(COUNT(*) AS BIGINT) AS n FROM bg "
+        "WHERE w1 = 'merge' GROUP BY 1 ORDER BY n DESC, next_term LIMIT 10").fetchdf()
+    assert sug.reset_index(drop=True).equals(exp_sug.astype(sug.dtypes.to_dict()))
