@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- spatial / expressions (SURVEY §2.6 aux) ---
         "geo_bbox_dist": geo.geo_bbox_dist,
         "geo_heatmap": geo.geo_heatmap,
+        "point_bbox_docs": lambda sf: geo.point_bbox_query(sf, (-30.0, 40.0, -100.0, 50.0)),
         "expression_sort": expr.expression_sort,
         # --- LTR / classification (SURVEY §2.6/§2.7 aux) ---
         "ltr_linear_rescore": ltr.ltr_linear_rescore,
@@ -926,6 +927,15 @@ def oracle_sql() -> dict[str, str]:
             "((c_custkey * 73) % 360) // 10 AS grid_col, "
             "CAST(COUNT(*) AS BIGINT) AS n_docs FROM customer "
             "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # BKD-analogue point index: same derivation, plain bbox predicate
+        # (the engine reads only intersecting cells; result is identical)
+        "point_bbox_docs": (
+            "SELECT c_custkey FROM (SELECT c_custkey, "
+            "CAST(((c_custkey * 37) % 180) AS DOUBLE) - 89.5 AS lat, "
+            "CAST(((c_custkey * 73) % 360) AS DOUBLE) - 179.5 AS lon FROM customer) "
+            "WHERE lat >= -30.0 AND lat <= 40.0 AND lon >= -100.0 AND lon <= 50.0 "
+            "ORDER BY c_custkey"
         ),
         "expression_sort": (
             "WITH e AS (SELECT p_partkey, CAST(FLOOR((sqrt(CAST(p_size AS DOUBLE)) * 2 + "

@@ -112,3 +112,123 @@ def geo_heatmap(sf_dir: str, cell_deg: int = 10) -> pa.Table:
         "grid_col": pa.array(out["grid_col"].to_numpy().astype(np.int64)),
         "n_docs": pa.array(out["n_docs"].to_numpy().astype(np.int64)),
     })
+
+
+# ---------------- persisted 2D point index (BKD analogue) ----------------
+#
+# [U] lucene/core/.../util/bkd/BKDWriter.java organizes points into
+# leaf blocks with per-block bounding boxes so range queries visit only
+# intersecting blocks. Re-expressed Ray-Data-first: points are
+# hive-partitioned by integer grid cell (one directory per cell), the
+# manifest records each cell's exact lat/lon bounds, and a bbox query
+# reads ONLY the intersecting cells' parquet files (+ an exact per-batch
+# filter for boundary cells). At 100 TB the build is one assign pass +
+# partitioned write, and query I/O is proportional to the bbox area.
+
+import hashlib as _hashlib
+import json as _json
+import os as _os
+
+POINT_CACHE_ROOT = _os.environ.get("LSR_CACHE", "/tmp/lsr_cache")
+
+
+def build_point_index(sf_dir: str, cell_deg: int = 15) -> str:
+    """One-time 2D point index build over the derived customer
+    coordinates: integer cell assignment (lat_idx//cell, lon_idx//cell)
+    -> hive-partitioned parquet, one directory per cell, plus a manifest
+    with every cell's exact integer-degree bounds. Atomic (tmp+rename),
+    cached per (source mtime, cell_deg)."""
+    import shutil
+
+    src = _os.path.join(sf_dir, "customer.parquet")
+    key = _hashlib.sha1(
+        f"{_os.path.abspath(src)}|{_os.path.getmtime(src)}|{cell_deg}|points-v1".encode()
+    ).hexdigest()[:16]
+    index_dir = _os.path.join(POINT_CACHE_ROOT, f"point-index-{key}")
+    manifest = _os.path.join(index_dir, "manifest.json")
+    if _os.path.exists(manifest):
+        return index_dir
+
+    n_cols = 360 // cell_deg
+
+    def assign(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy().astype(np.int64)
+        lat_idx = (k * 37) % 180   # lat = lat_idx - 89.5
+        lon_idx = (k * 73) % 360   # lon = lon_idx - 179.5
+        cell = (lat_idx // cell_deg) * n_cols + (lon_idx // cell_deg)
+        lat, lon = derive_coords(k)
+        return pa.table({
+            "c_custkey": pa.array(k),
+            "lat": pa.array(lat, pa.float64()),
+            "lon": pa.array(lon, pa.float64()),
+            "cell": pa.array(cell.astype(np.int64)),
+            "cell_id": pa.array(cell.astype(np.int64)),
+        })
+
+    tmp = index_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    _os.makedirs(_os.path.join(tmp, "cells"), exist_ok=True)
+    (
+        read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .map_batches(assign, batch_format="pyarrow")
+        .write_parquet(_os.path.join(tmp, "cells"), partition_cols=["cell"])
+    )
+    cells = {}
+    for c in range(0, (180 // cell_deg) * n_cols):
+        row, col = divmod(c, n_cols)
+        cells[str(c)] = {
+            # exact bounds of the quantized points a cell can hold
+            "lat_min": row * cell_deg - 89.5, "lat_max": (row + 1) * cell_deg - 1 - 89.5,
+            "lon_min": col * cell_deg - 179.5, "lon_max": (col + 1) * cell_deg - 1 - 179.5,
+        }
+    present = sorted(
+        int(d.split("=", 1)[1]) for d in _os.listdir(_os.path.join(tmp, "cells"))
+        if d.startswith("cell=")
+    )
+    with open(_os.path.join(tmp, "manifest.json"), "w") as f:
+        _json.dump({"cell_deg": cell_deg, "n_cols": n_cols,
+                    "cells_present": present, "bounds": cells}, f)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    _os.rename(tmp, index_dir)
+    return index_dir
+
+
+def point_index_paths(index_dir: str, bbox) -> tuple[list[str], list[int]]:
+    """Parquet files of the cells intersecting ``bbox`` ONLY (the
+    selective read is the point — tested directly), plus the cell ids."""
+    la0, la1, lo0, lo1 = bbox
+    with open(_os.path.join(index_dir, "manifest.json")) as f:
+        m = _json.load(f)
+    hit = [
+        c for c in m["cells_present"]
+        if not (m["bounds"][str(c)]["lat_max"] < la0 or m["bounds"][str(c)]["lat_min"] > la1
+                or m["bounds"][str(c)]["lon_max"] < lo0 or m["bounds"][str(c)]["lon_min"] > lo1)
+    ]
+    paths = []
+    for c in hit:
+        p = _os.path.join(index_dir, "cells", f"cell={c}")
+        if _os.path.isdir(p):
+            paths.extend(sorted(_os.path.join(p, f) for f in _os.listdir(p)
+                                if f.endswith(".parquet")))
+    return paths, hit
+
+
+def point_bbox_query(sf_dir: str, bbox=(-30.0, 40.0, -100.0, 50.0),
+                     cell_deg: int = 15) -> ray.data.Dataset:
+    """BKD-style bbox query: intersect the manifest's cell bounds, read
+    only those partitions, exact-filter boundary cells per batch."""
+    index_dir = build_point_index(sf_dir, cell_deg=cell_deg)
+    paths, _hit = point_index_paths(index_dir, bbox)
+    la0, la1, lo0, lo1 = bbox
+    if not paths:
+        return ray.data.from_arrow(pa.table({"c_custkey": pa.array([], pa.int64())}))
+
+    def exact(t: pa.Table) -> pa.Table:
+        lat = t.column("lat").to_numpy()
+        lon = t.column("lon").to_numpy()
+        m = (lat >= la0) & (lat <= la1) & (lon >= lo0) & (lon <= lo1)
+        return pa.table({"c_custkey": pa.array(
+            t.column("c_custkey").to_numpy()[m].astype(np.int64))})
+
+    return ray.data.read_parquet(paths).map_batches(
+        exact, batch_format="pyarrow").sort("c_custkey")

@@ -261,3 +261,33 @@ def test_connected_components_matches_union_find():
     got_rows = sorted(zip(t["doc_id"].to_pylist(), t["canon_id"].to_pylist(),
                           t["n_members"].to_pylist(), t["keep"].to_pylist()))
     assert got_rows == exp
+
+
+def test_point_index_selective_read_and_exactness():
+    """BKD-analogue point index: bbox query == brute-force bbox filter;
+    only intersecting cells' partitions are read; a bbox cutting through
+    cell interiors still returns exact (per-batch filtered) results."""
+    import json
+    import os
+    import numpy as np
+    from lucene_solr_ray.functions import geo
+
+    sf = "/root/testdata/sf0.001"
+    bbox = (-12.0, 33.0, -77.0, 41.0)  # deliberately not cell-aligned
+    got = geo.point_bbox_query(sf, bbox).to_pandas()["c_custkey"].to_numpy()
+
+    import pyarrow.parquet as pq
+    k = pq.read_table(f"{sf}/customer.parquet", columns=["c_custkey"])["c_custkey"].to_numpy()
+    lat, lon = geo.derive_coords(k.astype(np.int64))
+    m = (lat >= bbox[0]) & (lat <= bbox[1]) & (lon >= bbox[2]) & (lon <= bbox[3])
+    assert np.array_equal(got, np.sort(k[m]))
+
+    idx = geo.build_point_index(sf)
+    paths, hit = geo.point_index_paths(idx, bbox)
+    manifest = json.load(open(os.path.join(idx, "manifest.json")))
+    assert 0 < len(hit) < len(manifest["cells_present"])  # genuinely selective
+    # every returned point's cell is in the probed set
+    n_cols = manifest["n_cols"]
+    cd = manifest["cell_deg"]
+    cells = (((got * 37) % 180) // cd) * n_cols + ((got * 73) % 360) // cd
+    assert set(cells.tolist()) <= set(hit)
