@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan": curation.pii_scan,
         # --- document clustering (ClusteringComponent analogue) ---
         "cluster_kmeans_docs": classify.cluster_kmeans_docs,
+        # --- data mixing + sequence packing ---
+        "mix_weighted_sample": curation.mix_weighted_sample,
+        "pack_concat_chunks": lambda sf: curation.pack_concat_chunks(sf, budget=256),
         # --- multimodal plumbing ---
         "multimodal_payload_stats": multimodal.payload_stats,
         "multimodal_fake_decode": multimodal.fake_decode,
@@ -879,6 +882,25 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _data_oracle().repetition_sql(),
         "pii_scan": _data_oracle().pii_scan_sql(),
         "cluster_kmeans_docs": _data_oracle().cluster_kmeans_sql(),
+        # hash-Bernoulli domain mixing: md5_number_upper == the engine's
+        # int.from_bytes(md5[:8], 'little') (simhash-oracle convention)
+        "mix_weighted_sample": (
+            "SELECT doc_id, source, CAST(20 + md5_number_upper(source) % 61 AS BIGINT) AS rate_pct "
+            "FROM documents "
+            "WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 20 + md5_number_upper(source) % 61 "
+            "ORDER BY doc_id"
+        ),
+        # concat-and-chunk packing: window prefix sum == the engine's
+        # two-level distributed prefix sum
+        "pack_concat_chunks": (
+            "WITH tok AS (SELECT doc_id, len(regexp_split_to_array(text,'\\s+')) AS n FROM documents), "
+            "pre AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS s FROM tok) "
+            "SELECT doc_id, CAST(s // 256 AS BIGINT) AS chunk_id, "
+            "CAST(s % 256 AS BIGINT) AS offset_in_chunk, "
+            "CAST(CASE WHEN n > 0 THEN (s + n - 1) // 256 - s // 256 + 1 ELSE 1 END AS BIGINT) "
+            "AS n_chunks_spanned FROM pre ORDER BY doc_id"
+        ),
         # lang_dispatch: zh/ja/ko rows route through the CJK chain, which
         # degenerates to the standard chain on this CJK-free corpus (the
         # routing itself shows in the analyzer column; real-CJK behavior is

@@ -204,3 +204,92 @@ def pii_scan(sf_dir: str) -> ray.data.Dataset:
 
     ds = _read_docs(sf_dir).map_batches(augment, batch_format="pyarrow")
     return pii_signals(ds).sort("doc_id")
+
+
+# ---------------- domain mixing (weighted sampling per source) ----------------
+
+def _md5_upper64(s: str) -> int:
+    """int.from_bytes(md5[:8], 'little') — DuckDB's md5_number_upper
+    (the convention pinned by the simhash oracle)."""
+    import hashlib
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+
+
+def mix_weighted_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic domain-mixing sample: each source gets a sampling
+    rate in [20, 80]% derived from md5(source), and a doc is kept when
+    md5(doc_id) lands under its source's rate — the hash-based Bernoulli
+    both systems can compute exactly (no RNG state, no shuffle; one
+    stateless map over the corpus, so re-runs and resumes select the
+    same rows at any scale)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        srcs = t.column("source").to_pylist()
+        keep = np.zeros(len(ids), bool)
+        rates = np.zeros(len(ids), np.int64)
+        for i, (d, s) in enumerate(zip(ids, srcs)):
+            rate = 20 + _md5_upper64(s) % 61
+            rates[i] = rate
+            keep[i] = (_md5_upper64(str(int(d))) % 100) < rate
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "source": pa.array([s for s, k in zip(srcs, keep) if k], pa.string()),
+            "rate_pct": pa.array(rates[keep]),
+        })
+
+    return read_parquet_clean(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "source"]).map_batches(
+        fn, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------- sequence packing (concat-and-chunk) ----------------
+
+def pack_concat_chunks(sf_dir: str, budget: int = 256, bucket_docs: int = 128) -> ray.data.Dataset:
+    """GPT-style sequence packing: concatenate documents in doc_id order
+    and cut fixed ``budget``-token chunks; emit each doc's (chunk_id,
+    offset_in_chunk, n_chunks_spanned). The global token prefix sum runs
+    as a TWO-LEVEL distributed prefix sum (the build pipeline's docID-
+    assignment shape): a tiny per-bucket totals pass -> driver holds only
+    per-bucket bases (n_docs/bucket_docs rows) -> broadcast bases +
+    within-bucket cumsum in the data plane. Nothing corpus-sized ever
+    sits on the driver."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        n = np.fromiter((len((s or "").split()) for s in t.column("text").to_pylist()),
+                        dtype=np.int64, count=len(ids))
+        return pa.table({"doc_id": pa.array(ids), "bucket": pa.array(ids // bucket_docs),
+                         "n_tokens": pa.array(n)})
+
+    tok = ds.map_batches(counts, batch_format="pyarrow").materialize()
+    # level 1: per-bucket totals (driver holds #buckets rows only)
+    totals = tok.groupby("bucket").aggregate(Sum("n_tokens", alias_name="tot")).to_pandas()
+    totals = totals.sort_values("bucket")
+    bases = np.concatenate([[0], totals["tot"].to_numpy().astype(np.int64).cumsum()])[:-1]
+    bucket_ids = totals["bucket"].to_numpy().astype(np.int64)
+    base_ref = ray.put((bucket_ids, bases))
+
+    def within(g) -> pa.Table:
+        # one bucket per group: docs sorted by doc_id, within-bucket cumsum
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        n = g["n_tokens"].to_numpy().astype(np.int64)
+        bks, bs = ray.get(base_ref)
+        base = int(bs[np.searchsorted(bks, int(g["bucket"].iloc[0]))])
+        start = base + np.concatenate([[0], n.cumsum()])[:-1]
+        chunk = start // budget
+        off = start % budget
+        spanned = np.where(n > 0, (start + n - 1) // budget - chunk + 1, 1)
+        return pa.table({"doc_id": pa.array(ids), "chunk_id": pa.array(chunk),
+                         "offset_in_chunk": pa.array(off),
+                         "n_chunks_spanned": pa.array(spanned.astype(np.int64))})
+
+    return (
+        tok.groupby("bucket")
+        .map_groups(within, batch_format="pandas")
+        .sort("doc_id")
+    )

@@ -61,3 +61,42 @@ def test_decontaminate_excludes_benchmark_and_short_docs(ray_session):
     assert (out["doc_id"] % 37 != 0).all()
     assert ((out["contaminated"] == 1) == (out["n_contaminated"] > 0)).all()
     # self-consistency with the oracle covers the rest
+
+
+def test_pack_concat_chunks_distributed_prefix_sum(ray_session):
+    """The two-level distributed prefix sum equals a single-process
+    cumsum in doc_id order (bucket boundaries included), and the chunk
+    bookkeeping is self-consistent."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from lucene_solr_ray.functions.curation import pack_concat_chunks
+
+    sf = "/root/testdata/sf0.001"
+    budget = 64  # small budget + small buckets -> many boundary crossings
+    got = pack_concat_chunks(sf, budget=budget, bucket_docs=17).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    docs = docs.sort_values("doc_id")
+    n = docs["text"].str.split().str.len().to_numpy(dtype=np.int64)
+    start = np.concatenate([[0], n.cumsum()])[:-1]
+    assert np.array_equal(got["chunk_id"].to_numpy(), start // budget)
+    assert np.array_equal(got["offset_in_chunk"].to_numpy(), start % budget)
+    exp_span = np.where(n > 0, (start + n - 1) // budget - start // budget + 1, 1)
+    assert np.array_equal(got["n_chunks_spanned"].to_numpy(), exp_span)
+
+
+def test_mix_weighted_sample_rates(ray_session):
+    """Every source's realized keep-rate is within 25 points of its
+    hash-derived rate at sf0.001 (Bernoulli over ~25 docs/source), and
+    the selection is deterministic across runs."""
+    from lucene_solr_ray.functions.curation import mix_weighted_sample, _md5_upper64
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    got = mix_weighted_sample(sf).to_pandas()
+    again = mix_weighted_sample(sf).to_pandas()
+    assert got.equals(again)
+    all_docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "source"]).to_pandas()
+    for src, g in all_docs.groupby("source"):
+        rate = 20 + _md5_upper64(src) % 61
+        kept = (got["source"] == src).sum()
+        assert abs(kept / len(g) * 100 - rate) < 25, (src, rate, kept, len(g))
