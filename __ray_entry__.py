@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_prefix_suggest": lambda sf: ft.prefix_suggest(sf, "s", k=5),
         "ft_infix_suggest": lambda sf: ft.infix_suggest(sf, "or", k=5),
         "ft_free_text_suggest": lambda sf: ft.free_text_suggest(sf, "merge", k=10),
+        "ft_spell_collate": lambda sf: ft.spell_collate(sf, ("mergee", "sortt")),
+        "facet_intervals": rel.facet_intervals,
         "ft_term_vector": lambda sf: ft.term_vector(sf, doc_id=3),
         "ft_tv_component": lambda sf: ft.tv_component(sf, "vector", max_docs=20),
         "ft_fielded_search": lambda sf: ft.fielded_retrieve(
@@ -455,6 +457,28 @@ def oracle_sql() -> dict[str, str]:
             "WHERE w1 = 'merge' GROUP BY 1 ORDER BY n DESC, next_term LIMIT 10"
         ),
         "ft_tv_component": _ft_oracle().tv_component_sql("vector", max_docs=20),
+        "ft_spell_collate": (
+            f"WITH toks AS (SELECT doc_id, unnest({split}) AS x FROM documents), "
+            f"vocab AS (SELECT x AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks "
+            f"WHERE NOT list_contains({_STOP_SQL}, x) GROUP BY x), "
+            "s1 AS (SELECT term FROM vocab WHERE levenshtein(term,'mergee') BETWEEN 1 AND 2 "
+            "ORDER BY levenshtein(term,'mergee'), df DESC, term LIMIT 1), "
+            "s2 AS (SELECT term FROM vocab WHERE levenshtein(term,'sortt') BETWEEN 1 AND 2 "
+            "ORDER BY levenshtein(term,'sortt'), df DESC, term LIMIT 1), "
+            f"hits AS (SELECT CAST(COUNT(*) AS BIGINT) AS h FROM documents, s1, s2 "
+            f"WHERE list_contains({split}, s1.term) AND list_contains({split}, s2.term)) "
+            "SELECT 'mergee' AS term, s1.term AS suggestion, hits.h AS collation_hits FROM s1, hits "
+            "UNION ALL SELECT 'sortt', s2.term, hits.h FROM s2, hits ORDER BY term"
+        ),
+        "facet_intervals": (
+            "SELECT interval, n_docs FROM ("
+            "SELECT '[0,99]' AS interval, CAST(COUNT(CASE WHEN n_chars BETWEEN 0 AND 99 "
+            "THEN 1 END) AS BIGINT) AS n_docs, 0 AS o FROM documents "
+            "UNION ALL SELECT '[100,249]', CAST(COUNT(CASE WHEN n_chars BETWEEN 100 AND 249 "
+            "THEN 1 END) AS BIGINT), 1 FROM documents "
+            "UNION ALL SELECT '[250,1000000000]', CAST(COUNT(CASE WHEN n_chars BETWEEN 250 "
+            "AND 1000000000 THEN 1 END) AS BIGINT), 2 FROM documents) ORDER BY o"
+        ),
         "ft_fielded_search": (
             f"SELECT doc_id FROM documents WHERE list_contains({split}, 'merge') "
             "AND lang = 'en' AND source IN ('src1', 'src2', 'src3') ORDER BY doc_id"

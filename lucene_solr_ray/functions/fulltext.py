@@ -764,3 +764,29 @@ def free_text_suggest(sf_dir: str, context: str = "merge", k: int = 10) -> ray.d
         .sort(["n", "next_term"], descending=[True, False])
         .limit(k)
     )
+
+
+def spell_collate(sf_dir: str, terms=("mergee", "sortt"), max_edits: int = 2) -> pa.Table:
+    """SpellCheckComponent collation ([U] solr/core/.../spelling/
+    SpellCheckCollator.java): take each misspelled term's TOP suggestion
+    (DirectSpellChecker order: distance asc, df desc, term asc), combine
+    them into one corrected conjunction, and verify it — collation_hits
+    is the corrected query's true AND hit count, the 'would this
+    collation return results' re-query the component performs."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    suggestions = {}
+    for t in terms:
+        cands = s.suggest_spelling(t, 1, max_edits)
+        suggestions[t] = cands[0][0] if cands else None
+    picked = [w for w in suggestions.values() if w]
+    if picked:
+        chunks = list(s.iter_matches(picked, mode="and"))
+        hits = int(sum(len(c) for c in chunks))
+    else:
+        hits = 0
+    rows = [{"term": t, "suggestion": suggestions[t] or "", "collation_hits": hits}
+            for t in sorted(terms)]
+    schema = pa.schema([("term", pa.string()), ("suggestion", pa.string()),
+                        ("collation_hits", pa.int64())])
+    return pa.Table.from_pylist(rows, schema=schema)

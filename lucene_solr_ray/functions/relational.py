@@ -20,7 +20,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from lucene_solr_ray.io_utils import pool_size
+from lucene_solr_ray.io_utils import pool_size, read_parquet_clean
 
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
@@ -957,4 +957,39 @@ def facet_nested(sf_dir: str, top_langs: int = 3, top_sources: int = 2) -> pa.Ta
         "sub_rank": pa.array(keep["sub_rank"].to_numpy(), pa.int64()),
         "sub_count": pa.array(keep["cnt"].to_numpy(), pa.int64()),
         "sub_sum_chars": pa.array(keep["sum_chars"].to_numpy(), pa.int64()),
+    })
+
+
+# ---------------- interval facets (facet.interval) ----------------
+
+def facet_intervals(sf_dir: str, field: str = "n_chars",
+                    intervals=((0, 99), (100, 249), (250, 1_000_000_000))) -> pa.Table:
+    """Interval faceting ([U] solr/core/.../request/IntervalFacets.java —
+    facet.interval with arbitrary [lo,hi] sets, unlike facet.range's
+    uniform gap): per-batch counts against the interval bounds via
+    searchsorted, output-sized combine, zero row shuffle (the
+    facet_queries one-pass shape)."""
+    iv = [(int(lo), int(hi)) for lo, hi in intervals]
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(field).to_numpy().astype(np.int64)
+        counts = np.array([int(((v >= lo) & (v <= hi)).sum()) for lo, hi in iv],
+                          dtype=np.int64)
+        return pa.table({"ivl": pa.array(np.arange(len(iv), dtype=np.int64)),
+                         "n": pa.array(counts)})
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=[field])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ivl").aggregate(Sum("n", alias_name="n_docs"))
+        .sort("ivl")
+        .to_pandas()
+    )
+    labels = [f"[{lo},{hi}]" for lo, hi in iv]
+    got = dict(zip(out["ivl"].astype(int), out["n_docs"].astype(int)))
+    return pa.table({
+        "interval": pa.array(labels, pa.string()),
+        "n_docs": pa.array([got.get(i, 0) for i in range(len(iv))], pa.int64()),
     })
