@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_spell_suggest": lambda sf: ft.spell_suggest(sf, "mergee", max_suggestions=5),
         "ft_prefix_suggest": lambda sf: ft.prefix_suggest(sf, "s", k=5),
         "ft_infix_suggest": lambda sf: ft.infix_suggest(sf, "or", k=5),
+        "ft_fuzzy_suggest": lambda sf: ft.fuzzy_suggest(sf, "stram", k=5),
         "ft_free_text_suggest": lambda sf: ft.free_text_suggest(sf, "merge", k=10),
         "ft_spell_collate": lambda sf: ft.spell_collate(sf, ("mergee", "sortt")),
         "facet_intervals": rel.facet_intervals,
@@ -190,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_expr_rollup": streamexpr.stream_expr_rollup,
         "stream_expr_top": streamexpr.stream_expr_top,
         "stream_expr_having_unique": streamexpr.stream_expr_having_unique,
+        "stream_expr_join": streamexpr.stream_expr_join,
+        "stream_expr_complement": streamexpr.stream_expr_complement,
         # --- TopicStream / Replicator (SURVEY §2.8 / §2.1) ---
         "topic_stream_poll": lambda sf: __import__(
             "lucene_solr_ray.functions.topic", fromlist=["topic_poll_batches"]
@@ -206,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join": rel.hash_join,
         "fetch_enrich": rel.fetch_enrich,
         "left_outer_join": rel.left_outer_join,
+        "tochild_block_join": rel.tochild_block_join,
         "semi_join": rel.semi_join_customers,
         "anti_join": rel.anti_join_customers,
         "merge_sorted": rel.merge_sorted_names,
@@ -449,6 +453,15 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT unnest({split}) AS x FROM documents WHERE doc_id = 3) "
             f"WHERE NOT list_contains({_STOP_SQL}, x) GROUP BY x ORDER BY term"
         ),
+        "ft_fuzzy_suggest": (
+            f"WITH toks AS (SELECT unnest({split}) AS x FROM documents), "
+            f"vocab AS (SELECT x AS term, CAST(COUNT(*) AS BIGINT) AS cf FROM toks "
+            f"WHERE NOT list_contains({_STOP_SQL}, x) GROUP BY x) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, term) - 1 AS BIGINT) AS sugg_rank, "
+            "term, cf FROM vocab WHERE levenshtein(term, 'stram') <= 2 "
+            "AND substr(term, 1, 1) = 's' "
+            "ORDER BY cf DESC, term LIMIT 5"
+        ),
         "ft_free_text_suggest": (
             f"WITH docs AS (SELECT {split} AS a FROM documents), "
             "bg AS (SELECT list_extract(a, i) AS w1, list_extract(a, i+1) AS w2 "
@@ -542,6 +555,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS count "
             "FROM documents GROUP BY lang HAVING COUNT(DISTINCT source) > 2 ORDER BY lang"
         ),
+        "stream_expr_join": (
+            f"SELECT doc_id, source, n_chars FROM documents "
+            f"WHERE list_contains({split}, 'merge') AND list_contains({split}, 'vector') "
+            "ORDER BY doc_id"
+        ),
+        "stream_expr_complement": (
+            f"SELECT doc_id FROM documents "
+            f"WHERE list_contains({split}, 'merge') AND NOT list_contains({split}, 'vector') "
+            "ORDER BY doc_id"
+        ),
         "topic_stream_poll": (
             # two successive checkpointed polls of 100 == the first two
             # 100-row slices of matching docs in doc_id order
@@ -634,6 +657,12 @@ def oracle_sql() -> dict[str, str]:
         "semi_join": (
             "SELECT c_custkey FROM customer WHERE c_custkey IN "
             "(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') ORDER BY 1"
+        ),
+        "tochild_block_join": (
+            "SELECT l_orderkey, l_linenumber FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderstatus = 'F' AND l_quantity >= 45 "
+            "ORDER BY l_orderkey, l_linenumber"
         ),
         "anti_join": (
             "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "

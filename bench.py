@@ -228,6 +228,20 @@ def main() -> None:
     annmod.ann_ivf_topk(SF_DIR, k=10, n_queries=5, n_probe=4)  # selective-read path
     queries["ann_ivf_probe4"] = round(time.perf_counter() - t0, 3)
 
+    # curation passes (round-3 ops) over the sf documents
+    from lucene_solr_ray.functions import classify as clsmod
+    from lucene_solr_ray.functions import curation as curmod
+
+    t0 = time.perf_counter()
+    curmod.pack_concat_chunks(SF_DIR).count()
+    queries["pack_concat_chunks"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    clsmod.cluster_kmeans_docs(SF_DIR).count()
+    queries["cluster_kmeans_docs"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    dedupmod.dedup_connected_components(SF_DIR)
+    queries["dedup_connected_components"] = round(time.perf_counter() - t0, 3)
+
     lat_ms = np.array(lat) * 1000
     out = {
         "metric": "index_build_sec",

@@ -790,3 +790,16 @@ def spell_collate(sf_dir: str, terms=("mergee", "sortt"), max_edits: int = 2) ->
     schema = pa.schema([("term", pa.string()), ("suggestion", pa.string()),
                         ("collation_hits", pa.int64())])
     return pa.Table.from_pylist(rows, schema=schema)
+
+
+def fuzzy_suggest(sf_dir: str, term: str = "stram", k: int = 5) -> pa.Table:
+    """FuzzySuggester: edit-distance-tolerant suggestions ranked by
+    collection frequency (weight), first character pinned."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    rows = [
+        {"sugg_rank": i, "term": t, "cf": cf}
+        for i, (t, cf) in enumerate(s.suggest_fuzzy(term, k))
+    ]
+    schema = pa.schema([("sugg_rank", pa.int64()), ("term", pa.string()), ("cf", pa.int64())])
+    return pa.Table.from_pylist(rows, schema=schema)

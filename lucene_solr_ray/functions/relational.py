@@ -993,3 +993,25 @@ def facet_intervals(sf_dir: str, field: str = "n_chars",
         "interval": pa.array(labels, pa.string()),
         "n_docs": pa.array([got.get(i, 0) for i in range(len(iv))], pa.int64()),
     })
+
+
+# ---------------- ToChildBlockJoin ----------------
+
+def tochild_block_join(sf_dir: str, status: str = "F", min_qty: int = 45) -> ray.data.Dataset:
+    """ToChildBlockJoinQuery ([U] lucene/join/.../ToChildBlockJoinQuery.java):
+    parent filter -> matching CHILDREN (the inverse of the collapse-style
+    ToParent join): lineitems with l_quantity >= min_qty whose parent
+    order has the given status. Children are filtered BEFORE the join so
+    the exchange carries only candidate child keys; parents ship only
+    their join key."""
+    parents = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]).filter(
+        lambda r: r["o_orderstatus"] == status
+    ).map_batches(lambda t: t.select(["o_orderkey"]), batch_format="pyarrow")
+    children = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]).filter(
+        lambda r: r["l_quantity"] >= min_qty
+    )
+    joined = children.join(parents, "inner", num_partitions=8,
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+    return joined.map_batches(
+        lambda t: t.select(["l_orderkey", "l_linenumber"]), batch_format="pyarrow"
+    ).sort(["l_orderkey", "l_linenumber"])

@@ -292,6 +292,73 @@ def _build_having(node: Node, ctx: dict) -> ray.data.Dataset:
                           zero_copy_batch=True)
 
 
+def _on_keys(node: Node) -> list[str]:
+    return [f.strip() for f in node.kwargs["on"].split(",") if f.strip()]
+
+
+def _build_innerjoin(node: Node, ctx: dict) -> ray.data.Dataset:
+    """innerJoin(left, right, on="key") ([U] InnerJoinStream.java;
+    hashJoin is the same plan here — Dataset.join IS a partitioned hash
+    join). Non-key columns must not clash (Solr's contract: the worker
+    merges tuples; we fail loudly instead of silently overwriting)."""
+    left = _build(node.args[0], ctx)
+    right = _build(node.args[1], ctx)
+    on = _on_keys(node)
+    return left.join(right, "inner", num_partitions=8, on=tuple(on))
+
+
+def _build_leftouterjoin(node: Node, ctx: dict) -> ray.data.Dataset:
+    """leftOuterJoin(left, right, on="key") ([U] LeftOuterJoinStream.java)."""
+    left = _build(node.args[0], ctx)
+    right = _build(node.args[1], ctx)
+    on = _on_keys(node)
+    return left.join(right, "left_outer", num_partitions=8, on=tuple(on))
+
+
+def _keys_with_marker(ds: ray.data.Dataset, on: list[str]) -> ray.data.Dataset:
+    """Distinct key tuples of ``ds`` + a marker column (the probe side of
+    intersect/complement semi-joins)."""
+    def keys_only(t: pa.Table) -> pa.Table:
+        k = t.select(on).group_by(on).aggregate([])
+        return k.append_column("__m", pa.array(np.ones(k.num_rows, dtype=np.int64)))
+
+    partial = ds.map_batches(keys_only, batch_format="pyarrow")
+    return partial.groupby(on).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+def _build_intersect(node: Node, ctx: dict) -> ray.data.Dataset:
+    """intersect(left, right, on="key") ([U] IntersectStream.java): left
+    rows whose key appears in right (semi-join: right reduced to distinct
+    keys before the exchange)."""
+    left = _build(node.args[0], ctx)
+    on = _on_keys(node)
+    marked = _keys_with_marker(_build(node.args[1], ctx), on)
+
+    def strip(t: pa.Table) -> pa.Table:
+        keep = [c for c in t.column_names if c != "__m"]
+        return t.select(keep)
+
+    return left.join(marked, "inner", num_partitions=8, on=tuple(on)).map_batches(
+        strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _build_complement(node: Node, ctx: dict) -> ray.data.Dataset:
+    """complement(left, right, on="key") ([U] ComplementStream.java):
+    left rows whose key does NOT appear in right (anti-join via
+    left-outer + null-marker filter)."""
+    left = _build(node.args[0], ctx)
+    on = _on_keys(node)
+    marked = _keys_with_marker(_build(node.args[1], ctx), on)
+
+    def anti(t: pa.Table) -> pa.Table:
+        m = pa.compute.is_null(t.column("__m"))
+        keep = [c for c in t.column_names if c != "__m"]
+        return t.filter(m).select(keep)
+
+    return left.join(marked, "left_outer", num_partitions=8, on=tuple(on)).map_batches(
+        anti, batch_format="pyarrow")
+
+
 STREAM_FUNCTIONS = {
     "search": _build_search,
     "select": _build_select,
@@ -300,6 +367,11 @@ STREAM_FUNCTIONS = {
     "top": _build_top,
     "unique": _build_unique,
     "having": _build_having,
+    "innerJoin": _build_innerjoin,
+    "hashJoin": _build_innerjoin,
+    "leftOuterJoin": _build_leftouterjoin,
+    "intersect": _build_intersect,
+    "complement": _build_complement,
 }
 
 
@@ -345,4 +417,24 @@ def stream_expr_having_unique(sf_dir: str) -> ray.data.Dataset:
         sf_dir,
         'having(rollup(unique(search(documents, q="*:*", fl="lang,source"), '
         'over="lang,source"), over="lang", count(*)), gt(count, 2))',
+    )
+
+
+def stream_expr_join(sf_dir: str) -> ray.data.Dataset:
+    """innerJoin of two match sets on doc_id (docs with BOTH terms,
+    enriched from each side's fl)."""
+    return run_stream(
+        sf_dir,
+        'sort(select(innerJoin(search(documents, q="merge", fl="doc_id,source"), '
+        'search(documents, q="vector", fl="doc_id,n_chars"), on="doc_id"), '
+        '"doc_id", "source", "n_chars"), by="doc_id asc")',
+    )
+
+
+def stream_expr_complement(sf_dir: str) -> ray.data.Dataset:
+    """complement: merge-docs whose doc_id is NOT in the vector set."""
+    return run_stream(
+        sf_dir,
+        'sort(complement(search(documents, q="merge", fl="doc_id"), '
+        'search(documents, q="vector", fl="doc_id"), on="doc_id"), by="doc_id asc")',
     )

@@ -1411,6 +1411,22 @@ class IndexSearcher:
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
+    def suggest_fuzzy(self, term: str, k: int = 5, max_edits: int = 2):
+        """FuzzySuggester analogue ([U] lucene/suggest/.../analyzing/
+        FuzzySuggester.java): dictionary terms within ``max_edits`` of the
+        input whose FIRST character matches (the suggester's default
+        nonFuzzyPrefix=1), ranked like a suggester — by collection
+        frequency (weight) desc, term asc — unlike DirectSpellChecker's
+        distance-first order. Returns [(term, cf)]."""
+        out = []
+        for t in self.expand_terms("fuzzy", f"{term}~{max_edits}", max_terms=100_000):
+            if not t or not term or t[0] != term[0]:
+                continue
+            _, cf, _ = self.term_stats_and_cursor(t)
+            out.append((t, cf))
+        out.sort(key=lambda x: (-x[1], x[0]))
+        return out[:k]
+
     def suggest_infix(self, fragment: str, k: int = 5):
         """AnalyzingInfixSuggester analogue ([U] lucene/suggest/.../
         analyzing/AnalyzingInfixSuggester.java): dictionary terms
