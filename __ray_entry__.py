@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_brute_topk": lambda sf: ann.ann_brute_topk(sf, k=10, n_queries=5),
         "ann_ivf_topk": lambda sf: ann.ann_ivf_topk(sf, k=10, n_queries=5),
+        "ann_pq_topk": lambda sf: ann.ann_pq_topk(sf, k=10, n_queries=5),
         "embedding_label_counts": ann.embedding_label_counts,
         # --- text analysis ---
         "token_count": ts.token_count,
@@ -98,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- data mixing + sequence packing ---
         "mix_weighted_sample": curation.mix_weighted_sample,
         "pack_concat_chunks": lambda sf: curation.pack_concat_chunks(sf, budget=256),
+        # --- substring/line-level exact dedup (Lee et al. / C4 passes) ---
+        "dup_gram_exposure": curation.dup_gram_exposure,
+        "line_dedup_first": curation.line_dedup_first,
         # --- multimodal plumbing ---
         "multimodal_payload_stats": multimodal.payload_stats,
         "multimodal_fake_decode": multimodal.fake_decode,
@@ -898,6 +902,9 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY q.query_id ORDER BY list_cosine_similarity(q.qe, b.embedding) DESC, b.vec_id) AS rn "
             "FROM q, embeddings b WHERE b.vec_id != q.query_id) t WHERE rn <= 10 ORDER BY query_id, rank"
         ),
+        # ann_pq_topk: the WHOLE PQ pipeline (quantize -> sampled codebook
+        # -> argmin encode -> ADC) in exact int64 on both sides.
+        "ann_pq_topk": _data_oracle().ann_pq_sql(),
         "embedding_label_counts": (
             "SELECT label, CAST(len(embedding) AS BIGINT) AS n_dims, COUNT(*) AS n "
             "FROM embeddings GROUP BY 1, 2 ORDER BY label"
@@ -935,6 +942,10 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _data_oracle().repetition_sql(),
         "pii_scan": _data_oracle().pii_scan_sql(),
         "cluster_kmeans_docs": _data_oracle().cluster_kmeans_sql(),
+        # substring/line-level exact dedup: engine shuffles md5-64 hashes,
+        # oracle groups the strings themselves (collision-free reference)
+        "dup_gram_exposure": _data_oracle().dup_gram_exposure_sql(),
+        "line_dedup_first": _data_oracle().line_dedup_sql(),
         # hash-Bernoulli domain mixing: md5_number_upper == the engine's
         # int.from_bytes(md5[:8], 'little') (simhash-oracle convention)
         "mix_weighted_sample": (

@@ -298,3 +298,92 @@ def embedding_label_counts(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Count(alias_name="n"))
         .sort("label")
     )
+
+
+# ---------------- Product Quantization (ADC scan) ----------------
+
+def ann_pq_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
+                n_sub: int = 8, n_codes: int = 32,
+                scale: int = 10_000) -> pa.Table:
+    """Product-quantization top-k (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search") with asymmetric distance
+    computation — the memory-scale path for similarity search: a D-dim
+    float vector compresses to ``n_sub`` one-byte codes (64 floats ->
+    8 bytes here, 32x), and the scan touches only codes + a tiny
+    per-query lookup table.
+
+    Everything is EXACT INTEGER so the DuckDB oracle hashes identically:
+    floats quantize as floor(float64(x)*scale + 0.5); codebooks are the
+    quantized subvectors of the ``n_codes`` lowest vec_ids (sampled
+    codebook — deterministic, no k-means training state); encoding is
+    argmin int64 squared distance, ties to the lowest code; ADC distance
+    is the sum over subspaces of the query-subvector-to-codeword int
+    distance. Output ranks by (adist asc, neighbor_id asc).
+
+    Scale shape: the codebook (n_codes x D ints) and per-query LUTs
+    (n_queries x n_sub x n_codes ints) broadcast once via ray.put;
+    encode + scan is ONE map_batches pass emitting per-batch top-k
+    partials; the driver merges output-sized rows only. At 100 TB the
+    encode pass persists codes next to the IVF partitions and re-scans
+    touch 8 bytes/vector instead of 256."""
+    head = _read_emb(sf_dir).sort("vec_id").limit(max(n_codes, n_queries)).to_pandas()
+    hx = np.array(head["embedding"].tolist(), dtype=np.float64)
+    hq = np.floor(hx * scale + 0.5).astype(np.int64)
+    d = hq.shape[1]
+    assert d % n_sub == 0, (d, n_sub)
+    dsub = d // n_sub
+    # codebook[s]: (n_codes, dsub) int64
+    cb = hq[:n_codes].reshape(n_codes, n_sub, dsub).transpose(1, 0, 2).copy()
+    qids = head["vec_id"].to_numpy().astype(np.int64)[:n_queries]
+    qsub = hq[:n_queries].reshape(n_queries, n_sub, dsub)
+    # per-query LUT: lut[q, s, c] = ||qsub - codeword||^2 (int64)
+    diff = qsub[:, :, None, :] - cb[None, :, :, :]
+    lut = (diff * diff).sum(axis=3)  # (nq, n_sub, n_codes)
+    cb_ref = ray.put(cb)
+    lut_ref = ray.put(lut)
+
+    class PqStage:
+        def __init__(self):
+            self.cb = ray.get(cb_ref)
+            self.lut = ray.get(lut_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+            ids = t.column("vec_id").to_numpy().astype(np.int64)
+            q = np.floor(x * scale + 0.5).astype(np.int64).reshape(len(ids), n_sub, dsub)
+            # encode: argmin squared dist per subspace (first occurrence
+            # = lowest code on ties, matching the oracle's (dist, code))
+            codes = np.empty((len(ids), n_sub), np.int64)
+            for s in range(n_sub):
+                df = q[:, s, None, :] - self.cb[None, s, :, :]
+                codes[:, s] = (df * df).sum(axis=2).argmin(axis=1)
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(qids)):
+                # ADC: gather per-subspace LUT entries for each code row
+                adist = self.lut[qi][np.arange(n_sub)[None, :], codes].sum(axis=1)
+                m = ids != qids[qi]
+                cand_ids, cand_d = ids[m], adist[m]
+                if len(cand_ids) > k:
+                    order = np.lexsort((cand_ids, cand_d))[:k]
+                    cand_ids, cand_d = cand_ids[order], cand_d[order]
+                out_q.extend([int(qids[qi])] * len(cand_ids))
+                out_n.extend(cand_ids.tolist())
+                out_d.extend(cand_d.tolist())
+            return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                             "neighbor_id": pa.array(out_n, pa.int64()),
+                             "adist": pa.array(out_d, pa.int64())})
+
+    partials = _read_emb(sf_dir).map_batches(
+        PqStage, batch_format="pyarrow", batch_size=4096, concurrency=pool_size()
+    ).to_pandas()
+    rows = []
+    for qid, g in partials.groupby("query_id"):
+        order = np.lexsort((g["neighbor_id"].to_numpy(), g["adist"].to_numpy()))[:k]
+        for rank, idx in enumerate(order):
+            rows.append({"query_id": int(qid), "rank": rank,
+                         "neighbor_id": int(g["neighbor_id"].iloc[idx]),
+                         "adist": int(g["adist"].iloc[idx])})
+    rows.sort(key=lambda r: (r["query_id"], r["rank"]))
+    schema = pa.schema([("query_id", pa.int64()), ("rank", pa.int64()),
+                        ("neighbor_id", pa.int64()), ("adist", pa.int64())])
+    return pa.Table.from_pylist(rows, schema=schema)

@@ -293,3 +293,153 @@ def pack_concat_chunks(sf_dir: str, budget: int = 256, bucket_docs: int = 128) -
         .map_groups(within, batch_format="pandas")
         .sort("doc_id")
     )
+
+
+# ---------------- exact substring-duplication exposure ----------------
+
+def dup_gram_exposure(sf_dir: str, ngram: int = 8) -> ray.data.Dataset:
+    """Exact substring-duplication signal (the published train-set dedup
+    protocol of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better": find substrings of >= N tokens repeated
+    across documents). Per doc: the number of its DISTINCT word
+    ``ngram``-grams, how many of those also occur in ANOTHER document,
+    and the flag a removal pass would key on.
+
+    Scale shape — JOIN-FREE (union + groupby only): docs emit
+    (gram-hash, doc_id) rows DISTINCT per doc (the md5-upper64 hash,
+    8 bytes, never the gram string). A gram with corpus df == 1 has
+    exactly one owner = Min(doc_id) of its group, so per-doc
+    n_dup_grams = n_grams - (count of df==1 grams it owns): two
+    groupbys and a doc-level union replace the hash join back to the
+    exploded rows (one fewer corpus-sized shuffle, and it sidesteps the
+    Ray 2.49 hash-shuffle join crash when a join partition receives
+    zero right-side rows). The oracle groups the gram STRINGS
+    (collision-free reference) — a 64-bit collision at gate scale would
+    fail the gate loudly."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    class Explode:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import hashlib
+            ids_out, hs = [], []
+            for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+                toks = _tokens(s)
+                gs = {" ".join(toks[j:j + ngram]) for j in range(len(toks) - ngram + 1)}
+                for g in gs:
+                    hs.append(int.from_bytes(hashlib.md5(g.encode()).digest()[:8],
+                                             "little") - (1 << 63))
+                ids_out.extend([int(d)] * len(gs))
+            return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                             "h": pa.array(hs, pa.int64())})
+
+    ex = _read_docs(sf_dir).map_batches(Explode, batch_format="pyarrow",
+                                        concurrency=pool_size())
+    per_doc = ex.groupby("doc_id").aggregate(Count(alias_name="n_grams"))
+    dfh = ex.groupby("h").aggregate(Count(alias_name="cnt"),
+                                    Min("doc_id", alias_name="owner"))
+
+    def uniq_owners(t: pa.Table) -> pa.Table:
+        m = pa.compute.equal(t.column("cnt"), 1)
+        return pa.table({"doc_id": t.filter(m).column("owner")})
+
+    n_uniq = (
+        dfh.map_batches(uniq_owners, batch_format="pyarrow")
+        .groupby("doc_id").aggregate(Count(alias_name="n_uniq"))
+    )
+
+    def a_side(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, np.int64))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_grams": t.column("n_grams"), "n_uniq": z})
+
+    def b_side(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, np.int64))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_grams": z, "n_uniq": t.column("n_uniq")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        ng = t.column("n_grams").to_numpy()
+        nd = ng - t.column("n_uniq").to_numpy()
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_grams": pa.array(ng.astype(np.int64)),
+                         "n_dup_grams": pa.array(nd.astype(np.int64)),
+                         "dup_flag": pa.array((nd > 0).astype(np.int64))})
+
+    return (
+        per_doc.map_batches(a_side, batch_format="pyarrow")
+        .union(n_uniq.map_batches(b_side, batch_format="pyarrow"))
+        .groupby("doc_id")
+        .aggregate(Sum("n_grams", alias_name="n_grams"),
+                   Sum("n_uniq", alias_name="n_uniq"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+# ---------------- line-level exact dedup (keep first occurrence) ----------------
+
+def line_dedup_first(sf_dir: str, line_tokens: int = 8) -> ray.data.Dataset:
+    """C4/RefinedWeb-style exact line-level dedup: every duplicated line
+    keeps exactly ONE copy corpus-wide — the occurrence in the lowest
+    doc_id (first writer wins). The fixture corpus has no newlines, so a
+    "line" is a deterministic non-overlapping ``line_tokens``-token
+    segment (both engine and oracle derive the identical view; with real
+    newline-delimited text the splitter is the only line that changes).
+
+    Per doc: DISTINCT lines, lines kept after dedup. Scale shape —
+    JOIN-FREE: one corpus pass emits (line-hash, doc_id) rows distinct
+    per doc; groupby Min(doc_id) elects each line's keeper; counting
+    keepers per doc and unioning with per-doc line totals replaces the
+    join back to the exploded rows (see dup_gram_exposure for why);
+    only 8-byte hashes and doc-level ints shuffle."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    class Explode:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import hashlib
+            ids_out, hs = [], []
+            for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+                toks = _tokens(s)
+                lines = {" ".join(toks[j:j + line_tokens])
+                         for j in range(0, len(toks), line_tokens)}
+                for ln in lines:
+                    hs.append(int.from_bytes(hashlib.md5(ln.encode()).digest()[:8],
+                                             "little") - (1 << 63))
+                ids_out.extend([int(d)] * len(lines))
+            return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                             "h": pa.array(hs, pa.int64())})
+
+    ex = _read_docs(sf_dir).map_batches(Explode, batch_format="pyarrow",
+                                        concurrency=pool_size())
+    per_doc = ex.groupby("doc_id").aggregate(Count(alias_name="n_lines"))
+    kept = (
+        ex.groupby("h").aggregate(Min("doc_id", alias_name="keep_doc"))
+        .map_batches(lambda t: pa.table({"doc_id": t.column("keep_doc")}),
+                     batch_format="pyarrow")
+        .groupby("doc_id").aggregate(Count(alias_name="n_kept"))
+    )
+
+    def a_side(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, np.int64))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_lines": t.column("n_lines"), "n_kept": z})
+
+    def b_side(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, np.int64))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_lines": z, "n_kept": t.column("n_kept")})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_lines": t.column("n_lines"),
+                         "n_lines_kept": t.column("n_kept")})
+
+    return (
+        per_doc.map_batches(a_side, batch_format="pyarrow")
+        .union(kept.map_batches(b_side, batch_format="pyarrow"))
+        .groupby("doc_id")
+        .aggregate(Sum("n_lines", alias_name="n_lines"),
+                   Sum("n_kept", alias_name="n_kept"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("doc_id")
+    )

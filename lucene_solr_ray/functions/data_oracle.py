@@ -403,3 +403,72 @@ def cluster_kmeans_sql(k: int = 8, iters: int = 5) -> str:
         "SELECT doc_id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist_sq FROM fin ORDER BY doc_id"
     )
     return sql
+
+
+def dup_gram_exposure_sql(ngram: int = 8) -> str:
+    """Oracle for curation.dup_gram_exposure. The engine groups md5-64
+    gram hashes; the oracle groups the gram strings themselves — the
+    collision-free reference a 64-bit hash collision would fail against."""
+    parts = "||' '||".join(f"list_extract(a,i+{j})" if j else "list_extract(a,i)"
+                           for j in range(ngram))
+    return (
+        "WITH docs AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a FROM documents), "
+        f"g AS (SELECT DISTINCT doc_id, {parts} AS g "
+        f"FROM docs, UNNEST(range(1, len(a)-{ngram - 2})) AS t(i) WHERE len(a) >= {ngram}), "
+        "cnt AS (SELECT g, COUNT(*) AS n FROM g GROUP BY 1) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+        "CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams, "
+        "CAST(MAX(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_flag "
+        "FROM g JOIN cnt USING (g) GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+def line_dedup_sql(line_tokens: int = 8) -> str:
+    """Oracle for curation.line_dedup_first: non-overlapping
+    ``line_tokens``-token segments, keeper = MIN(doc_id) per line."""
+    return (
+        "WITH docs AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a FROM documents), "
+        "ln AS (SELECT DISTINCT doc_id, "
+        f"array_to_string(list_slice(a, i, i + {line_tokens - 1}), ' ') AS l "
+        f"FROM docs, UNNEST(range(1, len(a) + 1, {line_tokens})) AS t(i)), "
+        "keeper AS (SELECT l, MIN(doc_id) AS keep_doc FROM ln GROUP BY 1) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+        "CAST(SUM(CASE WHEN doc_id = keep_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept "
+        "FROM ln JOIN keeper USING (l) GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+def ann_pq_sql(k: int = 10, n_queries: int = 5, n_sub: int = 8,
+               n_codes: int = 32, dims: int = 64, scale: int = 10_000) -> str:
+    """Oracle for ann.ann_pq_topk — the full PQ pipeline (quantize ->
+    sampled codebook -> argmin encode -> ADC scan) in exact int64
+    arithmetic; floats quantize as FLOOR(CAST(x AS DOUBLE)*scale + 0.5)
+    on both sides, so the comparison is bit-free."""
+    dsub = dims // n_sub
+    return (
+        "WITH ev AS (SELECT vec_id, i, CAST(FLOOR(CAST(list_extract(embedding, i) AS DOUBLE) "
+        f"* {scale} + 0.5) AS BIGINT) AS v "
+        f"FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)), "
+        f"sub AS (SELECT vec_id, CAST((i - 1) // {dsub} AS BIGINT) AS s, "
+        f"(i - 1) % {dsub} AS j, v FROM ev), "
+        f"cbidx AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code "
+        f"FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_codes})), "
+        "cb AS (SELECT c.code, s.s, s.j, s.v FROM cbidx c JOIN sub s USING (vec_id)), "
+        "dist AS (SELECT a.vec_id, a.s, b.code, SUM((a.v - b.v) * (a.v - b.v)) AS d "
+        "FROM sub a JOIN cb b ON a.s = b.s AND a.j = b.j GROUP BY 1, 2, 3), "
+        "enc AS (SELECT vec_id, s, code FROM dist "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, code) = 1), "
+        f"qv AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {n_queries}), "
+        "qlut AS (SELECT q.vec_id AS query_id, b.s, b.code, "
+        "SUM((s2.v - b.v) * (s2.v - b.v)) AS d "
+        "FROM qv q JOIN sub s2 USING (vec_id) JOIN cb b ON s2.s = b.s AND s2.j = b.j "
+        "GROUP BY 1, 2, 3), "
+        "adc AS (SELECT l.query_id, e.vec_id AS neighbor_id, SUM(l.d) AS adist "
+        "FROM enc e JOIN qlut l ON e.s = l.s AND e.code = l.code "
+        "WHERE e.vec_id <> l.query_id GROUP BY 1, 2), "
+        "r AS (SELECT query_id, neighbor_id, adist, "
+        "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) - 1 AS rnk "
+        "FROM adc) "
+        "SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, "
+        f"CAST(adist AS BIGINT) AS adist FROM r WHERE rnk < {k} ORDER BY query_id, rank"
+    )

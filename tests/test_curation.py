@@ -100,3 +100,69 @@ def test_mix_weighted_sample_rates(ray_session):
         rate = 20 + _md5_upper64(src) % 61
         kept = (got["source"] == src).sum()
         assert abs(kept / len(g) * 100 - rate) < 25, (src, rate, kept, len(g))
+
+
+def test_dup_gram_and_line_dedup_oracle_equivalence(ray_session):
+    from lucene_solr_ray.functions import curation, data_oracle
+    con = _con()
+    for fn, sql in [
+        (curation.dup_gram_exposure, data_oracle.dup_gram_exposure_sql()),
+        (curation.line_dedup_first, data_oracle.line_dedup_sql()),
+    ]:
+        got = fn(SF).to_pandas().reset_index(drop=True)
+        exp = con.execute(sql).fetchdf()
+        assert list(got.columns) == list(exp.columns)
+        assert got.equals(exp.astype(got.dtypes.to_dict())), fn.__name__
+
+
+def test_line_dedup_keep_first_semantics(ray_session):
+    """Keeper election on a crafted corpus: the lowest doc_id holding a
+    duplicated line keeps it; unique lines always survive; within-doc
+    repeats of a line count once (distinct per doc)."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from lucene_solr_ray.functions import curation
+
+    line_a = "a b c d e f g h"          # in docs 0, 2 -> doc 0 keeps
+    line_b = "p q r s t u v w"          # only doc 1
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([line_a, line_b + " " + line_a, line_a + " " + line_a],
+                         pa.string()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        got = curation.line_dedup_first(d).to_pandas()
+    # doc 0: 1 distinct line (a), keeper -> kept 1/1
+    # doc 1: lines (b, a) -> b kept (unique, doc1 is min), a lost to doc 0
+    # doc 2: line a twice -> 1 distinct, lost to doc 0
+    assert got["n_lines"].tolist() == [1, 2, 1]
+    assert got["n_lines_kept"].tolist() == [1, 1, 0]
+
+
+def test_dup_gram_exposure_flags_cross_doc_only(ray_session):
+    """A gram repeated only WITHIN one doc is not cross-doc duplication;
+    a gram shared across docs flags both."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from lucene_solr_ray.functions import curation
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            shared + " x1",                 # shares `shared` with doc 1
+            "y0 " + shared,                 # shares `shared` with doc 0
+            "z1 z2 z3 z4 z5 z6 z7 z8 " * 2,  # self-repeat only
+        ], pa.string()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        got = curation.dup_gram_exposure(d).to_pandas().set_index("doc_id")
+    assert got.loc[0, "dup_flag"] == 1 and got.loc[0, "n_dup_grams"] == 1
+    assert got.loc[1, "dup_flag"] == 1 and got.loc[1, "n_dup_grams"] == 1
+    assert got.loc[2, "dup_flag"] == 0
