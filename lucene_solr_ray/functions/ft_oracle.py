@@ -126,6 +126,70 @@ def bm25_topk_sql(queries: list[tuple[str, list[str], str]], k: int = 10) -> str
             + " ORDER BY query_id, rank")
 
 
+def lmdirichlet_topk_sql(queries: list[tuple[str, list[str], str]], k: int = 10) -> str:
+    """Oracle for fulltext.bm25_topk(similarity='lmdirichlet') — the
+    Lucene 8 LMDirichlet model (similarity.LMDirichlet, mu/p constants
+    imported so they can't drift):
+
+        s64(t,d) = ln(1 + tf/(mu*p)) + ln(mu/(dl'+mu)),  p=(cf+1)/(sum_dl+1)
+        s(t,d)   = float32(max(s64, 0))
+
+    then the same float32 left-to-right fold and rank-only output as the
+    BM25 oracle."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+    from lucene_solr_ray.similarity import LMDirichlet
+
+    mu = LMDirichlet.MU
+    ctes = [prelude_ctes()]
+    # per-doc ln(mu/(dl'+mu)), dl' byte4-quantised exactly like the engine norm
+    ctes.append(
+        f"lmden AS (SELECT d.doc_id, ln({mu!r}/("
+        "CAST((SELECT MAX(v) FROM reps WHERE v <= d.dl) AS DOUBLE)"
+        f" + {mu!r})) AS dn FROM dltab d)"
+    )
+    selects = []
+    for qi, (qid, raw_terms, mode) in enumerate(queries):
+        terms = analyze_query_terms(raw_terms)
+        tf_names, p_names = [], []
+        for ti, t in enumerate(terms):
+            tf_n, p_n = f"ltf_q{qi}_{ti}", f"lp_q{qi}_{ti}"
+            ctes.append(tf_cte(tf_n, t))
+            # float64 collection probability p = (cf+1)/(sum_dl+1)
+            ctes.append(
+                f"{p_n} AS (SELECT (CAST(SUM(tf) AS DOUBLE) + 1.0)/(stats.sum_dl + 1.0) AS p "
+                f"FROM {tf_n}, stats GROUP BY stats.sum_dl)"
+            )
+            tf_names.append(tf_n)
+            p_names.append(p_n)
+        aliases = [f"t{ti}" for ti in range(len(terms))]
+        joins = f"{tf_names[0]} {aliases[0]}"
+        for tf_n, a in zip(tf_names[1:], aliases[1:]):
+            joins += f" JOIN {tf_n} {a} ON {aliases[0]}.doc_id = {a}.doc_id"
+        joins += f" JOIN lmden ON lmden.doc_id = {aliases[0]}.doc_id"
+        parts = []
+        for a, p_n in zip(aliases, p_names):
+            parts.append(
+                f"CASE WHEN {a}.tf > 0 THEN "
+                f"CAST(GREATEST(ln(1.0 + CAST({a}.tf AS DOUBLE)/({mu!r}*(SELECT p FROM {p_n})))"
+                " + lmden.dn, 0.0) AS FLOAT) "
+                "ELSE CAST(0.0 AS FLOAT) END"
+            )
+        fold = fold_f32(parts)
+        glue = " AND " if mode == "and" else " OR "
+        cond = glue.join(f"{a}.tf > 0" for a in aliases)
+        selects.append(
+            f"SELECT '{_esc(qid)}' AS query_id, rank, doc_id FROM ("
+            "SELECT doc_id, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+            f"FROM (SELECT {aliases[0]}.doc_id AS doc_id, {fold} AS score "
+            f"FROM {joins} WHERE {cond}) sub"
+            f") ranked WHERE rank < {int(k)}"
+        )
+    return ("WITH " + ", ".join(ctes) + " "
+            + " UNION ALL ".join(f"({s})" for s in selects)
+            + " ORDER BY query_id, rank")
+
+
 def rerank_topk_sql(main_terms: list[str], rerank_terms: list[str],
                     weight: float, top_n: int, k: int) -> str:
     """Oracle for fulltext.rerank_topk ([U] solr/core/.../search/

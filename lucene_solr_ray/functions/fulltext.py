@@ -197,13 +197,15 @@ def term_stats(sf_dir: str, terms: list[str]) -> pa.Table:
     )
 
 
-def bm25_topk(sf_dir: str, queries: list[tuple[str, list[str], str]], k: int = 10) -> pa.Table:
-    """BM25 top-k via the Ray actor-pool query path -> (query_id, rank,
-    doc_id). RANK-ONLY output: the float32 scores never enter the driver
-    hash (the DuckDB oracle, ft_oracle.bm25_topk_sql, replicates the
-    pinned float32 narrowing and orders identically — measured gap bound
-    in tests/test_ft_oracle_sql.py; exact float parity is additionally
-    covered by the pytest oracle suite)."""
+def bm25_topk(sf_dir: str, queries: list[tuple[str, list[str], str]], k: int = 10,
+              similarity: str = "bm25") -> pa.Table:
+    """Scored top-k via the Ray actor-pool query path -> (query_id, rank,
+    doc_id), under any registered similarity (BM25 default; LMDirichlet
+    for the ft_lmdirichlet_topk entry). RANK-ONLY output: the float32
+    scores never enter the driver hash (the DuckDB oracles in ft_oracle
+    replicate the pinned float32 narrowing and order identically —
+    measured gap bound in tests/test_ft_oracle_sql.py; exact float
+    parity is additionally covered by the pytest oracle suite)."""
     from lucene_solr_ray.pipelines.search import run_queries
 
     index_dir = docs_index(sf_dir)
@@ -215,7 +217,7 @@ def bm25_topk(sf_dir: str, queries: list[tuple[str, list[str], str]], k: int = 1
             "k": pa.array([k] * len(queries), type=pa.int32()),
         }
     )
-    res = run_queries(index_dir, qt).to_pandas()
+    res = run_queries(index_dir, qt, similarity=similarity).to_pandas()
     mapping = _docid_to_doc_id(index_dir)
     res["doc_id"] = mapping[res["docid"].to_numpy()]
     res["rank"] = res["rank"].astype(np.int64)

@@ -89,7 +89,8 @@ class Oracle:
         parts = []
         for t, p in present:
             docids_t, tfs_t = p
-            w = self.simcls.term_weight(self.n_docs, len(docids_t))
+            w = sim.weight_for(self.simcls, self.n_docs, len(docids_t),
+                               int(tfs_t.sum()), self.sum_dl)
             s = np.zeros(len(cand), dtype=np.float32)
             pos = np.searchsorted(cand, docids_t)
             hit = (pos < len(cand)) & (cand[np.minimum(pos, len(cand) - 1)] == docids_t)
@@ -261,7 +262,8 @@ class Oracle:
         parts = []
         for t, p in clauses:
             docids_t, tfs_t = p
-            w = self.simcls.term_weight(self.n_docs, len(docids_t))
+            w = sim.weight_for(self.simcls, self.n_docs, len(docids_t),
+                               int(tfs_t.sum()), self.sum_dl)
             s = np.zeros(len(cand), dtype=np.float32)
             pos = np.searchsorted(cand, docids_t)
             s[pos] = self.simcls.score_term(w, tfs_t, self.norms[docids_t], self.cache)

@@ -250,6 +250,11 @@ class IndexSearcher:
             self._readers[key] = r
         return r
 
+    def _term_w(self, df: int, cf: int):
+        """Per-term weight under the configured similarity (LM models
+        consume cf/sum_dl via the shared weight_for — SURVEY §2.11)."""
+        return sim.weight_for(self.simcls, self.n_scoring, df, cf, self.sum_dl)
+
     def term_stats_and_cursor(self, term: str):
         """-> (global df, global cf, TermCursor) — TermStates.build."""
         hit = self._term_cache.get(term)
@@ -298,12 +303,12 @@ class IndexSearcher:
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
         weighted = []  # (term, w, cursor) in ascending UTF-8 term order
         for t in terms:
-            df, _cf, cur = self.term_stats_and_cursor(t)
+            df, cf, cur = self.term_stats_and_cursor(t)
             if cur is None:
                 if mode == "and":
                     return empty
                 continue
-            weighted.append((t, self.simcls.term_weight(self.n_scoring, df), cur))
+            weighted.append((t, self._term_w(df, cf), cur))
         if not weighted:
             return empty
         if algorithm == "auto":
@@ -913,9 +918,9 @@ class IndexSearcher:
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
         clauses = []
         for t in analyze_query_terms(raw_terms):
-            df, _, cur = self.term_stats_and_cursor(t)
+            df, cf, cur = self.term_stats_and_cursor(t)
             if cur is not None:
-                clauses.append((t, self.simcls.term_weight(self.n_scoring, df), cur))
+                clauses.append((t, self._term_w(df, cf), cur))
         if not clauses:
             return empty
         cand = self._live(np.unique(np.concatenate([c.decode_all()[0] for _, _, c in clauses])))
@@ -1570,7 +1575,7 @@ class IndexSearcher:
                 d, tf, m = cur.decode_all()
                 i = int(np.searchsorted(d, docid))
                 if i < len(d) and d[i] == docid:
-                    w = self.simcls.term_weight(self.n_scoring, df)
+                    w = self._term_w(df, cf)
                     entry["tf"] = int(tf[i])
                     entry["norm"] = int(m[i])
                     entry["score"] = float(self.simcls.score_term(w, tf[i : i + 1], m[i : i + 1], self.cache)[0])
@@ -1582,8 +1587,9 @@ class QueryExecutor:
     """Actor-pool stage: queries are data (SURVEY §3 Trace B). Segment
     readers/term dicts are cached per actor across query batches."""
 
-    def __init__(self, index_dir: str, generation: int | None = None, algorithm: str = "auto"):
-        self.searcher = IndexSearcher(index_dir, generation)
+    def __init__(self, index_dir: str, generation: int | None = None, algorithm: str = "auto",
+                 similarity: str = "bm25"):
+        self.searcher = IndexSearcher(index_dir, generation, similarity=similarity)
         self.algorithm = algorithm
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1609,7 +1615,8 @@ class QueryExecutor:
 
 
 def run_queries(index_dir: str, queries, concurrency=None, batch_size: int = 64,
-                generation: int | None = None, algorithm: str = "auto"):
+                generation: int | None = None, algorithm: str = "auto",
+                similarity: str = "bm25"):
     """Dataset-of-queries -> Dataset of (query_id, rank, docid, score),
     deterministically ordered."""
     import ray.data
@@ -1622,7 +1629,8 @@ def run_queries(index_dir: str, queries, concurrency=None, batch_size: int = 64,
     ds = queries if hasattr(queries, "map_batches") else ray.data.from_arrow(queries)
     out = ds.map_batches(
         QueryExecutor,
-        fn_constructor_kwargs={"index_dir": index_dir, "generation": generation, "algorithm": algorithm},
+        fn_constructor_kwargs={"index_dir": index_dir, "generation": generation,
+                               "algorithm": algorithm, "similarity": similarity},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

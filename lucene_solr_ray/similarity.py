@@ -127,7 +127,145 @@ class ClassicTFIDF:
         return ub * (1.0 + 1e-6) + 1e-12
 
 
-SIMILARITIES = {"bm25": BM25, "classic": ClassicTFIDF}
+class LMDirichlet:
+    """Lucene LMDirichletSimilarity ([U] lucene/core/.../search/
+    similarities/LMDirichletSimilarity.java, mu = 2000; collection model
+    [U] LMSimilarity.DefaultCollectionModel: p(t|C) = (cf+1)/(sumTotalTermFreq+1)):
+
+        s(t,d) = float32(max(0, ln(1 + tf/(mu*p)) + ln(mu/(dl'+mu))))
+
+    The protocol's ``w`` slot carries the float64 collection probability
+    (set via ``term_weight_stats`` — this similarity needs cf, not df);
+    the per-norm cache holds ln(mu/(dl'+mu)). Scores clamp at 0 (Lucene
+    8 requires non-negative scores), are increasing in tf and decreasing
+    in dl, so impacts (max_tf, min_norm) give exact WAND bounds. Only
+    the term/boolean scoring paths support LM similarities — boosted /
+    phrase paths are BM25-family (they fold boosts into idf)."""
+
+    name = "lmdirichlet"
+    needs_cf = True
+    MU = 2000.0
+
+    @classmethod
+    def term_weight_stats(cls, n_docs: int, df: int, cf: int, sum_dl: int) -> np.float64:
+        return np.float64((cf + 1.0) / (sum_dl + 1.0))
+
+    @classmethod
+    def denom_cache(cls, avgdl: float) -> np.ndarray:
+        dl = DECODED_TABLE.astype(np.float64)
+        return np.log(cls.MU / (dl + cls.MU))
+
+    @classmethod
+    def score_term(cls, w, tfs, norm_bytes, cache) -> np.ndarray:
+        tfs = np.asarray(tfs, dtype=np.float64)
+        s = np.log(1.0 + tfs / (cls.MU * np.float64(w))) + cache[norm_bytes]
+        return np.maximum(s, 0.0).astype(np.float32)
+
+    @classmethod
+    def score_upper_bound(cls, w, max_tf, min_norm, cache):
+        ub = np.log(1.0 + np.float64(max_tf) / (cls.MU * np.float64(w))) + cache[min_norm]
+        ub = max(float(ub), 0.0)
+        return ub * (1.0 + 1e-6) + 1e-12
+
+    @classmethod
+    def block_upper_bounds(cls, w, max_tfs: np.ndarray, min_norms: np.ndarray, cache) -> np.ndarray:
+        ub = np.log(1.0 + max_tfs.astype(np.float64) / (cls.MU * np.float64(w))) + cache[min_norms]
+        ub = np.maximum(ub, 0.0)
+        return ub * (1.0 + 1e-6) + 1e-12
+
+
+class LMJelinekMercer:
+    """Lucene LMJelinekMercerSimilarity ([U] .../LMJelinekMercerSimilarity.java,
+    lambda = 0.1):
+
+        s(t,d) = float32(max(0, ln(1 + ((1-lam)*tf/dl') / (lam*p))))
+
+    Same protocol conventions as LMDirichlet (w = p via term_weight_stats;
+    cache holds decoded dl' — tf/dl' happens per hit, and tf >= 1 implies
+    dl' >= 1 so the division is safe on every scored posting)."""
+
+    name = "lmjelinekmercer"
+    needs_cf = True
+    LAM = 0.1
+
+    @classmethod
+    def term_weight_stats(cls, n_docs: int, df: int, cf: int, sum_dl: int) -> np.float64:
+        return np.float64((cf + 1.0) / (sum_dl + 1.0))
+
+    @classmethod
+    def denom_cache(cls, avgdl: float) -> np.ndarray:
+        return DECODED_TABLE.astype(np.float64)
+
+    @classmethod
+    def score_term(cls, w, tfs, norm_bytes, cache) -> np.ndarray:
+        tfs = np.asarray(tfs, dtype=np.float64)
+        s = np.log(1.0 + ((1.0 - cls.LAM) * tfs / cache[norm_bytes]) / (cls.LAM * np.float64(w)))
+        return np.maximum(s, 0.0).astype(np.float32)
+
+    @classmethod
+    def score_upper_bound(cls, w, max_tf, min_norm, cache):
+        dl = max(float(cache[min_norm]), 1.0)
+        ub = np.log(1.0 + ((1.0 - cls.LAM) * np.float64(max_tf) / dl) / (cls.LAM * np.float64(w)))
+        ub = max(float(ub), 0.0)
+        return ub * (1.0 + 1e-6) + 1e-12
+
+    @classmethod
+    def block_upper_bounds(cls, w, max_tfs: np.ndarray, min_norms: np.ndarray, cache) -> np.ndarray:
+        dl = np.maximum(cache[min_norms], 1.0)
+        ub = np.log(1.0 + ((1.0 - cls.LAM) * max_tfs.astype(np.float64) / dl) / (cls.LAM * np.float64(w)))
+        ub = np.maximum(ub, 0.0)
+        return ub * (1.0 + 1e-6) + 1e-12
+
+
+class BooleanSim:
+    """Lucene BooleanSimilarity ([U] lucene/core/.../search/similarities/
+    BooleanSimilarity.java): score = boost, norms ignored — every match
+    contributes exactly its weight."""
+
+    name = "boolean"
+
+    @staticmethod
+    def idf(n_docs: int, df: int) -> float:
+        return 1.0
+
+    @staticmethod
+    def term_weight(n_docs: int, df: int) -> np.float32:
+        return np.float32(1.0)
+
+    @staticmethod
+    def denom_cache(avgdl: float) -> np.ndarray:
+        return np.zeros_like(DECODED_TABLE, dtype=np.float64)
+
+    @staticmethod
+    def score_term(w, tfs, norm_bytes, cache) -> np.ndarray:
+        return np.full(len(np.asarray(tfs)), np.float32(w), dtype=np.float32)
+
+    @staticmethod
+    def score_upper_bound(w, max_tf, min_norm, cache):
+        return np.float64(w) * (1.0 + 1e-6) + 1e-12
+
+    @staticmethod
+    def block_upper_bounds(w, max_tfs: np.ndarray, min_norms: np.ndarray, cache) -> np.ndarray:
+        return np.full(len(max_tfs), np.float64(w) * (1.0 + 1e-6) + 1e-12)
+
+
+SIMILARITIES = {
+    "bm25": BM25,
+    "classic": ClassicTFIDF,
+    "lmdirichlet": LMDirichlet,
+    "lmjelinekmercer": LMJelinekMercer,
+    "boolean": BooleanSim,
+}
+
+
+def weight_for(simcls, n_docs: int, df: int, cf: int, sum_dl: int):
+    """Per-term weight under any registered similarity: LM models carry
+    the collection probability in the ``w`` slot (needs_cf), the
+    tf-idf family narrows idf to float32. Shared by engine AND oracle so
+    parity is by construction."""
+    if getattr(simcls, "needs_cf", False):
+        return simcls.term_weight_stats(n_docs, df, cf, sum_dl)
+    return simcls.term_weight(n_docs, df)
 
 
 def get_similarity(name: str):

@@ -103,20 +103,27 @@ def test_explain_sums_to_score(t1_index, t1_oracle):
         assert acc == sc[0]
 
 
-def test_classic_similarity_parity(t1_index, t1_table, t1_queries):
-    """Pluggable similarity: engine with ClassicSimilarity matches an
-    oracle configured the same way (same index, different scorer)."""
+@pytest.mark.parametrize(
+    "similarity, n_q",
+    [("classic", 60), ("lmdirichlet", 200), ("lmjelinekmercer", 200), ("boolean", 60)],
+)
+def test_pluggable_similarity_parity(t1_index, t1_table, t1_queries, similarity, n_q):
+    """Pluggable similarity (SURVEY §2.11): engine matches an oracle
+    configured the same way (same index, different scorer) — Classic
+    TF-IDF, both Lucene 8 LM models (cf-based collection probability,
+    clamp-at-0 scores exercising WAND bounds near zero), and
+    BooleanSimilarity (constant score, docid tie-breaks everywhere)."""
     from lucene_solr_ray.oracle import Oracle
 
     index_dir, _ = t1_index
-    s = IndexSearcher(index_dir, similarity="classic")
-    oracle = Oracle(t1_table, similarity="classic")
-    for row in t1_queries.to_pylist()[:60]:
+    s = IndexSearcher(index_dir, similarity=similarity)
+    oracle = Oracle(t1_table, similarity=similarity)
+    for row in t1_queries.to_pylist()[:n_q]:
         mode = "and" if row["type"] == "and" else "or"
         got_d, got_s = s.search(row["terms"], k=row["k"], mode=mode)
         exp_d, exp_s = oracle.search(row["terms"], k=row["k"], mode=mode)
-        assert got_d.tolist() == exp_d.tolist(), row["query_id"]
-        assert np.array_equal(got_s, exp_s), row["query_id"]
+        assert got_d.tolist() == exp_d.tolist(), (similarity, row["query_id"])
+        assert np.array_equal(got_s, exp_s), (similarity, row["query_id"])
 
 
 def test_build_sparse_buckets(ray_session, tmp_path):

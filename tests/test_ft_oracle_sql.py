@@ -113,3 +113,36 @@ def test_rank_stability_gap_bound():
             assert gap > 2 * ulp, (float(a), float(b), gap, ulp)
             checked += 1
     assert checked > 100  # the bound was actually exercised
+
+
+def test_lmdirichlet_topk_matches_duckdb(con):
+    from lucene_solr_ray.functions import ft_oracle as FO
+    from lucene_solr_ray.functions.fulltext import bm25_topk
+
+    _eq(bm25_topk(SF, BM25_QUERIES, k=10, similarity="lmdirichlet"),
+        con.sql(FO.lmdirichlet_topk_sql(BM25_QUERIES, k=10)))
+
+
+def test_lmdirichlet_clamp_margin_and_gap_bound():
+    """The LM score clamps at 0: a last-ulp ln() divergence could flip
+    the clamp only if some unclamped float64 score sat within ~1e-16 of
+    zero. Measure: every nonzero score keeps a wide margin from the
+    clamp boundary, and adjacent ranked scores keep the >2-ulp gap."""
+    from lucene_solr_ray.functions.fulltext import docs_index
+    from lucene_solr_ray.pipelines.search import IndexSearcher
+
+    s = IndexSearcher(docs_index(SF), similarity="lmdirichlet")
+    checked = 0
+    for _qid, terms, mode in BM25_QUERIES:
+        _d, sc = s.search(terms, k=s.n_docs, mode=mode)
+        nz = sc[sc > 0].astype(np.float64)
+        if len(nz):
+            assert nz.min() > 1e-6, nz.min()  # far from the clamp boundary
+        for a, b in zip(sc[:-1], sc[1:]):
+            if a == b:
+                continue
+            gap = float(a) - float(b)
+            ulp = float(np.spacing(max(a, np.float32(1e-30))))
+            assert gap > 2 * ulp, (float(a), float(b), gap, ulp)
+            checked += 1
+    assert checked > 50

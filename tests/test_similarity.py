@@ -79,3 +79,39 @@ def test_analyzer_registry():
     assert get_analyzer("keyword")("a b c") == ["a b c"]
     assert get_analyzer("html_standard")("<p>Quick <b>fox</b></p>") == ["quick", "fox"]
     assert get_analyzer("standard")("The quick") == ["quick"]
+
+
+def test_lm_similarities_invariants():
+    """LM models (Lucene 8 LMDirichlet/LMJelinekMercer): scores finite,
+    clamped >= 0, monotonic in tf, decreasing in dl; block bounds hold
+    including on clamp-to-zero blocks."""
+    from lucene_solr_ray.similarity import LMDirichlet, LMJelinekMercer, weight_for
+
+    for cls in (LMDirichlet, LMJelinekMercer):
+        cache = cls.denom_cache(8.0)
+        # common term (high p) on a long doc -> clamp region; rare term -> positive
+        for cf, sum_dl in ((50_000, 60_000), (3, 60_000)):
+            p = weight_for(cls, 1000, 10, cf, sum_dl)
+            tfs = np.arange(1, 60)
+            norm = encode_dl(np.array([16]))[0]
+            s = cls.score_term(p, tfs, np.full(59, norm), cache)
+            assert np.all(np.isfinite(s)) and np.all(s >= 0)
+            assert np.all(np.diff(s.astype(np.float64)) >= 0)  # increasing in tf
+            # decreasing in dl at fixed tf
+            norms = encode_dl(np.array([4, 16, 64, 255]))
+            s_dl = cls.score_term(p, np.full(4, 5), norms, cache).astype(np.float64)
+            assert np.all(np.diff(s_dl) <= 0)
+            ub = cls.score_upper_bound(p, 59, norm, cache)
+            assert float(s.max()) <= float(ub)
+            bubs = cls.block_upper_bounds(p, np.array([5, 59]), np.array([norm, norm]), cache)
+            assert float(s[4]) <= bubs[0] and float(s[58]) <= bubs[1]
+
+
+def test_boolean_similarity_constant():
+    from lucene_solr_ray.similarity import BooleanSim
+
+    cache = BooleanSim.denom_cache(8.0)
+    w = BooleanSim.term_weight(1000, 10)
+    s = BooleanSim.score_term(w, np.array([1, 7, 100]), np.array([0, 5, 200]), cache)
+    assert s.tolist() == [1.0, 1.0, 1.0]
+    assert float(s.max()) <= float(BooleanSim.score_upper_bound(w, 100, 0, cache))
