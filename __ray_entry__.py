@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- substring/line-level exact dedup (Lee et al. / C4 passes) ---
         "dup_gram_exposure": curation.dup_gram_exposure,
         "line_dedup_first": curation.line_dedup_first,
+        # --- DSIR importance selection (Xie et al. 2023) ---
+        "dsir_select_topk": curation.dsir_select_topk,
         # --- multimodal plumbing ---
         "multimodal_payload_stats": multimodal.payload_stats,
         "multimodal_fake_decode": multimodal.fake_decode,
@@ -949,6 +951,8 @@ def oracle_sql() -> dict[str, str]:
         # oracle groups the strings themselves (collision-free reference)
         "dup_gram_exposure": _data_oracle().dup_gram_exposure_sql(),
         "line_dedup_first": _data_oracle().line_dedup_sql(),
+        # DSIR: micro-nat-quantized log-ratios -> exact int64 doc weights
+        "dsir_select_topk": _data_oracle().dsir_select_sql(),
         # hash-Bernoulli domain mixing: md5_number_upper == the engine's
         # int.from_bytes(md5[:8], 'little') (simhash-oracle convention)
         "mix_weighted_sample": (

@@ -443,3 +443,106 @@ def line_dedup_first(sf_dir: str, line_tokens: int = 8) -> ray.data.Dataset:
         .map_batches(finish, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+# ---------------- DSIR importance selection ----------------
+
+def dsir_select_topk(sf_dir: str, target_source: str = "src0",
+                     n_buckets: int = 2048, k: int = 200) -> pa.Table:
+    """Data Selection via Importance Resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every non-target document by how target-like its hashed-bigram
+    distribution is, and keep the top-k. The published estimator —
+    log w(x) = sum over bigram occurrences of
+    ln(p_target[bucket]) - ln(p_raw[bucket]), bag-of-hashed-ngrams with
+    Laplace (+1) smoothing, raw = the whole corpus — with one change
+    for the oracle gate: per-bucket log-ratios quantize to micro-nats
+    (FLOOR(lr*1e6 + 0.5), the repo's exact-int convention) BEFORE the
+    per-doc sum, so document weights are exact int64 (order-independent
+    addition; float SUM ordering can never flip a rank).
+
+    Scale shape: pass 1 streams the corpus once emitting per-batch
+    nonzero (bucket, target_cnt, raw_cnt) partials -> bucket-sized
+    groupby (≤ n_buckets x batches rows); the log-ratio table
+    (n_buckets int64, ~16 KB) broadcasts via ray.put; pass 2 streams
+    once more, each batch emitting its local top-k -> output-sized
+    driver merge. Bucket hash = md5-upper64 % n_buckets (the
+    md5_number_upper SQL convention)."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def _buckets(s: str) -> np.ndarray:
+        toks = _tokens(s)
+        return np.array(
+            [int.from_bytes(hashlib.md5(f"{a} {b}".encode()).digest()[:8], "little")
+             % n_buckets
+             for a, b in zip(toks, toks[1:])], dtype=np.int64)
+
+    class CountStage:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            tc = np.zeros(n_buckets, np.int64)
+            rc = np.zeros(n_buckets, np.int64)
+            for src, s in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+                bk = _buckets(s)
+                if len(bk) == 0:
+                    continue
+                np.add.at(rc, bk, 1)
+                if src == target_source:
+                    np.add.at(tc, bk, 1)
+            nz = np.flatnonzero(rc)
+            return pa.table({"bkt": pa.array(nz, pa.int64()),
+                             "t_cnt": pa.array(tc[nz], pa.int64()),
+                             "r_cnt": pa.array(rc[nz], pa.int64())})
+
+    parts = (
+        _read_docs(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(CountStage, batch_format="pyarrow", concurrency=pool_size())
+        .groupby("bkt")
+        .aggregate(Sum("t_cnt", alias_name="t_cnt"), Sum("r_cnt", alias_name="r_cnt"))
+        .to_pandas()
+    )
+    tc = np.zeros(n_buckets, np.int64)
+    rc = np.zeros(n_buckets, np.int64)
+    tc[parts["bkt"].to_numpy()] = parts["t_cnt"].to_numpy()
+    rc[parts["bkt"].to_numpy()] = parts["r_cnt"].to_numpy()
+    t_tot, r_tot = int(tc.sum()), int(rc.sum())
+    lr = (np.log((tc + 1.0) / (t_tot + float(n_buckets)))
+          - np.log((rc + 1.0) / (r_tot + float(n_buckets))))
+    lr_int = np.floor(lr * 1e6 + 0.5).astype(np.int64)
+    lr_ref = ray.put(lr_int)
+
+    class ScoreStage:
+        def __init__(self):
+            self.lr = ray.get(lr_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, ws = [], []
+            for d, src, s in zip(t.column("doc_id").to_pylist(),
+                                 t.column("source").to_pylist(),
+                                 t.column("text").to_pylist()):
+                if src == target_source:
+                    continue
+                bk = _buckets(s)
+                ids.append(int(d))
+                ws.append(int(self.lr[bk].sum()) if len(bk) else 0)
+            ids_a, ws_a = np.array(ids, np.int64), np.array(ws, np.int64)
+            if len(ids_a) > k:
+                top = np.lexsort((ids_a, -ws_a))[:k]
+                ids_a, ws_a = ids_a[top], ws_a[top]
+            return pa.table({"doc_id": pa.array(ids_a, pa.int64()),
+                             "w_micro": pa.array(ws_a, pa.int64())})
+
+    partials = (
+        _read_docs(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(ScoreStage, batch_format="pyarrow", concurrency=pool_size())
+        .to_pandas()
+    )
+    ids = partials["doc_id"].to_numpy()
+    ws = partials["w_micro"].to_numpy()
+    top = np.lexsort((ids, -ws))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(len(top)), pa.int64()),
+        "doc_id": pa.array(ids[top], pa.int64()),
+        "w_micro": pa.array(ws[top], pa.int64()),
+    })

@@ -472,3 +472,35 @@ def ann_pq_sql(k: int = 10, n_queries: int = 5, n_sub: int = 8,
         "SELECT query_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, "
         f"CAST(adist AS BIGINT) AS adist FROM r WHERE rnk < {k} ORDER BY query_id, rank"
     )
+
+
+def dsir_select_sql(target_source: str = "src0", n_buckets: int = 2048,
+                    k: int = 200) -> str:
+    """Oracle for curation.dsir_select_topk. Bigram buckets via
+    md5_number_upper % n_buckets (== the engine's md5-upper64 little-
+    endian convention, proven by the simhash/mix oracles); per-bucket
+    log-ratios quantize to micro-nat int64 BEFORE the per-doc SUM, so
+    the document weights are exact integers on both sides."""
+    return (
+        "WITH docs AS (SELECT doc_id, source, "
+        "CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END AS a "
+        "FROM documents), "
+        "b AS (SELECT doc_id, source, "
+        f"CAST(md5_number_upper(list_extract(a, i) || ' ' || list_extract(a, i + 1)) "
+        f"% {n_buckets} AS BIGINT) AS bkt "
+        "FROM docs, UNNEST(range(1, len(a))) AS t(i)), "
+        f"tc AS (SELECT bkt, COUNT(*) AS c FROM b WHERE source = '{target_source}' GROUP BY 1), "
+        "rc AS (SELECT bkt, COUNT(*) AS c FROM b GROUP BY 1), "
+        f"tot AS (SELECT (SELECT COUNT(*) FROM b WHERE source = '{target_source}') AS t_tot, "
+        "(SELECT COUNT(*) FROM b) AS r_tot), "
+        "lr AS (SELECT r.bkt, CAST(FLOOR((ln((COALESCE(t.c, 0) + 1.0)"
+        f"/(tot.t_tot + {float(n_buckets)!r})) - ln((r.c + 1.0)/(tot.r_tot + {float(n_buckets)!r})))"
+        " * 1000000.0 + 0.5) AS BIGINT) AS lri "
+        "FROM rc r LEFT JOIN tc t USING (bkt), tot), "
+        "w AS (SELECT d.doc_id, COALESCE(SUM(lr.lri), 0) AS w_micro "
+        f"FROM docs d LEFT JOIN b ON b.doc_id = d.doc_id LEFT JOIN lr ON b.bkt = lr.bkt "
+        f"WHERE d.source <> '{target_source}' GROUP BY 1) "
+        "SELECT CAST(rnk AS BIGINT) AS rank, doc_id, CAST(w_micro AS BIGINT) AS w_micro "
+        "FROM (SELECT doc_id, w_micro, ROW_NUMBER() OVER (ORDER BY w_micro DESC, doc_id) - 1 AS rnk "
+        f"FROM w) WHERE rnk < {int(k)} ORDER BY rank"
+    )

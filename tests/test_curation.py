@@ -166,3 +166,35 @@ def test_dup_gram_exposure_flags_cross_doc_only(ray_session):
     assert got.loc[0, "dup_flag"] == 1 and got.loc[0, "n_dup_grams"] == 1
     assert got.loc[1, "dup_flag"] == 1 and got.loc[1, "n_dup_grams"] == 1
     assert got.loc[2, "dup_flag"] == 0
+
+
+def test_dsir_oracle_equivalence(ray_session):
+    from lucene_solr_ray.functions import curation, data_oracle
+    got = curation.dsir_select_topk(SF).to_pandas().reset_index(drop=True)
+    exp = _con().execute(data_oracle.dsir_select_sql()).fetchdf()
+    assert list(got.columns) == list(exp.columns)
+    assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+
+def test_dsir_prefers_target_like_docs(ray_session):
+    """Importance semantics on a crafted corpus: a non-target doc that
+    shares the target's bigrams outranks one with disjoint vocabulary."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from lucene_solr_ray.functions import curation
+
+    tgt = "alpha beta gamma delta alpha beta gamma delta"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([tgt, tgt, "alpha beta gamma delta epsilon",
+                          "zz yy xx ww vv uu tt ss"], pa.string()),
+        "source": pa.array(["src0", "src0", "srcA", "srcB"], pa.string()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        got = curation.dsir_select_topk(d, target_source="src0", k=2).to_pandas()
+    assert got["doc_id"].tolist() == [2, 3]          # target-like first
+    w = dict(zip(got["doc_id"], got["w_micro"]))
+    assert w[2] > w[3]                                # and strictly heavier
