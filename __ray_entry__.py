@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_first": curation.line_dedup_first,
         # --- DSIR importance selection (Xie et al. 2023) ---
         "dsir_select_topk": curation.dsir_select_topk,
+        # --- CCNet LM quality banding (Wenzek et al. 2020) ---
+        "lm_quality_scores": curation.lm_quality_scores,
         # --- multimodal plumbing ---
         "multimodal_payload_stats": multimodal.payload_stats,
         "multimodal_fake_decode": multimodal.fake_decode,
@@ -953,6 +955,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_first": _data_oracle().line_dedup_sql(),
         # DSIR: micro-nat-quantized log-ratios -> exact int64 doc weights
         "dsir_select_topk": _data_oracle().dsir_select_sql(),
+        "lm_quality_scores": _data_oracle().lm_quality_sql(),
         # hash-Bernoulli domain mixing: md5_number_upper == the engine's
         # int.from_bytes(md5[:8], 'little') (simhash-oracle convention)
         "mix_weighted_sample": (

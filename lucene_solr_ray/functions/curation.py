@@ -546,3 +546,87 @@ def dsir_select_topk(sf_dir: str, target_source: str = "src0",
         "doc_id": pa.array(ids[top], pa.int64()),
         "w_micro": pa.array(ws[top], pa.int64()),
     })
+
+
+# ---------------- CCNet-style LM quality scoring ----------------
+
+def lm_quality_scores(sf_dir: str, lm_source: str = "src0",
+                      n_buckets: int = 4096,
+                      head_micro: int = 7_500_000,
+                      tail_micro: int = 8_500_000) -> ray.data.Dataset:
+    """CCNet-protocol quality scoring (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+    score every document by its cross-entropy under a language model
+    trained on a trusted subset, then band into head/middle/tail. The
+    LM here is a hashed-unigram model over the ``lm_source`` documents
+    (CCNet uses a KenLM 5-gram — no model artifacts exist in this
+    container, and the banding/dataflow is identical): per-token
+    logprob = ln((c[bucket]+1)/(total+B)), quantized to micro-nats
+    (int64) BEFORE summation, so per-doc cross-entropies are exact
+    integers. Band cuts are fixed micro-nat-per-token thresholds
+    (deterministic; CCNet's corpus-quantile cuts would need one extra
+    output-sized pass).
+
+    Scale shape: pass 1 = per-batch bucket-count partials over the
+    trusted subset only -> bucket-sized groupby; the 32 KB int table
+    broadcasts once; pass 2 = one stateless corpus pass, no shuffle."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    def _bk(toks: list[str]) -> np.ndarray:
+        return np.array(
+            [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little") % n_buckets
+             for w in toks], dtype=np.int64)
+
+    class CountStage:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            c = np.zeros(n_buckets, np.int64)
+            for src, s in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+                if src != lm_source:
+                    continue
+                bk = _bk(_tokens(s))
+                if len(bk):
+                    np.add.at(c, bk, 1)
+            nz = np.flatnonzero(c)
+            return pa.table({"bkt": pa.array(nz, pa.int64()),
+                             "c": pa.array(c[nz], pa.int64())})
+
+    parts = (
+        _read_docs(sf_dir, columns=("text", "source"))
+        .map_batches(CountStage, batch_format="pyarrow", concurrency=pool_size())
+        .groupby("bkt").aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    c = np.zeros(n_buckets, np.int64)
+    c[parts["bkt"].to_numpy()] = parts["c"].to_numpy()
+    tot = int(c.sum())
+    # negative log-prob per bucket, micro-nats (positive ints)
+    nlp = np.floor(-np.log((c + 1.0) / (tot + float(n_buckets))) * 1e6 + 0.5).astype(np.int64)
+    nlp_ref = ray.put(nlp)
+
+    class ScoreStage:
+        def __init__(self):
+            self.nlp = ray.get(nlp_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            ce = np.zeros(len(ids), np.int64)
+            nt = np.zeros(len(ids), np.int64)
+            for i, s in enumerate(t.column("text").to_pylist()):
+                bk = _bk(_tokens(s))
+                nt[i] = len(bk)
+                ce[i] = int(self.nlp[bk].sum()) if len(bk) else 0
+            per_tok = np.where(nt > 0, ce // np.maximum(nt, 1), 0)
+            band = np.where(per_tok <= head_micro, 0,
+                            np.where(per_tok <= tail_micro, 1, 2)).astype(np.int64)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "n_tok": pa.array(nt, pa.int64()),
+                             "ce_micro": pa.array(ce, pa.int64()),
+                             "band": pa.array(band, pa.int64())})
+
+    return (
+        _read_docs(sf_dir, columns=("doc_id", "text"))
+        .map_batches(ScoreStage, batch_format="pyarrow", concurrency=pool_size())
+        .sort("doc_id")
+    )

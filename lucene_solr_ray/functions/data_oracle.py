@@ -504,3 +504,33 @@ def dsir_select_sql(target_source: str = "src0", n_buckets: int = 2048,
         "FROM (SELECT doc_id, w_micro, ROW_NUMBER() OVER (ORDER BY w_micro DESC, doc_id) - 1 AS rnk "
         f"FROM w) WHERE rnk < {int(k)} ORDER BY rank"
     )
+
+
+def lm_quality_sql(lm_source: str = "src0", n_buckets: int = 4096,
+                   head_micro: int = 7_500_000, tail_micro: int = 8_500_000) -> str:
+    """Oracle for curation.lm_quality_scores: hashed-unigram negative
+    log-probs quantized to micro-nats before the per-doc SUM — exact
+    int64 on both sides; integer-division per-token banding."""
+    return (
+        "WITH docs AS (SELECT doc_id, source, "
+        "CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END AS a "
+        "FROM documents), "
+        "w AS (SELECT doc_id, source, "
+        f"CAST(md5_number_upper(list_extract(a, i)) % {n_buckets} AS BIGINT) AS bkt "
+        "FROM docs, UNNEST(range(1, len(a) + 1)) AS t(i)), "
+        f"cnt AS (SELECT bkt, COUNT(*) AS c FROM w WHERE source = '{lm_source}' GROUP BY 1), "
+        f"tot AS (SELECT COUNT(*) AS t FROM w WHERE source = '{lm_source}'), "
+        "nlp AS (SELECT b.bkt, CAST(FLOOR(-ln((COALESCE(cnt.c, 0) + 1.0)"
+        f"/(tot.t + {float(n_buckets)!r})) * 1000000.0 + 0.5) AS BIGINT) AS nlp "
+        "FROM (SELECT DISTINCT bkt FROM w) b LEFT JOIN cnt USING (bkt), tot), "
+        "ce AS (SELECT d.doc_id, COUNT(w.bkt) AS n_tok, "
+        "COALESCE(SUM(nlp.nlp), 0) AS ce_micro "
+        "FROM docs d LEFT JOIN w ON w.doc_id = d.doc_id "
+        "LEFT JOIN nlp ON w.bkt = nlp.bkt GROUP BY 1) "
+        "SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, "
+        "CAST(ce_micro AS BIGINT) AS ce_micro, "
+        "CAST(CASE WHEN n_tok = 0 THEN 0 "
+        f"WHEN ce_micro // n_tok <= {head_micro} THEN 0 "
+        f"WHEN ce_micro // n_tok <= {tail_micro} THEN 1 ELSE 2 END AS BIGINT) AS band "
+        "FROM ce ORDER BY doc_id"
+    )

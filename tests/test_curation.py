@@ -198,3 +198,35 @@ def test_dsir_prefers_target_like_docs(ray_session):
     assert got["doc_id"].tolist() == [2, 3]          # target-like first
     w = dict(zip(got["doc_id"], got["w_micro"]))
     assert w[2] > w[3]                                # and strictly heavier
+
+
+def test_lm_quality_oracle_equivalence_and_bands(ray_session):
+    """Hash-LM cross-entropy matches the DuckDB replica exactly; a doc
+    made of common (trusted-subset) tokens lands in a better band than
+    one made of tokens the LM never saw."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from lucene_solr_ray.functions import curation, data_oracle
+
+    got = curation.lm_quality_scores(SF).to_pandas().reset_index(drop=True)
+    exp = _con().execute(data_oracle.lm_quality_sql()).fetchdf()
+    assert list(got.columns) == list(exp.columns)
+    assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+    common = "the merge join sort " * 10
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([common, common,
+                          "qqq www eee rrr ttt yyy uuu " * 6], pa.string()),
+        "source": pa.array(["src0", "srcA", "srcA"], pa.string()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        # cuts sized to the tiny LM: max possible nlp is ln(tot+B) ~ 8.3 nats
+        bands = curation.lm_quality_scores(
+            d, head_micro=2_000_000, tail_micro=6_000_000).to_pandas().set_index("doc_id")
+    assert bands.loc[1, "ce_micro"] < bands.loc[2, "ce_micro"]
+    assert bands.loc[1, "band"] < bands.loc[2, "band"]
+    assert bands.loc[2, "band"] == 2  # unseen vocab -> tail
