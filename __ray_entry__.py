@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_select_topk": curation.dsir_select_topk,
         # --- CCNet LM quality banding (Wenzek et al. 2020) ---
         "lm_quality_scores": curation.lm_quality_scores,
+        # --- cleaned-corpus export: quality + dedup -> partitioned parquet ---
+        "clean_corpus_export": curation.clean_corpus_export,
         # --- multimodal plumbing ---
         "multimodal_payload_stats": multimodal.payload_stats,
         "multimodal_fake_decode": multimodal.fake_decode,
@@ -956,6 +958,7 @@ def oracle_sql() -> dict[str, str]:
         # DSIR: micro-nat-quantized log-ratios -> exact int64 doc weights
         "dsir_select_topk": _data_oracle().dsir_select_sql(),
         "lm_quality_scores": _data_oracle().lm_quality_sql(),
+        "clean_corpus_export": _data_oracle().clean_corpus_sql(),
         # hash-Bernoulli domain mixing: md5_number_upper == the engine's
         # int.from_bytes(md5[:8], 'little') (simhash-oracle convention)
         "mix_weighted_sample": (

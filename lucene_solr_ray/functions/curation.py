@@ -630,3 +630,83 @@ def lm_quality_scores(sf_dir: str, lm_source: str = "src0",
         .map_batches(ScoreStage, batch_format="pyarrow", concurrency=pool_size())
         .sort("doc_id")
     )
+
+
+# ---------------- cleaned-corpus export (resumable partitioned write) ----------------
+
+def clean_corpus_export(sf_dir: str, n_buckets: int = 8, min_tokens: int = 20,
+                        top_frac_pct: int = 30, out_dir: str | None = None) -> pa.Table:
+    """The end-to-end curation pipeline a pretraining run would
+    materialize: quality-filter (min length + Gopher top-unigram-
+    fraction rule, exact-integer comparison), exact-dedup keep-first,
+    and WRITE the surviving rows as hive-partitioned parquet
+    (bucket = doc_id % n_buckets, one directory per bucket) — the
+    resumable-output shape: each finished bucket gets a done marker,
+    and a re-run after a partial failure rebuilds ONLY the buckets
+    whose markers are missing (the rebuild pass pushes a bucket
+    predicate into the scan). Returns per-bucket counts read back from
+    the WRITTEN files, so the gate verifies the export itself.
+
+    Scale shape: one corpus pass for signals (stateless), one
+    signature-keyed shuffle for keep-first (full rows ride the shuffle
+    — they must reach the writer anyway), partitioned write. Filter
+    order is pinned: quality first, then dedup among survivors."""
+    import glob as _glob
+    import hashlib
+    import os as _os
+
+    import pyarrow.dataset as pads
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    if out_dir is None:
+        key = hashlib.sha1(
+            f"{_os.path.abspath(src)}|{_os.path.getmtime(src)}|{n_buckets}|"
+            f"{min_tokens}|{top_frac_pct}|v1".encode()).hexdigest()[:16]
+        out_dir = _os.path.join("/tmp/lsr_cache", f"clean-corpus-{key}")
+    _os.makedirs(out_dir, exist_ok=True)
+
+    missing = [b for b in range(n_buckets)
+               if not _os.path.exists(_os.path.join(out_dir, f".done-{b}"))]
+    if missing:
+        def signals(t: pa.Table) -> pa.Table:
+            keep, sigs, buckets = [], [], []
+            for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+                toks = _tokens(s)
+                n = len(toks)
+                top = max((toks.count(w) for w in set(toks)), default=0)
+                ok = n >= min_tokens and top * 100 <= n * top_frac_pct
+                keep.append(ok)
+                sigs.append(hashlib.md5((s or "").encode("utf-8")).hexdigest())
+                buckets.append(int(d) % n_buckets)
+            out = t.append_column("sig", pa.array(sigs, pa.string()))
+            out = out.append_column("bucket", pa.array(buckets, pa.int64()))
+            return out.filter(pa.array(keep))
+
+        def keep_first(g: pa.Table) -> pa.Table:
+            i = pa.compute.index(g.column("doc_id"),
+                                 pa.compute.min(g.column("doc_id")))
+            return g.take([i.as_py()]).drop_columns(["sig"])
+
+        ds = (
+            read_parquet_clean(src)
+            .map_batches(signals, batch_format="pyarrow")
+        )
+        if len(missing) < n_buckets:  # partial resume: only missing buckets
+            mset = set(missing)
+            ds = ds.filter(lambda r: r["doc_id"] % n_buckets in mset)
+        (
+            ds.groupby("sig")
+            .map_groups(keep_first, batch_format="pyarrow")
+            .write_parquet(out_dir, partition_cols=["bucket"])
+        )
+        for b in missing:
+            open(_os.path.join(out_dir, f".done-{b}"), "w").close()
+
+    rows = []
+    for b in range(n_buckets):
+        part = _os.path.join(out_dir, f"bucket={b}")
+        n = (pads.dataset(part, format="parquet").count_rows()
+             if _glob.glob(_os.path.join(part, "*.parquet")) else 0)
+        rows.append({"bucket": b, "n_docs": n})
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("bucket", pa.int64()), ("n_docs", pa.int64())]))

@@ -534,3 +534,24 @@ def lm_quality_sql(lm_source: str = "src0", n_buckets: int = 4096,
         f"WHEN ce_micro // n_tok <= {tail_micro} THEN 1 ELSE 2 END AS BIGINT) AS band "
         "FROM ce ORDER BY doc_id"
     )
+
+
+def clean_corpus_sql(n_buckets: int = 8, min_tokens: int = 20,
+                     top_frac_pct: int = 30) -> str:
+    """Oracle for curation.clean_corpus_export: same pinned filter order
+    (quality rule in exact ints, then exact-dedup keep MIN(doc_id) per
+    md5(text) among survivors), counted per doc_id % n_buckets."""
+    return (
+        "WITH d AS (SELECT doc_id, text, "
+        "CASE WHEN trim(text) = '' THEN [] ELSE regexp_split_to_array(trim(text), '\\s+') END AS a "
+        "FROM documents), "
+        "tfc AS (SELECT doc_id, MAX(c) AS top FROM "
+        "(SELECT doc_id, COUNT(*) AS c FROM d, UNNEST(a) AS t(w) GROUP BY doc_id, w) "
+        "GROUP BY doc_id), "
+        "q AS (SELECT d.doc_id, md5(d.text) AS sig FROM d JOIN tfc USING (doc_id) "
+        f"WHERE len(d.a) >= {min_tokens} AND tfc.top * 100 <= len(d.a) * {top_frac_pct}), "
+        "k AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY sig), "
+        f"per AS (SELECT doc_id % {n_buckets} AS b, COUNT(*) AS n FROM k GROUP BY 1) "
+        "SELECT CAST(r.range AS BIGINT) AS bucket, CAST(COALESCE(per.n, 0) AS BIGINT) AS n_docs "
+        f"FROM range(0, {n_buckets}) r LEFT JOIN per ON per.b = r.range ORDER BY bucket"
+    )

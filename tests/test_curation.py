@@ -230,3 +230,33 @@ def test_lm_quality_oracle_equivalence_and_bands(ray_session):
     assert bands.loc[1, "ce_micro"] < bands.loc[2, "ce_micro"]
     assert bands.loc[1, "band"] < bands.loc[2, "band"]
     assert bands.loc[2, "band"] == 2  # unseen vocab -> tail
+
+
+def test_clean_corpus_export_oracle_and_partition_resume(ray_session):
+    """Export counts match the SQL replica, and the write is resumable
+    at BUCKET granularity: after deleting one bucket's dir + marker, a
+    re-run rebuilds only that bucket (other buckets' files untouched)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from lucene_solr_ray.functions import curation, data_oracle
+
+    with tempfile.TemporaryDirectory() as out:
+        got = curation.clean_corpus_export(SF, out_dir=out).to_pandas()
+        exp = _con().execute(data_oracle.clean_corpus_sql()).fetchdf()
+        assert got.equals(exp.astype(got.dtypes.to_dict()))
+        assert got["n_docs"].sum() > 0
+
+        files_before = {f: os.path.getmtime(f)
+                        for f in glob.glob(os.path.join(out, "bucket=*", "*.parquet"))}
+        victim = os.path.join(out, "bucket=3")
+        shutil.rmtree(victim)
+        os.remove(os.path.join(out, ".done-3"))
+        got2 = curation.clean_corpus_export(SF, out_dir=out).to_pandas()
+        assert got2.equals(got)
+        for f, mt in files_before.items():
+            if "bucket=3" not in f:
+                assert os.path.getmtime(f) == mt, f  # untouched
+        assert glob.glob(os.path.join(victim, "*.parquet"))  # rebuilt
