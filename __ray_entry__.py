@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_topk": lambda sf: ft.bm25_topk(sf, FT_BM25_QUERIES, k=10),
         "ft_lmdirichlet_topk": lambda sf: ft.bm25_topk(
             sf, FT_BM25_QUERIES, k=10, similarity="lmdirichlet"),
+        "ft_unified_highlight": lambda sf: ft.unified_highlight_topk(
+            sf, ["merge", "join", "vector"], k_docs=10),
         "ft_prefix_docs": lambda sf: ft.multi_term_retrieve(sf, "prefix", "s"),
         "ft_wildcard_docs": lambda sf: ft.multi_term_retrieve(sf, "wildcard", "s*m"),
         "ft_regexp_docs": lambda sf: ft.multi_term_retrieve(sf, "regexp", "(stream|spark)"),
@@ -313,6 +315,8 @@ def oracle_sql() -> dict[str, str]:
         # (functions/ft_oracle.py; gap bound in tests/test_ft_oracle_sql.py).
         "ft_bm25_topk": _ft_oracle().bm25_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_lmdirichlet_topk": _ft_oracle().lmdirichlet_topk_sql(FT_BM25_QUERIES, k=10),
+        "ft_unified_highlight": _ft_oracle().unified_highlight_sql(
+            ["merge", "join", "vector"], k_docs=10),
         "ft_phrase_topk": _ft_oracle().phrase_topk_sql(["merge", "join"], k=10),
         "ft_dismax_topk": _ft_oracle().dismax_topk_sql(["merge", "join", "window"], 0.3, k=10),
         "ft_rerank_topk": _ft_oracle().rerank_topk_sql(

@@ -476,3 +476,72 @@ def tv_component_sql(query_term: str, max_docs: int = 20) -> str:
         "CAST(MIN(k.en) AS BIGINT) AS first_end "
         "FROM kept k JOIN dfs USING (term) GROUP BY k.doc_id, k.term ORDER BY k.doc_id, k.term"
     )
+
+
+def unified_highlight_sql(raw_terms: list[str], k_docs: int = 10,
+                          window: int = 16, n_passages: int = 2) -> str:
+    """Oracle for fulltext.unified_highlight_topk: BM25 top-k (the same
+    float32-replicating CTEs as bm25_topk_sql, OR mode) -> fixed
+    ``window``-position passage grid over those docs -> per-passage
+    score = SUM over query-term occurrences of micro-nat idf (exact
+    int64). Char offsets replicate the tokenizer on the single-space
+    corpus: start(i) = prefix token lengths + i-1 separators."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    terms = analyze_query_terms(raw_terms)
+    ctes = [prelude_ctes()]
+    tf_names, w_names = [], []
+    for ti, t in enumerate(terms):
+        tf_n, w_n = f"uh_tf{ti}", f"uh_w{ti}"
+        ctes.append(tf_cte(tf_n, t))
+        ctes.append(w_cte(w_n, tf_n))
+        tf_names.append(tf_n)
+        w_names.append(w_n)
+    aliases = [f"t{ti}" for ti in range(len(terms))]
+    joins = f"{tf_names[0]} {aliases[0]}"
+    for tf_n, a in zip(tf_names[1:], aliases[1:]):
+        joins += f" JOIN {tf_n} {a} ON {aliases[0]}.doc_id = {a}.doc_id"
+    joins += f" JOIN denom ON denom.doc_id = {aliases[0]}.doc_id"
+    fold = fold_f32([score_expr(a, w_n) for a, w_n in zip(aliases, w_names)])
+    cond = " OR ".join(f"{a}.tf > 0" for a in aliases)
+    ctes.append(
+        "uh_hits AS (SELECT doc_id FROM ("
+        "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS rank "
+        f"FROM (SELECT {aliases[0]}.doc_id AS doc_id, {fold} AS score "
+        f"FROM {joins} WHERE {cond}) sub) ranked WHERE rank < {int(k_docs)})"
+    )
+    # micro-nat idf per term (float64 ln, floored — no float32 narrowing)
+    idf_cases = []
+    for ti, (t, tf_n) in enumerate(zip(terms, tf_names)):
+        ctes.append(
+            f"uh_idf{ti} AS (SELECT CAST(FLOOR(ln(1.0 + ((stats.n - d.df) + 0.5)/(d.df + 0.5))"
+            " * 1000000.0 + 0.5) AS BIGINT) AS m "
+            f"FROM (SELECT CAST(COUNT(CASE WHEN tf > 0 THEN 1 END) AS DOUBLE) AS df FROM {tf_n}) d, stats)"
+        )
+        idf_cases.append(f"WHEN '{_esc(t)}' THEN (SELECT m FROM uh_idf{ti})")
+    # raw (unfiltered) tokens carry the positions; offsets by prefix sums
+    ctes.append(
+        "uh_tok AS (SELECT d.doc_id, t.i, list_extract(d.a, t.i) AS w, "
+        "CAST(COALESCE(SUM(len(list_extract(d.a, t.i)) + 1) OVER ("
+        "PARTITION BY d.doc_id ORDER BY t.i ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st "
+        "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a "
+        "FROM documents WHERE doc_id IN (SELECT doc_id FROM uh_hits) AND trim(text) <> '') d, "
+        "UNNEST(range(1, len(d.a) + 1)) AS t(i))"
+    )
+    term_set = "[" + ", ".join(f"'{_esc(t)}'" for t in terms) + "]"
+    ctes.append(
+        "uh_occ AS (SELECT doc_id, "
+        f"CAST((i - 1) // {int(window)} AS BIGINT) AS win, "
+        f"CASE w {' '.join(idf_cases)} END AS m, st, st + len(w) AS en "
+        f"FROM uh_tok WHERE list_contains({term_set}, w))"
+    )
+    ctes.append(
+        "uh_pass AS (SELECT doc_id, win, CAST(SUM(m) AS BIGINT) AS score_micro, "
+        "CAST(COUNT(*) AS BIGINT) AS n_hits, CAST(MIN(st) AS BIGINT) AS first_start, "
+        "CAST(MAX(en) AS BIGINT) AS last_end FROM uh_occ GROUP BY 1, 2)"
+    )
+    return ("WITH " + ", ".join(ctes) + " "
+            "SELECT doc_id, win, score_micro, n_hits, first_start, last_end FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, win) AS rn "
+            f"FROM uh_pass) WHERE rn <= {int(n_passages)} "
+            "ORDER BY doc_id, score_micro DESC, win")

@@ -805,3 +805,74 @@ def fuzzy_suggest(sf_dir: str, term: str = "stram", k: int = 5) -> pa.Table:
     ]
     schema = pa.schema([("sugg_rank", pa.int64()), ("term", pa.string()), ("cf", pa.int64())])
     return pa.Table.from_pylist(rows, schema=schema)
+
+
+def unified_highlight_topk(sf_dir: str, terms: list[str], k_docs: int = 10,
+                           window: int = 16, n_passages: int = 2) -> pa.Table:
+    """UnifiedHighlighter passage ranking ([U] lucene/highlighter/.../
+    uhighlight/UnifiedHighlighter.java + PassageScorer): for the query's
+    BM25 top-k documents, segment each into fixed ``window``-position
+    passages, score every passage, and return each doc's top
+    ``n_passages``. PassageScorer weighs a passage by per-term
+    idf-weighted frequency; here the BM25 idf weight quantizes to
+    micro-nats (FLOOR(idf*1e6+0.5), exact int64 — the repo convention)
+    so passage scores are exact integers:
+
+        score(passage) = sum over query terms of tf_in_passage * idf_micro(t)
+
+    Served ENTIRELY from the persisted term vectors (positions; char
+    offsets back the snippet spans) — the stored text is never
+    re-analyzed. Positions carry StopFilter gaps, so a position IS the
+    whitespace ordinal of the token (the invariant the phrase oracles
+    pin), which is what makes the passage grid SQL-replicable.
+    Output: (doc_id, win, score_micro, n_hits, first_start, last_end),
+    ranked (score desc, win asc) per doc."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+    from lucene_solr_ray.similarity import idf as bm25_idf
+
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    qterms = analyze_query_terms(terms)
+    mapping = _docid_to_doc_id(index_dir)
+    d, _sc = s.search(qterms, k=k_docs, mode="or")
+    if len(d) == 0:
+        return pa.Table.from_pylist([], schema=pa.schema(
+            [("doc_id", pa.int64()), ("win", pa.int64()), ("score_micro", pa.int64()),
+             ("n_hits", pa.int64()), ("first_start", pa.int64()), ("last_end", pa.int64())]))
+    idf_micro = {t: int(np.floor(bm25_idf(s.n_scoring, s.term_stats_and_cursor(t)[0]) * 1e6 + 0.5))
+                 for t in qterms}
+
+    tbl = pads.dataset(os.path.join(index_dir, "tvs"), format="parquet").to_table(
+        filter=pa.compute.field("docid").isin(pa.array(d.astype(np.int64)))
+        & pa.compute.field("term").isin(pa.array(qterms))
+    )
+    # per (doc, window): weighted score + span bounds
+    acc: dict[tuple[int, int], list[int]] = {}  # -> [score, n_hits, min_start, max_end]
+    did = tbl.column("docid").to_numpy().astype(np.int64)
+    for i in range(tbl.num_rows):
+        t = tbl.column("term")[i].as_py()
+        wmic = idf_micro[t]
+        starts = tbl.column("starts")[i].as_py()
+        ends = tbl.column("ends")[i].as_py()
+        for p, st, en in zip(tbl.column("positions")[i].as_py(), starts, ends):
+            key = (int(did[i]), int(p) // window)
+            a = acc.setdefault(key, [0, 0, int(st), int(en)])
+            a[0] += wmic
+            a[1] += 1
+            a[2] = min(a[2], int(st))
+            a[3] = max(a[3], int(en))
+
+    rows = []
+    by_doc: dict[int, list] = {}
+    for (docid, win), (sc, nh, st, en) in acc.items():
+        by_doc.setdefault(docid, []).append((-sc, win, nh, st, en))
+    for docid in sorted(by_doc):
+        for negs, win, nh, st, en in sorted(by_doc[docid])[:n_passages]:
+            rows.append({"doc_id": int(mapping[docid]), "win": win,
+                         "score_micro": -negs, "n_hits": nh,
+                         "first_start": st, "last_end": en})
+    rows.sort(key=lambda r: (r["doc_id"], -r["score_micro"], r["win"]))
+    schema = pa.schema([("doc_id", pa.int64()), ("win", pa.int64()),
+                        ("score_micro", pa.int64()), ("n_hits", pa.int64()),
+                        ("first_start", pa.int64()), ("last_end", pa.int64())])
+    return pa.Table.from_pylist(rows, schema=schema)

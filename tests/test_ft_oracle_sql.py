@@ -146,3 +146,24 @@ def test_lmdirichlet_clamp_margin_and_gap_bound():
             assert gap > 2 * ulp, (float(a), float(b), gap, ulp)
             checked += 1
     assert checked > 50
+
+
+def test_unified_highlight_matches_duckdb_and_offsets(con):
+    """Passage ranking matches the SQL replica (including char offsets —
+    proving the stored-TV offsets equal the whitespace prefix sums on
+    this corpus), and offsets slice real term occurrences."""
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.functions import ft_oracle as FO
+    from lucene_solr_ray.functions.fulltext import unified_highlight_topk
+
+    got = unified_highlight_topk(SF, ["merge", "join", "vector"], k_docs=10)
+    _eq(got, con.sql(FO.unified_highlight_sql(["merge", "join", "vector"], k_docs=10)))
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    texts = dict(zip(texts["doc_id"], texts["text"]))
+    qset = {"merge", "join", "vector"}
+    for r in got.to_pylist():
+        span = texts[r["doc_id"]][r["first_start"]:r["last_end"]]
+        assert any(t in span.split() for t in qset), r
+        assert r["score_micro"] > 0 and r["n_hits"] > 0
