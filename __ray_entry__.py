@@ -142,6 +142,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, FT_BM25_QUERIES, k=10, similarity="lmdirichlet"),
         "ft_unified_highlight": lambda sf: ft.unified_highlight_topk(
             sf, ["merge", "join", "vector"], k_docs=10),
+        "ft_feature_boost_topk": lambda sf: ft.feature_boost_topk(
+            sf, ["merge", "join"], k=10),
         "ft_prefix_docs": lambda sf: ft.multi_term_retrieve(sf, "prefix", "s"),
         "ft_wildcard_docs": lambda sf: ft.multi_term_retrieve(sf, "wildcard", "s*m"),
         "ft_regexp_docs": lambda sf: ft.multi_term_retrieve(sf, "regexp", "(stream|spark)"),
@@ -317,6 +319,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_lmdirichlet_topk": _ft_oracle().lmdirichlet_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_unified_highlight": _ft_oracle().unified_highlight_sql(
             ["merge", "join", "vector"], k_docs=10),
+        "ft_feature_boost_topk": _ft_oracle().feature_boost_sql(
+            ["merge", "join"], k=10),
         "ft_phrase_topk": _ft_oracle().phrase_topk_sql(["merge", "join"], k=10),
         "ft_dismax_topk": _ft_oracle().dismax_topk_sql(["merge", "join", "window"], 0.3, k=10),
         "ft_rerank_topk": _ft_oracle().rerank_topk_sql(

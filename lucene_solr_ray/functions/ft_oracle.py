@@ -545,3 +545,37 @@ def unified_highlight_sql(raw_terms: list[str], k_docs: int = 10,
             "SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, win) AS rn "
             f"FROM uh_pass) WHERE rn <= {int(n_passages)} "
             "ORDER BY doc_id, score_micro DESC, win")
+
+
+def feature_boost_sql(raw_terms: list[str], field: str = "n_chars",
+                      weight: float = 1.5, pivot: float = 300.0, k: int = 10) -> str:
+    """Oracle for fulltext.feature_boost_topk: the BM25 fold plus one
+    trailing float32 saturation clause CAST(w*(v/(v+pivot)) AS FLOAT)."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    terms = analyze_query_terms(raw_terms)
+    ctes = [prelude_ctes()]
+    tf_names, w_names = [], []
+    for ti, t in enumerate(terms):
+        tf_n, w_n = f"fb_tf{ti}", f"fb_w{ti}"
+        ctes.append(tf_cte(tf_n, t))
+        ctes.append(w_cte(w_n, tf_n))
+        tf_names.append(tf_n)
+        w_names.append(w_n)
+    aliases = [f"t{ti}" for ti in range(len(terms))]
+    joins = f"{tf_names[0]} {aliases[0]}"
+    for tf_n, a in zip(tf_names[1:], aliases[1:]):
+        joins += f" JOIN {tf_n} {a} ON {aliases[0]}.doc_id = {a}.doc_id"
+    joins += f" JOIN denom ON denom.doc_id = {aliases[0]}.doc_id"
+    joins += f" JOIN documents dv ON dv.doc_id = {aliases[0]}.doc_id"
+    sat = (f"CAST({weight!r} * (CAST(dv.{field} AS DOUBLE)"
+           f"/(CAST(dv.{field} AS DOUBLE) + {pivot!r})) AS FLOAT)")
+    fold = fold_f32([score_expr(a, w_n) for a, w_n in zip(aliases, w_names)] + [sat])
+    cond = " OR ".join(f"{a}.tf > 0" for a in aliases)
+    return ("WITH " + ", ".join(ctes) + " "
+            "SELECT 'fb-1' AS query_id, rank, doc_id FROM ("
+            "SELECT doc_id, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+            f"FROM (SELECT {aliases[0]}.doc_id AS doc_id, {fold} AS score "
+            f"FROM {joins} WHERE {cond}) sub"
+            f") ranked WHERE rank < {int(k)} ORDER BY rank")

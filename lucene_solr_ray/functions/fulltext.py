@@ -876,3 +876,45 @@ def unified_highlight_topk(sf_dir: str, terms: list[str], k_docs: int = 10,
                         ("score_micro", pa.int64()), ("n_hits", pa.int64()),
                         ("first_start", pa.int64()), ("last_end", pa.int64())])
     return pa.Table.from_pylist(rows, schema=schema)
+
+
+def feature_boost_topk(sf_dir: str, terms: list[str], field: str = "n_chars",
+                       weight: float = 1.5, pivot: float = 300.0, k: int = 10) -> pa.Table:
+    """FeatureField saturation boost ([U] lucene/core/.../document/
+    FeatureField.java, newSaturationQuery): static per-document signals
+    (pagerank, length, freshness) contribute ``weight * v/(v+pivot)``
+    as one more SHOULD clause on top of the BM25 text score. Pinned
+    float order: sat = float32(weight * (v/(v+pivot))) in float64, then
+    one more float32 fold step AFTER the ascending-term BM25
+    accumulation (the feature clause sorts last). Rank-only output.
+
+    Scale shape: the feature value rides docs.parquet doc-values — the
+    fetch is a docid-pushdown pruned read of (docid, field) for the
+    match set only (at 10^12 docs, partition the match set by docid
+    range and join per range)."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    from lucene_solr_ray.oracle import analyze_query_terms, topk_order
+
+    qterms = analyze_query_terms(terms)
+    d, bm25 = s.search(qterms, k=max(1, s.n_docs), mode="or")
+    if len(d) == 0:
+        return pa.Table.from_pylist([], schema=pa.schema(
+            [("query_id", pa.string()), ("rank", pa.int64()), ("doc_id", pa.int64())]))
+    docs = pads.dataset(os.path.join(index_dir, "docs"), format="parquet").to_table(
+        columns=["docid", field],
+        filter=pa.compute.field("docid").isin(pa.array(d.astype(np.int64))))
+    order = pa.compute.sort_indices(docs.column("docid"))
+    did_sorted = docs.column("docid").take(order).to_numpy().astype(np.int64)
+    v_sorted = docs.column(field).take(order).to_numpy().astype(np.float64)
+    # align to d's (score-desc) order — search() does not return docid order
+    v = v_sorted[np.searchsorted(did_sorted, d)]
+    sat = (np.float64(weight) * (v / (v + np.float64(pivot)))).astype(np.float32)
+    final = (bm25.astype(np.float64) + sat.astype(np.float64)).astype(np.float32)
+    top = topk_order(d, final, k)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({
+        "query_id": pa.array(["fb-1"] * len(top), pa.string()),
+        "rank": pa.array(np.arange(len(top)), pa.int64()),
+        "doc_id": pa.array(mapping[d[top]].astype(np.int64), pa.int64()),
+    })

@@ -167,3 +167,16 @@ def test_unified_highlight_matches_duckdb_and_offsets(con):
         span = texts[r["doc_id"]][r["first_start"]:r["last_end"]]
         assert any(t in span.split() for t in qset), r
         assert r["score_micro"] > 0 and r["n_hits"] > 0
+
+
+def test_feature_boost_matches_duckdb_and_reorders(con):
+    """FeatureField saturation clause matches the SQL replica, and the
+    feature genuinely reorders vs plain BM25 (weight high enough that
+    long docs jump)."""
+    from lucene_solr_ray.functions import ft_oracle as FO
+    from lucene_solr_ray.functions.fulltext import bm25_topk, feature_boost_topk
+
+    got = feature_boost_topk(SF, ["merge", "join"], k=10)
+    _eq(got, con.sql(FO.feature_boost_sql(["merge", "join"], k=10)))
+    plain = bm25_topk(SF, [("fb-1", ["merge", "join"], "or")], k=10).to_pandas()
+    assert got.to_pandas()["doc_id"].tolist() != plain["doc_id"].tolist()
