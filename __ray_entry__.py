@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, ["merge", "join", "vector"], k_docs=10),
         "ft_feature_boost_topk": lambda sf: ft.feature_boost_topk(
             sf, ["merge", "join"], k=10),
+        "ft_intervals_containing": lambda sf: ft.intervals_containing_retrieve(
+            sf, "merge", "join", "sort", max_width=8),
         "ft_prefix_docs": lambda sf: ft.multi_term_retrieve(sf, "prefix", "s"),
         "ft_wildcard_docs": lambda sf: ft.multi_term_retrieve(sf, "wildcard", "s*m"),
         "ft_regexp_docs": lambda sf: ft.multi_term_retrieve(sf, "regexp", "(stream|spark)"),
@@ -321,6 +323,8 @@ def oracle_sql() -> dict[str, str]:
             ["merge", "join", "vector"], k_docs=10),
         "ft_feature_boost_topk": _ft_oracle().feature_boost_sql(
             ["merge", "join"], k=10),
+        "ft_intervals_containing": _ft_oracle().intervals_containing_sql(
+            "merge", "join", "sort", max_width=8),
         "ft_phrase_topk": _ft_oracle().phrase_topk_sql(["merge", "join"], k=10),
         "ft_dismax_topk": _ft_oracle().dismax_topk_sql(["merge", "join", "window"], 0.3, k=10),
         "ft_rerank_topk": _ft_oracle().rerank_topk_sql(

@@ -579,3 +579,34 @@ def feature_boost_sql(raw_terms: list[str], field: str = "n_chars",
             f"FROM (SELECT {aliases[0]}.doc_id AS doc_id, {fold} AS score "
             f"FROM {joins} WHERE {cond}) sub"
             f") ranked WHERE rank < {int(k)} ORDER BY rank")
+
+
+def intervals_containing_sql(term_a: str, term_b: str, small: str,
+                             max_width: int = 8) -> str:
+    """Oracle for fulltext.intervals_containing_retrieve — an independent
+    SQL construction of the minimal-interval semantic: candidate
+    intervals pair each a-position with its nearest b on either side
+    (correlated min/max), dominated candidates are anti-joined away,
+    survivors must fit max_width and contain a c-position. Token
+    position = whitespace ordinal (the StopFilter-gap invariant)."""
+    pos = ("pos AS (SELECT doc_id, i - 1 AS p, list_extract(a, i) AS w FROM "
+           "(SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a "
+           "FROM documents WHERE trim(text) <> '') d, "
+           "UNNEST(range(1, len(a) + 1)) AS t(i))")
+    return (
+        f"WITH {pos}, "
+        f"pa_ AS (SELECT doc_id, p FROM pos WHERE w = '{_esc(term_a)}'), "
+        f"pb_ AS (SELECT doc_id, p FROM pos WHERE w = '{_esc(term_b)}'), "
+        f"pc_ AS (SELECT doc_id, p FROM pos WHERE w = '{_esc(small)}'), "
+        "cand AS ("
+        "  SELECT DISTINCT a.doc_id, LEAST(a.p, b.p) AS lo, GREATEST(a.p, b.p) AS hi "
+        "  FROM pa_ a JOIN pb_ b ON b.doc_id = a.doc_id "
+        "  WHERE b.p = (SELECT MIN(p) FROM pb_ x WHERE x.doc_id = a.doc_id AND x.p >= a.p) "
+        "     OR b.p = (SELECT MAX(p) FROM pb_ x WHERE x.doc_id = a.doc_id AND x.p < a.p)), "
+        "minimal AS (SELECT c.* FROM cand c WHERE NOT EXISTS ("
+        "  SELECT 1 FROM cand c2 WHERE c2.doc_id = c.doc_id "
+        "  AND c2.lo >= c.lo AND c2.hi <= c.hi AND (c2.lo <> c.lo OR c2.hi <> c.hi))) "
+        "SELECT DISTINCT m.doc_id AS doc_id FROM minimal m JOIN pc_ c ON c.doc_id = m.doc_id "
+        f"WHERE m.hi - m.lo <= {int(max_width)} AND c.p BETWEEN m.lo AND m.hi "
+        "ORDER BY m.doc_id"
+    )

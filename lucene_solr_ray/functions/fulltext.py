@@ -918,3 +918,15 @@ def feature_boost_topk(sf_dir: str, terms: list[str], field: str = "n_chars",
         "rank": pa.array(np.arange(len(top)), pa.int64()),
         "doc_id": pa.array(mapping[d[top]].astype(np.int64), pa.int64()),
     })
+
+
+def intervals_containing_retrieve(sf_dir: str, term_a: str, term_b: str,
+                                  small: str, max_width: int = 8) -> pa.Table:
+    """IntervalQuery containing(maxwidth(w, unordered(a,b)), c) match set
+    ([U] lucene/queries/.../intervals/Intervals.java) -> sorted doc_id
+    set, minimal-interval semantics (see IndexSearcher)."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d = s.search_intervals_containing(term_a, term_b, small, max_width)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})

@@ -101,3 +101,27 @@ def phrase_freq(shifted_positions: list[np.ndarray], slop: int = 0) -> int:
             ptrs[j] += 1
             if ptrs[j] >= len(shifted_positions[j]):
                 return count
+
+
+def minimal_intervals_two(pos_a: np.ndarray, pos_b: np.ndarray) -> list[tuple[int, int]]:
+    """Minimal intervals of the unordered pair {A, B} ([U] lucene/queries/
+    .../intervals/ — an interval is minimal iff it properly contains no
+    other matching interval). For two single terms: candidates pair each
+    a-occurrence with its nearest b on either side; dominated (properly
+    containing) candidates are removed. Shared by the engine and any
+    oracle that reimplements containment."""
+    if len(pos_a) == 0 or len(pos_b) == 0:
+        return []
+    cands = set()
+    for x in np.asarray(pos_a, dtype=np.int64):
+        i = int(np.searchsorted(pos_b, x))
+        if i < len(pos_b):
+            cands.add((int(min(x, pos_b[i])), int(max(x, pos_b[i]))))
+        if i > 0:
+            cands.add((int(min(x, pos_b[i - 1])), int(max(x, pos_b[i - 1]))))
+    out = []
+    for lo, hi in cands:
+        if not any((lo2 >= lo and hi2 <= hi and (lo2, hi2) != (lo, hi))
+                   for lo2, hi2 in cands):
+            out.append((lo, hi))
+    return sorted(out)

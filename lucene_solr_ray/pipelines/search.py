@@ -1237,6 +1237,41 @@ class IndexSearcher:
                          for terms in clause_terms], slop)]
         return np.asarray(out, dtype=np.int64)
 
+    def search_intervals_containing(self, term_a: str, term_b: str,
+                                    small: str, max_width: int) -> np.ndarray:
+        """IntervalQuery `containing(maxwidth(w, unordered(a, b)), c)`
+        ([U] lucene/queries/.../intervals/Intervals.java): unscored
+        ascending-docid set of docs where some MINIMAL interval of the
+        unordered pair {a, b} with width <= max_width (width = hi - lo,
+        position delta) contains an occurrence of c. Minimality matters:
+        a wide (a..b) stretch containing c does NOT match when a tighter
+        minimal interval exists that excludes c — the shared
+        phrase.minimal_intervals_two matcher pins that semantic."""
+        from lucene_solr_ray.phrase import minimal_intervals_two
+
+        views, clause_terms = self._span_clause_views([term_a, term_b, small])
+        if views is None:
+            return np.empty(0, dtype=np.int64)
+        cand = None
+        for terms in clause_terms:
+            docs = views[terms[0]].docids
+            cand = docs if cand is None else np.intersect1d(cand, docs, assume_unique=True)
+            if len(cand) == 0:
+                return cand.astype(np.int64)
+        cand = self._live(cand)
+        out = []
+        for doc in cand:
+            p_a = views[term_a].positions(int(doc))
+            p_b = views[term_b].positions(int(doc))
+            p_c = views[small].positions(int(doc))
+            for lo, hi in minimal_intervals_two(p_a, p_b):
+                if hi - lo <= max_width:
+                    i = int(np.searchsorted(p_c, lo))
+                    if i < len(p_c) and p_c[i] <= hi:
+                        out.append(int(doc))
+                        break
+        return np.asarray(out, dtype=np.int64)
+
     def search_span_not(self, include, exclude, pre: int = 0,
                         post: int = 0) -> np.ndarray:
         """SpanNotQuery ([U] .../spans/SpanNotQuery.java), single-term

@@ -155,3 +155,39 @@ def test_span_not_parity(t1_index, t1_table):
             if any(all(not (p - pre <= q <= p + post) for q in exc) for p in inc):
                 exp.append(i)
         assert got.tolist() == exp, (include, exclude, pre, post)
+
+
+def test_intervals_containing_minimality(ray_session, tmp_path):
+    """Minimal-interval semantics: doc 0 has a..c..b with no tighter
+    pair -> match; doc 1 has a wide a..c..b stretch but a tighter (a,b)
+    pair that EXCLUDES c -> no match (an all-pairs implementation would
+    wrongly keep it); doc 2 exceeds max_width."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.functions.fulltext import intervals_containing_retrieve
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "aa x cc x bb",                  # minimal (0,4) contains c at 2
+            "aa x cc x aa bb",               # minimal is (4,5): excludes cc
+            "aa x x x x x x x x x cc bb" ,   # (0,11) wide; minimal (11? no..)
+        ], pa.string()),
+        "lang": pa.array(["en"] * 3), "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([10, 10, 10], pa.int64()),
+    })
+    d = str(tmp_path)
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    got = intervals_containing_retrieve(d, "aa", "bb", "cc", max_width=6)
+    assert got.column("doc_id").to_pylist() == [0]
+
+    # and the shared matcher directly: dominated candidates are removed
+    import numpy as np
+
+    from lucene_solr_ray.phrase import minimal_intervals_two
+    assert minimal_intervals_two(np.array([0, 4]), np.array([5])) == [(4, 5)]
+    assert minimal_intervals_two(np.array([0]), np.array([5])) == [(0, 5)]
+    assert minimal_intervals_two(np.array([3]), np.array([1, 6])) == [(1, 3), (3, 6)]
