@@ -217,6 +217,54 @@ class LMJelinekMercer:
         return ub * (1.0 + 1e-6) + 1e-12
 
 
+class DFRInL2:
+    """Lucene DFRSimilarity(BasicModelIn, AfterEffectL, NormalizationH2)
+    — the classic "InL2" DFR model ([U] lucene/core/.../search/
+    similarities/DFRSimilarity.java + BasicModelIn/AfterEffectL/
+    NormalizationH2, c = 1):
+
+        tfn    = tf * log2(1 + c * avgdl / dl')        (H2 normalization)
+        score  = float32( w * tfn/(tfn + 1) )          (L after-effect)
+        w      = float32( log2((N + 1)/(df + 0.5)) )   (I(n) basic model)
+
+    Fits the protocol unchanged (df-only weight); cache[norm] holds the
+    float64 log2(1 + avgdl/dl'). Increasing in tf, decreasing in dl, so
+    impacts give exact WAND bounds."""
+
+    name = "dfr_inl2"
+    C = 1.0
+
+    @staticmethod
+    def idf(n_docs: int, df: int) -> float:
+        return math.log2((n_docs + 1.0) / (df + 0.5))
+
+    @classmethod
+    def term_weight(cls, n_docs: int, df: int) -> np.float32:
+        return np.float32(cls.idf(n_docs, df))
+
+    @classmethod
+    def denom_cache(cls, avgdl: float) -> np.ndarray:
+        dl = np.maximum(DECODED_TABLE.astype(np.float64), 1.0)
+        return np.log2(1.0 + cls.C * avgdl / dl)
+
+    @staticmethod
+    def score_term(w, tfs, norm_bytes, cache) -> np.ndarray:
+        tfn = np.asarray(tfs, dtype=np.float64) * cache[norm_bytes]
+        return (np.float64(w) * (tfn / (tfn + 1.0))).astype(np.float32)
+
+    @staticmethod
+    def score_upper_bound(w, max_tf, min_norm, cache):
+        tfn = np.float64(max_tf) * cache[min_norm]
+        ub = np.float64(w) * (tfn / (tfn + 1.0))
+        return ub * (1.0 + 1e-6) + 1e-12
+
+    @staticmethod
+    def block_upper_bounds(w, max_tfs: np.ndarray, min_norms: np.ndarray, cache) -> np.ndarray:
+        tfn = max_tfs.astype(np.float64) * cache[min_norms]
+        ub = np.float64(w) * (tfn / (tfn + 1.0))
+        return ub * (1.0 + 1e-6) + 1e-12
+
+
 class BooleanSim:
     """Lucene BooleanSimilarity ([U] lucene/core/.../search/similarities/
     BooleanSimilarity.java): score = boost, norms ignored — every match
@@ -254,6 +302,7 @@ SIMILARITIES = {
     "classic": ClassicTFIDF,
     "lmdirichlet": LMDirichlet,
     "lmjelinekmercer": LMJelinekMercer,
+    "dfr_inl2": DFRInL2,
     "boolean": BooleanSim,
 }
 
