@@ -241,6 +241,20 @@ def main() -> None:
     t0 = time.perf_counter()
     dedupmod.dedup_connected_components(SF_DIR)
     queries["dedup_connected_components"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    curmod.dsir_select_topk(SF_DIR)
+    queries["dsir_select_topk"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    curmod.lm_quality_scores(SF_DIR).count()
+    queries["lm_quality_scores"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    clean_dir = "/tmp/lsr_bench/clean-corpus"
+    shutil.rmtree(clean_dir, ignore_errors=True)  # time a cold export
+    curmod.clean_corpus_export(SF_DIR, out_dir=clean_dir)
+    queries["clean_corpus_export"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    annmod.ann_pq_topk(SF_DIR, k=10, n_queries=5)
+    queries["ann_pq_topk"] = round(time.perf_counter() - t0, 3)
 
     lat_ms = np.array(lat) * 1000
     out = {
