@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine": lambda sf: dedup.embedding_cosine_pairs(sf, threshold=0.42),
         "dedup_embedding_lsh": lambda sf: dedup.embedding_lsh_pairs(sf, threshold=0.42),
         "dedup_connected_components": dedup.dedup_connected_components,
+        "semdedup_keep": lambda sf: dedup.semdedup_keep(sf, n_clusters=16, threshold=0.42),
         # --- similarity search ---
         "ann_brute_topk": lambda sf: ann.ann_brute_topk(sf, k=10, n_queries=5),
         "ann_ivf_topk": lambda sf: ann.ann_ivf_topk(sf, k=10, n_queries=5),
@@ -902,6 +903,33 @@ def oracle_sql() -> dict[str, str]:
             "sz AS (SELECT canon_id, COUNT(*) AS n_members FROM cc GROUP BY canon_id) "
             "SELECT node AS doc_id, cc.canon_id, sz.n_members, CAST(node = cc.canon_id AS BIGINT) AS keep "
             "FROM cc JOIN sz USING (canon_id) ORDER BY doc_id"
+        ),
+        # semdedup: centroid sampling/assignment exact int64 (ann_pq
+        # convention); within-cluster cosine uses the 0.42 margin bound
+        # above; components via the recursive min-label CTE
+        "semdedup_keep": (
+            "WITH RECURSIVE ev AS (SELECT vec_id, i, "
+            "CAST(FLOOR(CAST(list_extract(embedding, i) AS DOUBLE) * 10000 + 0.5) AS BIGINT) AS v "
+            "FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)), "
+            "cbidx AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid "
+            "FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)), "
+            "cb AS (SELECT c.cid, e.i, e.v FROM cbidx c JOIN ev e USING (vec_id)), "
+            "dist AS (SELECT a.vec_id, b.cid, SUM((a.v - b.v) * (a.v - b.v)) AS d "
+            "FROM ev a JOIN cb b ON a.i = b.i GROUP BY 1, 2), "
+            "asg AS (SELECT vec_id, cid FROM dist "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1), "
+            "pairs AS (SELECT x.vec_id AS a, y.vec_id AS b, ax.cid FROM embeddings x "
+            "JOIN asg ax ON ax.vec_id = x.vec_id "
+            "JOIN asg ay ON ay.cid = ax.cid "
+            "JOIN embeddings y ON y.vec_id = ay.vec_id AND x.vec_id < y.vec_id "
+            "WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.42), "
+            "edges AS (SELECT a AS s, b AS d FROM pairs UNION ALL SELECT b, a FROM pairs), "
+            "reach(node, lab) AS (SELECT s, s FROM edges UNION "
+            "SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node), "
+            "cc AS (SELECT node, MIN(lab) AS keep_id FROM reach GROUP BY node) "
+            "SELECT node AS vec_id, CAST(asg.cid AS BIGINT) AS cluster_id, cc.keep_id, "
+            "CAST(node = cc.keep_id AS BIGINT) AS kept "
+            "FROM cc JOIN asg ON asg.vec_id = cc.node ORDER BY vec_id"
         ),
         # --- similarity search ---
         "ann_brute_topk": (

@@ -822,3 +822,91 @@ def dedup_connected_components(sf_dir: str, threshold_pct: int = 30,
         "n_members": pa.array(df["n_members"].astype(np.int64)),
         "keep": pa.array(df["keep"].astype(np.int64)),
     })
+
+
+# ---------------- SemDeDup (semantic dedup via cluster-then-pairwise) ----------------
+
+def semdedup_keep(sf_dir: str, n_clusters: int = 16, threshold: float = 0.42,
+                  scale: int = 10_000) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the embedding
+    space, compare cosine similarity ONLY within clusters, and keep one
+    representative per semantic-duplicate group — the published trade
+    that turns O(n^2) pairwise into sum-of-cluster-sized blocks
+    (cross-cluster dup pairs are unseen by design; the paper sizes k
+    proportionally to n so clusters stay bounded).
+
+    Determinism/oracle: centroids are the ``n_clusters`` lowest vec_ids
+    quantized to int64 (the sampled-codebook convention of ann_pq_topk);
+    assignment is argmin int64 squared distance, ties to the lowest
+    cluster — both exactly replicable in SQL. The within-cluster dup
+    graph uses float64 cosine >= threshold (0.42 sits >= 3e-5 from every
+    pair's cosine on the gate corpora — the dedup_embedding_cosine
+    margin); keep = min vec_id per connected component (union-find
+    inside the per-cluster UDF; cluster-sized state only). Output: one
+    row per vector that participates in ANY within-cluster dup pair.
+
+    Scale shape: centroids broadcast once; ONE assign pass; one
+    cluster-keyed shuffle (vectors must co-locate for the pairwise
+    step); per-cluster work is cluster-sized."""
+    head = (
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .sort("vec_id").limit(n_clusters).to_pandas()
+    )
+    cq = np.floor(np.array(head["embedding"].tolist(), dtype=np.float64)
+                  * scale + 0.5).astype(np.int64)
+    c_ref = ray.put(cq)
+
+    class Assign:
+        def __init__(self):
+            self.c = ray.get(c_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+            q = np.floor(x * scale + 0.5).astype(np.int64)
+            d2 = ((q[:, None, :] - self.c[None, :, :]) ** 2).sum(axis=2)
+            cid = d2.argmin(axis=1)  # first occurrence = lowest cluster on ties
+            return t.append_column("cluster_id", pa.array(cid.astype(np.int64)))
+
+    def per_cluster(g):
+        ids = g["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        x = np.array(g["embedding"].tolist(), dtype=np.float64)[order]
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        sim = xn @ xn.T
+        n = len(ids)
+        parent = np.arange(n)
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        in_pair = np.zeros(n, bool)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sim[i, j] >= threshold:
+                    in_pair[i] = in_pair[j] = True
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        roots = np.array([find(i) for i in range(n)])
+        cid = int(g["cluster_id"].iloc[0])
+        rows = [(int(ids[i]), cid, int(ids[roots[i]]), int(ids[i] == ids[roots[i]]))
+                for i in range(n) if in_pair[i]]
+        return pa.table({
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "cluster_id": pa.array([r[1] for r in rows], pa.int64()),
+            "keep_id": pa.array([r[2] for r in rows], pa.int64()),
+            "kept": pa.array([r[3] for r in rows], pa.int64()),
+        })
+
+    return (
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(Assign, batch_format="pyarrow", concurrency=pool_size())
+        .groupby("cluster_id")
+        .map_groups(per_cluster, batch_format="pandas")
+        .sort("vec_id")
+    )

@@ -333,3 +333,34 @@ def test_ann_pq_codebook_vectors_encode_to_themselves():
     a = ann_pq_topk(SF, k=3, n_queries=2).to_pylist()
     b = ann_pq_topk(SF, k=3, n_queries=2).to_pylist()
     assert a == b and len(a) == 6
+
+
+def test_semdedup_oracle_equivalence_and_subset():
+    """SemDeDup matches its DuckDB replica; every within-cluster dup pair
+    it finds is also an exact global cosine pair (no false positives —
+    the cluster restriction can only LOSE cross-cluster pairs, the
+    published trade-off); keepers are component minima."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from lucene_solr_ray.functions.dedup import embedding_cosine_pairs, semdedup_keep
+
+    got = semdedup_keep(SF, n_clusters=16, threshold=0.42).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["semdedup_keep"]).fetchdf()
+    assert list(got.columns) == list(exp.columns)
+    assert got.equals(exp.astype(got.dtypes.to_dict()))
+
+    exact = embedding_cosine_pairs(SF, threshold=0.42).to_pandas()
+    exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+    by_comp = got.groupby("keep_id")["vec_id"].apply(list)
+    for keep, members in by_comp.items():
+        assert keep == min(members)
+        assert (got[got.vec_id == keep]["kept"] == 1).all()
+    # each non-keeper joined its component through some exact pair
+    for comp in by_comp:
+        for m in comp:
+            if m == min(comp):
+                continue
+            assert any((min(a, m), max(a, m)) in exact_pairs for a in comp if a != m), comp
