@@ -670,10 +670,11 @@ def clean_corpus_export(sf_dir: str, n_buckets: int = 8, min_tokens: int = 20,
     if missing:
         def signals(t: pa.Table) -> pa.Table:
             keep, sigs, buckets = [], [], []
+            from collections import Counter
             for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
                 toks = _tokens(s)
                 n = len(toks)
-                top = max((toks.count(w) for w in set(toks)), default=0)
+                top = max(Counter(toks).values(), default=0)
                 ok = n >= min_tokens and top * 100 <= n * top_frac_pct
                 keep.append(ok)
                 sigs.append(hashlib.md5((s or "").encode("utf-8")).hexdigest())

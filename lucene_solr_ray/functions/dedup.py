@@ -884,14 +884,14 @@ def semdedup_keep(sf_dir: str, n_clusters: int = 16, threshold: float = 0.42,
                 i = parent[i]
             return i
 
+        iu, ju = np.triu_indices(n, k=1)
+        hits = sim[iu, ju] >= threshold  # vectorized pair extraction
         in_pair = np.zeros(n, bool)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sim[i, j] >= threshold:
-                    in_pair[i] = in_pair[j] = True
-                    ri, rj = find(i), find(j)
-                    if ri != rj:
-                        parent[max(ri, rj)] = min(ri, rj)
+        for i, j in zip(iu[hits], ju[hits]):
+            in_pair[i] = in_pair[j] = True
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
         roots = np.array([find(i) for i in range(n)])
         cid = int(g["cluster_id"].iloc[0])
         rows = [(int(ids[i]), cid, int(ids[roots[i]]), int(ids[i] == ids[roots[i]]))
