@@ -412,7 +412,8 @@ def dup_gram_exposure_sql(ngram: int = 8) -> str:
     parts = "||' '||".join(f"list_extract(a,i+{j})" if j else "list_extract(a,i)"
                            for j in range(ngram))
     return (
-        "WITH docs AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a FROM documents), "
+        "WITH docs AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE "
+        "regexp_split_to_array(trim(text), '\\s+') END AS a FROM documents), "
         f"g AS (SELECT DISTINCT doc_id, {parts} AS g "
         f"FROM docs, UNNEST(range(1, len(a)-{ngram - 2})) AS t(i) WHERE len(a) >= {ngram}), "
         "cnt AS (SELECT g, COUNT(*) AS n FROM g GROUP BY 1) "
@@ -427,7 +428,8 @@ def line_dedup_sql(line_tokens: int = 8) -> str:
     """Oracle for curation.line_dedup_first: non-overlapping
     ``line_tokens``-token segments, keeper = MIN(doc_id) per line."""
     return (
-        "WITH docs AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a FROM documents), "
+        "WITH docs AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE "
+        "regexp_split_to_array(trim(text), '\\s+') END AS a FROM documents), "
         "ln AS (SELECT DISTINCT doc_id, "
         f"array_to_string(list_slice(a, i, i + {line_tokens - 1}), ' ') AS l "
         f"FROM docs, UNNEST(range(1, len(a) + 1, {line_tokens})) AS t(i)), "
