@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stemmed_term_counts": ts.stemmed_term_counts,
         "lang_dispatch_token_counts": ts.lang_dispatch_token_counts,
         "charfilter_token_counts": ts.charfilter_token_counts,
+        "synonym_graph_counts": ts.synonym_graph_counts,
         # --- training-data curation (decontam / repetition / PII) ---
         "decontaminate_ngram": curation.decontaminate_ngram,
         "repetition_signals": curation.repetition_signals,
@@ -1038,6 +1039,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(list_filter(toks, x -> x = 'merge')) AS BIGINT) AS n_combine, "
             "CAST(len(list_filter(toks, x -> x = 'window')) AS BIGINT) AS n_pane "
             "FROM t ORDER BY doc_id"
+        ),
+        # synonym graph contraction: rule token sets are overlap-free, so
+        # independent position marking == the engine's greedy scan; each
+        # n:1 match removes exactly one net token
+        "synonym_graph_counts": (
+            "WITH docs AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE "
+            "regexp_split_to_array(trim(text), '\\s+') END AS a FROM documents), "
+            "tok AS (SELECT doc_id, i, list_extract(a, i) AS w FROM docs, "
+            "UNNEST(range(1, len(a) + 1)) AS t(i)), "
+            "m1 AS (SELECT a.doc_id, COUNT(*) AS c FROM tok a JOIN tok b "
+            "ON b.doc_id = a.doc_id AND b.i = a.i + 1 "
+            "WHERE a.w = 'merge' AND b.w = 'join' GROUP BY 1), "
+            "m2 AS (SELECT a.doc_id, COUNT(*) AS c FROM tok a JOIN tok b "
+            "ON b.doc_id = a.doc_id AND b.i = a.i + 1 "
+            "WHERE a.w = 'window' AND b.w = 'vector' GROUP BY 1) "
+            "SELECT d.doc_id, CAST(COALESCE(m1.c, 0) AS BIGINT) AS n_hashjoin, "
+            "CAST(COALESCE(m2.c, 0) AS BIGINT) AS n_winvec, "
+            "CAST(len(d.a) - COALESCE(m1.c, 0) - COALESCE(m2.c, 0) AS BIGINT) AS n_tokens "
+            "FROM docs d LEFT JOIN m1 ON m1.doc_id = d.doc_id "
+            "LEFT JOIN m2 ON m2.doc_id = d.doc_id ORDER BY d.doc_id"
         ),
         # --- multimodal ---
         "multimodal_payload_stats": (

@@ -475,6 +475,37 @@ def synonym_filter(tokens: list[str], mapping: dict[str, list[str]]) -> list[str
     return out
 
 
+def synonym_graph_filter(tokens: list[str],
+                         rules: dict[tuple[str, ...], list[str]]) -> list[str]:
+    """Multi-token synonym matching ([U] lucene/analysis/common/.../
+    synonym/SynonymGraphFilter.java + SynonymMap.Builder): rules map an
+    input token SEQUENCE to replacement tokens. Matching is greedy
+    longest-first at each position (the FST takes the longest arc), the
+    matched sequence is REPLACED (keepOrig=false contraction — the n:1
+    direction the lite filter can't express), and unmatched tokens pass
+    through. Output is a flat token stream, so downstream counting /
+    inverted indexing see the contracted vocabulary."""
+    if not rules:
+        return list(tokens)
+    max_len = max(len(k) for k in rules)
+    out: list[str] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        matched = False
+        for ln in range(min(max_len, n - i), 0, -1):
+            rep = rules.get(tuple(tokens[i:i + ln]))
+            if rep is not None:
+                out.extend(rep)
+                i += ln
+                matched = True
+                break
+        if not matched:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
 _CJK_RE = re.compile(r"[぀-ヿ㐀-鿿豈-﫿]+")
 
 

@@ -292,3 +292,36 @@ def charfilter_token_counts(sf_dir: str) -> ray.data.Dataset:
                          "n_pane": pa.array(n_pane)})
 
     return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def synonym_graph_counts(sf_dir: str) -> ray.data.Dataset:
+    """Multi-token synonym contraction over real data (SynonymGraphFilter
+    n:1 rules, [U] lucene/analysis/common/.../synonym/SynonymGraphFilter.java):
+    'merge join' -> hashjoin, 'window vector' -> winvec (greedy
+    left-to-right, longest-first). Per doc: count of each contraction
+    plus the doc's post-filter token total (proves consumed tokens left
+    the stream). Rule token sets are chosen so matches can never overlap
+    — what makes the SQL position-marking oracle exact."""
+    from lucene_solr_ray.analysis import synonym_graph_filter
+
+    rules = {("merge", "join"): ["hashjoin"], ("window", "vector"): ["winvec"]}
+
+    def _tokens(s: str) -> list[str]:
+        return _WS.split(s.strip()) if s and s.strip() else []
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n_hj = np.zeros(len(texts), np.int64)
+        n_wv = np.zeros(len(texts), np.int64)
+        n_tok = np.zeros(len(texts), np.int64)
+        for i, s in enumerate(texts):
+            toks = synonym_graph_filter(_tokens(s), rules)
+            n_hj[i] = sum(1 for w in toks if w == "hashjoin")
+            n_wv[i] = sum(1 for w in toks if w == "winvec")
+            n_tok[i] = len(toks)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_hashjoin": pa.array(n_hj),
+                         "n_winvec": pa.array(n_wv),
+                         "n_tokens": pa.array(n_tok)})
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")

@@ -153,3 +153,22 @@ def test_lang_routed_analyzer_cjk():
 
     assert get_analyzer("quote_mapping_standard")("it’s fine") == ["it's", "fine"]
     assert get_analyzer("nodigits_standard")("ab12cd 7 merge") == ["ab", "cd", "merge"]
+
+
+def test_synonym_graph_filter_multi_token():
+    """Multi-token (n:1) synonym contraction: greedy longest-first at
+    each position, matched sequence replaced, left-to-right non-overlap
+    — the FST semantics of SynonymGraphFilter's contraction direction."""
+    from lucene_solr_ray.analysis import synonym_graph_filter
+
+    rules = {("a", "b"): ["ab"], ("a", "b", "c"): ["abc"], ("x",): ["y", "z"]}
+    # longest-first: a b c -> abc, not (ab, c)
+    assert synonym_graph_filter(["a", "b", "c"], rules) == ["abc"]
+    # left-to-right non-overlap: a b a b -> ab ab
+    assert synonym_graph_filter(["a", "b", "a", "b"], rules) == ["ab", "ab"]
+    # partial tail: a b a -> ab a (second 'a' has no 'b' after)
+    assert synonym_graph_filter(["a", "b", "a"], rules) == ["ab", "a"]
+    # 1:n expansion and pass-through
+    assert synonym_graph_filter(["q", "x", "q"], rules) == ["q", "y", "z", "q"]
+    assert synonym_graph_filter([], rules) == []
+    assert synonym_graph_filter(["a"], {}) == ["a"]
