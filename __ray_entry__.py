@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_dispatch_token_counts": ts.lang_dispatch_token_counts,
         "charfilter_token_counts": ts.charfilter_token_counts,
         "synonym_graph_counts": ts.synonym_graph_counts,
+        "common_grams_counts": ts.common_grams_counts,
         # --- training-data curation (decontam / repetition / PII) ---
         "decontaminate_ngram": curation.decontaminate_ngram,
         "repetition_signals": curation.repetition_signals,
@@ -1059,6 +1060,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(d.a) - COALESCE(m1.c, 0) - COALESCE(m2.c, 0) AS BIGINT) AS n_tokens "
             "FROM docs d LEFT JOIN m1 ON m1.doc_id = d.doc_id "
             "LEFT JOIN m2 ON m2.doc_id = d.doc_id ORDER BY d.doc_id"
+        ),
+        # common grams: a gram is emitted at i when token i or i+1 is in
+        # the common set; the filter ADDS tokens (stream = len + grams)
+        "common_grams_counts": (
+            "WITH docs AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE "
+            "regexp_split_to_array(trim(text), '\\s+') END AS a FROM documents), "
+            "tok AS (SELECT doc_id, i, list_extract(a, i) AS w FROM docs, "
+            "UNNEST(range(1, len(a) + 1)) AS t(i)), "
+            "g AS (SELECT a.doc_id, COUNT(*) AS c FROM tok a JOIN tok b "
+            "ON b.doc_id = a.doc_id AND b.i = a.i + 1 "
+            "WHERE a.w IN ('the', 'a') OR b.w IN ('the', 'a') GROUP BY 1) "
+            "SELECT d.doc_id, CAST(COALESCE(g.c, 0) AS BIGINT) AS n_grams, "
+            "CAST(len(d.a) + COALESCE(g.c, 0) AS BIGINT) AS n_stream "
+            "FROM docs d LEFT JOIN g ON g.doc_id = d.doc_id ORDER BY d.doc_id"
         ),
         # --- multimodal ---
         "multimodal_payload_stats": (

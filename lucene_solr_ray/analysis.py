@@ -509,6 +509,22 @@ def synonym_graph_filter(tokens: list[str],
 _CJK_RE = re.compile(r"[぀-ヿ㐀-鿿豈-﫿]+")
 
 
+def common_grams_filter(tokens, common):
+    """CommonGramsFilter ([U] lucene/analysis/common/.../commongrams/
+    CommonGramsFilter.java): wherever a bigram touches a common word,
+    emit the joined token ``w1_w2`` ALONGSIDE the unigrams — phrase
+    queries over stopword-heavy text then match the pre-joined grams
+    instead of huge stopword postings. Emission order matches the
+    reference stream: each unigram, then the gram starting at it."""
+    out = []
+    n = len(tokens)
+    for i, w in enumerate(tokens):
+        out.append(w)
+        if i + 1 < n and (w in common or tokens[i + 1] in common):
+            out.append(f"{w}_{tokens[i + 1]}")
+    return out
+
+
 def cjk_bigram_tokenize(text: str) -> list[str]:
     """CJKAnalyzer-equivalent ([U] lucene/analysis/common/.../cjk/
     CJKBigramFilter.java): CJK runs emit overlapping character bigrams

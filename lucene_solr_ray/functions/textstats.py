@@ -325,3 +325,32 @@ def synonym_graph_counts(sf_dir: str) -> ray.data.Dataset:
                          "n_tokens": pa.array(n_tok)})
 
     return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def common_grams_counts(sf_dir: str) -> ray.data.Dataset:
+    """CommonGramsFilter over real data ([U] lucene/analysis/common/.../
+    commongrams/CommonGramsFilter.java, common set {'the','a'}): per
+    doc, the number of emitted common-grams and the post-filter stream
+    length (unigrams + grams — the filter ADDS tokens, unlike the
+    synonym contraction)."""
+    from lucene_solr_ray.analysis import common_grams_filter
+
+    common = frozenset({"the", "a"})
+
+    def _tokens(s: str) -> list[str]:
+        return _WS.split(s.strip()) if s and s.strip() else []
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n_grams = np.zeros(len(texts), np.int64)
+        n_stream = np.zeros(len(texts), np.int64)
+        for i, s in enumerate(texts):
+            toks = _tokens(s)
+            out = common_grams_filter(toks, common)
+            n_grams[i] = len(out) - len(toks)
+            n_stream[i] = len(out)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_grams": pa.array(n_grams),
+                         "n_stream": pa.array(n_stream)})
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")

@@ -172,3 +172,15 @@ def test_synonym_graph_filter_multi_token():
     assert synonym_graph_filter(["q", "x", "q"], rules) == ["q", "y", "z", "q"]
     assert synonym_graph_filter([], rules) == []
     assert synonym_graph_filter(["a"], {}) == ["a"]
+
+
+def test_common_grams_filter():
+    from lucene_solr_ray.analysis import common_grams_filter
+
+    out = common_grams_filter(["the", "quick", "fox"], {"the"})
+    assert out == ["the", "the_quick", "quick", "fox"]
+    # gram when the SECOND word is common; trailing common word emits none
+    assert common_grams_filter(["fast", "a", "fox", "a"], {"a"}) == [
+        "fast", "fast_a", "a", "a_fox", "fox", "fox_a", "a"]
+    assert common_grams_filter([], {"a"}) == []
+    assert common_grams_filter(["x"], {"a"}) == ["x"]
