@@ -23,7 +23,7 @@ import pyarrow as pa
 
 import ray
 
-from lucene_solr_ray.io_utils import pool_size, read_parquet_clean
+from lucene_solr_ray.io_utils import emb_matrix, pool_size, read_parquet_clean
 import ray.data
 
 
@@ -50,7 +50,7 @@ class _BruteStage:
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        x = emb_matrix(t.column("embedding"))
         ids = t.column("vec_id").to_numpy().astype(np.int64)
         xn = x / np.linalg.norm(x, axis=1, keepdims=True)
         cos = self.qn @ xn.T  # (nq, batch)
@@ -134,7 +134,7 @@ class _AssignStage:
         self.cn = ray.get(cent_ref)  # normalized (nc, d)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        x = emb_matrix(t.column("embedding"))
         xn = x / np.linalg.norm(x, axis=1, keepdims=True)
         assign = (xn @ self.cn.T).argmax(axis=1).astype(np.int64)
         # `cluster` becomes the hive partition path; `cluster_id` stays a
@@ -243,7 +243,7 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
             self.k = k
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+            x = emb_matrix(t.column("embedding"))
             ids = t.column("vec_id").to_numpy().astype(np.int64)
             clu = t.column("cluster_id").to_numpy().astype(np.int64)
             xn = x / np.linalg.norm(x, axis=1, keepdims=True)
@@ -348,7 +348,7 @@ def ann_pq_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
             self.lut = ray.get(lut_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+            x = emb_matrix(t.column("embedding"))
             ids = t.column("vec_id").to_numpy().astype(np.int64)
             q = np.floor(x * scale + 0.5).astype(np.int64).reshape(len(ids), n_sub, dsub)
             # encode: argmin squared dist per subspace (first occurrence

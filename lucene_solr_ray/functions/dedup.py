@@ -22,7 +22,7 @@ import pyarrow as pa
 
 import ray.data
 
-from lucene_solr_ray.io_utils import pool_size, read_parquet_clean
+from lucene_solr_ray.io_utils import emb_matrix, pool_size, read_parquet_clean
 
 _WS = re.compile(r"\s+")
 
@@ -586,7 +586,7 @@ class _HyperplaneStage:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t.column("vec_id").to_numpy().astype(np.int64)
-        x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+        x = emb_matrix(t.column("embedding"))
         if self.planes.shape[0] != x.shape[1]:
             rng = np.random.default_rng(self.seed)
             self.planes = rng.standard_normal((x.shape[1], self.n_planes))
@@ -691,7 +691,7 @@ def embedding_lsh_pairs(sf_dir: str, threshold: float = 0.42,
         vid = t.column("vec_id").to_numpy().astype(np.int64)
         pos = np.minimum(np.searchsorted(ids, vid), len(ids) - 1)
         hit = ids[pos] == vid
-        x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[hit]
+        x = emb_matrix(t.column("embedding"))[hit]
         xn = x / np.linalg.norm(x, axis=1, keepdims=True) if len(x) else x
         return pa.table({"vec_id": pa.array(vid[hit], pa.int64()),
                          "emb": pa.array([r.tolist() for r in xn], pa.list_(pa.float64()))})
@@ -862,7 +862,7 @@ def semdedup_keep(sf_dir: str, n_clusters: int = 16, threshold: float = 0.42,
             self.c = ray.get(c_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+            x = emb_matrix(t.column("embedding"))
             q = np.floor(x * scale + 0.5).astype(np.int64)
             d2 = ((q[:, None, :] - self.c[None, :, :]) ** 2).sum(axis=2)
             cid = d2.argmin(axis=1)  # first occurrence = lowest cluster on ties

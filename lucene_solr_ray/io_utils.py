@@ -31,3 +31,22 @@ def pool_size(cap: int | None = None) -> tuple[int, int]:
     ncpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     hi = max(2, ncpus if cap is None else min(cap, ncpus))
     return (1, hi)
+
+
+def emb_matrix(col) -> "np.ndarray":
+    """Arrow list<float> column -> (n, d) float64 matrix WITHOUT the
+    per-row Python list round-trip (`to_pylist`): flatten the list
+    buffer (offset-aware) and reshape. Exactly equal to
+    np.array(col.to_pylist(), float64) — float32 -> float64 widening is
+    value-exact — but vectorized, which matters when every ANN/dedup
+    batch pays the conversion. Assumes fixed-length lists with no nulls
+    (the embeddings-table contract)."""
+    import numpy as np
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, -1)
