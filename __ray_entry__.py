@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charfilter_token_counts": ts.charfilter_token_counts,
         "synonym_graph_counts": ts.synonym_graph_counts,
         "common_grams_counts": ts.common_grams_counts,
+        "heavy_hitters_topk": sketches.heavy_hitters_topk,
         # --- training-data curation (decontam / repetition / PII) ---
         "decontaminate_ngram": curation.decontaminate_ngram,
         "repetition_signals": curation.repetition_signals,
@@ -1083,6 +1084,17 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_fake_decode": _data_oracle().multimodal_fake_decode_sql(),
         "highlight_snippets": _data_oracle().highlight_sql(["vector", "stream"]),
         "hll_distinct": _data_oracle().hll_distinct_sql(),
+        # heavy hitters: the closed vocab sits far below sketch capacity,
+        # so SpaceSaving never evicts -> exact counts, err identically 0
+        "heavy_hitters_topk": (
+            "WITH docs AS (SELECT CASE WHEN trim(text) = '' THEN [] ELSE "
+            "regexp_split_to_array(trim(text), '\\s+') END AS a FROM documents), "
+            "cnt AS (SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM docs, UNNEST(a) AS t(w) GROUP BY 1) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) - 1 AS BIGINT) AS rank, "
+            "term, n, CAST(0 AS BIGINT) AS err FROM cnt "
+            "ORDER BY rank LIMIT 20"
+        ),
         "tdigest_quantiles": _data_oracle().tdigest_quantiles_sql(),
         # --- SqlStream: the oracle runs the IDENTICAL SQL our planner ran ---
         "sql_stream_agg": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_DEMO"]).SQL_DEMO,

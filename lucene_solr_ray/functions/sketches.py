@@ -183,3 +183,76 @@ def _quantile_milli(target: float, cum: np.ndarray, means: np.ndarray) -> int:
         y1, y2 = float(means[i - 1]), float(means[i])
         v = y1 + (y2 - y1) * ((target - x1) / (x2 - x1))
     return int(np.floor(v * 1000.0 + 0.5))
+
+
+# ---------------- SpaceSaving heavy hitters (mergeable) ----------------
+
+def _space_saving(items, capacity: int):
+    """SpaceSaving (Metwally et al. 2005, "Efficient Computation of
+    Frequent and Top-k Elements in Data Streams"): capacity-bounded
+    counter table; an unseen item evicts the current minimum and
+    inherits its count as overestimation error. Returns
+    {item: (count, err)} with the guarantees count - err <= true <=
+    count and err <= N/capacity."""
+    counts: dict[str, int] = {}
+    errs: dict[str, int] = {}
+    for x in items:
+        if x in counts:
+            counts[x] += 1
+        elif len(counts) < capacity:
+            counts[x] = 1
+            errs[x] = 0
+        else:
+            victim = min(counts, key=lambda k: (counts[k], k))
+            base = counts.pop(victim)
+            errs.pop(victim)
+            counts[x] = base + 1
+            errs[x] = base
+    return {k: (counts[k], errs[k]) for k in counts}
+
+
+def heavy_hitters_topk(sf_dir: str, k: int = 20, capacity: int = 256) -> pa.Table:
+    """Top-k most frequent tokens via mergeable SpaceSaving partials:
+    each batch builds a capacity-bounded sketch; partial (term, count,
+    err) rows — O(batches x capacity), never corpus-sized — merge by
+    term-sum, and the top-k by merged count is reported. On this corpus
+    the closed vocabulary (~60 terms) is far below capacity, so no
+    eviction ever fires, err == 0 everywhere, and the result is EXACT —
+    which is what makes the SQL oracle a strict equality; the
+    approximation guarantees on high-cardinality input are pinned by
+    pytest instead."""
+    import re as _re
+
+    from ray.data.aggregate import Sum
+
+    ws = _re.compile(r"\s+")
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = []
+        for s in t.column("text").to_pylist():
+            if s and s.strip():
+                toks.extend(ws.split(s.strip()))
+        sk = _space_saving(toks, capacity)
+        terms = sorted(sk)
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "cnt": pa.array([sk[t_][0] for t_ in terms], pa.int64()),
+            "err": pa.array([sk[t_][1] for t_ in terms], pa.int64()),
+        })
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("err", alias_name="err"))
+        .to_pandas()
+    )
+    order = np.lexsort((merged["term"].to_numpy().astype(str),
+                        -merged["cnt"].to_numpy()))[:k]
+    top = merged.iloc[order]
+    return pa.table({
+        "rank": pa.array(np.arange(len(top)), pa.int64()),
+        "term": pa.array(top["term"].tolist(), pa.string()),
+        "n": pa.array(top["cnt"].to_numpy(), pa.int64()),
+        "err": pa.array(top["err"].to_numpy(), pa.int64()),
+    })

@@ -364,3 +364,40 @@ def test_semdedup_oracle_equivalence_and_subset():
             if m == min(comp):
                 continue
             assert any((min(a, m), max(a, m)) in exact_pairs for a in comp if a != m), comp
+
+
+def test_space_saving_bounds_and_merge():
+    """SpaceSaving guarantees on a high-cardinality Zipf stream where
+    evictions DO fire: count-err <= true <= count per surviving item,
+    err <= N/capacity, and every item with true count > N/capacity
+    survives (the heavy-hitter guarantee). Merged partials keep the
+    additive bound."""
+    from collections import Counter
+
+    from lucene_solr_ray.functions.sketches import _space_saving
+
+    rng = np.random.default_rng(11)
+    zipf = np.minimum(rng.zipf(1.3, size=20000), 5000)
+    stream = [f"w{v}" for v in zipf]
+    cap = 64
+    sk = _space_saving(stream, cap)
+    assert len(sk) <= cap
+    true = Counter(stream)
+    n = len(stream)
+    for item, (cnt, err) in sk.items():
+        assert err <= n // cap + 1
+        assert cnt - err <= true[item] <= cnt, item
+    for item, c in true.items():
+        if c > n / cap:
+            assert item in sk, (item, c)
+
+    # mergeable partials: term-summed (cnt, err) keeps count-err <= true <= count
+    half = len(stream) // 2
+    a, b = _space_saving(stream[:half], cap), _space_saving(stream[half:], cap)
+    merged = {}
+    for sk_part in (a, b):
+        for t, (c, e) in sk_part.items():
+            pc, pe = merged.get(t, (0, 0))
+            merged[t] = (pc + c, pe + e)
+    for item, (cnt, err) in merged.items():
+        assert cnt - err <= true[item] <= cnt + err, item
