@@ -2,10 +2,11 @@
 
 Adapts documents (doc_id, text, ...) to the transcript contract schema
 (one doc = one single-turn conversation), builds/caches an index per
-sf_dir, and exposes retrieval operators as Ray Data pipelines whose
-outputs are DuckDB-checkable where semantics allow (boolean retrieval,
-df/cf stats) — BM25 top-k is validated against the pytest oracle
-instead (no SQL equivalent; see FIXTURES.md §5).
+sf_dir, and exposes retrieval operators as Ray Data pipelines. EVERY
+entry is DuckDB-checkable: boolean/stats entries directly, scored
+entries (BM25/LMDirichlet/dismax/rerank/feature-boost) rank-only
+against the float32-replicating oracles in ft_oracle.py, with the
+pytest oracle additionally pinning exact float parity (FIXTURES.md §5).
 """
 
 from __future__ import annotations
