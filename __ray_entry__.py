@@ -105,7 +105,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_concat_chunks": lambda sf: curation.pack_concat_chunks(sf, budget=256),
         # --- substring/line-level exact dedup (Lee et al. / C4 passes) ---
         "dup_gram_exposure": curation.dup_gram_exposure,
+        "exact_substring_remove": curation.exact_substring_remove,
         "line_dedup_first": curation.line_dedup_first,
+        # --- Gopher document-quality rules (Rae et al. 2021) ---
+        "gopher_quality_flags": curation.gopher_quality_flags,
         # --- DSIR importance selection (Xie et al. 2023) ---
         "dsir_select_topk": curation.dsir_select_topk,
         # --- CCNet LM quality banding (Wenzek et al. 2020) ---
@@ -118,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- SqlStream / graph streams (SURVEY §2.8) ---
         "sql_stream_agg": sqlmod.sql_stream_agg,
         "gather_nodes": graph.gather_nodes,
+        "score_nodes": graph.score_nodes,
         "shortest_path": graph.shortest_path_pairs,
         # --- ingest: DIH / Tika / URP chain (SURVEY §2.1/§2.2) ---
         "dih_csv_ingest": ingest.dih_ingest,
@@ -997,6 +1001,8 @@ def oracle_sql() -> dict[str, str]:
         # substring/line-level exact dedup: engine shuffles md5-64 hashes,
         # oracle groups the strings themselves (collision-free reference)
         "dup_gram_exposure": _data_oracle().dup_gram_exposure_sql(),
+        "exact_substring_remove": _data_oracle().exact_substring_remove_sql(),
+        "gopher_quality_flags": _data_oracle().gopher_quality_sql(),
         "line_dedup_first": _data_oracle().line_dedup_sql(),
         # DSIR: micro-nat-quantized log-ratios -> exact int64 doc weights
         "dsir_select_topk": _data_oracle().dsir_select_sql(),
@@ -1169,6 +1175,7 @@ def oracle_sql() -> dict[str, str]:
             "ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING') "
             "GROUP BY l_suppkey ORDER BY l_suppkey"
         ),
+        "score_nodes": _data_oracle().score_nodes_sql(),
         # --- ingest ---
         "dih_csv_ingest": (
             "SELECT doc_id, COALESCE(regexp_extract(text, '^(\\S+)'), '') AS first_tok, "

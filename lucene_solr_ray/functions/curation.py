@@ -376,6 +376,138 @@ def dup_gram_exposure(sf_dir: str, ngram: int = 8) -> ray.data.Dataset:
     )
 
 
+def exact_substring_remove(sf_dir: str, ngram: int = 8) -> ray.data.Dataset:
+    """Exact-substring span REMOVAL — the removal half of the Lee et al.
+    2021 ExactSubstr protocol at word-ngram granularity (the suffix-array
+    char threshold becomes a token ``ngram``; ``dup_gram_exposure`` is
+    the matching FLAG pass). A token is removed when it is covered by
+    any word ngram-gram that also occurs in at least one OTHER document;
+    the output is the cleaned text plus removal counts.
+
+    Scale shape: pass 1 = the dup_gram_exposure exchange (distinct
+    (gram-hash, doc_id) rows, 8-byte hashes only) -> groupby count; the
+    cross-doc-duplicated hash set is duplicate-sized, broadcast once via
+    ray.put as a sorted numpy array. Pass 2 re-streams the corpus once,
+    marks covered token ranges per doc with a vectorized diff/cumsum
+    sweep, and rebuilds the text. At 100 TB the broadcast set becomes a
+    partitioned hash-range sweep or a Bloom filter + exact audit of
+    flagged docs (the decontaminate_ngram note applies verbatim)."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    class Explode:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids_out, hs = [], []
+            for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+                toks = _tokens(s)
+                gs = {" ".join(toks[j:j + ngram]) for j in range(len(toks) - ngram + 1)}
+                for g in gs:
+                    hs.append(int.from_bytes(hashlib.md5(g.encode()).digest()[:8],
+                                             "little") - (1 << 63))
+                ids_out.extend([int(d)] * len(gs))
+            return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                             "h": pa.array(hs, pa.int64())})
+
+    dup_rows = (
+        _read_docs(sf_dir).map_batches(Explode, batch_format="pyarrow",
+                                       concurrency=pool_size())
+        .groupby("h").aggregate(Count(alias_name="n_docs"))
+        .filter(expr="n_docs >= 2")
+        .select_columns(["h"])
+        .to_pandas()
+    )
+    dup_ref = ray.put(np.sort(dup_rows["h"].to_numpy().astype(np.int64)))
+
+    class Remove:
+        def __init__(self):
+            self.dup = ray.get(dup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, n_tok, n_rm, texts = [], [], [], []
+            for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+                toks = _tokens(s)
+                n = len(toks)
+                covered = np.zeros(n + 1, np.int64)  # diff array
+                for j in range(n - ngram + 1):
+                    h = int.from_bytes(
+                        hashlib.md5(" ".join(toks[j:j + ngram]).encode()).digest()[:8],
+                        "little") - (1 << 63)
+                    p = np.searchsorted(self.dup, h)
+                    if p < len(self.dup) and self.dup[p] == h:
+                        covered[j] += 1
+                        covered[min(j + ngram, n)] -= 1
+                cov = np.cumsum(covered[:n]) > 0
+                kept = [tk for tk, c in zip(toks, cov) if not c]
+                ids.append(int(d))
+                n_tok.append(n)
+                n_rm.append(int(cov.sum()))
+                texts.append(" ".join(kept))
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "n_tokens": pa.array(n_tok, pa.int64()),
+                             "n_removed": pa.array(n_rm, pa.int64()),
+                             "clean_text": pa.array(texts, pa.string())})
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(Remove, batch_format="pyarrow", concurrency=pool_size())
+        .sort("doc_id")
+    )
+
+
+# ---------------- Gopher document-quality rules ----------------
+
+# the Gopher "must contain >= 2 of these" stopword list (Rae et al. 2021 §A1.1)
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(sf_dir: str) -> ray.data.Dataset:
+    """The Gopher document-quality rule family (Rae et al. 2021, table A1)
+    that ``repetition_signals`` does not cover: word-count bounds, mean
+    word length bounds, alphabetic-word fraction, and the required-
+    stopword rule. All signals are exact integers; the pass flag uses
+    integer cross-multiplication (``3*n <= sum_len <= 10*n`` instead of a
+    float mean) so the DuckDB oracle hashes identically.
+
+    One stateless map_batches pass, no shuffle — the 100-TB shape is
+    embarrassingly parallel."""
+
+    class Flags:
+        def __init__(self):
+            self.stops = set(GOPHER_STOPS)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, nw, sl, na, ns, ok = [], [], [], [], [], []
+            for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+                toks = _tokens(s)
+                n = len(toks)
+                slen = sum(len(tk) for tk in toks)
+                alpha = sum(1 for tk in toks if any(c.isalpha() for c in tk))
+                stop_hits = len(self.stops.intersection(toks))
+                passed = int(
+                    50 <= n <= 100_000
+                    and 3 * n <= slen <= 10 * n
+                    and 10 * alpha >= 8 * n
+                    and stop_hits >= 2
+                )
+                ids.append(int(d)); nw.append(n); sl.append(slen)
+                na.append(alpha); ns.append(stop_hits); ok.append(passed)
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "sum_word_len": pa.array(sl, pa.int64()),
+                "n_alpha_words": pa.array(na, pa.int64()),
+                "n_req_stopwords": pa.array(ns, pa.int64()),
+                "pass_flag": pa.array(ok, pa.int64()),
+            })
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(Flags, batch_format="pyarrow", concurrency=pool_size())
+        .sort("doc_id")
+    )
+
+
 # ---------------- line-level exact dedup (keep first occurrence) ----------------
 
 def line_dedup_first(sf_dir: str, line_tokens: int = 8) -> ray.data.Dataset:

@@ -424,6 +424,78 @@ def dup_gram_exposure_sql(ngram: int = 8) -> str:
     )
 
 
+def exact_substring_remove_sql(ngram: int = 8) -> str:
+    """Oracle for curation.exact_substring_remove. The engine marks
+    token coverage from md5-64 hashes of the grams; the oracle works on
+    the gram STRINGS (collision-free reference): a token at position i
+    is removed when any cross-doc-duplicated gram starts in
+    [i-ngram+1, i]."""
+    parts = "||' '||".join(f"list_extract(a,i+{j})" if j else "list_extract(a,i)"
+                           for j in range(ngram))
+    return (
+        "WITH docs AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE "
+        "regexp_split_to_array(trim(text), '\\s+') END AS a FROM documents), "
+        "pos AS (SELECT doc_id, CAST(i AS BIGINT) AS i, list_extract(a, i) AS tok "
+        "FROM docs, UNNEST(range(1, len(a) + 1)) AS t(i)), "
+        f"g AS (SELECT doc_id, CAST(i AS BIGINT) AS i, {parts} AS g "
+        f"FROM docs, UNNEST(range(1, len(a)-{ngram - 2})) AS t(i) WHERE len(a) >= {ngram}), "
+        "dup AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM g GROUP BY 1) "
+        "WHERE nd >= 2), "
+        "dstart AS (SELECT DISTINCT doc_id, i FROM g JOIN dup USING (g)), "
+        "cov AS (SELECT p.doc_id, p.i, p.tok, "
+        "MAX(CASE WHEN d.i IS NOT NULL THEN 1 ELSE 0 END) AS c "
+        "FROM pos p LEFT JOIN dstart d ON d.doc_id = p.doc_id "
+        f"AND d.i BETWEEN p.i - {ngram - 1} AND p.i GROUP BY p.doc_id, p.i, p.tok) "
+        "SELECT dd.doc_id, CAST(COALESCE(COUNT(cov.i), 0) AS BIGINT) AS n_tokens, "
+        "CAST(COALESCE(SUM(cov.c), 0) AS BIGINT) AS n_removed, "
+        "COALESCE(string_agg(CASE WHEN cov.c = 0 THEN cov.tok END, ' ' ORDER BY cov.i), '') "
+        "AS clean_text "
+        "FROM documents dd LEFT JOIN cov ON cov.doc_id = dd.doc_id "
+        "GROUP BY dd.doc_id ORDER BY dd.doc_id"
+    )
+
+
+def gopher_quality_sql(stops: tuple = ("the", "be", "to", "of", "and",
+                                       "that", "have", "with")) -> str:
+    """Oracle for curation.gopher_quality_flags — integer rule replicas
+    (cross-multiplied bounds instead of float means)."""
+    stop_sql = "[" + ", ".join(f"'{w}'" for w in stops) + "]"
+    return (
+        "WITH docs AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE "
+        "regexp_split_to_array(trim(text), '\\s+') END AS a FROM documents), "
+        "sig AS (SELECT doc_id, CAST(len(a) AS BIGINT) AS n_words, "
+        "CAST(COALESCE(list_sum(list_transform(a, x -> len(x))), 0) AS BIGINT) AS sum_word_len, "
+        "CAST(len(list_filter(a, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words, "
+        f"CAST(len(list_filter({stop_sql}, s -> list_contains(a, s))) AS BIGINT) AS n_req_stopwords "
+        "FROM docs) "
+        "SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_req_stopwords, "
+        "CAST(CASE WHEN n_words BETWEEN 50 AND 100000 "
+        "AND 3*n_words <= sum_word_len AND sum_word_len <= 10*n_words "
+        "AND 10*n_alpha_words >= 8*n_words AND n_req_stopwords >= 2 "
+        "THEN 1 ELSE 0 END AS BIGINT) AS pass_flag "
+        "FROM sig ORDER BY doc_id"
+    )
+
+
+def score_nodes_sql(segment: str = "BUILDING") -> str:
+    """Oracle for graph.score_nodes — tf-idf node scoring with the
+    micro-nat integer idf convention (FLOOR(ln(numDocs/(df+1))*1e6+0.5))."""
+    idf = "CAST(FLOOR(LN(nd.n/(dfq.df + 1.0))*1000000 + 0.5) AS BIGINT)"
+    return (
+        "WITH fg AS (SELECT l_suppkey AS node, CAST(COUNT(*) AS BIGINT) AS n_edges "
+        "FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        f"WHERE c_mktsegment = '{segment}') GROUP BY 1), "
+        "dfq AS (SELECT l_suppkey AS node, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS df "
+        "FROM lineitem GROUP BY 1), "
+        "nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM orders) "
+        f"SELECT fg.node, fg.n_edges, dfq.df, {idf} AS idf_micro, "
+        f"fg.n_edges * {idf} AS score_micro "
+        "FROM fg JOIN dfq USING (node), nd "
+        "ORDER BY score_micro DESC, node"
+    )
+
+
 def line_dedup_sql(line_tokens: int = 8) -> str:
     """Oracle for curation.line_dedup_first: non-overlapping
     ``line_tokens``-token segments, keeper = MIN(doc_id) per line."""

@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count
+from ray.data.aggregate import Count, Sum
 
 
 
@@ -207,6 +207,73 @@ def supplier_distance(sf_dir: str, src_supp: int, dst_supp: int, max_hops: int =
         .select_columns(["node", "via"])
     )
     return bfs_distance(edges, src_supp, dst_supp, max_hops)
+
+
+def score_nodes(sf_dir: str, segment: str = "BUILDING") -> pa.Table:
+    """ScoreNodesStream ([U] solr/solrj/.../io/stream/ScoreNodesStream.java):
+    tf-idf scoring of gathered graph nodes so hub nodes (suppliers every
+    traversal reaches) stop drowning out discriminative ones.
+
+    tf   = traversal count from the gather (``n_edges`` per supplier
+           reached from ``segment`` customers' orders).
+    df   = global document frequency of the node = distinct orders that
+           ship the supplier anywhere in the corpus.
+    idf  = ln(numDocs / (df + 1)), numDocs = total orders — quantized to
+           micro-nats (FLOOR(x*1e6 + 0.5), the repo's exact-int log
+           convention) BEFORE the multiply, so
+           ``score_micro = n_edges * idf_micro`` is exact int64.
+
+    Scale shape: the gather is the distributed ``gather_nodes`` pass; df
+    is one distinct-(supplier, order) groupby + per-supplier count; the
+    two node-keyed tables combine via union + groupby-Sum (NOT a hash
+    join — Ray 2.49's hash-shuffle join chokes on aggregate-output
+    lineages, see CLAUDE.md), and idf/score are a stateless map over the
+    node-sized result. Only the numDocs scalar touches the driver."""
+    gathered = gather_nodes(sf_dir, segment).map_batches(
+        lambda t: pa.table({
+            "node": pc.cast(t.column("l_suppkey"), pa.int64()),
+            "n_edges": pc.cast(t.column("n_edges"), pa.int64()),
+            "df": pa.array(np.zeros(t.num_rows, np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    df_side = (
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_orderkey"])
+        .groupby(["l_suppkey", "l_orderkey"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("l_suppkey")
+        .aggregate(Count(alias_name="df"))
+        .map_batches(
+            lambda t: pa.table({
+                "node": pc.cast(t.column("l_suppkey"), pa.int64()),
+                "n_edges": pa.array(np.zeros(t.num_rows, np.int64)),
+                "df": pc.cast(t.column("df"), pa.int64()),
+            }),
+            batch_format="pyarrow",
+        )
+    )
+    n_docs = _read(sf_dir, "orders", ["o_orderkey"]).count()
+
+    def finish(t: pa.Table) -> pa.Table:
+        ne = t.column("n_edges").to_numpy().astype(np.int64)
+        df = t.column("df").to_numpy().astype(np.int64)
+        idf = np.floor(np.log(float(n_docs) / (df + 1.0)) * 1e6 + 0.5).astype(np.int64)
+        out = pa.table({
+            "node": t.column("node"),
+            "n_edges": pa.array(ne, pa.int64()),
+            "df": pa.array(df, pa.int64()),
+            "idf_micro": pa.array(idf, pa.int64()),
+            "score_micro": pa.array(ne * idf, pa.int64()),
+        })
+        return out.filter(pc.greater(out.column("n_edges"), pa.scalar(0, pa.int64())))
+
+    combined = (
+        gathered.union(df_side)
+        .groupby("node")
+        .aggregate(Sum("n_edges", alias_name="n_edges"), Sum("df", alias_name="df"))
+        .map_batches(finish, batch_format="pyarrow")
+    )
+    return combined.sort(["score_micro", "node"], descending=[True, False])
 
 
 def _expand_ranges(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
