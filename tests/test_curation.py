@@ -260,3 +260,75 @@ def test_clean_corpus_export_oracle_and_partition_resume(ray_session):
             if "bucket=3" not in f:
                 assert os.path.getmtime(f) == mt, f  # untouched
         assert glob.glob(os.path.join(victim, "*.parquet"))  # rebuilt
+
+
+def test_exact_substring_remove_coverage_semantics(ray_session):
+    """Crafted corpus: a shared 8-gram removes exactly its covered span
+    (overlapping duplicated windows merge); unique text survives; docs
+    shorter than the gram width are untouched; a within-doc-only repeat
+    does NOT count as cross-doc duplication."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from lucene_solr_ray.functions.curation import exact_substring_remove
+
+    shared = "a b c d e f g h"            # one 8-gram, docs 0 and 1
+    with tempfile.TemporaryDirectory() as d:
+        tab = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array([
+                f"u0 {shared} t0",                  # covered span inside
+                f"{shared} i {shared}",             # two occurrences, 9-gram overlap region unique
+                "short doc",                        # < ngram tokens
+                "w1 w2 w3 w4 w5 w6 w7 w8 w9",       # unique 8-grams only
+                "r r r r r r r r r r",              # within-doc repeat only... shared with nobody
+            ], pa.string()),
+        })
+        pq.write_table(tab, os.path.join(d, "documents.parquet"))
+        out = exact_substring_remove(d).to_pandas().set_index("doc_id")
+
+        assert out.loc[0, "clean_text"] == "u0 t0"
+        assert out.loc[0, "n_removed"] == 8
+        # doc 1: both shared occurrences covered; the lone 'i' survives
+        # only if no duplicated gram covers it (grams containing 'i' are
+        # unique to doc 1) -> kept.
+        assert out.loc[1, "clean_text"] == "i"
+        assert out.loc[1, "n_removed"] == 16
+        assert out.loc[2, "clean_text"] == "short doc"
+        assert out.loc[2, "n_removed"] == 0
+        assert out.loc[3, "n_removed"] == 0
+        # within-doc repetition is not cross-doc duplication
+        assert out.loc[4, "n_removed"] == 0
+
+
+def test_gopher_quality_flag_boundaries(ray_session):
+    """Rule boundaries: exactly 50 words passes the count rule; 49 fails;
+    alpha fraction exactly 0.8 passes; one required stopword fails, two
+    pass; mean word length bounds are inclusive."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from lucene_solr_ray.functions.curation import gopher_quality_flags
+
+    # 50 words, all alpha, mean len in [3,10], stopwords 'the'+'of'
+    good = "the of " + " ".join(f"word{i:02d}" for i in range(48))
+    short = "the of " + " ".join(f"word{i:02d}" for i in range(47))       # 49 words
+    one_stop = "the aa " + " ".join(f"word{i:02d}" for i in range(48))    # 1 req stopword
+    # 50 words, exactly 40 alpha (10*40 >= 8*50 holds), two stopwords
+    frac_ok = "the of " + " ".join(f"word{i:02d}" for i in range(38)) + " " + " ".join("123456" for _ in range(10))
+    # 39 alpha of 50 -> 390 < 400 fails
+    frac_bad = "the of " + " ".join(f"word{i:02d}" for i in range(37)) + " " + " ".join("123456" for _ in range(11))
+
+    with tempfile.TemporaryDirectory() as d:
+        tab = pa.table({
+            "doc_id": pa.array(list(range(5)), pa.int64()),
+            "text": pa.array([good, short, one_stop, frac_ok, frac_bad], pa.string()),
+        })
+        pq.write_table(tab, os.path.join(d, "documents.parquet"))
+        out = gopher_quality_flags(d).to_pandas().set_index("doc_id")
+        assert out["pass_flag"].tolist() == [1, 0, 0, 1, 0]
+        assert out.loc[0, "n_words"] == 50
+        assert out.loc[3, "n_alpha_words"] == 40
+        assert out.loc[2, "n_req_stopwords"] == 1
