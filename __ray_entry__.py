@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_topk": sketches.heavy_hitters_topk,
         # --- training-data curation (decontam / repetition / PII) ---
         "decontaminate_ngram": curation.decontaminate_ngram,
+        "decontaminate_bloom": curation.decontaminate_bloom,
         "repetition_signals": curation.repetition_signals,
         "pii_scan": curation.pii_scan,
         # --- document clustering (ClusteringComponent analogue) ---
@@ -140,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scalar_functions": rel.scalar_functions,
         "date_functions": rel.date_functions,
         "deterministic_sample": rel.deterministic_sample,
+        "sample_fixed_k": rel.sample_fixed_k,
         # --- full-text core (SURVEY §2.3/§2.5/§2.6) ---
         "ft_term_docs": lambda sf: ft.boolean_retrieve(sf, [FT_TERM], mode="or"),
         "ft_and_docs": lambda sf: ft.boolean_retrieve(sf, FT_AND_TERMS, mode="and"),
@@ -644,6 +646,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents "
             "WHERE (doc_id * 2654435761) % 4294967296 < 429496729 ORDER BY doc_id"
         ),
+        # bottom-k by md5-64 priority; engine shifts the unsigned hash by
+        # 2^63 into int64 (the simhash-oracle convention)
+        "sample_fixed_k": (
+            "SELECT doc_id, CAST(CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT) "
+            "- 9223372036854775808 AS BIGINT) AS priority "
+            "FROM documents ORDER BY priority LIMIT 100"
+        ),
         "select_having": (
             "SELECT l_orderkey, l_linenumber, "
             f"{c(x='l_quantity')} AS qty, "
@@ -995,6 +1004,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprint": _data_oracle().rolling_fingerprint_sql(),
         "stemmed_term_counts": _data_oracle().stemmed_term_counts_sql(),
         "decontaminate_ngram": _data_oracle().decontaminate_sql(),
+        # bloom prefilter + exact audit == the exact pass by construction
+        "decontaminate_bloom": _data_oracle().decontaminate_sql(),
         "repetition_signals": _data_oracle().repetition_sql(),
         "pii_scan": _data_oracle().pii_scan_sql(),
         "cluster_kmeans_docs": _data_oracle().cluster_kmeans_sql(),

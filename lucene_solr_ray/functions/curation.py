@@ -100,6 +100,108 @@ def _gram_explode(ngram: int):
     return fn
 
 
+def _bloom_hashes(grams: list[str], m_bits: int, k_hashes: int) -> np.ndarray:
+    """Kirsch-Mitzenmacher double hashing: md5-128 split into two 64-bit
+    halves h1/h2; bit_i = (h1 + i*h2) mod m. Returns the flat array of
+    bit positions for all grams x all k hash functions."""
+    import hashlib
+
+    if not grams:
+        return np.empty(0, np.int64)
+    h1 = np.empty(len(grams), np.uint64)
+    h2 = np.empty(len(grams), np.uint64)
+    for i, g in enumerate(grams):
+        d = hashlib.md5(g.encode()).digest()
+        h1[i] = int.from_bytes(d[:8], "little")
+        h2[i] = int.from_bytes(d[8:], "little")
+    ks = np.arange(k_hashes, dtype=np.uint64)
+    return ((h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(m_bits)).astype(np.int64).ravel()
+
+
+def decontaminate_bloom(sf_dir: str, ngram: int = 5, bench_mod: int = 37,
+                        m_bits: int = 1 << 17, k_hashes: int = 7) -> ray.data.Dataset:
+    """The 100-TB scale path `decontaminate_ngram`'s docstring promises:
+    Bloom prefilter + exact audit of ONLY the flagged docs. Output is
+    IDENTICAL to the exact pass (Bloom false positives are killed by the
+    audit; false negatives are impossible), so it shares the same SQL
+    oracle.
+
+    Shape: (1) benchmark grams -> per-batch partial Bloom bitmaps
+    (mergeable by OR; O(batches x m/8 bytes) exchange — at 10^12 grams
+    only the 16 KB bitmaps move, never the gram strings); (2) one corpus
+    pass tests every doc's grams against the broadcast bitmap — zero
+    shuffle; (3) the exact benchmark gram set is applied ONLY to
+    Bloom-positive docs (candidate-sized, here via the same broadcast
+    sorted-array membership the exact pass uses; at 100 TB a hash-range
+    semi-join of candidate grams vs the partitioned gram table)."""
+    bench = (
+        _read_docs(sf_dir)
+        .filter(lambda r: r["doc_id"] % bench_mod == 0)
+        .map_batches(_gram_explode(ngram), batch_format="pyarrow")
+    )
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        bits = np.zeros(m_bits // 64, np.uint64)
+        pos = _bloom_hashes(t.column("g").to_pylist(), m_bits, k_hashes)
+        np.bitwise_or.at(bits, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    merged = np.zeros(m_bits // 64, np.uint64)
+    n_partials = 0
+    for batch in bench.map_batches(bloom_partial, batch_format="pyarrow").iter_batches(
+        batch_size=256, batch_format="pyarrow"
+    ):
+        for blob in batch.column("bits").to_pylist():
+            merged |= np.frombuffer(blob, dtype=np.uint64)
+            n_partials += 1
+    assert n_partials > 0, "benchmark set produced no bloom partials"
+    bloom_ref = ray.put(merged)
+
+    # the exact gram set, used ONLY on bloom-positive docs (audit side)
+    grams_exact = np.unique(np.asarray(bench.to_pandas()["g"], dtype=object).astype(str))
+    exact_ref = ray.put(grams_exact)
+
+    class FlagAudited:
+        def __init__(self):
+            self.bits = ray.get(bloom_ref)
+            self.exact = ray.get(exact_ref)
+            self.n_bloom_pos = 0
+            self.n_audited_true = 0
+
+        def _maybe(self, grams: list[str]) -> bool:
+            pos = _bloom_hashes(grams, m_bits, k_hashes)
+            hit = (self.bits[pos // 64] >> (pos % 64).astype(np.uint64)) & np.uint64(1)
+            return bool(hit.reshape(len(grams), k_hashes).all(axis=1).any())
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            texts = t.column("text").to_pylist()
+            n_hit = np.zeros(len(texts), np.int64)
+            for i, s in enumerate(texts):
+                toks = _tokens(s)
+                gs = sorted({" ".join(toks[j:j + ngram])
+                             for j in range(len(toks) - ngram + 1)})
+                if not gs:
+                    continue
+                if not self._maybe(gs):  # bloom says definitely clean
+                    continue
+                self.n_bloom_pos += 1
+                n_hit[i] = int(np.isin(np.array(gs, dtype=str), self.exact).sum())
+                self.n_audited_true += int(n_hit[i] > 0)
+            return pa.table({
+                "doc_id": pa.array(ids.astype(np.int64)),
+                "n_contaminated": pa.array(n_hit),
+                "contaminated": pa.array((n_hit > 0).astype(np.int64)),
+            })
+
+    return (
+        _read_docs(sf_dir)
+        .filter(lambda r: r["doc_id"] % bench_mod != 0)
+        .map_batches(FlagAudited, batch_format="pyarrow", concurrency=pool_size())
+        .sort("doc_id")
+    )
+
+
 # ---------------- repetition signals (Gopher-style) ----------------
 
 def repetition_signals(sf_dir: str) -> ray.data.Dataset:

@@ -862,6 +862,36 @@ def deterministic_sample(sf_dir: str, pct: int = 10) -> ray.data.Dataset:
     ).sort("doc_id")
 
 
+def sample_fixed_k(sf_dir: str, k: int = 100) -> ray.data.Dataset:
+    """Fixed-size-k distributed sample — the bottom-k-by-hash-priority
+    sketch (the mergeable equivalent of reservoir sampling; Cohen &
+    Kaplan 2007 bottom-k). Priority = md5-64(doc_id); each batch keeps
+    only its k smallest priorities (np.partition), so the final exchange
+    is O(batches x k) rows, then one output-sized sort+limit. Unlike
+    pct-sampling the result size is exactly min(k, n) at any corpus
+    scale, and partials merge associatively (union -> bottom-k)."""
+    import hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        pri = np.empty(len(ids), np.uint64)
+        for i, d in enumerate(ids):
+            pri[i] = int.from_bytes(hashlib.md5(str(int(d)).encode()).digest()[:8], "little")
+        if len(ids) > k:
+            keep = np.argpartition(pri, k)[:k]
+            ids, pri = ids[keep], pri[keep]
+        # uint64 -> shifted int64 so Arrow/DuckDB compare identically
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "priority": pa.array((pri - np.uint64(1 << 63)).view(np.int64))})
+
+    return (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .sort("priority")
+        .limit(k)
+    )
+
+
 # ---------------- cursorMark deep paging ----------------
 
 def cursor_mark_pages(sf_dir: str, page_size: int = 50, n_pages: int = 3) -> pa.Table:

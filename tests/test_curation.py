@@ -332,3 +332,15 @@ def test_gopher_quality_flag_boundaries(ray_session):
         assert out.loc[0, "n_words"] == 50
         assert out.loc[3, "n_alpha_words"] == 40
         assert out.loc[2, "n_req_stopwords"] == 1
+
+
+def test_decontaminate_bloom_equals_exact_even_with_tiny_bloom(ray_session):
+    """The audit pass must kill every Bloom false positive: with a
+    deliberately saturated 256-bit filter (FP rate near 1) the output
+    still equals the exact pass bit-for-bit; at default sizing too."""
+    from lucene_solr_ray.functions.curation import decontaminate_bloom, decontaminate_ngram
+
+    exact = decontaminate_ngram(SF).to_pandas().reset_index(drop=True)
+    for m_bits, k in [(256, 2), (1 << 17, 7)]:
+        got = decontaminate_bloom(SF, m_bits=m_bits, k_hashes=k).to_pandas().reset_index(drop=True)
+        assert got.equals(exact.astype(got.dtypes.to_dict())), f"m_bits={m_bits}"

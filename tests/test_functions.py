@@ -401,3 +401,27 @@ def test_space_saving_bounds_and_merge():
             merged[t] = (pc + c, pe + e)
     for item, (cnt, err) in merged.items():
         assert cnt - err <= true[item] <= cnt + err, item
+
+
+def test_sample_fixed_k_bottom_k_and_merge_associativity():
+    """sample_fixed_k == global bottom-k by md5-64 priority regardless of
+    batching (per-batch partials merge associatively), and k > n returns
+    every row."""
+    import hashlib
+
+    import duckdb
+    from lucene_solr_ray.functions.relational import sample_fixed_k
+
+    got = sample_fixed_k(SF, k=40).to_pandas()
+    n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')").fetchone()[0]
+    ids = duckdb.sql(
+        f"SELECT doc_id FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchdf()["doc_id"].to_numpy()
+    pri = np.array([
+        int.from_bytes(hashlib.md5(str(int(d)).encode()).digest()[:8], "little") - (1 << 63)
+        for d in ids
+    ], dtype=np.int64)
+    order = np.argsort(pri, kind="stable")
+    assert got["doc_id"].tolist() == ids[order[:40]].tolist()
+    assert got["priority"].tolist() == pri[order[:40]].tolist()
+    assert len(sample_fixed_k(SF, k=10 * int(n)).to_pandas()) == n
