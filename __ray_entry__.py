@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "md5_fingerprint": ts.md5_fingerprint,
         "rolling_fingerprint": ts.rolling_fingerprint,
         "stemmed_term_counts": ts.stemmed_term_counts,
+        "phonetic_term_groups": ts.phonetic_term_groups,
         "lang_dispatch_token_counts": ts.lang_dispatch_token_counts,
         "charfilter_token_counts": ts.charfilter_token_counts,
         "synonym_graph_counts": ts.synonym_graph_counts,
@@ -196,6 +197,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_common_terms_topk": lambda sf: ft.common_terms_topk(
             sf, ["merge", "join", "vector"], max_df_frac=0.55, k=10),
         "ft_spell_suggest": lambda sf: ft.spell_suggest(sf, "mergee", max_suggestions=5),
+        "ft_word_break": lambda sf: ft.word_break_suggest(sf, "streamline"),
+        "ft_query_elevation": lambda sf: ft.elevation_topk(
+            sf, ["merge", "join"], elevated=[17, 4], excluded=[2], k=10),
         "ft_prefix_suggest": lambda sf: ft.prefix_suggest(sf, "s", k=5),
         "ft_infix_suggest": lambda sf: ft.infix_suggest(sf, "or", k=5),
         "ft_fuzzy_suggest": lambda sf: ft.fuzzy_suggest(sf, "stram", k=5),
@@ -248,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_heatmap": geo.geo_heatmap,
         "point_bbox_docs": lambda sf: geo.point_bbox_query(sf, (-30.0, 40.0, -100.0, 50.0)),
         "expression_sort": expr.expression_sort,
+        "frange_filter": expr.frange_filter,
         # --- LTR / classification (SURVEY §2.6/§2.7 aux) ---
         "ltr_linear_rescore": ltr.ltr_linear_rescore,
         "ltr_trees_rescore": ltr.ltr_trees_rescore,
@@ -342,6 +347,9 @@ def oracle_sql() -> dict[str, str]:
         "ft_common_terms_topk": _ft_oracle().common_terms_topk_sql(
             ["merge", "join", "vector"], max_df_frac=0.55, k=10),
         "ft_more_like_this": _ft_oracle().more_like_this_sql(0, 8, 10),
+        "ft_word_break": _ft_oracle().word_break_sql("streamline"),
+        "ft_query_elevation": _ft_oracle().elevation_topk_sql(
+            ["merge", "join"], elevated=[17, 4], excluded=[2], k=10),
         "ltr_bm25_rescore": _ft_oracle().ltr_bm25_rescore_sql(["merge", "sort"], 100, 20),
         "ft_prefix_docs": (
             f"SELECT doc_id FROM documents WHERE len(list_filter({split}, "
@@ -1003,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rolling_fingerprint": _data_oracle().rolling_fingerprint_sql(),
         "stemmed_term_counts": _data_oracle().stemmed_term_counts_sql(),
+        "phonetic_term_groups": _data_oracle().phonetic_term_groups_sql(k=50),
         "decontaminate_ngram": _data_oracle().decontaminate_sql(),
         # bloom prefilter + exact audit == the exact pass by construction
         "decontaminate_bloom": _data_oracle().decontaminate_sql(),
@@ -1146,6 +1155,13 @@ def oracle_sql() -> dict[str, str]:
             "ln(p_retailprice) / 3 - abs(CAST(p_size AS DOUBLE) - 25)) * 1000 + 0.5) AS BIGINT) "
             "AS expr_milli FROM part) "
             "SELECT p_partkey, expr_milli FROM e ORDER BY expr_milli DESC, p_partkey LIMIT 100"
+        ),
+        "frange_filter": (
+            "WITH e AS (SELECT p_partkey, CAST(FLOOR((sqrt(CAST(p_size AS DOUBLE)) * 2 + "
+            "ln(p_retailprice) / 3 - abs(CAST(p_size AS DOUBLE) - 25)) * 1000 + 0.5) AS BIGINT) "
+            "AS expr_milli FROM part) "
+            "SELECT p_partkey, expr_milli FROM e "
+            "WHERE expr_milli BETWEEN -10000 AND 0 ORDER BY p_partkey"
         ),
         # LTR: integer weights x integer features -> hash-exact; the SQL
         # is generated FROM the model dicts so model and oracle can't drift.

@@ -558,6 +558,41 @@ def folding_tokenize(text: str) -> list[str]:
     return [ascii_fold(t) for t in tokenize(text)]
 
 
+# ---------------- PhoneticFilter / Soundex (SURVEY §2.2) ----------------
+
+_SOUNDEX_CODE = {}
+for _digit, _letters in (("1", "bfpv"), ("2", "cgjkqsxz"), ("3", "dt"),
+                         ("4", "l"), ("5", "mn"), ("6", "r")):
+    for _c in _letters:
+        _SOUNDEX_CODE[_c] = _digit
+
+
+def soundex(word: str) -> str:
+    """American Soundex ([U] solr's PhoneticFilterFactory with the
+    commons-codec Soundex encoder, lucene/analysis/phonetic/.../
+    PhoneticFilter.java): consonant classes 1-6; h/w are transparent
+    (adjacent same-coded consonants across h/w collapse); vowels break
+    adjacency but emit nothing; first letter kept verbatim; pad/cut to
+    letter + 3 digits. Non-ASCII-alpha chars are treated like vowels
+    (adjacency breakers), matching the SQL oracle's ELSE arm. Verified
+    against the canonical vectors (Robert->R163, Tymczak->T522,
+    Pfister->P236, Honeyman->H555) in tests/test_analysis.py."""
+    if not word:
+        return ""
+    codes = [c for c in (_SOUNDEX_CODE.get(ch, "" if ch in "hw" else "v")
+                         for ch in word) if c]
+    collapsed = [c for i, c in enumerate(codes) if i == 0 or c != codes[i - 1]]
+    digits = [c for c in collapsed[1:] if c != "v"]
+    return word[0].upper() + ("".join(digits) + "000")[:3]
+
+
+def phonetic_tokenize(text: str) -> list[str]:
+    """Standard chain + Soundex PhoneticFilter (replace=true: the code
+    substitutes the token, as in <filter class="solr.PhoneticFilterFactory"
+    encoder="Soundex" inject="false"/>)."""
+    return [soundex(t) for t in tokenize(text)]
+
+
 # ---------------- analyzer registry (SURVEY §2.11 Analyzer SPI) ----------------
 
 def whitespace_tokenize(text: str) -> list[str]:
@@ -640,6 +675,7 @@ ANALYZERS = {
     "html_standard": html_strip_standard_tokenize,
     "english": english_tokenize,   # standard + Porter stem
     "folding": folding_tokenize,   # standard + ASCII folding
+    "phonetic": phonetic_tokenize,  # standard + Soundex PhoneticFilter
     "cjk": cjk_bigram_tokenize,    # CJK bigrams + standard for non-CJK
     # canned char-filtered chains (the configurable path is
     # char_filtered_tokenize([MappingCharFilter(...), ...]))

@@ -77,6 +77,37 @@ def highlight_sql(terms: list[str], window_tokens: int = 5) -> str:
     )
 
 
+def phonetic_term_groups_sql(k: int = 50) -> str:
+    """Oracle for textstats.phonetic_term_groups: American Soundex
+    written directly in SQL over the stop-filtered whitespace vocabulary
+    — per-char consonant classes, h/w dropped before the adjacent-equal
+    collapse (transparent), vowel markers dropped after it (adjacency
+    breakers), first letter verbatim + 3 zero-padded digits.  Verified
+    against the canonical Soundex vectors in tests/test_analysis.py so
+    engine and SQL can't drift independently."""
+    return (
+        "WITH toks AS (SELECT unnest(list_filter("
+        "regexp_split_to_array(text, '\\s+'), "
+        f"x -> x != '' AND NOT list_contains({_STOP_SQL}, x))) AS term FROM documents), "
+        "tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf_sum FROM toks GROUP BY term), "
+        "cs AS (SELECT term, tf_sum, list_transform(regexp_split_to_array(term, ''), c -> CASE "
+        "WHEN c IN ('b','f','p','v') THEN '1' "
+        "WHEN c IN ('c','g','j','k','q','s','x','z') THEN '2' "
+        "WHEN c IN ('d','t') THEN '3' WHEN c = 'l' THEN '4' "
+        "WHEN c IN ('m','n') THEN '5' WHEN c = 'r' THEN '6' "
+        "WHEN c IN ('h','w') THEN '' ELSE 'v' END) AS codes FROM tf), "
+        "s1 AS (SELECT term, tf_sum, list_filter(codes, c -> c <> '') AS l1 FROM cs), "
+        "s2 AS (SELECT term, tf_sum, "
+        "list_filter(l1, (c, i) -> i = 1 OR c <> l1[i-1]) AS l2 FROM s1), "
+        "s3 AS (SELECT tf_sum, upper(term[1]) || substr(COALESCE("
+        "array_to_string(list_filter(l2[2:], c -> c <> 'v'), ''), '') || '000', 1, 3) "
+        "AS code FROM s2) "
+        "SELECT code, CAST(COUNT(*) AS BIGINT) AS n_terms, "
+        "CAST(SUM(tf_sum) AS BIGINT) AS total_tf "
+        f"FROM s3 GROUP BY code ORDER BY total_tf DESC, code LIMIT {int(k)}"
+    )
+
+
 def stemmed_term_counts_sql() -> str:
     """Oracle for textstats.stemmed_term_counts.  The term->stem VALUES
     map is generated from the engine's porter_stem over the union of the

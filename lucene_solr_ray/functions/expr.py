@@ -185,3 +185,36 @@ def expression_sort(sf_dir: str, k: int = 100) -> ray.data.Dataset:
         batch_format="pyarrow",
     )
     return out.sort(["expr_milli", "p_partkey"], descending=[True, False]).limit(k)
+
+
+class _FrangeStage(_ExprStage):
+    """Expression + range filter fused in one batch pass (the frange
+    post-filter never materializes out-of-range rows)."""
+
+    def __init__(self, expression: str, columns: list[str], lo_milli: int, hi_milli: int):
+        super().__init__(expression, columns)
+        self.lo, self.hi = int(lo_milli), int(hi_milli)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out = super().__call__(t)
+        v = out.column("expr_milli").to_numpy()
+        return out.filter(pa.array((v >= self.lo) & (v <= self.hi)))
+
+
+def frange_filter(sf_dir: str, lo_milli: int = -10000, hi_milli: int = 0) -> ray.data.Dataset:
+    """FunctionRangeQParser ({!frange l=.. u=..}expr — [U] solr/core/.../
+    search/FunctionRangeQuery.java via FunctionRangeQParserPlugin): keep
+    rows whose expression VALUE (exact milli-quantized int, the
+    expression_sort convention) lies in [l, u]. One stateless fused
+    compute+filter pass over the pruned column read; zero shuffle."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size", "p_retailprice"]
+    )
+    return ds.map_batches(
+        _FrangeStage,
+        fn_constructor_kwargs={"expression": PART_EXPR,
+                               "columns": ["p_size", "p_retailprice"],
+                               "lo_milli": lo_milli, "hi_milli": hi_milli},
+        concurrency=pool_size(),
+        batch_format="pyarrow",
+    ).sort("p_partkey")

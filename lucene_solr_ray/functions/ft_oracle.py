@@ -344,6 +344,76 @@ def clause_order_topk_sql(terms: list[str], k: int = 10, offset: int = 0) -> str
     )
 
 
+def elevation_topk_sql(terms: list[str], elevated: list[int],
+                       excluded: list[int], k: int = 10) -> str:
+    """Oracle for fulltext.elevation_topk: BM25 ranking limited to
+    k' = k + |elevated| + |excluded| (the engine's retrieval depth),
+    elevated/excluded ids dropped from it, elevated ids prepended in
+    config order, cut to k -> (rank, doc_id, elevated)."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    ts = analyze_query_terms(terms)
+    k_prime = int(k) + len(elevated) + len(excluded)
+    ctes = [prelude_ctes()]
+    tf_names, w_names = [], []
+    for ti, t in enumerate(ts):
+        tf_n, w_n = f"tf_e{ti}", f"w_e{ti}"
+        ctes.append(tf_cte(tf_n, t))
+        ctes.append(w_cte(w_n, tf_n))
+        tf_names.append(tf_n)
+        w_names.append(w_n)
+    aliases = [f"t{ti}" for ti in range(len(ts))]
+    joins = f"{tf_names[0]} {aliases[0]}"
+    for tf_n, a in zip(tf_names[1:], aliases[1:]):
+        joins += f" JOIN {tf_n} {a} ON {aliases[0]}.doc_id = {a}.doc_id"
+    joins += f" JOIN denom ON denom.doc_id = {aliases[0]}.doc_id"
+    fold = fold_f32([score_expr(a, w_n) for a, w_n in zip(aliases, w_names)])
+    cond = " OR ".join(f"{a}.tf > 0" for a in aliases)
+    elev_vals = ", ".join(f"({int(d)}, {i})" for i, d in enumerate(elevated))
+    drop_ids = sorted({int(d) for d in list(elevated) + list(excluded)})
+    drop = ", ".join(str(d) for d in drop_ids) or "NULL"
+    ctes.append(
+        "ranked AS (SELECT doc_id, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS r "
+        f"FROM (SELECT {aliases[0]}.doc_id AS doc_id, {fold} AS score "
+        f"FROM {joins} WHERE {cond}) sub QUALIFY r < {k_prime})"
+    )
+    ctes.append(f"elev(doc_id, e_ord) AS (VALUES {elev_vals})")
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT rank, doc_id, elevated FROM ("
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY grp, ord) - 1 AS BIGINT) AS rank, "
+        "doc_id, elevated FROM ("
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, 0 AS grp, "
+        "CAST(e_ord AS BIGINT) AS ord, CAST(1 AS BIGINT) AS elevated FROM elev "
+        "UNION ALL "
+        "SELECT doc_id, 1, r, CAST(0 AS BIGINT) FROM ranked "
+        f"WHERE doc_id NOT IN ({drop})) u) f "
+        f"WHERE rank < {int(k)} ORDER BY rank"
+    )
+
+
+def word_break_sql(term: str, min_break_length: int = 2, k: int = 10) -> str:
+    """Oracle for fulltext.word_break_suggest: the dictionary is the
+    stop-filtered token vocabulary with doc frequencies; every split of
+    ``term`` whose halves are both dictionary terms, ranked by
+    (max(df) desc, split position asc)."""
+    t = _esc(term)
+    lo, hi = int(min_break_length), len(term) - int(min_break_length)
+    return (
+        "WITH " + prelude_ctes() + ", "
+        "dict AS (SELECT tok AS term, COUNT(DISTINCT doc_id) AS df FROM "
+        "(SELECT doc_id, unnest(tk) AS tok FROM toks) GROUP BY tok), "
+        f"splits AS (SELECT CAST(i AS BIGINT) AS i, substr('{t}', 1, CAST(i AS INT)) AS l, "
+        f"substr('{t}', CAST(i AS INT) + 1) AS r FROM generate_series({lo}, {hi}) g(i)) "
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY greatest(dl.df, dr.df) DESC, s.i) - 1 AS BIGINT) "
+        "AS sugg_rank, s.i AS split_pos, s.l AS left_term, s.r AS right_term, "
+        "CAST(dl.df AS BIGINT) AS df_left, CAST(dr.df AS BIGINT) AS df_right "
+        "FROM splits s JOIN dict dl ON dl.term = s.l JOIN dict dr ON dr.term = s.r "
+        f"ORDER BY sugg_rank LIMIT {int(k)}"
+    )
+
+
 def dismax_topk_sql(terms: list[str], tie_breaker: float, k: int = 10) -> str:
     """Oracle for fulltext.dismax_topk: float32 per-clause scores (missing
     clause -> exact 0), score = float32(max64 + tie*(sum64 - max64)) with

@@ -499,6 +499,55 @@ def prefix_suggest(sf_dir: str, prefix: str, k: int = 5) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=schema)
 
 
+def word_break_suggest(sf_dir: str, term: str, min_break_length: int = 2,
+                       k: int = 10) -> pa.Table:
+    """WordBreakSpellChecker suggestions for a run-together term ->
+    (sugg_rank, split_pos, left_term, right_term, df_left, df_right)."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    rows = [
+        {"sugg_rank": r, "split_pos": i, "left_term": l, "right_term": rt,
+         "df_left": dl, "df_right": dr}
+        for r, (i, l, rt, dl, dr) in enumerate(
+            s.suggest_word_breaks(term, min_break_length, k))
+    ]
+    schema = pa.schema([("sugg_rank", pa.int64()), ("split_pos", pa.int64()),
+                        ("left_term", pa.string()), ("right_term", pa.string()),
+                        ("df_left", pa.int64()), ("df_right", pa.int64())])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def elevation_topk(sf_dir: str, terms: list[str], elevated: list[int],
+                   excluded: list[int], k: int = 10) -> pa.Table:
+    """QueryElevationComponent ([U] solr/core/.../handler/component/
+    QueryElevationComponent.java, forceElevation=true): the configured
+    ``elevated`` doc_ids are pinned to the top in config order regardless
+    of score, ``excluded`` ids are removed, and the rest follow in BM25
+    order. RANK-ONLY output (the bm25_topk float32 rank-stability bound
+    covers the score ordering). Scale shape: one top-k' WAND query with
+    k' = k + |elevated| + |excluded| — the pin/exclude edit is
+    output-sized, never corpus-sized."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    k_prime = k + len(elevated) + len(excluded)
+    d, _sc = s.search(terms, k=k_prime, mode="or")
+    mapping = _docid_to_doc_id(index_dir)
+    ranked = mapping[d].astype(np.int64)  # already (score desc, docid) order
+    drop = np.array(sorted(set(map(int, elevated)) | set(map(int, excluded))),
+                    dtype=np.int64)
+    rest = ranked[~np.isin(ranked, drop)]
+    final = list(map(int, elevated)) + rest.tolist()
+    final = final[:k]
+    n_elev = min(len(elevated), len(final))
+    return pa.table({
+        "rank": pa.array(np.arange(len(final)), pa.int64()),
+        "doc_id": pa.array(np.asarray(final, np.int64), pa.int64()),
+        "elevated": pa.array(
+            np.r_[np.ones(n_elev, np.int64), np.zeros(len(final) - n_elev, np.int64)],
+            pa.int64()),
+    })
+
+
 def infix_suggest(sf_dir: str, fragment: str, k: int = 5) -> pa.Table:
     """AnalyzingInfixSuggester: contains-match suggestions ranked by cf."""
     index_dir = docs_index(sf_dir)

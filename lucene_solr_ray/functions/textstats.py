@@ -225,6 +225,47 @@ def stemmed_term_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def phonetic_term_groups(sf_dir: str, k: int = 50) -> ray.data.Dataset:
+    """PhoneticFilter (Soundex) vocabulary grouping ([U] lucene/analysis/
+    phonetic/.../PhoneticFilter.java with the Soundex encoder): each
+    Soundex code's distinct-term count and total term frequency, top-k by
+    total_tf (ties -> code asc). Scale shape: per-batch Counter partials
+    (vocab-bounded rows, never corpus-sized token rows) -> groupby-term
+    Sum -> vocab-sized soundex map -> groupby-code combine; both shuffles
+    move vocabulary-sized data only."""
+    from ray.data.aggregate import Count, Sum
+
+    from lucene_solr_ray.analysis import soundex, tokenize
+
+    def term_partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for s in t.column("text").to_pylist():
+            c.update(tokenize(s or ""))
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "tf": pa.array(list(c.values()), pa.int64())})
+
+    def to_codes(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "code": pa.array([soundex(x) for x in t.column("term").to_pylist()],
+                             pa.string()),
+            "tf_sum": t.column("tf_sum"),
+        })
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(term_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="tf_sum"))
+        .map_batches(to_codes, batch_format="pyarrow")
+        .groupby("code")
+        .aggregate(Count(alias_name="n_terms"), Sum("tf_sum", alias_name="total_tf"))
+        .sort(["total_tf", "code"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def lang_dispatch_token_counts(sf_dir: str) -> ray.data.Dataset:
     """Per-language analyzer dispatch (langid URP -> analyzer routing,
     [U] solr/contrib/langid + lucene/analysis/{kuromoji,nori,smartcn}

@@ -1481,6 +1481,29 @@ class IndexSearcher:
         out.sort(key=lambda x: (-x[1], x[0]))
         return out[:k]
 
+    def suggest_word_breaks(self, term: str, min_break_length: int = 2, k: int = 10):
+        """WordBreakSpellChecker analogue ([U] lucene/suggest/.../spell/
+        WordBreakSpellChecker.java suggestWordBreaks): split ``term`` at
+        every position where BOTH halves are dictionary terms (each at
+        least ``min_break_length`` chars, the checker's
+        minBreakWordLength). All single-break suggestions have the same
+        change count, so the NUM_CHANGES_THEN_MAX_FREQUENCY sort
+        degenerates to (max(df_left, df_right) desc, split position asc).
+        Returns [(split_pos, left, right, df_left, df_right)]. Cost:
+        O(len(term)) dictionary df lookups — corpus text never touched."""
+        out = []
+        for i in range(min_break_length, len(term) - min_break_length + 1):
+            left, right = term[:i], term[i:]
+            df_l, _, _ = self.term_stats_and_cursor(left)
+            if df_l == 0:
+                continue
+            df_r, _, _ = self.term_stats_and_cursor(right)
+            if df_r == 0:
+                continue
+            out.append((i, left, right, df_l, df_r))
+        out.sort(key=lambda x: (-max(x[3], x[4]), x[0]))
+        return out[:k]
+
     def more_like_this(self, docid: int, max_terms: int = 8, k: int = 10):
         """MoreLikeThis ([U] lucene/queries/.../mlt/MoreLikeThis.java):
         top tf*idf terms of the doc -> OR query (the source doc itself

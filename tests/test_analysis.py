@@ -184,3 +184,21 @@ def test_common_grams_filter():
         "fast", "fast_a", "a", "a_fox", "fox", "fox_a", "a"]
     assert common_grams_filter([], {"a"}) == []
     assert common_grams_filter(["x"], {"a"}) == ["x"]
+
+
+def test_soundex_canonical_vectors():
+    """American Soundex against the canonical published vectors (the
+    engine fn and the DuckDB oracle implement the identical algorithm;
+    phonetic_term_groups' gate entry proves the SQL side)."""
+    from lucene_solr_ray.analysis import phonetic_tokenize, soundex
+
+    vectors = {
+        "robert": "R163", "rupert": "R163", "ashcraft": "A261",
+        "ashcroft": "A261", "tymczak": "T522", "pfister": "P236",
+        "honeyman": "H555", "jackson": "J250", "washington": "W252",
+        "lee": "L000", "gutierrez": "G362", "wheaton": "W350",
+    }
+    for w, code in vectors.items():
+        assert soundex(w) == code, w
+    # standard chain feeds the filter: stopwords never reach the encoder
+    assert phonetic_tokenize("the robert and rupert") == ["R163", "R163"]

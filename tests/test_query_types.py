@@ -336,3 +336,51 @@ def test_tv_component_and_free_text_suggest(ray_session):
         "SELECT w2 AS next_term, CAST(COUNT(*) AS BIGINT) AS n FROM bg "
         "WHERE w1 = 'merge' GROUP BY 1 ORDER BY n DESC, next_term LIMIT 10").fetchdf()
     assert sug.reset_index(drop=True).equals(exp_sug.astype(sug.dtypes.to_dict()))
+
+
+def test_word_break_multi_split_ranking(ray_session, tmp_path):
+    """Two valid splits of one run-together term, ranked by max(df) desc
+    then split position asc (the NUM_CHANGES_THEN_MAX_FREQUENCY order for
+    single-break suggestions); too-short halves are never offered."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.functions.fulltext import word_break_suggest
+
+    texts = ["bab aa", "bab aab", "bab ab", "aab"]  # df: bab=3, aab=2, aa=1, ab=1
+    tab = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["s"] * 4, pa.string()),
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    out = word_break_suggest(str(tmp_path), "aabab").to_pandas()
+    # i=2 -> (aa, bab) max df 3; i=3 -> (aab, ab) max df 2; i in {2,3} only
+    assert out["split_pos"].tolist() == [2, 3]
+    assert out["left_term"].tolist() == ["aa", "aab"]
+    assert out["right_term"].tolist() == ["bab", "ab"]
+    assert out["df_left"].tolist() == [1, 2]
+    assert out["df_right"].tolist() == [3, 1]
+    assert out["sugg_rank"].tolist() == [0, 1]
+
+
+def test_query_elevation_semantics(ray_session):
+    """Elevated ids are pinned first in config order (forceElevation),
+    excluded ids vanish, the rest follow BM25 order at retrieval depth
+    k' = k + |elevated| + |excluded|."""
+    from lucene_solr_ray.functions.fulltext import bm25_topk, elevation_topk
+
+    sf = "/root/testdata/sf0.001"
+    base = bm25_topk(sf, [("q", ["merge", "join"], "or")], k=13).to_pandas()
+    base_ids = [int(x) for x in base["doc_id"]]
+    excluded = [base_ids[0]]
+    elevated = [499, base_ids[2]]
+    out = elevation_topk(sf, ["merge", "join"], elevated, excluded, k=10).to_pandas()
+    assert out["doc_id"].tolist()[:2] == elevated
+    assert out["elevated"].tolist() == [1, 1] + [0] * (len(out) - 2)
+    drop = set(elevated) | set(excluded)
+    expect_rest = [d for d in base_ids if d not in drop][:8]
+    assert out["doc_id"].tolist()[2:] == expect_rest
+    assert excluded[0] not in out["doc_id"].tolist()
