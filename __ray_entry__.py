@@ -191,6 +191,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, [["merge", "join"], "vector"], slop=4, in_order=False),
         "ft_span_not_docs": lambda sf: ft.span_not_retrieve(
             sf, "vector", "merge", pre=2, post=2),
+        "ft_span_containing": lambda sf: ft.span_containing_retrieve(
+            sf, "merge", "vector", 5, "join"),
+        "ft_span_within": lambda sf: ft.span_within_retrieve(
+            sf, "merge", "vector", 5, "join"),
+        "ft_synonym_topk": lambda sf: ft.synonym_topk(sf, ["merge", "sort"], k=10),
         "ft_dismax_topk": lambda sf: ft.dismax_topk(sf, ["merge", "join", "window"], 0.3, k=10),
         "ft_rerank_topk": lambda sf: ft.rerank_topk(
             sf, ["merge", "join"], ["vector"], weight=2.0, top_n=60, k=10),
@@ -348,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
             ["merge", "join", "vector"], max_df_frac=0.55, k=10),
         "ft_more_like_this": _ft_oracle().more_like_this_sql(0, 8, 10),
         "ft_word_break": _ft_oracle().word_break_sql("streamline"),
+        "ft_synonym_topk": _ft_oracle().synonym_topk_sql(["merge", "sort"], k=10),
         "ft_query_elevation": _ft_oracle().elevation_topk_sql(
             ["merge", "join"], elevated=[17, 4], excluded=[2], k=10),
         "ltr_bm25_rescore": _ft_oracle().ltr_bm25_rescore_sql(["merge", "sort"], 100, 20),
@@ -448,6 +454,37 @@ def oracle_sql() -> dict[str, str]:
         "ft_span_first_docs": (
             f"SELECT doc_id FROM documents WHERE "
             f"list_position({split}, 'merge') BETWEEN 1 AND 8 ORDER BY doc_id"
+        ),
+        # big = SpanNear(merge, vector, slop=5, unordered); spans are ALL
+        # qualifying (pa, pb) pairs. containing -> distinct big envelopes
+        # holding a 'join'; within -> distinct enclosed 'join' positions.
+        "ft_span_containing": (
+            f"WITH toks AS (SELECT doc_id, unnest(l) AS term, "
+            f"CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos "
+            f"FROM (SELECT doc_id, {split} AS l FROM documents)), "
+            "a AS (SELECT doc_id, pos FROM toks WHERE term = 'merge'), "
+            "b AS (SELECT doc_id, pos FROM toks WHERE term = 'vector'), "
+            "c AS (SELECT doc_id, pos FROM toks WHERE term = 'join'), "
+            "pairs AS (SELECT a.doc_id, least(a.pos, b.pos) AS lo, "
+            "greatest(a.pos, b.pos) AS hi FROM a JOIN b ON a.doc_id = b.doc_id "
+            "WHERE greatest(a.pos, b.pos) - least(a.pos, b.pos) - 1 <= 5) "
+            "SELECT DISTINCT p.doc_id AS doc_id, p.lo AS lo, p.hi AS hi FROM pairs p "
+            "JOIN c ON c.doc_id = p.doc_id AND c.pos BETWEEN p.lo AND p.hi "
+            "ORDER BY 1, 2, 3"
+        ),
+        "ft_span_within": (
+            f"WITH toks AS (SELECT doc_id, unnest(l) AS term, "
+            f"CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos "
+            f"FROM (SELECT doc_id, {split} AS l FROM documents)), "
+            "a AS (SELECT doc_id, pos FROM toks WHERE term = 'merge'), "
+            "b AS (SELECT doc_id, pos FROM toks WHERE term = 'vector'), "
+            "c AS (SELECT doc_id, pos FROM toks WHERE term = 'join'), "
+            "pairs AS (SELECT a.doc_id, least(a.pos, b.pos) AS lo, "
+            "greatest(a.pos, b.pos) AS hi FROM a JOIN b ON a.doc_id = b.doc_id "
+            "WHERE greatest(a.pos, b.pos) - least(a.pos, b.pos) - 1 <= 5) "
+            "SELECT DISTINCT c.doc_id AS doc_id, c.pos AS pos FROM pairs p "
+            "JOIN c ON c.doc_id = p.doc_id AND c.pos BETWEEN p.lo AND p.hi "
+            "ORDER BY 1, 2"
         ),
         "ft_span_or_near": (
             f"WITH toks AS (SELECT doc_id, unnest(l) AS term, "

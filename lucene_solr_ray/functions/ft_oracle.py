@@ -344,6 +344,46 @@ def clause_order_topk_sql(terms: list[str], k: int = 10, offset: int = 0) -> str
     )
 
 
+def synonym_topk_sql(terms: list[str], k: int = 10) -> str:
+    """Oracle for fulltext.synonym_topk — SynonymQuery scoring: one
+    pseudo-term with df = max over member docFreqs and per-doc
+    tf = sum of member tfs; score = float32(w64 * tf/(tf + denom)),
+    a single rounding exactly as the engine's one score_term call."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    ts = analyze_query_terms(terms)
+    ctes = [prelude_ctes()]
+    tf_names = []
+    for ti, t in enumerate(ts):
+        tf_n = f"tf_y{ti}"
+        ctes.append(tf_cte(tf_n, t))
+        tf_names.append(tf_n)
+    aliases = [f"t{ti}" for ti in range(len(ts))]
+    joins = f"{tf_names[0]} {aliases[0]}"
+    for tf_n, a in zip(tf_names[1:], aliases[1:]):
+        joins += f" JOIN {tf_n} {a} ON {aliases[0]}.doc_id = {a}.doc_id"
+    joins += f" JOIN denom ON denom.doc_id = {aliases[0]}.doc_id"
+    dfs = " , ".join(
+        f"(SELECT CAST(COUNT(CASE WHEN tf > 0 THEN 1 END) AS DOUBLE) FROM {n})"
+        for n in tf_names)
+    ctes.append(
+        "w_syn AS (SELECT CAST(ln(1.0 + ((stats.n - d.df) + 0.5)/(d.df + 0.5)) AS FLOAT) AS w "
+        f"FROM (SELECT GREATEST({dfs}) AS df) d, stats)"
+    )
+    tf_sum = " + ".join(f"{a}.tf" for a in aliases)
+    cond = " OR ".join(f"{a}.tf > 0" for a in aliases)
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT rank, doc_id FROM ("
+        "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+        f"FROM (SELECT {aliases[0]}.doc_id AS doc_id, "
+        "CAST(CAST((SELECT w FROM w_syn) AS DOUBLE) * "
+        f"(CAST({tf_sum} AS DOUBLE)/(CAST({tf_sum} AS DOUBLE) + denom.dn)) AS FLOAT) AS score "
+        f"FROM {joins} WHERE {cond}) sub"
+        f") ranked WHERE rank < {int(k)} ORDER BY rank"
+    )
+
+
 def elevation_topk_sql(terms: list[str], elevated: list[int],
                        excluded: list[int], k: int = 10) -> str:
     """Oracle for fulltext.elevation_topk: BM25 ranking limited to

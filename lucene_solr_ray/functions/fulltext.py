@@ -110,6 +110,51 @@ def span_not_retrieve(sf_dir: str, include: str, exclude: str,
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
 
 
+def span_containing_retrieve(sf_dir: str, term_a: str, term_b: str,
+                             slop: int, little: str) -> pa.Table:
+    """SpanContainingQuery: distinct big SpanNear(a,b,slop,unordered)
+    spans that enclose a ``little`` occurrence -> (doc_id, lo, hi)."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d, lo, hi = s.search_span_containing(term_a, term_b, slop, little)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({
+        "doc_id": pa.array(mapping[d].astype(np.int64) if len(d) else
+                           np.empty(0, np.int64), pa.int64()),
+        "lo": pa.array(lo, pa.int64()),
+        "hi": pa.array(hi, pa.int64()),
+    })
+
+
+def span_within_retrieve(sf_dir: str, term_a: str, term_b: str,
+                         slop: int, little: str) -> pa.Table:
+    """SpanWithinQuery: distinct ``little`` occurrences enclosed by some
+    big SpanNear(a,b,slop,unordered) span -> (doc_id, pos)."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d, pos = s.search_span_within(term_a, term_b, slop, little)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({
+        "doc_id": pa.array(mapping[d].astype(np.int64) if len(d) else
+                           np.empty(0, np.int64), pa.int64()),
+        "pos": pa.array(pos, pa.int64()),
+    })
+
+
+def synonym_topk(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
+    """SynonymQuery top-k, RANK-ONLY output (oracle:
+    ft_oracle.synonym_topk_sql — blended df, summed tf, one rounding)."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d, _sc = s.search_synonym(terms, k=k)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({
+        "rank": pa.array(np.arange(len(d)), pa.int64()),
+        "doc_id": pa.array(mapping[d].astype(np.int64) if len(d) else
+                           np.empty(0, np.int64), pa.int64()),
+    })
+
+
 def span_first_retrieve(sf_dir: str, term: str, end: int) -> pa.Table:
     """SpanFirstQuery match set ([U] .../spans/SpanFirstQuery.java) ->
     sorted doc_id set."""

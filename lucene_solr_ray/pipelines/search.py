@@ -1318,6 +1318,104 @@ class IndexSearcher:
         out = [int(doc) for doc in cand if int(v.positions(int(doc))[0]) <= end - 1]
         return np.asarray(out, dtype=np.int64)
 
+    def _span_near_pairs(self, term_a: str, term_b: str, slop: int):
+        """All SpanNear(a, b, slop, unordered) span envelopes per doc:
+        yields (doc, lo_array, hi_array) for docs holding at least one
+        qualifying (pos_a, pos_b) pair (gap = |pa-pb|-1 <= slop). Spans
+        enumerate every qualifying pair (Lucene spans are combinations,
+        not minimal intervals)."""
+        views, clause_terms = self._span_clause_views([term_a, term_b])
+        if views is None:
+            return
+        ta, tb = clause_terms[0][0], clause_terms[1][0]
+        cand = np.intersect1d(views[ta].docids, views[tb].docids,
+                              assume_unique=True)
+        for doc in self._live(cand):
+            pa = views[ta].positions(int(doc))
+            pb = views[tb].positions(int(doc))
+            lo = np.minimum.outer(pa, pb).ravel()
+            hi = np.maximum.outer(pa, pb).ravel()
+            ok = (hi - lo - 1) <= slop
+            if ok.any():
+                yield int(doc), lo[ok], hi[ok]
+
+    def search_span_containing(self, term_a: str, term_b: str, slop: int,
+                               little: str):
+        """SpanContainingQuery ([U] lucene/core/.../search/spans/
+        SpanContainingQuery.java): big = SpanNear(a, b, slop, unordered),
+        little = a term; returns the DISTINCT big spans that contain a
+        little occurrence, as (docid, lo, hi) arrays (Lucene returns the
+        big spans; doc-level sets of containing/within coincide, the span
+        coordinates differentiate them)."""
+        views, clause_terms = self._span_clause_views([little])
+        if views is None:
+            return (np.empty(0, np.int64),) * 3
+        tc = clause_terms[0][0]
+        v_c = views[tc]
+        out_d, out_lo, out_hi = [], [], []
+        for doc, lo, hi in self._span_near_pairs(term_a, term_b, slop):
+            pos = np.searchsorted(v_c.docids, doc)
+            if pos >= len(v_c.docids) or v_c.docids[pos] != doc:
+                continue
+            pc = v_c.positions(doc)
+            has = (np.searchsorted(pc, hi, side="right")
+                   - np.searchsorted(pc, lo, side="left")) > 0
+            if has.any():
+                pairs = np.unique(np.stack([lo[has], hi[has]], axis=1), axis=0)
+                out_d.extend([doc] * len(pairs))
+                out_lo.extend(pairs[:, 0].tolist())
+                out_hi.extend(pairs[:, 1].tolist())
+        return (np.asarray(out_d, np.int64), np.asarray(out_lo, np.int64),
+                np.asarray(out_hi, np.int64))
+
+    def search_span_within(self, term_a: str, term_b: str, slop: int,
+                           little: str):
+        """SpanWithinQuery ([U] .../spans/SpanWithinQuery.java): the
+        DISTINCT little-term occurrences enclosed by some big
+        SpanNear(a, b, slop, unordered) span, as (docid, pos) arrays."""
+        views, clause_terms = self._span_clause_views([little])
+        if views is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        v_c = views[clause_terms[0][0]]
+        out_d, out_p = [], []
+        for doc, lo, hi in self._span_near_pairs(term_a, term_b, slop):
+            pos = np.searchsorted(v_c.docids, doc)
+            if pos >= len(v_c.docids) or v_c.docids[pos] != doc:
+                continue
+            pc = v_c.positions(doc)
+            inside = ((pc[:, None] >= lo[None, :]) & (pc[:, None] <= hi[None, :])).any(axis=1)
+            for p in pc[inside]:
+                out_d.append(doc)
+                out_p.append(int(p))
+        return np.asarray(out_d, np.int64), np.asarray(out_p, np.int64)
+
+    def search_synonym(self, raw_terms, k: int = 10):
+        """SynonymQuery ([U] lucene/core/.../search/SynonymQuery.java):
+        all terms score as ONE pseudo-term — docFreq = max over members,
+        totalTermFreq = sum, per-doc tf = sum of member tfs, one blended
+        weight. A single score_term call per doc (no accumulation), so
+        float32 parity with the SQL oracle is a single shared rounding."""
+        terms = analyze_query_terms(raw_terms)
+        stats = [self.term_stats_and_cursor(t) for t in terms]
+        stats = [(df, cf, c) for df, cf, c in stats if c is not None]
+        if not stats:
+            return np.empty(0, np.int64), np.empty(0, np.float32)
+        w = self._term_w(max(df for df, _, _ in stats),
+                         sum(cf for _, cf, _ in stats))
+        d_all = np.concatenate([c.decode_all()[0] for _, _, c in stats])
+        tf_all = np.concatenate([c.decode_all()[1] for _, _, c in stats])
+        m_all = np.concatenate([c.decode_all()[2] for _, _, c in stats])
+        uniq, inv = np.unique(d_all, return_inverse=True)
+        tf_sum = np.zeros(len(uniq), dtype=tf_all.dtype)
+        np.add.at(tf_sum, inv, tf_all)
+        m_u = np.zeros(len(uniq), dtype=m_all.dtype)
+        m_u[inv] = m_all  # norms are per-doc: any member's value is THE value
+        live = self._live_mask(uniq)
+        cand, tf_sum, m_u = uniq[live], tf_sum[live], m_u[live]
+        scores = self.simcls.score_term(w, tf_sum, m_u, self.cache)
+        top = topk_order(cand, scores, k)
+        return cand[top].astype(np.int64), scores[top]
+
     # ---------------- multi-term queries (SURVEY §2.5) ----------------
 
     def expand_terms(self, kind: str, pattern: str, max_terms: int = 1024) -> list[str]:

@@ -191,3 +191,49 @@ def test_intervals_containing_minimality(ray_session, tmp_path):
     assert minimal_intervals_two(np.array([0, 4]), np.array([5])) == [(4, 5)]
     assert minimal_intervals_two(np.array([0]), np.array([5])) == [(0, 5)]
     assert minimal_intervals_two(np.array([3]), np.array([1, 6])) == [(1, 3), (3, 6)]
+
+
+def test_span_containing_and_within_semantics(ray_session, tmp_path):
+    """Big = SpanNear(merge, vector, slop=2, unordered); little = join.
+    Containment requires the little position INSIDE the big envelope —
+    a big span without an enclosed little contributes nothing; multiple
+    qualifying (a, b) pairs each yield their own envelope; the stopword
+    'a' keeps its position gap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.functions.fulltext import (
+        span_containing_retrieve, span_within_retrieve)
+
+    texts = [
+        "merge join vector",                # big [0,2], join@1 inside
+        "merge a vector join",              # big [0,2] (gap over stop pos 1), join@3 OUTSIDE
+        "vector join merge join vector",    # bigs [0,2] and [2,4]; joins 1, 3
+        "join merge stream vector",         # big [1,3]; join@0 outside
+    ]
+    tab = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["s"] * 4, pa.string()),
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    cont = span_containing_retrieve(str(tmp_path), "merge", "vector", 2, "join").to_pandas()
+    assert list(map(tuple, cont[["doc_id", "lo", "hi"]].to_numpy())) == [
+        (0, 0, 2), (2, 0, 2), (2, 2, 4)]
+    within = span_within_retrieve(str(tmp_path), "merge", "vector", 2, "join").to_pandas()
+    assert list(map(tuple, within[["doc_id", "pos"]].to_numpy())) == [
+        (0, 1), (2, 1), (2, 3)]
+
+
+def test_synonym_query_degenerates_to_single_term(ray_session):
+    """SynonymQuery([t, absent]) == single-term BM25 ranking: the absent
+    member contributes no df (blend = max over PRESENT members) and no
+    tf — Lucene's SynonymQuery semantics."""
+    from lucene_solr_ray.functions.fulltext import bm25_topk, synonym_topk
+
+    sf = "/root/testdata/sf0.001"
+    syn = synonym_topk(sf, ["merge", "zzz-absent"], k=10).to_pandas()
+    single = bm25_topk(sf, [("q", ["merge"], "or")], k=10).to_pandas()
+    assert syn["doc_id"].tolist() == single["doc_id"].tolist()
