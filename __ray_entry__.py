@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_term_docs": lambda sf: ft.boolean_retrieve(sf, [FT_TERM], mode="or"),
         "ft_and_docs": lambda sf: ft.boolean_retrieve(sf, FT_AND_TERMS, mode="and"),
         "ft_or_docs": lambda sf: ft.boolean_retrieve(sf, FT_OR_TERMS, mode="or"),
+        "ft_upgrade_requery": lambda sf: ft.upgrade_requery(sf, FT_OR_TERMS),
         "ft_term_stats": lambda sf: ft.term_stats(sf, FT_STATS_TERMS),
         "ft_bm25_topk": lambda sf: ft.bm25_topk(sf, FT_BM25_QUERIES, k=10),
         "ft_lmdirichlet_topk": lambda sf: ft.bm25_topk(
@@ -328,6 +329,12 @@ def oracle_sql() -> dict[str, str]:
             + " ORDER BY doc_id"
         ),
         "ft_or_docs": (
+            "SELECT doc_id FROM documents WHERE "
+            + " OR ".join(f"list_contains({split}, '{t}')" for t in FT_OR_TERMS)
+            + " ORDER BY doc_id"
+        ),
+        # codec upgrade must round-trip postings exactly -> same match set
+        "ft_upgrade_requery": (
             "SELECT doc_id FROM documents WHERE "
             + " OR ".join(f"list_contains({split}, '{t}')" for t in FT_OR_TERMS)
             + " ORDER BY doc_id"

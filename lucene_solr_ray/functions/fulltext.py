@@ -457,6 +457,29 @@ def delete_requery(sf_dir: str, delete_terms: list[str], query_terms: list[str])
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
 
 
+def upgrade_requery(sf_dir: str, terms: list[str]) -> pa.Table:
+    """IndexUpgrader end-to-end ([U] lucene/core/.../index/
+    IndexUpgrader.java): copy the cached index, rewrite EVERY segment
+    under the alternate registered postings codec (varint-v1, the SPI
+    registry's second entry), and re-run a boolean query on the upgraded
+    generation — the match set must be identical, proving the rewrite
+    round-trips postings across codecs."""
+    import shutil
+
+    from lucene_solr_ray.pipelines.merge import upgrade_index
+
+    src = docs_index(sf_dir)
+    tmp = src + "-upgcopy"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(src, tmp)
+    m = upgrade_index(tmp, "varint-v1")
+    assert m["codec"] == "varint-v1", m["codec"]
+    s = IndexSearcher(tmp)
+    d, _ = s.search(terms, k=max(1, s.n_docs), mode="or")
+    mapping = _docid_to_doc_id(tmp)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
 def ts_range_retrieve(sf_dir: str, lo: str, hi: str, filter_terms: list[str] = ()) -> pa.Table:
     """PointRangeQuery on the ts contract column (time-window filter,
     composable with term FILTER clauses) -> sorted doc_id set. The

@@ -43,6 +43,7 @@ def plan_merges(
     max_merged_bytes: int = MAX_MERGED_BYTES,
     force_max_segments: int | None = None,
     tombstones: np.ndarray | None = None,
+    rewrite_all: bool = False,
 ) -> list[dict]:
     """Pure planner -> merge groups [{partition, inputs: [seg dicts]}].
 
@@ -72,6 +73,12 @@ def plan_merges(
     groups = []
     for partition, segs in sorted(by_partition.items()):
         segs = sorted(segs, key=lambda s: (s["docid_min"], s["name"]))
+        if rewrite_all:
+            # IndexUpgrader mode: every segment is rewritten this round
+            # (one full-partition group — the whole docid run, so the
+            # contiguity invariant holds trivially), even singletons
+            groups.append({"partition": partition, "inputs": segs})
+            continue
         if force_max_segments is not None:
             while len(segs) > force_max_segments:
                 take_n = max(2, min(max_merge_at_once, len(segs) - force_max_segments + 1))
@@ -199,7 +206,8 @@ def merge_segment_group(index_dir: str, partition: int, inputs: list[dict], out_
 
 def run_merge_round(index_dir: str, generation: int | None = None,
                     force_max_segments: int | None = None, gc: bool = True,
-                    expunge_deletes: bool = False, **plan_kwargs) -> dict | None:
+                    expunge_deletes: bool = False,
+                    codec_override: str | None = None, **plan_kwargs) -> dict | None:
     """Plan + execute one merge round on Ray; commit a new generation.
     Returns the new manifest, or None if nothing to merge.
 
@@ -247,7 +255,7 @@ def run_merge_round(index_dir: str, generation: int | None = None,
         new_manifest["generation"] = new_gen
         return new_manifest
     gen = manifest["generation"]
-    codec_name = manifest["codec"]
+    codec_name = codec_override or manifest["codec"]
     descriptors = [
         {
             "partition": g["partition"],
@@ -302,6 +310,12 @@ def run_merge_round(index_dir: str, generation: int | None = None,
         segments=new_segs,
         metrics=dict(manifest.get("metrics", {}), merge_round_groups=len(groups)),
     )
+    if codec_override is not None:
+        # only valid when EVERY segment was rewritten this round (the
+        # upgrade path plans rewrite_all) — readers take the codec from
+        # the manifest, so a mixed-codec generation must never commit
+        assert not kept, "codec_override requires a rewrite_all plan"
+        new_manifest["codec"] = codec_override
     if deleted is not None and len(deleted):
         # the planner guaranteed every tombstone-intersecting segment was
         # rewritten this round -> no stale postings remain (kept segments
@@ -318,6 +332,31 @@ def run_merge_round(index_dir: str, generation: int | None = None,
         for partition, name in sorted(replaced):
             shutil.rmtree(segment_dir(index_dir, partition, name), ignore_errors=True)
     return new_manifest
+
+
+def upgrade_index(index_dir: str, target_codec: str, gc: bool = True) -> dict:
+    """IndexUpgrader analogue ([U] lucene/core/.../index/IndexUpgrader.java
+    — upgrades all segments by forceMerge(1) under the current codec):
+    rewrite EVERY segment with ``target_codec`` (one full-partition merge
+    group each, so the docid-contiguity invariant holds trivially) and
+    commit a generation whose manifest records the new codec. Readers
+    take each segment's codec from its meta.json, so in-flight searchers
+    on the old generation stay correct. No-op if already at the target."""
+    from lucene_solr_ray.codec import get_postings_codec
+
+    get_postings_codec(target_codec)  # fail loudly on unknown codec names
+    manifest = load_manifest(index_dir)
+    if manifest["codec"] == target_codec:
+        return manifest
+    out = run_merge_round(index_dir, gc=gc, codec_override=target_codec,
+                          rewrite_all=True)
+    if out is None:  # empty index: nothing to rewrite, flip the manifest codec
+        new_manifest = dict(manifest, codec=target_codec)
+        new_manifest.pop("generation", None)
+        new_gen = commit_manifest(index_dir, new_manifest)
+        new_manifest["generation"] = new_gen
+        return new_manifest
+    return out
 
 
 def force_merge(index_dir: str, max_segments: int = 1, gc: bool = True,

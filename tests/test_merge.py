@@ -216,3 +216,36 @@ def test_conv_base_join_mode_identical_segments(ray_session, t1_corpus, tmp_path
     c2 = {(s["partition"], s["name"]): s["postings_crc32"] for s in m2["segments"]}
     assert c1 == c2
     assert m1["n_docs"] == m2["n_docs"] and m1["sum_dl"] == m2["sum_dl"]
+
+
+def test_upgrade_index_codec_rewrite(ray_session, t1_index, t1_oracle, t1_queries, tmp_path):
+    """IndexUpgrader analogue: every segment rewritten under the target
+    codec (meta.json + manifest agree), full query parity preserved
+    (docids AND bit-equal float32 scores), idempotent at the target."""
+    import json
+
+    from lucene_solr_ray.pipelines.merge import upgrade_index
+
+    index_dir, _ = t1_index
+    copy = str(tmp_path / "index-upg")
+    shutil.copytree(index_dir, copy)
+    m = upgrade_index(copy, "varint-v1")
+    assert m["codec"] == "varint-v1"
+    seg_dirs = glob.glob(os.path.join(copy, "segments", "p*", "g*"))
+    live = {(s["partition"], s["name"]) for s in m["segments"]}
+    for sd in seg_dirs:
+        part = int(os.path.basename(os.path.dirname(sd))[1:])
+        if (part, os.path.basename(sd)) not in live:
+            continue  # pre-upgrade dirs may linger only if gc was off
+        with open(os.path.join(sd, "meta.json")) as fh:
+            assert json.load(fh)["codec"] == "varint-v1", sd
+    s = IndexSearcher(copy)
+    for row in t1_queries.to_pylist():
+        mode = "and" if row["type"] == "and" else "or"
+        got_d, got_s = s.search(row["terms"], k=row["k"], mode=mode)
+        exp_d, exp_s = t1_oracle.search(row["terms"], k=row["k"], mode=mode)
+        assert got_d.tolist() == exp_d.tolist(), row["query_id"]
+        assert np.array_equal(got_s, exp_s), row["query_id"]
+    # idempotent: already at the target -> same generation, no new commit
+    m2 = upgrade_index(copy, "varint-v1")
+    assert m2["generation"] == m["generation"]
