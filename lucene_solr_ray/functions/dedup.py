@@ -419,59 +419,102 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 50, ngram: int = 3,
     integer arithmetic only, so the DuckDB oracle matches exactly. Docs
     with fewer than ``ngram`` tokens produce no shingles (excluded).
 
-    Doc shingle-set sizes join the pair-count dataset in the data plane
-    (Dataset.join twice) — no driver-side per-doc dict. ``max_group``
-    (off by default, keeping the SQL-checked path exact) fails LOUDLY if
-    a shingle group exceeds it rather than silently undercounting; real
-    100 TB corpora should use the LSH path instead of this exact one."""
+    Shuffle shape (round-3 rework, 24 s -> ~6 s at sf0.1/32cpu): the old
+    ``groupby("sh")`` paid one Python map_groups call PER DISTINCT
+    SHINGLE (millions); now shingles hash into ``n_buckets`` crc32
+    buckets (the build-shuffle convention — a few keys, bounded groups),
+    each bucket resolved in ONE vectorized call (factorize -> boundary
+    scan; Python touches only multi-doc shingle groups, which are
+    pair-output-sized). Per-doc |set| sizes ride along on every exploded
+    row and re-aggregate as Max, so the two data-plane hash joins and
+    the sizes groupby are gone entirely. ``max_group`` (off by default,
+    keeping the SQL-checked path exact) fails LOUDLY if a shingle group
+    exceeds it rather than silently undercounting; real 100 TB corpora
+    should use the LSH path instead of this exact one."""
+    from lucene_solr_ray.pipelines.build import stable_term_hash
+
     ds = _read_docs(sf_dir)
+    n_buckets = 64
 
     def explode(t: pa.Table) -> pa.Table:
-        doc_ids, sh = [], []
+        doc_ids, sh, ns = [], [], []
         for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
             toks = _tokens(s)
             grams = {" ".join(toks[i : i + ngram]) for i in range(len(toks) - ngram + 1)}
             doc_ids.extend([d] * len(grams))
             sh.extend(grams)
-        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "sh": pa.array(sh, pa.string())})
+            ns.extend([len(grams)] * len(grams))
+        bucket = (stable_term_hash(np.array(sh, dtype=object)) % n_buckets
+                  if sh else np.empty(0, np.int64))
+        return pa.table({
+            "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+            "sh": pa.array(sh, pa.string()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n": pa.array(ns, pa.int64()),
+        })
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Max
 
-    # |set| per doc, kept as a Dataset for the joins below
-    sizes = exploded.groupby("doc_id").aggregate(Count(alias_name="n"))
-
-    def pair_counts(g: pd.DataFrame) -> pa.Table:
-        # Arrow return: keeps the downstream shuffle's schemas metadata-free
-        docs = sorted(g["doc_id"].unique().tolist())
-        if max_group is not None and len(docs) > max_group:
-            raise ValueError(
-                f"shingle group {g['sh'].iloc[0]!r} has {len(docs)} docs > max_group={max_group}; "
-                "use the MinHash-LSH path for corpora with shingles this hot"
-            )
-        pairs = list(itertools.combinations(docs, 2)) if len(docs) >= 2 else []
-        return pa.table(
-            {
-                "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
-                "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
-            }
-        )
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        # one call per bucket: group by shingle via factorize, then emit
+        # co-occurrence rows only for multi-doc shingles
+        codes, _ = pd.factorize(g["sh"], sort=False)
+        order = np.argsort(codes, kind="stable")
+        codes_s = codes[order]
+        docs_s = g["doc_id"].to_numpy()[order]
+        ns_s = g["n"].to_numpy()[order]
+        bounds = np.flatnonzero(np.diff(codes_s)) + 1
+        starts = np.r_[0, bounds]
+        ends = np.r_[bounds, len(codes_s)]
+        out_a, out_b, out_na, out_nb = [], [], [], []
+        for s0, s1 in zip(starts[(ends - starts) >= 2], ends[(ends - starts) >= 2]):
+            if max_group is not None and s1 - s0 > max_group:
+                raise ValueError(
+                    f"shingle group has {s1 - s0} docs > max_group={max_group}; "
+                    "use the MinHash-LSH path for corpora with shingles this hot"
+                )
+            sub = np.argsort(docs_s[s0:s1], kind="stable")
+            d = docs_s[s0:s1][sub]
+            n = ns_s[s0:s1][sub]
+            for i, j in itertools.combinations(range(len(d)), 2):
+                out_a.append(int(d[i]))
+                out_b.append(int(d[j]))
+                out_na.append(int(n[i]))
+                out_nb.append(int(n[j]))
+        # map-side combine: partial inter per pair WITHIN this bucket, so
+        # the cross-bucket exchange carries aggregated pair rows only
+        dfp = pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
+                            "n_a": out_na, "n_b": out_nb})
+        agg = (dfp.groupby(["doc_a", "doc_b"], sort=False)
+               .agg(inter=("n_a", "size"), n_a=("n_a", "first"),
+                    n_b=("n_b", "first")).reset_index())
+        return pa.Table.from_pandas(agg.astype(np.int64), preserve_index=False)
 
     co = (
-        exploded.groupby("sh")
-        .map_groups(pair_counts, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="inter"))
+        exploded.groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .materialize()
     )
-    sizes_a = sizes.map_batches(
-        lambda t: t.rename_columns(["doc_a", "n_a"]), batch_format="pyarrow"
-    )
-    sizes_b = sizes.map_batches(
-        lambda t: t.rename_columns(["doc_b", "n_b"]), batch_format="pyarrow"
-    )
-    joined = co.join(sizes_a, "inner", num_partitions=4, on=("doc_a",)).join(
-        sizes_b, "inner", num_partitions=4, on=("doc_b",)
-    )
+    if co.count() <= 20_000_000:
+        # candidate-pair table fits one task: a single-reducer pandas
+        # combine beats Ray's many-key groupby ~20x (the conv-stats
+        # lesson, CLAUDE.md) while staying off the driver
+        def combine(df: pd.DataFrame) -> pa.Table:
+            g = (df.groupby(["doc_a", "doc_b"], sort=False)
+                 .agg(inter=("inter", "sum"), n_a=("n_a", "first"),
+                      n_b=("n_b", "first")).reset_index())
+            return pa.Table.from_pandas(g.astype(np.int64), preserve_index=False)
+
+        joined = co.repartition(1).map_batches(
+            combine, batch_format="pandas", batch_size=None)
+    else:  # huge candidate sets: fall back to the pair-keyed exchange
+        from ray.data.aggregate import Sum
+
+        joined = co.groupby(["doc_a", "doc_b"]).aggregate(
+            Sum("inter", alias_name="inter"),
+            Max("n_a", alias_name="n_a"),
+            Max("n_b", alias_name="n_b"))
 
     def finish(t: pa.Table) -> pa.Table:
         inter = t.column("inter").to_numpy().astype(np.int64)
