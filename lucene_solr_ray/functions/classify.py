@@ -251,31 +251,36 @@ def _profiles(sf_dir: str) -> ray.data.Dataset:
                               columns=["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
 
 
-class _AssignSumStage:
+def _profile_matrix(t: pa.Table) -> np.ndarray:
+    """Zero-copy-ish (n, d) int64 from the constant-width list column —
+    flatten the ListArray values instead of to_pylist row conversion."""
+    col = t.column("f").combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    return flat.reshape(len(t), -1)
+
+
+def _assign_sum(t: pa.Table, cent: np.ndarray) -> pa.Table:
     """One k-means iteration's map side: assign each doc to the nearest
     centroid (exact integer squared euclidean, ties to the lowest cid)
     and emit the batch's per-cluster profile sums + counts — a k x (d+1)
     integer partial, so the driver combine is model-sized, never
-    corpus-sized (the map-side-combine groupby shape)."""
-
-    def __init__(self, cent_ref):
-        self.cent = ray.get(cent_ref)  # (k, d) int64
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        f = np.array(t.column("f").to_pylist(), dtype=np.int64)
-        d2 = ((f[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)  # first min == lowest cid
-        k, d = self.cent.shape
-        sums = np.zeros((k, d), np.int64)
-        counts = np.zeros(k, np.int64)
-        for c in range(k):
-            m = assign == c
-            if m.any():
-                sums[c] = f[m].sum(axis=0)
-                counts[c] = int(m.sum())
-        return pa.table({"cid": pa.array(np.arange(k, dtype=np.int64)),
-                         "s": pa.array(sums.tolist(), pa.list_(pa.int64())),
-                         "n": pa.array(counts)})
+    corpus-sized (the map-side-combine groupby shape). A plain task fn
+    (not an actor pool): per-iteration pool spin-up cost exceeded the
+    work; the centroid ref is plasma-shared, ray.get per batch is free."""
+    f = _profile_matrix(t)
+    d2 = ((f[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    assign = d2.argmin(axis=1)  # first min == lowest cid
+    k, d = cent.shape
+    sums = np.zeros((k, d), np.int64)
+    counts = np.zeros(k, np.int64)
+    for c in range(k):
+        m = assign == c
+        if m.any():
+            sums[c] = f[m].sum(axis=0)
+            counts[c] = int(m.sum())
+    return pa.table({"cid": pa.array(np.arange(k, dtype=np.int64)),
+                     "s": pa.array(sums.tolist(), pa.list_(pa.int64())),
+                     "n": pa.array(counts)})
 
 
 def cluster_kmeans_docs(sf_dir: str, k: int = 8, iters: int = 5) -> ray.data.Dataset:
@@ -299,8 +304,8 @@ def cluster_kmeans_docs(sf_dir: str, k: int = 8, iters: int = 5) -> ray.data.Dat
     for _ in range(iters):
         cent_ref = ray.put(cent)
         partials = prof.map_batches(
-            _AssignSumStage, fn_constructor_kwargs={"cent_ref": cent_ref},
-            batch_format="pyarrow", concurrency=pool_size(),
+            lambda t, r=cent_ref: _assign_sum(t, ray.get(r)),
+            batch_format="pyarrow",
         ).to_pandas()
         kk, d = cent.shape
         sums = np.zeros((kk, d), np.int64)
@@ -314,17 +319,13 @@ def cluster_kmeans_docs(sf_dir: str, k: int = 8, iters: int = 5) -> ray.data.Dat
 
     cent_ref = ray.put(cent)
 
-    class Final:
-        def __init__(self):
-            self.cent = ray.get(cent_ref)
+    def final(t: pa.Table, r=cent_ref) -> pa.Table:
+        c = ray.get(r)
+        f = _profile_matrix(t)
+        d2 = ((f[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1).astype(np.int64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "cluster_id": pa.array(assign),
+                         "dist_sq": pa.array(d2[np.arange(len(f)), assign])})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            f = np.array(t.column("f").to_pylist(), dtype=np.int64)
-            d2 = ((f[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1).astype(np.int64)
-            return pa.table({"doc_id": t.column("doc_id"),
-                             "cluster_id": pa.array(assign),
-                             "dist_sq": pa.array(d2[np.arange(len(f)), assign])})
-
-    return prof.map_batches(Final, batch_format="pyarrow",
-                            concurrency=pool_size()).sort("doc_id")
+    return prof.map_batches(final, batch_format="pyarrow").sort("doc_id")
