@@ -28,6 +28,23 @@ import ray.data
 
 from lucene_solr_ray.io_utils import pool_size, read_parquet_clean
 
+# md5-bucket memo shared by the DSIR / hash-LM stages: the fixture vocab
+# is closed (hundreds of distinct grams), so per-occurrence md5 calls are
+# pure repeat work. Worker-process-local, bounded, exact (full-key dict).
+_BUCKET_MEMO: dict[tuple[str, int], int] = {}
+
+
+def _md5_bucket(key: str, n_buckets: int) -> int:
+    import hashlib
+
+    k = (key, n_buckets)
+    v = _BUCKET_MEMO.get(k)
+    if v is None:
+        v = int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "little") % n_buckets
+        if len(_BUCKET_MEMO) < 2_000_000:
+            _BUCKET_MEMO[k] = v
+    return v
+
 _WS = re.compile(r"\s+")
 
 
@@ -702,74 +719,66 @@ def dsir_select_topk(sf_dir: str, target_source: str = "src0",
     once more, each batch emitting its local top-k -> output-sized
     driver merge. Bucket hash = md5-upper64 % n_buckets (the
     md5_number_upper SQL convention)."""
-    import hashlib
-
-    from ray.data.aggregate import Sum
-
     def _buckets(s: str) -> np.ndarray:
         toks = _tokens(s)
-        return np.array(
-            [int.from_bytes(hashlib.md5(f"{a} {b}".encode()).digest()[:8], "little")
-             % n_buckets
-             for a, b in zip(toks, toks[1:])], dtype=np.int64)
+        return np.array([_md5_bucket(f"{a} {b}", n_buckets)
+                         for a, b in zip(toks, toks[1:])], dtype=np.int64)
 
-    class CountStage:
-        def __call__(self, t: pa.Table) -> pa.Table:
-            tc = np.zeros(n_buckets, np.int64)
-            rc = np.zeros(n_buckets, np.int64)
-            for src, s in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
-                bk = _buckets(s)
-                if len(bk) == 0:
-                    continue
-                np.add.at(rc, bk, 1)
-                if src == target_source:
-                    np.add.at(tc, bk, 1)
-            nz = np.flatnonzero(rc)
-            return pa.table({"bkt": pa.array(nz, pa.int64()),
-                             "t_cnt": pa.array(tc[nz], pa.int64()),
-                             "r_cnt": pa.array(rc[nz], pa.int64())})
+    def count_partials(t: pa.Table) -> pa.Table:
+        tc = np.zeros(n_buckets, np.int64)
+        rc = np.zeros(n_buckets, np.int64)
+        for src, s in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+            bk = _buckets(s)
+            if len(bk) == 0:
+                continue
+            np.add.at(rc, bk, 1)
+            if src == target_source:
+                np.add.at(tc, bk, 1)
+        nz = np.flatnonzero(rc)
+        return pa.table({"bkt": pa.array(nz, pa.int64()),
+                         "t_cnt": pa.array(tc[nz], pa.int64()),
+                         "r_cnt": pa.array(rc[nz], pa.int64())})
 
+    # driver combine of the per-batch partials (<= n_buckets x batches
+    # int rows, KBs) — a bucket groupby's shuffle costs more than the
+    # data is worth (the conv-stats lesson); integer sums are exact in
+    # any order
     parts = (
         _read_docs(sf_dir, columns=("doc_id", "text", "source"))
-        .map_batches(CountStage, batch_format="pyarrow", concurrency=pool_size())
-        .groupby("bkt")
-        .aggregate(Sum("t_cnt", alias_name="t_cnt"), Sum("r_cnt", alias_name="r_cnt"))
+        .map_batches(count_partials, batch_format="pyarrow")
         .to_pandas()
     )
     tc = np.zeros(n_buckets, np.int64)
     rc = np.zeros(n_buckets, np.int64)
-    tc[parts["bkt"].to_numpy()] = parts["t_cnt"].to_numpy()
-    rc[parts["bkt"].to_numpy()] = parts["r_cnt"].to_numpy()
+    np.add.at(tc, parts["bkt"].to_numpy(), parts["t_cnt"].to_numpy())
+    np.add.at(rc, parts["bkt"].to_numpy(), parts["r_cnt"].to_numpy())
     t_tot, r_tot = int(tc.sum()), int(rc.sum())
     lr = (np.log((tc + 1.0) / (t_tot + float(n_buckets)))
           - np.log((rc + 1.0) / (r_tot + float(n_buckets))))
     lr_int = np.floor(lr * 1e6 + 0.5).astype(np.int64)
     lr_ref = ray.put(lr_int)
 
-    class ScoreStage:
-        def __init__(self):
-            self.lr = ray.get(lr_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids, ws = [], []
-            for d, src, s in zip(t.column("doc_id").to_pylist(),
-                                 t.column("source").to_pylist(),
-                                 t.column("text").to_pylist()):
-                if src == target_source:
-                    continue
-                bk = _buckets(s)
-                ids.append(int(d))
-                ws.append(int(self.lr[bk].sum()) if len(bk) else 0)
-            ids_a, ws_a = np.array(ids, np.int64), np.array(ws, np.int64)
-            if len(ids_a) > k:
-                top = np.lexsort((ids_a, -ws_a))[:k]
-                ids_a, ws_a = ids_a[top], ws_a[top]
-            return pa.table({"doc_id": pa.array(ids_a, pa.int64()),
-                             "w_micro": pa.array(ws_a, pa.int64())})
+    def score_partials(t: pa.Table, lr_r=lr_ref) -> pa.Table:
+        lr = ray.get(lr_r)  # plasma-shared: free after the first batch
+        ids, ws = [], []
+        for d, src, s in zip(t.column("doc_id").to_pylist(),
+                             t.column("source").to_pylist(),
+                             t.column("text").to_pylist()):
+            if src == target_source:
+                continue
+            bk = _buckets(s)
+            ids.append(int(d))
+            ws.append(int(lr[bk].sum()) if len(bk) else 0)
+        ids_a, ws_a = np.array(ids, np.int64), np.array(ws, np.int64)
+        if len(ids_a) > k:
+            top = np.lexsort((ids_a, -ws_a))[:k]
+            ids_a, ws_a = ids_a[top], ws_a[top]
+        return pa.table({"doc_id": pa.array(ids_a, pa.int64()),
+                         "w_micro": pa.array(ws_a, pa.int64())})
 
     partials = (
         _read_docs(sf_dir, columns=("doc_id", "text", "source"))
-        .map_batches(ScoreStage, batch_format="pyarrow", concurrency=pool_size())
+        .map_batches(score_partials, batch_format="pyarrow")
         .to_pandas()
     )
     ids = partials["doc_id"].to_numpy()
@@ -804,64 +813,54 @@ def lm_quality_scores(sf_dir: str, lm_source: str = "src0",
     Scale shape: pass 1 = per-batch bucket-count partials over the
     trusted subset only -> bucket-sized groupby; the 32 KB int table
     broadcasts once; pass 2 = one stateless corpus pass, no shuffle."""
-    import hashlib
-
-    from ray.data.aggregate import Sum
-
     def _bk(toks: list[str]) -> np.ndarray:
-        return np.array(
-            [int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little") % n_buckets
-             for w in toks], dtype=np.int64)
+        return np.array([_md5_bucket(w, n_buckets) for w in toks], dtype=np.int64)
 
-    class CountStage:
-        def __call__(self, t: pa.Table) -> pa.Table:
-            c = np.zeros(n_buckets, np.int64)
-            for src, s in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
-                if src != lm_source:
-                    continue
-                bk = _bk(_tokens(s))
-                if len(bk):
-                    np.add.at(c, bk, 1)
-            nz = np.flatnonzero(c)
-            return pa.table({"bkt": pa.array(nz, pa.int64()),
-                             "c": pa.array(c[nz], pa.int64())})
+    def count_partials(t: pa.Table) -> pa.Table:
+        c = np.zeros(n_buckets, np.int64)
+        for src, s in zip(t.column("source").to_pylist(), t.column("text").to_pylist()):
+            if src != lm_source:
+                continue
+            bk = _bk(_tokens(s))
+            if len(bk):
+                np.add.at(c, bk, 1)
+        nz = np.flatnonzero(c)
+        return pa.table({"bkt": pa.array(nz, pa.int64()),
+                         "c": pa.array(c[nz], pa.int64())})
 
+    # driver combine of bucket-count partials (KBs) — see dsir_select_topk
     parts = (
         _read_docs(sf_dir, columns=("text", "source"))
-        .map_batches(CountStage, batch_format="pyarrow", concurrency=pool_size())
-        .groupby("bkt").aggregate(Sum("c", alias_name="c"))
+        .map_batches(count_partials, batch_format="pyarrow")
         .to_pandas()
     )
     c = np.zeros(n_buckets, np.int64)
-    c[parts["bkt"].to_numpy()] = parts["c"].to_numpy()
+    np.add.at(c, parts["bkt"].to_numpy(), parts["c"].to_numpy())
     tot = int(c.sum())
     # negative log-prob per bucket, micro-nats (positive ints)
     nlp = np.floor(-np.log((c + 1.0) / (tot + float(n_buckets))) * 1e6 + 0.5).astype(np.int64)
     nlp_ref = ray.put(nlp)
 
-    class ScoreStage:
-        def __init__(self):
-            self.nlp = ray.get(nlp_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column("doc_id").to_numpy()
-            ce = np.zeros(len(ids), np.int64)
-            nt = np.zeros(len(ids), np.int64)
-            for i, s in enumerate(t.column("text").to_pylist()):
-                bk = _bk(_tokens(s))
-                nt[i] = len(bk)
-                ce[i] = int(self.nlp[bk].sum()) if len(bk) else 0
-            per_tok = np.where(nt > 0, ce // np.maximum(nt, 1), 0)
-            band = np.where(per_tok <= head_micro, 0,
-                            np.where(per_tok <= tail_micro, 1, 2)).astype(np.int64)
-            return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                             "n_tok": pa.array(nt, pa.int64()),
-                             "ce_micro": pa.array(ce, pa.int64()),
-                             "band": pa.array(band, pa.int64())})
+    def score(t: pa.Table, nlp_r=nlp_ref) -> pa.Table:
+        nlp = ray.get(nlp_r)
+        ids = t.column("doc_id").to_numpy()
+        ce = np.zeros(len(ids), np.int64)
+        nt = np.zeros(len(ids), np.int64)
+        for i, s in enumerate(t.column("text").to_pylist()):
+            bk = _bk(_tokens(s))
+            nt[i] = len(bk)
+            ce[i] = int(nlp[bk].sum()) if len(bk) else 0
+        per_tok = np.where(nt > 0, ce // np.maximum(nt, 1), 0)
+        band = np.where(per_tok <= head_micro, 0,
+                        np.where(per_tok <= tail_micro, 1, 2)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tok": pa.array(nt, pa.int64()),
+                         "ce_micro": pa.array(ce, pa.int64()),
+                         "band": pa.array(band, pa.int64())})
 
     return (
         _read_docs(sf_dir, columns=("doc_id", "text"))
-        .map_batches(ScoreStage, batch_format="pyarrow", concurrency=pool_size())
+        .map_batches(score, batch_format="pyarrow")
         .sort("doc_id")
     )
 
