@@ -230,39 +230,41 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
     exactly (no hash-collision caveat)."""
     import ray
 
+    mh_stage = _MinHashStage(num_hashes=num_hashes, bands=bands, ngram=ngram)
     banded = _read_docs(sf_dir).map_batches(
-        _MinHashStage,
-        fn_constructor_kwargs={"num_hashes": num_hashes, "bands": bands, "ngram": ngram},
-        batch_format="pyarrow",
-        concurrency=pool_size(),
+        lambda t: mh_stage(t), batch_format="pyarrow",
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
-        # returns Arrow (not pandas): pandas->Arrow conversion attaches
-        # schema metadata that defeats Ray's schema-hash dedup in the
-        # downstream groupby shuffle
-        docs = sorted(set(g["doc_id"].tolist()))
-        if len(docs) < 2 or len(docs) > 200:  # hot-bucket guard at scale
-            pairs = []
-        else:
-            pairs = list(itertools.combinations(docs, 2))
-        return pa.table(
-            {
-                "doc_a": pa.array([p[0] for p in pairs], pa.int64()),
-                "doc_b": pa.array([p[1] for p in pairs], pa.int64()),
-            }
-        )
+    def band_pairs(g: pd.DataFrame) -> pa.Table:
+        # ONE vectorized call per band (16 groups total — the old
+        # per-(band, band_hash) map_groups paid a Python call per bucket,
+        # ~16x n_docs of them): factorize band_hash, scan group
+        # boundaries, emit combinations only for 2..200-doc buckets
+        # (hot-bucket guard at scale). Arrow return keeps the schema
+        # metadata-free.
+        codes, _ = pd.factorize(g["band_hash"], sort=False)
+        order = np.argsort(codes, kind="stable")
+        docs_s = g["doc_id"].to_numpy()[order]
+        codes_s = codes[order]
+        bounds = np.flatnonzero(np.diff(codes_s)) + 1
+        starts = np.r_[0, bounds]
+        ends = np.r_[bounds, len(codes_s)]
+        out_a, out_b = [], []
+        sel = (ends - starts >= 2) & (ends - starts <= 200)
+        for s0, s1 in zip(starts[sel], ends[sel]):
+            docs = np.unique(docs_s[s0:s1])
+            for i, j in itertools.combinations(range(len(docs)), 2):
+                out_a.append(int(docs[i]))
+                out_b.append(int(docs[j]))
+        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
+                         "doc_b": pa.array(out_b, pa.int64())})
 
-    from ray.data.aggregate import Count
-
-    cand_ds = (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])  # dedupe pairs found in multiple bands
-        .aggregate(Count(alias_name="n_bands"))
-        .select_columns(["doc_a", "doc_b"])
+    cand = (
+        banded.groupby("band")
+        .map_groups(band_pairs, batch_format="pandas")
+        .to_pandas()  # candidate pairs: output-sized, not corpus-sized
+        .drop_duplicates()  # pairs found in multiple bands
     )
-    cand = cand_ds.to_pandas()  # candidate pairs: output-sized, not corpus-sized
     if len(cand) == 0:
         return _PAIRS_EMPTY
     need = np.unique(np.concatenate(
@@ -276,22 +278,20 @@ def minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
     # ~5 fixed shuffle costs per call), no driver pair loop.
     shing = (
         _read_docs(sf_dir)
-        .map_batches(_ShingleStrSetStage,
-                     fn_constructor_kwargs={"ids_ref": ids_ref, "ngram": ngram},
-                     batch_format="pyarrow", concurrency=pool_size())
+        .map_batches(lambda t, r=ids_ref: _ShingleStrSetStage(r, ngram)(t),
+                     batch_format="pyarrow")
         .to_pandas()  # candidate docs only
     )
     sets_ref = ray.put({int(d): np.asarray(sh, dtype=object)
                         for d, sh in zip(shing["doc_id"], shing["sh"])})
+    thr_pct = int(jaccard_threshold * 100)
     out = (
         ray.data.from_arrow(pa.table({
             "doc_a": pa.array(cand["doc_a"].to_numpy().astype(np.int64), pa.int64()),
             "doc_b": pa.array(cand["doc_b"].to_numpy().astype(np.int64), pa.int64()),
         }))
-        .map_batches(_PairJaccardStage,
-                     fn_constructor_kwargs={"sets_ref": sets_ref,
-                                            "threshold_pct": int(jaccard_threshold * 100)},
-                     batch_format="pyarrow", concurrency=pool_size())
+        .map_batches(lambda t, r=sets_ref: _PairJaccardStage(r, thr_pct)(t),
+                     batch_format="pyarrow")
         .sort(["doc_a", "doc_b"])
         .to_pandas()
     )
