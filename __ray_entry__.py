@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data curation (decontam / repetition / PII) ---
         "decontaminate_ngram": curation.decontaminate_ngram,
         "decontaminate_bloom": curation.decontaminate_bloom,
+        "boilerplate_strip": curation.boilerplate_strip,
         "repetition_signals": curation.repetition_signals,
         "pii_scan": curation.pii_scan,
         # --- document clustering (ClusteringComponent analogue) ---
@@ -125,6 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gather_nodes": graph.gather_nodes,
         "score_nodes": graph.score_nodes,
         "shortest_path": graph.shortest_path_pairs,
+        "graph_query_reachable": graph.graph_query_reachable,
         # --- ingest: DIH / Tika / URP chain (SURVEY §2.1/§2.2) ---
         "dih_csv_ingest": ingest.dih_ingest,
         "tika_extract": ingest.tika_extract,
@@ -1059,6 +1061,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_ngram": _data_oracle().decontaminate_sql(),
         # bloom prefilter + exact audit == the exact pass by construction
         "decontaminate_bloom": _data_oracle().decontaminate_sql(),
+        "boilerplate_strip": _data_oracle().boilerplate_strip_sql(),
         "repetition_signals": _data_oracle().repetition_sql(),
         "pii_scan": _data_oracle().pii_scan_sql(),
         "cluster_kmeans_docs": _data_oracle().cluster_kmeans_sql(),
@@ -1239,6 +1242,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(MIN(w.d), -1) AS BIGINT) AS distance "
             "FROM pairs p LEFT JOIN walk w ON w.src = p.src AND w.node = p.dst "
             "GROUP BY p.src, p.dst ORDER BY src, dst"
+        ),
+        # {!graph maxDepth=2}: reachable set with min hop count; UNION
+        # dedupes (node, d) rows so the recursion terminates
+        "graph_query_reachable": (
+            "WITH RECURSIVE adj AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v "
+            "FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey), "
+            "walk(node, d) AS ("
+            "SELECT CAST(1 AS BIGINT), 0 UNION "
+            "SELECT adj.v, w.d + 1 FROM walk w JOIN adj ON adj.u = w.node WHERE w.d < 2) "
+            "SELECT CAST(node AS BIGINT) AS suppkey, CAST(MIN(d) AS BIGINT) AS hops "
+            "FROM walk GROUP BY node ORDER BY suppkey"
         ),
         "gather_nodes": (
             "SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_edges FROM lineitem "

@@ -629,6 +629,79 @@ def gopher_quality_flags(sf_dir: str) -> ray.data.Dataset:
 
 # ---------------- line-level exact dedup (keep first occurrence) ----------------
 
+def boilerplate_strip(sf_dir: str, line_tokens: int = 8,
+                      min_df: int = 2) -> ray.data.Dataset:
+    """RefinedWeb/CCNet-style frequent-line (boilerplate) removal —
+    distinct from ``line_dedup_first``'s keep-one-copy: a line whose
+    DOCUMENT FREQUENCY reaches ``min_df`` is boilerplate and EVERY
+    occurrence is dropped; the doc's text is rebuilt from surviving
+    lines in order. Lines = the corpus's deterministic
+    ``line_tokens``-token segments (same view as line_dedup_first).
+
+    Scale shape: pass 1 emits per-doc DISTINCT line hashes (8 bytes
+    each) -> groupby count -> the hot set is boilerplate-sized and
+    broadcasts once; pass 2 is one stateless rebuild pass, zero shuffle.
+    Output: (doc_id, n_lines, n_dropped, clean_text)."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    def _h(line: str) -> int:
+        return int.from_bytes(hashlib.md5(line.encode()).digest()[:8],
+                              "little") - (1 << 63)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids_out, hs = [], []
+        for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            toks = _tokens(s)
+            lines = {" ".join(toks[j:j + line_tokens])
+                     for j in range(0, len(toks), line_tokens)}
+            hs.extend(_h(ln) for ln in lines)
+            ids_out.extend([int(d)] * len(lines))
+        return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
+                         "h": pa.array(hs, pa.int64())})
+
+    df = (
+        _read_docs(sf_dir)
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("h").aggregate(Count(alias_name="df"))
+        .to_pandas()
+    )
+    hot = np.sort(df.loc[df["df"].to_numpy() >= min_df, "h"].to_numpy().astype(np.int64))
+    hot_ref = ray.put(hot)
+
+    def rebuild(t: pa.Table, r=hot_ref) -> pa.Table:
+        hot_s = ray.get(r)
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        n_lines = np.zeros(len(ids), np.int64)
+        n_drop = np.zeros(len(ids), np.int64)
+        cleans = []
+        for i, s in enumerate(t.column("text").to_pylist()):
+            toks = _tokens(s)
+            segs = [" ".join(toks[j:j + line_tokens])
+                    for j in range(0, len(toks), line_tokens)]
+            n_lines[i] = len(segs)
+            kept = []
+            for ln in segs:
+                h = _h(ln)
+                pos = np.searchsorted(hot_s, h)
+                if pos < len(hot_s) and hot_s[pos] == h:
+                    n_drop[i] += 1
+                else:
+                    kept.append(ln)
+            cleans.append(" ".join(kept))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_lines": pa.array(n_lines, pa.int64()),
+                         "n_dropped": pa.array(n_drop, pa.int64()),
+                         "clean_text": pa.array(cleans, pa.string())})
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(rebuild, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
 def line_dedup_first(sf_dir: str, line_tokens: int = 8) -> ray.data.Dataset:
     """C4/RefinedWeb-style exact line-level dedup: every duplicated line
     keeps exactly ONE copy corpus-wide — the occurrence in the lowest

@@ -77,6 +77,35 @@ def highlight_sql(terms: list[str], window_tokens: int = 5) -> str:
     )
 
 
+def boilerplate_strip_sql(line_tokens: int = 8, min_df: int = 2) -> str:
+    """Oracle for curation.boilerplate_strip — frequent-line removal:
+    hot = lines whose distinct-doc frequency reaches min_df; every
+    occurrence dropped, text rebuilt from surviving segments in order.
+    The engine's md5-64 hot-line hashes are collision-safe at gate
+    cardinalities (<=1e5 distinct lines vs 2^64); the SQL side compares
+    line STRINGS, so any collision would surface as a gate mismatch."""
+    lt = int(line_tokens)
+    return (
+        "WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), "
+        "x -> x != '') AS tk FROM documents), "
+        f"segs AS (SELECT doc_id, unnest(range(0, CAST(ceil(len(tk)/{lt}.0) AS BIGINT))) AS i, "
+        "tk FROM toks), "
+        f"lines AS (SELECT doc_id, i, array_to_string(tk[i*{lt}+1 : "
+        f"least((i+1)*{lt}, CAST(len(tk) AS BIGINT))], ' ') AS line FROM segs), "
+        "hot AS (SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS df "
+        f"FROM lines GROUP BY line) WHERE df >= {int(min_df)}), "
+        "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+        "CAST(COUNT(*) FILTER (line IN (SELECT line FROM hot)) AS BIGINT) AS n_dropped, "
+        "COALESCE(string_agg(line, ' ' ORDER BY i) "
+        "FILTER (line NOT IN (SELECT line FROM hot)), '') AS clean_text "
+        "FROM lines GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(a.n_lines, 0) AS n_lines, "
+        "COALESCE(a.n_dropped, 0) AS n_dropped, "
+        "COALESCE(a.clean_text, '') AS clean_text "
+        "FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"
+    )
+
+
 def phonetic_term_groups_sql(k: int = 50) -> str:
     """Oracle for textstats.phonetic_term_groups: American Soundex
     written directly in SQL over the stop-filtered whitespace vocabulary

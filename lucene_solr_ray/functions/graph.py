@@ -381,12 +381,12 @@ def bfs_distances_multi(edges: ray.data.Dataset, pairs, max_hops: int = 6,
     return res
 
 
-def shortest_path_pairs(sf_dir: str, pairs=((1, 7), (2, 50)), max_hops: int = 4) -> pa.Table:
-    """Driver entry for ShortestPathStream: BFS distance for a fixed set
-    of (src, dst) supplier pairs -> (src, dst, distance); -1 when
-    unreachable within max_hops. Oracle: recursive CTE over the same
-    shared-part adjacency. All pairs ride ONE multi-source BFS."""
-    edges = (
+def _supplier_part_edges(sf_dir: str) -> ray.data.Dataset:
+    """Distinct (supplier node, part via) edge list — suppliers are
+    adjacent when they supply a common part. Shared by the shortest-path
+    and graph-query walkers; materialized once per call so every BFS
+    level reuses the same blocks."""
+    return (
         _read(sf_dir, "lineitem", ["l_suppkey", "l_partkey"])
         .map_batches(
             lambda t: pa.table(
@@ -400,8 +400,55 @@ def shortest_path_pairs(sf_dir: str, pairs=((1, 7), (2, 50)), max_hops: int = 4)
         .groupby(["node", "via"])
         .aggregate(Count(alias_name="_n"))
         .select_columns(["node", "via"])
-        .materialize()  # edge list: one row per distinct (supplier, part) — shared by all levels
+        .materialize()
     )
+
+
+def graph_query_reachable(sf_dir: str, root: int = 1, max_depth: int = 2) -> pa.Table:
+    """Solr GraphQueryParser analogue ({!graph from=.. to=.. maxDepth=N}
+    — [U] solr/core/.../search/join/GraphQueryParserPlugin.java ->
+    GraphQuery): the full REACHABLE node set from a seed within
+    ``max_depth`` traversals — the parser yields a filter of every doc
+    the walk touches (returnRoot=true: the seed itself at hops 0), not
+    pairwise distances. Adjacency = shared-part supplier graph. Each
+    level is the same two broadcast semi-join hops as
+    bfs_distances_multi (one map_batches pass over the edge set each);
+    visited state is node-id-sized driver state."""
+    edges = _supplier_part_edges(sf_dir)
+    visited = {int(root): 0}
+    frontier = np.array([int(root)], np.int64)
+    for level in range(1, max_depth + 1):
+        if len(frontier) == 0:
+            break
+        fr = np.sort(frontier)
+        fr_ref = ray.put((fr, fr))  # (keys, srcs) — srcs unused single-source
+        vias = edges.map_batches(_broadcast_hop_fn(fr_ref, "node", "via"),
+                                 batch_format="pyarrow").to_pandas()
+        if not len(vias):
+            break
+        vv = np.unique(vias["via"].to_numpy().astype(np.int64))
+        via_ref = ray.put((vv, vv))
+        nxt = edges.map_batches(_broadcast_hop_fn(via_ref, "via", "node"),
+                                batch_format="pyarrow").to_pandas()
+        nodes = np.unique(nxt["node"].to_numpy().astype(np.int64)) if len(nxt) else \
+            np.empty(0, np.int64)
+        fresh = [int(n) for n in nodes if int(n) not in visited]
+        for n in fresh:
+            visited[n] = level
+        frontier = np.array(fresh, np.int64)
+    items = sorted(visited.items())
+    return pa.table({
+        "suppkey": pa.array([k for k, _ in items], pa.int64()),
+        "hops": pa.array([v for _, v in items], pa.int64()),
+    })
+
+
+def shortest_path_pairs(sf_dir: str, pairs=((1, 7), (2, 50)), max_hops: int = 4) -> pa.Table:
+    """Driver entry for ShortestPathStream: BFS distance for a fixed set
+    of (src, dst) supplier pairs -> (src, dst, distance); -1 when
+    unreachable within max_hops. Oracle: recursive CTE over the same
+    shared-part adjacency. All pairs ride ONE multi-source BFS."""
+    edges = _supplier_part_edges(sf_dir)
     dist = bfs_distances_multi(edges, pairs, max_hops, num_partitions=8)
     rows = [{"src": int(s), "dst": int(d), "distance": dist[(int(s), int(d))]} for s, d in pairs]
     return pa.Table.from_pylist(

@@ -344,3 +344,33 @@ def test_decontaminate_bloom_equals_exact_even_with_tiny_bloom(ray_session):
     for m_bits, k in [(256, 2), (1 << 17, 7)]:
         got = decontaminate_bloom(SF, m_bits=m_bits, k_hashes=k).to_pandas().reset_index(drop=True)
         assert got.equals(exact.astype(got.dtypes.to_dict())), f"m_bits={m_bits}"
+
+
+def test_boilerplate_strip_semantics(ray_session):
+    """Hot lines (df >= min_df) vanish from EVERY doc (unlike
+    line_dedup_first's keep-one); unique lines survive in order; crafted
+    corpus pins the boundary df == min_df."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from lucene_solr_ray.functions.curation import boilerplate_strip
+
+    hot = "a b c d"          # in 2 docs -> boilerplate at min_df=2
+    uniq1, uniq2 = "e f g h", "i j k l"
+    texts = [f"{hot} {uniq1}", f"{hot} {uniq2}", uniq2 + " m n o p", ""]
+    # NOTE doc2 shares uniq2 with doc1 -> uniq2 df=2 -> also hot
+    with tempfile.TemporaryDirectory() as d:
+        tab = pa.table({
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        pq.write_table(tab, os.path.join(d, "documents.parquet"))
+        out = boilerplate_strip(d, line_tokens=4, min_df=2).to_pandas().set_index("doc_id")
+        assert out.loc[0, "clean_text"] == uniq1
+        assert out.loc[0, "n_dropped"] == 1
+        assert out.loc[1, "clean_text"] == ""          # both its lines hot
+        assert out.loc[1, "n_dropped"] == 2
+        assert out.loc[2, "clean_text"] == "m n o p"   # uniq2 occurrence dropped here too
+        assert out.loc[2, "n_lines"] == 2 and out.loc[2, "n_dropped"] == 1
+        assert out.loc[3, "n_lines"] == 0 and out.loc[3, "clean_text"] == ""

@@ -56,3 +56,31 @@ def test_gather_nodes_matches_duckdb(ray_session):
     ).df()
     assert got["l_suppkey"].tolist() == exp["l_suppkey"].tolist()
     assert got["n_edges"].tolist() == exp["n_edges"].tolist()
+
+
+def test_graph_query_reachable_min_hops(ray_session):
+    """{!graph} reachable set == recursive-CTE min-depth walk over the
+    same shared-part adjacency: seed at hops 0, BFS level = first-visit
+    depth, nothing beyond maxDepth."""
+    import duckdb
+
+    from lucene_solr_ray.functions.graph import graph_query_reachable
+
+    got = graph_query_reachable(SF, root=1, max_depth=2).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')")
+    exp = con.execute(
+        "WITH RECURSIVE adj AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v "
+        "FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey), "
+        "walk(node, d) AS (SELECT CAST(1 AS BIGINT), 0 UNION "
+        "SELECT adj.v, w.d + 1 FROM walk w JOIN adj ON adj.u = w.node WHERE w.d < 2) "
+        "SELECT CAST(node AS BIGINT) AS suppkey, CAST(MIN(d) AS BIGINT) AS hops "
+        "FROM walk GROUP BY node ORDER BY suppkey"
+    ).fetchdf()
+    assert got["suppkey"].tolist() == exp["suppkey"].tolist()
+    assert got["hops"].tolist() == exp["hops"].tolist()
+    assert got.loc[got["suppkey"] == 1, "hops"].iloc[0] == 0  # returnRoot
+    # depth-1 run is a strict prefix set (BFS level monotonicity)
+    d1 = graph_query_reachable(SF, root=1, max_depth=1).to_pandas()
+    assert set(d1["suppkey"]) <= set(got["suppkey"])
+    assert (d1["hops"] <= 1).all()
