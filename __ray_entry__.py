@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan": curation.pii_scan,
         # --- document clustering (ClusteringComponent analogue) ---
         "cluster_kmeans_docs": classify.cluster_kmeans_docs,
+        "cluster_labels": classify.cluster_labels,
         # --- data mixing + sequence packing ---
         "mix_weighted_sample": curation.mix_weighted_sample,
         "pack_concat_chunks": lambda sf: curation.pack_concat_chunks(sf, budget=256),
@@ -1065,6 +1066,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": _data_oracle().repetition_sql(),
         "pii_scan": _data_oracle().pii_scan_sql(),
         "cluster_kmeans_docs": _data_oracle().cluster_kmeans_sql(),
+        "cluster_labels": _data_oracle().cluster_labels_sql(),
         # substring/line-level exact dedup: engine shuffles md5-64 hashes,
         # oracle groups the strings themselves (collision-free reference)
         "dup_gram_exposure": _data_oracle().dup_gram_exposure_sql(),

@@ -283,24 +283,13 @@ def _assign_sum(t: pa.Table, cent: np.ndarray) -> pa.Table:
                      "n": pa.array(counts)})
 
 
-def cluster_kmeans_docs(sf_dir: str, k: int = 8, iters: int = 5) -> ray.data.Dataset:
-    """Document clustering over integer tf profiles — the Solr
-    ClusteringComponent analogue ([U] solr/contrib/clustering/.../
-    CarrotClusteringEngine.java; algorithm swapped for k-means, which is
-    SQL-oracle-able). EXACT INTEGER arithmetic end to end: distances are
-    int64 squared euclidean and each new centroid component is the
-    round-half-up integer mean (2*S + n) // (2*n), so the DuckDB oracle
-    replicates every iteration bit-for-bit (no float summation-order
-    hazard). Empty clusters keep their previous centroid. Init: profiles
-    of the k smallest doc_ids.
-
-    Scale shape: profiles are computed once and reused; each iteration
-    is one map_batches pass emitting k x (d+1) integer partials (driver
-    combine is model-sized); centroids broadcast via ray.put."""
+def _kmeans_centroids(sf_dir: str, k: int, iters: int):
+    """Shared k-means driver loop -> (materialized profiles Dataset,
+    final (k, d) int64 centroid matrix). Exact integer arithmetic —
+    see cluster_kmeans_docs."""
     prof = _profiles(sf_dir).materialize()
     head = prof.sort("doc_id").limit(k).to_pandas()
     cent = np.array(head["f"].tolist(), dtype=np.int64)
-
     for _ in range(iters):
         cent_ref = ray.put(cent)
         partials = prof.map_batches(
@@ -316,7 +305,65 @@ def cluster_kmeans_docs(sf_dir: str, k: int = 8, iters: int = 5) -> ray.data.Dat
         nz = counts > 0
         cent = cent.copy()
         cent[nz] = (2 * sums[nz] + counts[nz, None]) // (2 * counts[nz, None])
+    return prof, cent
 
+
+def cluster_labels(sf_dir: str, k: int = 8, iters: int = 5,
+                   top_n: int = 3) -> pa.Table:
+    """Cluster LABELS for the ClusteringComponent analogue — Carrot2's
+    human-readable cluster descriptions ([U] solr/contrib/clustering/
+    .../CarrotClusteringEngine.java getClusters label extraction),
+    re-expressed as the top-``top_n`` most DISTINCTIVE vocabulary terms
+    per k-means cluster: lift_milli = (tf_in_cluster * 1_000_000) //
+    tf_corpus — exact integer division, so ranking (lift desc, term asc)
+    is hash-stable and the SQL oracle replicates it literally on top of
+    the unrolled k-means CTE chain.
+
+    Scale shape: reuses the trained centroids; ONE extra _assign_sum
+    pass over the profiles yields per-cluster term sums as k x (d+1)
+    partials (model-sized driver combine); the label ranking itself is
+    model-sized."""
+    prof, cent = _kmeans_centroids(sf_dir, k, iters)
+    cent_ref = ray.put(cent)
+    partials = prof.map_batches(
+        lambda t, r=cent_ref: _assign_sum(t, ray.get(r)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    kk, d = cent.shape
+    tf_c = np.zeros((kk, d), np.int64)
+    for cid, g in partials.groupby("cid"):
+        tf_c[cid] = np.array(g["s"].tolist(), dtype=np.int64).sum(axis=0)
+    tf_all = tf_c.sum(axis=0)
+    vocab = np.array(CLUSTER_VOCAB, dtype=object)
+    rows = []
+    for c in range(kk):
+        ok = (tf_all > 0) & (tf_c[c] > 0)
+        lift = np.zeros(d, np.int64)
+        lift[ok] = (tf_c[c][ok] * 1_000_000) // tf_all[ok]
+        order = sorted(np.flatnonzero(ok), key=lambda i: (-int(lift[i]), str(vocab[i])))
+        for r, i in enumerate(order[:top_n]):
+            rows.append({"cluster_id": c, "label_rank": r,
+                         "term": str(vocab[i]), "lift_milli": int(lift[i])})
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("cluster_id", pa.int64()), ("label_rank", pa.int64()),
+        ("term", pa.string()), ("lift_milli", pa.int64())]))
+
+
+def cluster_kmeans_docs(sf_dir: str, k: int = 8, iters: int = 5) -> ray.data.Dataset:
+    """Document clustering over integer tf profiles — the Solr
+    ClusteringComponent analogue ([U] solr/contrib/clustering/.../
+    CarrotClusteringEngine.java; algorithm swapped for k-means, which is
+    SQL-oracle-able). EXACT INTEGER arithmetic end to end: distances are
+    int64 squared euclidean and each new centroid component is the
+    round-half-up integer mean (2*S + n) // (2*n), so the DuckDB oracle
+    replicates every iteration bit-for-bit (no float summation-order
+    hazard). Empty clusters keep their previous centroid. Init: profiles
+    of the k smallest doc_ids.
+
+    Scale shape: profiles are computed once and reused; each iteration
+    is one map_batches pass emitting k x (d+1) integer partials (driver
+    combine is model-sized); centroids broadcast via ray.put."""
+    prof, cent = _kmeans_centroids(sf_dir, k, iters)
     cent_ref = ray.put(cent)
 
     def final(t: pa.Table, r=cent_ref) -> pa.Table:

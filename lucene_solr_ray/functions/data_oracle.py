@@ -420,11 +420,12 @@ def pii_scan_sql() -> str:
     )
 
 
-def cluster_kmeans_sql(k: int = 8, iters: int = 5) -> str:
-    """Oracle for classify.cluster_kmeans_docs — the k-means iterations
-    UNROLLED as chained CTEs. Exact because the engine is integer-only:
-    distances are int64 squared euclidean (values < 2^53, so DuckDB's
-    DOUBLE list_inner_product is exact) and centroid updates are the
+def _kmeans_cte_chain(k: int, iters: int) -> str:
+    """Shared CTE prefix for the k-means oracles: iterations unrolled,
+    ending with the ``fin`` (doc_id, cid, dist) assignment CTE (no final
+    SELECT). Exact because the engine is integer-only — distances are
+    int64 squared euclidean (values < 2^53, so DuckDB's DOUBLE
+    list_inner_product is exact) and centroid updates are the
     round-half-up integer mean (2*S + n) // (2*n) in both systems; ties
     break to the lowest cid via the window ORDER BY."""
     from lucene_solr_ray.functions.classify import CLUSTER_VOCAB
@@ -456,13 +457,44 @@ def cluster_kmeans_sql(k: int = 8, iters: int = 5) -> str:
         )
         prev = f"cent{it}"
     sql += (
-        "fin AS (SELECT doc_id, cid, dist FROM ("
-        f"SELECT feat.doc_id, {prev}.cid, {dist('feat.f', prev + '.c')} AS dist, "
+        "fin AS (SELECT doc_id, f, cid, dist FROM ("
+        f"SELECT feat.doc_id, feat.f, {prev}.cid, {dist('feat.f', prev + '.c')} AS dist, "
         f"ROW_NUMBER() OVER (PARTITION BY feat.doc_id ORDER BY {dist('feat.f', prev + '.c')}, {prev}.cid) AS rn "
         f"FROM feat, {prev}) WHERE rn = 1) "
-        "SELECT doc_id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist_sq FROM fin ORDER BY doc_id"
     )
     return sql
+
+
+def cluster_kmeans_sql(k: int = 8, iters: int = 5) -> str:
+    """Oracle for classify.cluster_kmeans_docs (see _kmeans_cte_chain)."""
+    return (_kmeans_cte_chain(k, iters)
+            + "SELECT doc_id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist_sq "
+              "FROM fin ORDER BY doc_id")
+
+
+def cluster_labels_sql(k: int = 8, iters: int = 5, top_n: int = 3) -> str:
+    """Oracle for classify.cluster_labels: per final cluster, the top_n
+    vocabulary terms by exact-integer lift
+    (tf_in_cluster * 1_000_000) // tf_corpus, ties -> term asc."""
+    from lucene_solr_ray.functions.classify import CLUSTER_VOCAB
+    d = len(CLUSTER_VOCAB)
+    vocab_vals = ", ".join(f"({i + 1}, '{w}')" for i, w in enumerate(CLUSTER_VOCAB))
+    return (
+        _kmeans_cte_chain(k, iters)
+        + f", tc AS (SELECT cid, i, SUM(f[i]) AS tf FROM fin, "
+          f"UNNEST(range(1, {d + 1})) AS t(i) GROUP BY cid, i), "
+          "ta AS (SELECT i, SUM(tf) AS tf_all FROM tc GROUP BY i), "
+          f"vocab(i, term) AS (VALUES {vocab_vals}), "
+          "scored AS (SELECT tc.cid, v.term, "
+          "CAST((tc.tf * 1000000) // ta.tf_all AS BIGINT) AS lift_milli "
+          "FROM tc JOIN ta USING (i) JOIN vocab v USING (i) "
+          "WHERE ta.tf_all > 0 AND tc.tf > 0), "
+          "ranked AS (SELECT cid, term, lift_milli, "
+          "ROW_NUMBER() OVER (PARTITION BY cid ORDER BY lift_milli DESC, term) AS r FROM scored) "
+          "SELECT CAST(cid AS BIGINT) AS cluster_id, CAST(r - 1 AS BIGINT) AS label_rank, "
+          f"term, lift_milli FROM ranked WHERE r <= {int(top_n)} "
+          "ORDER BY cluster_id, label_rank"
+    )
 
 
 def dup_gram_exposure_sql(ngram: int = 8) -> str:
