@@ -1,0 +1,82 @@
+"""Property-based tests (hypothesis): codec round-trips, norms byte4
+monotonicity, analysis invariants, and the engine-vs-SQL Soundex
+cross-check on arbitrary words — fuzz coverage beyond the fixed
+conformance corpora."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lucene_solr_ray.codec.norms import DECODED_TABLE, decode_dl, encode_dl
+from lucene_solr_ray.codec.postings import For128Codec, VarintCodec
+
+posting_lists = st.integers(1, 400).flatmap(lambda n: st.tuples(
+    st.lists(st.integers(0, 2**31 - 1), min_size=n, max_size=n, unique=True),
+    st.lists(st.integers(1, 60_000), min_size=n, max_size=n),
+    st.lists(st.integers(0, 255), min_size=n, max_size=n),
+))
+
+
+@settings(max_examples=40, deadline=None)
+@given(posting_lists)
+def test_postings_codecs_round_trip(data):
+    docids, tfs, norms = data
+    d = np.sort(np.array(docids, np.int64))
+    t = np.array(tfs, np.int64)
+    m = np.array(norms, np.int64)
+    for codec in (For128Codec, VarintCodec):
+        blob = codec.encode(d, t, m)
+        d2, t2, m2 = codec.decode(blob)
+        assert np.array_equal(d2, d) and np.array_equal(t2, t) and np.array_equal(m2, m), codec
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 10**7))
+def test_norms_byte4_floor_and_monotonic(dl):
+    b = int(encode_dl(np.array([dl]))[0])
+    dec = int(decode_dl(np.array([b]))[0])
+    assert dec <= dl  # greatest representable <= dl
+    reps = np.unique(DECODED_TABLE)
+    assert dec == int(reps[reps <= dl].max(initial=0))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=120))
+def test_tokenize_positions_consistent(text):
+    from lucene_solr_ray.analysis import tokenize, tokenize_with_positions
+    toks = tokenize(text)
+    with_pos = tokenize_with_positions(text)
+    assert [t for t, _ in with_pos] == toks
+    pos = [p for _, p in with_pos]
+    assert all(b > a for a, b in zip(pos, pos[1:]))  # strictly increasing
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=12),
+                min_size=1, max_size=25, unique=True))
+def test_soundex_engine_matches_sql(words):
+    """The engine soundex and the DuckDB list-lambda implementation the
+    phonetic oracle embeds must agree on ARBITRARY lowercase words, not
+    just the corpus vocabulary."""
+    import duckdb
+
+    from lucene_solr_ray.analysis import soundex
+
+    vals = ", ".join(f"('{w}')" for w in words)
+    sql = (
+        f"WITH words(w) AS (VALUES {vals}), "
+        "cs AS (SELECT w, list_transform(regexp_split_to_array(w, ''), c -> CASE "
+        "WHEN c IN ('b','f','p','v') THEN '1' "
+        "WHEN c IN ('c','g','j','k','q','s','x','z') THEN '2' "
+        "WHEN c IN ('d','t') THEN '3' WHEN c = 'l' THEN '4' "
+        "WHEN c IN ('m','n') THEN '5' WHEN c = 'r' THEN '6' "
+        "WHEN c IN ('h','w') THEN '' ELSE 'v' END) AS codes FROM words), "
+        "s1 AS (SELECT w, list_filter(codes, c -> c <> '') AS l1 FROM cs), "
+        "s2 AS (SELECT w, list_filter(l1, (c, i) -> i = 1 OR c <> l1[i-1]) AS l2 FROM s1), "
+        "s3 AS (SELECT w, upper(w[1]) || substr(COALESCE("
+        "array_to_string(list_filter(l2[2:], c -> c <> 'v'), ''), '') || '000', 1, 3) AS sx FROM s2) "
+        "SELECT w, sx FROM s3 ORDER BY w"
+    )
+    exp = dict(duckdb.sql(sql).fetchall())
+    for w in words:
+        assert soundex(w) == exp[w], w
