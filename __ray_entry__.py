@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, ["merge", "join"], elevated=[17, 4], excluded=[2], k=10),
         "ft_prefix_suggest": lambda sf: ft.prefix_suggest(sf, "s", k=5),
         "ft_infix_suggest": lambda sf: ft.infix_suggest(sf, "or", k=5),
+        "ft_blended_infix": lambda sf: ft.blended_infix_suggest(sf, "or", k=5),
+        "luke_index_stats": ft.luke_index_stats,
         "ft_fuzzy_suggest": lambda sf: ft.fuzzy_suggest(sf, "stram", k=5),
         "ft_free_text_suggest": lambda sf: ft.free_text_suggest(sf, "merge", k=10),
         "ft_spell_collate": lambda sf: ft.spell_collate(sf, ("mergee", "sortt")),
@@ -537,6 +539,32 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE NOT list_contains({_STOP_SQL}, x) AND x LIKE '%or%' GROUP BY x) "
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, term) - 1 AS BIGINT) AS sugg_rank, "
             "term, cf FROM vocab ORDER BY cf DESC, term LIMIT 5"
+        ),
+        # BlendedInfix: weight = cf // (1 + first match position)
+        "ft_blended_infix": (
+            f"WITH toks AS (SELECT unnest({split}) AS x FROM documents), "
+            f"vocab AS (SELECT x AS term, CAST(COUNT(*) AS BIGINT) AS cf FROM toks "
+            f"WHERE NOT list_contains({_STOP_SQL}, x) AND x LIKE '%or%' GROUP BY x), "
+            "m AS (SELECT term, CAST(cf // strpos(term, 'or') AS BIGINT) AS blended_weight, "
+            "CAST(strpos(term, 'or') - 1 AS BIGINT) AS match_pos FROM vocab) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY blended_weight DESC, term) - 1 AS BIGINT) "
+            "AS sugg_rank, term, blended_weight, match_pos FROM m "
+            "ORDER BY sugg_rank LIMIT 5"
+        ),
+        # Luke /admin/luke per-field overview; text == the index term dict
+        "luke_index_stats": (
+            f"WITH flat AS (SELECT unnest({split}) AS x FROM documents), "
+            f"tok AS (SELECT x FROM flat WHERE NOT list_contains({_STOP_SQL}, x)), "
+            "txt AS (SELECT 'text' AS field, CAST(COUNT(DISTINCT x) AS BIGINT) AS n_distinct, "
+            "CAST(COUNT(*) AS BIGINT) AS total, "
+            "(SELECT x FROM tok GROUP BY x ORDER BY COUNT(*) DESC, x LIMIT 1) AS top_value FROM tok), "
+            "lg AS (SELECT 'lang' AS field, CAST(COUNT(DISTINCT lang) AS BIGINT), "
+            "CAST(COUNT(*) AS BIGINT), "
+            "(SELECT lang FROM documents GROUP BY lang ORDER BY COUNT(*) DESC, lang LIMIT 1) FROM documents), "
+            "src AS (SELECT 'source' AS field, CAST(COUNT(DISTINCT source) AS BIGINT), "
+            "CAST(COUNT(*) AS BIGINT), "
+            "(SELECT source FROM documents GROUP BY source ORDER BY COUNT(*) DESC, source LIMIT 1) FROM documents) "
+            "SELECT * FROM txt UNION ALL SELECT * FROM lg UNION ALL SELECT * FROM src"
         ),
         "ft_term_vector": (
             f"SELECT x AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM "

@@ -668,6 +668,78 @@ def numeric_range_retrieve(sf_dir: str, field: str, lo: int, hi: int,
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
 
 
+def blended_infix_suggest(sf_dir: str, fragment: str, k: int = 5) -> pa.Table:
+    """BlendedInfixSuggester ([U] lucene/suggest/.../analyzing/
+    BlendedInfixSuggester.java): infix matches whose weight is DISCOUNTED
+    by the match position — earlier matches rank higher. Blend kept
+    exact-integer: score = cf // (1 + first_match_position), ranked
+    (score desc, term asc); position 0 (prefix match) keeps full weight,
+    matching the POSITION_LINEAR blender's intent."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    rows = []
+    for t in s.expand_terms("wildcard", f"*{fragment}*", max_terms=100_000):
+        _, cf, _ = s.term_stats_and_cursor(t)
+        pos = t.find(fragment)
+        rows.append((t, cf // (1 + pos), pos))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    rows = rows[:k]
+    return pa.table({
+        "sugg_rank": pa.array(np.arange(len(rows)), pa.int64()),
+        "term": pa.array([r[0] for r in rows], pa.string()),
+        "blended_weight": pa.array([r[1] for r in rows], pa.int64()),
+        "match_pos": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def luke_index_stats(sf_dir: str) -> pa.Table:
+    """LukeRequestHandler /admin/luke overview ([U] solr/core/.../handler/
+    admin/LukeRequestHandler.java): per-field summary — distinct value
+    count, total occurrence count, and the top value. The ``text`` row
+    comes from the segment term dictionaries ONLY (vocabulary-bound Ray
+    read + groupby, corpus text never touched); docvalues fields read
+    their pruned columns.
+
+    Top-value ties break to the lexicographically smallest value."""
+    from ray.data.aggregate import Count
+
+    from lucene_solr_ray.io_utils import read_parquet_clean
+    from lucene_solr_ray.pipelines.build import segment_dir
+    from lucene_solr_ray.state.manifest import load_manifest
+
+    index_dir = docs_index(sf_dir)
+    manifest = load_manifest(index_dir)
+    if manifest.get("deletes_file") or manifest.get("purged_file"):
+        raise ValueError("luke stats ignore tombstones; expunge first")
+    paths = [
+        os.path.join(segment_dir(index_dir, s["partition"], s["name"]), "terms.parquet")
+        for s in manifest["segments"]
+    ]
+    terms = (
+        ray.data.read_parquet(paths, columns=["term", "cf"])
+        .groupby("term").sum("cf")
+        .materialize()  # vocabulary-sized
+    )
+    n_terms = terms.count()
+    total_cf = int(terms.sum("sum(cf)"))
+    top = terms.sort(["sum(cf)", "term"], descending=[True, False]).limit(1).to_pandas()
+    rows = [{"field": "text", "n_distinct": int(n_terms), "total": total_cf,
+             "top_value": str(top["term"].iloc[0])}]
+    for field in ("lang", "source"):
+        vc = (
+            read_parquet_clean(f"{sf_dir}/documents.parquet", columns=[field])
+            .groupby(field).aggregate(Count(alias_name="n"))
+            .sort(["n", field], descending=[True, False])
+            .to_pandas()
+        )
+        rows.append({"field": field, "n_distinct": int(len(vc)),
+                     "total": int(vc["n"].sum()),
+                     "top_value": str(vc[field].iloc[0])})
+    return pa.Table.from_pylist(rows, schema=pa.schema([
+        ("field", pa.string()), ("n_distinct", pa.int64()),
+        ("total", pa.int64()), ("top_value", pa.string())]))
+
+
 def terms_enum(sf_dir: str, prefix: str, limit: int = 20) -> pa.Table:
     """TermsComponent /terms ([U] solr/core/.../handler/component/
     TermsComponent.java): enumerate index terms matching a prefix with
