@@ -243,6 +243,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "replica_search": lambda sf: __import__(
             "lucene_solr_ray.state.replica", fromlist=["replica_retrieve"]
         ).replica_retrieve(sf, terms=("vector",)),
+        "ft_snapshot_restore": lambda sf: __import__(
+            "lucene_solr_ray.state.replica", fromlist=["snapshot_restore_retrieve"]
+        ).snapshot_restore_retrieve(sf, terms=("vector",), delete_terms=("merge",)),
         # --- streaming-expression algebra (SURVEY §2.8) ---
         "select_having": rel.select_having,
         "rollup_agg": rel.rollup_agg,
@@ -692,6 +695,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rn < 200 ORDER BY poll, doc_id"
         ),
         "replica_search": (
+            f"SELECT doc_id FROM documents WHERE list_contains({split}, 'vector') ORDER BY doc_id"
+        ),
+        # restore answers from the PRE-MUTATION commit point: the source
+        # deleted every 'merge' doc after the snapshot, the restore must not
+        "ft_snapshot_restore": (
             f"SELECT doc_id FROM documents WHERE list_contains({split}, 'vector') ORDER BY doc_id"
         ),
         "facet_stats_ext": (

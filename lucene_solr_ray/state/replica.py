@@ -108,6 +108,81 @@ def replicate(primary_dir: str, replica_dir: str, gc: bool = True) -> dict:
     }
 
 
+def snapshot(index_dir: str, snap_dir: str, generation: int | None = None) -> dict:
+    """Point-in-time backup — SnapShooter ([U] solr/core/.../handler/
+    SnapShooter.java via ReplicationHandler's backup command): copy the
+    named generation's segment dirs, stored fields, and tombstone tables
+    into ``snap_dir``, publishing the manifest LAST (the same crash-safe
+    order as replicate). Unlike a rolling replica the snapshot is PINNED:
+    it stays restorable to exactly this commit point after the source
+    index merges, deletes, gc's, or advances generations. The snapshot
+    directory is itself a valid index layout."""
+    manifest = load_manifest(index_dir, generation)
+    os.makedirs(snap_dir, exist_ok=True)
+    futs = []
+    for seg in manifest["segments"]:
+        rel = _segment_relpath(seg)
+        src = os.path.join(index_dir, rel)
+        dst = os.path.join(snap_dir, rel)
+        if not os.path.isdir(dst) or set(os.listdir(dst)) != set(os.listdir(src)):
+            futs.append(_copy_tree.remote(src, dst))
+    for sub in ("docs", "deletes", "tvs"):
+        src_sub = os.path.join(index_dir, sub)
+        if os.path.isdir(src_sub):
+            futs.append(_copy_tree.remote(src_sub, os.path.join(snap_dir, sub)))
+    nbytes = sum(ray.get(futs)) if futs else 0
+    marker = os.path.join(index_dir, "docs.complete")
+    if os.path.exists(marker):
+        _copy_file(marker, os.path.join(snap_dir, "docs.complete"))
+    pub = {k: v for k, v in manifest.items() if k != "generation"}
+    pub["snapshot_of"] = {"path": index_dir, "generation": manifest["generation"]}
+    gen = commit_manifest(snap_dir, pub)
+    return {"generation": gen, "bytes_copied": nbytes,
+            "n_segments": len(manifest["segments"])}
+
+
+def restore(snap_dir: str, dest_dir: str) -> dict:
+    """RestoreCore ([U] solr/core/.../handler/RestoreCore.java):
+    materialize a working index from a snapshot. A snapshot is a valid
+    index layout, so restore is a pull-replication from it — incremental
+    and crash-safe for the same reasons."""
+    return replicate(snap_dir, dest_dir, gc=True)
+
+
+def snapshot_restore_retrieve(sf_dir: str, terms=("vector",),
+                              delete_terms=("merge",)):
+    """Driver entry: snapshot the docs index, MUTATE the source copy
+    (delete-by-query + expunge — segments rewritten, old ones gc'd),
+    restore the snapshot into a third dir, and answer the query FROM THE
+    RESTORE: results must equal the PRE-MUTATION corpus (the SQL
+    oracle), proving point-in-time semantics."""
+    import shutil as _sh
+
+    import numpy as np
+    import pyarrow as pa
+
+    from lucene_solr_ray.functions.fulltext import _docid_to_doc_id, docs_index
+    from lucene_solr_ray.pipelines.deletes import delete_by_query
+    from lucene_solr_ray.pipelines.merge import force_merge
+    from lucene_solr_ray.pipelines.search import IndexSearcher
+
+    primary = docs_index(sf_dir)
+    work = primary + "-snapwork"
+    snap = primary + "-snap"
+    dest = primary + "-restored"
+    for d in (work, snap, dest):
+        _sh.rmtree(d, ignore_errors=True)
+    _sh.copytree(primary, work)
+    snapshot(work, snap)
+    delete_by_query(work, list(delete_terms), mode="or")
+    force_merge(work, max_segments=1, expunge_deletes=True)  # source diverges
+    restore(snap, dest)
+    s = IndexSearcher(dest)
+    d, _ = s.search(list(terms), k=max(1, s.n_docs), mode="or")
+    mapping = _docid_to_doc_id(dest)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
 def replica_retrieve(sf_dir: str, terms=("vector",)):
     """Driver entry: replicate the documents index into a replica dir
     (incremental pull; a second call copies nothing) and answer a term

@@ -128,3 +128,28 @@ def test_topic_read_ack_at_least_once(ray_session, t1_corpus, tmp_path):
     ckpt_before = topic.checkpoint()
     topic.ack(int(b1["docid"][0].as_py()))
     assert topic.checkpoint() == ckpt_before
+
+
+def test_snapshot_restore_point_in_time(ray_session):
+    """The restore answers from the snapshot's commit point: docs holding
+    both the deleted term and the query term are GONE from the mutated
+    source but PRESENT in the restore (vacuity guard: at least one such
+    doc must exist)."""
+    import numpy as np
+
+    from lucene_solr_ray.functions.fulltext import _docid_to_doc_id, docs_index
+    from lucene_solr_ray.pipelines.search import IndexSearcher
+    from lucene_solr_ray.state.replica import snapshot_restore_retrieve
+
+    sf = "/root/testdata/sf0.001"
+    restored = snapshot_restore_retrieve(sf, terms=("vector",),
+                                         delete_terms=("merge",)).to_pandas()
+    primary = docs_index(sf)
+    s = IndexSearcher(primary)
+    d, _ = s.search(["vector"], k=max(1, s.n_docs), mode="or")
+    pristine = np.sort(_docid_to_doc_id(primary)[d])
+    assert restored["doc_id"].tolist() == pristine.tolist()
+    # the mutated work copy must actually have lost some 'vector' docs
+    work = IndexSearcher(primary + "-snapwork")
+    dw, _ = work.search(["vector"], k=max(1, work.n_docs), mode="or")
+    assert len(dw) < len(d), "no doc held both terms — mutation was vacuous"
