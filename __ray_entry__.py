@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_ngram": curation.decontaminate_ngram,
         "decontaminate_bloom": curation.decontaminate_bloom,
         "boilerplate_strip": curation.boilerplate_strip,
+        "chunk_documents": curation.chunk_documents,
         "repetition_signals": curation.repetition_signals,
         "pii_scan": curation.pii_scan,
         # --- document clustering (ClusteringComponent analogue) ---
@@ -212,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_prefix_suggest": lambda sf: ft.prefix_suggest(sf, "s", k=5),
         "ft_infix_suggest": lambda sf: ft.infix_suggest(sf, "or", k=5),
         "ft_blended_infix": lambda sf: ft.blended_infix_suggest(sf, "or", k=5),
+        "ft_terms_qparser": lambda sf: ft.terms_qparser_docs(sf, "lang", ("en", "fr")),
         "luke_index_stats": ft.luke_index_stats,
         "ft_fuzzy_suggest": lambda sf: ft.fuzzy_suggest(sf, "stram", k=5),
         "ft_free_text_suggest": lambda sf: ft.free_text_suggest(sf, "merge", k=10),
@@ -542,6 +544,9 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE NOT list_contains({_STOP_SQL}, x) AND x LIKE '%or%' GROUP BY x) "
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, term) - 1 AS BIGINT) AS sugg_rank, "
             "term, cf FROM vocab ORDER BY cf DESC, term LIMIT 5"
+        ),
+        "ft_terms_qparser": (
+            "SELECT doc_id FROM documents WHERE lang IN ('en', 'fr') ORDER BY doc_id"
         ),
         # BlendedInfix: weight = cf // (1 + first match position)
         "ft_blended_infix": (
@@ -1099,6 +1104,7 @@ def oracle_sql() -> dict[str, str]:
         # bloom prefilter + exact audit == the exact pass by construction
         "decontaminate_bloom": _data_oracle().decontaminate_sql(),
         "boilerplate_strip": _data_oracle().boilerplate_strip_sql(),
+        "chunk_documents": _data_oracle().chunk_documents_sql(),
         "repetition_signals": _data_oracle().repetition_sql(),
         "pii_scan": _data_oracle().pii_scan_sql(),
         "cluster_kmeans_docs": _data_oracle().cluster_kmeans_sql(),

@@ -364,6 +364,52 @@ def mix_weighted_sample(sf_dir: str) -> ray.data.Dataset:
 
 # ---------------- sequence packing (concat-and-chunk) ----------------
 
+def chunk_documents(sf_dir: str, chunk_tokens: int = 64,
+                    overlap: int = 16) -> ray.data.Dataset:
+    """RAG/embedding-style sliding-window chunking (the complement of
+    pack_concat_chunks' cross-doc packing): split each document into
+    ``chunk_tokens``-token windows with ``overlap`` tokens of context
+    carried between consecutive chunks (stride = chunk_tokens - overlap);
+    the final window may be short but is never empty, and a doc shorter
+    than one window yields exactly one chunk. Emits (doc_id, chunk_idx,
+    start_tok, n_tok, chunk_text). Stateless per-doc pass — zero
+    shuffle; chunk boundaries are deterministic functions of the token
+    count, so the SQL oracle replicates them with integer arithmetic."""
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+
+    def chunks(t: pa.Table) -> pa.Table:
+        ids, cidx, starts, ntoks, texts = [], [], [], [], []
+        for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            toks = _tokens(s)
+            if not toks:
+                continue
+            j = 0
+            i = 0
+            while True:
+                window = toks[j:j + chunk_tokens]
+                ids.append(int(d))
+                cidx.append(i)
+                starts.append(j)
+                ntoks.append(len(window))
+                texts.append(" ".join(window))
+                if j + chunk_tokens >= len(toks):
+                    break
+                j += stride
+                i += 1
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "chunk_idx": pa.array(cidx, pa.int64()),
+                         "start_tok": pa.array(starts, pa.int64()),
+                         "n_tok": pa.array(ntoks, pa.int64()),
+                         "chunk_text": pa.array(texts, pa.string())})
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(chunks, batch_format="pyarrow")
+        .sort(["doc_id", "chunk_idx"])
+    )
+
+
 def pack_concat_chunks(sf_dir: str, budget: int = 256, bucket_docs: int = 128) -> ray.data.Dataset:
     """GPT-style sequence packing: concatenate documents in doc_id order
     and cut fixed ``budget``-token chunks; emit each doc's (chunk_id,

@@ -77,6 +77,28 @@ def highlight_sql(terms: list[str], window_tokens: int = 5) -> str:
     )
 
 
+def chunk_documents_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
+    """Oracle for curation.chunk_documents: window starts are the
+    multiples of stride up to the smallest K with K*stride + chunk >= n
+    (a doc shorter than one window yields exactly one chunk; empty docs
+    none) — pure integer arithmetic on the whitespace token count."""
+    ck, st = int(chunk_tokens), int(chunk_tokens) - int(overlap)
+    return (
+        "WITH toks AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE "
+        "regexp_split_to_array(trim(text), '\\s+') END AS a FROM documents), "
+        f"k AS (SELECT doc_id, a, CAST(len(a) AS BIGINT) AS n, "
+        f"CAST(CASE WHEN len(a) <= {ck} THEN 0 "
+        f"ELSE ceil((len(a) - {ck}) / {st}.0) END AS BIGINT) AS kmax "
+        "FROM toks WHERE len(a) > 0), "
+        "c AS (SELECT doc_id, unnest(range(0, kmax + 1)) AS i, a, n FROM k) "
+        f"SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+        f"CAST(i * {st} AS BIGINT) AS start_tok, "
+        f"CAST(least(n - i * {st}, {ck}) AS BIGINT) AS n_tok, "
+        f"array_to_string(a[i*{st}+1 : least(i*{st}+{ck}, n)], ' ') AS chunk_text "
+        "FROM c ORDER BY doc_id, chunk_idx"
+    )
+
+
 def boilerplate_strip_sql(line_tokens: int = 8, min_df: int = 2) -> str:
     """Oracle for curation.boilerplate_strip — frequent-line removal:
     hot = lines whose distinct-doc frequency reaches min_df; every

@@ -668,6 +668,30 @@ def numeric_range_retrieve(sf_dir: str, field: str, lo: int, hi: int,
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
 
 
+def terms_qparser_docs(sf_dir: str, field: str = "lang",
+                       values: tuple = ("en", "fr")) -> ray.data.Dataset:
+    """TermsQParserPlugin {!terms f=field}v1,v2,... ([U] solr/core/.../
+    search/TermsQParserPlugin.java): raw set-membership filter over a
+    docvalues field — no analysis, no scoring, constant-score filter
+    semantics. One pruned two-column read + vectorized Arrow is_in;
+    zero shuffle."""
+    import pyarrow.compute as pc
+
+    from lucene_solr_ray.io_utils import read_parquet_clean
+
+    vals = pa.array(list(values), pa.string())
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t.column(field), value_set=vals)
+        return t.filter(keep).select(["doc_id"])
+
+    return (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", field])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
 def blended_infix_suggest(sf_dir: str, fragment: str, k: int = 5) -> pa.Table:
     """BlendedInfixSuggester ([U] lucene/suggest/.../analyzing/
     BlendedInfixSuggester.java): infix matches whose weight is DISCOUNTED

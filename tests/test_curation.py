@@ -374,3 +374,37 @@ def test_boilerplate_strip_semantics(ray_session):
         assert out.loc[2, "clean_text"] == "m n o p"   # uniq2 occurrence dropped here too
         assert out.loc[2, "n_lines"] == 2 and out.loc[2, "n_dropped"] == 1
         assert out.loc[3, "n_lines"] == 0 and out.loc[3, "clean_text"] == ""
+
+
+def test_chunk_documents_overlap_continuity(ray_session):
+    """Consecutive chunks share exactly `overlap` tokens; a short doc
+    yields one full-copy chunk; an empty doc yields none; every token
+    is covered."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from lucene_solr_ray.functions.curation import chunk_documents
+
+    long = " ".join(f"w{i}" for i in range(23))  # 23 toks, chunk 8, stride 5
+    short = "x y z"
+    with tempfile.TemporaryDirectory() as d:
+        tab = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                        "text": pa.array([long, short, ""], pa.string())})
+        pq.write_table(tab, os.path.join(d, "documents.parquet"))
+        out = chunk_documents(d, chunk_tokens=8, overlap=3).to_pandas()
+        g0 = out[out["doc_id"] == 0].reset_index(drop=True)
+        # starts 0,5,10,15: 15+8 >= 23 stops there; last chunk len 8
+        assert g0["start_tok"].tolist() == [0, 5, 10, 15]
+        assert g0["n_tok"].tolist() == [8, 8, 8, 8]
+        for i in range(len(g0) - 1):
+            a = g0.loc[i, "chunk_text"].split()
+            b = g0.loc[i + 1, "chunk_text"].split()
+            assert a[-3:] == b[:3]  # overlap continuity
+        covered = set()
+        for _, r in g0.iterrows():
+            covered.update(range(r["start_tok"], r["start_tok"] + r["n_tok"]))
+        assert covered == set(range(23))
+        g1 = out[out["doc_id"] == 1]
+        assert len(g1) == 1 and g1["chunk_text"].iloc[0] == short
+        assert (out["doc_id"] != 2).all()
