@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_sorted": rel.merge_sorted_names,
         "cartesian_explode": rel.cartesian_explode,
         "export_sorted": rel.export_sorted,
+        "export_jsonl": rel.export_jsonl,
         # --- spatial / expressions (SURVEY §2.6 aux) ---
         "geo_bbox_dist": geo.geo_bbox_dist,
         "geo_heatmap": geo.geo_heatmap,
@@ -436,6 +437,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "export_sorted": (
             "SELECT doc_id, lang, n_chars FROM documents ORDER BY n_chars DESC, doc_id"
+        ),
+        "export_jsonl": (
+            "SELECT doc_id, lang, source FROM documents ORDER BY doc_id"
         ),
         "ft_sorted_by_field": (
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS rank, "

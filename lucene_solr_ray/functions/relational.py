@@ -847,6 +847,40 @@ def export_sorted(sf_dir: str, out_dir: str | None = None) -> ray.data.Dataset:
     return ray.data.read_parquet(out_dir).sort(["n_chars", "doc_id"], descending=[True, False])
 
 
+def export_jsonl(sf_dir: str, out_dir: str | None = None) -> ray.data.Dataset:
+    """/export wt=json — the ExportWriter's JSON output path ([U]
+    solr/core/.../handler/export/ExportWriter.java writeDocs as JSON):
+    pruned column read -> global sort -> newline-delimited JSON files
+    (one per block — resumable multi-file output), returned as the rows
+    READ BACK from the written JSONL so the gate verifies the sink
+    round-trip, not just the in-memory frame."""
+    import hashlib
+    import shutil
+
+    if out_dir is None:
+        key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+        out_dir = f"/tmp/lsr_export_jsonl/{key}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    (
+        _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+        .sort("doc_id")
+        .write_json(out_dir)
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.compute.cast(t.column("doc_id"), pa.int64()),
+            "lang": pa.compute.cast(t.column("lang"), pa.string()),
+            "source": pa.compute.cast(t.column("source"), pa.string()),
+        })
+
+    return (
+        ray.data.read_json(out_dir)
+        .map_batches(norm, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
 def deterministic_sample(sf_dir: str, pct: int = 10) -> ray.data.Dataset:
     """RandomStream analogue ([U] solr/core/.../search/RandomStream.java)
     made reproducible: multiplicative-hash sampling on doc_id (exact
