@@ -266,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_jsonl": rel.export_jsonl,
         # --- spatial / expressions (SURVEY §2.6 aux) ---
         "geo_bbox_dist": geo.geo_bbox_dist,
+        "geo_filt": geo.geo_filt,
         "geo_heatmap": geo.geo_heatmap,
         "point_bbox_docs": lambda sf: geo.point_bbox_query(sf, (-30.0, 40.0, -100.0, 50.0)),
         "expression_sort": expr.expression_sort,
@@ -1229,6 +1230,17 @@ def oracle_sql() -> dict[str, str]:
             "cos(radians(lat)) * cos(radians(12.5)) * pow(sin(radians(42.5 - lon)/2), 2)"
             ")) * 10 + 0.5) AS BIGINT) AS dist_100m FROM g "
             "WHERE lat BETWEEN -60 AND 60 AND lon BETWEEN -120 AND 120 ORDER BY c_custkey"
+        ),
+        # {!geofilt}: radius cut on the shared 100m-quantized distance
+        "geo_filt": (
+            "WITH g AS (SELECT c_custkey, "
+            "CAST(((c_custkey * 37) % 180) AS DOUBLE) - 90 + 0.5 AS lat, "
+            "CAST(((c_custkey * 73) % 360) AS DOUBLE) - 180 + 0.5 AS lon FROM customer), "
+            "d AS (SELECT c_custkey, CAST(FLOOR(2 * 6371.0087714 * asin(sqrt("
+            "pow(sin(radians(12.5 - lat)/2), 2) + "
+            "cos(radians(lat)) * cos(radians(12.5)) * pow(sin(radians(42.5 - lon)/2), 2)"
+            ")) * 10 + 0.5) AS BIGINT) AS dist_100m FROM g) "
+            "SELECT c_custkey, dist_100m FROM d WHERE dist_100m <= 30000 ORDER BY c_custkey"
         ),
         "geo_heatmap": (
             "SELECT ((c_custkey * 37) % 180) // 10 AS grid_row, "

@@ -75,6 +75,27 @@ def geo_bbox_dist(sf_dir: str, origin=(12.5, 42.5), bbox=(-60.0, 60.0, -120.0, 1
     ).sort("c_custkey")
 
 
+def geo_filt(sf_dir: str, origin=(12.5, 42.5), d_km: int = 3000) -> ray.data.Dataset:
+    """{!geofilt pt=.. d=..} radius filter ([U] solr/core/.../search/
+    SpatialFilterQParserPlugin.java): keep points within ``d_km`` of the
+    origin. The threshold compares the QUANTIZED integer distance
+    (dist_100m <= d_km*10) — the same 100m rounding the SQL oracle
+    replicates bit-for-bit, so boundary points cannot flip between
+    engine and oracle. One stateless pass, no bbox pre-cut (the
+    oracle-checked exact path; the persisted point index serves the
+    cell-pruned variant)."""
+    full_bbox = (-90.0, 90.0, -180.0, 180.0)
+    ds = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    cut = int(d_km) * 10
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = _GeoStage(origin[0], origin[1], full_bbox)(t)
+        keep = pa.compute.less_equal(out.column("dist_100m"), pa.scalar(cut))
+        return out.filter(keep)
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort("c_custkey")
+
+
 def geo_heatmap(sf_dir: str, cell_deg: int = 10) -> pa.Table:
     """Heatmap faceting ([U] solr/core/.../handler/component/
     SpatialHeatmapFacets.java, facet.heatmap): counts over a lat/lon
