@@ -572,17 +572,22 @@ def soundex(word: str) -> str:
     commons-codec Soundex encoder, lucene/analysis/phonetic/.../
     PhoneticFilter.java): consonant classes 1-6; h/w are transparent
     (adjacent same-coded consonants across h/w collapse); vowels break
-    adjacency but emit nothing; first letter kept verbatim; pad/cut to
-    letter + 3 digits. Non-ASCII-alpha chars are treated like vowels
-    (adjacency breakers), matching the SQL oracle's ELSE arm. Verified
-    against the canonical vectors (Robert->R163, Tymczak->T522,
-    Pfister->P236, Honeyman->H555) in tests/test_analysis.py."""
+    adjacency but emit nothing; first letter kept verbatim and its own
+    code dropped from the digits — but an initial h/w (which has NO
+    code) drops nothing, so Wright->W623 (the h/w-initial case a naive
+    head-drop gets wrong). Non-ASCII-alpha chars are treated like
+    vowels (adjacency breakers), matching the SQL oracle's ELSE arm.
+    Verified against the canonical vectors (Robert->R163, Tymczak->T522,
+    Pfister->P236, Wright->W623) in tests/test_analysis.py."""
     if not word:
         return ""
-    codes = [c for c in (_SOUNDEX_CODE.get(ch, "" if ch in "hw" else "v")
-                         for ch in word) if c]
-    collapsed = [c for i, c in enumerate(codes) if i == 0 or c != codes[i - 1]]
-    digits = [c for c in collapsed[1:] if c != "v"]
+    raw = [_SOUNDEX_CODE.get(ch, "" if ch in "hw" else "v") for ch in word]
+    l1 = [c for c in raw if c]  # h/w transparent
+    collapsed = [c for i, c in enumerate(l1) if i == 0 or c != l1[i - 1]]
+    # drop the first LETTER's (possibly collapsed-into) code — unless the
+    # first letter is h/w, which emitted nothing to drop
+    tail = collapsed if raw[0] == "" else collapsed[1:]
+    digits = [c for c in tail if c != "v"]
     return word[0].upper() + ("".join(digits) + "000")[:3]
 
 

@@ -56,6 +56,23 @@ def _tokens(s: str) -> list[str]:
     return _WS.split(s.strip()) if s and s.strip() else []
 
 
+def _line_segments(toks: list[str], line_tokens: int) -> list[str]:
+    """The corpus's deterministic line view shared by line_dedup_first
+    and boilerplate_strip (their SQL oracles assume the IDENTICAL
+    segmentation): non-overlapping ``line_tokens``-token segments."""
+    return [" ".join(toks[j:j + line_tokens])
+            for j in range(0, len(toks), line_tokens)]
+
+
+def _line_hash(line: str) -> int:
+    """Shifted md5-64 line hash (the simhash-oracle int64 convention) —
+    one definition so the two line-view entries can never desync."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(line.encode()).digest()[:8],
+                          "little") - (1 << 63)
+
+
 # ---------------- benchmark decontamination ----------------
 
 def decontaminate_ngram(sf_dir: str, ngram: int = 5, bench_mod: int = 37) -> ray.data.Dataset:
@@ -155,6 +172,8 @@ def decontaminate_bloom(sf_dir: str, ngram: int = 5, bench_mod: int = 37,
         _read_docs(sf_dir)
         .filter(lambda r: r["doc_id"] % bench_mod == 0)
         .map_batches(_gram_explode(ngram), batch_format="pyarrow")
+        .materialize()  # consumed twice (bloom partials + exact audit
+                        # set) — never re-run the filter+explode lineage
     )
 
     def bloom_partial(t: pa.Table) -> pa.Table:
@@ -688,21 +707,13 @@ def boilerplate_strip(sf_dir: str, line_tokens: int = 8,
     each) -> groupby count -> the hot set is boilerplate-sized and
     broadcasts once; pass 2 is one stateless rebuild pass, zero shuffle.
     Output: (doc_id, n_lines, n_dropped, clean_text)."""
-    import hashlib
-
     from ray.data.aggregate import Count
-
-    def _h(line: str) -> int:
-        return int.from_bytes(hashlib.md5(line.encode()).digest()[:8],
-                              "little") - (1 << 63)
 
     def explode(t: pa.Table) -> pa.Table:
         ids_out, hs = [], []
         for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
-            toks = _tokens(s)
-            lines = {" ".join(toks[j:j + line_tokens])
-                     for j in range(0, len(toks), line_tokens)}
-            hs.extend(_h(ln) for ln in lines)
+            lines = set(_line_segments(_tokens(s), line_tokens))
+            hs.extend(_line_hash(ln) for ln in lines)
             ids_out.extend([int(d)] * len(lines))
         return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
                          "h": pa.array(hs, pa.int64())})
@@ -723,13 +734,11 @@ def boilerplate_strip(sf_dir: str, line_tokens: int = 8,
         n_drop = np.zeros(len(ids), np.int64)
         cleans = []
         for i, s in enumerate(t.column("text").to_pylist()):
-            toks = _tokens(s)
-            segs = [" ".join(toks[j:j + line_tokens])
-                    for j in range(0, len(toks), line_tokens)]
+            segs = _line_segments(_tokens(s), line_tokens)
             n_lines[i] = len(segs)
             kept = []
             for ln in segs:
-                h = _h(ln)
+                h = _line_hash(ln)
                 pos = np.searchsorted(hot_s, h)
                 if pos < len(hot_s) and hot_s[pos] == h:
                     n_drop[i] += 1
@@ -766,15 +775,10 @@ def line_dedup_first(sf_dir: str, line_tokens: int = 8) -> ray.data.Dataset:
 
     class Explode:
         def __call__(self, t: pa.Table) -> pa.Table:
-            import hashlib
             ids_out, hs = [], []
             for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
-                toks = _tokens(s)
-                lines = {" ".join(toks[j:j + line_tokens])
-                         for j in range(0, len(toks), line_tokens)}
-                for ln in lines:
-                    hs.append(int.from_bytes(hashlib.md5(ln.encode()).digest()[:8],
-                                             "little") - (1 << 63))
+                lines = set(_line_segments(_tokens(s), line_tokens))
+                hs.extend(_line_hash(ln) for ln in lines)
                 ids_out.extend([int(d)] * len(lines))
             return pa.table({"doc_id": pa.array(ids_out, pa.int64()),
                              "h": pa.array(hs, pa.int64())})

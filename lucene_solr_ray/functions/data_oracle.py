@@ -147,12 +147,14 @@ def phonetic_term_groups_sql(k: int = 50) -> str:
         "WHEN c IN ('d','t') THEN '3' WHEN c = 'l' THEN '4' "
         "WHEN c IN ('m','n') THEN '5' WHEN c = 'r' THEN '6' "
         "WHEN c IN ('h','w') THEN '' ELSE 'v' END) AS codes FROM tf), "
-        "s1 AS (SELECT term, tf_sum, list_filter(codes, c -> c <> '') AS l1 FROM cs), "
-        "s2 AS (SELECT term, tf_sum, "
+        "s1 AS (SELECT term, tf_sum, codes, list_filter(codes, c -> c <> '') AS l1 FROM cs), "
+        "s2 AS (SELECT term, tf_sum, codes, "
         "list_filter(l1, (c, i) -> i = 1 OR c <> l1[i-1]) AS l2 FROM s1), "
+        # initial h/w emitted no code, so there is nothing to drop (Wright->W623)
+        "s2b AS (SELECT term, tf_sum, CASE WHEN codes[1] = '' THEN l2 ELSE l2[2:] END AS tl FROM s2), "
         "s3 AS (SELECT tf_sum, upper(term[1]) || substr(COALESCE("
-        "array_to_string(list_filter(l2[2:], c -> c <> 'v'), ''), '') || '000', 1, 3) "
-        "AS code FROM s2) "
+        "array_to_string(list_filter(tl, c -> c <> 'v'), ''), '') || '000', 1, 3) "
+        "AS code FROM s2b) "
         "SELECT code, CAST(COUNT(*) AS BIGINT) AS n_terms, "
         "CAST(SUM(tf_sum) AS BIGINT) AS total_tf "
         f"FROM s3 GROUP BY code ORDER BY total_tf DESC, code LIMIT {int(k)}"

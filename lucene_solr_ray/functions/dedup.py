@@ -483,13 +483,16 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 50, ngram: int = 3,
                 out_na.append(int(n[i]))
                 out_nb.append(int(n[j]))
         # map-side combine: partial inter per pair WITHIN this bucket, so
-        # the cross-bucket exchange carries aggregated pair rows only
+        # the cross-bucket exchange carries aggregated pair rows only.
+        # Explicit pa.table (NOT from_pandas): pandas schema metadata
+        # breaks hash(pa.Schema) in downstream shuffles (CLAUDE.md).
         dfp = pd.DataFrame({"doc_a": out_a, "doc_b": out_b,
                             "n_a": out_na, "n_b": out_nb})
         agg = (dfp.groupby(["doc_a", "doc_b"], sort=False)
                .agg(inter=("n_a", "size"), n_a=("n_a", "first"),
                     n_b=("n_b", "first")).reset_index())
-        return pa.Table.from_pandas(agg.astype(np.int64), preserve_index=False)
+        return pa.table({c: pa.array(agg[c].to_numpy().astype(np.int64), pa.int64())
+                         for c in ("doc_a", "doc_b", "inter", "n_a", "n_b")})
 
     co = (
         exploded.groupby("bucket")
@@ -504,7 +507,8 @@ def ngram_jaccard_pairs(sf_dir: str, threshold_pct: int = 50, ngram: int = 3,
             g = (df.groupby(["doc_a", "doc_b"], sort=False)
                  .agg(inter=("inter", "sum"), n_a=("n_a", "first"),
                       n_b=("n_b", "first")).reset_index())
-            return pa.Table.from_pandas(g.astype(np.int64), preserve_index=False)
+            return pa.table({c: pa.array(g[c].to_numpy().astype(np.int64), pa.int64())
+                             for c in ("doc_a", "doc_b", "inter", "n_a", "n_b")})
 
         joined = co.repartition(1).map_batches(
             combine, batch_format="pandas", batch_size=None)

@@ -197,6 +197,9 @@ def test_soundex_canonical_vectors():
         "ashcroft": "A261", "tymczak": "T522", "pfister": "P236",
         "honeyman": "H555", "jackson": "J250", "washington": "W252",
         "lee": "L000", "gutierrez": "G362", "wheaton": "W350",
+        # h/w-initial followed by a consonant: the first letter emitted
+        # no code, so the first CONSONANT's code must survive
+        "wright": "W623", "write": "W630", "hrothgar": "H632",
     }
     for w, code in vectors.items():
         assert soundex(w) == code, w

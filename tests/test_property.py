@@ -71,10 +71,11 @@ def test_soundex_engine_matches_sql(words):
         "WHEN c IN ('d','t') THEN '3' WHEN c = 'l' THEN '4' "
         "WHEN c IN ('m','n') THEN '5' WHEN c = 'r' THEN '6' "
         "WHEN c IN ('h','w') THEN '' ELSE 'v' END) AS codes FROM words), "
-        "s1 AS (SELECT w, list_filter(codes, c -> c <> '') AS l1 FROM cs), "
-        "s2 AS (SELECT w, list_filter(l1, (c, i) -> i = 1 OR c <> l1[i-1]) AS l2 FROM s1), "
+        "s1 AS (SELECT w, codes, list_filter(codes, c -> c <> '') AS l1 FROM cs), "
+        "s2 AS (SELECT w, codes, list_filter(l1, (c, i) -> i = 1 OR c <> l1[i-1]) AS l2 FROM s1), "
+        "s2b AS (SELECT w, CASE WHEN codes[1] = '' THEN l2 ELSE l2[2:] END AS tl FROM s2), "
         "s3 AS (SELECT w, upper(w[1]) || substr(COALESCE("
-        "array_to_string(list_filter(l2[2:], c -> c <> 'v'), ''), '') || '000', 1, 3) AS sx FROM s2) "
+        "array_to_string(list_filter(tl, c -> c <> 'v'), ''), '') || '000', 1, 3) AS sx FROM s2b) "
         "SELECT w, sx FROM s3 ORDER BY w"
     )
     exp = dict(duckdb.sql(sql).fetchall())
