@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_topk": lambda sf: ann.ann_brute_topk(sf, k=10, n_queries=5),
         "ann_ivf_topk": lambda sf: ann.ann_ivf_topk(sf, k=10, n_queries=5),
         "ann_pq_topk": lambda sf: ann.ann_pq_topk(sf, k=10, n_queries=5),
+        "ann_ivfpq_topk": lambda sf: ann.ann_ivfpq_topk(sf, k=10, n_queries=5),
         "embedding_label_counts": ann.embedding_label_counts,
         # --- text analysis ---
         "token_count": ts.token_count,
@@ -1071,6 +1072,9 @@ def oracle_sql() -> dict[str, str]:
         # ann_pq_topk: the WHOLE PQ pipeline (quantize -> sampled codebook
         # -> argmin encode -> ADC) in exact int64 on both sides.
         "ann_pq_topk": _data_oracle().ann_pq_sql(),
+        # IVF-PQ == the full PQ scan at gate n_probe (probe containment
+        # pytest-asserted), so it shares the exact-integer ADC oracle
+        "ann_ivfpq_topk": _data_oracle().ann_pq_sql(),
         "embedding_label_counts": (
             "SELECT label, CAST(len(embedding) AS BIGINT) AS n_dims, COUNT(*) AS n "
             "FROM embeddings GROUP BY 1, 2 ORDER BY label"

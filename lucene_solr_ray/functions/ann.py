@@ -280,6 +280,87 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
     return pa.Table.from_pylist(rows, schema=schema)
 
 
+def ann_ivfpq_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
+                   n_clusters: int = 32, n_probe: int = 30,
+                   n_sub: int = 8, n_codes: int = 32, scale: int = 10_000,
+                   train_sample: int = 4096, seed: int = 11) -> pa.Table:
+    """IVF-PQ — the standard billion-scale ANN layout (Jegou et al. 2011
+    §V's IVFADC; FAISS IndexIVFPQ): the coarse quantizer picks each
+    query's ``n_probe`` partitions from the persisted IVF index
+    (partition-SELECTIVE read), and the scan inside them ranks by the
+    exact-integer ADC scheme of ann_pq_topk (sampled codebook, per-query
+    LUTs) — only codes-worth of arithmetic per vector.
+
+    Oracle: at gate scale the probed set provably contains every ADC
+    top-k (pytest asserts ivfpq == the full-corpus PQ scan), so the
+    entry shares ann_pq's SQL. At 100 TB n_probe << n_clusters and the
+    codes persist beside the partitions (8 bytes/vector re-scans)."""
+    index_dir = build_ivf_index(sf_dir, n_clusters=n_clusters,
+                                train_sample=train_sample, seed=seed)
+    cn = np.load(os.path.join(index_dir, "centroids.npy"))
+    head = _read_emb(sf_dir).sort("vec_id").limit(max(n_codes, n_queries)).to_pandas()
+    hx = np.array(head["embedding"].tolist(), dtype=np.float64)
+    hq = np.floor(hx * scale + 0.5).astype(np.int64)
+    d = hq.shape[1]
+    assert d % n_sub == 0, (d, n_sub)
+    dsub = d // n_sub
+    cb = hq[:n_codes].reshape(n_codes, n_sub, dsub).transpose(1, 0, 2).copy()
+    qids = head["vec_id"].to_numpy().astype(np.int64)[:n_queries]
+    qsub = hq[:n_queries].reshape(n_queries, n_sub, dsub)
+    diff = qsub[:, :, None, :] - cb[None, :, :, :]
+    lut = (diff * diff).sum(axis=3)  # (nq, n_sub, n_codes)
+    qx = hx[:n_queries]
+    qn = qx / np.linalg.norm(qx, axis=1, keepdims=True)
+    probes = {int(qids[i]): set(np.argsort(-(qn[i] @ cn.T))[:n_probe].tolist())
+              for i in range(len(qids))}
+    union = sorted(set().union(*probes.values()))
+    paths = probed_partition_paths(index_dir, union)
+    cb_ref, lut_ref, pr_ref = ray.put(cb), ray.put(lut), ray.put(probes)
+
+    def scan(t: pa.Table, cb_r=cb_ref, lut_r=lut_ref, pr_r=pr_ref) -> pa.Table:
+        cbv, lutv, pr = ray.get(cb_r), ray.get(lut_r), ray.get(pr_r)
+        x = emb_matrix(t.column("embedding"))
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        clu = t.column("cluster_id").to_numpy().astype(np.int64)
+        qz = np.floor(x * scale + 0.5).astype(np.int64).reshape(len(ids), n_sub, dsub)
+        codes = np.empty((len(ids), n_sub), np.int64)
+        for s in range(n_sub):
+            dfm = qz[:, s, None, :] - cbv[None, s, :, :]
+            codes[:, s] = (dfm * dfm).sum(axis=2).argmin(axis=1)
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(qids)):
+            qid = int(qids[qi])
+            m = np.isin(clu, list(pr[qid])) & (ids != qid)
+            if not m.any():
+                continue
+            adist = lutv[qi][np.arange(n_sub)[None, :], codes[m]].sum(axis=1)
+            cand_ids = ids[m]
+            if len(cand_ids) > k:
+                order = np.lexsort((cand_ids, adist))[:k]
+                cand_ids, adist = cand_ids[order], adist[order]
+            out_q.extend([qid] * len(cand_ids))
+            out_n.extend(cand_ids.tolist())
+            out_d.extend(adist.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "adist": pa.array(out_d, pa.int64())})
+
+    partials = ray.data.read_parquet(paths).map_batches(
+        scan, batch_format="pyarrow", batch_size=4096
+    ).to_pandas()
+    rows = []
+    for qid, g in partials.groupby("query_id"):
+        order = np.lexsort((g["neighbor_id"].to_numpy(), g["adist"].to_numpy()))[:k]
+        for rank, idx in enumerate(order):
+            rows.append({"query_id": int(qid), "rank": rank,
+                         "neighbor_id": int(g["neighbor_id"].iloc[idx]),
+                         "adist": int(g["adist"].iloc[idx])})
+    rows.sort(key=lambda r: (r["query_id"], r["rank"]))
+    schema = pa.schema([("query_id", pa.int64()), ("rank", pa.int64()),
+                        ("neighbor_id", pa.int64()), ("adist", pa.int64())])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
 def embedding_label_counts(sf_dir: str) -> ray.data.Dataset:
     """Label histogram + dimensionality check (vector-column groupby)."""
     from ray.data.aggregate import Count

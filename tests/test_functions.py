@@ -425,3 +425,22 @@ def test_sample_fixed_k_bottom_k_and_merge_associativity():
     assert got["doc_id"].tolist() == ids[order[:40]].tolist()
     assert got["priority"].tolist() == pri[order[:40]].tolist()
     assert len(sample_fixed_k(SF, k=10 * int(n)).to_pandas()) == n
+
+
+def test_ann_ivfpq_equals_full_pq_scan():
+    """IVFPQ at gate n_probe returns EXACTLY the full-corpus PQ ADC
+    ranking (probe containment), and a low n_probe strictly narrows the
+    candidate set (the selective path is real, not a re-scan)."""
+    from lucene_solr_ray.functions.ann import ann_ivfpq_topk, ann_pq_topk
+
+    full = ann_pq_topk(SF).to_pandas()
+    ivfpq = ann_ivfpq_topk(SF).to_pandas()
+    assert ivfpq.equals(full)
+    narrow = ann_ivfpq_topk(SF, n_probe=2).to_pandas()
+    # with 2/32 partitions probed the candidate pool shrinks: every
+    # returned neighbor must come from the probed clusters, so the
+    # result generally DIFFERS from the full scan (sanity: same schema,
+    # <= k rows per query)
+    assert list(narrow.columns) == list(full.columns)
+    assert narrow.groupby("query_id").size().le(10).all()
+    assert not narrow.equals(full)
