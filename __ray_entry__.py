@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_sample": rel.deterministic_sample,
         "sample_fixed_k": rel.sample_fixed_k,
         # --- full-text core (SURVEY §2.3/§2.5/§2.6) ---
+        "ft_payload_score": lambda sf: ft.payload_score_topk(sf, "merge", k=10),
+        "drill_sideways": lambda sf: ft.drill_sideways(sf),
         "ft_term_docs": lambda sf: ft.boolean_retrieve(sf, [FT_TERM], mode="or"),
         "ft_and_docs": lambda sf: ft.boolean_retrieve(sf, FT_AND_TERMS, mode="and"),
         "ft_or_docs": lambda sf: ft.boolean_retrieve(sf, FT_OR_TERMS, mode="or"),
@@ -335,6 +337,31 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ft_term_docs": (
             f"SELECT doc_id FROM documents WHERE list_contains({split}, '{FT_TERM}') ORDER BY doc_id"
+        ),
+        # PayloadScoreQuery(sum): payload of token at 0-based pos i is
+        # (md5_64(tok) % 5 + i % 5) % 5 + 1 — same annotated view the
+        # engine builds and parses back via DelimitedPayloadTokenFilter
+        "ft_payload_score": (
+            "WITH toks AS (SELECT doc_id, "
+            f"unnest({split}) AS tok, "
+            f"CAST(generate_subscripts({split}, 1) - 1 AS BIGINT) AS pos "
+            "FROM documents) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY payload_sum DESC, doc_id) - 1 AS BIGINT) AS rank, "
+            "doc_id, payload_sum FROM ("
+            "SELECT doc_id, CAST(SUM((md5_number_upper(tok) % 5 + pos % 5) % 5 + 1) AS BIGINT) AS payload_sum "
+            "FROM toks WHERE tok = 'merge' GROUP BY doc_id) "
+            "ORDER BY rank LIMIT 10"
+        ),
+        # DrillSideways: lang counts exclude the lang drill (sideways),
+        # source counts include all drills (down)
+        "drill_sideways": (
+            "SELECT dim, val, n_docs FROM ("
+            "SELECT 'lang' AS dim, lang AS val, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            f"FROM documents WHERE list_contains({split}, 'merge') GROUP BY lang "
+            "UNION ALL "
+            "SELECT 'source', source, CAST(COUNT(*) AS BIGINT) "
+            f"FROM documents WHERE list_contains({split}, 'merge') AND lang = 'en' "
+            "GROUP BY source) ORDER BY dim, val"
         ),
         "ft_and_docs": (
             "SELECT doc_id FROM documents WHERE "

@@ -454,6 +454,28 @@ def ngram_filter(tokens: list[str], min_gram: int = 2, max_gram: int = 3) -> lis
     return out
 
 
+def delimited_payload_filter(tokens: list[str], delimiter: str = "|",
+                             ) -> tuple[list[str], list[int | None]]:
+    """DelimitedPayloadTokenFilter ([U] lucene/analysis/common/.../payloads/
+    DelimitedPayloadTokenFilter.java, IntegerEncoder): a token may carry a
+    trailing ``<delimiter><payload>``; the filter strips the suffix and
+    attaches the decoded integer payload to the token's position. Tokens
+    without the delimiter pass through with payload None (as in Lucene,
+    where the payload attribute is simply absent). Splits on the LAST
+    delimiter so token text may itself contain the delimiter char."""
+    toks: list[str] = []
+    pays: list[int | None] = []
+    for tok in tokens:
+        head, sep, tail = tok.rpartition(delimiter)
+        if sep and tail.lstrip("-").isdigit():
+            toks.append(head)
+            pays.append(int(tail))
+        else:
+            toks.append(tok)
+            pays.append(None)
+    return toks, pays
+
+
 _WD_SPLIT = re.compile(r"[^0-9A-Za-z]+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])")
 
 

@@ -1144,3 +1144,127 @@ def intervals_containing_retrieve(sf_dir: str, term_a: str, term_b: str,
     d = s.search_intervals_containing(term_a, term_b, small, max_width)
     mapping = _docid_to_doc_id(index_dir)
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
+def payload_score_topk(sf_dir: str, term: str = "merge", k: int = 10,
+                       mod: int = 5) -> pa.Table:
+    """PayloadScoreQuery(SpanTermQuery, SumPayloadFunction) ([U]
+    lucene/queries/.../payloads/PayloadScoreQuery.java +
+    lucene/analysis/common/.../payloads/DelimitedPayloadTokenFilter.java):
+    per-doc score = sum of the payloads attached to the matched term's
+    positions, includeSpanScore=false (pure payload sum, exact ints).
+
+    Payloads come from the token stream itself in Lucene (``tok|p``
+    annotations parsed by DelimitedPayloadTokenFilter). The synthetic
+    corpus carries no annotations, so the entry scans a deterministically
+    annotated VIEW: token at 0-based position i carries payload
+    ``(md5_64(token) % mod + i % mod) % mod + 1`` (md5_64 = little-endian
+    first 8 md5 bytes, DuckDB's md5_number_upper) — the SQL oracle derives
+    the identical payloads from the base text. The engine path genuinely
+    round-trips the annotation: annotate -> delimited_payload_filter
+    parse -> per-position payload sum. One pruned streaming pass;
+    per-batch token->hash memo keeps md5 per vocabulary entry, not per
+    occurrence; driver work is top-k-sized."""
+    import hashlib as _hl
+
+    from lucene_solr_ray.analysis import delimited_payload_filter
+    from lucene_solr_ray.io_utils import pool_size, read_parquet_clean
+
+    class PayloadStage:
+        def __init__(self):
+            self.memo: dict[str, int] = {}
+
+        def _h(self, tok: str) -> int:
+            v = self.memo.get(tok)
+            if v is None:
+                v = int.from_bytes(_hl.md5(tok.encode()).digest()[:8], "little") % mod
+                self.memo[tok] = v
+            return v
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            texts = t.column("text").to_pylist()
+            out_ids, out_sums = [], []
+            for d, s in zip(ids, texts):
+                raw = (s or "").split()
+                annotated = [f"{w}|{(self._h(w) + i % mod) % mod + 1}"
+                             for i, w in enumerate(raw)]
+                toks, pays = delimited_payload_filter(annotated)
+                score = sum(p for w, p in zip(toks, pays)
+                            if w == term and p is not None)
+                if score:
+                    out_ids.append(int(d))
+                    out_sums.append(int(score))
+            return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                             "payload_sum": pa.array(out_sums, pa.int64())})
+
+    parts = (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(PayloadStage, batch_format="pyarrow", concurrency=pool_size())
+        .to_arrow_refs()
+    )
+    import ray as _ray
+    t = pa.concat_tables([x for x in _ray.get(parts) if x.num_rows])
+    sums = t.column("payload_sum").to_numpy()
+    ids = t.column("doc_id").to_numpy()
+    order = np.lexsort((ids, -sums))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(len(order)), pa.int64()),
+        "doc_id": pa.array(ids[order].astype(np.int64), pa.int64()),
+        "payload_sum": pa.array(sums[order].astype(np.int64), pa.int64()),
+    })
+
+
+def drill_sideways(sf_dir: str, terms: tuple = ("merge",),
+                   drill_field: str = "lang", drill_val: str = "en",
+                   down_dim: str = "source") -> pa.Table:
+    """DrillSideways ([U] lucene/facet/.../DrillSideways.java): for a
+    drill-down query (base query + dimension filter), the drilled
+    dimension's facet counts EXCLUDE its own filter (so the UI can show
+    sibling buckets to pivot to) while every other dimension's counts
+    include all filters. Here: base = indexed term match (broadcast
+    doc_id set, numpy searchsorted membership), drill = lang=drill_val;
+    output = lang counts over base only (sideways) + source counts over
+    base AND the lang drill (down). ONE pruned three-column pass computes
+    map-side partials for both accumulators; the driver combine is
+    bucket-count-sized. Output (dim, val, n_docs), exact ints."""
+    from lucene_solr_ray.io_utils import read_parquet_clean
+
+    match = boolean_retrieve(sf_dir, list(terms), mode="and")
+    match_ids = match.column("doc_id").to_numpy()  # sorted
+    m_ref = ray.put(match_ids)
+
+    def partials(t: pa.Table) -> pa.Table:
+        m = ray.get(m_ref)
+        ids = t.column("doc_id").to_numpy()
+        if len(m):
+            pos = np.minimum(np.searchsorted(m, ids), len(m) - 1)
+            in_base = m[pos] == ids
+        else:
+            in_base = np.zeros(len(ids), bool)
+        langs = np.asarray(t.column(drill_field).to_pylist(), dtype=object)[in_base]
+        srcs = np.asarray(t.column(down_dim).to_pylist(), dtype=object)[in_base]
+        lv, lc = np.unique(langs, return_counts=True)
+        sv, sc = np.unique(srcs[langs == drill_val], return_counts=True)
+        return pa.table({
+            "dim": pa.array([drill_field] * len(lv) + [down_dim] * len(sv), pa.string()),
+            "val": pa.array(list(lv) + list(sv), pa.string()),
+            "n_docs": pa.array(np.concatenate([lc, sc]).astype(np.int64), pa.int64()),
+        })
+
+    parts = (
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", drill_field, down_dim])
+        .map_batches(partials, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    t = pa.concat_tables([x for x in ray.get(parts) if x.num_rows])
+    agg: dict[tuple[str, str], int] = {}
+    for dim, val, n in zip(t.column("dim").to_pylist(),
+                           t.column("val").to_pylist(),
+                           t.column("n_docs").to_pylist()):
+        agg[(dim, val)] = agg.get((dim, val), 0) + int(n)
+    keys = sorted(agg)
+    return pa.table({"dim": pa.array([k[0] for k in keys], pa.string()),
+                     "val": pa.array([k[1] for k in keys], pa.string()),
+                     "n_docs": pa.array([agg[k] for k in keys], pa.int64())})

@@ -205,3 +205,14 @@ def test_soundex_canonical_vectors():
         assert soundex(w) == code, w
     # standard chain feeds the filter: stopwords never reach the encoder
     assert phonetic_tokenize("the robert and rupert") == ["R163", "R163"]
+
+
+def test_delimited_payload_filter():
+    from lucene_solr_ray.analysis import delimited_payload_filter
+
+    toks, pays = delimited_payload_filter(["merge|3", "plain", "a|b|7", "x|-2", "odd|"])
+    assert toks == ["merge", "plain", "a|b", "x", "odd|"]
+    assert pays == [3, None, 7, -2, None]
+    # custom delimiter
+    toks, pays = delimited_payload_filter(["merge#4"], delimiter="#")
+    assert (toks, pays) == (["merge"], [4])
