@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_facets": rel.pivot_facets,
         "scored_join_topk": lambda sf: rel.scored_join_topk(sf, k=20),
         "significant_terms": rel.significant_terms,
+        "relatedness_facets": rel.relatedness_facets,
         "collapse_top_order": rel.collapse_top_order,
         "grouping_topk": lambda sf: rel.grouping_topk(sf, k=2),
         "expand_collapsed": lambda sf: rel.expand_collapsed(sf, page_size=20, expand_rows=2),
@@ -931,6 +932,30 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS bg FROM "
             f"(SELECT unnest({split}) AS term, lang FROM documents) "
             "GROUP BY term ORDER BY term"
+        ),
+        "relatedness_facets": (
+            # Semantic Knowledge Graph relatedness(): identical float64
+            # expression tree as the engine (all ops IEEE exactly rounded)
+            "WITH d AS (SELECT lang, list_contains("
+            f"regexp_split_to_array(text, '\\s+'), 'merge') AS fg FROM documents), "
+            "b AS (SELECT lang, CAST(SUM(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS fg_count, "
+            "CAST(COUNT(*) AS BIGINT) AS bg_count FROM d GROUP BY lang), "
+            "tot AS (SELECT CAST(SUM(bg_count) AS DOUBLE) AS bg_size FROM b), "
+            "p AS (SELECT lang, fg_count, bg_count, "
+            "CAST(fg_count AS DOUBLE) / bg_size AS fg_pop, "
+            "CAST(bg_count AS DOUBLE) / bg_size AS bg_pop FROM b, tot), "
+            "zt AS (SELECT lang, fg_count, bg_count, sqrt(bg_pop * (1.0 - bg_pop)) AS denom, "
+            "fg_pop - bg_pop AS num FROM p), "
+            "zz AS (SELECT lang, fg_count, bg_count, denom, "
+            "CASE WHEN denom > 0.0 THEN num / denom ELSE 0.0 END AS z FROM zt) "
+            "SELECT lang, fg_count, bg_count, CASE WHEN denom > 0.0 THEN "
+            "CAST(FLOOR((0.2 * ((z + -80.0) / (50.0 + abs(z + -80.0))) "
+            "+ 0.2 * ((z + -30.0) / (30.0 + abs(z + -30.0))) "
+            "+ 0.2 * ((z + 0.0) / (30.0 + abs(z + 0.0))) "
+            "+ 0.2 * ((z + 30.0) / (30.0 + abs(z + 30.0))) "
+            "+ 0.2 * ((z + 80.0) / (50.0 + abs(z + 80.0)))) * 1000000.0 + 0.5) AS BIGINT) "
+            "ELSE 0 END AS relatedness_micro "
+            "FROM zz ORDER BY relatedness_micro DESC, lang"
         ),
         "collapse_top_order": (
             "SELECT o_custkey, o_orderkey, total_cents FROM ("

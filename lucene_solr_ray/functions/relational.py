@@ -480,6 +480,67 @@ def significant_terms(sf_dir: str) -> ray.data.Dataset:
     ).sort("term")
 
 
+def relatedness_facets(sf_dir: str, term: str = "merge") -> pa.Table:
+    """JSON Facet API ``relatedness(fg, bg)`` — the Semantic Knowledge
+    Graph bucket score ([U] solr/core/.../search/facet/RelatednessAgg.java;
+    Grainger et al. 2016). Foreground = docs whose text contains ``term``,
+    background = the whole corpus, buckets = ``lang``.
+
+    Distributed shape: ONE pruned pass over (text, lang); each batch emits
+    bucket-cardinality partial (fg, bg) count rows; a tiny groupby-Sum
+    combines them; the z-score + sigmoid blend runs on the output-sized
+    bucket table. Exactness: the formula uses only IEEE exactly-rounded
+    float64 ops (+ - * / sqrt abs) in the IDENTICAL expression-tree order
+    as the SQL oracle, then quantizes to micro units — bit-equal by
+    construction (popularities use the BACKGROUND size denominator, as in
+    Solr's implementation)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        sp = pc.split_pattern_regex(t.column("text"), r"\s+")
+        flat = pc.list_flatten(sp)
+        par = pc.list_parent_indices(sp).to_numpy(zero_copy_only=False)
+        is_fg = np.zeros(len(t), dtype=np.int64)
+        hit = par[pc.equal(flat, pa.scalar(term)).to_numpy(zero_copy_only=False)]
+        is_fg[np.unique(hit)] = 1
+        langs = np.asarray(t.column("lang").to_pylist())
+        uniq, inv = np.unique(langs, return_inverse=True)
+        fg = np.bincount(inv, weights=is_fg, minlength=len(uniq)).astype(np.int64)
+        bg = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"lang": pa.array(uniq.tolist()), "fg_p": fg, "bg_p": bg})
+
+    buckets = (
+        _read(sf_dir, "documents", ["text", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("fg_p", alias_name="fg_count"), Sum("bg_p", alias_name="bg_count"))
+        .to_pandas()
+    )
+    fgc = buckets["fg_count"].to_numpy().astype(np.float64)
+    bgc = buckets["bg_count"].to_numpy().astype(np.float64)
+    bg_size = float(bgc.sum())
+    fg_pop = fgc / bg_size
+    bg_pop = bgc / bg_size
+    denom = np.sqrt(bg_pop * (1.0 - bg_pop))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        z = np.where(denom > 0.0, (fg_pop - bg_pop) / denom, 0.0)
+
+    def sig(z, off, scale):
+        return (z + off) / (scale + np.abs(z + off))
+
+    r = (0.2 * sig(z, -80.0, 50.0) + 0.2 * sig(z, -30.0, 30.0)
+         + 0.2 * sig(z, 0.0, 30.0) + 0.2 * sig(z, 30.0, 30.0)
+         + 0.2 * sig(z, 80.0, 50.0))
+    micro = np.where(denom > 0.0, np.floor(r * 1000000.0 + 0.5), 0.0).astype(np.int64)
+    out = pa.table({
+        "lang": pa.array(buckets["lang"].tolist()),
+        "fg_count": pa.array(buckets["fg_count"].to_numpy(), pa.int64()),
+        "bg_count": pa.array(buckets["bg_count"].to_numpy(), pa.int64()),
+        "relatedness_micro": pa.array(micro, pa.int64()),
+    })
+    order = np.lexsort((np.asarray(buckets["lang"], dtype=object), -micro))
+    return out.take(pa.array(order, pa.int64()))
+
+
 # ---------------- Grouping / field collapse ----------------
 
 def collapse_top_order(sf_dir: str) -> ray.data.Dataset:
