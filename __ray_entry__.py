@@ -199,6 +199,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, [["merge", "join"], "vector"], slop=4, in_order=False),
         "ft_span_not_docs": lambda sf: ft.span_not_retrieve(
             sf, "vector", "merge", pre=2, post=2),
+        "ft_surround_query": lambda sf: ft.surround_docs(
+            sf, "3W(s*, join) OR (4N(vector, stream) NOT big)"),
         "ft_span_containing": lambda sf: ft.span_containing_retrieve(
             sf, "merge", "vector", 5, "join"),
         "ft_span_within": lambda sf: ft.span_within_retrieve(
@@ -505,6 +507,26 @@ def oracle_sql() -> dict[str, str]:
         "ft_span_first_docs": (
             f"SELECT doc_id FROM documents WHERE "
             f"list_position({split}, 'merge') BETWEEN 1 AND 8 ORDER BY doc_id"
+        ),
+        # surround query 3W(s*, join) OR (4N(vector, stream) NOT big):
+        # W -> ordered slop n-1, N -> unordered slop n-1 (DistanceQuery
+        # rewrite); s* expands over the closed vocab via LIKE
+        "ft_surround_query": (
+            f"WITH toks AS (SELECT doc_id, unnest(l) AS term, "
+            f"CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos "
+            f"FROM (SELECT doc_id, {split} AS l FROM documents)), "
+            "a AS (SELECT doc_id, pos FROM toks WHERE term LIKE 's%'), "
+            "b AS (SELECT doc_id, pos FROM toks WHERE term = 'join'), "
+            "w1 AS (SELECT DISTINCT a.doc_id AS doc_id FROM a JOIN b ON a.doc_id = b.doc_id "
+            "WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 2), "
+            "c AS (SELECT doc_id, pos FROM toks WHERE term = 'vector'), "
+            "d AS (SELECT doc_id, pos FROM toks WHERE term = 'stream'), "
+            "n1 AS (SELECT DISTINCT c.doc_id AS doc_id FROM c JOIN d ON c.doc_id = d.doc_id "
+            "WHERE abs(c.pos - d.pos) - 1 <= 3), "
+            "nb AS (SELECT doc_id FROM n1 WHERE doc_id NOT IN "
+            f"(SELECT doc_id FROM documents WHERE list_contains({split}, 'big'))) "
+            "SELECT DISTINCT doc_id FROM (SELECT doc_id FROM w1 UNION ALL SELECT doc_id FROM nb) "
+            "ORDER BY doc_id"
         ),
         # big = SpanNear(merge, vector, slop=5, unordered); spans are ALL
         # qualifying (pa, pb) pairs. containing -> distinct big envelopes

@@ -230,6 +230,60 @@ def boolean_retrieve(sf_dir: str, terms: list[str], mode: str = "or") -> pa.Tabl
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
 
 
+def _sur_expand(s: IndexSearcher, w: str) -> list[str]:
+    if "*" in w or "?" in w:
+        kind = "prefix" if (w.endswith("*") and "*" not in w[:-1] and "?" not in w) else "wildcard"
+        return s.expand_terms(kind, w[:-1] if kind == "prefix" else w)
+    return [w]
+
+
+def _sur_eval(s: IndexSearcher, node) -> np.ndarray:
+    """Evaluate a surround AST to a sorted docid set. Boolean nodes are
+    set algebra over child match sets; distance nodes are SpanNear with
+    slop = N-1 (DistanceQuery's rewrite), wildcard operands expanded to
+    SpanOr alternative lists over the term dicts."""
+    kind = node[0]
+    if kind == "term":
+        terms = _sur_expand(s, node[1])
+        chunks = list(s.iter_matches(terms, mode="or")) if terms else []
+        return np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+    if kind == "dist":
+        _, n, ordered, ops = node
+        clauses = []
+        for op in ops:
+            alts = []
+            for w in (op[1] if op[0] == "alts" else [op[1]]):
+                alts.extend(_sur_expand(s, w))
+            if not alts:
+                return np.empty(0, np.int64)
+            clauses.append(alts[0] if len(alts) == 1 else alts)
+        return np.sort(s.search_span_near(clauses, slop=n - 1, in_order=ordered))
+    if kind == "and":
+        out = _sur_eval(s, node[1][0])
+        for child in node[1][1:]:
+            out = np.intersect1d(out, _sur_eval(s, child))
+        return out
+    if kind == "or":
+        return np.union1d(*[_sur_eval(s, c) for c in node[1]]) if len(node[1]) == 2 else (
+            np.unique(np.concatenate([_sur_eval(s, c) for c in node[1]])))
+    if kind == "not":
+        return np.setdiff1d(_sur_eval(s, node[1]), _sur_eval(s, node[2]))
+    raise ValueError(f"surround: bad node {node!r}")
+
+
+def surround_docs(sf_dir: str, query: str) -> pa.Table:
+    """SurroundQueryParser ([U] lucene/queryparser/.../surround/): parse
+    the proximity language (NW/NN distance ops, wildcards, AND/OR/NOT)
+    and evaluate over the positional index -> sorted doc_id match set."""
+    from lucene_solr_ray.queryparser import parse_surround
+
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d = _sur_eval(s, parse_surround(query))
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
 def term_stats(sf_dir: str, terms: list[str]) -> pa.Table:
     """Global df/cf per term (TermStates.build analogue)."""
     index_dir = docs_index(sf_dir)

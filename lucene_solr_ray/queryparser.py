@@ -147,3 +147,131 @@ def parse_query(query: str, searcher=None, schema=None,
         pending_occur = None
 
     return clauses, dv_filters
+
+
+# ---------------- Surround query language ----------------
+#
+# [U] lucene/queryparser/src/java/org/apache/lucene/queryparser/surround/
+# (QueryParser.jj, DistanceQuery.java): span-aware proximity language.
+# Supported subset: prefix distance ops `NW(...)` / `NN(...)` (N omitted
+# -> 1), operands = terms, `foo*`/`fo?o` wildcards, or parenthesized OR
+# alternatives; infix AND / OR / NOT over distance ops, terms and
+# parenthesized sub-expressions. W maps to SpanNear(in_order=True,
+# slop=N-1), N to in_order=False — exactly DistanceQuery's rewrite.
+
+_SUR_TOKEN = re.compile(
+    r"\s*(?:(?P<lp>\()|(?P<rp>\))|(?P<comma>,)"
+    r"|(?P<dist>\d*[WwNn](?=\s*\())"
+    r"|(?P<word>[^\s(),]+))"
+)
+
+
+def _sur_tokens(q: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(q):
+        m = _SUR_TOKEN.match(q, i)
+        if m is None or m.end() == i:
+            break
+        i = m.end()
+        for name in ("lp", "rp", "comma", "dist", "word"):
+            v = m.group(name)
+            if v is not None:
+                out.append((name, v))
+                break
+    return out
+
+
+class _SurParser:
+    def __init__(self, q: str):
+        self.toks = _sur_tokens(q)
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def take(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, kind):
+        t = self.take()
+        if t[0] != kind:
+            raise ValueError(f"surround: expected {kind}, got {t}")
+        return t
+
+    # expr := and_expr (OR and_expr)*
+    def expr(self):
+        node = self.and_expr()
+        parts = [node]
+        while self.peek() == ("word", "OR") or self.peek() == ("word", "or"):
+            self.take()
+            parts.append(self.and_expr())
+        return ("or", parts) if len(parts) > 1 else node
+
+    # and_expr := not_expr (AND not_expr)*
+    def and_expr(self):
+        node = self.not_expr()
+        parts = [node]
+        while self.peek()[0] == "word" and self.peek()[1].upper() == "AND":
+            self.take()
+            parts.append(self.not_expr())
+        return ("and", parts) if len(parts) > 1 else node
+
+    # not_expr := prim (NOT prim)*
+    def not_expr(self):
+        node = self.prim()
+        while self.peek()[0] == "word" and self.peek()[1].upper() == "NOT":
+            self.take()
+            node = ("not", node, self.prim())
+        return node
+
+    # prim := DIST '(' operand (',' operand)* ')' | '(' expr ')' | term
+    def prim(self):
+        kind, val = self.peek()
+        if kind == "dist":
+            self.take()
+            head = val.upper()
+            n = int(head[:-1]) if len(head) > 1 else 1
+            ordered = head.endswith("W")
+            self.expect("lp")
+            ops = [self.operand()]
+            while self.peek()[0] == "comma":
+                self.take()
+                ops.append(self.operand())
+            self.expect("rp")
+            return ("dist", n, ordered, ops)
+        if kind == "lp":
+            self.take()
+            node = self.expr()
+            self.expect("rp")
+            return node
+        if kind == "word":
+            self.take()
+            return ("term", val)
+        raise ValueError(f"surround: unexpected token {self.peek()}")
+
+    # operand := term | '(' term (OR term)* ')'   (SpanOr alternatives)
+    def operand(self):
+        kind, val = self.peek()
+        if kind == "lp":
+            self.take()
+            alts = [self.expect("word")[1]]
+            while self.peek()[0] == "word" and self.peek()[1].upper() == "OR":
+                self.take()
+                alts.append(self.expect("word")[1])
+            self.expect("rp")
+            return ("alts", alts)
+        return ("alt1", self.expect("word")[1])
+
+
+def parse_surround(query: str):
+    """Parse a surround query string into the AST evaluated by
+    ``fulltext.surround_docs``: ('term', w) | ('dist', n, ordered,
+    operands) | ('and'|'or', parts) | ('not', a, b); distance operands
+    are ('alt1', w) or ('alts', [w...]) with * / ? wildcards allowed."""
+    p = _SurParser(query)
+    node = p.expr()
+    if p.i != len(p.toks):
+        raise ValueError(f"surround: trailing tokens {p.toks[p.i:]}")
+    return node

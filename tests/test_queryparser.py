@@ -110,3 +110,45 @@ def test_multi_term_clause_semantics(searcher, t1_oracle):
     all_or, _ = searcher.search(alts, k=searcher.n_docs, mode="or")
     assert set(d_any.tolist()) == set(all_or.tolist())
     assert set(all_and.tolist()) <= set(d_any.tolist())
+
+
+# ---------------- Surround query language ----------------
+
+def test_surround_parser_shapes():
+    from lucene_solr_ray.queryparser import parse_surround
+
+    assert parse_surround("3W(merge, join)") == (
+        "dist", 3, True, [("alt1", "merge"), ("alt1", "join")])
+    assert parse_surround("N(a, b)") == ("dist", 1, False, [("alt1", "a"), ("alt1", "b")])
+    assert parse_surround("5N((merge OR join), vec*)") == (
+        "dist", 5, False, [("alts", ["merge", "join"]), ("alt1", "vec*")])
+    node = parse_surround("(merge OR join) NOT 2W(stream, window)")
+    assert node[0] == "not" and node[1][0] == "or" and node[2][0] == "dist"
+    with pytest.raises(ValueError):
+        parse_surround("3W(merge, join")  # unclosed
+
+
+def test_surround_eval_set_algebra(ray_session, tmp_path):
+    """AND/OR/NOT over distance ops reduce to the same sets as composing
+    the underlying span/boolean searches directly."""
+    import numpy as np
+    from lucene_solr_ray.functions import fulltext as ft
+    from lucene_solr_ray.pipelines.search import IndexSearcher
+    from lucene_solr_ray.queryparser import parse_surround
+
+    sf = "/root/testdata/sf0.001"
+    index_dir = ft.docs_index(sf)
+    s = IndexSearcher(index_dir)
+    got = ft._sur_eval(s, parse_surround("3W(merge, join) OR vector"))
+    w = np.sort(s.search_span_near(["merge", "join"], slop=2, in_order=True))
+    v = np.sort(np.concatenate(list(s.iter_matches(["vector"], mode="or"))))
+    assert got.tolist() == np.union1d(w, v).tolist()
+    gnot = ft._sur_eval(s, parse_surround("3W(merge, join) NOT vector"))
+    assert gnot.tolist() == np.setdiff1d(w, v).tolist()
+    gand = ft._sur_eval(s, parse_surround("3W(merge, join) AND vector"))
+    assert gand.tolist() == np.intersect1d(w, v).tolist()
+    # wildcard operand == explicit SpanOr of its dict expansion
+    gw = ft._sur_eval(s, parse_surround("2N(s*, join)"))
+    alts = s.expand_terms("prefix", "s")
+    ref = np.sort(s.search_span_near([alts, "join"], slop=1, in_order=False))
+    assert gw.tolist() == ref.tolist()
