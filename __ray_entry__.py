@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charfilter_token_counts": ts.charfilter_token_counts,
         "synonym_graph_counts": ts.synonym_graph_counts,
         "common_grams_counts": ts.common_grams_counts,
+        "edge_ngram_counts": ts.edge_ngram_counts,
         "heavy_hitters_topk": sketches.heavy_hitters_topk,
         # --- training-data curation (decontam / repetition / PII) ---
         "decontaminate_ngram": curation.decontaminate_ngram,
@@ -173,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_phrase_docs": lambda sf: ft.phrase_retrieve(sf, ["merge", "join"]),
         "ft_multi_phrase_docs": lambda sf: ft.multi_phrase_retrieve(
             sf, [["merge", "join"], ["vector"]]),
+        "ft_complex_phrase": lambda sf: ft.complex_phrase_docs(sf, '"s* join"'),
+        "ft_mlt_interesting_terms": lambda sf: ft.mlt_interesting_terms(sf, doc_id=3, max_terms=8),
         "ft_query_parser": lambda sf: ft.query_parser_retrieve(
             sf, '+"merge join" -vector lang:en'),
         "ft_phrase_topk": lambda sf: ft.phrase_topk(sf, ["merge", "join"], k=10),
@@ -294,6 +297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_queries": rel.facet_queries,
         "pivot_facets": rel.pivot_facets,
         "scored_join_topk": lambda sf: rel.scored_join_topk(sf, k=20),
+        "scored_join_avg": lambda sf: rel.scored_join_modes(sf, mode="avg", k=20),
+        "scored_join_total": lambda sf: rel.scored_join_modes(sf, mode="total", k=20),
         "significant_terms": rel.significant_terms,
         "relatedness_facets": rel.relatedness_facets,
         "collapse_top_order": rel.collapse_top_order,
@@ -431,6 +436,25 @@ def oracle_sql() -> dict[str, str]:
         "ft_multi_phrase_docs": (
             "SELECT doc_id FROM documents WHERE "
             "regexp_matches(text, '\\b(merge|join)\\s+vector\\b') ORDER BY doc_id"
+        ),
+        # MLT interestingTerms: tf * micro-nat idf, exact ints
+        "ft_mlt_interesting_terms": (
+            f"WITH toks AS (SELECT doc_id, unnest({split}) AS term FROM documents), "
+            f"f AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks "
+            f"WHERE doc_id = 3 AND NOT list_contains({_STOP_SQL}, term) GROUP BY term), "
+            f"dfs AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks "
+            f"WHERE NOT list_contains({_STOP_SQL}, term) GROUP BY term), "
+            "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents) "
+            "SELECT f.term AS term, f.tf AS tf, dfs.df AS df, "
+            "f.tf * CAST(FLOOR(ln(1.0 + ((n.n - dfs.df) + 0.5) / (dfs.df + 0.5)) * 1000000.0 + 0.5) AS BIGINT) AS score_micro "
+            "FROM f JOIN dfs USING (term), n "
+            "ORDER BY score_micro DESC, term LIMIT 8"
+        ),
+        # "s* join": the prefix slot expands over the corpus vocabulary,
+        # which the regex s[a-z]* matches directly (ASCII corpus)
+        "ft_complex_phrase": (
+            "SELECT doc_id FROM documents WHERE "
+            "regexp_matches(text, '\\bs[a-z]*\\s+join\\b') ORDER BY doc_id"
         ),
         "ft_query_parser": (
             "SELECT doc_id FROM documents WHERE "
@@ -932,6 +956,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY 1) "
             "ORDER BY score_cents DESC, o_orderkey LIMIT 20"
         ),
+        # ScoreMode.Avg / Total: exact ints (avg = floor-division milli-cents)
+        "scored_join_avg": (
+            "WITH a AS (SELECT l_orderkey AS o_orderkey, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total, "
+            "CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem GROUP BY 1) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY (total * 1000) // n_lines DESC, o_orderkey) - 1 AS BIGINT) AS rank, "
+            "o_orderkey, (total * 1000) // n_lines AS score, n_lines FROM a "
+            "ORDER BY score DESC, o_orderkey LIMIT 20"
+        ),
+        "scored_join_total": (
+            "WITH a AS (SELECT l_orderkey AS o_orderkey, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total, "
+            "CAST(COUNT(*) AS BIGINT) AS n_lines FROM lineitem GROUP BY 1) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY total DESC, o_orderkey) - 1 AS BIGINT) AS rank, "
+            "o_orderkey, total AS score, n_lines FROM a "
+            "ORDER BY score DESC, o_orderkey LIMIT 20"
+        ),
         "facet_queries": (
             "SELECT facet, n_docs FROM ("
             "SELECT 'type_purchase' AS facet, CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS n_docs FROM events "
@@ -1236,6 +1277,17 @@ def oracle_sql() -> dict[str, str]:
         # charfilter chain rewrites whole-word merge->combine and the char
         # sequence window->pane BEFORE tokenizing; neither target token
         # exists in the corpus, so rewritten counts == original counts
+        # edge n-grams over the canonical chain (= whitespace tokens minus
+        # stopwords on this corpus); grams are prefixes of length 2..4
+        "edge_ngram_counts": (
+            "WITH tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM "
+            f"(SELECT unnest({split}) AS term FROM documents) "
+            f"WHERE NOT list_contains({_STOP_SQL}, term) GROUP BY term), "
+            "g AS (SELECT substr(term, 1, CAST(gs.g AS INT)) AS gram, n FROM tc, "
+            "generate_series(2, 4) AS gs(g) WHERE length(term) >= gs.g) "
+            "SELECT gram, CAST(SUM(n) AS BIGINT) AS n FROM g GROUP BY gram "
+            "ORDER BY n DESC, gram LIMIT 20"
+        ),
         "charfilter_token_counts": (
             "WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents) "
             "SELECT doc_id, CAST(len(list_filter(toks, x -> x = 'merge')) AS BIGINT) AS n_combine, "

@@ -454,6 +454,30 @@ def ngram_filter(tokens: list[str], min_gram: int = 2, max_gram: int = 3) -> lis
     return out
 
 
+def edge_ngram_filter(tokens: list[str], min_gram: int = 2, max_gram: int = 4) -> list[str]:
+    """EdgeNGramTokenFilter ([U] lucene/analysis/common/.../ngram/
+    EdgeNGramTokenFilter.java): leading-edge prefixes of each token for
+    every n in [min_gram, max_gram] with len(token) >= n (no
+    preserveOriginal), in position order."""
+    out = []
+    for tok in tokens:
+        out.extend(tok[:n] for n in range(min_gram, max_gram + 1) if len(tok) >= n)
+    return out
+
+
+def length_filter(tokens: list[str], min_len: int = 1, max_len: int = 255) -> list[str]:
+    """LengthFilter ([U] lucene/analysis/common/.../miscellaneous/
+    LengthFilter.java): keep tokens with min_len <= len <= max_len."""
+    return [t for t in tokens if min_len <= len(t) <= max_len]
+
+
+def trim_filter(tokens: list[str]) -> list[str]:
+    """TrimFilter ([U] lucene/analysis/common/.../miscellaneous/
+    TrimFilter.java): strip leading/trailing whitespace (meaningful after
+    KeywordTokenizer, which preserves interior/edge whitespace)."""
+    return [t.strip() for t in tokens]
+
+
 def delimited_payload_filter(tokens: list[str], delimiter: str = "|",
                              ) -> tuple[list[str], list[int | None]]:
     """DelimitedPayloadTokenFilter ([U] lucene/analysis/common/.../payloads/

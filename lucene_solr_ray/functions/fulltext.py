@@ -476,6 +476,67 @@ def multi_phrase_retrieve(sf_dir: str, slots: list[list[str]]) -> pa.Table:
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
 
 
+def mlt_interesting_terms(sf_dir: str, doc_id: int = 3, max_terms: int = 8) -> pa.Table:
+    """MoreLikeThis.retrieveInterestingTerms ([U] lucene/queries/.../mlt/
+    MoreLikeThis.java): the tf*idf-ranked terms MLT would build its query
+    from. score_micro = tf_in_doc * FLOOR(idf * 1e6 + 0.5) — exact int64
+    (the repo's micro-nat convention), ties term asc. Served from the
+    STORED term vectors (docid predicate pushdown) + term-dict df; the
+    corpus text is never read."""
+    from lucene_solr_ray.similarity import idf as bm25_idf
+
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    mapping = _docid_to_doc_id(index_dir)
+    docid = int(np.searchsorted(mapping, doc_id))
+    rows = []
+    for e in s.term_vector_detail(docid):
+        df = s.term_stats_and_cursor(e["term"])[0]
+        if df > 0:
+            idf_micro = int(np.floor(bm25_idf(s.n_scoring, df) * 1000000.0 + 0.5))
+            rows.append((e["term"], int(e["tf"]), int(df), int(e["tf"]) * idf_micro))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    rows = rows[:max_terms]
+    return pa.table({
+        "term": pa.array([r[0] for r in rows], pa.string()),
+        "tf": pa.array([r[1] for r in rows], pa.int64()),
+        "df": pa.array([r[2] for r in rows], pa.int64()),
+        "score_micro": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
+def complex_phrase_docs(sf_dir: str, query: str) -> pa.Table:
+    """ComplexPhraseQueryParser ([U] lucene/queryparser/.../complexPhrase/
+    ComplexPhraseQueryParser.java): a quoted phrase whose words may be
+    wildcard / prefix / fuzzy terms. Each word expands over the sorted
+    term dicts into one MultiPhraseQuery slot (the parser's span-query
+    rewrite collapses to MultiPhrase for single-position slots), with
+    optional ``~slop``."""
+    import re as _re
+
+    m = _re.match(r'^"([^"]*)"(?:~(\d+))?$', query.strip())
+    if m is None:
+        raise ValueError(f"complexphrase: expected a quoted phrase, got {query!r}")
+    words, slop = m.group(1).split(), int(m.group(2) or 0)
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    slots = []
+    for w in words:
+        if "~" in w:
+            alts = s.expand_terms("fuzzy", w)
+        elif "*" in w or "?" in w:
+            kind = "prefix" if (w.endswith("*") and "*" not in w[:-1] and "?" not in w) else "wildcard"
+            alts = s.expand_terms(kind, w[:-1] if kind == "prefix" else w)
+        else:
+            alts = [w]
+        if not alts:
+            return pa.table({"doc_id": pa.array([], type=pa.int64())})
+        slots.append(alts)
+    d, _ = s.search_multi_phrase(slots, k=max(1, s.n_docs), slop=slop)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
 def fielded_retrieve(sf_dir: str, must: list[str], dv_filters: dict) -> pa.Table:
     """Schema-routed fielded search (Solr q + fq over docValues
     StrFields, [U] solr/core/.../schema/IndexSchema.java /

@@ -765,6 +765,67 @@ def scored_join_topk(sf_dir: str, k: int = 20) -> pa.Table:
     })
 
 
+def scored_join_modes(sf_dir: str, mode: str = "avg", k: int = 20) -> pa.Table:
+    """JoinUtil ScoreMode.{Total, Avg, Min} ([U] lucene/join/.../
+    ScoreMode.java — completes the family next to scored_join_topk's
+    Max): per-order joined score over per-line revenue cents. Exact
+    integers throughout — Avg is floor(total_cents * 1000 / n_lines)
+    milli-cents (integer division, order-independent), so the SQL oracle
+    hashes identically. Same scale shape as Max: map-side partial
+    (sum, n, min) per orderkey -> groupby combine -> in-plane sort+limit;
+    the orders table itself never ships."""
+    if mode not in ("total", "avg", "min"):
+        raise ValueError(f"scored_join_modes: unknown mode {mode!r}")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ep = t.column("l_extendedprice").to_numpy()
+        disc = t.column("l_discount").to_numpy()
+        rev = np.floor(ep * (1 - disc) * 100 + 0.5).astype(np.int64)
+        key = t.column("l_orderkey").to_numpy().astype(np.int64)
+        df = pd.DataFrame({"o_orderkey": key, "rev": rev})
+        g = df.groupby("o_orderkey", sort=False)["rev"].agg(["sum", "count", "min"]).reset_index()
+        return pa.table({
+            "o_orderkey": pa.array(g["o_orderkey"].to_numpy(), pa.int64()),
+            "s": pa.array(g["sum"].to_numpy().astype(np.int64), pa.int64()),
+            "n": pa.array(g["count"].to_numpy().astype(np.int64), pa.int64()),
+            "mn": pa.array(g["min"].to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    def score(t: pa.Table) -> pa.Table:
+        total = t.column("total_cents").to_numpy()
+        n = t.column("n_lines").to_numpy()
+        if mode == "total":
+            sc = total
+        elif mode == "min":
+            sc = t.column("min_cents").to_numpy()
+        else:
+            sc = (total * 1000) // n
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "score": pa.array(sc.astype(np.int64), pa.int64()),
+            "n_lines": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderkey")
+        .aggregate(Sum("s", alias_name="total_cents"), Sum("n", alias_name="n_lines"),
+                   Min("mn", alias_name="min_cents"))
+        .map_batches(score, batch_format="pyarrow")
+        .sort(["score", "o_orderkey"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    return pa.table({
+        "rank": pa.array(np.arange(len(agg), dtype=np.int64)),
+        "o_orderkey": pa.array(agg["o_orderkey"].to_numpy().astype(np.int64)),
+        "score": pa.array(agg["score"].to_numpy().astype(np.int64)),
+        "n_lines": pa.array(agg["n_lines"].to_numpy().astype(np.int64)),
+    })
+
+
 def facet_queries(sf_dir: str) -> pa.Table:
     """Solr ``facet.query`` ([U] solr/core/.../handler/component/
     FacetComponent.java): counts for a fixed list of arbitrary predicate

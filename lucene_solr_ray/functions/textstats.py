@@ -395,3 +395,46 @@ def common_grams_counts(sf_dir: str) -> ray.data.Dataset:
                          "n_stream": pa.array(n_stream)})
 
     return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def edge_ngram_counts(sf_dir: str, min_gram: int = 2, max_gram: int = 4,
+                      k: int = 20) -> ray.data.Dataset:
+    """EdgeNGramTokenFilter term histogram ([U] lucene/analysis/common/
+    .../ngram/EdgeNGramTokenFilter.java over the canonical chain): top-k
+    edge n-grams by total occurrences (ties -> gram asc). Scale shape:
+    per-batch Counter partials over TERMS (vocab-bounded) -> groupby-term
+    Sum -> the vocab-sized result expands to edge grams and re-combines;
+    no corpus-sized token rows ever shuffle."""
+    from ray.data.aggregate import Sum
+
+    from lucene_solr_ray.analysis import edge_ngram_filter, tokenize
+
+    def term_partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for s in t.column("text").to_pylist():
+            c.update(tokenize(s or ""))
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "tf": pa.array(list(c.values()), pa.int64())})
+
+    def to_grams(t: pa.Table) -> pa.Table:
+        grams, tfs = [], []
+        for term, tf in zip(t.column("term").to_pylist(), t.column("tf_sum").to_pylist()):
+            for g in edge_ngram_filter([term], min_gram, max_gram):
+                grams.append(g)
+                tfs.append(tf)
+        return pa.table({"gram": pa.array(grams, pa.string()),
+                         "n": pa.array(tfs, pa.int64())})
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(term_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="tf_sum"))
+        .map_batches(to_grams, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "gram"], descending=[True, False])
+        .limit(k)
+    )

@@ -216,3 +216,14 @@ def test_delimited_payload_filter():
     # custom delimiter
     toks, pays = delimited_payload_filter(["merge#4"], delimiter="#")
     assert (toks, pays) == (["merge"], [4])
+
+
+def test_edge_ngram_length_trim_filters():
+    from lucene_solr_ray.analysis import edge_ngram_filter, length_filter, trim_filter
+
+    assert edge_ngram_filter(["merge"], 2, 4) == ["me", "mer", "merg"]
+    assert edge_ngram_filter(["ab"], 2, 4) == ["ab"]          # len < n grams skipped
+    assert edge_ngram_filter(["a"], 2, 4) == []
+    assert edge_ngram_filter(["sort", "x"], 1, 2) == ["s", "so", "x"]
+    assert length_filter(["a", "ab", "abc", "abcd"], 2, 3) == ["ab", "abc"]
+    assert trim_filter(["  a b  ", "c", " "]) == ["a b", "c", ""]
