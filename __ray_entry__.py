@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_grams_counts": ts.common_grams_counts,
         "edge_ngram_counts": ts.edge_ngram_counts,
         "heavy_hitters_topk": sketches.heavy_hitters_topk,
+        "count_min_estimate": sketches.count_min_estimate,
         # --- training-data curation (decontam / repetition / PII) ---
         "decontaminate_ngram": curation.decontaminate_ngram,
         "decontaminate_bloom": curation.decontaminate_bloom,
@@ -176,6 +177,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, [["merge", "join"], ["vector"]]),
         "ft_complex_phrase": lambda sf: ft.complex_phrase_docs(sf, '"s* join"'),
         "ft_mlt_interesting_terms": lambda sf: ft.mlt_interesting_terms(sf, doc_id=3, max_terms=8),
+        "ft_doc_expiration": lambda sf: ft.doc_expiration_requery(
+            sf, ttl_seconds=180, query_terms=["merge"]),
         "ft_query_parser": lambda sf: ft.query_parser_retrieve(
             sf, '+"merge join" -vector lang:en'),
         "ft_phrase_topk": lambda sf: ft.phrase_topk(sf, ["merge", "join"], k=10),
@@ -235,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_atomic_update_rtg": lambda sf: ft.atomic_update_rtg(sf, [7, 123, 400]),
         # --- Solr request-handler surface (SURVEY §2.11) ---
         "solr_select_docs": solrapi.solr_select_docs,
+        "solr_field_analysis": lambda sf: solrapi.field_analysis(sf, max_doc_id=5),
         "solr_select_scored": solrapi.solr_select_scored,
         "solr_select_dismax": solrapi.solr_select_dismax,
         "solr_select_facets": solrapi.solr_select_facets,
@@ -246,6 +250,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_expr_having_unique": streamexpr.stream_expr_having_unique,
         "stream_expr_join": streamexpr.stream_expr_join,
         "stream_expr_complement": streamexpr.stream_expr_complement,
+        "stream_expr_facet": streamexpr.stream_expr_facet,
+        "stream_expr_stats": streamexpr.stream_expr_stats,
+        "stream_expr_fetch": streamexpr.stream_expr_fetch,
+        "stream_expr_merge": streamexpr.stream_expr_merge,
         # --- TopicStream / Replicator (SURVEY §2.8 / §2.1) ---
         "topic_stream_poll": lambda sf: __import__(
             "lucene_solr_ray.functions.topic", fromlist=["topic_poll_batches"]
@@ -436,6 +444,12 @@ def oracle_sql() -> dict[str, str]:
         "ft_multi_phrase_docs": (
             "SELECT doc_id FROM documents WHERE "
             "regexp_matches(text, '\\b(merge|join)\\s+vector\\b') ORDER BY doc_id"
+        ),
+        # TTL reap: adapter pins ts = epoch + doc_id sec, so expiry at
+        # ttl=180s == doc_id < 180; survivors matching the query remain
+        "ft_doc_expiration": (
+            f"SELECT doc_id FROM documents WHERE list_contains({split}, 'merge') "
+            "AND doc_id >= 180 ORDER BY doc_id"
         ),
         # MLT interestingTerms: tf * micro-nat idf, exact ints
         "ft_mlt_interesting_terms": (
@@ -704,6 +718,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         # --- Solr /select request pipeline (solrapi; q='merge join' is
         # default-OR over two SHOULD clauses; fold order = clause order) ---
+        # /analysis/field: token stream after each chain stage; corpus
+        # tokens never exceed maxTokenLength or go all-underscore, so the
+        # tokenizer stage == the raw regex extraction
+        "solr_field_analysis": (
+            "WITH d AS (SELECT doc_id, regexp_extract_all(text, '\\w+(?:[.'']\\w+)*') AS toks "
+            "FROM documents WHERE doc_id < 5), "
+            "tk AS (SELECT doc_id, unnest(toks) AS token, "
+            "CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos FROM d) "
+            "SELECT doc_id, stage, pos, token FROM ("
+            "SELECT doc_id, 'tokenizer' AS stage, pos, token FROM tk "
+            "UNION ALL SELECT doc_id, 'lowercase', pos, lower(token) FROM tk "
+            "UNION ALL SELECT doc_id, 'stop', pos, lower(token) FROM tk "
+            f"WHERE NOT list_contains({_STOP_SQL}, lower(token))) "
+            "ORDER BY doc_id, stage, pos"
+        ),
         "solr_select_docs": (
             f"WITH m AS (SELECT doc_id, n_chars, lang FROM documents WHERE "
             f"(list_contains({split}, 'merge') OR list_contains({split}, 'join')) "
@@ -770,6 +799,33 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id FROM documents "
             f"WHERE list_contains({split}, 'merge') AND NOT list_contains({split}, 'vector') "
             "ORDER BY doc_id"
+        ),
+        "stream_expr_facet": (
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS count, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars FROM documents "
+            f"WHERE list_contains({split}, 'merge') "
+            "GROUP BY lang ORDER BY count DESC, lang"
+        ),
+        "stream_expr_stats": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS count, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, "
+            "CAST(MAX(n_chars) AS BIGINT) AS max_n_chars FROM documents "
+            f"WHERE list_contains({split}, 'merge') OR list_contains({split}, 'join')"
+        ),
+        "stream_expr_fetch": (
+            "SELECT doc_id, n_chars, lang, source FROM ("
+            "SELECT doc_id, n_chars, lang, source FROM documents "
+            f"WHERE list_contains({split}, 'merge') OR list_contains({split}, 'vector') "
+            "ORDER BY n_chars DESC, doc_id LIMIT 25) ORDER BY doc_id"
+        ),
+        # MergeStream keeps duplicates (a doc matching both sides appears
+        # twice) -> UNION ALL
+        "stream_expr_merge": (
+            "SELECT doc_id, n_chars FROM ("
+            f"SELECT doc_id, n_chars FROM documents WHERE list_contains({split}, 'spark') "
+            "UNION ALL SELECT doc_id, n_chars FROM documents "
+            f"WHERE list_contains({split}, 'window') OR list_contains({split}, 'vector')) "
+            "ORDER BY n_chars DESC, doc_id"
         ),
         "topic_stream_poll": (
             # two successive checkpointed polls of 100 == the first two
@@ -1346,6 +1402,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) - 1 AS BIGINT) AS rank, "
             "term, n, CAST(0 AS BIGINT) AS err FROM cnt "
             "ORDER BY rank LIMIT 20"
+        ),
+        # Count-Min: the oracle rebuilds the sketch cell-for-cell
+        # (md5_number_upper == the engine's little-endian md5-64)
+        "count_min_estimate": (
+            "WITH toks AS (SELECT unnest(CASE WHEN trim(text) = '' THEN [] ELSE "
+            "regexp_split_to_array(trim(text), '\\s+') END) AS term FROM documents), "
+            "tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY term), "
+            "cells AS (SELECT r.r AS row, "
+            "CAST(md5_number_upper(term || ':' || r.r) % 16 AS BIGINT) AS bucket, "
+            "CAST(SUM(n) AS BIGINT) AS n FROM tc, generate_series(0, 3) AS r(r) GROUP BY 1, 2), "
+            "probes(term) AS (VALUES ('join'), ('merge'), ('stream'), ('the'), "
+            "('vector'), ('window'), ('zzz-absent')) "
+            "SELECT p.term AS term, CAST(MIN(COALESCE(c.n, 0)) AS BIGINT) AS est_n "
+            "FROM probes p CROSS JOIN generate_series(0, 3) AS r(r) "
+            "LEFT JOIN cells c ON c.row = r.r AND "
+            "c.bucket = CAST(md5_number_upper(p.term || ':' || r.r) % 16 AS BIGINT) "
+            "GROUP BY p.term ORDER BY term"
         ),
         "tdigest_quantiles": _data_oracle().tdigest_quantiles_sql(),
         # --- SqlStream: the oracle runs the IDENTICAL SQL our planner ran ---

@@ -572,6 +572,39 @@ def delete_requery(sf_dir: str, delete_terms: list[str], query_terms: list[str])
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
 
 
+def doc_expiration_requery(sf_dir: str, ttl_seconds: int = 180,
+                           query_terms: list[str] = ("merge",)) -> pa.Table:
+    """DocExpirationUpdateProcessor ([U] solr/core/.../update/processor/
+    DocExpirationUpdateProcessorFactory.java): the periodic reaper's
+    deleteByQuery ``expire_at:[* TO NOW]``. The expired set comes from a
+    docvalues ts range scan (parquet predicate pushdown on the stored
+    fields — never a text read), is tombstoned + expunged, and a requery
+    returns only live docs. The adapter contract pins ts = epoch +
+    doc_id seconds, so the SQL oracle expresses expiry as a doc_id cut."""
+    import shutil
+
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as _pads
+
+    from lucene_solr_ray.pipelines.deletes import delete_docs
+    from lucene_solr_ray.pipelines.merge import force_merge
+
+    src = docs_index(sf_dir)
+    tmp = src + "-ttlcopy"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(src, tmp)
+    cutoff = np.datetime64("2026-01-01T00:00:00", "us") + np.timedelta64(ttl_seconds, "s")
+    expired = _pads.dataset(os.path.join(tmp, "docs"), format="parquet").to_table(
+        columns=["docid"], filter=_pc.field("ts") < pa.scalar(cutoff)
+    )
+    delete_docs(tmp, expired.column("docid").to_numpy().tolist())
+    force_merge(tmp, max_segments=1, expunge_deletes=True)
+    s = IndexSearcher(tmp)
+    d, _ = s.search(list(query_terms), k=max(1, s.n_docs), mode="or")
+    mapping = _docid_to_doc_id(tmp)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
 def upgrade_requery(sf_dir: str, terms: list[str]) -> pa.Table:
     """IndexUpgrader end-to-end ([U] lucene/core/.../index/
     IndexUpgrader.java): copy the cached index, rewrite EVERY segment

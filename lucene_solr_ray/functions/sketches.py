@@ -256,3 +256,63 @@ def heavy_hitters_topk(sf_dir: str, k: int = 20, capacity: int = 256) -> pa.Tabl
         "n": pa.array(top["cnt"].to_numpy(), pa.int64()),
         "err": pa.array(top["err"].to_numpy(), pa.int64()),
     })
+
+
+_CM_PROBES = ("join", "merge", "stream", "the", "vector", "window", "zzz-absent")
+
+
+def _cm_bucket(term: str, row: int, width: int) -> int:
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(f"{term}:{row}".encode()).digest()[:8],
+                          "little") % width
+
+
+def count_min_estimate(sf_dir: str, probes=_CM_PROBES, depth: int = 4,
+                       width: int = 16) -> pa.Table:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005; the §2.7 sketch
+    family next to HLL / t-digest / SpaceSaving): frequency estimates for
+    probe terms over the raw whitespace token stream. Scale shape: each
+    batch emits ONE partial depth x width count matrix as (row, bucket,
+    n) cells — an O(batches * d * w * 12B) exchange independent of corpus
+    size — merged by associative Sum; estimate = min over rows of the
+    probed cell. Deliberately narrow (width 16 < vocabulary) so
+    collisions actually over-count; the SQL oracle replicates the sketch
+    cell-for-cell via md5-derived row hashes, making the (over)estimates
+    exact integers."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for s in t.column("text").to_pylist():
+            if s and s.strip():
+                c.update(s.split())
+        mat = np.zeros((depth, width), dtype=np.int64)
+        for term, n in c.items():
+            for r in range(depth):
+                mat[r, _cm_bucket(term, r, width)] += n
+        rows, buckets = np.divmod(np.arange(depth * width), width)
+        return pa.table({
+            "row": pa.array(rows, pa.int64()),
+            "bucket": pa.array(buckets, pa.int64()),
+            "n": pa.array(mat.ravel(), pa.int64()),
+        })
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["row", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    mat = np.zeros((depth, width), dtype=np.int64)
+    mat[merged["row"].to_numpy(), merged["bucket"].to_numpy()] = merged["n"].to_numpy()
+    ests = [int(min(mat[r, _cm_bucket(p, r, width)] for r in range(depth)))
+            for p in probes]
+    return pa.table({
+        "term": pa.array(list(probes), pa.string()),
+        "est_n": pa.array(ests, pa.int64()),
+    })

@@ -586,3 +586,52 @@ def solr_select_highlight(sf_dir: str) -> pa.Table:
 
     tbl = index_dir_out["highlighting"]
     return _with_doc_ids(docs_index(sf_dir), tbl, "docid").sort_by("doc_id")
+
+
+def field_analysis(sf_dir: str, max_doc_id: int = 5) -> ray.data.Dataset:
+    """FieldAnalysisRequestHandler (/analysis/field — [U] solr/core/.../
+    handler/FieldAnalysisRequestHandler.java): the token stream emitted
+    AFTER each stage of the canonical chain (tokenizer -> lowercase ->
+    stopfilter), with Lucene position semantics — stop-filtered tokens
+    leave position gaps, tokenizer-level drops emit no position. One
+    stateless pass over a doc_id-pruned read (predicate pushdown); rows
+    are (doc_id, stage, pos, token)."""
+    from lucene_solr_ray.io_utils import read_parquet_clean
+    from lucene_solr_ray.analysis import (MAX_TOKEN_LEN, STOPWORDS, TOKEN_RE)
+    import unicodedata
+
+    def stages(t: pa.Table) -> pa.Table:
+        doc_ids, stages_, poss, toks = [], [], [], []
+        for doc_id, text in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+            text = unicodedata.normalize("NFC", text or "")
+            pos = 0
+            for tok in TOKEN_RE.findall(text):
+                if len(tok) > MAX_TOKEN_LEN:
+                    continue
+                if not tok.strip("_"):
+                    continue
+                low = tok.lower()
+                doc_ids += [doc_id, doc_id]
+                stages_ += ["tokenizer", "lowercase"]
+                poss += [pos, pos]
+                toks += [tok, low]
+                if low not in STOPWORDS:
+                    doc_ids.append(doc_id)
+                    stages_.append("stop")
+                    poss.append(pos)
+                    toks.append(low)
+                pos += 1
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "stage": pa.array(stages_, pa.string()),
+            "pos": pa.array(poss, pa.int64()),
+            "token": pa.array(toks, pa.string()),
+        })
+
+    return (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .filter(expr=f"doc_id < {max_doc_id}")
+        .map_batches(stages, batch_format="pyarrow")
+        .sort(["doc_id", "stage", "pos"])
+    )

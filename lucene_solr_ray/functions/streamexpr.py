@@ -26,6 +26,7 @@ Metric output names are deterministic: ``count(*)`` -> ``count``,
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -359,6 +360,126 @@ def _build_complement(node: Node, ctx: dict) -> ray.data.Dataset:
         anti, batch_format="pyarrow")
 
 
+def _rollup_agg(ds: ray.data.Dataset, over: list[str], plan) -> ray.data.Dataset:
+    """Shared map-side-partial + small-key-shuffle aggregation core used
+    by rollup() and facet() (the RollupStream combine shape)."""
+    aggs = [("__one", "sum")] + [(f"__{k}_{c}", k) for k, c, _ in plan if k != "count"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {g: t.column(g) for g in over}
+        cols["__one"] = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        for k, c, _ in plan:
+            if k != "count":
+                cols[f"__{k}_{c}"] = t.column(c)
+        pt = pa.table(cols)
+        out = pa.TableGroupBy(pt, over).aggregate([(c, k) for c, k in aggs])
+        return out.rename_columns(over + [c for c, _ in aggs])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    ray_aggs = []
+    for k, c, name in plan:
+        if k == "count":
+            ray_aggs.append(Sum("__one", alias_name=name))
+        elif k == "sum":
+            ray_aggs.append(Sum(f"__sum_{c}", alias_name=name))
+        elif k == "min":
+            ray_aggs.append(Min(f"__min_{c}", alias_name=name))
+        elif k == "max":
+            ray_aggs.append(Max(f"__max_{c}", alias_name=name))
+    return partials.groupby(over).aggregate(*ray_aggs)
+
+
+def _build_facet(node: Node, ctx: dict) -> ray.data.Dataset:
+    """facet(documents, q="...", buckets="lang", bucketSorts="count desc",
+    bucketSizeLimit=N, count(*), sum(f), ...) ([U] FacetStream.java):
+    JSON-facet pushdown — the match set restricts a docvalues-only read
+    (corpus text untouched), then the shared map-side-partial rollup."""
+    metrics = [a for a in node.args[1:] if isinstance(a, Node)]
+    plan = _metric_plan(metrics)
+    buckets = [f.strip() for f in node.kwargs["buckets"].split(",") if f.strip()]
+    fl = sorted(set(buckets) | {c for _, c, _ in plan if c != "*"})
+    search_node = Node("search", [node.args[0]],
+                       {"q": node.kwargs.get("q", "*:*"), "fl": ",".join(fl)})
+    ds = _rollup_agg(_build_search(search_node, ctx), buckets, plan)
+    if "bucketSorts" in node.kwargs:
+        cols, desc = _parse_sort(node.kwargs["bucketSorts"])
+        ds = ds.sort(cols, descending=desc)
+    if "bucketSizeLimit" in node.kwargs:
+        ds = ds.limit(int(node.kwargs["bucketSizeLimit"]))
+    return ds
+
+
+def _build_stats(node: Node, ctx: dict) -> ray.data.Dataset:
+    """stats(documents, q="...", count(*), sum(f), ...) ([U]
+    StatsStream.java): global metrics — per-batch partials combined to a
+    single output row (never a corpus materialization)."""
+    metrics = [a for a in node.args[1:] if isinstance(a, Node)]
+    plan = _metric_plan(metrics)
+    fl = sorted({c for _, c, _ in plan if c != "*"} or {"doc_id"})
+    search_node = Node("search", [node.args[0]],
+                       {"q": node.kwargs.get("q", "*:*"), "fl": ",".join(fl)})
+    ds = _build_search(search_node, ctx)
+    ray_aggs = []
+    for k, c, name in plan:
+        if k == "count":
+            ray_aggs.append(Sum("__one", alias_name=name))
+        elif k == "sum":
+            ray_aggs.append(Sum(c, alias_name=name))
+        elif k == "min":
+            ray_aggs.append(Min(c, alias_name=name))
+        elif k == "max":
+            ray_aggs.append(Max(c, alias_name=name))
+    ds = ds.map_batches(
+        lambda t: t.append_column("__one", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow")
+    row = ds.aggregate(*ray_aggs)
+    return ray.data.from_arrow(pa.table(
+        {name: pa.array([row[name]], pa.int64()) for _, _, name in plan}))
+
+
+def _build_fetch(node: Node, ctx: dict) -> ray.data.Dataset:
+    """fetch(documents, stream, on="doc_id", fl="a,b") ([U]
+    FetchStream.java): enrich each stream tuple with extra stored fields
+    looked up by key. The stream side is output-sized (Solr fetches in
+    batchSize pages); the lookup is a key-pruned docvalues read mapped in
+    via searchsorted (the broadcast-enrich convention) — the corpus never
+    ships."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from lucene_solr_ray.functions.fulltext import docs_index
+
+    if node.args[0] != "documents":
+        raise ValueError("fetch(): first arg must be the collection 'documents'")
+    ds = _build(node.args[1], ctx)
+    (on,) = _on_keys(node)
+    fl = [f.strip() for f in node.kwargs["fl"].split(",") if f.strip()]
+    stream_tbl = pa.concat_tables(
+        [b for b in ds.map_batches(lambda t: t, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow")])
+    keys = stream_tbl.column(on).to_numpy()
+    docs_dir = os.path.join(docs_index(ctx["sf_dir"]), "docs")
+    lk = pads.dataset(docs_dir, format="parquet").to_table(
+        columns=[on] + fl, filter=pc.field(on).isin(pa.array(np.unique(keys))))
+    lkk = lk.column(on).to_numpy()
+    order = np.argsort(lkk, kind="stable")
+    pos = order[np.searchsorted(lkk[order], keys)]
+    cols = {c: stream_tbl.column(c) for c in stream_tbl.column_names}
+    for f in fl:
+        cols[f] = lk.column(f).take(pa.array(pos, pa.int64()))
+    return ray.data.from_arrow(pa.table(cols))
+
+
+def _build_merge(node: Node, ctx: dict) -> ray.data.Dataset:
+    """merge(streamA, streamB, on="f asc") ([U] MergeStream.java): union
+    of sorted streams, re-established as one distributed sort (equal
+    output; the k-way heap is a single-node detail the shuffle replaces)."""
+    a = _build(node.args[0], ctx)
+    b = _build(node.args[1], ctx)
+    cols, desc = _parse_sort(node.kwargs["on"])
+    return a.union(b).sort(cols, descending=desc)
+
+
 STREAM_FUNCTIONS = {
     "search": _build_search,
     "select": _build_select,
@@ -372,6 +493,10 @@ STREAM_FUNCTIONS = {
     "leftOuterJoin": _build_leftouterjoin,
     "intersect": _build_intersect,
     "complement": _build_complement,
+    "facet": _build_facet,
+    "stats": _build_stats,
+    "fetch": _build_fetch,
+    "merge": _build_merge,
 }
 
 
@@ -428,6 +553,39 @@ def stream_expr_join(sf_dir: str) -> ray.data.Dataset:
         'sort(select(innerJoin(search(documents, q="merge", fl="doc_id,source"), '
         'search(documents, q="vector", fl="doc_id,n_chars"), on="doc_id"), '
         '"doc_id", "source", "n_chars"), by="doc_id asc")',
+    )
+
+
+def stream_expr_facet(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(
+        sf_dir,
+        'facet(documents, q="merge", buckets="lang", '
+        'bucketSorts="count desc, lang asc", count(*), sum(n_chars))',
+    )
+
+
+def stream_expr_stats(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(
+        sf_dir,
+        'stats(documents, q="merge join", count(*), sum(n_chars), max(n_chars))',
+    )
+
+
+def stream_expr_fetch(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(
+        sf_dir,
+        'sort(fetch(documents, top(search(documents, q="merge vector", fl="doc_id,n_chars"), '
+        'n=25, sort="n_chars desc, doc_id asc"), on="doc_id", fl="lang,source"), '
+        'by="doc_id asc")',
+    )
+
+
+def stream_expr_merge(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(
+        sf_dir,
+        'merge(search(documents, q="spark", fl="doc_id,n_chars"), '
+        'search(documents, q="window vector", fl="doc_id,n_chars"), '
+        'on="n_chars desc, doc_id asc")',
     )
 
 

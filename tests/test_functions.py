@@ -444,3 +444,22 @@ def test_ann_ivfpq_equals_full_pq_scan():
     assert list(narrow.columns) == list(full.columns)
     assert narrow.groupby("query_id").size().le(10).all()
     assert not narrow.equals(full)
+
+
+def test_count_min_overestimates_only():
+    """CM guarantees est >= true count; with width 16 << vocab some probe
+    must actually over-count (collisions), and the absent probe's
+    estimate is pure collision mass."""
+    import duckdb
+
+    from lucene_solr_ray.functions.sketches import count_min_estimate
+
+    got = {r["term"]: r["est_n"] for r in count_min_estimate(SF).to_pylist()}
+    exact = dict(duckdb.connect().execute(
+        "SELECT term, COUNT(*) FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS term "
+        f"FROM read_parquet('{SF}/documents.parquet') WHERE trim(text) <> '') GROUP BY term"
+    ).fetchall())
+    for term, est in got.items():
+        assert est >= exact.get(term, 0), (term, est)
+    assert any(got[t] > exact.get(t, 0) for t in got), "width 16 must collide"
+    assert got["zzz-absent"] >= 0

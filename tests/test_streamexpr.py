@@ -73,3 +73,38 @@ def test_having_filters_and_sort_orders(se):
     ).to_pandas()
     assert (got["count"] > 24).all()
     assert got["count"].is_monotonic_decreasing
+
+
+def test_stream_facet_matches_rollup_of_search(ray_session):
+    """facet() == rollup(search(...)) over the same buckets/metrics."""
+    from lucene_solr_ray.functions.streamexpr import run_stream
+
+    sf = "/root/testdata/sf0.001"
+    f = run_stream(
+        sf, 'facet(documents, q="merge", buckets="lang", '
+            'bucketSorts="lang asc", count(*), sum(n_chars))').to_pandas()
+    r = run_stream(
+        sf, 'sort(rollup(search(documents, q="merge", fl="lang,n_chars"), '
+            'over="lang", count(*), sum(n_chars)), by="lang asc")').to_pandas()
+    assert f[["lang", "count", "sum_n_chars"]].values.tolist() == \
+        r[["lang", "count", "sum_n_chars"]].values.tolist()
+
+
+def test_stream_merge_keeps_duplicates_and_fetch_enriches(ray_session):
+    from lucene_solr_ray.functions.streamexpr import run_stream
+
+    sf = "/root/testdata/sf0.001"
+    a = run_stream(sf, 'search(documents, q="merge", fl="doc_id")').to_pandas()
+    b = run_stream(sf, 'search(documents, q="vector", fl="doc_id")').to_pandas()
+    m = run_stream(
+        sf, 'merge(search(documents, q="merge", fl="doc_id"), '
+            'search(documents, q="vector", fl="doc_id"), on="doc_id asc")').to_pandas()
+    assert len(m) == len(a) + len(b)  # MergeStream never dedupes
+    fe = run_stream(
+        sf, 'fetch(documents, top(search(documents, q="merge", fl="doc_id"), '
+            'n=5, sort="doc_id asc"), on="doc_id", fl="lang")').to_pandas()
+    assert list(fe.columns) == ["doc_id", "lang"] and len(fe) == 5
+    import pyarrow.parquet as pq
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
+    want = docs.set_index("doc_id").loc[fe["doc_id"]]["lang"].tolist()
+    assert fe["lang"].tolist() == want
