@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_bm25_topk": lambda sf: ft.bm25_topk(sf, FT_BM25_QUERIES, k=10),
         "ft_lmdirichlet_topk": lambda sf: ft.bm25_topk(
             sf, FT_BM25_QUERIES, k=10, similarity="lmdirichlet"),
+        "ft_dfi_topk": lambda sf: ft.bm25_topk(
+            sf, FT_BM25_QUERIES, k=10, similarity="dfi_chi2"),
         "ft_unified_highlight": lambda sf: ft.unified_highlight_topk(
             sf, ["merge", "join", "vector"], k_docs=10),
         "ft_feature_boost_topk": lambda sf: ft.feature_boost_topk(
@@ -402,6 +404,7 @@ def oracle_sql() -> dict[str, str]:
         # (functions/ft_oracle.py; gap bound in tests/test_ft_oracle_sql.py).
         "ft_bm25_topk": _ft_oracle().bm25_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_lmdirichlet_topk": _ft_oracle().lmdirichlet_topk_sql(FT_BM25_QUERIES, k=10),
+        "ft_dfi_topk": _ft_oracle().dfi_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_unified_highlight": _ft_oracle().unified_highlight_sql(
             ["merge", "join", "vector"], k_docs=10),
         "ft_feature_boost_topk": _ft_oracle().feature_boost_sql(

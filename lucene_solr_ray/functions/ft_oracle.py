@@ -190,6 +190,68 @@ def lmdirichlet_topk_sql(queries: list[tuple[str, list[str], str]], k: int = 10)
             + " ORDER BY query_id, rank")
 
 
+def dfi_topk_sql(queries: list[tuple[str, list[str], str]], k: int = 10) -> str:
+    """Oracle for fulltext.bm25_topk(similarity='dfi_chi2') — Lucene's
+    DFISimilarity with the ChiSquared independence measure
+    (similarity.DFIChiSquared; same float64 expression tree):
+
+        e        = p * dl',  p = (cf+1)/(sum_dl+1)
+        s64(t,d) = 0 when tf <= e, else log2((tf-e)*(tf-e)/e + 1)
+        s(t,d)   = float32(s64)
+
+    then the float32 left-to-right fold and rank-only output as the
+    other scored oracles."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    ctes = [prelude_ctes()]
+    # per-doc decoded float64 dl' (byte4-quantised like the engine norm)
+    ctes.append(
+        "dfidl AS (SELECT d.doc_id, "
+        "CAST((SELECT MAX(v) FROM reps WHERE v <= d.dl) AS DOUBLE) AS dlp FROM dltab d)"
+    )
+    selects = []
+    for qi, (qid, raw_terms, mode) in enumerate(queries):
+        terms = analyze_query_terms(raw_terms)
+        tf_names, p_names = [], []
+        for ti, t in enumerate(terms):
+            tf_n, p_n = f"dtf_q{qi}_{ti}", f"dp_q{qi}_{ti}"
+            ctes.append(tf_cte(tf_n, t))
+            ctes.append(
+                f"{p_n} AS (SELECT (CAST(SUM(tf) AS DOUBLE) + 1.0)/(stats.sum_dl + 1.0) AS p "
+                f"FROM {tf_n}, stats GROUP BY stats.sum_dl)"
+            )
+            tf_names.append(tf_n)
+            p_names.append(p_n)
+        aliases = [f"t{ti}" for ti in range(len(terms))]
+        joins = f"{tf_names[0]} {aliases[0]}"
+        for tf_n, a in zip(tf_names[1:], aliases[1:]):
+            joins += f" JOIN {tf_n} {a} ON {aliases[0]}.doc_id = {a}.doc_id"
+        joins += f" JOIN dfidl ON dfidl.doc_id = {aliases[0]}.doc_id"
+        parts = []
+        for a, p_n in zip(aliases, p_names):
+            e = f"((SELECT p FROM {p_n}) * dfidl.dlp)"
+            tfd = f"CAST({a}.tf AS DOUBLE)"
+            parts.append(
+                f"CASE WHEN {a}.tf > 0 AND {tfd} > {e} THEN "
+                f"CAST(log2(({tfd} - {e}) * ({tfd} - {e}) / {e} + 1.0) AS FLOAT) "
+                "ELSE CAST(0.0 AS FLOAT) END"
+            )
+        fold = fold_f32(parts)
+        glue = " AND " if mode == "and" else " OR "
+        cond = glue.join(f"{a}.tf > 0" for a in aliases)
+        selects.append(
+            f"SELECT '{_esc(qid)}' AS query_id, rank, doc_id FROM ("
+            "SELECT doc_id, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+            f"FROM (SELECT {aliases[0]}.doc_id AS doc_id, {fold} AS score "
+            f"FROM {joins} WHERE {cond}) sub"
+            f") ranked WHERE rank < {int(k)}"
+        )
+    return ("WITH " + ", ".join(ctes) + " "
+            + " UNION ALL ".join(f"({s})" for s in selects)
+            + " ORDER BY query_id, rank")
+
+
 def rerank_topk_sql(main_terms: list[str], rerank_terms: list[str],
                     weight: float, top_n: int, k: int) -> str:
     """Oracle for fulltext.rerank_topk ([U] solr/core/.../search/

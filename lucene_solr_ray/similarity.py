@@ -297,12 +297,108 @@ class BooleanSim:
         return np.full(len(max_tfs), np.float64(w) * (1.0 + 1e-6) + 1e-12)
 
 
+class DFIChiSquared:
+    """Lucene DFISimilarity with the ChiSquared independence measure
+    ([U] lucene/core/.../search/similarities/DFISimilarity.java +
+    IndependenceChiSquared.java):
+
+        expected = p * dl',  p = (cf + 1)/(sum_dl + 1)   (float64)
+        s(t,d)   = 0 when tf <= expected, else
+                   float32( log2((tf - expected)^2 / expected + 1) )
+
+    The ``w`` slot carries p (needs_cf, like the LM models); the
+    per-norm cache holds the decoded float64 dl'. Increasing in tf and
+    decreasing in dl (expected grows with dl), so impacts (max_tf,
+    min_norm) give exact WAND bounds."""
+
+    name = "dfi_chi2"
+    needs_cf = True
+
+    @classmethod
+    def term_weight_stats(cls, n_docs: int, df: int, cf: int, sum_dl: int) -> np.float64:
+        return np.float64((cf + 1.0) / (sum_dl + 1.0))
+
+    @classmethod
+    def denom_cache(cls, avgdl: float) -> np.ndarray:
+        return DECODED_TABLE.astype(np.float64)
+
+    @classmethod
+    def score_term(cls, w, tfs, norm_bytes, cache) -> np.ndarray:
+        tfs = np.asarray(tfs, dtype=np.float64)
+        e = np.float64(w) * cache[norm_bytes]
+        diff = tfs - e
+        s = np.where(tfs > e, np.log2(diff * diff / e + 1.0), 0.0)
+        return s.astype(np.float32)
+
+    @classmethod
+    def score_upper_bound(cls, w, max_tf, min_norm, cache):
+        e = float(np.float64(w) * cache[min_norm])
+        mt = float(max_tf)
+        ub = math.log2((mt - e) * (mt - e) / e + 1.0) if mt > e else 0.0
+        return ub * (1.0 + 1e-6) + 1e-12
+
+    @classmethod
+    def block_upper_bounds(cls, w, max_tfs: np.ndarray, min_norms: np.ndarray, cache) -> np.ndarray:
+        mt = max_tfs.astype(np.float64)
+        e = np.float64(w) * cache[min_norms]
+        diff = mt - e
+        ub = np.where(mt > e, np.log2(diff * diff / e + 1.0), 0.0)
+        return ub * (1.0 + 1e-6) + 1e-12
+
+
+class IBLogLogistic:
+    """Lucene IBSimilarity(DistributionLL, LambdaDF, NormalizationH2)
+    ([U] lucene/core/.../search/similarities/IBSimilarity.java +
+    DistributionLL/LambdaDF/NormalizationH2, c = 1):
+
+        tfn  = tf * log2(1 + avgdl/dl')            (H2)
+        lam  = (df + 1)/(N + 1)                    (LambdaDF, the w slot)
+        s    = float32( ln(1 + tfn/lam) )          (log-logistic;
+               algebraically == Lucene's -ln(lam/(tfn+lam)), written in
+               the 1+x/lam form so engine and oracle share one tree)
+
+    Increasing in tf, decreasing in dl -> exact WAND bounds from
+    (max_tf, min_norm) impacts."""
+
+    name = "ib_ll"
+
+    @staticmethod
+    def idf(n_docs: int, df: int) -> float:
+        return math.log(1.0 + (n_docs + 1.0) / (df + 1.0))  # monotone df proxy
+
+    @staticmethod
+    def term_weight(n_docs: int, df: int) -> np.float64:
+        return np.float64((df + 1.0) / (n_docs + 1.0))
+
+    @staticmethod
+    def denom_cache(avgdl: float) -> np.ndarray:
+        dl = np.maximum(DECODED_TABLE.astype(np.float64), 1.0)
+        return np.log2(1.0 + avgdl / dl)
+
+    @staticmethod
+    def score_term(w, tfs, norm_bytes, cache) -> np.ndarray:
+        tfn = np.asarray(tfs, dtype=np.float64) * cache[norm_bytes]
+        return np.log(1.0 + tfn / np.float64(w)).astype(np.float32)
+
+    @staticmethod
+    def score_upper_bound(w, max_tf, min_norm, cache):
+        ub = float(np.log(1.0 + np.float64(max_tf) * cache[min_norm] / np.float64(w)))
+        return ub * (1.0 + 1e-6) + 1e-12
+
+    @staticmethod
+    def block_upper_bounds(w, max_tfs: np.ndarray, min_norms: np.ndarray, cache) -> np.ndarray:
+        ub = np.log(1.0 + max_tfs.astype(np.float64) * cache[min_norms] / np.float64(w))
+        return ub * (1.0 + 1e-6) + 1e-12
+
+
 SIMILARITIES = {
     "bm25": BM25,
     "classic": ClassicTFIDF,
     "lmdirichlet": LMDirichlet,
     "lmjelinekmercer": LMJelinekMercer,
     "dfr_inl2": DFRInL2,
+    "dfi_chi2": DFIChiSquared,
+    "ib_ll": IBLogLogistic,
     "boolean": BooleanSim,
 }
 
