@@ -237,6 +237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_fielded_search": lambda sf: ft.fielded_retrieve(
             sf, must=["merge"], dv_filters={"lang": "en", "source": ["src1", "src2", "src3"]}),
         "ft_terms_enum": lambda sf: ft.terms_enum(sf, "s", limit=20),
+        "ft_terms_regex": lambda sf: ft.terms_enum(sf, "s", limit=20, regex="s.*a.*"),
+        "ft_termfreq_topk": lambda sf: ft.termfreq_topk(sf, "merge", k=20),
         "ft_atomic_update_rtg": lambda sf: ft.atomic_update_rtg(sf, [7, 123, 400]),
         # --- Solr request-handler surface (SURVEY §2.11) ---
         "solr_select_docs": solrapi.solr_select_docs,
@@ -282,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cartesian_explode": rel.cartesian_explode,
         "export_sorted": rel.export_sorted,
         "export_jsonl": rel.export_jsonl,
+        "export_csv": rel.export_csv,
         # --- spatial / expressions (SURVEY §2.6 aux) ---
         "geo_bbox_dist": geo.geo_bbox_dist,
         "geo_filt": geo.geo_filt,
@@ -513,6 +516,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "export_jsonl": (
             "SELECT doc_id, lang, source FROM documents ORDER BY doc_id"
+        ),
+        "export_csv": (
+            "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id"
         ),
         "ft_sorted_by_field": (
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS BIGINT) AS rank, "
@@ -1551,6 +1557,19 @@ def oracle_sql() -> dict[str, str]:
             f"x -> x LIKE 's%' AND NOT list_contains({_STOP_SQL}, x)))) AS term FROM documents) "
             "SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM t "
             "GROUP BY term ORDER BY term LIMIT 20"
+        ),
+        "ft_terms_regex": (
+            f"WITH t AS (SELECT doc_id, unnest(list_distinct(list_filter({split}, "
+            f"x -> x LIKE 's%' AND NOT list_contains({_STOP_SQL}, x)))) AS term FROM documents) "
+            "SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM t "
+            "WHERE regexp_matches(term, '^(?:s.*a.*)$') "
+            "GROUP BY term ORDER BY term LIMIT 20"
+        ),
+        "ft_termfreq_topk": (
+            f"SELECT doc_id, CAST(len(list_filter({split}, x -> x = 'merge')) AS BIGINT) AS termfreq "
+            "FROM documents "
+            f"WHERE list_contains({split}, 'merge') "
+            "ORDER BY termfreq DESC, doc_id LIMIT 20"
         ),
         "ft_atomic_update_rtg": (
             "SELECT doc_id, text || ' zzzupdated' AS text FROM documents "

@@ -912,10 +912,37 @@ def luke_index_stats(sf_dir: str) -> pa.Table:
         ("total", pa.int64()), ("top_value", pa.string())]))
 
 
-def terms_enum(sf_dir: str, prefix: str, limit: int = 20) -> pa.Table:
+def termfreq_topk(sf_dir: str, term: str = "merge", k: int = 20) -> pa.Table:
+    """Function query ``termfreq(text, t)`` used as the sort
+    ([U] lucene/queries/.../function/valuesource/TermFreqValueSource.java;
+    Solr sort=termfreq(...) desc): top-k docs by within-doc term
+    frequency, ties doc_id asc. Served straight from the decoded posting
+    list (one term's postings only — never a corpus scan)."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    df, _, cur = s.term_stats_and_cursor(term)
+    if df == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "termfreq": pa.array([], pa.int64())})
+    docids, tfs, _ = cur.decode_all()
+    live = s._live(docids)
+    mask = np.isin(docids, live) if len(live) != len(docids) else np.ones(len(docids), bool)
+    mapping = _docid_to_doc_id(index_dir)
+    doc_ids = mapping[docids[mask]]
+    tfs = tfs[mask].astype(np.int64)
+    order = np.lexsort((doc_ids, -tfs))[:k]
+    return pa.table({
+        "doc_id": pa.array(doc_ids[order], pa.int64()),
+        "termfreq": pa.array(tfs[order], pa.int64()),
+    })
+
+
+def terms_enum(sf_dir: str, prefix: str, limit: int = 20,
+               regex: str | None = None) -> pa.Table:
     """TermsComponent /terms ([U] solr/core/.../handler/component/
-    TermsComponent.java): enumerate index terms matching a prefix with
-    their document frequency, sorted by term.
+    TermsComponent.java): enumerate index terms matching a prefix (and
+    optionally ``terms.regex`` — a FULL-match regex applied after the
+    prefix range prune) with their document frequency, sorted by term.
 
     Scale shape: a Ray Data read over every segment's ``terms.parquet``
     (the dict is term-sorted, so parquet row-group statistics prune the
@@ -940,6 +967,9 @@ def terms_enum(sf_dir: str, prefix: str, limit: int = 20) -> pa.Table:
 
         keep = pc.and_(pc.greater_equal(t.column("term"), pa.scalar(lo)),
                        pc.less(t.column("term"), pa.scalar(hi)))
+        if regex is not None:
+            keep = pc.and_(keep, pc.match_substring_regex(
+                t.column("term"), f"^(?:{regex})$"))
         return t.select(["term", "df"]).filter(keep)
 
     agg = (

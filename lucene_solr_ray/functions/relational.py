@@ -1003,6 +1003,39 @@ def export_jsonl(sf_dir: str, out_dir: str | None = None) -> ray.data.Dataset:
     )
 
 
+def export_csv(sf_dir: str, out_dir: str | None = None) -> ray.data.Dataset:
+    """/export wt=csv — the CSVResponseWriter sink path ([U]
+    solr/core/.../response/CSVResponseWriter.java over ExportWriter's
+    sorted stream): pruned column read -> global sort -> multi-file CSV
+    (resumable shape), returned as the rows READ BACK from the written
+    files so the gate verifies the sink round-trip."""
+    import hashlib
+    import shutil
+
+    if out_dir is None:
+        key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+        out_dir = f"/tmp/lsr_export_csv/{key}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    (
+        _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        .sort("doc_id")
+        .write_csv(out_dir)
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+            "lang": pc.cast(t.column("lang"), pa.string()),
+            "n_chars": pc.cast(t.column("n_chars"), pa.int64()),
+        })
+
+    return (
+        ray.data.read_csv(out_dir)
+        .map_batches(norm, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
 def deterministic_sample(sf_dir: str, pct: int = 10) -> ray.data.Dataset:
     """RandomStream analogue ([U] solr/core/.../search/RandomStream.java)
     made reproducible: multiplicative-hash sampling on doc_id (exact
