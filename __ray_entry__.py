@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_keep": lambda sf: dedup.semdedup_keep(sf, n_clusters=16, threshold=0.42),
         # --- similarity search ---
         "ann_brute_topk": lambda sf: ann.ann_brute_topk(sf, k=10, n_queries=5),
+        "ann_range_search": lambda sf: ann.ann_range_search(sf, threshold=0.30, n_queries=5),
+        "ann_filtered_topk": lambda sf: ann.ann_filtered_topk(sf, label=1, k=10, n_queries=5),
         "ann_ivf_topk": lambda sf: ann.ann_ivf_topk(sf, k=10, n_queries=5),
         "ann_pq_topk": lambda sf: ann.ann_pq_topk(sf, k=10, n_queries=5),
         "ann_ivfpq_topk": lambda sf: ann.ann_ivfpq_topk(sf, k=10, n_queries=5),
@@ -105,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": curation.chunk_documents,
         "repetition_signals": curation.repetition_signals,
         "pii_scan": curation.pii_scan,
+        "quality_logit_select": lambda sf: curation.quality_logit_select(sf, k=100),
         # --- document clustering (ClusteringComponent analogue) ---
         "cluster_kmeans_docs": classify.cluster_kmeans_docs,
         "cluster_labels": classify.cluster_labels,
@@ -316,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "relatedness_facets": rel.relatedness_facets,
         "collapse_top_order": rel.collapse_top_order,
         "grouping_topk": lambda sf: rel.grouping_topk(sf, k=2),
+        "grouping_by_query": lambda sf: rel.grouping_by_query(sf, k=3),
         "expand_collapsed": lambda sf: rel.expand_collapsed(sf, page_size=20, expand_rows=2),
         "percentile_disc": rel.percentile_disc,
         "unique_counts": rel.unique_counts,
@@ -1061,6 +1065,17 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT unnest({split}) AS term, lang FROM documents) "
             "GROUP BY term ORDER BY term"
         ),
+        "grouping_by_query": (
+            "SELECT grp, CAST(rn - 1 AS BIGINT) AS rank, doc_id, n_chars FROM ("
+            "SELECT 'merge+join' AS grp, doc_id, n_chars, "
+            "ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn FROM documents "
+            f"WHERE list_contains({split}, 'merge') AND list_contains({split}, 'join') "
+            "UNION ALL "
+            "SELECT 'vector', doc_id, n_chars, "
+            "ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) FROM documents "
+            f"WHERE list_contains({split}, 'vector')) t "
+            "WHERE rn <= 3 ORDER BY grp, rank"
+        ),
         "relatedness_facets": (
             # Semantic Knowledge Graph relatedness(): identical float64
             # expression tree as the engine (all ops IEEE exactly rounded)
@@ -1237,6 +1252,23 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY q.query_id ORDER BY list_cosine_similarity(q.qe, b.embedding) DESC, b.vec_id) AS rn "
             "FROM q, embeddings b WHERE b.vec_id != q.query_id) t WHERE rn <= 10 ORDER BY query_id, rank"
         ),
+        # 0.30 sits >= 4.5e-4 from every query-x-corpus cosine (measured
+        # at all 3 sfs, pinned by pytest) — membership can't flip
+        "ann_range_search": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5) "
+            "SELECT q.query_id, b.vec_id AS neighbor_id FROM q, embeddings b "
+            "WHERE b.vec_id != q.query_id "
+            "AND list_cosine_similarity(q.qe, b.embedding) >= 0.30 "
+            "ORDER BY query_id, neighbor_id"
+        ),
+        "ann_filtered_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5) "
+            "SELECT query_id, CAST(rn - 1 AS BIGINT) AS rank, neighbor_id FROM ("
+            "SELECT q.query_id, b.vec_id AS neighbor_id, ROW_NUMBER() OVER ("
+            "PARTITION BY q.query_id ORDER BY list_cosine_similarity(q.qe, b.embedding) DESC, b.vec_id) AS rn "
+            "FROM q, embeddings b WHERE b.vec_id != q.query_id AND b.label = 1) t "
+            "WHERE rn <= 10 ORDER BY query_id, rank"
+        ),
         # ann_ivf_topk: served from the persisted cluster-partitioned IVF
         # index (ann.py:build_ivf_index); n_probe=30/32 gives measured
         # recall 1.0 on the gate corpora (isotropic vectors scatter true
@@ -1296,6 +1328,21 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _data_oracle().chunk_documents_sql(),
         "repetition_signals": _data_oracle().repetition_sql(),
         "pii_scan": _data_oracle().pii_scan_sql(),
+        # fixed-weight linear quality model, exact ints both sides
+        "quality_logit_select": (
+            "WITH docs AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE "
+            "regexp_split_to_array(trim(text), '\\s+') END AS a, length(text) AS nc FROM documents), "
+            "tok AS (SELECT doc_id, t FROM docs, UNNEST(a) AS u(t)), "
+            "uc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2), "
+            "uni AS (SELECT doc_id, COUNT(*) AS n_distinct, MAX(c) AS mx FROM uc GROUP BY 1), "
+            "sp AS (SELECT doc_id, len(list_distinct(list_filter(a, "
+            "x -> list_contains(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'], x)))) AS stop_hits FROM docs), "
+            "s AS (SELECT d.doc_id, CAST(50 * COALESCE(n_distinct, 0) + 20 * stop_hits "
+            "- 30 * COALESCE(mx, 0) - nc // 10 AS BIGINT) AS logit_milli "
+            "FROM docs d LEFT JOIN uni USING (doc_id) JOIN sp USING (doc_id)) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY logit_milli DESC, doc_id) - 1 AS BIGINT) AS rank, "
+            "doc_id, logit_milli FROM s ORDER BY logit_milli DESC, doc_id LIMIT 100"
+        ),
         "cluster_kmeans_docs": _data_oracle().cluster_kmeans_sql(),
         "cluster_labels": _data_oracle().cluster_labels_sql(),
         # substring/line-level exact dedup: engine shuffles md5-64 hashes,

@@ -105,6 +105,103 @@ def ann_brute_topk(sf_dir: str, k: int = 10, n_queries: int = 5) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=schema)
 
 
+class _RangeStage:
+    """Per-batch cosine-threshold filter vs the broadcast query matrix —
+    emits only qualifying (query_id, neighbor_id) pairs, so the exchange
+    is output-sized."""
+
+    def __init__(self, q_ref, qids, threshold):
+        q = ray.get(q_ref)
+        self.qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.qids = qids
+        self.t = threshold
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from lucene_solr_ray.io_utils import emb_matrix
+
+        x = emb_matrix(t.column("embedding"))
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        cos = self.qn @ xn.T
+        qi, ni = np.nonzero(cos >= self.t)
+        keep = ids[ni] != self.qids[qi]  # exclude self-match
+        return pa.table({
+            "query_id": pa.array(self.qids[qi[keep]], pa.int64()),
+            "neighbor_id": pa.array(ids[ni[keep]], pa.int64()),
+        })
+
+
+def ann_range_search(sf_dir: str, threshold: float = 0.30,
+                     n_queries: int = 5) -> pa.Table:
+    """Cosine RANGE search (radius query — the vector analogue of
+    PointRangeQuery): every neighbor with cos >= threshold per query,
+    ids only. Exactness by the repo's measured-gap argument: 0.30 sits
+    >= 4.5e-4 from every (first-5-query x corpus) cosine across all
+    three testdata sfs (pinned by tests/test_functions.py::
+    test_ann_range_threshold_gap), so float64 rounding cannot flip
+    membership between numpy and DuckDB. One streaming pass; only
+    qualifying pairs leave the tasks."""
+    qids, q = _query_matrix(sf_dir, n_queries)
+    q_ref = ray.put(q)
+    out = (
+        _read_emb(sf_dir)
+        .map_batches(
+            _RangeStage,
+            fn_constructor_kwargs={"q_ref": q_ref, "qids": qids, "threshold": threshold},
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=pool_size(),
+        )
+        .sort(["query_id", "neighbor_id"])
+        .to_pandas()
+    )
+    if out.empty:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64())})
+    return pa.table({
+        "query_id": pa.array(out["query_id"].to_numpy(), pa.int64()),
+        "neighbor_id": pa.array(out["neighbor_id"].to_numpy(), pa.int64()),
+    })
+
+
+def ann_filtered_topk(sf_dir: str, label: int = 1, k: int = 10,
+                      n_queries: int = 5) -> pa.Table:
+    """FILTERED vector search (metadata predicate + top-k — the
+    pre-filtered flavor: the predicate prunes the candidate stream BEFORE
+    scoring, exact by construction): brute cosine top-k restricted to
+    vectors whose ``label`` matches. The filter is pushed into the
+    columnar read, so non-matching vectors never reach the scoring
+    stage."""
+    qids, q = _query_matrix(sf_dir, n_queries)
+    q_ref = ray.put(q)
+    partials = (
+        _read_emb_labeled(sf_dir)
+        .filter(expr=f"label == {int(label)}")
+        .map_batches(
+            _BruteStage,
+            fn_constructor_kwargs={"q_ref": q_ref, "qids": qids, "k": k},
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=pool_size(),
+        )
+        .to_pandas()
+    )
+    rows = []
+    for qid, g in partials.groupby("query_id"):
+        order = np.lexsort((g["neighbor_id"].to_numpy(), -g["cos"].to_numpy()))[:k]
+        for rank, idx in enumerate(order):
+            rows.append({"query_id": int(qid), "rank": rank,
+                         "neighbor_id": int(g["neighbor_id"].iloc[idx])})
+    rows.sort(key=lambda r: (r["query_id"], r["rank"]))
+    schema = pa.schema([("query_id", pa.int64()), ("rank", pa.int64()), ("neighbor_id", pa.int64())])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def _read_emb_labeled(sf_dir: str) -> ray.data.Dataset:
+    return read_parquet_clean(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding", "label"])
+
+
 # ---------------- IVF (persisted cluster-partitioned index) ----------------
 
 CACHE_ROOT = os.environ.get("LSR_CACHE", "/tmp/lsr_cache")

@@ -1067,3 +1067,56 @@ def clean_corpus_export(sf_dir: str, n_buckets: int = 8, min_tokens: int = 20,
         rows.append({"bucket": b, "n_docs": n})
     return pa.Table.from_pylist(rows, schema=pa.schema([
         ("bucket", pa.int64()), ("n_docs", pa.int64())]))
+
+
+def quality_logit_select(sf_dir: str, k: int = 100) -> pa.Table:
+    """Classifier-based quality selection (the GPT-3 appendix-A /
+    CCNet-style 'keep documents a linear quality model scores highly'
+    pass), with a FIXED-weight linear model over exact-integer features
+    so the score is deterministic and the SQL oracle hashes identically:
+
+        logit_milli = 50*distinct_unigrams + 20*stopword_hits
+                      - 30*top_unigram_count - n_chars // 10
+
+    (rewards vocabulary diversity and natural-language function words,
+    penalizes repetition and raw length — the standard signal directions.)
+    One stateless pass emits per-batch top-k partials (O(batches*k)
+    exchange); the driver merge is output-sized. Top-k by (logit desc,
+    doc_id asc)."""
+
+    class Score:
+        def __init__(self):
+            self.stops = set(GOPHER_STOPS)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            ids, logits = [], []
+            for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+                toks = _tokens(s)
+                c = Counter(toks)
+                distinct = len(c)
+                top = max(c.values()) if c else 0
+                stop_hits = len(self.stops.intersection(toks))
+                logit = (50 * distinct + 20 * stop_hits - 30 * top
+                         - len(s or "") // 10)
+                ids.append(int(d))
+                logits.append(int(logit))
+            ids_a = np.asarray(ids, np.int64)
+            lg = np.asarray(logits, np.int64)
+            order = np.lexsort((ids_a, -lg))[:k]  # per-batch partial top-k
+            return pa.table({"doc_id": pa.array(ids_a[order]),
+                             "logit_milli": pa.array(lg[order])})
+
+    parts = (
+        _read_docs(sf_dir)
+        .map_batches(Score, batch_format="pyarrow", concurrency=pool_size())
+        .to_pandas()
+    )
+    order = np.lexsort((parts["doc_id"].to_numpy(), -parts["logit_milli"].to_numpy()))[:k]
+    out = parts.iloc[order].reset_index(drop=True)
+    return pa.table({
+        "rank": pa.array(np.arange(len(out), dtype=np.int64)),
+        "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+        "logit_milli": pa.array(out["logit_milli"].to_numpy(), pa.int64()),
+    })

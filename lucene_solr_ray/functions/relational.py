@@ -826,6 +826,62 @@ def scored_join_modes(sf_dir: str, mode: str = "avg", k: int = 20) -> pa.Table:
     })
 
 
+def grouping_by_query(sf_dir: str, k: int = 3) -> pa.Table:
+    """Result grouping with ``group.query`` ([U] solr/core/.../search/
+    Grouping.java, the query command): each group.query predicate forms
+    one group; top-k docs per group by (n_chars desc, doc_id asc). ONE
+    pruned corpus pass evaluates every group's predicate per batch and
+    emits per-group top-k partials — O(batches * groups * k) exchange,
+    output-sized driver combine."""
+    import pyarrow.compute as _pc
+
+    def has(t, term):
+        sp = _pc.split_pattern_regex(t.column("text"), r"\s+")
+        flat = _pc.list_flatten(sp)
+        par = _pc.list_parent_indices(sp).to_numpy(zero_copy_only=False)
+        m = np.zeros(t.num_rows, bool)
+        m[np.unique(par[_pc.equal(flat, pa.scalar(term)).to_numpy(zero_copy_only=False)])] = True
+        return m
+
+    gdefs = [
+        ("merge+join", lambda t: has(t, "merge") & has(t, "join")),
+        ("vector", lambda t: has(t, "vector")),
+    ]
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        nc = t.column("n_chars").to_numpy()
+        gs, ds, ns = [], [], []
+        for name, fn in gdefs:
+            m = fn(t)
+            gi, gn = ids[m], nc[m]
+            order = np.lexsort((gi, -gn))[:k]
+            gs.extend([name] * len(order))
+            ds.extend(gi[order].tolist())
+            ns.extend(gn[order].tolist())
+        return pa.table({"grp": pa.array(gs, pa.string()),
+                         "doc_id": pa.array(ds, pa.int64()),
+                         "n_chars": pa.array(ns, pa.int64())})
+
+    parts = (
+        _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    rows = []
+    for name, _ in gdefs:
+        g = parts[parts["grp"] == name]
+        order = np.lexsort((g["doc_id"].to_numpy(), -g["n_chars"].to_numpy()))[:k]
+        for rank, idx in enumerate(order):
+            rows.append((name, rank, int(g["doc_id"].iloc[idx]), int(g["n_chars"].iloc[idx])))
+    return pa.table({
+        "grp": pa.array([r[0] for r in rows], pa.string()),
+        "rank": pa.array([r[1] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+        "n_chars": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 def facet_queries(sf_dir: str) -> pa.Table:
     """Solr ``facet.query`` ([U] solr/core/.../handler/component/
     FacetComponent.java): counts for a fixed list of arbitrary predicate

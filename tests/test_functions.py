@@ -463,3 +463,25 @@ def test_count_min_overestimates_only():
         assert est >= exact.get(term, 0), (term, est)
     assert any(got[t] > exact.get(t, 0) for t in got), "width 16 must collide"
     assert got["zzz-absent"] >= 0
+
+
+def test_ann_range_threshold_gap():
+    """Measures the claim in ann.ann_range_search: the 0.30 threshold is
+    >= 4e-4 away from every (first-5-query x corpus) cosine at every
+    testdata sf, so numpy-vs-DuckDB float64 rounding cannot flip
+    membership."""
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        arr = con.sql(
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe "
+            f"FROM read_parquet('{sf}/embeddings.parquet') ORDER BY vec_id LIMIT 5) "
+            "SELECT list_cosine_similarity(q.qe, b.embedding) AS c "
+            f"FROM q, read_parquet('{sf}/embeddings.parquet') b "
+            "WHERE b.vec_id != q.query_id"
+        ).fetchnumpy()["c"]
+        import numpy as _np
+
+        assert _np.abs(arr - 0.30).min() >= 4e-4, sf
+        assert (arr >= 0.30).sum() > 0, f"{sf}: threshold produces no matches"
