@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, must=["merge"], dv_filters={"lang": "en", "source": ["src1", "src2", "src3"]}),
         "ft_terms_enum": lambda sf: ft.terms_enum(sf, "s", limit=20),
         "ft_terms_regex": lambda sf: ft.terms_enum(sf, "s", limit=20, regex="s.*a.*"),
+        "composite_id_routing": lambda sf: ft.composite_id_routing(sf, n_shards=8),
         "ft_termfreq_topk": lambda sf: ft.termfreq_topk(sf, "merge", k=20),
         "ft_atomic_update_rtg": lambda sf: ft.atomic_update_rtg(sf, [7, 123, 400]),
         # --- Solr request-handler surface (SURVEY §2.11) ---
@@ -1604,6 +1605,17 @@ def oracle_sql() -> dict[str, str]:
             f"x -> x LIKE 's%' AND NOT list_contains({_STOP_SQL}, x)))) AS term FROM documents) "
             "SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM t "
             "GROUP BY term ORDER BY term LIMIT 20"
+        ),
+        # compositeId ring: 16/16 bit split, md5-64 ring hash both sides
+        "composite_id_routing": (
+            "WITH h AS (SELECT source, "
+            "CAST(md5_number_upper(source) % 4294967296 AS BIGINT) AS hr, "
+            "CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 4294967296 AS BIGINT) AS hi "
+            "FROM documents), "
+            "s AS (SELECT source, "
+            "CAST(((hr // 65536) * 65536 + hi % 65536) * 8 // 4294967296 AS BIGINT) AS shard FROM h) "
+            "SELECT source, shard, CAST(COUNT(*) AS BIGINT) AS n_docs FROM s "
+            "GROUP BY source, shard ORDER BY source, shard"
         ),
         "ft_terms_regex": (
             f"WITH t AS (SELECT doc_id, unnest(list_distinct(list_filter({split}, "

@@ -937,6 +937,51 @@ def termfreq_topk(sf_dir: str, term: str = "merge", k: int = 20) -> pa.Table:
     })
 
 
+def composite_id_routing(sf_dir: str, n_shards: int = 8) -> pa.Table:
+    """CompositeIdRouter shard assignment ([U] solr/solrj/.../common/
+    cloud/CompositeIdRouter.java): a ``route!id`` shard key hashes as
+    (hash(route) upper 16 bits | hash(id) lower 16 bits), so every doc
+    sharing a route prefix lands in the contiguous ring slice the prefix
+    claims — co-location with bounded spread. Here route = ``source``,
+    id = doc_id; hash = md5-64 mod 2^32 (Solr uses murmur3; md5 keeps
+    the DuckDB oracle bit-exact, ring semantics identical), shard =
+    comp * n_shards // 2^32. Output: per-(source, shard) counts — the
+    routing table a SolrCloud client would use. Stateless per-batch
+    count partials; only the output-sized table shuffles."""
+    import hashlib as _hl
+
+    from ray.data.aggregate import Sum
+
+    from lucene_solr_ray.io_utils import read_parquet_clean
+
+    def h32(s: str) -> int:
+        return int.from_bytes(_hl.md5(s.encode()).digest()[:8], "little") % (1 << 32)
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for src, did in zip(t.column("source").to_pylist(), t.column("doc_id").to_pylist()):
+            comp = (h32(src) // 65536) * 65536 + h32(str(did)) % 65536
+            c[(src, comp * n_shards // (1 << 32))] += 1
+        keys = sorted(c)
+        return pa.table({
+            "source": pa.array([k[0] for k in keys], pa.string()),
+            "shard": pa.array([k[1] for k in keys], pa.int64()),
+            "n": pa.array([c[k] for k in keys], pa.int64()),
+        })
+
+    return pa.Table.from_pandas(
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "shard"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .sort(["source", "shard"])
+        .to_pandas(),
+        preserve_index=False,
+    ).replace_schema_metadata(None)
+
+
 def terms_enum(sf_dir: str, prefix: str, limit: int = 20,
                regex: str | None = None) -> pa.Table:
     """TermsComponent /terms ([U] solr/core/.../handler/component/
