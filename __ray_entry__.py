@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "synonym_graph_counts": ts.synonym_graph_counts,
         "common_grams_counts": ts.common_grams_counts,
         "edge_ngram_counts": ts.edge_ngram_counts,
+        "term_facet_prefix": lambda sf: ts.term_facet_prefix(sf, prefix="s", k=10),
         "heavy_hitters_topk": sketches.heavy_hitters_topk,
         "count_min_estimate": sketches.count_min_estimate,
         # --- training-data curation (decontam / repetition / PII) ---
@@ -139,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dih_csv_ingest": ingest.dih_ingest,
         "tika_extract": ingest.tika_extract,
         "urp_chain_process": urp.urp_chain_process,
+        "urp_tolerant_update": lambda sf: urp.tolerant_update(sf, bad_mod=25),
         # --- percolator / highlighter (SURVEY §2.5/§2.6 aux) ---
         "percolate": lambda sf: monitor.percolate(sf, PERCOLATE_QUERIES),
         "highlight_snippets": lambda sf: monitor.highlight(sf, ["vector", "stream"]),
@@ -184,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_mlt_interesting_terms": lambda sf: ft.mlt_interesting_terms(sf, doc_id=3, max_terms=8),
         "ft_doc_expiration": lambda sf: ft.doc_expiration_requery(
             sf, ttl_seconds=180, query_terms=["merge"]),
+        "ft_update_json": lambda sf: ft.update_json_commands(sf, "merge", delete_mod=100),
         "ft_query_parser": lambda sf: ft.query_parser_retrieve(
             sf, '+"merge join" -vector lang:en'),
         "ft_phrase_topk": lambda sf: ft.phrase_topk(sf, ["merge", "join"], k=10),
@@ -206,6 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_span_near_ordered": lambda sf: ft.span_near_retrieve(
             sf, ["merge", "vector"], slop=5, in_order=True),
         "ft_span_first_docs": lambda sf: ft.span_first_retrieve(sf, "merge", end=8),
+        "ft_span_position_range": lambda sf: ft.span_position_range_retrieve(
+            sf, "merge", start=3, end=9),
         "ft_span_or_near": lambda sf: ft.span_or_near_retrieve(
             sf, [["merge", "join"], "vector"], slop=4, in_order=False),
         "ft_span_not_docs": lambda sf: ft.span_not_retrieve(
@@ -229,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_prefix_suggest": lambda sf: ft.prefix_suggest(sf, "s", k=5),
         "ft_infix_suggest": lambda sf: ft.infix_suggest(sf, "or", k=5),
         "ft_blended_infix": lambda sf: ft.blended_infix_suggest(sf, "or", k=5),
+        "ft_docdict_suggest": lambda sf: ft.document_dict_suggest(sf, prefix="s", k=5),
         "ft_terms_qparser": lambda sf: ft.terms_qparser_docs(sf, "lang", ("en", "fr")),
         "luke_index_stats": ft.luke_index_stats,
         "ft_fuzzy_suggest": lambda sf: ft.fuzzy_suggest(sf, "stram", k=5),
@@ -292,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- spatial / expressions (SURVEY §2.6 aux) ---
         "geo_bbox_dist": geo.geo_bbox_dist,
         "geo_filt": geo.geo_filt,
+        "geo_nearest_topk": lambda sf: geo.geo_nearest_topk(sf, k=25),
         "geo_heatmap": geo.geo_heatmap,
         "point_bbox_docs": lambda sf: geo.point_bbox_query(sf, (-30.0, 40.0, -100.0, 50.0)),
         "expression_sort": expr.expression_sort,
@@ -456,6 +463,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents WHERE "
             "regexp_matches(text, '\\b(merge|join)\\s+vector\\b') ORDER BY doc_id"
         ),
+        # JSON update: deletes = doc_id % 100 == 0, adds = 3 ids above the
+        # corpus space whose text contains the query term
+        "ft_update_json": (
+            f"SELECT doc_id FROM documents WHERE list_contains({split}, 'merge') "
+            "AND doc_id % 100 != 0 "
+            "UNION ALL SELECT UNNEST([10000000, 10000001, 10000002]) "
+            "ORDER BY doc_id"
+        ),
         # TTL reap: adapter pins ts = epoch + doc_id sec, so expiry at
         # ttl=180s == doc_id < 180; survivors matching the query remain
         "ft_doc_expiration": (
@@ -555,6 +570,13 @@ def oracle_sql() -> dict[str, str]:
             "b AS (SELECT doc_id, pos FROM toks WHERE term = 'vector') "
             "SELECT DISTINCT a.doc_id AS doc_id FROM a JOIN b ON a.doc_id = b.doc_id "
             "WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 5 ORDER BY doc_id"
+        ),
+        "ft_span_position_range": (
+            f"WITH toks AS (SELECT doc_id, unnest(l) AS term, "
+            f"CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos "
+            f"FROM (SELECT doc_id, {split} AS l FROM documents)) "
+            "SELECT DISTINCT doc_id FROM toks WHERE term = 'merge' "
+            "AND pos BETWEEN 3 AND 8 ORDER BY doc_id"
         ),
         "ft_span_first_docs": (
             f"SELECT doc_id FROM documents WHERE "
@@ -1390,6 +1412,20 @@ def oracle_sql() -> dict[str, str]:
         # charfilter chain rewrites whole-word merge->combine and the char
         # sequence window->pane BEFORE tokenizing; neither target token
         # exists in the corpus, so rewritten counts == original counts
+        # DocumentDictionary weight = sum of n_chars over docs holding term
+        "ft_docdict_suggest": (
+            "WITH t AS (SELECT doc_id, n_chars, unnest(list_distinct(list_filter("
+            f"{split}, x -> x LIKE 's%' AND NOT list_contains({_STOP_SQL}, x)))) AS term "
+            "FROM documents) "
+            "SELECT term, CAST(SUM(n_chars) AS BIGINT) AS weight FROM t "
+            "GROUP BY term ORDER BY weight DESC, term LIMIT 5"
+        ),
+        "term_facet_prefix": (
+            "SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM "
+            f"(SELECT unnest({split}) AS term FROM documents) "
+            f"WHERE term LIKE 's%' AND NOT list_contains({_STOP_SQL}, term) "
+            "GROUP BY term ORDER BY n DESC, term LIMIT 10"
+        ),
         # edge n-grams over the canonical chain (= whitespace tokens minus
         # stopwords on this corpus); grams are prefixes of length 2..4
         "edge_ngram_counts": (
@@ -1502,6 +1538,17 @@ def oracle_sql() -> dict[str, str]:
             ")) * 10 + 0.5) AS BIGINT) AS dist_100m FROM g) "
             "SELECT c_custkey, dist_100m FROM d WHERE dist_100m <= 30000 ORDER BY c_custkey"
         ),
+        "geo_nearest_topk": (
+            "WITH g AS (SELECT c_custkey, "
+            "CAST(((c_custkey * 37) % 180) AS DOUBLE) - 90 + 0.5 AS lat, "
+            "CAST(((c_custkey * 73) % 360) AS DOUBLE) - 180 + 0.5 AS lon FROM customer), "
+            "d AS (SELECT c_custkey, CAST(FLOOR(2 * 6371.0087714 * asin(sqrt("
+            "pow(sin(radians(12.5 - lat)/2), 2) + "
+            "cos(radians(lat)) * cos(radians(12.5)) * pow(sin(radians(42.5 - lon)/2), 2)"
+            ")) * 10 + 0.5) AS BIGINT) AS dist_100m FROM g) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY dist_100m, c_custkey) - 1 AS BIGINT) AS rank, "
+            "c_custkey, dist_100m FROM d ORDER BY dist_100m, c_custkey LIMIT 25"
+        ),
         "geo_heatmap": (
             "SELECT ((c_custkey * 37) % 180) // 10 AS grid_row, "
             "((c_custkey * 73) % 360) // 10 AS grid_col, "
@@ -1582,6 +1629,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "score_nodes": _data_oracle().score_nodes_sql(),
         # --- ingest ---
+        # bad docs = doc_id % 25 == 0 (text blanked) -> skipped, not fatal
+        "urp_tolerant_update": (
+            "SELECT doc_id, CASE WHEN doc_id % 25 = 0 OR trim(text) = '' THEN 'empty_text' ELSE '' END AS err, "
+            "CAST(CASE WHEN doc_id % 25 = 0 OR trim(text) = '' THEN 0 ELSE 1 END AS BIGINT) AS accepted "
+            "FROM documents ORDER BY doc_id"
+        ),
         "dih_csv_ingest": (
             "SELECT doc_id, COALESCE(regexp_extract(text, '^(\\S+)'), '') AS first_tok, "
             "source || ':' || lang AS src_lang, n_chars FROM documents ORDER BY doc_id"

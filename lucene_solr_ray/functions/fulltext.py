@@ -99,6 +99,16 @@ def span_or_near_retrieve(sf_dir: str, clauses: list, slop: int = 0,
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
 
 
+def span_position_range_retrieve(sf_dir: str, term: str, start: int, end: int) -> pa.Table:
+    """SpanPositionRangeQuery match set ([U] .../spans/
+    SpanPositionRangeQuery.java) -> sorted doc_id set."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d = s.search_span_position_range(term, start, end)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
 def span_not_retrieve(sf_dir: str, include: str, exclude: str,
                       pre: int = 0, post: int = 0) -> pa.Table:
     """SpanNotQuery match set ([U] .../spans/SpanNotQuery.java) ->
@@ -937,6 +947,47 @@ def termfreq_topk(sf_dir: str, term: str = "merge", k: int = 20) -> pa.Table:
     })
 
 
+def document_dict_suggest(sf_dir: str, prefix: str = "s", k: int = 5) -> pa.Table:
+    """AnalyzingSuggester fed by a DocumentDictionary ([U] lucene/
+    suggest/.../document/DocumentDictionary.java): suggestion weight =
+    the SUM of a stored weight field (n_chars docvalues) over the docs
+    containing the term — not collection frequency. Candidates come from
+    the prefix scan of the sorted term dicts; each candidate's posting
+    list gives its doc set; the weight sum reads ONLY those docids'
+    docvalues rows (one predicate-pushdown read for the union)."""
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as _pads
+
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    terms = s.expand_terms("prefix", prefix)
+    per_term: dict[str, np.ndarray] = {}
+    for t in terms:
+        df, _, cur = s.term_stats_and_cursor(t)
+        if df > 0:
+            per_term[t] = s._live(cur.decode_all()[0])
+    if not per_term:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "weight": pa.array([], pa.int64())})
+    union = np.unique(np.concatenate(list(per_term.values())))
+    tbl = _pads.dataset(os.path.join(index_dir, "docs"), format="parquet").to_table(
+        columns=["docid", "n_chars"],
+        filter=_pc.field("docid").isin(pa.array(union)))
+    did = tbl.column("docid").to_numpy()
+    nch = tbl.column("n_chars").to_numpy().astype(np.int64)
+    order = np.argsort(did, kind="stable")
+    rows = []
+    for t, docids in per_term.items():
+        pos = order[np.searchsorted(did[order], docids)]
+        rows.append((t, int(nch[pos].sum())))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    rows = rows[:k]
+    return pa.table({
+        "term": pa.array([r[0] for r in rows], pa.string()),
+        "weight": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
 def composite_id_routing(sf_dir: str, n_shards: int = 8) -> pa.Table:
     """CompositeIdRouter shard assignment ([U] solr/solrj/.../common/
     cloud/CompositeIdRouter.java): a ``route!id`` shard key hashes as
@@ -1072,6 +1123,93 @@ def realtime_get(index_dir: str, doc_ids: list[int]) -> pa.Table:
     df = df.sort_values("doc_id")
     return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
                      "text": pa.array(df["text"].tolist(), pa.string())})
+
+
+_JSON_ADD_BASE = 10_000_000
+
+
+def parse_json_update(payload: str) -> tuple[list[dict], list[int]]:
+    """JsonLoader command parse ([U] solr/core/.../handler/loader/
+    JsonLoader.java): accepts {"add": [{"doc": {...}}, ...],
+    "delete": [{"id": n}, ...], "commit": {}} and returns
+    (docs_to_add, ids_to_delete). Unknown commands fail loudly."""
+    import json as _json
+
+    cmds = _json.loads(payload)
+    adds, dels = [], []
+    for key, val in cmds.items():
+        if key == "add":
+            for item in (val if isinstance(val, list) else [val]):
+                adds.append(item["doc"])
+        elif key == "delete":
+            for item in (val if isinstance(val, list) else [val]):
+                dels.append(int(item["id"]))
+        elif key == "commit":
+            continue
+        else:
+            raise ValueError(f"json update: unknown command {key!r}")
+    return adds, dels
+
+
+def update_json_commands(sf_dir: str, query_term: str = "merge",
+                         delete_mod: int = 100) -> pa.Table:
+    """UpdateRequestHandler /update JSON command stream end-to-end
+    ([U] solr/core/.../handler/UpdateRequestHandler.java + JsonLoader):
+    build the payload (3 adds whose text contains the query term, with
+    ids above the corpus id space; deletes for every corpus doc_id %
+    delete_mod == 0 — both sides derive the same set), parse it with
+    the JsonLoader shape, apply — deletes tombstone, adds append as a
+    fresh generation — and requery. Output: the final live match set,
+    proving adds are searchable and deletes are not."""
+    import json as _json
+    import shutil
+
+    from lucene_solr_ray.pipelines.deletes import delete_docs
+    from lucene_solr_ray.state.manifest import load_manifest
+
+    src = docs_index(sf_dir)
+    tmp = src + "-jsonupd"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(src, tmp)
+    manifest = load_manifest(tmp)
+    mapping = _docid_to_doc_id(tmp)
+    del_ids = [int(d) for d in mapping[mapping % delete_mod == 0]]
+    payload = _json.dumps({
+        "add": [{"doc": {"id": _JSON_ADD_BASE + i,
+                         "text": f"{query_term} added doc{i}"}} for i in range(3)],
+        "delete": [{"id": d} for d in del_ids],
+        "commit": {},
+    })
+    adds, dels = parse_json_update(payload)
+    old_docids = np.searchsorted(mapping, np.asarray(sorted(dels), dtype=np.int64))
+    delete_docs(tmp, old_docids.tolist())
+    rows = []
+    for doc in adds:
+        did, text = int(doc["id"]), str(doc["text"])
+        rows.append({
+            "conv_id": f"json-{did:012d}", "turn_idx": np.int32(0), "role": "user",
+            "text": text, "tool": "",
+            "ts": np.datetime64("2026-01-01T00:00:00", "us") + np.timedelta64(did, "s"),
+            "doc_id": np.int64(did), "n_chars": np.int64(len(text)),
+            "lang": "en", "source": "json",
+        })
+    upd = pa.Table.from_pylist(rows, schema=pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()), ("role", pa.string()),
+        ("text", pa.string()), ("tool", pa.string()), ("ts", pa.timestamp("us")),
+        ("doc_id", pa.int64()), ("n_chars", pa.int64()), ("lang", pa.string()),
+        ("source", pa.string()),
+    ]))
+    build_index(
+        ray.data.from_arrow(upd), tmp,
+        num_partitions=manifest["num_partitions"], salt=manifest["salt"],
+        store_positions=manifest.get("positions", False),
+        store_term_vectors=manifest.get("term_vectors", False),
+        append=True,
+    )
+    s = IndexSearcher(tmp)
+    d, _ = s.search([query_term], k=max(1, s.n_docs), mode="or")
+    mapping2 = _docid_to_doc_id(tmp)
+    return pa.table({"doc_id": pa.array(np.sort(mapping2[d]), type=pa.int64())})
 
 
 def atomic_update_rtg(sf_dir: str, update_ids: list[int], suffix: str = " zzzupdated") -> pa.Table:

@@ -253,3 +253,30 @@ def point_bbox_query(sf_dir: str, bbox=(-30.0, 40.0, -100.0, 50.0),
 
     return ray.data.read_parquet(paths).map_batches(
         exact, batch_format="pyarrow").sort("c_custkey")
+
+
+def geo_nearest_topk(sf_dir: str, origin=(12.5, 42.5), k: int = 25) -> pa.Table:
+    """sort=geodist() asc — nearest-k points to the origin ([U]
+    solr/core/.../search/function/distance/HaversineConstFunction.java
+    used as the sort). Order on the QUANTIZED 100m integer distance
+    (ties c_custkey asc) so the SQL oracle is exact. Per-batch partial
+    top-k (O(batches * k) exchange), output-sized driver merge."""
+    full_bbox = (-90.0, 90.0, -180.0, 180.0)
+    ds = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = _GeoStage(origin[0], origin[1], full_bbox)(t)
+        key = out.column("c_custkey").to_numpy()
+        d = out.column("dist_100m").to_numpy()
+        order = np.lexsort((key, d))[:k]
+        return pa.table({"c_custkey": pa.array(key[order], pa.int64()),
+                         "dist_100m": pa.array(d[order], pa.int64())})
+
+    parts = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    order = np.lexsort((parts["c_custkey"].to_numpy(), parts["dist_100m"].to_numpy()))[:k]
+    out = parts.iloc[order].reset_index(drop=True)
+    return pa.table({
+        "rank": pa.array(np.arange(len(out), dtype=np.int64)),
+        "c_custkey": pa.array(out["c_custkey"].to_numpy(), pa.int64()),
+        "dist_100m": pa.array(out["dist_100m"].to_numpy(), pa.int64()),
+    })

@@ -438,3 +438,32 @@ def edge_ngram_counts(sf_dir: str, min_gram: int = 2, max_gram: int = 4,
         .sort(["n", "gram"], descending=[True, False])
         .limit(k)
     )
+
+
+def term_facet_prefix(sf_dir: str, prefix: str = "s", k: int = 10) -> ray.data.Dataset:
+    """facet.field with ``facet.prefix`` ([U] solr/core/.../request/
+    SimpleFacets.java prefix handling): term-facet counts over the
+    indexed vocabulary restricted to a prefix, ranked count desc (ties
+    term asc) — the classic facet ordering. The prefix cut happens in
+    the map-side partial, so only matching vocab rows ever shuffle."""
+    from ray.data.aggregate import Sum
+
+    from lucene_solr_ray.analysis import tokenize
+
+    def term_partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for s in t.column("text").to_pylist():
+            c.update(tok for tok in tokenize(s or "") if tok.startswith(prefix))
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(term_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "term"], descending=[True, False])
+        .limit(k)
+    )

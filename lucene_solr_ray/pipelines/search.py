@@ -1318,6 +1318,26 @@ class IndexSearcher:
         out = [int(doc) for doc in cand if int(v.positions(int(doc))[0]) <= end - 1]
         return np.asarray(out, dtype=np.int64)
 
+    def search_span_position_range(self, raw_clause, start: int, end: int) -> np.ndarray:
+        """SpanPositionRangeQuery ([U] lucene/core/.../search/spans/
+        SpanPositionRangeQuery.java): docs where the term occurs with
+        span fully inside [start, end) — for single-term spans (width 1),
+        any position p with start <= p <= end - 1. Position lists are
+        ascending, so a searchsorted window test per doc suffices
+        (SpanFirstQuery == the start=0 case)."""
+        views, clause_terms = self._span_clause_views([raw_clause])
+        if views is None:
+            return np.empty(0, dtype=np.int64)
+        v = views[clause_terms[0][0]]
+        cand = self._live(v.docids)
+        out = []
+        for doc in cand:
+            pos = v.positions(int(doc))
+            lo = int(np.searchsorted(pos, start, side="left"))
+            if lo < len(pos) and int(pos[lo]) <= end - 1:
+                out.append(int(doc))
+        return np.asarray(out, dtype=np.int64)
+
     def _span_near_pairs(self, term_a: str, term_b: str, slop: int):
         """All SpanNear(a, b, slop, unordered) span envelopes per doc:
         yields (doc, lo_array, hi_array) for docs holding at least one

@@ -112,11 +112,13 @@ class URPChain:
         return t
 
 
-def run_chain(ds: ray.data.Dataset, processors, concurrency: int = 2) -> ray.data.Dataset:
+def run_chain(ds: ray.data.Dataset, processors, concurrency: int | None = None) -> ray.data.Dataset:
+    from lucene_solr_ray.io_utils import pool_size
+
     return ds.map_batches(
         URPChain,
         fn_constructor_kwargs={"processors": processors},
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else pool_size(),
         batch_format="pyarrow",
     )
 
@@ -125,7 +127,9 @@ def urp_chain_process(sf_dir: str) -> ray.data.Dataset:
     """The driver-contract entry: trim text -> collapse whitespace ->
     lowercase lang -> MD5 signature of the normalized text -> token
     count.  Column names match the DuckDB oracle."""
-    ds = ray.data.read_parquet(
+    from lucene_solr_ray.io_utils import read_parquet_clean
+
+    ds = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
     )
     out = run_chain(
@@ -139,3 +143,70 @@ def urp_chain_process(sf_dir: str) -> ray.data.Dataset:
         ],
     )
     return out.select_columns(["doc_id", "lang_lc", "sig", "n_tokens"]).sort("doc_id")
+
+
+class TolerantGuard:
+    """TolerantUpdateProcessor ([U] solr/core/.../update/processor/
+    TolerantUpdateProcessorFactory.java): instead of aborting the whole
+    update batch on one bad document, skip bad docs and report them.
+    'Bad' here = a validation rule the downstream indexer would reject
+    (empty text, or a doc_id outside the declared id space). Emits an
+    ``err`` column: '' for accepted docs, the failure reason otherwise —
+    callers filter err == '' for the indexable stream and aggregate the
+    rest into the error report (maxErrors semantics are the caller's
+    count on that report)."""
+
+    def __init__(self, max_id: int = 1 << 62):
+        self.max_id = max_id
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as _np
+        import pyarrow.compute as _pc
+
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        errs = []
+        for i, s in enumerate(texts):
+            if s is None or not s.strip():
+                errs.append("empty_text")
+            elif ids[i] < 0 or ids[i] >= self.max_id:
+                errs.append("bad_id")
+            else:
+                errs.append("")
+        return t.append_column("err", pa.array(errs, pa.string()))
+
+
+def tolerant_update(sf_dir: str, bad_mod: int = 25) -> ray.data.Dataset:
+    """Driver entry: a derived view where every ``doc_id % bad_mod == 0``
+    row gets its text blanked (the malformed-document injection — both
+    sides derive it identically), run through the tolerant chain. Output:
+    per-doc (doc_id, err, accepted) — the update response's per-doc
+    status list, proving the batch was NOT aborted by the bad rows."""
+    from lucene_solr_ray.io_utils import read_parquet_clean
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def inject(t: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        texts = ["" if i % bad_mod == 0 else s for i, s in zip(ids, texts)]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": pa.array(texts, pa.string())})
+
+    out = run_chain(ds.map_batches(inject, batch_format="pyarrow"),
+                    [(TolerantGuard, {})])
+
+    def status(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "err": t.column("err"),
+            "accepted": _pc.cast(_pc.equal(t.column("err"), pa.scalar("")), pa.int64()),
+        })
+
+    return out.map_batches(status, batch_format="pyarrow").sort("doc_id")
