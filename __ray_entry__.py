@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_grams_counts": ts.common_grams_counts,
         "edge_ngram_counts": ts.edge_ngram_counts,
         "term_facet_prefix": lambda sf: ts.term_facet_prefix(sf, prefix="s", k=10),
+        "urlemail_token_counts": ts.urlemail_token_counts,
         "heavy_hitters_topk": sketches.heavy_hitters_topk,
         "count_min_estimate": sketches.count_min_estimate,
         # --- training-data curation (decontam / repetition / PII) ---
@@ -187,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_doc_expiration": lambda sf: ft.doc_expiration_requery(
             sf, ttl_seconds=180, query_terms=["merge"]),
         "ft_update_json": lambda sf: ft.update_json_commands(sf, "merge", delete_mod=100),
+        "ft_external_file_sort": lambda sf: ft.external_file_sort(sf, k=20),
         "ft_query_parser": lambda sf: ft.query_parser_retrieve(
             sf, '+"merge join" -vector lang:en'),
         "ft_phrase_topk": lambda sf: ft.phrase_topk(sf, ["merge", "join"], k=10),
@@ -299,10 +301,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_bbox_dist": geo.geo_bbox_dist,
         "geo_filt": geo.geo_filt,
         "geo_nearest_topk": lambda sf: geo.geo_nearest_topk(sf, k=25),
+        "geo_polygon_docs": geo.geo_polygon_docs,
         "geo_heatmap": geo.geo_heatmap,
         "point_bbox_docs": lambda sf: geo.point_bbox_query(sf, (-30.0, 40.0, -100.0, 50.0)),
         "expression_sort": expr.expression_sort,
         "frange_filter": expr.frange_filter,
+        "scale_map_function": expr.scale_map_function,
         # --- LTR / classification (SURVEY §2.6/§2.7 aux) ---
         "ltr_linear_rescore": ltr.ltr_linear_rescore,
         "ltr_trees_rescore": ltr.ltr_trees_rescore,
@@ -462,6 +466,11 @@ def oracle_sql() -> dict[str, str]:
         "ft_multi_phrase_docs": (
             "SELECT doc_id FROM documents WHERE "
             "regexp_matches(text, '\\b(merge|join)\\s+vector\\b') ORDER BY doc_id"
+        ),
+        "ft_external_file_sort": (
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY (doc_id * 7919) % 100000 DESC, doc_id) - 1 AS BIGINT) AS rank, "
+            "doc_id, CAST((doc_id * 7919) % 100000 AS BIGINT) AS eff_milli FROM documents "
+            "ORDER BY eff_milli DESC, doc_id LIMIT 20"
         ),
         # JSON update: deletes = doc_id % 100 == 0, adds = 3 ids above the
         # corpus space whose text contains the query term
@@ -1412,6 +1421,20 @@ def oracle_sql() -> dict[str, str]:
         # charfilter chain rewrites whole-word merge->combine and the char
         # sequence window->pane BEFORE tokenizing; neither target token
         # exists in the corpus, so rewritten counts == original counts
+        # UAX29URLEmail: emails = one token; totals = emails + standard
+        # tokens of the email-stripped remainder (same two regexes)
+        "urlemail_token_counts": (
+            "WITH aug AS (SELECT doc_id, text || ' contact u' || doc_id || '@example.org ip 10.0.' "
+            "|| (doc_id % 256) || '.' || (doc_id % 100) || ' tel 555-' "
+            "|| CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS s "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(s, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email, "
+            "CAST(len(regexp_extract_all(s, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) "
+            "+ len(regexp_extract_all(regexp_replace(s, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', ' ', 'g'), "
+            "'\\w+(?:[.'']\\w+)*')) AS BIGINT) AS n_tokens "
+            "FROM aug ORDER BY doc_id"
+        ),
         # DocumentDictionary weight = sum of n_chars over docs holding term
         "ft_docdict_suggest": (
             "WITH t AS (SELECT doc_id, n_chars, unnest(list_distinct(list_filter("
@@ -1538,6 +1561,20 @@ def oracle_sql() -> dict[str, str]:
             ")) * 10 + 0.5) AS BIGINT) AS dist_100m FROM g) "
             "SELECT c_custkey, dist_100m FROM d WHERE dist_100m <= 30000 ORDER BY c_custkey"
         ),
+        # 0.5-grid coords + 0.5-grid vertices -> integer cross products,
+        # bit-exact both sides including boundary points
+        "geo_polygon_docs": (
+            "WITH g AS (SELECT c_custkey, "
+            "CAST(((c_custkey * 37) % 180) AS DOUBLE) - 90 + 0.5 AS lat, "
+            "CAST(((c_custkey * 73) % 360) AS DOUBLE) - 180 + 0.5 AS lon FROM customer), "
+            "x AS (SELECT c_custkey, "
+            "(10.5 - (-100.5)) * (lat - (-40.5)) - (60.5 - (-40.5)) * (lon - (-100.5)) AS c1, "
+            "(120.5 - 10.5) * (lat - 60.5) - ((-20.5) - 60.5) * (lon - 10.5) AS c2, "
+            "((-100.5) - 120.5) * (lat - (-20.5)) - ((-40.5) - (-20.5)) * (lon - 120.5) AS c3 "
+            "FROM g) "
+            "SELECT c_custkey FROM x WHERE (c1 >= 0 AND c2 >= 0 AND c3 >= 0) "
+            "OR (c1 <= 0 AND c2 <= 0 AND c3 <= 0) ORDER BY c_custkey"
+        ),
         "geo_nearest_topk": (
             "WITH g AS (SELECT c_custkey, "
             "CAST(((c_custkey * 37) % 180) AS DOUBLE) - 90 + 0.5 AS lat, "
@@ -1569,6 +1606,14 @@ def oracle_sql() -> dict[str, str]:
             "ln(p_retailprice) / 3 - abs(CAST(p_size AS DOUBLE) - 25)) * 1000 + 0.5) AS BIGINT) "
             "AS expr_milli FROM part) "
             "SELECT p_partkey, expr_milli FROM e ORDER BY expr_milli DESC, p_partkey LIMIT 100"
+        ),
+        # scale()/map() value sources — integer-exact both sides
+        "scale_map_function": (
+            "WITH s AS (SELECT MIN(n_chars) AS mn, "
+            "GREATEST(1, MAX(n_chars) - MIN(n_chars)) AS rng FROM documents) "
+            "SELECT doc_id, CAST((n_chars - s.mn) * 100000 // s.rng AS BIGINT) AS scaled_milli, "
+            "CAST(CASE WHEN n_chars BETWEEN 0 AND 199 THEN 0 ELSE n_chars END AS BIGINT) AS mapped "
+            "FROM documents, s ORDER BY doc_id"
         ),
         "frange_filter": (
             "WITH e AS (SELECT p_partkey, CAST(FLOOR((sqrt(CAST(p_size AS DOUBLE)) * 2 + "

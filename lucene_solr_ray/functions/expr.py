@@ -218,3 +218,35 @@ def frange_filter(sf_dir: str, lo_milli: int = -10000, hi_milli: int = 0) -> ray
         concurrency=pool_size(),
         batch_format="pyarrow",
     ).sort("p_partkey")
+
+
+def scale_map_function(sf_dir: str) -> ray.data.Dataset:
+    """``scale()`` and ``map()`` value sources ([U] lucene/queries/.../
+    function/valuesource/ScaleFloatFunction.java, RangeMapFloatFunction.java)
+    over the n_chars docvalues column, in exact integers:
+
+        scaled_milli = (n_chars - min) * 100000 // (max - min)   (scale 0..100)
+        mapped       = 0 when n_chars in [0, 199] else n_chars   (map(x,0,199,0))
+
+    ScaleFloatFunction needs the GLOBAL min/max first — computed as one
+    tiny aggregate pass (two ints cross the cluster), broadcast into the
+    stateless transform pass. Both ops integer-exact, so the SQL oracle
+    hashes identically."""
+    from ray.data.aggregate import Max, Min
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    stats = ds.aggregate(Min("n_chars"), Max("n_chars"))
+    mn, mx = int(stats["min(n_chars)"]), int(stats["max(n_chars)"])
+    rng = max(1, mx - mn)
+
+    def fn(t: pa.Table) -> pa.Table:
+        v = t.column("n_chars").to_numpy().astype(np.int64)
+        scaled = (v - mn) * 100000 // rng
+        mapped = np.where((v >= 0) & (v <= 199), 0, v).astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "scaled_milli": pa.array(scaled, pa.int64()),
+            "mapped": pa.array(mapped, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")

@@ -1629,3 +1629,56 @@ def drill_sideways(sf_dir: str, terms: tuple = ("merge",),
     return pa.table({"dim": pa.array([k[0] for k in keys], pa.string()),
                      "val": pa.array([k[1] for k in keys], pa.string()),
                      "n_docs": pa.array([agg[k] for k in keys], pa.int64())})
+
+
+def external_file_sort(sf_dir: str, k: int = 20) -> pa.Table:
+    """ExternalFileField ([U] solr/core/.../schema/ExternalFileField.java):
+    a per-doc value that lives in a SIDECAR file outside the index
+    (reloadable per commit without reindexing), usable in sort/boost.
+    The sidecar is written keyed by doc_id (value derived
+    deterministically: eff_milli = (doc_id * 7919) % 100000 — the SQL
+    oracle derives the same), then broadcast into a sort pass: top-k
+    docs by (eff_milli desc, doc_id asc). The sidecar is vocabulary-like
+    (doc_id -> int64) and ships once via ray.put, not per batch."""
+    import pyarrow.parquet as _pq
+
+    from lucene_solr_ray.io_utils import pool_size, read_parquet_clean
+
+    side_dir = os.path.join(CACHE_ROOT, "eff")
+    os.makedirs(side_dir, exist_ok=True)
+    side = os.path.join(side_dir, hashlib.sha1(sf_dir.encode()).hexdigest()[:12] + ".parquet")
+    ids = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id"]).column("doc_id").to_numpy()
+    eff = (ids.astype(np.int64) * 7919) % 100000
+    _pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                              "eff_milli": pa.array(eff, pa.int64())}), side)
+
+    side_keys = np.sort(ids.astype(np.int64))
+    side_vals = (side_keys * 7919) % 100000
+    keys_ref = ray.put(side_keys)
+    vals_ref = ray.put(side_vals)
+
+    class Attach:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+            self.vals = ray.get(vals_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            d = t.column("doc_id").to_numpy().astype(np.int64)
+            v = self.vals[np.searchsorted(self.keys, d)]
+            order = np.lexsort((d, -v))[:k]
+            return pa.table({"doc_id": pa.array(d[order], pa.int64()),
+                             "eff_milli": pa.array(v[order], pa.int64())})
+
+    parts = (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(Attach, batch_format="pyarrow", concurrency=pool_size())
+        .to_pandas()
+    )
+    order = np.lexsort((parts["doc_id"].to_numpy(), -parts["eff_milli"].to_numpy()))[:k]
+    out = parts.iloc[order].reset_index(drop=True)
+    return pa.table({
+        "rank": pa.array(np.arange(len(out), dtype=np.int64)),
+        "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
+        "eff_milli": pa.array(out["eff_milli"].to_numpy(), pa.int64()),
+    })

@@ -280,3 +280,35 @@ def geo_nearest_topk(sf_dir: str, origin=(12.5, 42.5), k: int = 25) -> pa.Table:
         "c_custkey": pa.array(out["c_custkey"].to_numpy(), pa.int64()),
         "dist_100m": pa.array(out["dist_100m"].to_numpy(), pa.int64()),
     })
+
+
+def geo_polygon_docs(sf_dir: str,
+                     poly=((-40.5, -100.5), (60.5, 10.5), (-20.5, 120.5))) -> ray.data.Dataset:
+    """Polygon containment filter ([U] lucene/core/.../document/
+    LatLonPointInPolygonQuery.java; Solr's RPT ``Intersects(POLYGON(...))``)
+    for a convex polygon: a point is inside iff every edge cross product
+    has the same sign. Exactness: both the derived coordinates and the
+    polygon vertices live on the 0.5-degree grid, so every difference is
+    an INTEGER and every cross product an exact integer in float64 —
+    the SQL oracle (same formula) agrees bit-for-bit even on boundary
+    points. One stateless pass, zero shuffle."""
+    verts = [(float(la), float(lo)) for la, lo in poly]
+
+    def fn(t: pa.Table) -> pa.Table:
+        key = t.column("c_custkey").to_numpy().astype(np.int64)
+        lat, lon = derive_coords(key)
+        signs = []
+        n = len(verts)
+        for i in range(n):
+            (la1, lo1), (la2, lo2) = verts[i], verts[(i + 1) % n]
+            cross = (lo2 - lo1) * (lat - la1) - (la2 - la1) * (lon - lo1)
+            signs.append(cross)
+        pos = np.logical_and.reduce([s >= 0.0 for s in signs])
+        neg = np.logical_and.reduce([s <= 0.0 for s in signs])
+        return pa.table({"c_custkey": pa.array(key[pos | neg], pa.int64())})
+
+    return (
+        read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort("c_custkey")
+    )

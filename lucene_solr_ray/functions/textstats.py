@@ -467,3 +467,37 @@ def term_facet_prefix(sf_dir: str, prefix: str = "s", k: int = 10) -> ray.data.D
         .sort(["n", "term"], descending=[True, False])
         .limit(k)
     )
+
+
+def urlemail_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """UAX29URLEmailTokenizer ([U] lucene/analysis/common/.../standard/
+    UAX29URLEmailTokenizer.java): emails stay ONE token (type <EMAIL>)
+    instead of splitting at '@'. Runs over the deterministically
+    PII-augmented view (the pii_scan derivation — the raw corpus has no
+    emails by construction): per doc, the email-token count and the
+    total token count (emails + the standard tokens of the
+    email-stripped remainder). Both counts are exact integers the SQL
+    oracle reproduces with the same two regexes."""
+    import re as _re
+
+    from lucene_solr_ray.functions.curation import PII_PATTERNS
+
+    email_re = _re.compile(PII_PATTERNS["email"])
+    word_re = _re.compile(r"\w+(?:[.']\w+)*")
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        texts = t.column("text").to_pylist()
+        n_email = np.zeros(len(ids), np.int64)
+        n_total = np.zeros(len(ids), np.int64)
+        for i, (d, s) in enumerate(zip(ids, texts)):
+            aug = (f"{s} contact u{d}@example.org ip 10.0.{d % 256}.{d % 100} "
+                   f"tel 555-{d % 900 + 100:03d}-{d % 9000 + 1000:04d}")
+            emails = email_re.findall(aug)
+            rest = email_re.sub(" ", aug)
+            n_email[i] = len(emails)
+            n_total[i] = len(emails) + len(word_re.findall(rest))
+        return pa.table({"doc_id": pa.array(ids), "n_email": pa.array(n_email),
+                         "n_tokens": pa.array(n_total)})
+
+    return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
