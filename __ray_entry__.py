@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, ["merge", "join", "vector"], k_docs=10),
         "ft_feature_boost_topk": lambda sf: ft.feature_boost_topk(
             sf, ["merge", "join"], k=10),
+        "ft_boost_query_topk": lambda sf: ft.boost_query_topk(
+            sf, ["merge", "join"], k=10),
         "ft_intervals_containing": lambda sf: ft.intervals_containing_retrieve(
             sf, "merge", "join", "sort", max_width=8),
         "ft_prefix_docs": lambda sf: ft.multi_term_retrieve(sf, "prefix", "s"),
@@ -237,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_infix_suggest": lambda sf: ft.infix_suggest(sf, "or", k=5),
         "ft_blended_infix": lambda sf: ft.blended_infix_suggest(sf, "or", k=5),
         "ft_docdict_suggest": lambda sf: ft.document_dict_suggest(sf, prefix="s", k=5),
+        "ft_wildcard_topterms": lambda sf: ft.wildcard_topterms_retrieve(sf, prefix="s", top_n=2),
         "ft_terms_qparser": lambda sf: ft.terms_qparser_docs(sf, "lang", ("en", "fr")),
         "luke_index_stats": ft.luke_index_stats,
         "ft_fuzzy_suggest": lambda sf: ft.fuzzy_suggest(sf, "stram", k=5),
@@ -427,6 +430,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_unified_highlight": _ft_oracle().unified_highlight_sql(
             ["merge", "join", "vector"], k_docs=10),
         "ft_feature_boost_topk": _ft_oracle().feature_boost_sql(
+            ["merge", "join"], k=10),
+        "ft_boost_query_topk": _ft_oracle().boost_query_sql(
             ["merge", "join"], k=10),
         "ft_intervals_containing": _ft_oracle().intervals_containing_sql(
             "merge", "join", "sort", max_width=8),
@@ -1421,6 +1426,14 @@ def oracle_sql() -> dict[str, str]:
         # charfilter chain rewrites whole-word merge->combine and the char
         # sequence window->pane BEFORE tokenizing; neither target token
         # exists in the corpus, so rewritten counts == original counts
+        # TopTermsRewrite: cap the s* expansion at the 2 highest-df terms
+        "ft_wildcard_topterms": (
+            f"WITH t AS (SELECT doc_id, unnest(list_distinct(list_filter({split}, "
+            f"x -> x LIKE 's%' AND NOT list_contains({_STOP_SQL}, x)))) AS term FROM documents), "
+            "top2 AS (SELECT term FROM (SELECT term, COUNT(*) AS df FROM t GROUP BY term) "
+            "ORDER BY df DESC, term LIMIT 2) "
+            "SELECT DISTINCT doc_id FROM t WHERE term IN (SELECT term FROM top2) ORDER BY doc_id"
+        ),
         # UAX29URLEmail: emails = one token; totals = emails + standard
         # tokens of the email-stripped remainder (same two regexes)
         "urlemail_token_counts": (

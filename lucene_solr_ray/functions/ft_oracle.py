@@ -753,6 +753,42 @@ def feature_boost_sql(raw_terms: list[str], field: str = "n_chars",
             f") ranked WHERE rank < {int(k)} ORDER BY rank")
 
 
+def boost_query_sql(raw_terms: list[str], field: str = "n_chars",
+                    pivot: float = 300.0, k: int = 10) -> str:
+    """Oracle for fulltext.boost_query_topk: the BM25 float32 fold
+    MULTIPLIED (float64 product, float32 narrow) by the float32
+    saturation boost — the exact op order the engine pins."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    terms = analyze_query_terms(raw_terms)
+    ctes = [prelude_ctes()]
+    tf_names, w_names = [], []
+    for ti, t in enumerate(terms):
+        tf_n, w_n = f"bq_tf{ti}", f"bq_w{ti}"
+        ctes.append(tf_cte(tf_n, t))
+        ctes.append(w_cte(w_n, tf_n))
+        tf_names.append(tf_n)
+        w_names.append(w_n)
+    aliases = [f"t{ti}" for ti in range(len(terms))]
+    joins = f"{tf_names[0]} {aliases[0]}"
+    for tf_n, a in zip(tf_names[1:], aliases[1:]):
+        joins += f" JOIN {tf_n} {a} ON {aliases[0]}.doc_id = {a}.doc_id"
+    joins += f" JOIN denom ON denom.doc_id = {aliases[0]}.doc_id"
+    joins += f" JOIN documents dv ON dv.doc_id = {aliases[0]}.doc_id"
+    boost = (f"CAST(CAST(dv.{field} AS DOUBLE)"
+             f"/(CAST(dv.{field} AS DOUBLE) + {pivot!r}) AS FLOAT)")
+    fold = fold_f32([score_expr(a, w_n) for a, w_n in zip(aliases, w_names)])
+    final = f"CAST(CAST({fold} AS DOUBLE) * CAST({boost} AS DOUBLE) AS FLOAT)"
+    cond = " OR ".join(f"{a}.tf > 0" for a in aliases)
+    return ("WITH " + ", ".join(ctes) + " "
+            "SELECT 'bq-1' AS query_id, rank, doc_id FROM ("
+            "SELECT doc_id, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+            f"FROM (SELECT {aliases[0]}.doc_id AS doc_id, {final} AS score "
+            f"FROM {joins} WHERE {cond}) sub"
+            f") ranked WHERE rank < {int(k)} ORDER BY rank")
+
+
 def intervals_containing_sql(term_a: str, term_b: str, small: str,
                              max_width: int = 8) -> str:
     """Oracle for fulltext.intervals_containing_retrieve — an independent

@@ -947,6 +947,28 @@ def termfreq_topk(sf_dir: str, term: str = "merge", k: int = 20) -> pa.Table:
     })
 
 
+def wildcard_topterms_retrieve(sf_dir: str, prefix: str = "s", top_n: int = 2) -> pa.Table:
+    """TopTermsRewrite ([U] lucene/core/.../search/TopTermsRewrite.java,
+    MultiTermQuery.TOP_TERMS_SCORING_BOOLEAN_REWRITE): instead of
+    rewriting a multi-term query to ALL dictionary expansions (the
+    ScoringBooleanQueryRewrite the other multi-term entries use), keep
+    only the top-N terms by docFreq (ties term asc — the priority-queue
+    order) and run that bounded disjunction. Bounds rewrite cost on huge
+    expansions. Output: the match set of the capped disjunction."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    terms = s.expand_terms("prefix", prefix)
+    with_df = sorted(((s.term_stats_and_cursor(t)[0], t) for t in terms),
+                     key=lambda x: (-x[0], x[1]))
+    picked = [t for df, t in with_df[:top_n] if df > 0]
+    if not picked:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    chunks = list(s.iter_matches(picked, mode="or"))
+    d = np.concatenate(chunks) if chunks else np.empty(0, dtype=np.int64)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
 def document_dict_suggest(sf_dir: str, prefix: str = "s", k: int = 5) -> pa.Table:
     """AnalyzingSuggester fed by a DocumentDictionary ([U] lucene/
     suggest/.../document/DocumentDictionary.java): suggestion weight =
@@ -1490,6 +1512,41 @@ def feature_boost_topk(sf_dir: str, terms: list[str], field: str = "n_chars",
     mapping = _docid_to_doc_id(index_dir)
     return pa.table({
         "query_id": pa.array(["fb-1"] * len(top), pa.string()),
+        "rank": pa.array(np.arange(len(top)), pa.int64()),
+        "doc_id": pa.array(mapping[d[top]].astype(np.int64), pa.int64()),
+    })
+
+
+def boost_query_topk(sf_dir: str, terms: list[str], field: str = "n_chars",
+                     pivot: float = 300.0, k: int = 10) -> pa.Table:
+    """BoostQParserPlugin ``{!boost b=f(v)}q`` ([U] solr/core/.../search/
+    BoostQParserPlugin.java; lucene FunctionScoreQuery.boostByValue):
+    MULTIPLICATIVE function boost — final = float32(float64(bm25_f32) *
+    float64(boost_f32)), boost = float32(v/(v+pivot)) saturation over a
+    doc-values field. Same docid-pushdown feature fetch as the additive
+    FeatureField path; rank-only output."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    from lucene_solr_ray.oracle import analyze_query_terms, topk_order
+
+    qterms = analyze_query_terms(terms)
+    d, bm25 = s.search(qterms, k=max(1, s.n_docs), mode="or")
+    if len(d) == 0:
+        return pa.Table.from_pylist([], schema=pa.schema(
+            [("query_id", pa.string()), ("rank", pa.int64()), ("doc_id", pa.int64())]))
+    docs = pads.dataset(os.path.join(index_dir, "docs"), format="parquet").to_table(
+        columns=["docid", field],
+        filter=pa.compute.field("docid").isin(pa.array(d.astype(np.int64))))
+    order = pa.compute.sort_indices(docs.column("docid"))
+    did_sorted = docs.column("docid").take(order).to_numpy().astype(np.int64)
+    v_sorted = docs.column(field).take(order).to_numpy().astype(np.float64)
+    v = v_sorted[np.searchsorted(did_sorted, d)]
+    boost = (v / (v + np.float64(pivot))).astype(np.float32)
+    final = (bm25.astype(np.float64) * boost.astype(np.float64)).astype(np.float32)
+    top = topk_order(d, final, k)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({
+        "query_id": pa.array(["bq-1"] * len(top), pa.string()),
         "rank": pa.array(np.arange(len(top)), pa.int64()),
         "doc_id": pa.array(mapping[d[top]].astype(np.int64), pa.int64()),
     })

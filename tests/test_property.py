@@ -81,3 +81,81 @@ def test_soundex_engine_matches_sql(words):
     exp = dict(duckdb.sql(sql).fetchall())
     for w in words:
         assert soundex(w) == exp[w], w
+
+
+# ---------------- surround parser round-trip ----------------
+
+_sur_word = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=8).filter(
+    lambda w: w not in ("and", "or", "not"))  # infix keywords match case-insensitively
+
+
+def _render(node) -> str:
+    kind = node[0]
+    if kind == "term":
+        return node[1]
+    if kind == "dist":
+        _, n, ordered, ops = node
+        op = "W" if ordered else "N"
+        parts = []
+        for o in ops:
+            if o[0] == "alts":
+                parts.append("(" + " OR ".join(o[1]) + ")")
+            else:
+                parts.append(o[1])
+        return f"{n}{op}({', '.join(parts)})"
+    if kind == "and":
+        return " AND ".join(f"({_render(c)})" for c in node[1])
+    if kind == "or":
+        return " OR ".join(f"({_render(c)})" for c in node[1])
+    if kind == "not":
+        return f"({_render(node[1])}) NOT ({_render(node[2])})"
+    raise AssertionError(node)
+
+
+_operand = st.one_of(
+    _sur_word.map(lambda w: ("alt1", w)),
+    st.lists(_sur_word, min_size=2, max_size=3).map(lambda ws: ("alts", ws)),
+)
+_dist = st.tuples(st.integers(1, 9), st.booleans(),
+                  st.lists(_operand, min_size=2, max_size=3)).map(
+    lambda t: ("dist", t[0], t[1], t[2]))
+_leaf = st.one_of(_sur_word.map(lambda w: ("term", w)), _dist)
+_sur_ast = st.recursive(
+    _leaf,
+    lambda children: st.one_of(
+        st.lists(children, min_size=2, max_size=3).map(lambda cs: ("and", cs)),
+        st.lists(children, min_size=2, max_size=3).map(lambda cs: ("or", cs)),
+        st.tuples(children, children).map(lambda t: ("not", t[0], t[1])),
+    ),
+    max_leaves=6,
+)
+
+
+def _normalize(node):
+    """Parenthesized rendering may re-associate n-ary and/or chains and
+    collapse singleton alt-lists; compare the flattened boolean algebra."""
+    kind = node[0]
+    if kind in ("and", "or"):
+        flat = []
+        for c in node[1]:
+            cn = _normalize(c)
+            if cn[0] == kind:
+                flat.extend(cn[1])
+            else:
+                flat.append(cn)
+        return (kind, flat) if len(flat) > 1 else flat[0]
+    if kind == "not":
+        return ("not", _normalize(node[1]), _normalize(node[2]))
+    return node
+
+
+@settings(max_examples=120, deadline=None)
+@given(_sur_ast)
+def test_surround_parser_round_trips(ast):
+    """render(ast) re-parses to the same normalized AST — the grammar has
+    no ambiguity that silently reshapes a query. Reserved words (AND/OR/
+    NOT/W/N heads) never collide because rendered terms are lowercase."""
+    from lucene_solr_ray.queryparser import parse_surround
+
+    got = parse_surround(_render(ast))
+    assert _normalize(got) == _normalize(ast)
