@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_ngram_counts": ts.edge_ngram_counts,
         "term_facet_prefix": lambda sf: ts.term_facet_prefix(sf, prefix="s", k=10),
         "urlemail_token_counts": ts.urlemail_token_counts,
+        "bpe_pair_counts": lambda sf: ts.bpe_pair_counts(sf, k=20),
         "heavy_hitters_topk": sketches.heavy_hitters_topk,
         "count_min_estimate": sketches.count_min_estimate,
         # --- training-data curation (decontam / repetition / PII) ---
@@ -131,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing ---
         "multimodal_payload_stats": multimodal.payload_stats,
         "multimodal_fake_decode": multimodal.fake_decode,
+        "multimodal_frame_sample": multimodal.frame_sample,
         # --- SqlStream / graph streams (SURVEY §2.8) ---
         "sql_stream_agg": sqlmod.sql_stream_agg,
         "gather_nodes": graph.gather_nodes,
@@ -1434,6 +1436,16 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY df DESC, term LIMIT 2) "
             "SELECT DISTINCT doc_id FROM t WHERE term IN (SELECT term FROM top2) ORDER BY doc_id"
         ),
+        # BPE round-1 statistic: adjacent char pairs weighted by word freq
+        "bpe_pair_counts": (
+            "WITH wc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM "
+            "(SELECT unnest(CASE WHEN trim(text) = '' THEN [] ELSE "
+            "regexp_split_to_array(trim(text), '\\s+') END) AS term FROM documents) GROUP BY term), "
+            "p AS (SELECT substring(term, CAST(i AS INT), 2) AS pair, n FROM wc, "
+            "unnest(range(1, length(term))) AS t(i)) "
+            "SELECT pair, CAST(SUM(n) AS BIGINT) AS n FROM p "
+            "GROUP BY pair ORDER BY n DESC, pair LIMIT 20"
+        ),
         # UAX29URLEmail: emails = one token; totals = emails + standard
         # tokens of the email-stripped remainder (same two regexes)
         "urlemail_token_counts": (
@@ -1519,6 +1531,16 @@ def oracle_sql() -> dict[str, str]:
             "md5(text) AS digest FROM documents ORDER BY doc_id"
         ),
         "multimodal_fake_decode": _data_oracle().multimodal_fake_decode_sql(),
+        # payload == utf-8 text bytes (pure-ASCII corpus), so SQL string
+        # slices == the engine's byte slices; stride 4, max 5 frames
+        "multimodal_frame_sample": (
+            "WITH f AS (SELECT doc_id, text, length(text) // 8 AS n_frames FROM documents), "
+            "idx AS (SELECT doc_id, text, unnest(range(0, n_frames, 4)) AS frame_idx FROM f), "
+            "lim AS (SELECT doc_id, text, CAST(frame_idx AS BIGINT) AS frame_idx, "
+            "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame_idx) AS rn FROM idx) "
+            "SELECT doc_id, frame_idx, md5(substring(text, frame_idx * 8 + 1, 8)) AS frame_md5 "
+            "FROM lim WHERE rn <= 5 ORDER BY doc_id, frame_idx"
+        ),
         "highlight_snippets": _data_oracle().highlight_sql(["vector", "stream"]),
         "hll_distinct": _data_oracle().hll_distinct_sql(),
         # heavy hitters: the closed vocab sits far below sketch capacity,

@@ -92,13 +92,57 @@ def payload_stats(sf_dir: str) -> ray.data.Dataset:
     return payload_dataset(sf_dir).map_batches(stats, batch_format="pyarrow").sort("doc_id")
 
 
-def fake_decode(sf_dir: str, concurrency: int = 2, batch_size: int = 256) -> ray.data.Dataset:
+def fake_decode(sf_dir: str, concurrency: int | None = None,
+                batch_size: int = 256) -> ray.data.Dataset:
     """The full decode pipeline with the deterministic fake decoder —
     exercises the actor-pool + small-batch layout end to end."""
+    from lucene_solr_ray.io_utils import pool_size
+
     return payload_dataset(sf_dir).map_batches(
         DecodeStage,
         fn_constructor_kwargs={"decoder": "fake"},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else pool_size(),
     ).sort("doc_id")
+
+
+class FrameSampleStage:
+    """Actor-pool frame sampler for video-like payloads: the payload is
+    treated as fixed-size frames (frame_bytes each); every ``stride``-th
+    frame is sampled up to ``max_frames`` per doc, emitting (doc_id,
+    frame_idx, frame_md5). The real codec (seek + decode keyframes) slots
+    into __call__; the slicing/explode/batch plumbing is what 100 TB of
+    video needs either way — small batches (payload bytes dominate), one
+    output row per SAMPLED frame only."""
+
+    def __init__(self, frame_bytes: int = 8, stride: int = 4, max_frames: int = 5):
+        self.fb, self.stride, self.mx = frame_bytes, stride, max_frames
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, idxs, digs = [], [], []
+        for d, p in zip(t.column("doc_id").to_pylist(), t.column("payload").to_pylist()):
+            n_frames = len(p) // self.fb
+            for k, fi in enumerate(range(0, n_frames, self.stride)):
+                if k >= self.mx:
+                    break
+                ids.append(d)
+                idxs.append(fi)
+                digs.append(hashlib.md5(p[fi * self.fb:(fi + 1) * self.fb]).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int64()),
+            "frame_md5": pa.array(digs, pa.string()),
+        })
+
+
+def frame_sample(sf_dir: str, batch_size: int = 256) -> ray.data.Dataset:
+    """Frame-sampling entry over the binary payload view."""
+    from lucene_solr_ray.io_utils import pool_size
+
+    return payload_dataset(sf_dir).map_batches(
+        FrameSampleStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(),
+    ).sort(["doc_id", "frame_idx"])

@@ -485,3 +485,42 @@ def test_ann_range_threshold_gap():
 
         assert _np.abs(arr - 0.30).min() >= 4e-4, sf
         assert (arr >= 0.30).sum() > 0, f"{sf}: threshold produces no matches"
+
+
+def test_bpe_train_merges_vs_naive_reference():
+    """The vocab-table merge loop == a naive reference that re-tokenizes
+    the raw corpus word list every round (the literal Sennrich algo)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.functions.textstats import bpe_train_merges
+
+    got = bpe_train_merges(SF, n_merges=8)
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).column("text").to_pylist()
+    words = []
+    for s in texts:
+        if s and s.strip():
+            words.extend(s.split())
+    seqs = [list(w) for w in words]
+    ref = []
+    for _ in range(8):
+        pairs = Counter()
+        for sym in seqs:
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += 1
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        ref.append(best)
+        joined = best[0] + best[1]
+        for sym in seqs:
+            i = 0
+            while i < len(sym) - 1:
+                if sym[i] == best[0] and sym[i + 1] == best[1]:
+                    sym[i:i + 2] = [joined]
+                else:
+                    i += 1
+    assert got == ref
+    assert len(got) == 8 and all(isinstance(a, str) and isinstance(b, str) for a, b in got)
