@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_fixed_k": rel.sample_fixed_k,
         # --- full-text core (SURVEY §2.3/§2.5/§2.6) ---
         "ft_payload_score": lambda sf: ft.payload_score_topk(sf, "merge", k=10),
+        "ft_payload_function": lambda sf: ft.payload_function_stats(sf, "merge"),
+        "ft_covering_query": lambda sf: ft.covering_query_docs(
+            sf, ("merge", "join", "vector"), pivot_chars=300),
         "drill_sideways": lambda sf: ft.drill_sideways(sf),
         "ft_term_docs": lambda sf: ft.boolean_retrieve(sf, [FT_TERM], mode="or"),
         "ft_and_docs": lambda sf: ft.boolean_retrieve(sf, FT_AND_TERMS, mode="and"),
@@ -393,6 +396,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(SUM((md5_number_upper(tok) % 5 + pos % 5) % 5 + 1) AS BIGINT) AS payload_sum "
             "FROM toks WHERE tok = 'merge' GROUP BY doc_id) "
             "ORDER BY rank LIMIT 10"
+        ),
+        "ft_payload_function": (
+            "WITH toks AS (SELECT doc_id, "
+            f"unnest({split}) AS tok, "
+            f"CAST(generate_subscripts({split}, 1) - 1 AS BIGINT) AS pos "
+            "FROM documents) "
+            "SELECT doc_id, CAST(MAX((md5_number_upper(tok) % 5 + pos % 5) % 5 + 1) AS BIGINT) AS max_payload, "
+            "CAST(SUM((md5_number_upper(tok) % 5 + pos % 5) % 5 + 1) * 1000 // COUNT(*) AS BIGINT) AS avg_payload_milli "
+            "FROM toks WHERE tok = 'merge' GROUP BY doc_id ORDER BY doc_id"
+        ),
+        # CoveringQuery: long docs (n_chars >= 300) need 2 of 3 terms
+        "ft_covering_query": (
+            "WITH m AS (SELECT doc_id, n_chars, "
+            f"CAST(list_contains({split}, 'merge') AS BIGINT) "
+            f"+ CAST(list_contains({split}, 'join') AS BIGINT) "
+            f"+ CAST(list_contains({split}, 'vector') AS BIGINT) AS n_match FROM documents) "
+            "SELECT doc_id FROM m WHERE n_match >= 1 + CAST(n_chars >= 300 AS BIGINT) "
+            "ORDER BY doc_id"
         ),
         # DrillSideways: lang counts exclude the lang drill (sideways),
         # source counts include all drills (down)

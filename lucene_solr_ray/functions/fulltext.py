@@ -1739,3 +1739,85 @@ def external_file_sort(sf_dir: str, k: int = 20) -> pa.Table:
         "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
         "eff_milli": pa.array(out["eff_milli"].to_numpy(), pa.int64()),
     })
+
+
+def payload_function_stats(sf_dir: str, term: str = "merge", mod: int = 5) -> pa.Table:
+    """PayloadScoreQuery with MaxPayloadFunction / AveragePayloadFunction
+    ([U] lucene/queries/.../payloads/{Max,Average}PayloadFunction.java):
+    per matching doc, the max payload over the term's positions and the
+    exact-integer average (sum * 1000 // count milli). Same annotated
+    view as payload_score_topk (token at position i carries
+    (md5_64(token) % mod + i % mod) % mod + 1); the engine round-trips
+    the annotation through delimited_payload_filter. One pruned pass."""
+    import hashlib as _hl
+
+    from lucene_solr_ray.analysis import delimited_payload_filter
+    from lucene_solr_ray.io_utils import pool_size, read_parquet_clean
+
+    base = int.from_bytes(_hl.md5(term.encode()).digest()[:8], "little") % mod
+
+    class Stage:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            texts = t.column("text").to_pylist()
+            out = {"doc_id": [], "max_payload": [], "avg_payload_milli": []}
+            for d, s in zip(ids, texts):
+                raw = (s or "").split()
+                annotated = [f"{w}|{(base + i % mod) % mod + 1}" if w == term else w
+                             for i, w in enumerate(raw)]
+                toks, payloads = delimited_payload_filter(annotated)
+                vals = [p for w, p in zip(toks, payloads) if w == term and p is not None]
+                if vals:
+                    out["doc_id"].append(int(d))
+                    out["max_payload"].append(max(vals))
+                    out["avg_payload_milli"].append(sum(vals) * 1000 // len(vals))
+            return pa.table({
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "max_payload": pa.array(out["max_payload"], pa.int64()),
+                "avg_payload_milli": pa.array(out["avg_payload_milli"], pa.int64()),
+            })
+
+    return pa.Table.from_pandas(
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(Stage, batch_format="pyarrow", concurrency=pool_size())
+        .sort("doc_id")
+        .to_pandas(),
+        preserve_index=False,
+    ).replace_schema_metadata(None)
+
+
+def covering_query_docs(sf_dir: str, terms=("merge", "join", "vector"),
+                        pivot_chars: int = 300) -> pa.Table:
+    """CoveringQuery ([U] lucene/queries/.../CoveringQuery.java): matches
+    when at least minimumNumberMatch(doc) of the clauses match, where the
+    minimum comes from a per-doc LongValuesSource — here
+    min_req = 1 + (n_chars >= pivot_chars), i.e. long docs must match 2
+    of the 3 terms, short docs any 1. Clause match sets come from the
+    index; the per-doc minimum is a pruned docvalues read over the
+    candidate union only."""
+    import pyarrow.compute as _pc
+    import pyarrow.dataset as _pads
+
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    sets = []
+    for t in list(terms):
+        chunks = list(s.iter_matches([t], mode="or"))
+        sets.append(np.concatenate(chunks) if chunks else np.empty(0, np.int64))
+    union = np.unique(np.concatenate(sets)) if sets else np.empty(0, np.int64)
+    if len(union) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    n_match = np.zeros(len(union), np.int64)
+    for d in sets:
+        n_match[np.isin(union, d)] += 1
+    docs = _pads.dataset(os.path.join(index_dir, "docs"), format="parquet").to_table(
+        columns=["docid", "n_chars"],
+        filter=_pc.field("docid").isin(pa.array(union)))
+    did = docs.column("docid").to_numpy()
+    nch = docs.column("n_chars").to_numpy().astype(np.int64)
+    order = np.argsort(did, kind="stable")
+    nch_u = nch[order][np.searchsorted(did[order], union)]
+    min_req = 1 + (nch_u >= pivot_chars).astype(np.int64)
+    keep = union[n_match >= min_req]
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[keep]), pa.int64())})
