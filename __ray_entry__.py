@@ -174,6 +174,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, FT_BM25_QUERIES, k=10, similarity="lmdirichlet"),
         "ft_dfi_topk": lambda sf: ft.bm25_topk(
             sf, FT_BM25_QUERIES, k=10, similarity="dfi_chi2"),
+        "ft_axiomatic_topk": lambda sf: ft.bm25_topk(
+            sf, FT_BM25_QUERIES, k=10, similarity="ax_f2exp"),
+        "ft_combined_field_topk": lambda sf: ft.combined_field_topk(
+            sf, ("merge", "src3"), k=10),
         "ft_unified_highlight": lambda sf: ft.unified_highlight_topk(
             sf, ["merge", "join", "vector"], k_docs=10),
         "ft_feature_boost_topk": lambda sf: ft.feature_boost_topk(
@@ -220,6 +224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_span_first_docs": lambda sf: ft.span_first_retrieve(sf, "merge", end=8),
         "ft_span_position_range": lambda sf: ft.span_position_range_retrieve(
             sf, "merge", start=3, end=9),
+        "ft_span_payload_check": lambda sf: ft.span_payload_check_docs(
+            sf, "merge", payload=3, mod=5),
         "ft_span_or_near": lambda sf: ft.span_or_near_retrieve(
             sf, [["merge", "join"], "vector"], slop=4, in_order=False),
         "ft_span_not_docs": lambda sf: ft.span_not_retrieve(
@@ -450,6 +456,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_topk": _ft_oracle().bm25_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_lmdirichlet_topk": _ft_oracle().lmdirichlet_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_dfi_topk": _ft_oracle().dfi_topk_sql(FT_BM25_QUERIES, k=10),
+        "ft_axiomatic_topk": _ft_oracle().axiomatic_topk_sql(FT_BM25_QUERIES, k=10),
+        "ft_combined_field_topk": _ft_oracle().combined_field_sql(("merge", "src3"), k=10),
         "ft_unified_highlight": _ft_oracle().unified_highlight_sql(
             ["merge", "join", "vector"], k_docs=10),
         "ft_feature_boost_topk": _ft_oracle().feature_boost_sql(
@@ -614,6 +622,14 @@ def oracle_sql() -> dict[str, str]:
             f"FROM (SELECT doc_id, {split} AS l FROM documents)) "
             "SELECT DISTINCT doc_id FROM toks WHERE term = 'merge' "
             "AND pos BETWEEN 3 AND 8 ORDER BY doc_id"
+        ),
+        # SpanPayloadCheck: payload of position i == (md5_64(tok)%5 + i%5)%5 + 1
+        "ft_span_payload_check": (
+            f"WITH toks AS (SELECT doc_id, unnest(l) AS term, "
+            f"CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos "
+            f"FROM (SELECT doc_id, {split} AS l FROM documents)) "
+            "SELECT DISTINCT doc_id FROM toks WHERE term = 'merge' "
+            "AND (md5_number_upper(term) % 5 + pos % 5) % 5 + 1 = 3 ORDER BY doc_id"
         ),
         "ft_span_first_docs": (
             f"SELECT doc_id FROM documents WHERE "

@@ -126,6 +126,70 @@ def bm25_topk_sql(queries: list[tuple[str, list[str], str]], k: int = 10) -> str
             + " ORDER BY query_id, rank")
 
 
+def axiomatic_topk_sql(queries: list[tuple[str, list[str], str]], k: int = 10) -> str:
+    """Oracle for fulltext.bm25_topk(similarity='ax_f2exp') — Lucene's
+    AxiomaticF2EXP (similarity.AxiomaticF2EXP; same float64 tree, s/k
+    constants imported so they can't drift):
+
+        w(t)     = float32( ((N+1)/df)^k )
+        denom(d) = s + (s*dl')/avgdl
+        s(t,d)   = float32( w64 * tf/(tf + denom) )
+
+    then the pinned float32 left-to-right fold and rank-only output."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+    from lucene_solr_ray.similarity import AxiomaticF2EXP
+
+    s_c, k_c = AxiomaticF2EXP.S, AxiomaticF2EXP.K
+    ctes = [prelude_ctes()]
+    # numpy op order pinned: S + (S*dl')/avgdl
+    ctes.append(
+        f"axdenom AS (SELECT d.doc_id, {s_c!r} + "
+        f"({s_c!r}*CAST((SELECT MAX(v) FROM reps WHERE v <= d.dl) AS DOUBLE))"
+        "/(stats.sum_dl/stats.n) AS dn FROM dltab d, stats)"
+    )
+    selects = []
+    for qi, (qid, raw_terms, mode) in enumerate(queries):
+        terms = analyze_query_terms(raw_terms)
+        tf_names, w_names = [], []
+        for ti, t in enumerate(terms):
+            tf_n, w_n = f"atf_q{qi}_{ti}", f"aw_q{qi}_{ti}"
+            ctes.append(tf_cte(tf_n, t))
+            ctes.append(
+                f"{w_n} AS (SELECT CAST(pow((stats.n + 1.0)/d.df, {k_c!r}) AS FLOAT) AS w "
+                f"FROM (SELECT CAST(COUNT(CASE WHEN tf > 0 THEN 1 END) AS DOUBLE) AS df "
+                f"FROM {tf_n}) d, stats)"
+            )
+            tf_names.append(tf_n)
+            w_names.append(w_n)
+        aliases = [f"t{ti}" for ti in range(len(terms))]
+        joins = f"{tf_names[0]} {aliases[0]}"
+        for tf_n, a in zip(tf_names[1:], aliases[1:]):
+            joins += f" JOIN {tf_n} {a} ON {aliases[0]}.doc_id = {a}.doc_id"
+        joins += f" JOIN axdenom ON axdenom.doc_id = {aliases[0]}.doc_id"
+        parts = []
+        for a, w_n in zip(aliases, w_names):
+            parts.append(
+                f"CASE WHEN {a}.tf > 0 THEN "
+                f"CAST(CAST((SELECT w FROM {w_n}) AS DOUBLE) * "
+                f"(CAST({a}.tf AS DOUBLE)/(CAST({a}.tf AS DOUBLE) + axdenom.dn)) AS FLOAT) "
+                "ELSE CAST(0.0 AS FLOAT) END"
+            )
+        fold = fold_f32(parts)
+        glue = " AND " if mode == "and" else " OR "
+        cond = glue.join(f"{a}.tf > 0" for a in aliases)
+        selects.append(
+            f"SELECT '{_esc(qid)}' AS query_id, rank, doc_id FROM ("
+            "SELECT doc_id, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+            f"FROM (SELECT {aliases[0]}.doc_id AS doc_id, {fold} AS score "
+            f"FROM {joins} WHERE {cond}) sub"
+            f") ranked WHERE rank < {int(k)}"
+        )
+    return ("WITH " + ", ".join(ctes) + " "
+            + " UNION ALL ".join(f"({s})" for s in selects)
+            + " ORDER BY query_id, rank")
+
+
 def lmdirichlet_topk_sql(queries: list[tuple[str, list[str], str]], k: int = 10) -> str:
     """Oracle for fulltext.bm25_topk(similarity='lmdirichlet') — the
     Lucene 8 LMDirichlet model (similarity.LMDirichlet, mu/p constants
@@ -817,4 +881,57 @@ def intervals_containing_sql(term_a: str, term_b: str, small: str,
         "SELECT DISTINCT m.doc_id AS doc_id FROM minimal m JOIN pc_ c ON c.doc_id = m.doc_id "
         f"WHERE m.hi - m.lo <= {int(max_width)} AND c.p BETWEEN m.lo AND m.hi "
         "ORDER BY m.doc_id"
+    )
+
+
+def combined_field_sql(terms, k: int = 10) -> str:
+    """Oracle for fulltext.combined_field_topk (BM25F over text+source,
+    [U] lucene/sandbox/.../search/CombinedFieldQuery.java) — same float
+    tree: ctf = tf_text + (source = t), cdl' = byte4(dl)+1,
+    avg = (sum_dl + N)/N, denom = k1*((1-b) + (b*cdl')/avg),
+    w = float32(ln(1 + (N - df_c + 0.5)/(df_c + 0.5))) with df_c the
+    UNION doc freq, float32 fold in ascending term order, rank-only."""
+    ctes = [prelude_ctes()]
+    ctes.append(
+        f"cfdenom AS (SELECT d.doc_id, {K1!r}*(({1.0 - B!r}) + "
+        f"({B!r}*(CAST((SELECT MAX(v) FROM reps WHERE v <= d.dl) AS DOUBLE) + 1.0))"
+        "/((stats.sum_dl + stats.n)/stats.n)) AS dn FROM dltab d, stats)"
+    )
+    tnames, wnames = [], []
+    for ti, t in enumerate(sorted(set(terms))):
+        tf_n, ctf_n, w_n = f"cft_{ti}", f"cctf_{ti}", f"cfw_{ti}"
+        ctes.append(tf_cte(tf_n, t))
+        ctes.append(
+            f"{ctf_n} AS (SELECT f.doc_id, f.tf + CAST(s.source = '{_esc(t)}' AS BIGINT) AS ctf "
+            f"FROM {tf_n} f JOIN documents s USING (doc_id))"
+        )
+        ctes.append(
+            f"{w_n} AS (SELECT CAST(ln(1.0 + ((stats.n - d.df) + 0.5)/(d.df + 0.5)) AS FLOAT) AS w "
+            f"FROM (SELECT CAST(COUNT(CASE WHEN ctf > 0 THEN 1 END) AS DOUBLE) AS df "
+            f"FROM {ctf_n}) d, stats)"
+        )
+        tnames.append(ctf_n)
+        wnames.append(w_n)
+    aliases = [f"c{ti}" for ti in range(len(tnames))]
+    joins = f"{tnames[0]} {aliases[0]}"
+    for tn, a in zip(tnames[1:], aliases[1:]):
+        joins += f" JOIN {tn} {a} ON {aliases[0]}.doc_id = {a}.doc_id"
+    joins += f" JOIN cfdenom ON cfdenom.doc_id = {aliases[0]}.doc_id"
+    parts = []
+    for a, w_n in zip(aliases, wnames):
+        parts.append(
+            f"CASE WHEN {a}.ctf > 0 THEN "
+            f"CAST(CAST((SELECT w FROM {w_n}) AS DOUBLE) * "
+            f"(CAST({a}.ctf AS DOUBLE)/(CAST({a}.ctf AS DOUBLE) + cfdenom.dn)) AS FLOAT) "
+            "ELSE CAST(0.0 AS FLOAT) END"
+        )
+    fold = fold_f32(parts)
+    cond = " OR ".join(f"{a}.ctf > 0" for a in aliases)
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT rank, doc_id FROM ("
+        "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+        f"FROM (SELECT {aliases[0]}.doc_id AS doc_id, {fold} AS score "
+        f"FROM {joins} WHERE {cond}) sub) ranked "
+        f"WHERE rank < {int(k)} ORDER BY rank"
     )

@@ -1821,3 +1821,98 @@ def covering_query_docs(sf_dir: str, terms=("merge", "join", "vector"),
     keep = union[n_match >= min_req]
     mapping = _docid_to_doc_id(index_dir)
     return pa.table({"doc_id": pa.array(np.sort(mapping[keep]), pa.int64())})
+
+
+def span_payload_check_docs(sf_dir: str, term: str = "merge",
+                            payload: int = 3, mod: int = 5) -> pa.Table:
+    """SpanPayloadCheckQuery ([U] lucene/queries/.../payloads/
+    SpanPayloadCheckQuery.java): docs where some occurrence of ``term``
+    carries exactly the required payload. Payloads come from the same
+    deterministic annotated view as payload_score_topk (token at raw
+    position i carries ``(md5_64(token) % mod + i % mod) % mod + 1``);
+    span positions are served from the INDEX postings (the stop filter
+    preserves position increments, so index positions == raw whitespace
+    positions on this corpus — proven by the ft_span_position_range
+    oracle)."""
+    import hashlib as _hl
+
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    base = int.from_bytes(_hl.md5(term.encode()).digest()[:8], "little") % mod
+    d = s.search_span_payload_check(
+        term, lambda pos: (base + pos % mod) % mod + 1, payload)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
+def combined_field_topk(sf_dir: str, terms=("merge", "src3"), k: int = 10) -> pa.Table:
+    """CombinedFieldQuery — BM25F over (text, source) as ONE field
+    ([U] lucene/sandbox/.../search/CombinedFieldQuery.java, field
+    weights 1): combined tf(t,d) = tf_text(t,d) + [source(d) = t],
+    combined dl'(d) = decoded text norm + 1 (the keyword source field
+    always contributes exactly one token), df(t) = |text matches ∪
+    source matches|, avg combined dl = (sum_dl + N)/N. BM25 float tree
+    pinned to similarity.py's order (w = float32(idf), denom float64 per
+    doc, per-term float32 narrowing, ascending-term float32 fold),
+    rank-only output. Text postings come from the index; source + norm
+    are ONE pruned two-column docvalues read (norms are dense per-doc
+    data in Lucene too)."""
+    import pyarrow.dataset as _pads
+
+    from lucene_solr_ray.codec.norms import DECODED_TABLE
+    from lucene_solr_ray.similarity import B, K1, idf as _idf
+
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    docs = _pads.dataset(os.path.join(index_dir, "docs"), format="parquet").to_table(
+        columns=["docid", "doc_id", "norm", "source"])
+    all_docids = docs.column("docid").to_numpy()
+    order = np.argsort(all_docids, kind="stable")
+    all_docids = all_docids[order]
+    ext_ids = docs.column("doc_id").to_numpy()[order]
+    norm_bytes = docs.column("norm").to_numpy()[order].astype(np.int64)
+    sources = np.asarray(docs.column("source").to_pylist(), dtype=object)[order]
+
+    n = int(s.n_scoring)
+    avg = (np.float64(s.sum_dl) + np.float64(n)) / np.float64(n)
+    cdl = DECODED_TABLE.astype(np.float64)[norm_bytes] + 1.0
+    denom = K1 * ((1.0 - B) + (B * cdl) / avg)
+
+    per_term = []
+    for t in sorted(set(terms)):  # distinct, ascending (the fold order)
+        df_t, _cf, cur = s.term_stats_and_cursor(t)
+        if df_t > 0:
+            docids_t, tfs_t, _ = cur.decode_all()
+        else:
+            docids_t = np.empty(0, np.int64)
+            tfs_t = np.empty(0, np.int64)
+        src_rows = np.nonzero(sources == t)[0]
+        ctf = np.zeros(len(all_docids), np.int64)
+        if len(docids_t):
+            ctf[np.searchsorted(all_docids, docids_t)] += tfs_t.astype(np.int64)
+        ctf[src_rows] += 1
+        df_c = int(np.count_nonzero(ctf))
+        if df_c == 0:
+            continue
+        w = np.float32(_idf(n, df_c))
+        per_term.append((w, ctf))
+    if not per_term:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64())})
+
+    acc = np.zeros(len(all_docids), np.float32)
+    any_match = np.zeros(len(all_docids), bool)
+    for w, ctf in per_term:
+        hit = ctf > 0
+        st = np.zeros(len(all_docids), np.float32)
+        c64 = ctf[hit].astype(np.float64)
+        st[hit] = (np.float64(w) * (c64 / (c64 + denom[hit]))).astype(np.float32)
+        acc = (acc.astype(np.float64) + st.astype(np.float64)).astype(np.float32)
+        any_match |= hit
+    cand = np.nonzero(any_match)[0]
+    sel = np.lexsort((ext_ids[cand], -acc[cand].astype(np.float64)))[:k]
+    rows = cand[sel]
+    return pa.table({
+        "rank": pa.array(np.arange(len(rows)), pa.int64()),
+        "doc_id": pa.array(ext_ids[rows], pa.int64()),
+    })

@@ -1338,6 +1338,25 @@ class IndexSearcher:
                 out.append(int(doc))
         return np.asarray(out, dtype=np.int64)
 
+    def search_span_payload_check(self, raw_clause, payload_fn, required: int) -> np.ndarray:
+        """SpanPayloadCheckQuery ([U] lucene/queries/.../payloads/
+        SpanPayloadCheckQuery.java): docs where some span of the clause
+        carries exactly the required payload. ``payload_fn`` maps an
+        ascending position array -> payload array (payloads in this
+        corpus are a deterministic function of term + position — the
+        delimited-payload annotated view); positions come from the INDEX
+        postings, never re-analysis. Per-candidate-doc vectorized check."""
+        views, clause_terms = self._span_clause_views([raw_clause])
+        if views is None:
+            return np.empty(0, dtype=np.int64)
+        v = views[clause_terms[0][0]]
+        out = []
+        for doc in self._live(v.docids):
+            pos = v.positions(int(doc))
+            if np.any(payload_fn(np.asarray(pos, dtype=np.int64)) == required):
+                out.append(int(doc))
+        return np.asarray(out, dtype=np.int64)
+
     def _span_near_pairs(self, term_a: str, term_b: str, slop: int):
         """All SpanNear(a, b, slop, unordered) span envelopes per doc:
         yields (doc, lo_array, hi_array) for docs holding at least one

@@ -391,6 +391,52 @@ class IBLogLogistic:
         return ub * (1.0 + 1e-6) + 1e-12
 
 
+class AxiomaticF2EXP:
+    """Lucene AxiomaticF2EXP ([U] lucene/core/.../search/similarities/
+    AxiomaticF2EXP.java + Axiomatic.java, s = 0.5, k = 0.35 defaults):
+
+        w(t)    = float32( ((N + 1)/df)^k )           (idf component)
+        denom   = s + s*dl'/avgdl                     (float64, per norm byte)
+        s(t,d)  = float32( w * tf/(tf + denom) )      (F2 tf-length norm)
+
+    Structurally identical to BM25 (increasing in tf, decreasing in dl),
+    so impacts (max_tf, min_norm) give exact WAND bounds. df-only weight
+    (no cf), so it rides the default plug-point path."""
+
+    name = "ax_f2exp"
+    S = 0.5
+    K = 0.35
+
+    @classmethod
+    def idf(cls, n_docs: int, df: int) -> float:
+        return ((n_docs + 1.0) / df) ** cls.K
+
+    @classmethod
+    def term_weight(cls, n_docs: int, df: int) -> np.float32:
+        return np.float32(cls.idf(n_docs, df))
+
+    @classmethod
+    def denom_cache(cls, avgdl: float) -> np.ndarray:
+        return cls.S + cls.S * DECODED_TABLE.astype(np.float64) / avgdl
+
+    @staticmethod
+    def score_term(w, tfs, norm_bytes, cache) -> np.ndarray:
+        tfs = np.asarray(tfs, dtype=np.float64)
+        return (np.float64(w) * (tfs / (tfs + cache[norm_bytes]))).astype(np.float32)
+
+    @staticmethod
+    def score_upper_bound(w, max_tf, min_norm, cache):
+        mt = np.float64(max_tf)
+        ub = np.float64(w) * (mt / (mt + cache[min_norm]))
+        return ub * (1.0 + 1e-6) + 1e-12
+
+    @staticmethod
+    def block_upper_bounds(w, max_tfs: np.ndarray, min_norms: np.ndarray, cache) -> np.ndarray:
+        mt = max_tfs.astype(np.float64)
+        ub = np.float64(w) * (mt / (mt + cache[min_norms]))
+        return ub * (1.0 + 1e-6) + 1e-12
+
+
 SIMILARITIES = {
     "bm25": BM25,
     "classic": ClassicTFIDF,
@@ -399,6 +445,7 @@ SIMILARITIES = {
     "dfr_inl2": DFRInL2,
     "dfi_chi2": DFIChiSquared,
     "ib_ll": IBLogLogistic,
+    "ax_f2exp": AxiomaticF2EXP,
     "boolean": BooleanSim,
 }
 

@@ -180,3 +180,34 @@ def test_feature_boost_matches_duckdb_and_reorders(con):
     _eq(got, con.sql(FO.feature_boost_sql(["merge", "join"], k=10)))
     plain = bm25_topk(SF, [("fb-1", ["merge", "join"], "or")], k=10).to_pandas()
     assert got.to_pandas()["doc_id"].tolist() != plain["doc_id"].tolist()
+
+
+def test_axiomatic_topk_matches_duckdb(con):
+    from lucene_solr_ray.functions import ft_oracle as FO
+    from lucene_solr_ray.functions.fulltext import bm25_topk
+
+    _eq(bm25_topk(SF, BM25_QUERIES, k=10, similarity="ax_f2exp"),
+        con.sql(FO.axiomatic_topk_sql(BM25_QUERIES, k=10)))
+
+
+def test_axiomatic_gap_bound():
+    """AxiomaticF2EXP's one non-IEEE-pinned op is pow() in the term
+    weight (libm vs DuckDB may differ in the last float64 ulp, relative
+    2^-52 — five orders below a float32 ulp). Measure: adjacent ranked
+    scores are exactly equal or separated by > 2 float32 ulps."""
+    from lucene_solr_ray.functions.fulltext import docs_index
+    from lucene_solr_ray.pipelines.search import IndexSearcher
+
+    s = IndexSearcher(docs_index(SF), similarity="ax_f2exp")
+    checked = 0
+    for _qid, terms, mode in BM25_QUERIES:
+        _d, sc = s.search(terms, k=s.n_docs, mode=mode)
+        sc = sc.astype(np.float32)
+        for a, b in zip(sc[:-1], sc[1:]):
+            if a == b:
+                continue
+            gap = float(a) - float(b)
+            ulp = float(np.spacing(a))
+            assert gap > 2 * ulp, (float(a), float(b), gap, ulp)
+            checked += 1
+    assert checked > 100
