@@ -190,6 +190,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_wildcard_docs": lambda sf: ft.multi_term_retrieve(sf, "wildcard", "s*m"),
         "ft_regexp_docs": lambda sf: ft.multi_term_retrieve(sf, "regexp", "(stream|spark)"),
         "ft_range_docs": lambda sf: ft.multi_term_retrieve(sf, "range", "key:part"),
+        "ft_leading_wildcard": lambda sf: ft.leading_wildcard_retrieve(sf, "*er"),
+        "ft_point_in_set": lambda sf: ft.point_in_set_docs(
+            sf, "n_chars", (54, 62, 78, 132)),
+        "ft_simple_query_docs": lambda sf: ft.simple_query_docs(
+            sf, '"merge join" | vector + -stream*'),
         "ft_more_like_this": lambda sf: ft.more_like_this_topk(sf, doc_id=0, k=10),
         "ft_phrase_docs": lambda sf: ft.phrase_retrieve(sf, ["merge", "join"]),
         "ft_multi_phrase_docs": lambda sf: ft.multi_phrase_retrieve(
@@ -238,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, "merge", "vector", 5, "join"),
         "ft_synonym_topk": lambda sf: ft.synonym_topk(sf, ["merge", "sort"], k=10),
         "ft_dismax_topk": lambda sf: ft.dismax_topk(sf, ["merge", "join", "window"], 0.3, k=10),
+        "ft_edismax_pf2": lambda sf: ft.edismax_pf2_topk(sf, ["merge", "join", "vector"], k=10),
         "ft_rerank_topk": lambda sf: ft.rerank_topk(
             sf, ["merge", "join"], ["vector"], weight=2.0, top_n=60, k=10),
         "ft_common_terms_topk": lambda sf: ft.common_terms_topk(
@@ -468,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
             "merge", "join", "sort", max_width=8),
         "ft_phrase_topk": _ft_oracle().phrase_topk_sql(["merge", "join"], k=10),
         "ft_dismax_topk": _ft_oracle().dismax_topk_sql(["merge", "join", "window"], 0.3, k=10),
+        "ft_edismax_pf2": _ft_oracle().edismax_pf2_sql(["merge", "join", "vector"], k=10),
         "ft_rerank_topk": _ft_oracle().rerank_topk_sql(
             ["merge", "join"], ["vector"], weight=2.0, top_n=60, k=10),
         "ft_common_terms_topk": _ft_oracle().common_terms_topk_sql(
@@ -730,6 +737,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_terms_qparser": (
             "SELECT doc_id FROM documents WHERE lang IN ('en', 'fr') ORDER BY doc_id"
+        ),
+        "ft_leading_wildcard": (
+            f"SELECT doc_id FROM documents WHERE len(list_filter({split}, "
+            f"x -> x LIKE '%er' AND NOT list_contains({_STOP_SQL}, x))) > 0 ORDER BY doc_id"
+        ),
+        "ft_point_in_set": (
+            "SELECT doc_id FROM documents WHERE n_chars IN (54, 62, 78, 132) "
+            "ORDER BY doc_id"
+        ),
+        # ('"merge join" | vector) AND NOT prefix(stream) — SQP left-assoc fold
+        "ft_simple_query_docs": (
+            "SELECT doc_id FROM documents WHERE "
+            f"(regexp_matches(text, '\\bmerge\\s+join\\b') OR list_contains({split}, 'vector')) "
+            f"AND len(list_filter({split}, x -> x LIKE 'stream%' "
+            f"AND NOT list_contains({_STOP_SQL}, x))) = 0 ORDER BY doc_id"
         ),
         # BlendedInfix: weight = cf // (1 + first match position)
         "ft_blended_infix": (

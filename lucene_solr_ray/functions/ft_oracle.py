@@ -935,3 +935,67 @@ def combined_field_sql(terms, k: int = 10) -> str:
         f"FROM {joins} WHERE {cond}) sub) ranked "
         f"WHERE rank < {int(k)} ORDER BY rank"
     )
+
+
+def edismax_pf2_sql(terms: list[str], k: int = 10) -> str:
+    """Oracle for fulltext.edismax_pf2_topk — main ascending-term BM25
+    float32 fold plus per-bigram phrase scores added in query order,
+    each addition one float32 narrowing; a non-matching bigram adds
+    float32 0.0 (exact identity, same as the engine skipping the doc).
+    Bigram tf = non-overlapping adjacent regexp count (== phrase_freq on
+    this corpus, proven by ft_phrase_docs/phrase_topk), bigram weight
+    = f32(idf(t1) + idf(t2)) in phrase order."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    ts = analyze_query_terms(terms)
+    ctes = [prelude_ctes()]
+    tf_of, w_of = {}, {}
+    for ti, t in enumerate(ts):
+        tf_n, w_n = f"tf_e{ti}", f"w_e{ti}"
+        ctes.append(tf_cte(tf_n, t))
+        ctes.append(w_cte(w_n, tf_n))
+        tf_of[t], w_of[t] = tf_n, w_n
+    aliases = {t: f"t{ti}" for ti, t in enumerate(ts)}
+    al = [aliases[t] for t in ts]
+    joins = f"{tf_of[ts[0]]} {al[0]}"
+    for t in ts[1:]:
+        joins += f" JOIN {tf_of[t]} {aliases[t]} ON {al[0]}.doc_id = {aliases[t]}.doc_id"
+    joins += f" JOIN denom ON denom.doc_id = {al[0]}.doc_id"
+    main_fold = fold_f32([score_expr(aliases[t], w_of[t]) for t in ts])
+    cond = " OR ".join(f"{a}.tf > 0" for a in al)
+
+    # per-bigram phrase tf + weight CTEs (bigrams over the RAW term
+    # order, the engine's pf2 construction)
+    bigram_exprs = []
+    for bi, (t1, t2) in enumerate(zip(terms[:-1], terms[1:])):
+        pat = f"\\b{_esc(t1)}\\s+{_esc(t2)}\\b"
+        ptf = f"ptf_e{bi}"
+        ctes.append(
+            f"{ptf} AS (SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            f"'{pat}')) AS BIGINT) AS tf FROM documents)"
+        )
+        idfs = []
+        for t in (t1, t2):
+            idfs.append(
+                f"(SELECT ln(1.0 + ((stats.n - d.df) + 0.5)/(d.df + 0.5)) "
+                f"FROM (SELECT CAST(COUNT(CASE WHEN tf > 0 THEN 1 END) AS DOUBLE) AS df "
+                f"FROM {tf_of[t]}) d, stats)"
+            )
+        wp = f"wp_e{bi}"
+        ctes.append(f"{wp} AS (SELECT CAST({' + '.join(idfs)} AS FLOAT) AS w)")
+        bigram_exprs.append(
+            f"CASE WHEN p{bi}.tf > 0 THEN "
+            f"CAST(CAST((SELECT w FROM {wp}) AS DOUBLE) * "
+            f"(CAST(p{bi}.tf AS DOUBLE)/(CAST(p{bi}.tf AS DOUBLE) + denom.dn)) AS FLOAT) "
+            "ELSE CAST(0.0 AS FLOAT) END"
+        )
+        joins += f" LEFT JOIN ptf_e{bi} p{bi} ON p{bi}.doc_id = {al[0]}.doc_id"
+    fold = fold_f32([main_fold] + bigram_exprs)
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT rank, doc_id FROM ("
+        "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+        f"FROM (SELECT {al[0]}.doc_id AS doc_id, {fold} AS score "
+        f"FROM {joins} WHERE {cond}) sub) ranked "
+        f"WHERE rank < {int(k)} ORDER BY rank"
+    )

@@ -1916,3 +1916,134 @@ def combined_field_topk(sf_dir: str, terms=("merge", "src3"), k: int = 10) -> pa
         "rank": pa.array(np.arange(len(rows)), pa.int64()),
         "doc_id": pa.array(ext_ids[rows], pa.int64()),
     })
+
+
+def leading_wildcard_retrieve(sf_dir: str, pattern: str = "*er") -> pa.Table:
+    """Leading-wildcard query served by the reversed term dict
+    (ReversedWildcardFilter, [U] solr/core/.../analysis/
+    ReversedWildcardFilter.java + SolrQueryParserBase's reversal
+    rewrite): ``*suffix`` becomes a PREFIX scan over reversed terms
+    instead of a full-vocabulary wildcard walk, then the expansion runs
+    as a boolean disjunction -> sorted doc_id set."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    terms = s.leading_wildcard_terms(pattern)
+    if not terms:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    d, _ = s.search(terms, k=max(1, s.n_docs), mode="or")
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
+def point_in_set_docs(sf_dir: str, field: str = "n_chars",
+                      values: tuple = (54, 62, 78, 132)) -> pa.Table:
+    """PointInSetQuery ([U] lucene/core/.../search/PointInSetQuery.java):
+    exact-set membership on a numeric point field. The BKD tree's role
+    is played by parquet predicate pushdown — only row groups whose
+    [min, max] statistics intersect the value set are read, and only
+    the docid column of survivors materializes."""
+    import pyarrow.compute as pc
+
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    expr = pc.field(field).isin(pa.array(list(values), pa.int64()))
+    tbl = pads.dataset(os.path.join(index_dir, "docs"), format="parquet").to_table(
+        columns=["docid"], filter=expr)
+    d = s._live(np.sort(tbl.column("docid").to_numpy().astype(np.int64)))
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
+def edismax_pf2_topk(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
+    """ExtendedDisMax pf2 ([U] solr/core/.../search/ExtendedDismaxQParser.java):
+    main BM25 OR query over the terms plus an ADDITIVE phrase boost for
+    every adjacent query-term bigram (pf2, ps=0) — the edismax feature
+    that rewards documents keeping query words together. Single-field
+    reduction (qf=text): the per-term DisMax degenerates to the term
+    score, so the score tree is
+
+        final = f32( ... f32( f32(f64(main) + f64(bigram_1)) ... + f64(bigram_m) )
+
+    with ``main`` the pinned ascending-term float32 BM25 fold and each
+    bigram scored exactly like PhraseQuery (tf = adjacency count,
+    w = f32(idf(t1) + idf(t2))); non-matching bigrams add float32 0.0
+    (the identity). Rank-only output; oracle: ft_oracle.edismax_pf2_sql."""
+    from lucene_solr_ray.oracle import topk_order
+
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d_main, sc_main = s.search(terms, k=max(1, s.n_docs), mode="or")
+    if len(d_main) == 0:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64())})
+    o = np.argsort(d_main)
+    d = d_main[o]
+    acc = sc_main[o].astype(np.float32)
+    for t1, t2 in zip(terms[:-1], terms[1:]):  # pf2 bigrams, query order
+        pd_, psc = s.search_phrase([t1, t2], k=max(1, s.n_docs))
+        if len(pd_) == 0:
+            continue
+        po = np.argsort(pd_)
+        pd_, psc = pd_[po], psc[po]
+        idx = np.searchsorted(d, pd_)
+        if not np.all(d[idx] == pd_):  # phrase matches ⊆ main OR set
+            raise AssertionError("pf2 bigram matched outside the main query")
+        acc[idx] = (acc[idx].astype(np.float64)
+                    + psc.astype(np.float64)).astype(np.float32)
+    top = topk_order(d, acc, k)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({
+        "rank": pa.array(np.arange(len(top)), pa.int64()),
+        "doc_id": pa.array(mapping[d[top]], pa.int64()),
+    })
+
+
+def simple_query_docs(sf_dir: str, query: str) -> pa.Table:
+    """SimpleQueryParser retrieval ([U] lucene/queryparser/.../simple/
+    SimpleQueryParser.java): parse the +/|/-/"phrase"/prefix*/~fuzzy
+    grammar (queryparser.parse_simple) and evaluate it as docid-set
+    algebra over the index — terms/prefix/fuzzy from posting lists and
+    the sorted term dicts, phrases from positional postings, NOT as a
+    complement against the live-doc set. Unscored constant-score
+    surface -> sorted doc_id set (the boolean oracle shape)."""
+    from lucene_solr_ray.queryparser import parse_simple
+
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    all_live = s._live(np.arange(s.n_docs, dtype=np.int64))
+
+    def union_terms(ts: list[str]) -> np.ndarray:
+        parts = []
+        for t in ts:
+            _, _, cur = s.term_stats_and_cursor(t)
+            if cur is not None:
+                parts.append(cur.decode_all()[0])
+        if not parts:
+            return np.empty(0, np.int64)
+        return s._live(np.unique(np.concatenate(parts)))
+
+    def ev(node) -> np.ndarray:
+        kind = node[0]
+        if kind == "term":
+            return union_terms([node[1]])
+        if kind == "prefix":
+            return union_terms(s.expand_terms("prefix", node[1]))
+        if kind == "fuzzy":
+            base, dist = node[1]
+            return union_terms(s.expand_terms("fuzzy", f"{base}~{dist}"))
+        if kind == "phrase":
+            words, slop = node[1]
+            d, _ = s.search_phrase(words, k=max(1, s.n_docs), slop=slop)
+            return np.sort(d)
+        if kind == "not":
+            return np.setdiff1d(all_live, ev(node[1]), assume_unique=True)
+        if kind == "and":
+            return np.intersect1d(ev(node[1]), ev(node[2]), assume_unique=True)
+        if kind == "or":
+            return np.union1d(ev(node[1]), ev(node[2]))
+        raise ValueError(f"simple query: unknown node {kind!r}")
+
+    ast = parse_simple(query)
+    d = ev(ast) if ast is not None else np.empty(0, np.int64)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})

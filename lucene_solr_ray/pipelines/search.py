@@ -1559,6 +1559,44 @@ class IndexSearcher:
         terms = self.expand_terms(kind, pattern, max_terms)
         return self.search(terms, k=k, mode="or")
 
+    def _reversed_dict(self):
+        """Reversed term dictionary (ReversedWildcardFilter analogue,
+        [U] solr/core/.../analysis/ReversedWildcardFilter.java): Solr
+        indexes each token reversed so a leading wildcard becomes a
+        prefix scan. Here the reversal is a lazily-built, vocab-sized
+        sorted array pair (reversed term -> original term) — same
+        asymptotics as the indexed variant (one extra vocab-sized
+        structure, prefix-pruned scans) without doubling the postings."""
+        cache = getattr(self, "_rev_dict", None)
+        if cache is None:
+            allt: set[str] = set()
+            for part in range(self.num_partitions):
+                for seg in self._by_partition.get(part, ()):
+                    r = self._reader(part, seg["name"])
+                    allt.update(str(t) for t in r.terms)
+            orig = np.array(sorted(allt), dtype=object)
+            rev = np.array([t[::-1] for t in orig], dtype=object)
+            o = np.argsort(rev)
+            cache = self._rev_dict = (rev[o], orig[o])
+        return cache
+
+    def leading_wildcard_terms(self, pattern: str, max_terms: int = 1024) -> list[str]:
+        """Expand a leading-wildcard pattern ``*suffix`` (suffix literal)
+        against the reversed dict: reversed(suffix) is a PREFIX there, so
+        the scan touches only the matching range instead of the whole
+        vocabulary. ``last_rev_scanned`` records the pruned range width
+        (tests assert it is far below the vocab size)."""
+        if not (pattern.startswith("*") and "*" not in pattern[1:]
+                and "?" not in pattern):
+            raise ValueError("leading_wildcard_terms handles '*suffix' only")
+        suffix = pattern[1:]
+        rev, orig = self._reversed_dict()
+        rq = suffix[::-1]
+        lo = int(np.searchsorted(rev, rq, side="left"))
+        hi = int(np.searchsorted(rev, rq + "￿", side="left"))
+        self.last_rev_scanned = hi - lo
+        return sorted(orig[lo:hi].tolist())[:max_terms]
+
     # ---------------- suggesters / spellcheck (SURVEY §2.6) ----------------
 
     def suggest_spelling(self, term: str, max_suggestions: int = 5, max_edits: int = 2):

@@ -275,3 +275,115 @@ def parse_surround(query: str):
     if p.i != len(p.toks):
         raise ValueError(f"surround: trailing tokens {p.toks[p.i:]}")
     return node
+
+
+# ---------------- SimpleQueryParser (§2.11) ----------------
+
+_SQP_TOKEN = re.compile(
+    r"""
+    (?P<phrase>"[^"]*"(~(?P<slop>\d+))?)
+  | (?P<lp>\()
+  | (?P<rp>\))
+  | (?P<or>\|)
+  | (?P<and>\+)
+  | (?P<not>-)
+  | (?P<word>[^\s()|+\-"]+)
+    """,
+    re.VERBOSE,
+)
+
+
+def _sqp_tokens(q: str):
+    out = []
+    for m in _SQP_TOKEN.finditer(q):
+        kind = m.lastgroup if m.lastgroup in ("lp", "rp", "or", "and", "not") else None
+        if m.group("phrase") is not None:
+            body = m.group("phrase")
+            slop = int(m.group("slop") or 0)
+            words = body.split('"')[1].split()
+            out.append(("phrase", (words, slop)))
+        elif kind:
+            out.append((kind, m.group()))
+        else:
+            w = m.group("word")
+            if w.endswith("*") and "*" not in w[:-1]:
+                out.append(("prefix", w[:-1]))
+            elif "~" in w:
+                base, _, d = w.rpartition("~")
+                try:
+                    out.append(("fuzzy", (base, int(d) if d else 2)))
+                except ValueError:
+                    out.append(("term", w))  # lenient: bad ~N is literal
+            else:
+                out.append(("term", w))
+    return out
+
+
+class _SqpParser:
+    """SimpleQueryParser ([U] lucene/queryparser/.../simple/
+    SimpleQueryParser.java): operators +(AND) |(OR) -(NOT) "phrase"
+    trailing-* prefix ~N fuzzy/slop, parentheses. No precedence between
+    + and | — clauses fold LEFT-ASSOCIATIVELY in input order, exactly
+    the reference's single-pass state machine; default operator is OR.
+    Lenient: stray operators and unbalanced parens degrade to literals
+    or are dropped rather than raising (the parser's design goal)."""
+
+    def __init__(self, q: str):
+        self.toks = _sqp_tokens(q)
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else ("eof", None)
+
+    def take(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expr(self, depth: int = 0):
+        node = None
+        op = "or"
+        while True:
+            kind, _ = self.peek()
+            if kind == "eof":
+                return node
+            if kind == "rp":
+                if depth:
+                    return node
+                self.take()  # lenient: stray top-level ')' is dropped
+                continue
+            if kind == "or":
+                self.take()
+                op = "or"
+                continue
+            if kind == "and":
+                self.take()
+                op = "and"
+                continue
+            clause = self.clause()
+            if clause is None:
+                continue  # lenient: skip an unusable token
+            node = clause if node is None else (op, node, clause)
+            op = "or"  # operators bind ONE juncture; default resumes
+
+    def clause(self):
+        kind, val = self.take()
+        if kind == "not":
+            inner = self.clause()
+            return None if inner is None else ("not", inner)
+        if kind == "lp":
+            inner = self.expr(depth=1)
+            if self.peek()[0] == "rp":
+                self.take()
+            return inner
+        if kind in ("term", "prefix", "phrase", "fuzzy"):
+            return (kind, val)
+        return None  # stray ')' or operator: lenient drop
+
+
+def parse_simple(query: str):
+    """Parse a SimpleQueryParser string into the AST evaluated by
+    ``fulltext.simple_query_docs``: ('term', w) | ('prefix', p) |
+    ('phrase', (words, slop)) | ('fuzzy', (w, d)) | ('not', n) |
+    ('and'|'or', left, right)."""
+    return _SqpParser(query).expr()

@@ -211,3 +211,14 @@ def test_axiomatic_gap_bound():
             assert gap > 2 * ulp, (float(a), float(b), gap, ulp)
             checked += 1
     assert checked > 100
+
+
+def test_edismax_pf2_matches_duckdb_and_boosts(con):
+    from lucene_solr_ray.functions import ft_oracle as FO
+    from lucene_solr_ray.functions.fulltext import bm25_topk, edismax_pf2_topk
+
+    got = edismax_pf2_topk(SF, ["merge", "join", "vector"], k=10)
+    _eq(got, con.sql(FO.edismax_pf2_sql(["merge", "join", "vector"], k=10)))
+    # the pf2 boost must actually reorder vs the plain OR query
+    plain = bm25_topk(SF, [("e-1", ["merge", "join", "vector"], "or")], k=10).to_pandas()
+    assert got.to_pandas()["doc_id"].tolist() != plain["doc_id"].tolist()

@@ -152,3 +152,53 @@ def test_surround_eval_set_algebra(ray_session, tmp_path):
     alts = s.expand_terms("prefix", "s")
     ref = np.sort(s.search_span_near([alts, "join"], slop=1, in_order=False))
     assert gw.tolist() == ref.tolist()
+
+
+def test_simple_query_parser_ast_and_leniency():
+    from lucene_solr_ray.queryparser import parse_simple
+
+    assert parse_simple('"merge join" | vector + -stream*') == (
+        "and",
+        ("or", ("phrase", (["merge", "join"], 0)), ("term", "vector")),
+        ("not", ("prefix", "stream")),
+    )
+    # left-assoc, no precedence between + and |
+    assert parse_simple("a | b + c") == ("and", ("or", ("term", "a"), ("term", "b")), ("term", "c"))
+    # lenient: bad fuzzy distance is a literal; stray parens don't raise
+    assert parse_simple("bad~x") == ("term", "bad~x")
+    assert parse_simple(") a (") == ("term", "a")
+    assert parse_simple('"merge join"~2') == ("phrase", (["merge", "join"], 2))
+    assert parse_simple("merg~1") == ("fuzzy", ("merg", 1))
+
+
+def test_simple_query_docs_matches_set_algebra():
+    from lucene_solr_ray.functions import fulltext as ft
+    from lucene_solr_ray.pipelines.search import IndexSearcher
+
+    sf = "/root/testdata/sf0.001"
+    s = IndexSearcher(ft.docs_index(sf))
+    got = ft.simple_query_docs(sf, '"merge join" | vector + -stream*')
+    ph = np.sort(s.search_phrase(["merge", "join"], k=s.n_docs)[0])
+    v = np.sort(np.concatenate(list(s.iter_matches(["vector"], mode="or"))))
+    st = np.sort(np.concatenate(list(s.iter_matches(s.expand_terms("prefix", "stream"), mode="or"))))
+    mapping = ft._docid_to_doc_id(ft.docs_index(sf))
+    want = np.sort(mapping[np.setdiff1d(np.union1d(ph, v), st)])
+    assert got.column("doc_id").to_numpy().tolist() == want.tolist()
+
+
+def test_leading_wildcard_scans_pruned_range():
+    """ReversedWildcardFilter point: the reversed-dict scan touches only
+    the suffix range, not the whole vocabulary."""
+    from lucene_solr_ray.functions import fulltext as ft
+    from lucene_solr_ray.pipelines.search import IndexSearcher
+
+    sf = "/root/testdata/sf0.001"
+    s = IndexSearcher(ft.docs_index(sf))
+    terms = s.leading_wildcard_terms("*er")
+    rev, _ = s._reversed_dict()
+    assert terms == sorted(terms)
+    assert all(t.endswith("er") for t in terms)
+    assert len(terms) >= 2
+    assert s.last_rev_scanned == len(terms) < len(rev)
+    # parity with the brute wildcard walk
+    assert terms == s.expand_terms("wildcard", "*er", max_terms=10_000)
