@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprint": ts.rolling_fingerprint,
         "stemmed_term_counts": ts.stemmed_term_counts,
         "phonetic_term_groups": ts.phonetic_term_groups,
+        "refined_phonetic_groups": lambda sf: ts.phonetic_term_groups(
+            sf, k=50, encoder="refined"),
         "lang_dispatch_token_counts": ts.lang_dispatch_token_counts,
         "charfilter_token_counts": ts.charfilter_token_counts,
         "synonym_graph_counts": ts.synonym_graph_counts,
@@ -184,6 +186,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, ["merge", "join"], k=10),
         "ft_boost_query_topk": lambda sf: ft.boost_query_topk(
             sf, ["merge", "join"], k=10),
+        "ft_intervals_maxgaps": lambda sf: ft.intervals_maxgaps_retrieve(
+            sf, "merge", "join", "sort", max_gaps=4),
+        "ft_fuzzy_like_this": lambda sf: ft.fuzzy_like_this_topk(
+            sf, ("merg", "vectr"), max_edits=1, max_num_terms=6, k=10),
+        "ft_minhash_query": lambda sf: ft.minhash_query_docs(
+            sf, "merge join vector sort stream window group filter",
+            sig_size=16, min_shared=3),
         "ft_intervals_containing": lambda sf: ft.intervals_containing_retrieve(
             sf, "merge", "join", "sort", max_width=8),
         "ft_prefix_docs": lambda sf: ft.multi_term_retrieve(sf, "prefix", "s"),
@@ -470,6 +479,8 @@ def oracle_sql() -> dict[str, str]:
             ["merge", "join"], k=10),
         "ft_boost_query_topk": _ft_oracle().boost_query_sql(
             ["merge", "join"], k=10),
+        "ft_fuzzy_like_this": _ft_oracle().fuzzy_like_this_sql(
+            ("merg", "vectr"), max_edits=1, max_num_terms=6, k=10),
         "ft_intervals_containing": _ft_oracle().intervals_containing_sql(
             "merge", "join", "sort", max_width=8),
         "ft_phrase_topk": _ft_oracle().phrase_topk_sql(["merge", "join"], k=10),
@@ -641,6 +652,32 @@ def oracle_sql() -> dict[str, str]:
         "ft_span_first_docs": (
             f"SELECT doc_id FROM documents WHERE "
             f"list_position({split}, 'merge') BETWEEN 1 AND 8 ORDER BY doc_id"
+        ),
+        # maxgaps(4, ordered(merge, join, sort)): exists a < b < c, c-a-2 <= 4
+        "ft_intervals_maxgaps": (
+            f"WITH toks AS (SELECT doc_id, unnest(l) AS term, "
+            f"CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos "
+            f"FROM (SELECT doc_id, {split} AS l FROM documents)) "
+            "SELECT DISTINCT a.doc_id FROM toks a "
+            "JOIN toks b ON a.doc_id = b.doc_id AND b.term = 'join' AND b.pos > a.pos "
+            "JOIN toks c ON a.doc_id = c.doc_id AND c.term = 'sort' AND c.pos > b.pos "
+            "WHERE a.term = 'merge' AND c.pos - a.pos - 2 <= 4 ORDER BY a.doc_id"
+        ),
+        # Lucene MinHash = bottom-k sketch of per-token hashes; overlap count
+        "ft_minhash_query": (
+            f"WITH toks AS (SELECT doc_id, unnest(list_filter({split}, "
+            f"x -> x != '' AND NOT list_contains({_STOP_SQL}, x))) AS tok FROM documents), "
+            "th AS (SELECT DISTINCT doc_id, md5_number_upper(tok) AS h FROM toks), "
+            "sig AS (SELECT doc_id, h FROM (SELECT doc_id, h, "
+            "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM th) WHERE rn <= 16), "
+            "qt AS (SELECT DISTINCT md5_number_upper(x) AS h FROM unnest("
+            "list_filter(regexp_split_to_array("
+            "'merge join vector sort stream window group filter', '\\s+'), "
+            f"x -> x != '' AND NOT list_contains({_STOP_SQL}, x))) AS u(x)), "
+            "qsig AS (SELECT h FROM qt ORDER BY h LIMIT 16) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared "
+            "FROM sig JOIN qsig USING (h) GROUP BY doc_id "
+            "HAVING COUNT(*) >= 3 ORDER BY doc_id"
         ),
         # surround query 3W(s*, join) OR (4N(vector, stream) NOT big):
         # W -> ordered slop n-1, N -> unordered slop n-1 (DistanceQuery
@@ -1419,6 +1456,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_fingerprint": _data_oracle().rolling_fingerprint_sql(),
         "stemmed_term_counts": _data_oracle().stemmed_term_counts_sql(),
         "phonetic_term_groups": _data_oracle().phonetic_term_groups_sql(k=50),
+        "refined_phonetic_groups": _data_oracle().refined_phonetic_groups_sql(k=50),
         "decontaminate_ngram": _data_oracle().decontaminate_sql(),
         # bloom prefilter + exact audit == the exact pass by construction
         "decontaminate_bloom": _data_oracle().decontaminate_sql(),

@@ -644,6 +644,28 @@ def phonetic_tokenize(text: str) -> list[str]:
     return [soundex(t) for t in tokenize(text)]
 
 
+# commons-codec RefinedSoundex US_ENGLISH mapping, one code per a..z
+_REFINED_MAP = "01360240043788015936020505"
+_REFINED_CODE = {chr(ord("a") + i): c for i, c in enumerate(_REFINED_MAP)}
+
+
+def refined_soundex(word: str) -> str:
+    """Refined Soundex ([U] solr's PhoneticFilterFactory with the
+    commons-codec RefinedSoundex encoder): finer 10-class consonant
+    table, vowels code to '0' and are KEPT (unlike classic Soundex's
+    silent vowels), only CONSECUTIVE equal codes collapse, no h/w
+    transparency, no length cap. Result = first letter verbatim + the
+    collapsed code of every char including the first. Non-ASCII-alpha
+    chars code to '0' (the vowel class), matching the SQL oracle's
+    ELSE arm. Hand-derived vectors from the mapping table
+    (merge->M80940, testing->T6036084) pin it in tests."""
+    if not word:
+        return ""
+    codes = [_REFINED_CODE.get(ch, "0") for ch in word]
+    collapsed = [c for i, c in enumerate(codes) if i == 0 or c != codes[i - 1]]
+    return word[0].upper() + "".join(collapsed)
+
+
 # ---------------- analyzer registry (SURVEY §2.11 Analyzer SPI) ----------------
 
 def whitespace_tokenize(text: str) -> list[str]:

@@ -161,6 +161,34 @@ def phonetic_term_groups_sql(k: int = 50) -> str:
     )
 
 
+def refined_phonetic_groups_sql(k: int = 50) -> str:
+    """Oracle for textstats.phonetic_term_groups(encoder='refined'):
+    commons-codec RefinedSoundex written directly in SQL — 10-class
+    per-char codes (vowels KEPT as '0'), only consecutive equal codes
+    collapse, no h/w transparency, no length cap; first letter verbatim
+    + every collapsed code. Independent formulation (list ops) of the
+    same published mapping table the engine uses."""
+    # a..z -> 01360240043788015936020505 (commons-codec US_ENGLISH)
+    cases = " ".join(
+        f"WHEN c = '{chr(ord('a') + i)}' THEN '{code}'"
+        for i, code in enumerate("01360240043788015936020505")
+    )
+    return (
+        "WITH toks AS (SELECT unnest(list_filter("
+        "regexp_split_to_array(text, '\\s+'), "
+        f"x -> x != '' AND NOT list_contains({_STOP_SQL}, x))) AS term FROM documents), "
+        "tf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS tf_sum FROM toks GROUP BY term), "
+        "cs AS (SELECT term, tf_sum, list_transform(regexp_split_to_array(term, ''), "
+        f"c -> CASE {cases} ELSE '0' END) AS codes FROM tf), "
+        "s2 AS (SELECT term, tf_sum, "
+        "list_filter(codes, (c, i) -> i = 1 OR c <> codes[i-1]) AS collapsed FROM cs), "
+        "s3 AS (SELECT tf_sum, upper(term[1]) || array_to_string(collapsed, '') AS code FROM s2) "
+        "SELECT code, CAST(COUNT(*) AS BIGINT) AS n_terms, "
+        "CAST(SUM(tf_sum) AS BIGINT) AS total_tf "
+        f"FROM s3 GROUP BY code ORDER BY total_tf DESC, code LIMIT {int(k)}"
+    )
+
+
 def stemmed_term_counts_sql() -> str:
     """Oracle for textstats.stemmed_term_counts.  The term->stem VALUES
     map is generated from the engine's porter_stem over the union of the

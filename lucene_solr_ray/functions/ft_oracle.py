@@ -999,3 +999,37 @@ def edismax_pf2_sql(terms: list[str], k: int = 10) -> str:
         f"FROM {joins} WHERE {cond}) sub) ranked "
         f"WHERE rank < {int(k)} ORDER BY rank"
     )
+
+
+def fuzzy_like_this_sql(words, max_edits: int = 1, max_num_terms: int = 6,
+                        k: int = 10) -> str:
+    """Oracle for fulltext.fuzzy_like_this_topk — variant selection via
+    DuckDB levenshtein over the stop-filtered vocabulary (dist = LEAST
+    over the query words, ranked dist asc / df desc / term asc, LIMIT
+    max_num_terms), then the MLT-shaped data-dependent BM25 fold:
+    per-term float32 scores list_reduce-folded in ascending term order
+    (one float32 narrowing per addition, the engine's pinned order)."""
+    dist = "LEAST(" + ", ".join(
+        f"levenshtein(term, '{_esc(w)}')" for w in words) + ")"
+    return (
+        "WITH " + prelude_ctes() + ", "
+        "alldf AS (SELECT x AS term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df "
+        "FROM (SELECT doc_id, unnest(tk) AS x FROM toks) GROUP BY x), "
+        f"sel AS (SELECT term FROM (SELECT term, df, {dist} AS dist FROM alldf) "
+        f"WHERE dist <= {int(max_edits)} "
+        f"ORDER BY dist, df DESC, term LIMIT {int(max_num_terms)}), "
+        "selw AS (SELECT a.term, CAST(ln(1.0 + ((stats.n - a.df) + 0.5)/(a.df + 0.5)) AS FLOAT) AS w "
+        "FROM alldf a JOIN sel USING (term), stats), "
+        "seltf AS (SELECT t.doc_id, s.term, len(list_filter(t.tk, x -> x = s.term)) AS tf "
+        "FROM toks t, sel s), "
+        "scores AS (SELECT st.doc_id, st.term, "
+        "CAST(CAST(w.w AS DOUBLE) * (CAST(st.tf AS DOUBLE)/(CAST(st.tf AS DOUBLE) + denom.dn)) AS FLOAT) AS s "
+        "FROM seltf st JOIN selw w ON st.term = w.term "
+        "JOIN denom ON denom.doc_id = st.doc_id WHERE st.tf > 0), "
+        "folded AS (SELECT doc_id, list_reduce(list(s ORDER BY term), "
+        "(a, b) -> CAST(CAST(a AS DOUBLE) + CAST(b AS DOUBLE) AS FLOAT)) AS score "
+        "FROM scores GROUP BY doc_id) "
+        "SELECT rank, doc_id FROM ("
+        "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+        f"FROM folded) WHERE rank < {int(k)} ORDER BY rank"
+    )

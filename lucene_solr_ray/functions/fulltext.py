@@ -2047,3 +2047,95 @@ def simple_query_docs(sf_dir: str, query: str) -> pa.Table:
     d = ev(ast) if ast is not None else np.empty(0, np.int64)
     mapping = _docid_to_doc_id(index_dir)
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
+def fuzzy_like_this_topk(sf_dir: str, words=("merg", "vectr"),
+                         max_edits: int = 1, max_num_terms: int = 6,
+                         k: int = 10) -> pa.Table:
+    """FuzzyLikeThisQuery ([U] lucene/sandbox/.../queries/
+    FuzzyLikeThisQuery.java): fuzzy-expand each query word over the term
+    dicts, keep the best ``max_num_terms`` variants ACROSS all words
+    (the reference's shared ScoreTerm queue; selection pinned
+    deterministic as (edit distance asc, df desc, term asc) — the
+    DirectSpellChecker order), then score the surviving variants as one
+    BM25 OR query. Rank-only output; oracle: ft_oracle.fuzzy_like_this_sql
+    replicates selection via DuckDB levenshtein over the vocabulary and
+    the ascending-term float32 fold via list_reduce."""
+    from lucene_solr_ray.pipelines.search import _levenshtein_leq
+
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    cand: dict[str, tuple[int, int]] = {}  # variant -> (dist, df)
+    for w in words:
+        for v in s.expand_terms("fuzzy", f"{w}~{max_edits}", max_terms=100_000):
+            dist = next(d for d in range(max_edits + 1) if _levenshtein_leq(w, v, d))
+            if v not in cand or dist < cand[v][0]:
+                df, _, _ = s.term_stats_and_cursor(v)
+                cand[v] = (dist, df)
+    sel = sorted(cand.items(), key=lambda x: (x[1][0], -x[1][1], x[0]))[:max_num_terms]
+    terms = [t for t, _ in sel]
+    if not terms:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64())})
+    d, _sc = s.search(terms, k=k, mode="or")
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({
+        "rank": pa.array(np.arange(len(d)), pa.int64()),
+        "doc_id": pa.array(mapping[d], pa.int64()),
+    })
+
+
+def intervals_maxgaps_retrieve(sf_dir: str, term_a: str = "merge",
+                               term_b: str = "join", term_c: str = "sort",
+                               max_gaps: int = 4) -> pa.Table:
+    """IntervalQuery maxgaps(g, ordered(a, b, c)) -> sorted doc_id set
+    (SQL oracle: exists positions a < b < c with c - a - 2 <= g)."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d = s.search_intervals_maxgaps(term_a, term_b, term_c, max_gaps)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
+def minhash_query_docs(sf_dir: str, query_text: str, sig_size: int = 32,
+                       min_shared: int = 4) -> ray.data.Dataset:
+    """MinHashQParser ([U] solr/core/.../search/MinHashQParserPlugin.java
+    over lucene/analysis/minhash/MinHashFilter.java): Lucene's MinHash
+    is a BOTTOM-K sketch — one hash function per token, keep the k
+    smallest distinct hash values per field. The query text's sketch
+    becomes a set-membership disjunction with a minimum-should-match;
+    here: docs whose bottom-k token-hash sketch shares >= min_shared
+    values with the query sketch, returned with the overlap count (the
+    constant-score-per-band analogue). Token hash = md5/8-byte LE (the
+    murmur3 stand-in used across this repo; SQL: md5_number_upper).
+    Scale shape: the query sketch broadcasts into a stateless
+    map_batches; per-doc sketches are computed inside the batch from a
+    vocab-sized hash map — no shuffle at all."""
+    from lucene_solr_ray.analysis import tokenize
+    from lucene_solr_ray.io_utils import read_parquet_clean
+
+    def _hash(tok: str) -> int:
+        return int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+
+    q_sig = frozenset(sorted({_hash(t) for t in tokenize(query_text)})[:sig_size])
+
+    def fn(t: pa.Table) -> pa.Table:
+        doc_ids = t.column("doc_id").to_numpy()
+        texts = [tokenize(s or "") for s in t.column("text").to_pylist()]
+        # hash each DISTINCT token once per batch (vocab-sized work)
+        hmap = {tok: _hash(tok) for toks in texts for tok in set(toks)}
+        out_ids, out_n = [], []
+        for i, toks in enumerate(texts):
+            sketch = sorted({hmap[x] for x in toks})[:sig_size]
+            n = len(q_sig.intersection(sketch))
+            if n >= min_shared:
+                out_ids.append(int(doc_ids[i]))
+                out_n.append(n)
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         "n_shared": pa.array(out_n, pa.int64())})
+
+    return (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort("doc_id")
+    )

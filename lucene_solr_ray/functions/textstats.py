@@ -225,17 +225,21 @@ def stemmed_term_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def phonetic_term_groups(sf_dir: str, k: int = 50) -> ray.data.Dataset:
-    """PhoneticFilter (Soundex) vocabulary grouping ([U] lucene/analysis/
-    phonetic/.../PhoneticFilter.java with the Soundex encoder): each
-    Soundex code's distinct-term count and total term frequency, top-k by
-    total_tf (ties -> code asc). Scale shape: per-batch Counter partials
-    (vocab-bounded rows, never corpus-sized token rows) -> groupby-term
-    Sum -> vocab-sized soundex map -> groupby-code combine; both shuffles
-    move vocabulary-sized data only."""
+def phonetic_term_groups(sf_dir: str, k: int = 50,
+                         encoder: str = "soundex") -> ray.data.Dataset:
+    """PhoneticFilter vocabulary grouping ([U] lucene/analysis/
+    phonetic/.../PhoneticFilter.java with the commons-codec Soundex or
+    RefinedSoundex encoder): each phonetic code's distinct-term count
+    and total term frequency, top-k by total_tf (ties -> code asc).
+    Scale shape: per-batch Counter partials (vocab-bounded rows, never
+    corpus-sized token rows) -> groupby-term Sum -> vocab-sized code
+    map -> groupby-code combine; both shuffles move vocabulary-sized
+    data only."""
     from ray.data.aggregate import Count, Sum
 
-    from lucene_solr_ray.analysis import soundex, tokenize
+    from lucene_solr_ray.analysis import refined_soundex, soundex, tokenize
+
+    enc = {"soundex": soundex, "refined": refined_soundex}[encoder]
 
     def term_partials(t: pa.Table) -> pa.Table:
         from collections import Counter
@@ -248,7 +252,7 @@ def phonetic_term_groups(sf_dir: str, k: int = 50) -> ray.data.Dataset:
 
     def to_codes(t: pa.Table) -> pa.Table:
         return pa.table({
-            "code": pa.array([soundex(x) for x in t.column("term").to_pylist()],
+            "code": pa.array([enc(x) for x in t.column("term").to_pylist()],
                              pa.string()),
             "tf_sum": t.column("tf_sum"),
         })

@@ -1272,6 +1272,39 @@ class IndexSearcher:
                         break
         return np.asarray(out, dtype=np.int64)
 
+    def search_intervals_maxgaps(self, term_a: str, term_b: str, term_c: str,
+                                 max_gaps: int) -> np.ndarray:
+        """IntervalQuery `maxgaps(g, ordered(a, b, c))`
+        ([U] lucene/queries/.../intervals/Intervals.java): unscored
+        ascending-docid set of docs holding an ORDERED occurrence
+        a < b < c whose total gap count (width - 3) is <= max_gaps.
+        A minimal ordered interval around each b-position (largest a
+        before it, smallest c after it) minimizes the width, so checking
+        those intervals is exact. Vectorized per candidate doc:
+        searchsorted of b's positions into a's and c's lists."""
+        views, clause_terms = self._span_clause_views([term_a, term_b, term_c])
+        if views is None:
+            return np.empty(0, dtype=np.int64)
+        cand = None
+        for terms in clause_terms:
+            docs = views[terms[0]].docids
+            cand = docs if cand is None else np.intersect1d(cand, docs, assume_unique=True)
+            if len(cand) == 0:
+                return cand.astype(np.int64)
+        cand = self._live(cand)
+        out = []
+        for doc in cand:
+            p_a = views[term_a].positions(int(doc))
+            p_b = views[term_b].positions(int(doc))
+            p_c = views[term_c].positions(int(doc))
+            ia = np.searchsorted(p_a, p_b, side="left") - 1  # largest a < b
+            ic = np.searchsorted(p_c, p_b, side="right")     # smallest c > b
+            ok = (ia >= 0) & (ic < len(p_c))
+            if np.any(ok) and np.any(
+                    p_c[ic[ok]] - p_a[ia[ok]] - 2 <= max_gaps):
+                out.append(int(doc))
+        return np.asarray(out, dtype=np.int64)
+
     def search_span_not(self, include, exclude, pre: int = 0,
                         post: int = 0) -> np.ndarray:
         """SpanNotQuery ([U] .../spans/SpanNotQuery.java), single-term

@@ -227,3 +227,16 @@ def test_edge_ngram_length_trim_filters():
     assert edge_ngram_filter(["sort", "x"], 1, 2) == ["s", "so", "x"]
     assert length_filter(["a", "ab", "abc", "abcd"], 2, 3) == ["ab", "abc"]
     assert trim_filter(["  a b  ", "c", " "]) == ["a b", "c", ""]
+
+
+def test_refined_soundex_vectors():
+    """Hand-derived from the commons-codec US_ENGLISH mapping table
+    '01360240043788015936020505' (a..z): vowels keep '0', consecutive
+    equal codes collapse, first letter verbatim + every code."""
+    from lucene_solr_ray.analysis import refined_soundex
+
+    assert refined_soundex("merge") == "M80940"      # m8 e0 r9 g4 e0
+    assert refined_soundex("testing") == "T6036084"  # t6 e0 s3 t6 i0 n8 g4
+    assert refined_soundex("scan") == "S308"         # s3 c3(collapse) a0 n8
+    assert refined_soundex("bb") == "B1"             # consecutive collapse
+    assert refined_soundex("") == ""

@@ -202,3 +202,33 @@ def test_leading_wildcard_scans_pruned_range():
     assert s.last_rev_scanned == len(terms) < len(rev)
     # parity with the brute wildcard walk
     assert terms == s.expand_terms("wildcard", "*er", max_terms=10_000)
+
+
+def test_intervals_maxgaps_vs_bruteforce():
+    from lucene_solr_ray.functions import fulltext as ft
+    from lucene_solr_ray.pipelines.search import IndexSearcher
+    from lucene_solr_ray.analysis import tokenize_with_positions
+    import pyarrow.dataset as pads
+
+    sf = "/root/testdata/sf0.001"
+    s = IndexSearcher(ft.docs_index(sf))
+    got = set(s.search_intervals_maxgaps("merge", "join", "sort", 4).tolist())
+    # brute force over raw positions (index positions == whitespace
+    # positions on this corpus)
+    tab = pads.dataset(f"{sf}/documents.parquet", format="parquet").to_table(
+        columns=["doc_id", "text"])
+    want = set()
+    for did, text in zip(tab.column("doc_id").to_pylist(), tab.column("text").to_pylist()):
+        pos = {}
+        for tok, p in tokenize_with_positions(text or ""):
+            pos.setdefault(tok, []).append(p)
+        ok = any(
+            a < b < c and c - a - 2 <= 4
+            for a in pos.get("merge", ())
+            for b in pos.get("join", ())
+            for c in pos.get("sort", ()))
+        if ok:
+            want.add(did)
+    mapping = ft._docid_to_doc_id(ft.docs_index(sf))
+    assert {int(mapping[d]) for d in got} == want
+    assert len(want) > 0
