@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phonetic_term_groups": ts.phonetic_term_groups,
         "refined_phonetic_groups": lambda sf: ts.phonetic_term_groups(
             sf, k=50, encoder="refined"),
+        "fingerprint_dedup_groups": lambda sf: ts.fingerprint_dedup_groups(sf, k=20),
+        "limit_token_counts": lambda sf: ts.limit_token_counts(sf, limit=10, k=20),
+        "path_hierarchy_counts": ts.path_hierarchy_counts,
         "lang_dispatch_token_counts": ts.lang_dispatch_token_counts,
         "charfilter_token_counts": ts.charfilter_token_counts,
         "synonym_graph_counts": ts.synonym_graph_counts,
@@ -297,6 +300,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_expr_complement": streamexpr.stream_expr_complement,
         "stream_expr_facet": streamexpr.stream_expr_facet,
         "stream_expr_stats": streamexpr.stream_expr_stats,
+        "stream_expr_describe": streamexpr.stream_expr_describe,
+        "stream_expr_hist": streamexpr.stream_expr_hist,
+        "stream_expr_regress": streamexpr.stream_expr_regress,
         "stream_expr_fetch": streamexpr.stream_expr_fetch,
         "stream_expr_merge": streamexpr.stream_expr_merge,
         # --- TopicStream / Replicator (SURVEY §2.8 / §2.1) ---
@@ -338,6 +344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scale_map_function": expr.scale_map_function,
         # --- LTR / classification (SURVEY §2.6/§2.7 aux) ---
         "ltr_linear_rescore": ltr.ltr_linear_rescore,
+        "ltr_feature_log": lambda sf: ltr.feature_log(sf, ["merge", "sort"], 20),
         "ltr_trees_rescore": ltr.ltr_trees_rescore,
         "ltr_bm25_rescore": ltr.bm25_rescore,
         "knn_classify": classify.knn_classify,
@@ -496,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_query_elevation": _ft_oracle().elevation_topk_sql(
             ["merge", "join"], elevated=[17, 4], excluded=[2], k=10),
         "ltr_bm25_rescore": _ft_oracle().ltr_bm25_rescore_sql(["merge", "sort"], 100, 20),
+        "ltr_feature_log": _ft_oracle().feature_log_sql(["merge", "sort"], 20),
         "ft_prefix_docs": (
             f"SELECT doc_id FROM documents WHERE len(list_filter({split}, "
             f"x -> x LIKE 's%' AND NOT list_contains({_STOP_SQL}, x))) > 0 ORDER BY doc_id"
@@ -959,6 +967,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, "
             "CAST(MAX(n_chars) AS BIGINT) AS max_n_chars FROM documents "
             f"WHERE list_contains({split}, 'merge') OR list_contains({split}, 'join')"
+        ),
+        # math streams: exact-integer sums; the one float op (sqrt) is a
+        # single pinned IEEE float64 tree shared with the engine
+        "stream_expr_describe": (
+            "WITH m AS (SELECT n_chars FROM documents "
+            f"WHERE list_contains({split}, 'merge')), "
+            "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(MIN(n_chars) AS BIGINT) AS min_v, CAST(MAX(n_chars) AS BIGINT) AS max_v, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sv, "
+            "CAST(SUM(n_chars*n_chars) AS BIGINT) AS sxx FROM m) "
+            "SELECT n, min_v, max_v, sv AS sum_v, (sv*1000000)//n AS mean_micro, "
+            "CAST(FLOOR(1000000*sqrt(CAST(n*sxx - sv*sv AS DOUBLE)/CAST(n*(n-1) AS DOUBLE)) + 0.5) AS BIGINT) "
+            "AS stddev_micro FROM s"
+        ),
+        "stream_expr_hist": (
+            "WITH s AS (SELECT MIN(n_chars) AS glo, MAX(n_chars) AS ghi FROM documents), "
+            "b AS (SELECT (n_chars - s.glo)*8 // (s.ghi - s.glo + 1) AS bin, n_chars "
+            "FROM documents, s) "
+            "SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(MIN(n_chars) AS BIGINT) AS lo, CAST(MAX(n_chars) AS BIGINT) AS hi "
+            "FROM b GROUP BY bin ORDER BY bin"
+        ),
+        "stream_expr_regress": (
+            "WITH s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+            "CAST(SUM(doc_id) AS HUGEINT) AS sx, CAST(SUM(n_chars) AS HUGEINT) AS sy, "
+            "CAST(SUM(doc_id*doc_id) AS HUGEINT) AS sxx, "
+            "CAST(SUM(doc_id*n_chars) AS HUGEINT) AS sxy FROM documents), "
+            "d AS (SELECT n, sx, sy, n*sxy - sx*sy AS num, n*sxx - sx*sx AS den FROM s) "
+            "SELECT CAST(n AS BIGINT) AS n, CAST((num*1000000)//den AS BIGINT) AS slope_micro, "
+            "CAST(((sy*den - num*sx)*1000000)//(den*n) AS BIGINT) AS intercept_micro FROM d"
         ),
         "stream_expr_fetch": (
             "SELECT doc_id, n_chars, lang, source FROM ("
@@ -1457,6 +1495,25 @@ def oracle_sql() -> dict[str, str]:
         "stemmed_term_counts": _data_oracle().stemmed_term_counts_sql(),
         "phonetic_term_groups": _data_oracle().phonetic_term_groups_sql(k=50),
         "refined_phonetic_groups": _data_oracle().refined_phonetic_groups_sql(k=50),
+        "fingerprint_dedup_groups": (
+            "WITH fps AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+            f"list_filter({split}, x -> x != '' AND NOT list_contains({_STOP_SQL}, x)))), ' ')) AS fp "
+            "FROM documents) "
+            "SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS first_doc "
+            "FROM fps GROUP BY fp ORDER BY n_docs DESC, fp LIMIT 20"
+        ),
+        "limit_token_counts": (
+            f"WITH toks AS (SELECT unnest(list_filter({split}, "
+            f"x -> x != '' AND NOT list_contains({_STOP_SQL}, x))[1:10]) AS term FROM documents) "
+            "SELECT term, CAST(COUNT(*) AS BIGINT) AS tf_sum FROM toks "
+            "GROUP BY term ORDER BY tf_sum DESC, term LIMIT 20"
+        ),
+        "path_hierarchy_counts": (
+            "SELECT path, CAST(COUNT(*) AS BIGINT) AS n_docs FROM ("
+            "SELECT lang AS path FROM documents "
+            "UNION ALL SELECT lang || '/' || source FROM documents) "
+            "GROUP BY path ORDER BY path"
+        ),
         "decontaminate_ngram": _data_oracle().decontaminate_sql(),
         # bloom prefilter + exact audit == the exact pass by construction
         "decontaminate_bloom": _data_oracle().decontaminate_sql(),

@@ -766,3 +766,21 @@ def get_analyzer(name: str):
         return ANALYZERS[name]
     except KeyError:
         raise ValueError(f"unknown analyzer {name!r}; known: {sorted(ANALYZERS)}")
+
+
+def fingerprint_filter(tokens: list[str], separator: str = " ") -> str:
+    """FingerprintFilter ([U] lucene/analysis/common/.../miscellaneous/
+    FingerprintFilter.java, Solr's FingerprintFilterFactory): collapse
+    the whole token stream into ONE normalized token — the sorted
+    distinct tokens joined by the separator. Equal fingerprints mean
+    equal token SETS, the clustering/dedup key OpenRefine popularized."""
+    return separator.join(sorted(set(tokens)))
+
+
+def path_hierarchy_tokenize(path: str, delimiter: str = "/") -> list[str]:
+    """PathHierarchyTokenizer ([U] lucene/analysis/common/.../path/
+    PathHierarchyTokenizer.java): emit every ancestor prefix of a
+    delimited path — 'a/b/c' -> ['a', 'a/b', 'a/b/c'] — so a filter on
+    any ancestor matches all descendants."""
+    parts = [p for p in path.split(delimiter) if p != ""]
+    return [delimiter.join(parts[: i + 1]) for i in range(len(parts))]

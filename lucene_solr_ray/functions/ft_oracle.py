@@ -1033,3 +1033,40 @@ def fuzzy_like_this_sql(words, max_edits: int = 1, max_num_terms: int = 6,
         "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
         f"FROM folded) WHERE rank < {int(k)} ORDER BY rank"
     )
+
+
+def feature_log_sql(terms: list[str], n_candidates: int = 20) -> str:
+    """Oracle for ltr.feature_log: BM25 OR top-N firstpass (rank order)
+    joined to the integer feature columns — whitespace tf of terms[0],
+    whitespace token count, stored n_chars, lang=='en'."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    ts = analyze_query_terms(terms)
+    ctes = [prelude_ctes()]
+    aliases, folds = [], []
+    for ti, t in enumerate(ts):
+        tf_n, w_n, a = f"tf_g{ti}", f"w_g{ti}", f"g{ti}"
+        ctes.append(tf_cte(tf_n, t))
+        ctes.append(w_cte(w_n, tf_n))
+        aliases.append((tf_n, a))
+        folds.append(score_expr(a, w_n))
+    joins = f"{aliases[0][0]} {aliases[0][1]}"
+    for tf_n, a in aliases[1:]:
+        joins += f" JOIN {tf_n} {a} ON {aliases[0][1]}.doc_id = {a}.doc_id"
+    joins += f" JOIN denom ON denom.doc_id = {aliases[0][1]}.doc_id"
+    cond = " OR ".join(f"{a}.tf > 0" for _, a in aliases)
+    fold = fold_f32(folds)
+    term0 = _esc(terms[0])
+    return (
+        "WITH " + ", ".join(ctes) + ", "
+        "firstpass AS (SELECT doc_id, rank FROM ("
+        "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+        f"FROM (SELECT {aliases[0][1]}.doc_id AS doc_id, {fold} AS score "
+        f"FROM {joins} WHERE {cond}) s0) s1 WHERE rank < {int(n_candidates)}) "
+        "SELECT f.rank, f.doc_id, "
+        f"CAST(len(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x = '{term0}')) AS BIGINT) AS tf_term, "
+        "CAST(len(regexp_split_to_array(d.text, '\\s+')) AS BIGINT) AS n_tokens, "
+        "CAST(d.n_chars AS BIGINT) AS n_chars, "
+        "CAST(d.lang = 'en' AS BIGINT) AS is_en "
+        "FROM firstpass f JOIN documents d USING (doc_id) ORDER BY f.rank"
+    )

@@ -214,3 +214,41 @@ def bm25_rescore(sf_dir: str, terms: list[str] | None = None,
             "ltr_score": pa.array(blend[rank], pa.int64()),
         }
     )
+
+
+def feature_log(sf_dir: str, terms: list[str] | None = None,
+                n_candidates: int = 20) -> pa.Table:
+    """LTR feature logging ([U] solr/contrib/ltr/.../response/transform/
+    LTRFeatureLoggerTransformerFactory.java, fl=[features]): the BM25
+    top-N candidates with their extracted integer feature vector — the
+    training-data export surface of the LTR contrib (what you feed the
+    offline learner). Feature extraction is the same vectorized
+    _feature_batch the scorers use; rank-only ordering (rank, doc_id,
+    features); SQL oracle: ft_oracle.feature_log_sql."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from lucene_solr_ray.functions.fulltext import _docid_to_doc_id, docs_index
+    from lucene_solr_ray.pipelines.search import IndexSearcher
+
+    terms = list(terms) if terms else ["merge", "sort"]
+    index_dir = docs_index(sf_dir)
+    se = IndexSearcher(index_dir)
+    docids, _scores = se.search(terms, k=n_candidates, mode="or")
+    doc_ids = _docid_to_doc_id(index_dir)[docids]
+    cand = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+        columns=["doc_id", "text", "lang", "n_chars"],
+        filter=pc.field("doc_id").isin(doc_ids.tolist()),
+    )
+    feats = _feature_batch(cand, terms[0])
+    order = {int(d): i for i, d in enumerate(cand.column("doc_id").to_pylist())}
+    idx = np.array([order[int(d)] for d in doc_ids], dtype=np.int64)
+    return pa.table({
+        "rank": pa.array(np.arange(len(doc_ids)), pa.int64()),
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "tf_term": pa.array(feats["tf_term"][idx], pa.int64()),
+        "n_tokens": pa.array(feats["n_tokens"][idx], pa.int64()),
+        "n_chars": pa.array(feats["n_chars"][idx], pa.int64()),
+        "is_en": pa.array(feats["is_en"][idx], pa.int64()),
+    })

@@ -480,6 +480,112 @@ def _build_merge(node: Node, ctx: dict) -> ray.data.Dataset:
     return a.union(b).sort(cols, descending=desc)
 
 
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — DuckDB's BIGINT //
+    semantics, so engine and oracle agree on negative numerators."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _int_sums(ds: ray.data.Dataset, cols: list[str]) -> dict:
+    """One aggregate pass -> exact int64 partial sums/extrema the math
+    streams below derive everything from (driver work is O(1))."""
+    ds = ds.map_batches(
+        lambda t: t.append_column("__one", pa.array(np.ones(t.num_rows, dtype=np.int64))),
+        batch_format="pyarrow")
+    aggs = [Sum("__one", alias_name="n")]
+    for c in cols:
+        aggs += [Sum(c, alias_name=f"s_{c}"), Min(c, alias_name=f"min_{c}"),
+                 Max(c, alias_name=f"max_{c}")]
+    return ds.aggregate(*aggs)
+
+
+def _build_describe(node: Node, ctx: dict) -> ray.data.Dataset:
+    """describe(stream, col="f") ([U] solr/solrj/.../io/eval/
+    DescribeEvaluator.java over col()): one-row summary of a numeric
+    column — N, min, max, sum exact ints; mean/stddev as micro-ints from
+    exact integer sums (mean = s*1e6 // n; sample variance numerator
+    n*sxx - s^2 exact, one pinned float64 sqrt+division shared with the
+    SQL oracle). Map-side partials only; nothing corpus-sized moves."""
+    col = node.kwargs["col"]
+    ds = _build(node.args[0], ctx)
+
+    def sq(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy().astype(np.int64)
+        return pa.table({col: x, "__sq": x * x})
+
+    row = _int_sums(ds.map_batches(sq, batch_format="pyarrow"), [col, "__sq"])
+    n, s, sxx = int(row["n"]), int(row[f"s_{col}"]), int(row["s___sq"])
+    var_num = n * sxx - s * s  # exact
+    stddev_micro = int(np.floor(1e6 * np.sqrt(np.float64(var_num) / np.float64(n * (n - 1))) + 0.5))
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "min_v": pa.array([int(row[f"min_{col}"])], pa.int64()),
+        "max_v": pa.array([int(row[f"max_{col}"])], pa.int64()),
+        "sum_v": pa.array([s], pa.int64()),
+        "mean_micro": pa.array([(s * 10**6) // n], pa.int64()),
+        "stddev_micro": pa.array([stddev_micro], pa.int64()),
+    }))
+
+
+def _build_hist(node: Node, ctx: dict) -> ray.data.Dataset:
+    """hist(stream, col="f", bins=N) ([U] solr/solrj/.../io/eval/
+    HistogramEvaluator.java): equal-width bins over [min, max] —
+    bin(x) = (x - min) * bins // (max - min + 1), exact integer
+    arithmetic end to end. Two passes: an O(1) min/max aggregate
+    broadcast into a map-side per-bin partial count, then a bins-sized
+    combine. Output: (bin, n, lo, hi) with lo/hi the observed extrema
+    inside the bin."""
+    from ray.data.aggregate import Count
+
+    col = node.kwargs["col"]
+    bins = int(node.kwargs.get("bins", 8))
+    ds = _build(node.args[0], ctx)
+    row = _int_sums(ds, [col])
+    lo_v, hi_v = int(row[f"min_{col}"]), int(row[f"max_{col}"])
+    span = hi_v - lo_v + 1
+
+    def binify(t: pa.Table) -> pa.Table:
+        x = t.column(col).to_numpy().astype(np.int64)
+        return pa.table({"bin": (x - lo_v) * bins // span, col: x})
+
+    return (
+        ds.map_batches(binify, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Count(alias_name="n"), Min(col, alias_name="lo"),
+                   Max(col, alias_name="hi"))
+        .sort("bin")
+    )
+
+
+def _build_regress(node: Node, ctx: dict) -> ray.data.Dataset:
+    """regress(stream, x="a", y="b") ([U] solr/solrj/.../io/eval/
+    RegressionEvaluator.java, OLS): slope/intercept from EXACT integer
+    sums — num = n*sxy - sx*sy, den = n*sxx - sx^2, slope_micro =
+    trunc(num*1e6 / den) in arbitrary-precision ints (DuckDB HUGEINT on
+    the oracle side), intercept_micro = trunc((sy*den - num*sx)*1e6 /
+    (den*n)). No floats anywhere; one map-side partial pass."""
+    xc, yc = node.kwargs["x"], node.kwargs["y"]
+    ds = _build(node.args[0], ctx)
+
+    def prods(t: pa.Table) -> pa.Table:
+        x = t.column(xc).to_numpy().astype(np.int64)
+        y = t.column(yc).to_numpy().astype(np.int64)
+        return pa.table({xc: x, yc: y, "__xx": x * x, "__xy": x * y})
+
+    row = _int_sums(ds.map_batches(prods, batch_format="pyarrow"),
+                    [xc, yc, "__xx", "__xy"])
+    n = int(row["n"])
+    sx, sy = int(row[f"s_{xc}"]), int(row[f"s_{yc}"])
+    sxx, sxy = int(row["s___xx"]), int(row["s___xy"])
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "slope_micro": pa.array([_tdiv(num * 10**6, den)], pa.int64()),
+        "intercept_micro": pa.array([_tdiv((sy * den - num * sx) * 10**6, den * n)], pa.int64()),
+    }))
+
+
 STREAM_FUNCTIONS = {
     "search": _build_search,
     "select": _build_select,
@@ -497,6 +603,9 @@ STREAM_FUNCTIONS = {
     "stats": _build_stats,
     "fetch": _build_fetch,
     "merge": _build_merge,
+    "describe": _build_describe,
+    "hist": _build_hist,
+    "regress": _build_regress,
 }
 
 
@@ -595,4 +704,25 @@ def stream_expr_complement(sf_dir: str) -> ray.data.Dataset:
         sf_dir,
         'sort(complement(search(documents, q="merge", fl="doc_id"), '
         'search(documents, q="vector", fl="doc_id"), on="doc_id"), by="doc_id asc")',
+    )
+
+
+def stream_expr_describe(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(
+        sf_dir,
+        'describe(search(documents, q="merge", fl="doc_id,n_chars"), col="n_chars")',
+    )
+
+
+def stream_expr_hist(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(
+        sf_dir,
+        'hist(search(documents, q="*:*", fl="doc_id,n_chars"), col="n_chars", bins=8)',
+    )
+
+
+def stream_expr_regress(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(
+        sf_dir,
+        'regress(search(documents, q="*:*", fl="doc_id,n_chars"), x="doc_id", y="n_chars")',
     )

@@ -587,3 +587,93 @@ def bpe_train_merges(sf_dir: str, n_merges: int = 10) -> list[tuple[str, str]]:
             new_vocab[key] = new_vocab.get(key, 0) + n
         vocab = new_vocab
     return merges
+
+
+def fingerprint_dedup_groups(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """FingerprintFilter grouping ([U] lucene/analysis/common/.../
+    miscellaneous/FingerprintFilter.java as Solr wires it for near-dup
+    signatures): one fingerprint token per doc (sorted distinct analyzed
+    tokens joined), grouped to (fingerprint hash, n_docs, first doc_id).
+    The shuffle key is the md5 hex of the fingerprint, not the
+    fingerprint string itself (bounded key bytes at any doc length);
+    top-k by (n_docs desc, fp asc)."""
+    import hashlib as _hl
+
+    from ray.data.aggregate import Count, Min
+
+    from lucene_solr_ray.analysis import fingerprint_filter, tokenize
+
+    def fp(t: pa.Table) -> pa.Table:
+        fps = [
+            _hl.md5(fingerprint_filter(tokenize(s or "")).encode()).hexdigest()
+            for s in t.column("text").to_pylist()
+        ]
+        return pa.table({"fp": pa.array(fps, pa.string()),
+                         "doc_id": t.column("doc_id")})
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(fp, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(Count(alias_name="n_docs"), Min("doc_id", alias_name="first_doc"))
+        .sort(["n_docs", "fp"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def limit_token_counts(sf_dir: str, limit: int = 10, k: int = 20) -> ray.data.Dataset:
+    """LimitTokenCountFilter ([U] lucene/analysis/common/.../
+    miscellaneous/LimitTokenCountFilter.java): only the first ``limit``
+    tokens of each doc (post-stop chain order) reach the index — the
+    truncation knob for huge docs. Output: top-k (term, tf) histogram
+    over the truncated stream, (tf desc, term asc)."""
+    from ray.data.aggregate import Sum
+
+    from lucene_solr_ray.analysis import tokenize
+
+    def term_partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for s in t.column("text").to_pylist():
+            c.update(tokenize(s or "")[:limit])
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "tf": pa.array(list(c.values()), pa.int64())})
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(term_partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="tf_sum"))
+        .sort(["tf_sum", "term"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def path_hierarchy_counts(sf_dir: str) -> ray.data.Dataset:
+    """PathHierarchyTokenizer ([U] lucene/analysis/common/.../path/
+    PathHierarchyTokenizer.java) over the synthetic 'lang/source' path of
+    every doc: each ancestor prefix is a token ('en', 'en/src3'), so
+    the per-token doc counts give the drill-down tree Solr uses it for.
+    Vocab-sized partials only."""
+    from ray.data.aggregate import Sum
+
+    from lucene_solr_ray.analysis import path_hierarchy_tokenize
+    from lucene_solr_ray.io_utils import read_parquet_clean
+
+    def partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for lang, src in zip(t.column("lang").to_pylist(), t.column("source").to_pylist()):
+            c.update(path_hierarchy_tokenize(f"{lang}/{src}"))
+        return pa.table({"path": pa.array(list(c.keys()), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    return (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .sort("path")
+    )
