@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "refined_phonetic_groups": lambda sf: ts.phonetic_term_groups(
             sf, k=50, encoder="refined"),
         "fingerprint_dedup_groups": lambda sf: ts.fingerprint_dedup_groups(sf, k=20),
+        "stemmer_override_counts": lambda sf: ts.stemmer_override_counts(sf),
         "limit_token_counts": lambda sf: ts.limit_token_counts(sf, limit=10, k=20),
         "path_hierarchy_counts": ts.path_hierarchy_counts,
         "lang_dispatch_token_counts": ts.lang_dispatch_token_counts,
@@ -181,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, FT_BM25_QUERIES, k=10, similarity="dfi_chi2"),
         "ft_axiomatic_topk": lambda sf: ft.bm25_topk(
             sf, FT_BM25_QUERIES, k=10, similarity="ax_f2exp"),
+        "ft_sweetspot_topk": lambda sf: ft.bm25_topk(
+            sf, FT_BM25_QUERIES, k=10, similarity="sweetspot"),
         "ft_combined_field_topk": lambda sf: ft.combined_field_topk(
             sf, ("merge", "src3"), k=10),
         "ft_unified_highlight": lambda sf: ft.unified_highlight_topk(
@@ -479,6 +482,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_lmdirichlet_topk": _ft_oracle().lmdirichlet_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_dfi_topk": _ft_oracle().dfi_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_axiomatic_topk": _ft_oracle().axiomatic_topk_sql(FT_BM25_QUERIES, k=10),
+        "ft_sweetspot_topk": _ft_oracle().sweetspot_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_combined_field_topk": _ft_oracle().combined_field_sql(("merge", "src3"), k=10),
         "ft_unified_highlight": _ft_oracle().unified_highlight_sql(
             ["merge", "join", "vector"], k_docs=10),
@@ -1493,6 +1497,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rolling_fingerprint": _data_oracle().rolling_fingerprint_sql(),
         "stemmed_term_counts": _data_oracle().stemmed_term_counts_sql(),
+        "stemmer_override_counts": _data_oracle().stemmed_term_counts_sql(
+            overrides={"merge": "merge", "filter": "filt3r"}),
         "phonetic_term_groups": _data_oracle().phonetic_term_groups_sql(k=50),
         "refined_phonetic_groups": _data_oracle().refined_phonetic_groups_sql(k=50),
         "fingerprint_dedup_groups": (

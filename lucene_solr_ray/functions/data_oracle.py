@@ -189,15 +189,17 @@ def refined_phonetic_groups_sql(k: int = 50) -> str:
     )
 
 
-def stemmed_term_counts_sql() -> str:
-    """Oracle for textstats.stemmed_term_counts.  The term->stem VALUES
-    map is generated from the engine's porter_stem over the union of the
-    distinct analyzed tokens of every testdata sf dir (closed vocabulary,
-    deterministic at generation time)."""
+def stemmed_term_counts_sql(overrides: dict[str, str] | None = None) -> str:
+    """Oracle for textstats.stemmed_term_counts (and, with ``overrides``,
+    stemmer_override_counts — dictionary-pinned stems bypass Porter).
+    The term->stem VALUES map is generated from the engine's porter_stem
+    over the union of the distinct analyzed tokens of every testdata sf
+    dir (closed vocabulary, deterministic at generation time)."""
     import duckdb
 
     from lucene_solr_ray.analysis import porter_stem
 
+    ov = overrides or {}
     con = duckdb.connect()
     vocab: set[str] = set()
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
@@ -211,7 +213,9 @@ def stemmed_term_counts_sql() -> str:
     con.close()
     vocab -= STOPWORDS
     vals = ", ".join(
-        "('{}', '{}')".format(wd.replace("'", "''"), porter_stem(wd).replace("'", "''"))
+        "('{}', '{}')".format(
+            wd.replace("'", "''"),
+            (ov.get(wd) or porter_stem(wd)).replace("'", "''"))
         for wd in sorted(vocab)
     )
     return (

@@ -1070,3 +1070,64 @@ def feature_log_sql(terms: list[str], n_candidates: int = 20) -> str:
         "CAST(d.lang = 'en' AS BIGINT) AS is_en "
         "FROM firstpass f JOIN documents d USING (doc_id) ORDER BY f.rank"
     )
+
+
+def sweetspot_topk_sql(queries: list[tuple[str, list[str], str]], k: int = 10) -> str:
+    """Oracle for fulltext.bm25_topk(similarity='sweetspot') — classic
+    tf-idf with the SweetSpot plateau length norm (similarity.SweetSpot,
+    constants imported): w = f32(1 + ln((N+1)/(df+1))), norm(dl') = 1 on
+    [min, max] else 1/sqrt(steep*(|dl'-min|+|dl'-max|-(max-min))+1),
+    s = f32((w64 * sqrt(tf)) * norm), float32 fold, rank-only."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+    from lucene_solr_ray.similarity import SweetSpot
+
+    mn, mx, st = SweetSpot.LN_MIN, SweetSpot.LN_MAX, SweetSpot.STEEP
+    ctes = [prelude_ctes()]
+    ctes.append(
+        "ssnorm AS (SELECT doc_id, CASE WHEN dlp >= "
+        f"{mn!r} AND dlp <= {mx!r} THEN 1.0 ELSE "
+        f"1.0/sqrt({st!r}*(abs(dlp - {mn!r}) + abs(dlp - {mx!r}) - {mx - mn!r}) + 1.0) END AS nm "
+        "FROM (SELECT doc_id, CAST((SELECT MAX(v) FROM reps WHERE v <= d0.dl) AS DOUBLE) AS dlp "
+        "FROM dltab d0) d)"
+    )
+    selects = []
+    for qi, (qid, raw_terms, mode) in enumerate(queries):
+        terms = analyze_query_terms(raw_terms)
+        tf_names, w_names = [], []
+        for ti, t in enumerate(terms):
+            tf_n, w_n = f"stf_q{qi}_{ti}", f"sw_q{qi}_{ti}"
+            ctes.append(tf_cte(tf_n, t))
+            ctes.append(
+                f"{w_n} AS (SELECT CAST(1.0 + ln((stats.n + 1.0)/(d.df + 1.0)) AS FLOAT) AS w "
+                f"FROM (SELECT CAST(COUNT(CASE WHEN tf > 0 THEN 1 END) AS DOUBLE) AS df "
+                f"FROM {tf_n}) d, stats)"
+            )
+            tf_names.append(tf_n)
+            w_names.append(w_n)
+        aliases = [f"t{ti}" for ti in range(len(terms))]
+        joins = f"{tf_names[0]} {aliases[0]}"
+        for tf_n, a in zip(tf_names[1:], aliases[1:]):
+            joins += f" JOIN {tf_n} {a} ON {aliases[0]}.doc_id = {a}.doc_id"
+        joins += f" JOIN ssnorm ON ssnorm.doc_id = {aliases[0]}.doc_id"
+        parts = []
+        for a, w_n in zip(aliases, w_names):
+            parts.append(
+                f"CASE WHEN {a}.tf > 0 THEN "
+                f"CAST(CAST((SELECT w FROM {w_n}) AS DOUBLE) * "
+                f"sqrt(CAST({a}.tf AS DOUBLE)) * ssnorm.nm AS FLOAT) "
+                "ELSE CAST(0.0 AS FLOAT) END"
+            )
+        fold = fold_f32(parts)
+        glue = " AND " if mode == "and" else " OR "
+        cond = glue.join(f"{a}.tf > 0" for a in aliases)
+        selects.append(
+            f"SELECT '{_esc(qid)}' AS query_id, rank, doc_id FROM ("
+            "SELECT doc_id, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+            f"FROM (SELECT {aliases[0]}.doc_id AS doc_id, {fold} AS score "
+            f"FROM {joins} WHERE {cond}) sub"
+            f") ranked WHERE rank < {int(k)}"
+        )
+    return ("WITH " + ", ".join(ctes) + " "
+            + " UNION ALL ".join(f"({s})" for s in selects)
+            + " ORDER BY query_id, rank")

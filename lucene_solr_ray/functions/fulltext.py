@@ -2139,3 +2139,5 @@ def minhash_query_docs(sf_dir: str, query_text: str, sig_size: int = 32,
         .map_batches(fn, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+

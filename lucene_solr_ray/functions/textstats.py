@@ -677,3 +677,31 @@ def path_hierarchy_counts(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Sum("n", alias_name="n_docs"))
         .sort("path")
     )
+
+
+def stemmer_override_counts(sf_dir: str,
+                            overrides: dict[str, str] | None = None) -> ray.data.Dataset:
+    """StemmerOverrideFilter ([U] lucene/analysis/common/.../
+    miscellaneous/StemmerOverrideFilter.java; KeywordMarker when a word
+    maps to itself): dictionary-pinned stems bypass Porter — the filter
+    every real schema puts BEFORE the stemmer to protect product names.
+    Histogram of the overridden chain's stems, sorted by stem."""
+    from ray.data.aggregate import Count
+
+    from lucene_solr_ray.analysis import porter_stem, tokenize
+
+    ov = overrides or {"merge": "merge", "filter": "filt3r"}
+
+    def explode(t: pa.Table) -> pa.Table:
+        terms = []
+        for s in t.column("text").to_pylist():
+            terms.extend(ov.get(w, None) or porter_stem(w) for w in tokenize(s or ""))
+        return pa.table({"term": pa.array(terms, pa.string())})
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Count(alias_name="n"))
+        .sort("term")
+    )

@@ -437,6 +437,57 @@ class AxiomaticF2EXP:
         return ub * (1.0 + 1e-6) + 1e-12
 
 
+class SweetSpot:
+    """Lucene SweetSpotSimilarity ([U] lucene/misc/.../
+    SweetSpotSimilarity.java): ClassicSimilarity with the plateau length
+    norm — docs whose length falls inside [LN_MIN, LN_MAX] get norm 1.0,
+    outside the plateau the norm decays hyperbolically:
+
+        norm(dl') = 1/sqrt(steep*(|dl'-min| + |dl'-max| - (max-min)) + 1)
+
+    tf = sqrt(freq) and idf = 1 + ln((N+1)/(df+1)) are inherited from the
+    classic model. The plateau makes the norm NON-monotone in dl, so the
+    (max_tf, min_norm-byte) impact pair cannot bound it; the WAND bounds
+    use the global norm maximum (exactly 1.0 on the plateau) instead —
+    looser but still admissible, so results stay exact."""
+
+    name = "sweetspot"
+    LN_MIN, LN_MAX, STEEP = 20.0, 60.0, 0.5
+
+    @staticmethod
+    def idf(n_docs: int, df: int) -> float:
+        return 1.0 + math.log((n_docs + 1.0) / (df + 1.0))
+
+    @staticmethod
+    def term_weight(n_docs: int, df: int) -> np.float32:
+        return np.float32(SweetSpot.idf(n_docs, df))
+
+    @classmethod
+    def denom_cache(cls, avgdl: float) -> np.ndarray:
+        dl = DECODED_TABLE.astype(np.float64)
+        norm = 1.0 / np.sqrt(
+            cls.STEEP * (np.abs(dl - cls.LN_MIN) + np.abs(dl - cls.LN_MAX)
+                         - (cls.LN_MAX - cls.LN_MIN)) + 1.0)
+        norm[(dl >= cls.LN_MIN) & (dl <= cls.LN_MAX)] = 1.0
+        return norm
+
+    @staticmethod
+    def score_term(w, tfs, norm_bytes, cache) -> np.ndarray:
+        tfs = np.asarray(tfs, dtype=np.float64)
+        return (np.float64(w) * np.sqrt(tfs) * cache[norm_bytes]).astype(np.float32)
+
+    @staticmethod
+    def score_upper_bound(w, max_tf, min_norm, cache):
+        # plateau: norm is non-monotone in dl -> bound with the global max
+        ub = np.float64(w) * np.sqrt(np.float64(max_tf)) * cache.max()
+        return ub * (1.0 + 1e-6) + 1e-12
+
+    @staticmethod
+    def block_upper_bounds(w, max_tfs: np.ndarray, min_norms: np.ndarray, cache) -> np.ndarray:
+        ub = np.float64(w) * np.sqrt(max_tfs.astype(np.float64)) * cache.max()
+        return ub * (1.0 + 1e-6) + 1e-12
+
+
 SIMILARITIES = {
     "bm25": BM25,
     "classic": ClassicTFIDF,
@@ -446,6 +497,7 @@ SIMILARITIES = {
     "dfi_chi2": DFIChiSquared,
     "ib_ll": IBLogLogistic,
     "ax_f2exp": AxiomaticF2EXP,
+    "sweetspot": SweetSpot,
     "boolean": BooleanSim,
 }
 
