@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_expr_facet": streamexpr.stream_expr_facet,
         "stream_expr_stats": streamexpr.stream_expr_stats,
         "stream_expr_describe": streamexpr.stream_expr_describe,
+        "stream_expr_select_eval": streamexpr.stream_expr_select_eval,
         "stream_expr_hist": streamexpr.stream_expr_hist,
         "stream_expr_regress": streamexpr.stream_expr_regress,
         "stream_expr_fetch": streamexpr.stream_expr_fetch,
@@ -971,6 +972,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, "
             "CAST(MAX(n_chars) AS BIGINT) AS max_n_chars FROM documents "
             f"WHERE list_contains({split}, 'merge') OR list_contains({split}, 'join')"
+        ),
+        "stream_expr_select_eval": (
+            "SELECT doc_id, CASE WHEN n_chars > 150 THEN 1 ELSE 0 END AS big, "
+            "CAST(n_chars*2 + 7 AS BIGINT) AS scaled FROM documents "
+            f"WHERE list_contains({split}, 'merge') ORDER BY doc_id"
         ),
         # math streams: exact-integer sums; the one float op (sqrt) is a
         # single pinned IEEE float64 tree shared with the engine

@@ -109,7 +109,7 @@ def _parse_value(s: str, i: int) -> tuple[object, int]:
     while j < len(s) and (s[j].isalnum() or s[j] in "_."):
         j += 1
     if j < len(s) and s[_skip_ws(s, j)] == "(" and j > i:
-        return _parse_call(s, i)
+        return _parse_call_with_alias(s, i)
     # bare token (number, *, identifier)
     j = i
     while j < len(s) and s[j] not in ",()":
@@ -118,6 +118,21 @@ def _parse_value(s: str, i: int) -> tuple[object, int]:
     if not tok:
         raise ValueError(f"empty value at {i}")
     return tok, j
+
+
+def _parse_call_with_alias(s: str, i: int) -> tuple[Node, int]:
+    """A nested call optionally followed by ``as name`` (the SelectStream
+    evaluator-output syntax: ``select(..., add(a, b) as x)``)."""
+    node, j = _parse_call(s, i)
+    k = _skip_ws(s, j)
+    if s[k : k + 3] == "as " or s[k : k + 3] == "as\t":
+        k = _skip_ws(s, k + 2)
+        m = k
+        while m < len(s) and (s[m].isalnum() or s[m] == "_"):
+            m += 1
+        if m > k:
+            return Node("__as", [node, s[k:m]]), m
+    return node, j
 
 
 # ---------------------------------------------------------------------------
@@ -154,22 +169,83 @@ def _build_search(node: Node, ctx: dict) -> ray.data.Dataset:
     return ds
 
 
+_EVALUATORS = ("add", "sub", "mult", "div", "if", "gt", "gte", "lt",
+               "lte", "eq", "and", "or", "not")
+
+
+def _eval_evaluator(n, t: pa.Table) -> np.ndarray:
+    """Solr stream evaluators ([U] solr/solrj/.../io/eval/
+    {Add,Subtract,Multiply,Divide,If,GreaterThan,...}Evaluator.java) over
+    one Arrow batch — exact int64 arithmetic (div truncates toward zero,
+    DuckDB's // semantics), booleans as 1/0."""
+    if isinstance(n, str):
+        if n.lstrip("-").isdigit():
+            return np.int64(int(n))
+        return t.column(n).to_numpy().astype(np.int64)
+    args = [_eval_evaluator(a, t) for a in n.args]
+    if n.name == "add":
+        return args[0] + args[1]
+    if n.name == "sub":
+        return args[0] - args[1]
+    if n.name == "mult":
+        return args[0] * args[1]
+    if n.name == "div":
+        q = np.abs(args[0]) // np.abs(args[1])
+        return np.where((args[0] < 0) != (args[1] < 0), -q, q)
+    if n.name == "if":
+        return np.where(args[0] != 0, args[1], args[2])
+    if n.name == "gt":
+        return (args[0] > args[1]).astype(np.int64)
+    if n.name == "gte":
+        return (args[0] >= args[1]).astype(np.int64)
+    if n.name == "lt":
+        return (args[0] < args[1]).astype(np.int64)
+    if n.name == "lte":
+        return (args[0] <= args[1]).astype(np.int64)
+    if n.name == "eq":
+        return (args[0] == args[1]).astype(np.int64)
+    if n.name == "and":
+        return ((args[0] != 0) & (args[1] != 0)).astype(np.int64)
+    if n.name == "or":
+        return ((args[0] != 0) | (args[1] != 0)).astype(np.int64)
+    if n.name == "not":
+        return (args[0] == 0).astype(np.int64)
+    raise ValueError(f"unknown evaluator {n.name!r} (have {_EVALUATORS})")
+
+
 def _build_select(node: Node, ctx: dict) -> ray.data.Dataset:
-    """select(stream, "a as x", "b") ([U] SelectStream.java):
-    projection + rename."""
+    """select(stream, "a as x", "b", add(a, 5) as y) ([U]
+    SelectStream.java): projection + rename, plus computed outputs via
+    the evaluator tree (add/sub/mult/div/if/gt/.../not over fields and
+    integer literals)."""
     ds = _build(node.args[0], ctx)
-    spec = []
+    spec = []  # (kind, src, dst): kind 'col' | 'eval'
     for a in node.args[1:]:
-        parts = a.split()
-        if len(parts) == 3 and parts[1] == "as":
-            spec.append((parts[0], parts[2]))
-        elif len(parts) == 1:
-            spec.append((parts[0], parts[0]))
+        if isinstance(a, Node):
+            if a.name != "__as":
+                raise ValueError(
+                    f"select(): evaluator {a.name!r} needs an 'as name' alias")
+            spec.append(("eval", a.args[0], a.args[1]))
         else:
-            raise ValueError(f"select(): bad field spec {a!r}")
+            parts = a.split()
+            if len(parts) == 3 and parts[1] == "as":
+                spec.append(("col", parts[0], parts[2]))
+            elif len(parts) == 1:
+                spec.append(("col", parts[0], parts[0]))
+            else:
+                raise ValueError(f"select(): bad field spec {a!r}")
 
     def project(t: pa.Table) -> pa.Table:
-        return pa.table({dst: t.column(src) for src, dst in spec})
+        cols = {}
+        for kind, src, dst in spec:
+            if kind == "col":
+                cols[dst] = t.column(src)
+            else:
+                v = _eval_evaluator(src, t)
+                if np.ndim(v) == 0:  # literal-only tree
+                    v = np.full(t.num_rows, v, dtype=np.int64)
+                cols[dst] = pa.array(v, pa.int64())
+        return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -725,4 +801,13 @@ def stream_expr_regress(sf_dir: str) -> ray.data.Dataset:
     return run_stream(
         sf_dir,
         'regress(search(documents, q="*:*", fl="doc_id,n_chars"), x="doc_id", y="n_chars")',
+    )
+
+
+def stream_expr_select_eval(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(
+        sf_dir,
+        'sort(select(search(documents, q="merge", fl="doc_id,n_chars"), '
+        '"doc_id", if(gt(n_chars, 150), 1, 0) as big, '
+        'add(mult(n_chars, 2), 7) as scaled), by="doc_id asc")',
     )

@@ -108,3 +108,26 @@ def test_stream_merge_keeps_duplicates_and_fetch_enriches(ray_session):
     docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
     want = docs.set_index("doc_id").loc[fe["doc_id"]]["lang"].tolist()
     assert fe["lang"].tolist() == want
+
+
+def test_select_evaluators(ray_session):
+    """SelectStream computed outputs: evaluator tree with 'as' alias."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from lucene_solr_ray.functions.streamexpr import parse_expr, run_stream
+
+    node = parse_expr('select(search(documents, q="*:*", fl="doc_id,n_chars"), '
+                      '"doc_id", if(gt(n_chars, 150), 1, 0) as big)')
+    alias = node.args[2]
+    assert alias.name == "__as" and alias.args[1] == "big"
+    assert alias.args[0].name == "if" and alias.args[0].args[0].name == "gt"
+
+    sf = "/root/testdata/sf0.001"
+    got = run_stream(
+        sf, 'sort(select(search(documents, q="*:*", fl="doc_id,n_chars"), '
+        '"doc_id", sub(div(n_chars, 3), 4) as v), by="doc_id asc")').to_pandas()
+    tab = pads.dataset(f"{sf}/documents.parquet", format="parquet").to_table(
+        columns=["doc_id", "n_chars"]).to_pandas().sort_values("doc_id")
+    want = (tab["n_chars"].to_numpy() // 3 - 4)
+    assert np.array_equal(got["v"].to_numpy(), want)
