@@ -305,6 +305,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_expr_stats": streamexpr.stream_expr_stats,
         "stream_expr_describe": streamexpr.stream_expr_describe,
         "stream_expr_select_eval": streamexpr.stream_expr_select_eval,
+        "stream_expr_timeseries": streamexpr.stream_expr_timeseries,
+        "stream_expr_random": streamexpr.stream_expr_random,
         "stream_expr_hist": streamexpr.stream_expr_hist,
         "stream_expr_regress": streamexpr.stream_expr_regress,
         "stream_expr_fetch": streamexpr.stream_expr_fetch,
@@ -977,6 +979,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN n_chars > 150 THEN 1 ELSE 0 END AS big, "
             "CAST(n_chars*2 + 7 AS BIGINT) AS scaled FROM documents "
             f"WHERE list_contains({split}, 'merge') ORDER BY doc_id"
+        ),
+        # ts docvalue == TIMESTAMP '2026-01-01' + doc_id seconds (the
+        # transcript adapter); bucket = int64 us floored to the gap
+        "stream_expr_timeseries": (
+            "SELECT bucket_us, CAST(COUNT(*) AS BIGINT) AS count, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars FROM ("
+            "SELECT CAST(epoch_us(TIMESTAMP '2026-01-01 00:00:00' + to_seconds(doc_id)) "
+            "// 600000000 * 600000000 AS BIGINT) AS bucket_us, n_chars "
+            f"FROM documents WHERE list_contains({split}, 'merge')) "
+            "GROUP BY bucket_us ORDER BY bucket_us"
+        ),
+        "stream_expr_random": (
+            "SELECT doc_id, lang FROM documents "
+            f"WHERE list_contains({split}, 'vector') "
+            "AND (doc_id * 2654435761) % 4294967296 < 429496729 ORDER BY doc_id"
         ),
         # math streams: exact-integer sums; the one float op (sqrt) is a
         # single pinned IEEE float64 tree shared with the engine

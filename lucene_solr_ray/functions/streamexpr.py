@@ -556,6 +556,62 @@ def _build_merge(node: Node, ctx: dict) -> ray.data.Dataset:
     return a.union(b).sort(cols, descending=desc)
 
 
+def _build_timeseries(node: Node, ctx: dict) -> ray.data.Dataset:
+    """timeseries(documents, q="...", field="ts", gap="+60SECONDS",
+    count(*), sum(f)) ([U] solr/solrj/.../io/stream/TimeSeriesStream.java):
+    fixed-gap time buckets with rollup metrics. Buckets are exact int64
+    microseconds (ts floored to the gap); map-side per-bucket partials
+    via the shared rollup combine, bucket-count-sized exchange."""
+    import re as _re
+
+    metrics = [a for a in node.args[1:] if isinstance(a, Node)]
+    plan = _metric_plan(metrics)
+    gap_str = node.kwargs.get("gap", "+60SECONDS")
+    m = _re.fullmatch(r"\+(\d+)(SECOND|SECONDS|MINUTE|MINUTES|HOUR|HOURS|DAY|DAYS)",
+                      gap_str.upper())
+    if not m:
+        raise ValueError(f"timeseries(): bad gap {gap_str!r}")
+    mult = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}[
+        m.group(2).rstrip("S")]
+    gap_us = int(m.group(1)) * mult * 1_000_000
+    field = node.kwargs.get("field", "ts")
+    fl = sorted({c for _, c, _ in plan if c != "*"} | {field})
+    search_node = Node("search", [node.args[0]],
+                       {"q": node.kwargs.get("q", "*:*"), "fl": ",".join(fl)})
+    ds = _build(search_node, ctx)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(t.column(field), pa.int64()).to_numpy()
+        cols = {"bucket_us": pa.array(us // gap_us * gap_us, pa.int64())}
+        for c in {c for _, c, _ in plan if c != "*"}:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    return _rollup_agg(ds.map_batches(bucketize, batch_format="pyarrow"),
+                       ["bucket_us"], plan).sort("bucket_us")
+
+
+def _build_random(node: Node, ctx: dict) -> ray.data.Dataset:
+    """random(documents, q="...", pct=10) ([U] solr/core/.../search/
+    RandomStream.java) made reproducible: the multiplicative-hash
+    doc_id sample (exact integer arithmetic, identical in SQL) the
+    typed deterministic_sample entry uses — stateless, zero shuffle."""
+    pct = int(node.kwargs.get("pct", 10))
+    fl = node.kwargs.get("fl", "doc_id")
+    search_node = Node("search", [node.args[0]],
+                       {"q": node.kwargs.get("q", "*:*"), "fl": fl})
+    ds = _build(search_node, ctx)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        keep = (ids * 2654435761) % 4294967296 < (4294967296 * pct) // 100
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
 def _tdiv(a: int, b: int) -> int:
     """Truncating integer division (toward zero) — DuckDB's BIGINT //
     semantics, so engine and oracle agree on negative numerators."""
@@ -682,6 +738,8 @@ STREAM_FUNCTIONS = {
     "describe": _build_describe,
     "hist": _build_hist,
     "regress": _build_regress,
+    "timeseries": _build_timeseries,
+    "random": _build_random,
 }
 
 
@@ -810,4 +868,19 @@ def stream_expr_select_eval(sf_dir: str) -> ray.data.Dataset:
         'sort(select(search(documents, q="merge", fl="doc_id,n_chars"), '
         '"doc_id", if(gt(n_chars, 150), 1, 0) as big, '
         'add(mult(n_chars, 2), 7) as scaled), by="doc_id asc")',
+    )
+
+
+def stream_expr_timeseries(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(
+        sf_dir,
+        'timeseries(documents, q="merge", field="ts", gap="+10MINUTES", '
+        "count(*), sum(n_chars))",
+    )
+
+
+def stream_expr_random(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(
+        sf_dir,
+        'random(documents, q="vector", fl="doc_id,lang", pct=10)',
     )

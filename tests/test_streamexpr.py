@@ -131,3 +131,25 @@ def test_select_evaluators(ray_session):
         columns=["doc_id", "n_chars"]).to_pandas().sort_values("doc_id")
     want = (tab["n_chars"].to_numpy() // 3 - 4)
     assert np.array_equal(got["v"].to_numpy(), want)
+
+
+def test_timeseries_and_random_streams(ray_session):
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from lucene_solr_ray.functions.streamexpr import run_stream
+
+    sf = "/root/testdata/sf0.001"
+    ts = run_stream(
+        sf, 'timeseries(documents, q="*:*", field="ts", gap="+1MINUTES", '
+        "count(*))").to_pandas()
+    # ts = 2026-01-01 + doc_id seconds, 500 docs -> buckets of 60 docs
+    assert ts["count"].sum() == 500
+    assert (np.diff(ts["bucket_us"].to_numpy()) == 60_000_000).all()
+    assert set(ts["count"].tolist()[:-1]) == {60}
+
+    rnd = run_stream(sf, 'random(documents, q="*:*", fl="doc_id", pct=10)').to_pandas()
+    ids = pads.dataset(f"{sf}/documents.parquet", format="parquet").to_table(
+        columns=["doc_id"]).column("doc_id").to_numpy()
+    want = np.sort(ids[(ids * 2654435761) % 4294967296 < (4294967296 * 10) // 100])
+    assert np.array_equal(rnd["doc_id"].to_numpy(), want)
