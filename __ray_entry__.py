@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": lambda sf: dedup.simhash_near_pairs(sf, max_hamming=3),
         "dedup_ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(sf, threshold_pct=30),
         "dedup_embedding_cosine": lambda sf: dedup.embedding_cosine_pairs(sf, threshold=0.42),
+        "semdedup_keep_set": lambda sf: dedup.semdedup_keep_set(sf, threshold=0.42),
         "dedup_embedding_lsh": lambda sf: dedup.embedding_lsh_pairs(sf, threshold=0.42),
         "dedup_connected_components": dedup.dedup_connected_components,
         "semdedup_keep": lambda sf: dedup.semdedup_keep(sf, n_clusters=16, threshold=0.42),
@@ -149,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dih_csv_ingest": ingest.dih_ingest,
         "tika_extract": ingest.tika_extract,
         "urp_chain_process": urp.urp_chain_process,
+        "urp_uuid_clone": urp.urp_uuid_clone,
         "urp_tolerant_update": lambda sf: urp.tolerant_update(sf, bad_mod=25),
         # --- percolator / highlighter (SURVEY §2.5/§2.6 aux) ---
         "percolate": lambda sf: monitor.percolate(sf, PERCOLATE_QUERIES),
@@ -1361,6 +1363,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.42 "
             "ORDER BY doc_a, doc_b"
         ),
+        # SemDeDup keep rule is pair-based -> a pure NOT EXISTS (same
+        # measured 0.42 threshold gap as dedup_embedding_cosine)
+        "semdedup_keep_set": (
+            "SELECT a.vec_id FROM embeddings a WHERE NOT EXISTS ("
+            "SELECT 1 FROM embeddings b WHERE b.vec_id < a.vec_id "
+            "AND list_cosine_similarity(a.embedding, b.embedding) >= 0.42) "
+            "ORDER BY vec_id"
+        ),
         # dedup_embedding_lsh: exact-cosine SQL is a true oracle because the
         # verify step is exact (no false positives) and per-pair LSH recall at
         # 64 bands x 4 planes is 1 - 8.6e-6 (measured 1.0 on the gate corpora;
@@ -1893,6 +1903,17 @@ def oracle_sql() -> dict[str, str]:
         "score_nodes": _data_oracle().score_nodes_sql(),
         # --- ingest ---
         # bad docs = doc_id % 25 == 0 (text blanked) -> skipped, not fatal
+        # RFC-4122 v3: version nibble forced '3', variant = (n & 3) | 8
+        "urp_uuid_clone": (
+            "WITH h AS (SELECT doc_id, md5(text) AS x, lang FROM documents) "
+            "SELECT doc_id, substr(x, 1, 8) || '-' || substr(x, 9, 4) || '-3' || "
+            "substr(x, 14, 3) || '-' || "
+            "CASE WHEN substr(x, 17, 1) IN ('0', '4', '8', 'c') THEN '8' "
+            "WHEN substr(x, 17, 1) IN ('1', '5', '9', 'd') THEN '9' "
+            "WHEN substr(x, 17, 1) IN ('2', '6', 'a', 'e') THEN 'a' ELSE 'b' END || "
+            "substr(x, 18, 3) || '-' || substr(x, 21, 12) AS uuid, "
+            "lang AS lang_copy FROM h ORDER BY doc_id"
+        ),
         "urp_tolerant_update": (
             "SELECT doc_id, CASE WHEN doc_id % 25 = 0 OR trim(text) = '' THEN 'empty_text' ELSE '' END AS err, "
             "CAST(CASE WHEN doc_id % 25 = 0 OR trim(text) = '' THEN 0 ELSE 1 END AS BIGINT) AS accepted "

@@ -957,3 +957,34 @@ def semdedup_keep(sf_dir: str, n_clusters: int = 16, threshold: float = 0.42,
         .map_groups(per_cluster, batch_format="pandas")
         .sort("vec_id")
     )
+
+
+def semdedup_keep_set(sf_dir: str, threshold: float = 0.42,
+                      chunk_rows: int = 4096) -> ray.data.Dataset:
+    """SemDeDup-style semantic prune (Abbas et al. 2023, SemDeDup —
+    public arXiv 2303.09540): drop every vector that has a
+    more-similar-than-threshold neighbor with a SMALLER id; the kept set
+    is the canonical representatives. Pair-based (not transitive-greedy:
+    a dropped vector still shadows its own neighbors only through
+    smaller-id pairs), so the keep rule is a pure NOT EXISTS — exact in
+    SQL. Pairs come from the exact block-pair cosine (the LSH variant is
+    the 100 TB path); the dropped-id set is output-sized and broadcasts
+    into a stateless filter over the vec_id column read."""
+    import pyarrow.compute as pc
+
+    pairs = embedding_cosine_pairs(sf_dir, threshold, chunk_rows).to_pandas()
+    dropped = (np.unique(pairs["doc_b"].to_numpy())
+               if len(pairs) else np.empty(0, np.int64))
+    drop_arr = pa.array(dropped, pa.int64())
+
+    def keep(t: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(t.column("vec_id"), value_set=drop_arr))
+        return t.filter(mask).select(["vec_id"])
+
+    from lucene_solr_ray.io_utils import read_parquet_clean
+
+    return (
+        read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        .map_batches(keep, batch_format="pyarrow")
+        .sort("vec_id")
+    )

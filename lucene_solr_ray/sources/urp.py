@@ -210,3 +210,58 @@ def tolerant_update(sf_dir: str, bad_mod: int = 25) -> ray.data.Dataset:
         })
 
     return out.map_batches(status, batch_format="pyarrow").sort("doc_id")
+
+
+class CloneField:
+    """CloneFieldUpdateProcessorFactory ([U] solr/core/.../update/
+    processor/CloneFieldUpdateProcessorFactory.java): copy a source
+    field into a new destination field (the URP-side copyField)."""
+
+    def __init__(self, src: str, dest: str):
+        self.src, self.dest = src, dest
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        return t.append_column(self.dest, t.column(self.src))
+
+
+class UUIDAssign:
+    """UUIDUpdateProcessorFactory ([U] solr/core/.../update/processor/
+    UUIDUpdateProcessorFactory.java), made deterministic: instead of a
+    random v4 UUID the processor assigns an RFC-4122 VERSION-3
+    (name-based, md5) UUID of the named field — reproducible across
+    retries, which is what an idempotent distributed ingest actually
+    wants. Version nibble forced to '3', variant nibble to (n & 3) | 8."""
+
+    _VARIANT = {c: v for c, v in zip("0123456789abcdef",
+                                     "89ab89ab89ab89ab")}
+
+    def __init__(self, field: str = "text", out: str = "uuid"):
+        self.field, self.out = field, out
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import hashlib
+
+        vals = []
+        for s in t.column(self.field).to_pylist():
+            h = hashlib.md5((s or "").encode()).hexdigest()
+            vals.append(f"{h[:8]}-{h[8:12]}-3{h[13:16]}-"
+                        f"{self._VARIANT[h[16]]}{h[17:20]}-{h[20:32]}")
+        return t.append_column(self.out, pa.array(vals, pa.string()))
+
+
+def urp_uuid_clone(sf_dir: str) -> ray.data.Dataset:
+    """UUID + CloneField chain entry: deterministic v3 UUID of the text
+    plus a cloned lang field, one fused map_batches stage."""
+    from lucene_solr_ray.io_utils import read_parquet_clean
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    out = run_chain(
+        ds,
+        [
+            (UUIDAssign, {"field": "text", "out": "uuid"}),
+            (CloneField, {"src": "lang", "dest": "lang_copy"}),
+        ],
+    )
+    return out.select_columns(["doc_id", "uuid", "lang_copy"]).sort("doc_id")

@@ -524,3 +524,19 @@ def test_bpe_train_merges_vs_naive_reference():
                     i += 1
     assert got == ref
     assert len(got) == 8 and all(isinstance(a, str) and isinstance(b, str) for a, b in got)
+
+
+def test_uuid_assign_rfc4122_v3():
+    import uuid as _uuid
+
+    import pyarrow as pa
+
+    from lucene_solr_ray.sources.urp import UUIDAssign
+
+    out = UUIDAssign()(pa.table({"text": ["hello world", "", "merge join"]}))
+    for g in out.column("uuid").to_pylist():
+        u = _uuid.UUID(g)
+        assert u.version == 3 and u.variant == _uuid.RFC_4122
+    # deterministic: same content -> same uuid
+    again = UUIDAssign()(pa.table({"text": ["hello world"]}))
+    assert again.column("uuid").to_pylist()[0] == out.column("uuid").to_pylist()[0]
