@@ -208,6 +208,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_regexp_docs": lambda sf: ft.multi_term_retrieve(sf, "regexp", "(stream|spark)"),
         "ft_range_docs": lambda sf: ft.multi_term_retrieve(sf, "range", "key:part"),
         "ft_leading_wildcard": lambda sf: ft.leading_wildcard_retrieve(sf, "*er"),
+        "ft_dv_update_sort": lambda sf: ft.dv_update_sort(sf, mod=7, k=15),
+        "ft_tag_dictionary": lambda sf: ft.tag_dictionary_matches(
+            sf, ("merge join", "join vector", "sort window")),
         "ft_point_in_set": lambda sf: ft.point_in_set_docs(
             sf, "n_chars", (54, 62, 78, 132)),
         "ft_simple_query_docs": lambda sf: ft.simple_query_docs(
@@ -795,6 +798,27 @@ def oracle_sql() -> dict[str, str]:
         "ft_leading_wildcard": (
             f"SELECT doc_id FROM documents WHERE len(list_filter({split}, "
             f"x -> x LIKE '%er' AND NOT list_contains({_STOP_SQL}, x))) > 0 ORDER BY doc_id"
+        ),
+        "ft_tag_dictionary": (
+            f"WITH toks AS (SELECT doc_id, unnest(l) AS w, "
+            f"CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos "
+            f"FROM (SELECT doc_id, {split} AS l FROM documents)), "
+            "pairs AS (SELECT a.doc_id, a.w AS w1, b.w AS w2, a.pos "
+            "FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1) "
+            "SELECT doc_id, tag, pos FROM ("
+            "SELECT doc_id, 'merge join' AS tag, pos FROM pairs WHERE w1 = 'merge' AND w2 = 'join' "
+            "UNION ALL SELECT doc_id, 'join vector', pos FROM pairs WHERE w1 = 'join' AND w2 = 'vector' "
+            "UNION ALL SELECT doc_id, 'sort window', pos FROM pairs WHERE w1 = 'sort' AND w2 = 'window') "
+            "ORDER BY doc_id, tag, pos"
+        ),
+        # dv-update overlay: doc_id % 7 == 0 -> (doc_id*31) % 1000, else stored
+        "ft_dv_update_sort": (
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY val DESC, doc_id) - 1 AS BIGINT) AS rank, "
+            "doc_id, val FROM ("
+            "SELECT doc_id, CAST(CASE WHEN doc_id % 7 = 0 THEN (doc_id * 31) % 1000 "
+            "ELSE n_chars END AS BIGINT) AS val FROM documents "
+            f"WHERE list_contains({split}, 'merge')) "
+            "ORDER BY val DESC, doc_id LIMIT 15"
         ),
         "ft_point_in_set": (
             "SELECT doc_id FROM documents WHERE n_chars IN (54, 62, 78, 132) "

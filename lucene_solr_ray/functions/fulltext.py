@@ -2141,3 +2141,69 @@ def minhash_query_docs(sf_dir: str, query_text: str, sig_size: int = 32,
     )
 
 
+
+
+def dv_update_sort(sf_dir: str, mod: int = 7, k: int = 15) -> pa.Table:
+    """Numeric doc-values update end-to-end ([U] IndexWriter
+    updateNumericDocValue — the reindex-free popularity-signal mutation):
+    copy the cached index, overlay n_chars := (doc_id * 31) % 1000 for
+    every doc_id % mod == 0, commit the generation, and re-run the
+    sort-by-field query — the updated values must order the results.
+    Output (rank, doc_id, val) with val the EFFECTIVE value (overlay or
+    stored)."""
+    import shutil
+
+    from lucene_solr_ray.pipelines.deletes import update_numeric_docvalues
+
+    src = docs_index(sf_dir)
+    tmp = src + "-dvupcopy"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(src, tmp)
+    mapping = _docid_to_doc_id(tmp)
+    ext = mapping[mapping % mod == 0]
+    docids = np.searchsorted(mapping, ext)
+    update_numeric_docvalues(
+        tmp, "n_chars", {int(d): int(e * 31) % 1000 for d, e in zip(docids, ext)})
+    s = IndexSearcher(tmp)
+    d, vals = s.search_sorted_by_field(["merge"], "n_chars", k=k, descending=True)
+    return pa.table({
+        "rank": pa.array(np.arange(len(d)), pa.int64()),
+        "doc_id": pa.array(mapping[d], pa.int64()),
+        "val": pa.array(vals.astype(np.int64), pa.int64()),
+    })
+
+
+def tag_dictionary_matches(sf_dir: str,
+                           tags=("merge join", "join vector", "sort window"),
+                           ) -> ray.data.Dataset:
+    """SolrTextTagger /tag handler ([U] solr/core/.../handler/tagger/
+    TaggerRequestHandler.java): find every dictionary-phrase occurrence
+    in each document — the entity-tagging surface (dictionary FST ->
+    here a broadcast phrase table; none of the tags is a sub-phrase of
+    another, so Solr's default NO_SUB overlap policy is vacuous and all
+    matches are emitted). Output (doc_id, tag, pos) at every raw
+    whitespace position where the phrase starts; one stateless pass."""
+    from lucene_solr_ray.io_utils import read_parquet_clean
+
+    tag_words = [(t, t.split()) for t in sorted(tags)]
+
+    def fn(t: pa.Table) -> pa.Table:
+        out_d, out_t, out_p = [], [], []
+        for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+            words = (s or "").split()
+            for tag, ws in tag_words:
+                n = len(ws)
+                for p in range(len(words) - n + 1):
+                    if words[p:p + n] == ws:
+                        out_d.append(d)
+                        out_t.append(tag)
+                        out_p.append(p)
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "tag": pa.array(out_t, pa.string()),
+                         "pos": pa.array(out_p, pa.int64())})
+
+    return (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort(["doc_id", "tag", "pos"])
+    )

@@ -113,3 +113,56 @@ def delete_by_query(index_dir: str, terms, mode: str = "or") -> dict:
     s = IndexSearcher(index_dir)
     d, _ = s.search(terms, k=max(1, s.n_docs), mode=mode)
     return delete_docs(index_dir, d.tolist())
+
+
+def update_numeric_docvalues(index_dir: str, field: str, updates: dict) -> dict:
+    """In-place numeric doc-values update ([U] lucene/core/.../index/
+    IndexWriter.java updateNumericDocValue + the per-generation dvd/dvm
+    sidecar files of [U] .../index/ReadersAndUpdates.java): segment data
+    is untouched — a new generation commits an overlay table
+    (docid -> value) that readers apply over the stored column. Repeated
+    updates merge with newest-wins; docids outside [0, n_docs) are
+    rejected. This is the reindex-free field mutation Lucene uses for
+    e.g. popularity signals."""
+    manifest = load_manifest(index_dir)
+    n_docs = int(manifest["n_docs"])
+    ids = np.asarray(sorted(int(d) for d in updates), dtype=np.int64)
+    if len(ids) and (ids[0] < 0 or ids[-1] >= n_docs):
+        bad = ids[(ids < 0) | (ids >= n_docs)]
+        raise ValueError(f"update_numeric_docvalues: docids outside [0, {n_docs}): {bad[:8].tolist()}")
+    vals = np.asarray([int(updates[int(d)]) for d in ids], dtype=np.int64)
+
+    dv_map = dict(manifest.get("dv_updates") or {})
+    prev_name = dv_map.get(field)
+    if prev_name:
+        prev = pq.read_table(os.path.join(index_dir, DELETES_DIRNAME, prev_name))
+        pid = prev.column("docid").to_numpy().astype(np.int64)
+        pval = prev.column("value").to_numpy().astype(np.int64)
+        keep = ~np.isin(pid, ids)  # newest wins
+        ids = np.concatenate([pid[keep], ids])
+        vals = np.concatenate([pval[keep], vals])
+        order = np.argsort(ids)
+        ids, vals = ids[order], vals[order]
+
+    tab = pa.table({"docid": pa.array(ids, pa.int64()),
+                    "value": pa.array(vals, pa.int64())})
+    os.makedirs(os.path.join(index_dir, DELETES_DIRNAME), exist_ok=True)
+    crc = zlib.crc32(ids.tobytes() + vals.tobytes()) & 0xFFFFFFFF
+    name = f"dvup-{field}-{crc:08x}.parquet"
+    pq.write_table(tab, os.path.join(index_dir, DELETES_DIRNAME, name))
+    dv_map[field] = name
+    new_manifest = dict(manifest, dv_updates=dv_map)
+    new_manifest.pop("generation", None)
+    gen = commit_manifest(index_dir, new_manifest)
+    new_manifest["generation"] = gen
+    return new_manifest
+
+
+def load_dv_updates(index_dir: str, manifest: dict, field: str):
+    """(docids, values) overlay for a field, or None."""
+    name = (manifest.get("dv_updates") or {}).get(field)
+    if not name:
+        return None
+    t = pq.read_table(os.path.join(index_dir, DELETES_DIRNAME, name))
+    return (t.column("docid").to_numpy().astype(np.int64),
+            t.column("value").to_numpy().astype(np.int64))

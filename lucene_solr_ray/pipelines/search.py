@@ -943,7 +943,10 @@ class IndexSearcher:
 
     def doc_values(self, field: str) -> np.ndarray:
         """Doc-values column from docs.parquet in docID order (lazy,
-        cached) — the columnar per-field store (SURVEY §1.1 doc values)."""
+        cached) — the columnar per-field store (SURVEY §1.1 doc values).
+        Numeric doc-values UPDATES (deletes.update_numeric_docvalues, the
+        Lucene dvd/dvm generation sidecar) are applied as an overlay —
+        the committed generation's overlay wins over the stored column."""
         cache = getattr(self, "_doc_values", None)
         if cache is None:
             cache = self._doc_values = {}
@@ -954,7 +957,14 @@ class IndexSearcher:
                 columns=["docid", field]
             )
             order = np.argsort(t.column("docid").to_numpy(), kind="stable")
-            cache[field] = t.column(field).to_numpy()[order]
+            vals = t.column(field).to_numpy()[order]
+            if self.manifest.get("dv_updates", {}).get(field):
+                from lucene_solr_ray.pipelines.deletes import load_dv_updates
+
+                up_ids, up_vals = load_dv_updates(self.index_dir, self.manifest, field)
+                vals = vals.copy()
+                vals[up_ids] = up_vals
+            cache[field] = vals
         return cache[field]
 
     def search_sorted_by_field(self, raw_terms, field: str, k: int = 10,
@@ -973,6 +983,10 @@ class IndexSearcher:
         windows were consumed (tests assert the early exit)."""
         isort = self.manifest.get("index_sort")
         self.last_sorted_windows = 0
+        # a dv-updates overlay invalidates the index sort for that field
+        # (docid order no longer == value order) -> generic path
+        if self.manifest.get("dv_updates", {}).get(field):
+            isort = None
         if (isort and isort["field"] == field
                 and bool(isort["descending"]) == bool(descending)):
             chunks, n = [], 0
