@@ -159,3 +159,68 @@ def test_surround_parser_round_trips(ast):
 
     got = parse_surround(_render(ast))
     assert _normalize(got) == _normalize(ast)
+
+
+# ---------------- SimpleQueryParser render/re-parse fuzz ----------------
+
+_sqp_word = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+
+
+def _sqp_leaf():
+    return st.one_of(
+        st.tuples(st.just("term"), _sqp_word),
+        st.tuples(st.just("prefix"), _sqp_word),
+        st.builds(lambda ws, sl: ("phrase", (ws, sl)),
+                  st.lists(_sqp_word, min_size=1, max_size=3),
+                  st.integers(0, 3)),
+        st.builds(lambda w, d: ("fuzzy", (w, d)), _sqp_word, st.integers(1, 2)),
+    )
+
+
+_sqp_ast = st.recursive(
+    _sqp_leaf(),
+    lambda inner: st.one_of(
+        st.builds(lambda n: ("not", n), inner),
+        st.builds(lambda a, b: ("and", a, b), inner, inner),
+        st.builds(lambda a, b: ("or", a, b), inner, inner),
+    ),
+    max_leaves=6,
+)
+
+
+def _sqp_render(n) -> str:
+    kind = n[0]
+    if kind == "term":
+        return n[1]
+    if kind == "prefix":
+        return n[1] + "*"
+    if kind == "phrase":
+        ws, sl = n[1]
+        return '"' + " ".join(ws) + '"' + (f"~{sl}" if sl else "")
+    if kind == "fuzzy":
+        w, d = n[1]
+        return f"{w}~{d}"
+    if kind == "not":
+        return "-" + _sqp_wrap(n[1])
+    if kind == "and":
+        return _sqp_wrap(n[1]) + " + " + _sqp_wrap(n[2])
+    if kind == "or":
+        return _sqp_wrap(n[1]) + " | " + _sqp_wrap(n[2])
+    raise AssertionError(kind)
+
+
+def _sqp_wrap(n) -> str:
+    # boolean children need parens to survive the left-assoc flat fold
+    s = _sqp_render(n)
+    return f"({s})" if n[0] in ("and", "or") else s
+
+
+@settings(max_examples=120, deadline=None)
+@given(_sqp_ast)
+def test_simple_query_parser_round_trips(ast):
+    """render(ast) re-parses to the identical AST — the lenient grammar
+    still has an unambiguous core (parens around boolean children pin
+    the left-assoc fold)."""
+    from lucene_solr_ray.queryparser import parse_simple
+
+    assert parse_simple(_sqp_render(ast)) == ast
