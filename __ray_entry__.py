@@ -140,6 +140,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_payload_stats": multimodal.payload_stats,
         "multimodal_fake_decode": multimodal.fake_decode,
         "multimodal_frame_sample": multimodal.frame_sample,
+        "multimodal_resample": lambda sf: multimodal.resample(sf, stride=2),
+        "multimodal_feature_extract": lambda sf: multimodal.feature_extract(sf, dim=8),
         # --- SqlStream / graph streams (SURVEY §2.8) ---
         "sql_stream_agg": sqlmod.sql_stream_agg,
         "gather_nodes": graph.gather_nodes,
@@ -1748,6 +1750,21 @@ def oracle_sql() -> dict[str, str]:
             "md5(text) AS digest FROM documents ORDER BY doc_id"
         ),
         "multimodal_fake_decode": _data_oracle().multimodal_fake_decode_sql(),
+        # stride-2 byte decimation == keep 1st char of each pair ((?s):
+        # '.' must cross newlines); corpus is pure ASCII so chars == bytes
+        "multimodal_resample": (
+            "WITH r AS (SELECT doc_id, "
+            "regexp_replace(text, '(?s)(.)(.)', '\\1', 'g') AS dec FROM documents) "
+            "SELECT doc_id, CAST(octet_length(encode(dec)) AS BIGINT) AS n_bytes_out, "
+            "md5(dec) AS digest_out FROM r ORDER BY doc_id"
+        ),
+        "multimodal_feature_extract": (
+            "WITH d AS (SELECT doc_id, md5(text) AS dg FROM documents) SELECT doc_id, "
+            + ", ".join(
+                f"CAST(md5_number_upper(dg || '-{i}') % 256 AS BIGINT) AS f{i}"
+                for i in range(8))
+            + " FROM d ORDER BY doc_id"
+        ),
         # payload == utf-8 text bytes (pure-ASCII corpus), so SQL string
         # slices == the engine's byte slices; stride 4, max 5 frames
         "multimodal_frame_sample": (

@@ -146,3 +146,70 @@ def frame_sample(sf_dir: str, batch_size: int = 256) -> ray.data.Dataset:
         batch_size=batch_size,
         concurrency=pool_size(),
     ).sort(["doc_id", "frame_idx"])
+
+
+class ResampleStage:
+    """Resize/resample stage (the image-resize / audio-resample slot of
+    the pipeline): the payload is treated as a 1-D sample stream and
+    decimated by ``stride`` (nearest-neighbor — keep every stride-th
+    byte). A real image resize (Pillow) or audio resample (torchaudio)
+    drops into __call__ unchanged; the deterministic byte decimation
+    keeps the stage SQL-checkable."""
+
+    def __init__(self, stride: int = 2):
+        self.stride = stride
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t.column("payload").to_pylist()
+        out = [bytes(p[:: self.stride]) for p in payloads]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_bytes_out": pa.array([len(o) for o in out], pa.int64()),
+            "digest_out": pa.array([hashlib.md5(o).hexdigest() for o in out],
+                                   pa.string()),
+        })
+
+
+def resample(sf_dir: str, stride: int = 2, batch_size: int = 256) -> ray.data.Dataset:
+    from lucene_solr_ray.io_utils import pool_size
+
+    return payload_dataset(sf_dir).map_batches(
+        ResampleStage,
+        fn_constructor_kwargs={"stride": stride},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(),
+    ).sort("doc_id")
+
+
+class FeatureExtractStage:
+    """Feature-extraction stage (the CLIP/wav2vec embedding slot): a
+    deterministic fake embedding — dim md5-derived uint8 features per
+    payload — in exactly the layout a real model would emit (fixed-dim
+    int list column, actor pool, bounded batches). Swap the md5 for a
+    model forward pass and nothing else changes."""
+
+    def __init__(self, dim: int = 8):
+        self.dim = dim
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        digests = [hashlib.md5(p).hexdigest() for p in t.column("payload").to_pylist()]
+        cols = {"doc_id": t.column("doc_id")}
+        for i in range(self.dim):
+            cols[f"f{i}"] = pa.array(
+                [int.from_bytes(hashlib.md5(f"{d}-{i}".encode()).digest()[:8],
+                                "little") % 256 for d in digests],
+                pa.int64())
+        return pa.table(cols)
+
+
+def feature_extract(sf_dir: str, dim: int = 8, batch_size: int = 256) -> ray.data.Dataset:
+    from lucene_solr_ray.io_utils import pool_size
+
+    return payload_dataset(sf_dir).map_batches(
+        FeatureExtractStage,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=pool_size(),
+    ).sort("doc_id")
