@@ -317,6 +317,39 @@ def _cpu_control(nproc: int, seconds: float = 3.0) -> float:
     return float(total)
 
 
+def _mem_worker(t_end: float, q, mb: int = 64) -> None:
+    import numpy as np
+
+    a = np.zeros(mb * 1024 * 1024 // 8)
+    b = np.zeros_like(a)
+    n = 0
+    while time.monotonic() < t_end:
+        b[:] = a
+        n += 1
+    q.put(n)
+
+
+def _mem_control(nproc: int, seconds: float = 3.0) -> float:
+    """Aggregate memcpy GB/s delivered to ``nproc`` concurrent processes
+    (64 MB buffers, far beyond L3 — pure DRAM traffic). The build is
+    memory-bound at 32 procs on this host (BENCH/README: ~130 GB/s
+    saturation), so the ALU busy-loop ceiling under-reports neighbor
+    impact; this control measures the bottleneck that actually governs
+    the 8->32 step."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    t_end = time.monotonic() + seconds + 1.0  # numpy import + alloc allowance
+    procs = [ctx.Process(target=_mem_worker, args=(t_end, q)) for _ in range(nproc)]
+    for p in procs:
+        p.start()
+    total = sum(q.get() for _ in procs)
+    for p in procs:
+        p.join()
+    return float(total) * 0.064 / seconds  # copies * 64MB -> GB/s (approx window)
+
+
 def scaling() -> None:
     def run(ncpu: int) -> dict:
         # scaling evidence: build-only, 4x corpus — the fixed session/stage
@@ -348,19 +381,26 @@ def scaling() -> None:
     # efficiency is the MEDIAN of per-pair efficiencies.
     pairs = []
     ceilings = []
+    mem_ceilings = []
     for _ in range(trials):
         os.sync()  # settle page-cache writeback from the previous run
         time.sleep(2)
         c_lo = _cpu_control(lo)
+        m_lo = _mem_control(lo)
         r_lo = run(lo)
         os.sync()
         time.sleep(2)
         c_hi = _cpu_control(hi)
+        m_hi = _mem_control(hi)
         r_hi = run(hi)
         pairs.append((r_lo, r_hi))
         # what a PERFECTLY parallel CPU-bound job could achieve on this
         # host during this pair: measured 8->32 aggregate-CPU ratio / 4
         ceilings.append((c_hi / c_lo) / (hi / lo))
+        # and what a perfectly parallel MEMORY-bound job could: the
+        # aggregate-DRAM-bandwidth ratio / 4 (saturates near 1x on this
+        # host even when quiet — see BENCH/README memcpy controls)
+        mem_ceilings.append((m_hi / m_lo) / (hi / lo))
     effs = [(p[1]["turns_per_s"] / p[0]["turns_per_s"]) / (hi / lo) for p in pairs]
     norm_effs = [min(e / c, 1.0) if c > 0 else e for e, c in zip(effs, ceilings)]
     order = sorted(range(len(pairs)), key=lambda i: effs[i])
@@ -379,6 +419,7 @@ def scaling() -> None:
         f"turns_per_s_{hi}": r_hi["turns_per_s"],
         "per_pair_efficiency": [round(e, 3) for e in effs],
         "per_pair_cpu_ceiling": [round(c, 3) for c in ceilings],
+        "per_pair_mem_ceiling": [round(c, 3) for c in mem_ceilings],
         "ceiling_normalized_efficiency": round(norm_eff, 3),
         "sf": r_lo["sf"],
         "queries": {f"index_build_{lo}": r_lo["value"], f"index_build_{hi}": r_hi["value"]},
@@ -393,7 +434,9 @@ def scaling() -> None:
             f"n_docs = {r_lo['n_docs']}; per-pair efficiencies {[round(e, 3) for e in effs]}; "
             f"median scaling efficiency (thr{hi}/thr{lo})/{hi // lo} = **{eff:.3f}** (criterion: >= 0.8)\n"
             f"per-pair CPU ceilings (concurrent busy-loop control, (units{hi}/units{lo})/{hi // lo}) = "
-            f"{[round(c, 3) for c in ceilings]}; median ceiling-normalized efficiency = "
+            f"{[round(c, 3) for c in ceilings]}; per-pair MEM ceilings (concurrent memcpy "
+            f"control, (GB/s at {hi} / GB/s at {lo})/{hi // lo}) = "
+            f"{[round(c, 3) for c in mem_ceilings]}; median ceiling-normalized efficiency = "
             f"**{norm_eff:.3f}** (what the build achieves of what this VM can physically deliver)\n"
         )
     print(json.dumps(result))
