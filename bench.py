@@ -399,8 +399,11 @@ def scaling() -> None:
         ceilings.append((c_hi / c_lo) / (hi / lo))
         # and what a perfectly parallel MEMORY-bound job could: the
         # aggregate-DRAM-bandwidth ratio / 4 (saturates near 1x on this
-        # host even when quiet — see BENCH/README memcpy controls)
-        mem_ceilings.append((m_hi / m_lo) / (hi / lo))
+        # host even when quiet — see BENCH/README memcpy controls). A
+        # zero reading means the control's processes never completed a
+        # copy inside the window (spawn starved under load) — record -1
+        # ("no reading") rather than a fake ceiling.
+        mem_ceilings.append((m_hi / m_lo) / (hi / lo) if m_lo > 0 and m_hi > 0 else -1.0)
     effs = [(p[1]["turns_per_s"] / p[0]["turns_per_s"]) / (hi / lo) for p in pairs]
     norm_effs = [min(e / c, 1.0) if c > 0 else e for e, c in zip(effs, ceilings)]
     order = sorted(range(len(pairs)), key=lambda i: effs[i])
