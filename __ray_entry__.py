@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_range_docs": lambda sf: ft.multi_term_retrieve(sf, "range", "key:part"),
         "ft_leading_wildcard": lambda sf: ft.leading_wildcard_retrieve(sf, "*er"),
         "ft_dv_update_sort": lambda sf: ft.dv_update_sort(sf, mod=7, k=15),
+        "ft_atomic_inc": lambda sf: ft.atomic_inc_requery(sf, mod=11, delta=5, k=15),
         "ft_tag_dictionary": lambda sf: ft.tag_dictionary_matches(
             sf, ("merge join", "join vector", "sort window")),
         "ft_point_in_set": lambda sf: ft.point_in_set_docs(
@@ -812,6 +813,13 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id, 'join vector', pos FROM pairs WHERE w1 = 'join' AND w2 = 'vector' "
             "UNION ALL SELECT doc_id, 'sort window', pos FROM pairs WHERE w1 = 'sort' AND w2 = 'window') "
             "ORDER BY doc_id, tag, pos"
+        ),
+        "ft_atomic_inc": (
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY val DESC, doc_id) - 1 AS BIGINT) AS rank, "
+            "doc_id, val FROM ("
+            "SELECT doc_id, CAST(n_chars + CASE WHEN doc_id % 11 = 0 THEN 5 ELSE 0 END AS BIGINT) AS val "
+            f"FROM documents WHERE list_contains({split}, 'join')) "
+            "ORDER BY val DESC, doc_id LIMIT 15"
         ),
         # dv-update overlay: doc_id % 7 == 0 -> (doc_id*31) % 1000, else stored
         "ft_dv_update_sort": (

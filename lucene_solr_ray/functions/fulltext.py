@@ -2207,3 +2207,35 @@ def tag_dictionary_matches(sf_dir: str,
         .map_batches(fn, batch_format="pyarrow")
         .sort(["doc_id", "tag", "pos"])
     )
+
+
+def atomic_inc_requery(sf_dir: str, mod: int = 11, delta: int = 5,
+                       k: int = 15) -> pa.Table:
+    """Atomic update ``{"field": {"inc": delta}}`` on a numeric
+    doc-values field ([U] solr/core/.../update/processor/
+    AtomicUpdateDocumentMerger.java 'inc' op): read-modify-write through
+    the dv-overlay commit — no reindex, crash-safe via the manifest
+    generation. Copy the cached index, inc n_chars by ``delta`` for
+    every doc_id % mod == 0, requery sorted by the field."""
+    import shutil
+
+    from lucene_solr_ray.pipelines.deletes import update_numeric_docvalues
+
+    src = docs_index(sf_dir)
+    tmp = src + "-inccopy"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(src, tmp)
+    s0 = IndexSearcher(tmp)
+    mapping = _docid_to_doc_id(tmp)
+    ext = mapping[mapping % mod == 0]
+    docids = np.searchsorted(mapping, ext)
+    cur = s0.doc_values("n_chars")[docids]  # read (stored or prior overlay)
+    update_numeric_docvalues(
+        tmp, "n_chars", {int(d): int(c) + delta for d, c in zip(docids, cur)})
+    s = IndexSearcher(tmp)
+    d, vals = s.search_sorted_by_field(["join"], "n_chars", k=k, descending=True)
+    return pa.table({
+        "rank": pa.array(np.arange(len(d)), pa.int64()),
+        "doc_id": pa.array(mapping[d], pa.int64()),
+        "val": pa.array(vals.astype(np.int64), pa.int64()),
+    })
