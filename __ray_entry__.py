@@ -240,6 +240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_fuzzy_docs": lambda sf: ft.fuzzy_retrieve(sf, "merge~1"),
         "ft_delete_requery": lambda sf: ft.delete_requery(
             sf, delete_terms=["vector"], query_terms=["merge"]),
+        "ft_mm_spec_docs": lambda sf: ft.mm_spec_retrieve(
+            sf, ["merge", "join", "vector", "sort"], "2<-25%"),
         "ft_min_should_match": lambda sf: ft.min_should_match_retrieve(
             sf, ["merge", "join", "vector"], mm=2),
         "ft_sorted_by_field": lambda sf: ft.sorted_by_field_topk(sf, ["spark"], "n_chars", k=10),
@@ -267,6 +269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_synonym_topk": lambda sf: ft.synonym_topk(sf, ["merge", "sort"], k=10),
         "ft_dismax_topk": lambda sf: ft.dismax_topk(sf, ["merge", "join", "window"], 0.3, k=10),
         "ft_edismax_pf2": lambda sf: ft.edismax_pf2_topk(sf, ["merge", "join", "vector"], k=10),
+        "ft_freshness_boost": lambda sf: ft.freshness_boost_topk(
+            sf, ["merge", "join"], m=1e-6, k=10),
         "ft_rerank_topk": lambda sf: ft.rerank_topk(
             sf, ["merge", "join"], ["vector"], weight=2.0, top_n=60, k=10),
         "ft_common_terms_topk": lambda sf: ft.common_terms_topk(
@@ -508,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_phrase_topk": _ft_oracle().phrase_topk_sql(["merge", "join"], k=10),
         "ft_dismax_topk": _ft_oracle().dismax_topk_sql(["merge", "join", "window"], 0.3, k=10),
         "ft_edismax_pf2": _ft_oracle().edismax_pf2_sql(["merge", "join", "vector"], k=10),
+        "ft_freshness_boost": _ft_oracle().freshness_boost_sql(["merge", "join"], m=1e-6, k=10),
         "ft_rerank_topk": _ft_oracle().rerank_topk_sql(
             ["merge", "join"], ["vector"], weight=2.0, top_n=60, k=10),
         "ft_common_terms_topk": _ft_oracle().common_terms_topk_sql(
@@ -610,6 +615,14 @@ def oracle_sql() -> dict[str, str]:
         "ft_delete_requery": (
             f"SELECT doc_id FROM documents WHERE list_contains({split}, 'merge') "
             f"AND NOT list_contains({split}, 'vector') ORDER BY doc_id"
+        ),
+        # "2<-25%" with 4 clauses: n > 2 -> mm = 4 - (4*25)//100 = 3
+        "ft_mm_spec_docs": (
+            "SELECT doc_id FROM documents WHERE "
+            f"(CAST(list_contains({split}, 'merge') AS INT) + "
+            f"CAST(list_contains({split}, 'join') AS INT) + "
+            f"CAST(list_contains({split}, 'vector') AS INT) + "
+            f"CAST(list_contains({split}, 'sort') AS INT)) >= 3 ORDER BY doc_id"
         ),
         "ft_min_should_match": (
             "SELECT doc_id FROM documents WHERE "

@@ -1131,3 +1131,39 @@ def sweetspot_topk_sql(queries: list[tuple[str, list[str], str]], k: int = 10) -
     return ("WITH " + ", ".join(ctes) + " "
             + " UNION ALL ".join(f"({s})" for s in selects)
             + " ORDER BY query_id, rank")
+
+
+def freshness_boost_sql(raw_terms: list[str], m: float = 1e-6, a: float = 1.0,
+                        b: float = 1.0, k: int = 10) -> str:
+    """Oracle for fulltext.freshness_boost_topk — BM25 float32 fold times
+    the float32 recip boost (float64 product, float32 narrow); x = whole
+    ms from ts (= 2026-01-01 + doc_id seconds, the adapter contract) to
+    the pinned NOW (2026-01-02), so x = (86400 - doc_id) * 1000 exact."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    terms = analyze_query_terms(raw_terms)
+    ctes = [prelude_ctes()]
+    tf_names, w_names = [], []
+    for ti, t in enumerate(terms):
+        tf_n, w_n = f"fr_tf{ti}", f"fr_w{ti}"
+        ctes.append(tf_cte(tf_n, t))
+        ctes.append(w_cte(w_n, tf_n))
+        tf_names.append(tf_n)
+        w_names.append(w_n)
+    aliases = [f"t{ti}" for ti in range(len(terms))]
+    joins = f"{tf_names[0]} {aliases[0]}"
+    for tf_n, al in zip(tf_names[1:], aliases[1:]):
+        joins += f" JOIN {tf_n} {al} ON {aliases[0]}.doc_id = {al}.doc_id"
+    joins += f" JOIN denom ON denom.doc_id = {aliases[0]}.doc_id"
+    x = f"CAST((86400 - {aliases[0]}.doc_id) * 1000 AS DOUBLE)"
+    boost = f"CAST({a!r}/({m!r}*{x} + {b!r}) AS FLOAT)"
+    fold = fold_f32([score_expr(al, w_n) for al, w_n in zip(aliases, w_names)])
+    final = f"CAST(CAST({fold} AS DOUBLE) * CAST({boost} AS DOUBLE) AS FLOAT)"
+    cond = " OR ".join(f"{al}.tf > 0" for al in aliases)
+    return ("WITH " + ", ".join(ctes) + " "
+            "SELECT rank, doc_id FROM ("
+            "SELECT doc_id, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+            f"FROM (SELECT {aliases[0]}.doc_id AS doc_id, {final} AS score "
+            f"FROM {joins} WHERE {cond}) sub"
+            f") ranked WHERE rank < {int(k)} ORDER BY rank")

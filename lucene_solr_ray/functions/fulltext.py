@@ -2239,3 +2239,53 @@ def atomic_inc_requery(sf_dir: str, mod: int = 11, delta: int = 5,
         "doc_id": pa.array(mapping[d], pa.int64()),
         "val": pa.array(vals.astype(np.int64), pa.int64()),
     })
+
+
+def mm_spec_retrieve(sf_dir: str, should: list[str], spec: str) -> pa.Table:
+    """minimum-should-match SPEC form ([U] solr/core/.../util/
+    SolrPluginUtils.java calculateMinShouldMatch — the dismax/edismax mm
+    parameter grammar: absolute, negative, percentage, and conditional
+    "c<v" clauses): resolve the spec against the clause count, then the
+    ordinary mm boolean query."""
+    from lucene_solr_ray.queryparser import parse_mm_spec
+
+    mm = parse_mm_spec(spec, len(should))
+    return min_should_match_retrieve(sf_dir, should, mm)
+
+
+_FRESH_NOW_US = 1767312000000000  # 2026-01-02T00:00:00 UTC in epoch us
+
+
+def freshness_boost_topk(sf_dir: str, terms: list[str], m: float = 1e-6,
+                         a: float = 1.0, b: float = 1.0, k: int = 10) -> pa.Table:
+    """The classic Solr freshness ranking ``{!boost b=recip(ms(NOW,ts),m,a,b)}q``
+    ([U] solr/core/.../search/function — ReciprocalFloatFunction +
+    BoostQParserPlugin; the Solr Ref Guide's canonical recency recipe):
+    final = f32(f64(bm25) * f64(boost)), boost = f32(a/(m*x + b)) with
+    x = whole milliseconds from the doc's ts to a PINNED NOW (2026-01-02
+    00:00:00 — deterministic, just after every corpus ts). ts comes from
+    one docid-pushdown docvalues fetch; rank-only output."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    from lucene_solr_ray.oracle import analyze_query_terms, topk_order
+
+    qterms = analyze_query_terms(terms)
+    d, bm25 = s.search(qterms, k=max(1, s.n_docs), mode="or")
+    if len(d) == 0:
+        return pa.Table.from_pylist([], schema=pa.schema(
+            [("rank", pa.int64()), ("doc_id", pa.int64())]))
+    docs = pads.dataset(os.path.join(index_dir, "docs"), format="parquet").to_table(
+        columns=["docid", "ts"],
+        filter=pa.compute.field("docid").isin(pa.array(d.astype(np.int64))))
+    order = pa.compute.sort_indices(docs.column("docid"))
+    did_sorted = docs.column("docid").take(order).to_numpy().astype(np.int64)
+    ts_us = docs.column("ts").take(order).cast(pa.int64()).to_numpy()
+    x_ms = ((_FRESH_NOW_US - ts_us) // 1000)[np.searchsorted(did_sorted, d)].astype(np.float64)
+    boost = (np.float64(a) / (np.float64(m) * x_ms + np.float64(b))).astype(np.float32)
+    final = (bm25.astype(np.float64) * boost.astype(np.float64)).astype(np.float32)
+    top = topk_order(d, final, k)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({
+        "rank": pa.array(np.arange(len(top)), pa.int64()),
+        "doc_id": pa.array(mapping[d[top]].astype(np.int64), pa.int64()),
+    })

@@ -387,3 +387,42 @@ def parse_simple(query: str):
     ('phrase', (words, slop)) | ('fuzzy', (w, d)) | ('not', n) |
     ('and'|'or', left, right)."""
     return _SqpParser(query).expr()
+
+
+# ---------------- dismax mm spec parser (§2.11) ----------------
+
+def parse_mm_spec(spec: str, n_clauses: int) -> int:
+    """Solr's minimum-should-match SPEC grammar ([U] solr/core/.../util/
+    SolrPluginUtils.java calculateMinShouldMatch):
+
+      "3"       -> 3
+      "-2"      -> n - 2
+      "75%"     -> int(n * 0.75)   (truncates)
+      "-25%"    -> n - int(n * 0.25)
+      "2<-25% 9<-3"  conditional: each "c<v" applies v when n > c; the
+                     HIGHEST matching c wins; n <= smallest c -> n (all
+                     optional clauses required)
+
+    Result clamped to [0, n_clauses]."""
+    spec = spec.strip()
+
+    def one(v: str) -> int:
+        v = v.strip()
+        neg = v.startswith("-")
+        if neg:
+            v = v[1:]
+        if v.endswith("%"):
+            val = (n_clauses * int(v[:-1])) // 100
+        else:
+            val = int(v)
+        return n_clauses - val if neg else val
+
+    if "<" in spec:
+        best_c, mm = None, n_clauses  # n <= smallest c -> all required
+        for part in spec.split():
+            c_s, v_s = part.split("<", 1)
+            c = int(c_s)
+            if n_clauses > c and (best_c is None or c > best_c):
+                best_c, mm = c, one(v_s)
+        return max(0, min(mm, n_clauses))
+    return max(0, min(one(spec), n_clauses))

@@ -232,3 +232,19 @@ def test_intervals_maxgaps_vs_bruteforce():
     mapping = ft._docid_to_doc_id(ft.docs_index(sf))
     assert {int(mapping[d]) for d in got} == want
     assert len(want) > 0
+
+
+def test_mm_spec_solr_examples():
+    from lucene_solr_ray.queryparser import parse_mm_spec
+
+    # the examples from the Solr Ref Guide's mm parameter table
+    assert parse_mm_spec("3", 5) == 3
+    assert parse_mm_spec("-2", 5) == 3
+    assert parse_mm_spec("75%", 4) == 3          # truncates
+    assert parse_mm_spec("-25%", 4) == 3
+    assert parse_mm_spec("3<90%", 3) == 3        # n <= 3: all required
+    assert parse_mm_spec("3<90%", 10) == 9
+    assert parse_mm_spec("2<-25% 9<-3", 1) == 1
+    assert parse_mm_spec("2<-25% 9<-3", 8) == 6
+    assert parse_mm_spec("2<-25% 9<-3", 12) == 9
+    assert parse_mm_spec("200%", 3) == 3         # clamped to n
