@@ -371,6 +371,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "taxonomy_facets": rel.taxonomy_facets,
         "facet_terms": rel.facet_terms,
         "facet_stats_ext": rel.stats_extended,
+        "range_facet_other": lambda sf: rel.range_facet_other(
+            sf, "n_chars", start=100, end=400, gap=100),
         "timeseries_facet": rel.timeseries_facet,
         "asof_join": win.asof_join,
         "session_window": lambda sf: win.session_window(sf, gap_minutes=30),
@@ -1104,6 +1106,17 @@ def oracle_sql() -> dict[str, str]:
         # deleted every 'merge' doc after the snapshot, the restore must not
         "ft_snapshot_restore": (
             f"SELECT doc_id FROM documents WHERE list_contains({split}, 'vector') ORDER BY doc_id"
+        ),
+        "range_facet_other": (
+            "WITH lab AS (SELECT CASE WHEN n_chars < 100 THEN 'before' "
+            "WHEN n_chars >= 400 THEN 'after' "
+            "ELSE 'r' || CAST((n_chars - 100) // 100 AS VARCHAR) END AS bucket FROM documents), "
+            "cnt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY bucket), "
+            "names(bucket) AS (VALUES ('before'), ('r0'), ('r1'), ('r2'), ('after')) "
+            "SELECT nm.bucket, CAST(COALESCE(c.n, 0) AS BIGINT) AS n "
+            "FROM names nm LEFT JOIN cnt c USING (bucket) "
+            "UNION ALL SELECT 'between', CAST(COALESCE(SUM(n), 0) AS BIGINT) "
+            "FROM cnt WHERE bucket LIKE 'r%'"
         ),
         "facet_stats_ext": (
             f"WITH e AS (SELECT event_type, {c(x='value')} AS cents, value FROM events) "

@@ -1290,3 +1290,52 @@ def tochild_block_join(sf_dir: str, status: str = "F", min_qty: int = 45) -> ray
     return joined.map_batches(
         lambda t: t.select(["l_orderkey", "l_linenumber"]), batch_format="pyarrow"
     ).sort(["l_orderkey", "l_linenumber"])
+
+
+def range_facet_other(sf_dir: str, field: str = "n_chars", start: int = 100,
+                      end: int = 400, gap: int = 100) -> ray.data.Dataset:
+    """facet.range with the ``other`` buckets ([U] solr/core/.../request/
+    SimpleFacets.java + RangeFacetProcessor FacetRangeOther.ALL): the gap
+    buckets inside [start, end) plus BEFORE (< start), AFTER (>= end) and
+    BETWEEN (the in-range total). One pruned single-column read,
+    bucket-labelled map-side partials, bucket-count-sized combine;
+    BETWEEN is derived from the bucket counts in the final output-sized
+    stage (never a second pass)."""
+    from ray.data.aggregate import Sum
+
+    from lucene_solr_ray.io_utils import read_parquet_clean
+
+    n_buckets = (end - start) // gap
+
+    def label(t: pa.Table) -> pa.Table:
+        v = t.column(field).to_numpy().astype(np.int64)
+        idx = (v - start) // gap
+        lab = np.where(v < start, "before",
+                       np.where(v >= end, "after",
+                                np.char.add("r", idx.astype(str))))
+        return pa.table({"bucket": pa.array(lab.astype(object), pa.string()),
+                         "n": pa.array(np.ones(len(v), np.int64))})
+
+    ds = (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=[field])
+        .map_batches(label, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # output-sized: add the BETWEEN row and the bucket's range bounds
+        buckets = t.column("bucket").to_pylist()
+        counts = dict(zip(buckets, t.column("n").to_pylist()))
+        rows = [("before", int(counts.get("before", 0)))]
+        between = 0
+        for i in range(n_buckets):
+            c = int(counts.get(f"r{i}", 0))
+            between += c
+            rows.append((f"r{i}", c))
+        rows.append(("after", int(counts.get("after", 0))))
+        rows.append(("between", between))
+        return pa.table({"bucket": pa.array([r[0] for r in rows], pa.string()),
+                         "n": pa.array([r[1] for r in rows], pa.int64())})
+
+    return ds.repartition(1).map_batches(finish, batch_format="pyarrow")
