@@ -240,6 +240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_fuzzy_docs": lambda sf: ft.fuzzy_retrieve(sf, "merge~1"),
         "ft_delete_requery": lambda sf: ft.delete_requery(
             sf, delete_terms=["vector"], query_terms=["merge"]),
+        "ft_parser_numeric_range": lambda sf: ft.parser_numeric_range_docs(
+            sf, "merge n_chars:[100 TO 200]"),
         "ft_mm_spec_docs": lambda sf: ft.mm_spec_retrieve(
             sf, ["merge", "join", "vector", "sort"], "2<-25%"),
         "ft_min_should_match": lambda sf: ft.min_should_match_retrieve(
@@ -617,6 +619,10 @@ def oracle_sql() -> dict[str, str]:
         "ft_delete_requery": (
             f"SELECT doc_id FROM documents WHERE list_contains({split}, 'merge') "
             f"AND NOT list_contains({split}, 'vector') ORDER BY doc_id"
+        ),
+        "ft_parser_numeric_range": (
+            f"SELECT doc_id FROM documents WHERE list_contains({split}, 'merge') "
+            "AND n_chars BETWEEN 100 AND 200 ORDER BY doc_id"
         ),
         # "2<-25%" with 4 clauses: n > 2 -> mm = 4 - (4*25)//100 = 3
         "ft_mm_spec_docs": (

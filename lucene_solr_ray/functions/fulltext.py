@@ -2289,3 +2289,16 @@ def freshness_boost_topk(sf_dir: str, terms: list[str], m: float = 1e-6,
         "rank": pa.array(np.arange(len(top)), pa.int64()),
         "doc_id": pa.array(mapping[d[top]].astype(np.int64), pa.int64()),
     })
+
+
+def parser_numeric_range_docs(sf_dir: str, query: str = "merge n_chars:[100 TO 200]") -> pa.Table:
+    """Classic parser with a fielded NUMERIC range atom
+    ([U] solr {!lucene} field:[a TO b] over an IntPoint field — solr/core/
+    .../parser/SolrQueryParserBase.java getRangeQuery): the range becomes
+    a PointRangeQuery-style pushdown filter composed with the scored text
+    clauses. Sorted doc_id set output."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d, _ = s.search_parsed(query, k=max(1, s.n_docs))
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})

@@ -35,7 +35,7 @@ import re
 _TOKEN = re.compile(
     r"""
     (?P<phrase>"[^"]*"(~(?P<slop>\d+))?)
-  | (?P<range>\[\s*(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\s*\])
+  | (?P<range>(?P<rfield>[A-Za-z_][A-Za-z0-9_]*(?=:))?:?\[\s*(?P<lo>\S+)\s+TO\s+(?P<hi>\S+)\s*\])
   | (?P<plus>\+)
   | (?P<minus>-)
   | (?P<word>[^\s+\-^][^\s^]*)
@@ -97,6 +97,14 @@ def parse_query(query: str, searcher=None, schema=None,
             continue
         if m.group("range"):
             lo, hi = m.group("lo"), m.group("hi")
+            rfield = m.group("rfield")
+            if rfield and rfield != "text":
+                # fielded NUMERIC range -> PointRangeQuery-style docvalues
+                # filter ([U] solr's {!lucene} field:[a TO b] on an
+                # IntPoint field); inclusive both ends like classic
+                dv_filters[rfield] = ("range", int(lo), int(hi))
+                pending_occur = None
+                continue
             # classic [a TO b] is inclusive on both ends; the dict scan
             # is [lo, hi), so bump hi to its immediate successor
             push({"kind": "terms", "terms": expand("range", f"{lo}:{hi}\x00")})

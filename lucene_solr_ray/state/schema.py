@@ -93,13 +93,28 @@ class IndexSchema:
 
         expr = None
         for field, value in filters.items():
+            is_range = (isinstance(value, tuple) and len(value) == 3
+                        and value[0] == "range")
+            if is_range:
+                # numeric [lo TO hi] on a POINT field (PointRangeQuery —
+                # parquet row-group stats play the BKD role), inclusive
+                # both ends like the classic parser
+                if self.serve(field) not in ("point", "docvalues"):
+                    raise ValueError(
+                        f"field {field!r} is {self.serve(field)}-served; range "
+                        "filters need a point or docvalues field")
+                e = (pc.field(field) >= value[1]) & (pc.field(field) <= value[2])
+                expr = e if expr is None else expr & e
+                continue
             if self.serve(field) != "docvalues":
                 raise ValueError(
                     f"field {field!r} is {self.serve(field)}-served; docvalues "
                     f"filters need a 'string' field"
                 )
-            e = pc.field(field).isin(list(value)) if isinstance(value, (list, tuple, set)) \
-                else pc.field(field) == value
+            if isinstance(value, (list, tuple, set)):
+                e = pc.field(field).isin(list(value))
+            else:
+                e = pc.field(field) == value
             expr = e if expr is None else expr & e
         return expr
 
