@@ -317,11 +317,15 @@ def _cpu_control(nproc: int, seconds: float = 3.0) -> float:
     return float(total)
 
 
-def _mem_worker(t_end: float, q, mb: int = 64) -> None:
+def _mem_worker(seconds: float, q, mb: int = 64) -> None:
     import numpy as np
 
     a = np.zeros(mb * 1024 * 1024 // 8)
     b = np.zeros_like(a)
+    # per-worker-local window, started AFTER import+alloc: a shared
+    # absolute deadline returned n=0 whenever 32 spawns + numpy imports
+    # ate the whole window under load (observed -1 readings)
+    t_end = time.monotonic() + seconds
     n = 0
     while time.monotonic() < t_end:
         b[:] = a
@@ -340,8 +344,7 @@ def _mem_control(nproc: int, seconds: float = 3.0) -> float:
 
     ctx = mp.get_context("spawn")
     q = ctx.Queue()
-    t_end = time.monotonic() + seconds + 1.0  # numpy import + alloc allowance
-    procs = [ctx.Process(target=_mem_worker, args=(t_end, q)) for _ in range(nproc)]
+    procs = [ctx.Process(target=_mem_worker, args=(seconds, q)) for _ in range(nproc)]
     for p in procs:
         p.start()
     total = sum(q.get() for _ in procs)
