@@ -585,11 +585,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM f JOIN dfs USING (term), n "
             "ORDER BY score_micro DESC, term LIMIT 8"
         ),
-        # "s* join": the prefix slot expands over the corpus vocabulary,
-        # which the regex s[a-z]* matches directly (ASCII corpus)
+        # "s* join": the prefix slot expands over the same STOP-FILTERED
+        # split vocabulary the engine indexes (a raw-text regex would
+        # wrongly match stopword bigrams like 'such join' and wrongly
+        # reject digit-bearing tokens like 's3 join' — ADVICE r3);
+        # adjacency is pos+1 in whitespace positions (FIXTURES)
         "ft_complex_phrase": (
-            "SELECT doc_id FROM documents WHERE "
-            "regexp_matches(text, '\\bs[a-z]*\\s+join\\b') ORDER BY doc_id"
+            f"WITH toks AS (SELECT doc_id, unnest(l) AS term, "
+            f"CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos "
+            f"FROM (SELECT doc_id, {split} AS l FROM documents)), "
+            f"a AS (SELECT doc_id, pos FROM toks WHERE term LIKE 's%' "
+            f"AND NOT list_contains({_STOP_SQL}, term)), "
+            "b AS (SELECT doc_id, pos FROM toks WHERE term = 'join') "
+            "SELECT DISTINCT a.doc_id AS doc_id FROM a JOIN b "
+            "ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 ORDER BY doc_id"
         ),
         "ft_query_parser": (
             "SELECT doc_id FROM documents WHERE "

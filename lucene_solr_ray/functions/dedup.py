@@ -22,7 +22,7 @@ import pyarrow as pa
 
 import ray.data
 
-from lucene_solr_ray.io_utils import emb_matrix, pool_size, read_parquet_clean
+from lucene_solr_ray.io_utils import emb_matrix, join_partitions, pool_size, read_parquet_clean
 
 _WS = re.compile(r"\s+")
 
@@ -765,7 +765,7 @@ def embedding_lsh_pairs(sf_dir: str, threshold: float = 0.42,
 # ---------------- near-dup connected components / canonical keep ----------------
 
 def connected_components(edges: ray.data.Dataset, max_rounds: int = 64,
-                         num_partitions: int = 8) -> ray.data.Dataset:
+                         num_partitions: int | None = None) -> ray.data.Dataset:
     """Distributed connected components over an undirected edge Dataset
     (columns ``doc_a``/``doc_b``) by min-label propagation: every node
     starts labeled with itself; each round every node takes the minimum
@@ -784,6 +784,8 @@ def connected_components(edges: ray.data.Dataset, max_rounds: int = 64,
     this generalizes keep-one to transitive near-dup clusters.
     """
     from ray.data.aggregate import Min
+
+    num_partitions = num_partitions or join_partitions()
 
     def sym(t: pa.Table) -> pa.Table:
         a = t.column("doc_a").to_numpy().astype(np.int64)
@@ -853,7 +855,7 @@ def dedup_connected_components(sf_dir: str, threshold_pct: int = 30,
         .map_batches(lambda t: t.rename_columns(["slab", "n_members"]),
                      batch_format="pyarrow")
     out = (
-        labels.join(sizes, "inner", num_partitions=4, on=("lab",), right_on=("slab",))
+        labels.join(sizes, "inner", num_partitions=join_partitions(), on=("lab",), right_on=("slab",))
         .map_batches(lambda t: pa.table({
             "doc_id": t.column("node"),
             "canon_id": t.column("lab"),

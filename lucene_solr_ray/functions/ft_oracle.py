@@ -945,9 +945,14 @@ def edismax_pf2_sql(terms: list[str], k: int = 10) -> str:
     Bigram tf = non-overlapping adjacent regexp count (== phrase_freq on
     this corpus, proven by ft_phrase_docs/phrase_topk), bigram weight
     = f32(idf(t1) + idf(t2)) in phrase order."""
+    from lucene_solr_ray.analysis import tokenize
     from lucene_solr_ray.oracle import analyze_query_terms
 
     ts = analyze_query_terms(terms)
+    # pf2 bigrams over the ORDER-PRESERVING analyzed query sequence —
+    # the same list the engine zips (ADVICE r3: raw terms diverge from
+    # the indexed vocabulary on uppercase/stopword inputs)
+    seq = [w for t in terms for w in tokenize(t)]
     ctes = [prelude_ctes()]
     tf_of, w_of = {}, {}
     for ti, t in enumerate(ts):
@@ -964,10 +969,10 @@ def edismax_pf2_sql(terms: list[str], k: int = 10) -> str:
     main_fold = fold_f32([score_expr(aliases[t], w_of[t]) for t in ts])
     cond = " OR ".join(f"{a}.tf > 0" for a in al)
 
-    # per-bigram phrase tf + weight CTEs (bigrams over the RAW term
-    # order, the engine's pf2 construction)
+    # per-bigram phrase tf + weight CTEs (bigrams over the analyzed
+    # query sequence, the engine's pf2 construction)
     bigram_exprs = []
-    for bi, (t1, t2) in enumerate(zip(terms[:-1], terms[1:])):
+    for bi, (t1, t2) in enumerate(zip(seq[:-1], seq[1:])):
         pat = f"\\b{_esc(t1)}\\s+{_esc(t2)}\\b"
         ptf = f"ptf_e{bi}"
         ctes.append(
@@ -1056,7 +1061,9 @@ def feature_log_sql(terms: list[str], n_candidates: int = 20) -> str:
     joins += f" JOIN denom ON denom.doc_id = {aliases[0][1]}.doc_id"
     cond = " OR ".join(f"{a}.tf > 0" for _, a in aliases)
     fold = fold_f32(folds)
-    term0 = _esc(terms[0])
+    # the engine analyzes its term list up front (ADVICE r3), so the
+    # tf feature's term is the FIRST ANALYZED term, not the raw one
+    term0 = _esc(ts[0])
     return (
         "WITH " + ", ".join(ctes) + ", "
         "firstpass AS (SELECT doc_id, rank FROM ("

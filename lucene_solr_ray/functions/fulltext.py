@@ -20,6 +20,7 @@ import pyarrow.dataset as pads
 
 import ray.data
 
+from lucene_solr_ray.io_utils import join_partitions, read_parquet_clean
 from lucene_solr_ray.pipelines.build import build_index
 from lucene_solr_ray.pipelines.search import IndexSearcher
 from lucene_solr_ray.state.manifest import latest_generation
@@ -57,7 +58,7 @@ def transcripts_from_documents(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return ray.data.read_parquet(path).map_batches(adapt, batch_format="pyarrow")
+    return read_parquet_clean(path).map_batches(adapt, batch_format="pyarrow")
 
 
 def docs_index(sf_dir: str, num_partitions: int = 8, salt: int = 1) -> str:
@@ -682,11 +683,11 @@ def sorted_by_field_topk(sf_dir: str, terms: list[str], field: str = "n_chars",
         return pa.table({"rank": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64()),
                          field: pa.array([], pa.int64())})
     hits = ray.data.from_arrow(pa.table({"docid": pa.array(np.sort(d), pa.int64())}))
-    docs = ray.data.read_parquet(
+    docs = read_parquet_clean(
         os.path.join(index_dir, "docs"), columns=["docid", field, "doc_id"]
     )
     top = (
-        hits.join(docs, "inner", num_partitions=4, on=("docid",))
+        hits.join(docs, "inner", num_partitions=join_partitions(), on=("docid",))
         .sort([field, "docid"], descending=[True, False])
         .limit(k)
         .to_pandas()
@@ -1968,10 +1969,17 @@ def edismax_pf2_topk(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
     bigram scored exactly like PhraseQuery (tf = adjacency count,
     w = f32(idf(t1) + idf(t2))); non-matching bigrams add float32 0.0
     (the identity). Rank-only output; oracle: ft_oracle.edismax_pf2_sql."""
+    from lucene_solr_ray.analysis import tokenize
     from lucene_solr_ray.oracle import topk_order
 
     index_dir = docs_index(sf_dir)
     s = IndexSearcher(index_dir)
+    # analyze once so engine and oracle agree on uppercase/stopword
+    # terms (ADVICE r3): ORDER-PRESERVING per-term analysis — pf2
+    # bigrams are built from the analyzed query SEQUENCE (Solr builds
+    # them from the analyzed clause order), while the main fold's
+    # sort/dedup happens inside IndexSearcher.search
+    terms = [w for t in terms for w in tokenize(t)]
     d_main, sc_main = s.search(terms, k=max(1, s.n_docs), mode="or")
     if len(d_main) == 0:
         return pa.table({"rank": pa.array([], pa.int64()),
@@ -2040,7 +2048,26 @@ def simple_query_docs(sf_dir: str, query: str) -> pa.Table:
         if kind == "and":
             return np.intersect1d(ev(node[1]), ev(node[2]), assume_unique=True)
         if kind == "or":
-            return np.union1d(ev(node[1]), ev(node[2]))
+            # Lucene's SimpleQueryParser makes '-' a MUST_NOT clause on
+            # the ENCLOSING BooleanQuery, so 'a | -b' is (a) minus (b),
+            # not union(a, complement(b)): flatten the OR chain, union
+            # the positive clauses, subtract each negated clause. A
+            # BooleanQuery with only MUST_NOT clauses matches nothing.
+            ops, stack = [], [node]
+            while stack:
+                n = stack.pop()
+                (stack if n[0] == "or" else ops).extend(
+                    [n[1], n[2]] if n[0] == "or" else [n])
+            pos = [n for n in ops if n[0] != "not"]
+            if not pos:
+                return np.empty(0, np.int64)
+            res = ev(pos[0])
+            for p in pos[1:]:
+                res = np.union1d(res, ev(p))
+            for n in ops:
+                if n[0] == "not":
+                    res = np.setdiff1d(res, ev(n[1]))
+            return res
         raise ValueError(f"simple query: unknown node {kind!r}")
 
     ast = parse_simple(query)

@@ -251,7 +251,7 @@ def point_bbox_query(sf_dir: str, bbox=(-30.0, 40.0, -100.0, 50.0),
         return pa.table({"c_custkey": pa.array(
             t.column("c_custkey").to_numpy()[m].astype(np.int64))})
 
-    return ray.data.read_parquet(paths).map_batches(
+    return read_parquet_clean(paths).map_batches(
         exact, batch_format="pyarrow").sort("c_custkey")
 
 

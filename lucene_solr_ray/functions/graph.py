@@ -19,6 +19,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Sum
 
+from lucene_solr_ray.io_utils import join_partitions
+
 
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
@@ -72,9 +74,10 @@ def _repair(ds: ray.data.Dataset, schema: dict) -> ray.data.Dataset:
 
 
 def hop(frontier: ray.data.Dataset, edges: ray.data.Dataset,
-        from_col: str, to_col: str, num_partitions: int = 8) -> ray.data.Dataset:
+        from_col: str, to_col: str, num_partitions: int | None = None) -> ray.data.Dataset:
     """One gatherNodes traversal: distinct to-nodes reachable from the
     frontier. frontier has one column named `from_col`."""
+    num_partitions = num_partitions or join_partitions()
     joined = edges.join(frontier, "inner", num_partitions=num_partitions, on=(from_col,))
     distinct = (
         _repair(joined, {to_col: pa.int64()})
@@ -102,7 +105,7 @@ def gather_nodes(sf_dir: str, segment: str = "BUILDING") -> ray.data.Dataset:
     orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
     order_nodes = hop(roots, orders, "o_custkey", "o_orderkey").rename_columns(["l_orderkey"])
     lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
-    joined = lineitem.join(order_nodes, "inner", num_partitions=8, on=("l_orderkey",))
+    joined = lineitem.join(order_nodes, "inner", num_partitions=join_partitions(), on=("l_orderkey",))
     return (
         _repair(joined, {"l_suppkey": pa.int64()})
         .groupby("l_suppkey")
@@ -112,7 +115,7 @@ def gather_nodes(sf_dir: str, segment: str = "BUILDING") -> ray.data.Dataset:
 
 
 def bfs_distance(edges: ray.data.Dataset, src: int, dst: int, max_hops: int = 6,
-                 num_partitions: int = 8) -> int:
+                 num_partitions: int | None = None) -> int:
     """ShortestPathStream: BFS distance in a bipartite graph given as an
     edges Dataset with columns (node:int64, via:int64) — two nodes are
     adjacent when they share a `via` value. Returns -1 if unreachable
@@ -125,6 +128,7 @@ def bfs_distance(edges: ray.data.Dataset, src: int, dst: int, max_hops: int = 6,
     driver."""
     if src == dst:
         return 0
+    num_partitions = num_partitions or join_partitions()
     frontier = ray.data.from_arrow(pa.table({"node": pa.array([src], pa.int64())}))
     visited = frontier
     for level in range(1, max_hops + 1):
@@ -314,7 +318,7 @@ def _broadcast_hop_fn(fr_ref, key_col: str, out_col: str):
 
 
 def bfs_distances_multi(edges: ray.data.Dataset, pairs, max_hops: int = 6,
-                        num_partitions: int = 8) -> dict:
+                        num_partitions: int | None = None) -> dict:
     """MULTI-SOURCE BFS: one (src, node)-keyed frontier serves every
     (src, dst) pair in a single pass over the levels — N pairs cost the
     same edge scans as one (round-2 verdict replaced the sequential
@@ -449,7 +453,7 @@ def shortest_path_pairs(sf_dir: str, pairs=((1, 7), (2, 50)), max_hops: int = 4)
     unreachable within max_hops. Oracle: recursive CTE over the same
     shared-part adjacency. All pairs ride ONE multi-source BFS."""
     edges = _supplier_part_edges(sf_dir)
-    dist = bfs_distances_multi(edges, pairs, max_hops, num_partitions=8)
+    dist = bfs_distances_multi(edges, pairs, max_hops)
     rows = [{"src": int(s), "dst": int(d), "distance": dist[(int(s), int(d))]} for s, d in pairs]
     return pa.Table.from_pylist(
         rows,

@@ -232,7 +232,11 @@ def feature_log(sf_dir: str, terms: list[str] | None = None,
     from lucene_solr_ray.functions.fulltext import _docid_to_doc_id, docs_index
     from lucene_solr_ray.pipelines.search import IndexSearcher
 
-    terms = list(terms) if terms else ["merge", "sort"]
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    # analyze once so engine and oracle agree on uppercase/stopword
+    # terms (ADVICE r3)
+    terms = analyze_query_terms(list(terms) if terms else ["merge", "sort"])
     index_dir = docs_index(sf_dir)
     se = IndexSearcher(index_dir)
     docids, _scores = se.search(terms, k=n_candidates, mode="or")

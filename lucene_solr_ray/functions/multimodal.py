@@ -20,6 +20,8 @@ import pyarrow as pa
 
 import ray.data
 
+from lucene_solr_ray.io_utils import read_parquet_clean
+
 
 def payload_dataset(sf_dir: str) -> ray.data.Dataset:
     """documents.text re-typed as an opaque binary payload column — the
@@ -36,7 +38,7 @@ def payload_dataset(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
         to_binary, batch_format="pyarrow"
     )
 

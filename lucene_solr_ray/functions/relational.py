@@ -20,7 +20,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from lucene_solr_ray.io_utils import pool_size, read_parquet_clean
+from lucene_solr_ray.io_utils import join_partitions, pool_size, read_parquet_clean
 
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
@@ -191,7 +191,7 @@ def hash_join(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
     )
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    joined = orders.join(cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+    joined = orders.join(cust, "inner", num_partitions=join_partitions(), on=("o_custkey",), right_on=("c_custkey",))
     return joined.groupby("c_mktsegment").aggregate(
         Count(alias_name="n_orders"), Sum("total_cents", alias_name="sum_total_cents")
     ).sort("c_mktsegment")
@@ -248,7 +248,7 @@ def left_outer_join(sf_dir: str) -> ray.data.Dataset:
         .groupby("o_custkey")
         .aggregate(Count(alias_name="n_orders"))
     )
-    joined = cust.join(orders, "left_outer", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",))
+    joined = cust.join(orders, "left_outer", num_partitions=join_partitions(), on=("c_custkey",), right_on=("o_custkey",))
 
     def coalesce(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -468,7 +468,7 @@ def significant_terms(sf_dir: str) -> ray.data.Dataset:
         .groupby("term")
         .aggregate(Count(alias_name="bg"))
     )
-    return bg.join(fg, "left_outer", num_partitions=4, on=("term",)).map_batches(
+    return bg.join(fg, "left_outer", num_partitions=join_partitions(), on=("term",)).map_batches(
         lambda t: pa.table(
             {
                 "term": t.column("term"),
@@ -1022,7 +1022,7 @@ def export_sorted(sf_dir: str, out_dir: str | None = None) -> ray.data.Dataset:
         .sort(["n_chars", "doc_id"], descending=[True, False])
         .write_parquet(out_dir)
     )
-    return ray.data.read_parquet(out_dir).sort(["n_chars", "doc_id"], descending=[True, False])
+    return read_parquet_clean(out_dir).sort(["n_chars", "doc_id"], descending=[True, False])
 
 
 def export_jsonl(sf_dir: str, out_dir: str | None = None) -> ray.data.Dataset:
@@ -1285,7 +1285,7 @@ def tochild_block_join(sf_dir: str, status: str = "F", min_qty: int = 45) -> ray
     children = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]).filter(
         lambda r: r["l_quantity"] >= min_qty
     )
-    joined = children.join(parents, "inner", num_partitions=8,
+    joined = children.join(parents, "inner", num_partitions=join_partitions(),
                            on=("l_orderkey",), right_on=("o_orderkey",))
     return joined.map_batches(
         lambda t: t.select(["l_orderkey", "l_linenumber"]), batch_format="pyarrow"

@@ -36,7 +36,7 @@ import pyarrow.dataset as pads
 import ray
 import ray.data
 
-from lucene_solr_ray.io_utils import pool_size
+from lucene_solr_ray.io_utils import join_partitions, pool_size, read_parquet_clean
 from lucene_solr_ray.pipelines.search import IndexSearcher
 from lucene_solr_ray.state.schema import TRANSCRIPTS_SCHEMA
 
@@ -152,7 +152,7 @@ def _stats_partial(field: str):
 
 
 def _docs_ds(index_dir: str, columns: list[str]) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(index_dir, "docs"), columns=columns)
+    return read_parquet_clean(os.path.join(index_dir, "docs"), columns=columns)
 
 
 # one int64 id array per actor; above this the broadcast would dominate
@@ -196,8 +196,7 @@ def restricted_docs(index_dir: str, match_docids: np.ndarray, columns: list[str]
         lambda b: pa.table({"docid": pa.array(b["data"], pa.int64())}),
         batch_format="numpy",
     )
-    _, ncpus = pool_size()
-    return ds.join(hits, "inner", num_partitions=max(4, ncpus), on=("docid",))
+    return ds.join(hits, "inner", num_partitions=join_partitions(), on=("docid",))
 
 
 # ---------------------------------------------------------------------------

@@ -34,6 +34,8 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
+from lucene_solr_ray.io_utils import join_partitions
+
 # ---------------------------------------------------------------------------
 # Parser ([U] .../io/stream/expr/StreamExpressionParser.java)
 # ---------------------------------------------------------------------------
@@ -381,7 +383,7 @@ def _build_innerjoin(node: Node, ctx: dict) -> ray.data.Dataset:
     left = _build(node.args[0], ctx)
     right = _build(node.args[1], ctx)
     on = _on_keys(node)
-    return left.join(right, "inner", num_partitions=8, on=tuple(on))
+    return left.join(right, "inner", num_partitions=join_partitions(), on=tuple(on))
 
 
 def _build_leftouterjoin(node: Node, ctx: dict) -> ray.data.Dataset:
@@ -389,7 +391,7 @@ def _build_leftouterjoin(node: Node, ctx: dict) -> ray.data.Dataset:
     left = _build(node.args[0], ctx)
     right = _build(node.args[1], ctx)
     on = _on_keys(node)
-    return left.join(right, "left_outer", num_partitions=8, on=tuple(on))
+    return left.join(right, "left_outer", num_partitions=join_partitions(), on=tuple(on))
 
 
 def _keys_with_marker(ds: ray.data.Dataset, on: list[str]) -> ray.data.Dataset:
@@ -415,7 +417,7 @@ def _build_intersect(node: Node, ctx: dict) -> ray.data.Dataset:
         keep = [c for c in t.column_names if c != "__m"]
         return t.select(keep)
 
-    return left.join(marked, "inner", num_partitions=8, on=tuple(on)).map_batches(
+    return left.join(marked, "inner", num_partitions=join_partitions(), on=tuple(on)).map_batches(
         strip, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -432,7 +434,7 @@ def _build_complement(node: Node, ctx: dict) -> ray.data.Dataset:
         keep = [c for c in t.column_names if c != "__m"]
         return t.filter(m).select(keep)
 
-    return left.join(marked, "left_outer", num_partitions=8, on=tuple(on)).map_batches(
+    return left.join(marked, "left_outer", num_partitions=join_partitions(), on=tuple(on)).map_batches(
         anti, batch_format="pyarrow")
 
 
@@ -647,9 +649,21 @@ def _build_describe(node: Node, ctx: dict) -> ray.data.Dataset:
         return pa.table({col: x, "__sq": x * x})
 
     row = _int_sums(ds.map_batches(sq, batch_format="pyarrow"), [col, "__sq"])
-    n, s, sxx = int(row["n"]), int(row[f"s_{col}"]), int(row["s___sq"])
+    n = int(row["n"] or 0)
+    if n == 0:  # empty match set: all-zero summary instead of int(None)
+        zero = pa.array([0], pa.int64())
+        return ray.data.from_arrow(pa.table({
+            "n": zero, "min_v": zero, "max_v": zero, "sum_v": zero,
+            "mean_micro": zero, "stddev_micro": zero,
+        }))
+    s, sxx = int(row[f"s_{col}"]), int(row["s___sq"])
     var_num = n * sxx - s * s  # exact
-    stddev_micro = int(np.floor(1e6 * np.sqrt(np.float64(var_num) / np.float64(n * (n - 1))) + 0.5))
+    # sample stddev divides by n*(n-1): undefined below two rows —
+    # emit 0 instead of 0/0 -> NaN -> int(floor(nan)) crash (ADVICE r3)
+    if n < 2:
+        stddev_micro = 0
+    else:
+        stddev_micro = int(np.floor(1e6 * np.sqrt(np.float64(var_num) / np.float64(n * (n - 1))) + 0.5))
     return ray.data.from_arrow(pa.table({
         "n": pa.array([n], pa.int64()),
         "min_v": pa.array([int(row[f"min_{col}"])], pa.int64()),

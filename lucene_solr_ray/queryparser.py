@@ -32,6 +32,8 @@ from __future__ import annotations
 
 import re
 
+from lucene_solr_ray.state.schema import Range
+
 _TOKEN = re.compile(
     r"""
     (?P<phrase>"[^"]*"(~(?P<slop>\d+))?)
@@ -102,7 +104,7 @@ def parse_query(query: str, searcher=None, schema=None,
                 # fielded NUMERIC range -> PointRangeQuery-style docvalues
                 # filter ([U] solr's {!lucene} field:[a TO b] on an
                 # IntPoint field); inclusive both ends like classic
-                dv_filters[rfield] = ("range", int(lo), int(hi))
+                dv_filters[rfield] = Range(int(lo), int(hi))
                 pending_occur = None
                 continue
             # classic [a TO b] is inclusive on both ends; the dict scan

@@ -31,7 +31,7 @@ import pyarrow.csv as pacsv
 
 import ray.data
 
-from lucene_solr_ray.io_utils import pool_size
+from lucene_solr_ray.io_utils import pool_size, read_parquet_clean
 
 CACHE_ROOT = os.environ.get("LSR_CACHE", "/tmp/lsr_cache")
 
@@ -207,7 +207,7 @@ def tika_extract(sf_dir: str) -> ray.data.Dataset:
             {"doc_id": pa.array(ids, type=pa.int64()), "payload": pa.array(payloads, type=pa.binary())}
         )
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    ds = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
     return (
         ds.map_batches(wrap, batch_format="pyarrow")
         .map_batches(_TikaStage, fn_constructor_kwargs={"decoder": "stub"},

@@ -20,6 +20,19 @@ at schema load, not mid-query.
 from __future__ import annotations
 
 import json
+from typing import NamedTuple
+
+
+class Range(NamedTuple):
+    """Unambiguous numeric-range filter marker for ``dv_expr`` — a
+    dedicated type instead of the old ``("range", lo, hi)`` tuple
+    sentinel, which collided with a legitimate isin membership filter
+    whose first value happened to be the string 'range' (ADVICE r3).
+    Inclusive on both ends, like the classic parser's ``[a TO b]``."""
+
+    lo: object
+    hi: object
+
 
 FIELD_TYPES = {
     "text_general": {"serve": "inverted"},
@@ -93,9 +106,7 @@ class IndexSchema:
 
         expr = None
         for field, value in filters.items():
-            is_range = (isinstance(value, tuple) and len(value) == 3
-                        and value[0] == "range")
-            if is_range:
+            if isinstance(value, Range):
                 # numeric [lo TO hi] on a POINT field (PointRangeQuery —
                 # parquet row-group stats play the BKD role), inclusive
                 # both ends like the classic parser
@@ -103,7 +114,7 @@ class IndexSchema:
                     raise ValueError(
                         f"field {field!r} is {self.serve(field)}-served; range "
                         "filters need a point or docvalues field")
-                e = (pc.field(field) >= value[1]) & (pc.field(field) <= value[2])
+                e = (pc.field(field) >= value.lo) & (pc.field(field) <= value.hi)
                 expr = e if expr is None else expr & e
                 continue
             if self.serve(field) != "docvalues":

@@ -186,6 +186,30 @@ def test_simple_query_docs_matches_set_algebra():
     assert got.column("doc_id").to_numpy().tolist() == want.tolist()
 
 
+def test_simple_query_or_with_not_is_boolean_must_not():
+    """Lucene SimpleQueryParser: '-' becomes MUST_NOT on the enclosing
+    BooleanQuery, so 'a | -b' is (a minus b), NOT union(a, complement(b))
+    (ADVICE r3). An OR of only negated clauses matches nothing."""
+    from lucene_solr_ray.functions import fulltext as ft
+    from lucene_solr_ray.pipelines.search import IndexSearcher
+
+    sf = "/root/testdata/sf0.001"
+    s = IndexSearcher(ft.docs_index(sf))
+    mapping = ft._docid_to_doc_id(ft.docs_index(sf))
+
+    got = ft.simple_query_docs(sf, "merge | -join")
+    m = np.sort(np.concatenate(list(s.iter_matches(["merge"], mode="or"))))
+    j = np.sort(np.concatenate(list(s.iter_matches(["join"], mode="or"))))
+    want = np.sort(mapping[np.setdiff1d(m, j)])
+    assert got.column("doc_id").to_numpy().tolist() == want.tolist()
+    # some doc matches 'merge' while also containing 'join' — the case
+    # where MUST_NOT and union-of-complement disagree
+    assert len(np.intersect1d(m, j)) > 0
+
+    only_neg = ft.simple_query_docs(sf, "-merge | -join")
+    assert only_neg.num_rows == 0
+
+
 def test_leading_wildcard_scans_pruned_range():
     """ReversedWildcardFilter point: the reversed-dict scan touches only
     the suffix range, not the whole vocabulary."""
