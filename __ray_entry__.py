@@ -144,6 +144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_feature_extract": lambda sf: multimodal.feature_extract(sf, dim=8),
         # --- SqlStream / graph streams (SURVEY §2.8) ---
         "sql_stream_agg": sqlmod.sql_stream_agg,
+        "sql_stream_join": sqlmod.sql_stream_join,
+        "sql_stream_left_join": sqlmod.sql_stream_left_join,
+        "sql_stream_distinct": sqlmod.sql_stream_distinct,
         "gather_nodes": graph.gather_nodes,
         "score_nodes": graph.score_nodes,
         "shortest_path": graph.shortest_path_pairs,
@@ -1857,6 +1860,9 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_quantiles": _data_oracle().tdigest_quantiles_sql(),
         # --- SqlStream: the oracle runs the IDENTICAL SQL our planner ran ---
         "sql_stream_agg": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_DEMO"]).SQL_DEMO,
+        "sql_stream_join": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_JOIN_DEMO"]).SQL_JOIN_DEMO,
+        "sql_stream_left_join": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_LEFT_JOIN_DEMO"]).SQL_LEFT_JOIN_DEMO,
+        "sql_stream_distinct": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_DISTINCT_DEMO"]).SQL_DISTINCT_DEMO,
         "geo_bbox_dist": (
             # identical coordinate derivation + haversine as geo.py
             "WITH g AS (SELECT c_custkey, "

@@ -24,12 +24,10 @@ from lucene_solr_ray.io_utils import join_partitions, pool_size, read_parquet_cl
 
 
 def _read(sf_dir: str, table: str, columns=None) -> ray.data.Dataset:
-    # drop the parquet pandas metadata: it makes pa.Schema unhashable,
-    # which defeats Ray's join/shuffle schema dedup (log spam + extra
-    # schema unification work in HashShuffleAggregator)
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns).map_batches(
-        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
-    )
+    # read_parquet_clean hands the reader a metadata-free footer schema,
+    # so pa.Schema stays hashable and Ray's join/shuffle schema dedup
+    # works from the ReadParquet op onward (no "Failed to hash" spam)
+    return read_parquet_clean(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:

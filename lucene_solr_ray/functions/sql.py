@@ -2,22 +2,34 @@
 SQLHandler.java, which plans SQL onto streaming expressions via Calcite)
 re-expressed Ray-Data-first: a deliberately small SELECT grammar parsed
 by recursive descent onto `read_parquet(columns=...)` → vectorized
-arrow filter → `groupby().aggregate(...)` → `sort` → `limit`.
+arrow filter → partitioned `Dataset.join` → `groupby().aggregate(...)`
+→ HAVING filter → `sort` → `limit`.
 
 Supported (mirroring what SQLHandler's push-down planner covers):
-  SELECT col [AS a] | COUNT(*) | SUM/MIN/MAX/COUNT(col) [AS a], ...
-  FROM <table>
+  SELECT [DISTINCT] col [AS a] | COUNT(*) | SUM/MIN/MAX/COUNT(col) [AS a], ...
+  FROM <table> [alias]
+  [INNER|LEFT [OUTER] JOIN <table> [alias] ON a.col = b.col]
   [WHERE col op literal [AND ...]]        op ∈ = != <> < <= > >=
   [GROUP BY col, ...]
+  [HAVING agg op literal [AND ...]]       agg = alias or fn(arg) from SELECT
   [ORDER BY col|alias [DESC], ...]
   [LIMIT n]
 
 Everything else raises ValueError up front (Solr's behavior for SQL it
-cannot plan).  The planner prunes the parquet read to exactly the
+cannot plan).  The planner prunes each parquet read to exactly the
 referenced columns, pushes WHERE into a zero-copy arrow compute filter
-before any shuffle, and maps GROUP BY onto the hash-shuffle groupby —
-the same physical shapes the hand-written streams use, so a 100 TB
-query shuffles only the grouped aggregate, never raw rows.
+BEFORE the join/shuffle (left-join right-side predicates stay post-join
+to preserve outer semantics — a WHERE on the nullable side filters
+unmatched rows exactly like SQL), and maps GROUP BY onto the
+hash-shuffle groupby — the same physical shapes the hand-written
+streams use, so a 100 TB query shuffles only the join keys + pruned
+payload columns, never unreferenced ones. Join width comes from
+``io_utils.join_partitions()`` (cluster-sized, never a literal).
+
+In a join query every column reference must be table-qualified
+(``alias.col``) — the mini-planner has no catalog to disambiguate bare
+names, and failing loudly beats guessing (DuckDB accepts the same
+qualified SQL verbatim, which keeps the oracle identical).
 """
 
 from __future__ import annotations
@@ -29,23 +41,43 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from lucene_solr_ray.io_utils import read_parquet_clean
+from lucene_solr_ray.io_utils import join_partitions, read_parquet_clean
 from ray.data.aggregate import Count, Max, Min, Sum
 
 _AGG_FNS = {"count", "sum", "min", "max"}
 
+_KEYWORDS = r"INNER|LEFT|OUTER|JOIN|WHERE|GROUP|ORDER|LIMIT|HAVING|ON|AS"
+
 _SELECT_RE = re.compile(
-    r"^\s*SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<table>\w+)"
+    r"^\s*SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<items>.+?)\s+FROM\s+(?P<table>\w+)"
+    rf"(?:\s+(?:AS\s+)?(?P<t_alias>(?!(?:{_KEYWORDS})\b)\w+))?"
+    rf"(?:\s+(?P<jtype>INNER|LEFT(?:\s+OUTER)?)\s+JOIN\s+(?P<jtable>\w+)"
+    rf"(?:\s+(?:AS\s+)?(?P<j_alias>(?!(?:{_KEYWORDS})\b)\w+))?"
+    r"\s+ON\s+(?P<jon>.+?))?"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
+    r"(?:\s+HAVING\s+(?P<having>.+?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
     re.I | re.S,
 )
 _AGG_RE = re.compile(r"^(?P<fn>\w+)\s*\(\s*(?P<arg>\*|[\w.]+)\s*\)$")
 _PRED_RE = re.compile(
-    r"^\s*(?P<col>\w+)\s*(?P<op>=|!=|<>|<=|>=|<|>)\s*(?P<lit>'[^']*'|-?\d+(?:\.\d+)?)\s*$"
+    r"^\s*(?P<col>\w+(?:\.\w+)?)\s*(?P<op>=|!=|<>|<=|>=|<|>)\s*"
+    r"(?P<lit>'[^']*'|-?\d+(?:\.\d+)?)\s*$"
 )
+_ON_RE = re.compile(r"^\s*(?P<l>\w+\.\w+)\s*=\s*(?P<r>\w+\.\w+)\s*$")
+# HAVING operand: an aggregate expression or a bare alias
+_HAVING_RE = re.compile(
+    r"^\s*(?P<expr>\w+\s*\(\s*(?:\*|[\w.]+)\s*\)|\w+)\s*"
+    r"(?P<op>=|!=|<>|<=|>=|<|>)\s*(?P<lit>-?\d+(?:\.\d+)?)\s*$"
+)
+
+
+def _lit(raw: str):
+    if raw.startswith("'"):
+        return raw[1:-1]
+    return float(raw) if "." in raw else int(raw)
 
 
 def parse_select(sql: str) -> dict:
@@ -53,7 +85,18 @@ def parse_select(sql: str) -> dict:
     if not m:
         raise ValueError(f"cannot plan SQL (unsupported shape): {sql!r}")
     plan: dict = {"table": m.group("table"), "items": [], "where": [], "group": [],
-                  "order": [], "limit": None}
+                  "order": [], "limit": None, "join": None, "having": [],
+                  "distinct": bool(m.group("distinct"))}
+    aliases = {(m.group("t_alias") or m.group("table")): m.group("table")}
+    if m.group("jtype"):
+        jt = "left_outer" if m.group("jtype").upper().startswith("LEFT") else "inner"
+        on = _ON_RE.match(m.group("jon"))
+        if not on:
+            raise ValueError(f"unsupported join condition: {m.group('jon')!r}")
+        aliases[m.group("j_alias") or m.group("jtable")] = m.group("jtable")
+        plan["join"] = {"table": m.group("jtable"), "type": jt,
+                        "on": (on.group("l"), on.group("r"))}
+    plan["aliases"] = aliases
 
     for raw in _split_commas(m.group("items")):
         item, alias = _split_alias(raw)
@@ -64,8 +107,8 @@ def parse_select(sql: str) -> dict:
                 raise ValueError(f"unsupported aggregate: {fn}")
             arg = agg.group("arg")
             plan["items"].append(("agg", fn, arg, alias or _default_agg_alias(fn, arg)))
-        elif re.fullmatch(r"\w+", item):
-            plan["items"].append(("col", item, None, alias or item))
+        elif re.fullmatch(r"\w+(?:\.\w+)?", item):
+            plan["items"].append(("col", item, None, alias or item.split(".")[-1]))
         else:
             raise ValueError(f"unsupported select item: {raw!r}")
 
@@ -74,15 +117,25 @@ def parse_select(sql: str) -> dict:
             pm = _PRED_RE.match(p)
             if not pm:
                 raise ValueError(f"unsupported predicate: {p!r}")
-            lit: object = pm.group("lit")
-            if isinstance(lit, str) and lit.startswith("'"):
-                lit = lit[1:-1]
-            else:
-                lit = float(lit) if "." in str(lit) else int(lit)
-            plan["where"].append((pm.group("col"), pm.group("op"), lit))
+            plan["where"].append((pm.group("col"), pm.group("op"), _lit(pm.group("lit"))))
 
     if m.group("group"):
         plan["group"] = [g.strip() for g in m.group("group").split(",")]
+    if m.group("having"):
+        for p in re.split(r"\s+AND\s+", m.group("having"), flags=re.I):
+            hm = _HAVING_RE.match(p)
+            if not hm:
+                raise ValueError(f"unsupported HAVING predicate: {p!r}")
+            expr = hm.group("expr").strip()
+            am = _AGG_RE.match(expr)
+            if am:
+                fn = am.group("fn").lower()
+                if fn not in _AGG_FNS:
+                    raise ValueError(f"unsupported HAVING aggregate: {fn}")
+                operand: tuple = ("agg", fn, am.group("arg"))
+            else:
+                operand = ("alias", expr)
+            plan["having"].append((operand, hm.group("op"), _lit(hm.group("lit"))))
     if m.group("order"):
         for o in m.group("order").split(","):
             parts = o.split()
@@ -119,17 +172,31 @@ def _split_alias(item: str) -> tuple[str, str | None]:
 
 
 def _default_agg_alias(fn: str, arg: str) -> str:
-    return fn if arg == "*" else f"{fn}_{arg}"
+    return fn if arg == "*" else f"{fn}_{arg.split('.')[-1]}"
 
 
 def _validate(plan: dict) -> None:
     has_agg = any(it[0] == "agg" for it in plan["items"])
+    group_bare = [g.split(".")[-1] for g in plan["group"]]
     if has_agg:
-        non_group = [it for it in plan["items"] if it[0] == "col" and it[1] not in plan["group"]]
+        non_group = [it for it in plan["items"]
+                     if it[0] == "col" and it[1].split(".")[-1] not in group_bare]
         if non_group:
             raise ValueError(f"non-grouped column(s) with aggregates: {non_group}")
     elif plan["group"]:
         raise ValueError("GROUP BY without aggregates is unsupported")
+    if plan["having"] and not has_agg:
+        raise ValueError("HAVING requires aggregates")
+    if plan["join"]:
+        # every real column reference must be alias-qualified
+        refs = ([it[1] for it in plan["items"] if it[0] == "col"]
+                + [it[2] for it in plan["items"] if it[0] == "agg" and it[2] != "*"]
+                + [h[0][2] for h in plan["having"]
+                   if h[0][0] == "agg" and h[0][2] != "*"]
+                + [c for c, _, _ in plan["where"]] + plan["group"])
+        bare = [r for r in refs if "." not in r]
+        if bare:
+            raise ValueError(f"join queries require qualified column refs: {bare}")
 
 
 _OPS = {
@@ -138,64 +205,166 @@ _OPS = {
 }
 
 
+def _side_of(ref: str, plan: dict) -> str:
+    """'alias.col' -> the underlying table name."""
+    alias = ref.split(".")[0]
+    if alias not in plan["aliases"]:
+        raise ValueError(f"unknown table alias in {ref!r}")
+    return plan["aliases"][alias]
+
+
+def _filter_stage(preds: list[tuple[str, str, object]]):
+    def apply_where(t: pa.Table) -> pa.Table:
+        mask = None
+        for col, op, lit in preds:
+            m = _OPS[op](t.column(col), pa.scalar(lit))
+            mask = m if mask is None else pc.and_(mask, m)
+        return t.filter(mask)
+
+    return apply_where
+
+
 def execute(sf_dir: str, sql: str) -> ray.data.Dataset:
     """Plan + execute against the sf_dir parquet tables."""
     plan = parse_select(sql)
-    cols = sorted(
-        {it[1] for it in plan["items"] if it[0] == "col"}
-        | {it[2] for it in plan["items"] if it[0] == "agg" and it[2] != "*"}
-        | {c for c, _, _ in plan["where"]}
-        | set(plan["group"])
-    )
-    ds = read_parquet_clean(f"{sf_dir}/{plan['table']}.parquet", columns=cols or None)
+    bare = lambda r: r.split(".")[-1]  # noqa: E731
 
-    if plan["where"]:
-        preds = list(plan["where"])
+    col_refs = ({it[1] for it in plan["items"] if it[0] == "col"}
+                | {it[2] for it in plan["items"] if it[0] == "agg" and it[2] != "*"}
+                | {h[0][2] for h in plan["having"]
+                   if h[0][0] == "agg" and h[0][2] != "*"}
+                | {c for c, _, _ in plan["where"]}
+                | set(plan["group"]))
 
-        def apply_where(t: pa.Table) -> pa.Table:
-            mask = None
-            for col, op, lit in preds:
-                m = _OPS[op](t.column(col), pa.scalar(lit))
-                mask = m if mask is None else pc.and_(mask, m)
-            return t.filter(mask)
+    if plan["join"]:
+        lkey, rkey = plan["join"]["on"]
+        ltab = _side_of(lkey, plan)
+        rtab = _side_of(rkey, plan)
+        if ltab == plan["join"]["table"]:  # ON written right-side-first
+            lkey, rkey, ltab, rtab = rkey, lkey, rtab, ltab
+        side_cols: dict[str, set] = {plan["table"]: {bare(lkey)},
+                                     plan["join"]["table"]: {bare(rkey)}}
+        for r in col_refs:
+            side_cols[_side_of(r, plan)].add(bare(r))
+        left = read_parquet_clean(f"{sf_dir}/{plan['table']}.parquet",
+                                  columns=sorted(side_cols[plan["table"]]))
+        right = read_parquet_clean(f"{sf_dir}/{plan['join']['table']}.parquet",
+                                   columns=sorted(side_cols[plan["join"]["table"]]))
+        # predicate pushdown: inner joins push both sides below the
+        # exchange; left joins keep nullable-side predicates post-join
+        # (SQL outer semantics: the WHERE sees NULLs for unmatched rows)
+        pre_l = [(bare(c), op, v) for c, op, v in plan["where"]
+                 if _side_of(c, plan) == plan["table"]]
+        pre_r = [(bare(c), op, v) for c, op, v in plan["where"]
+                 if _side_of(c, plan) == plan["join"]["table"]]
+        post: list = []
+        if plan["join"]["type"] == "left_outer" and pre_r:
+            post, pre_r = pre_r, []
+        if pre_l:
+            left = left.map_batches(_filter_stage(pre_l), batch_format="pyarrow")
+        if pre_r:
+            right = right.map_batches(_filter_stage(pre_r), batch_format="pyarrow")
+        ds = left.join(right, plan["join"]["type"],
+                       num_partitions=join_partitions(),
+                       on=(bare(lkey),), right_on=(bare(rkey),))
+        if post:
+            # arrow comparisons yield NULL for NULL; filter drops NULLs —
+            # exactly SQL's unknown-is-false WHERE semantics
+            ds = ds.map_batches(_filter_stage(post), batch_format="pyarrow")
+    else:
+        cols = sorted({bare(r) for r in col_refs})
+        ds = read_parquet_clean(f"{sf_dir}/{plan['table']}.parquet",
+                                columns=cols or None)
+        if plan["where"]:
+            ds = ds.map_batches(
+                _filter_stage([(bare(c), op, v) for c, op, v in plan["where"]]),
+                batch_format="pyarrow")
 
-        ds = ds.map_batches(apply_where, batch_format="pyarrow")
-
+    group_bare = [bare(g) for g in plan["group"]]
     aggs = [it for it in plan["items"] if it[0] == "agg"]
     if aggs:
         # COUNT(*) counts rows: bind it to a concrete column with
         # ignore_nulls=False (Count with on=None returns 0 in the global
-        # aggregate path of Ray 2.49)
-        star_col = plan["group"][0] if plan["group"] else (cols[0] if cols else ds.schema().names[0])
-        specs = []
-        for _, fn, arg, alias in aggs:
+        # aggregate path of Ray 2.49). Under a left join the left key is
+        # never null, so bind star to it.
+        if group_bare:
+            star_col = group_bare[0]
+        elif plan["join"]:
+            star_col = bare(plan["join"]["on"][0])
+        else:
+            star_col = sorted({bare(r) for r in col_refs})[0] if col_refs else ds.schema().names[0]
+        def _spec(fn, arg, alias):
             if fn == "count":
-                specs.append(
-                    Count(on=star_col, ignore_nulls=False, alias_name=alias)
-                    if arg == "*"
-                    else Count(on=arg, ignore_nulls=True, alias_name=alias)
-                )
-            elif fn == "sum":
-                specs.append(Sum(arg, alias_name=alias))
-            elif fn == "min":
-                specs.append(Min(arg, alias_name=alias))
-            elif fn == "max":
-                specs.append(Max(arg, alias_name=alias))
-        if plan["group"]:
-            ds = ds.groupby(plan["group"]).aggregate(*specs)
+                return (Count(on=star_col, ignore_nulls=False, alias_name=alias)
+                        if arg == "*"
+                        else Count(on=bare(arg), ignore_nulls=True, alias_name=alias))
+            if fn == "sum":
+                return Sum(bare(arg), alias_name=alias)
+            if fn == "min":
+                return Min(bare(arg), alias_name=alias)
+            return Max(bare(arg), alias_name=alias)
+
+        specs = [_spec(fn, arg, alias) for _, fn, arg, alias in aggs]
+        # resolve HAVING operands: a SELECT-agg alias, a matching SELECT
+        # aggregate, or a HIDDEN aggregate computed alongside (SQL allows
+        # HAVING on aggregates absent from the SELECT list) and dropped
+        # after the filter
+        hpreds, hidden = [], []
+        by_expr = {(fn, "*" if arg == "*" else bare(arg)): alias
+                   for _, fn, arg, alias in aggs}
+        by_alias = {alias for _, _, _, alias in aggs}
+        for operand, op, lit in plan["having"]:
+            if operand[0] == "alias":
+                if operand[1] not in by_alias:
+                    raise ValueError(
+                        f"HAVING alias {operand[1]!r} is not a SELECT aggregate alias")
+                hpreds.append((operand[1], op, lit))
+            else:
+                _, fn, arg = operand
+                key = (fn, "*" if arg == "*" else bare(arg))
+                if key in by_expr:
+                    hpreds.append((by_expr[key], op, lit))
+                else:
+                    halias = f"__h{len(hidden)}"
+                    hidden.append(halias)
+                    specs.append(_spec(fn, arg, halias))
+                    hpreds.append((halias, op, lit))
+        if group_bare:
+            ds = ds.groupby(group_bare).aggregate(*specs)
         else:
             ds = ds.aggregate(*specs)
             # global aggregate returns a dict — lift back into a Dataset
             ds = ray.data.from_items([ds]) if isinstance(ds, dict) else ds
+        if hpreds:
+            ds = ds.map_batches(_filter_stage(hpreds), batch_format="pyarrow")
+        if hidden:
+            ds = ds.drop_columns(hidden)
+        # rename group columns to their SELECT aliases
+        renames = {it[1].split(".")[-1]: it[3] for it in plan["items"]
+                   if it[0] == "col" and it[1].split(".")[-1] != it[3]}
+        if renames:
+            ds = ds.map_batches(
+                lambda t, rn=renames: t.rename_columns(
+                    [rn.get(c, c) for c in t.column_names]),
+                batch_format="pyarrow")
     else:
-        renames = {it[1]: it[3] for it in plan["items"] if it[0] == "col" and it[1] != it[3]}
-        keep = [it[1] for it in plan["items"]]
+        renames = {bare(it[1]): it[3] for it in plan["items"]
+                   if it[0] == "col" and bare(it[1]) != it[3]}
+        keep = [bare(it[1]) for it in plan["items"]]
         ds = ds.select_columns(keep)
         if renames:
             ds = ds.rename_columns(renames)
+        if plan["distinct"]:
+            out_names = [it[3] for it in plan["items"]]
+            # distinct == groupby all output columns, keep the key row
+            # (Count then drop: one hash shuffle, no per-group UDF)
+            ds = (ds.groupby(out_names)
+                    .aggregate(Count(on=out_names[0], ignore_nulls=False,
+                                     alias_name="__n"))
+                    .select_columns(out_names))
 
     if plan["order"]:
-        keys = [k for k, _ in plan["order"]]
+        keys = [bare(k) for k, _ in plan["order"]]
         descending = [d for _, d in plan["order"]]
         ds = ds.sort(keys, descending=descending)
     if plan["limit"] is not None:
@@ -209,7 +378,43 @@ SQL_DEMO = (
     "GROUP BY o_orderstatus ORDER BY o_orderstatus"
 )
 
+# inner join + HAVING: per-segment stats over high-value orders, only
+# segments with enough of them ([U] SQLHandler plans the same shape via
+# Calcite onto a hashJoin + rollup + having stream)
+SQL_JOIN_DEMO = (
+    "SELECT c.c_mktsegment AS seg, COUNT(*) AS n, MIN(o.o_orderkey) AS min_ok, "
+    "MAX(o.o_orderkey) AS max_ok FROM orders o INNER JOIN customer c "
+    "ON o.o_custkey = c.c_custkey WHERE o.o_totalprice >= 150000 "
+    "GROUP BY c.c_mktsegment HAVING COUNT(*) > 10 ORDER BY seg"
+)
+
+# left outer join: every segment keeps its customer rows; COUNT(col) is
+# null-skipping so customers without qualifying orders count 0 orders
+SQL_LEFT_JOIN_DEMO = (
+    "SELECT c.c_mktsegment AS seg, COUNT(*) AS n_rows, "
+    "COUNT(o.o_orderkey) AS n_orders FROM customer c "
+    "LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey "
+    "GROUP BY c.c_mktsegment ORDER BY seg"
+)
+
+SQL_DISTINCT_DEMO = (
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders "
+    "ORDER BY o_orderstatus, o_orderpriority"
+)
+
 
 def sql_stream_agg(sf_dir: str) -> ray.data.Dataset:
     """Driver-contract entry: the oracle runs the IDENTICAL SQL string."""
     return execute(sf_dir, SQL_DEMO)
+
+
+def sql_stream_join(sf_dir: str) -> ray.data.Dataset:
+    return execute(sf_dir, SQL_JOIN_DEMO)
+
+
+def sql_stream_left_join(sf_dir: str) -> ray.data.Dataset:
+    return execute(sf_dir, SQL_LEFT_JOIN_DEMO)
+
+
+def sql_stream_distinct(sf_dir: str) -> ray.data.Dataset:
+    return execute(sf_dir, SQL_DISTINCT_DEMO)

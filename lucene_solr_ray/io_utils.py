@@ -5,16 +5,38 @@ driver-table pipelines: pandas-written parquet carries a ``pandas``
 schema-metadata blob whose presence makes ``hash(pa.Schema)`` raise
 (pyarrow 16), which silently defeats Ray's schema deduplication in
 every downstream shuffle/join ("Failed to hash the schemas"
-warnings). Stripping metadata is a zero-copy, metadata-only rewrite
-per batch.
+warnings). For a single-file read we strip the metadata at the SOURCE
+by handing ``read_parquet`` the footer schema with metadata removed —
+the ReadParquet operator itself then never sees the blob (a strip in a
+downstream ``map_batches`` is too late: the read op's own SplitBlocks
+lineage already logged the failure and lost dedup). Directory / multi-
+path reads keep the per-batch strip fallback because hive-partition
+columns live in the path, not the footer, and a footer-only ``schema=``
+would drop them.
 """
 
 from __future__ import annotations
 
+import os
+
 import ray.data
 
 
-def read_parquet_clean(path: str, columns=None, **kwargs) -> ray.data.Dataset:
+def read_parquet_clean(path, columns=None, **kwargs) -> ray.data.Dataset:
+    if (
+        "schema" not in kwargs
+        and isinstance(path, str)
+        and path.endswith(".parquet")
+        and os.path.isfile(path)
+    ):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path).remove_metadata()
+        if columns is not None:
+            # schema= must match the projected read exactly
+            schema = pa.schema([schema.field(c) for c in columns])
+        return ray.data.read_parquet(path, columns=columns, schema=schema, **kwargs)
     return ray.data.read_parquet(path, columns=columns, **kwargs).map_batches(
         lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
     )

@@ -46,6 +46,7 @@ import ray
 import ray.data
 
 from lucene_solr_ray.analysis import batch_term_counts
+from lucene_solr_ray.io_utils import read_parquet_clean
 from lucene_solr_ray.codec import DEFAULT_POSTINGS_CODEC
 from lucene_solr_ray.codec.norms import encode_dl
 from lucene_solr_ray.segment import segment_is_complete, write_segment
@@ -464,7 +465,7 @@ def build_index(
     if isinstance(input_path, (str, list)):
         # oversplit the read so the analyze stage load-balances (tail
         # tasks otherwise straggle when blocks == CPUs)
-        ds = ray.data.read_parquet(input_path, override_num_blocks=max(64, 4 * ncpus))
+        ds = read_parquet_clean(input_path, override_num_blocks=max(64, 4 * ncpus))
     else:
         ds = input_path
     base_ref = None
@@ -495,7 +496,7 @@ def build_index(
             return g.rename_columns(["conv_id", "n", "max_ti"])
 
         if isinstance(input_path, (str, list)):
-            key_ds = ray.data.read_parquet(input_path, columns=["conv_id", "turn_idx"])
+            key_ds = read_parquet_clean(input_path, columns=["conv_id", "turn_idx"])
         else:
             key_ds = ds.select_columns(["conv_id", "turn_idx"])
     if docid_mode == "conv-base-join":

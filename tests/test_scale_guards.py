@@ -33,10 +33,6 @@ NUM_PARTITIONS_ALLOWED_FILES = {
 RAW_READ_PARQUET_ALLOWED = {
     # (file, substring that must appear on the line)
     ("io_utils.py", "return ray.data.read_parquet"),          # the wrapper itself
-    ("pipelines/build.py", "override_num_blocks"),            # feeds map_batches first; output schema is fresh
-    ("pipelines/build.py", 'columns=["conv_id", "turn_idx"]'),
-    ("functions/graph.py", "replace_schema_metadata"),        # inline strip (continuation line below)
-    ("functions/relational.py", "replace_schema_metadata"),
     ("functions/fulltext.py", 'columns=["term", "cf"]'),      # engine-written parquet (no pandas metadata)
     ("functions/fulltext.py", 'columns=["term", "df"]'),
 }

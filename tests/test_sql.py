@@ -52,6 +52,73 @@ def test_sql_shapes_match_duckdb(ray_session, sql):
     _check(sql)
 
 
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # inner join, WHERE pushed below the exchange on both sides
+        "SELECT c.c_mktsegment AS seg, COUNT(*) AS n FROM orders o "
+        "INNER JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE o.o_totalprice >= 100000 AND c.c_custkey < 120 GROUP BY c.c_mktsegment",
+        # ON written right-side-first; SUM over the join
+        "SELECT c.c_mktsegment AS seg, SUM(o.o_orderkey) AS s FROM orders o "
+        "INNER JOIN customer c ON c.c_custkey = o.o_custkey GROUP BY c.c_mktsegment",
+        # join without aggregates: projected row output
+        "SELECT o.o_orderkey AS ok, c.c_mktsegment AS seg FROM orders o "
+        "INNER JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE c.c_custkey = 7 ORDER BY ok",
+        # LEFT OUTER: unmatched left rows survive; COUNT(col) skips nulls
+        "SELECT c.c_mktsegment AS seg, COUNT(*) AS n_rows, COUNT(o.o_orderkey) AS n_orders "
+        "FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey "
+        "GROUP BY c.c_mktsegment",
+        # LEFT OUTER with a nullable-side WHERE: stays post-join (outer semantics)
+        "SELECT c.c_custkey AS ck, COUNT(o.o_orderkey) AS n FROM customer c "
+        "LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+        "WHERE o.o_totalprice >= 100000 GROUP BY c.c_custkey",
+        # HAVING on an aggregate expression and on an alias
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus "
+        "HAVING COUNT(*) > 100",
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus HAVING n > 100",
+        # HAVING over a join
+        "SELECT c.c_mktsegment AS seg, COUNT(*) AS n FROM orders o "
+        "INNER JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_mktsegment HAVING COUNT(*) > 10 AND MIN(o.o_orderkey) >= 1",
+        # HAVING on an aggregate absent from SELECT (hidden agg, dropped)
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus "
+        "HAVING SUM(o_custkey) > 10000",
+        # DISTINCT (single + multi column)
+        "SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus",
+        "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders "
+        "ORDER BY o_orderstatus, o_orderpriority",
+    ],
+)
+def test_sql_join_having_distinct_match_duckdb(ray_session, sql):
+    _check(sql)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # bare (unqualified) column refs in a join query must fail loudly
+        "SELECT c_mktsegment, COUNT(*) AS n FROM orders o "
+        "INNER JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c_mktsegment",
+        # HAVING without aggregates
+        "SELECT o_orderkey FROM orders HAVING o_orderkey > 5",
+        # non-equi join condition
+        "SELECT o.o_orderkey AS k FROM orders o INNER JOIN customer c "
+        "ON o.o_custkey < c.c_custkey",
+        # HAVING on an alias that is not a SELECT aggregate alias
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus "
+        "HAVING foo > 5",
+    ],
+)
+def test_sql_join_having_unsupported_raises(ray_session, sql):
+    from lucene_solr_ray.functions.sql import execute, parse_select
+
+    with pytest.raises(ValueError):
+        parse_select(sql)
+        execute(SF, sql)  # HAVING resolution errors surface at execute()
+
+
 def test_sql_order_desc_limit(ray_session):
     sql = "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey DESC LIMIT 5"
     got = _ray(sql)
