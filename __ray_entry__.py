@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_filt": geo.geo_filt,
         "geo_nearest_topk": lambda sf: geo.geo_nearest_topk(sf, k=25),
         "geo_polygon_docs": geo.geo_polygon_docs,
+        "geo_polygon_concave_docs": geo.geo_polygon_concave_docs,
         "geo_heatmap": geo.geo_heatmap,
         "point_bbox_docs": lambda sf: geo.point_bbox_query(sf, (-30.0, 40.0, -100.0, 50.0)),
         "expression_sort": expr.expression_sort,
@@ -1899,6 +1900,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey FROM x WHERE (c1 >= 0 AND c2 >= 0 AND c3 >= 0) "
             "OR (c1 <= 0 AND c2 <= 0 AND c3 <= 0) ORDER BY c_custkey"
         ),
+        # even-odd ray crossing for a concave polygon, generated from the
+        # same vertex list + doubled-integer-grid arithmetic as the engine
+        "geo_polygon_concave_docs": __import__(
+            "lucene_solr_ray.functions.geo", fromlist=["polygon_concave_sql"]
+        ).polygon_concave_sql(),
         "geo_nearest_topk": (
             "WITH g AS (SELECT c_custkey, "
             "CAST(((c_custkey * 37) % 180) AS DOUBLE) - 90 + 0.5 AS lat, "

@@ -312,3 +312,96 @@ def geo_polygon_docs(sf_dir: str,
         .map_batches(fn, batch_format="pyarrow")
         .sort("c_custkey")
     )
+
+
+# A concave simple polygon on the 0.5-degree grid: a wide rectangle with
+# a triangular notch cut into its southern edge (apex at (10.5, 10.5)).
+CONCAVE_POLY = (
+    (-60.5, -120.5), (70.5, -120.5), (70.5, 140.5), (-60.5, 140.5),
+    (-60.5, 20.5), (10.5, 10.5), (-60.5, -20.5),
+)
+
+
+def _poly_int_verts(poly) -> list[tuple[int, int]]:
+    """Scale 0.5-grid (lat, lon) vertices to exact int (2*lat, 2*lon)."""
+    verts = []
+    for la, lo in poly:
+        iy, ix = round(float(la) * 2), round(float(lo) * 2)
+        if iy != float(la) * 2 or ix != float(lo) * 2:
+            raise ValueError(f"vertex ({la}, {lo}) is off the 0.5-degree grid")
+        verts.append((int(iy), int(ix)))
+    return verts
+
+
+def geo_polygon_concave_docs(sf_dir: str, poly=CONCAVE_POLY) -> ray.data.Dataset:
+    """General simple-polygon containment (concave allowed) — even-odd
+    ray crossing, the mechanism behind [U] lucene/core/.../geo/Polygon2D
+    .java's component test (reduced: no holes, no multipolygons). All
+    arithmetic is on the doubled integer grid (2*lat, 2*lon are int64),
+    so straddle tests and the cross-multiplied intersection comparison
+    are EXACT — no float division — and boundary points are explicitly
+    included via an exact on-segment test, matching the generated SQL
+    oracle bit-for-bit. One stateless vectorized pass, zero shuffle."""
+    verts = _poly_int_verts(poly)
+
+    def fn(t: pa.Table) -> pa.Table:
+        key = t.column("c_custkey").to_numpy().astype(np.int64)
+        py = ((key * 37) % 180) * 2 - 179  # == 2 * derived lat, exact int
+        px = ((key * 73) % 360) * 2 - 359  # == 2 * derived lon
+        inside = np.zeros(len(key), dtype=bool)
+        on_edge = np.zeros(len(key), dtype=bool)
+        n = len(verts)
+        for i in range(n):
+            (y1, x1), (y2, x2) = verts[i], verts[(i + 1) % n]
+            cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+            on_edge |= (
+                (cross == 0)
+                & (px >= min(x1, x2)) & (px <= max(x1, x2))
+                & (py >= min(y1, y2)) & (py <= max(y1, y2))
+            )
+            if y1 == y2:
+                continue  # horizontal edge never straddles the +lon ray
+            # half-open straddle (y1 > py) != (y2 > py) counts a vertex
+            # exactly on the ray once, not twice
+            straddle = (y1 > py) != (y2 > py)
+            # px < x-intersection, cross-multiplied by (y2 - y1)
+            lhs = (py - y1) * (x2 - x1) - (px - x1) * (y2 - y1)
+            inside ^= straddle & ((lhs > 0) if y2 > y1 else (lhs < 0))
+        return pa.table({"c_custkey": pa.array(key[inside | on_edge], pa.int64())})
+
+    return (
+        read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort("c_custkey")
+    )
+
+
+def polygon_concave_sql(poly=CONCAVE_POLY) -> str:
+    """Generate the DuckDB oracle for geo_polygon_concave_docs: the
+    IDENTICAL even-odd + on-segment integer arithmetic, unrolled per
+    edge from the same vertex list."""
+    verts = _poly_int_verts(poly)
+    n = len(verts)
+    cross_terms, on_terms = [], []
+    for i in range(n):
+        (y1, x1), (y2, x2) = verts[i], verts[(i + 1) % n]
+        on_terms.append(
+            f"(({x2}-({x1}))*(py-({y1})) - ({y2}-({y1}))*(px-({x1})) = 0 "
+            f"AND px BETWEEN {min(x1, x2)} AND {max(x1, x2)} "
+            f"AND py BETWEEN {min(y1, y2)} AND {max(y1, y2)})"
+        )
+        if y1 == y2:
+            continue
+        op = ">" if y2 > y1 else "<"
+        cross_terms.append(
+            f"CASE WHEN (({y1} > py) <> ({y2} > py)) AND "
+            f"((py-({y1}))*({x2}-({x1})) - (px-({x1}))*({y2}-({y1})) {op} 0) "
+            f"THEN 1 ELSE 0 END"
+        )
+    return (
+        "WITH g AS (SELECT c_custkey, "
+        "CAST((c_custkey * 37) % 180 AS BIGINT) * 2 - 179 AS py, "
+        "CAST((c_custkey * 73) % 360 AS BIGINT) * 2 - 359 AS px FROM customer) "
+        "SELECT c_custkey FROM g WHERE ((" + " + ".join(cross_terms) + ") % 2 = 1) "
+        "OR (" + " OR ".join(on_terms) + ") ORDER BY c_custkey"
+    )

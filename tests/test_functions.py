@@ -540,3 +540,46 @@ def test_uuid_assign_rfc4122_v3():
     # deterministic: same content -> same uuid
     again = UUIDAssign()(pa.table({"text": ["hello world"]}))
     assert again.column("uuid").to_pylist()[0] == out.column("uuid").to_pylist()[0]
+
+
+def test_geo_polygon_concave_even_odd_and_boundary():
+    """Concave polygon containment: engine == scalar even-odd reference
+    on every customer point; a point inside the southern notch is OUT,
+    a point above the notch apex is IN, and edge points are included."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from lucene_solr_ray.functions import geo
+
+    sf = "/root/testdata/sf0.001"
+    verts = geo._poly_int_verts(geo.CONCAVE_POLY)
+
+    def ref_inside(py: int, px: int) -> bool:
+        inside, on_edge, n = False, False, len(verts)
+        for i in range(n):
+            (y1, x1), (y2, x2) = verts[i], verts[(i + 1) % n]
+            cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+            if (cross == 0 and min(x1, x2) <= px <= max(x1, x2)
+                    and min(y1, y2) <= py <= max(y1, y2)):
+                on_edge = True
+            if y1 == y2:
+                continue
+            if (y1 > py) != (y2 > py):
+                lhs = (py - y1) * (x2 - x1) - (px - x1) * (y2 - y1)
+                if (lhs > 0) if y2 > y1 else (lhs < 0):
+                    inside = not inside
+        return inside or on_edge
+
+    got = set(geo.geo_polygon_concave_docs(sf).to_pandas()["c_custkey"])
+    keys = pq.read_table(f"{sf}/customer.parquet",
+                         columns=["c_custkey"])["c_custkey"].to_numpy()
+    exp = {int(k) for k in keys
+           if ref_inside(int((k * 37) % 180) * 2 - 179,
+                         int((k * 73) % 360) * 2 - 359)}
+    assert got == exp and len(exp) > 0
+
+    # semantic probes on the doubled grid (py, px)
+    assert not ref_inside(-100, 1)      # (-50.0, 0.5): inside the notch -> OUT
+    assert ref_inside(41, 21)           # (20.5, 10.5): above the apex -> IN
+    assert ref_inside(-121, -41)        # on the notch edge vertex row -> boundary
+    assert ref_inside(141, 0)           # (70.5, 0.0): on the north edge
+    assert not ref_inside(143, 0)       # just north of it
