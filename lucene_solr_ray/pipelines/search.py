@@ -200,7 +200,7 @@ class _PositionalView:
 
 class IndexSearcher:
     def __init__(self, index_dir: str, generation: int | None = None,
-                 similarity: str = "bm25"):
+                 similarity: str = "bm25", warm: bool = False):
         self.index_dir = index_dir
         self.manifest = load_manifest(index_dir, generation)
         self.n_docs = self.manifest["n_docs"]  # maxDoc: allocation bound, docids stable
@@ -239,6 +239,45 @@ class IndexSearcher:
         self._term_cache: dict[str, tuple] = {}
         self._term_cache_postings = 0
         self.term_cache_budget = 20_000_000
+        # dense-path scored vectors: term -> float32 scores aligned with
+        # decode_all()[0]. Valid for the searcher's lifetime: w depends
+        # only on global (df, cf, n_scoring, sum_dl) and segments are
+        # immutable. Budgeted separately (4 bytes/posting).
+        self._dense_scores: dict[str, np.ndarray] = {}
+        self._dense_scores_postings = 0
+        if warm:
+            self.warm_readers()
+
+    def warm_readers(self) -> None:
+        """Eagerly open every segment's reader (term dict into memory) —
+        [U] lucene/core/.../index/DirectoryReader.java opens all
+        SegmentReaders at reader-open time, so the first query never pays
+        dictionary-load latency. Parallel threads: pq.read_table releases
+        the GIL. Called from QueryExecutor.__init__ (once per actor) and
+        from latency-sensitive drivers; one-shot searchers skip it."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        todo = [
+            (p, seg["name"])
+            for p, segs in self._by_partition.items()
+            for seg in segs
+            if f"{p}/{seg['name']}" not in self._readers
+        ]
+        if not todo:
+            return
+        with ThreadPoolExecutor(max_workers=min(16, max(1, len(todo)))) as ex:
+            for (p, name), r in zip(
+                todo,
+                ex.map(
+                    lambda pn: SegmentReader(
+                        os.path.join(
+                            self.index_dir, SEGMENTS_DIRNAME, f"p{pn[0]:04d}", pn[1]
+                        )
+                    ),
+                    todo,
+                ),
+            ):
+                self._readers[f"{p}/{name}"] = r
 
     def _reader(self, partition: int, name: str) -> SegmentReader:
         key = f"{partition}/{name}"
@@ -319,8 +358,12 @@ class IndexSearcher:
                 rarest = min(c.n_docs for _, _, c in weighted)
                 algorithm = "dense" if rarest * 16 > self.n_docs else "wand"
             else:
+                # crossover measured at ~1% coverage (dense is one
+                # vectorized scatter-add/list vs per-window Python in
+                # WAND; its N-term is ~2 ns/doc) — 32x (3.1%) is safely
+                # past it at any N since both sides scale with total
                 total = sum(c.n_docs for _, _, c in weighted)
-                algorithm = "dense" if total * 4 > self.n_docs else "wand"
+                algorithm = "dense" if total * 32 > self.n_docs else "wand"
         if mode == "and":
             if algorithm == "dense":
                 return self._search_and_dense(weighted, k)
@@ -342,11 +385,18 @@ class IndexSearcher:
         stay bit-equal. Matching docs are exactly those with score > 0
         (all contributions are strictly positive)."""
         acc = np.zeros(self.n_docs, dtype=np.float32)
-        for _, w, c in weighted:
+        for t, w, c in weighted:
             d, tf, m = c.decode_all()
-            s_dense = np.zeros(self.n_docs, dtype=np.float32)
-            s_dense[d] = self.simcls.score_term(w, tf, m, self.cache)
-            acc = (acc + s_dense).astype(np.float32)
+            s = self._dense_scores.get(t)
+            if s is None:
+                s = self.simcls.score_term(w, tf, m, self.cache)
+                if self._dense_scores_postings + len(d) <= self.term_cache_budget:
+                    self._dense_scores[t] = s
+                    self._dense_scores_postings += len(d)
+            # scatter-add == zero-padded add bit-for-bit: docids are
+            # unique per list, scores are float32 and strictly positive,
+            # and x + 0.0f is the identity for x >= +0.0f
+            acc[d] += s
         cand = self._live(np.flatnonzero(acc > 0))
         top = topk_order(cand, acc[cand], k)
         return cand[top].astype(np.int64), acc[cand][top]
@@ -1869,7 +1919,10 @@ class QueryExecutor:
 
     def __init__(self, index_dir: str, generation: int | None = None, algorithm: str = "auto",
                  similarity: str = "bm25"):
-        self.searcher = IndexSearcher(index_dir, generation, similarity=similarity)
+        # warm=True: dictionary loads happen once per actor at pool spinup,
+        # never inside a query's latency budget
+        self.searcher = IndexSearcher(index_dir, generation, similarity=similarity,
+                                      warm=True)
         self.algorithm = algorithm
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -195,8 +195,14 @@ class SegmentReader:
             self.meta = json.load(fh)
         self.codec = get_postings_codec(self.meta["codec"])
         t = pq.read_table(os.path.join(seg_dir, TERMS_FILE))
-        self.terms = np.asarray(t.column("term").to_pylist(), dtype=object)
-        self._term_keys = np.array([s.encode("utf-8") for s in self.terms], dtype=object)
+        # vectorized utf-8 key load (no per-term Python encode loop):
+        # the binary cast materializes bytes objects in C, and bytes
+        # comparison IS utf-8 byte order, so searchsorted semantics match
+        self._term_keys = (
+            t.column("term").cast(pa.binary()).combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        self._terms = None
         self.df = t.column("df").to_numpy()
         self.cf = t.column("cf").to_numpy()
         self.max_tf = t.column("max_tf").to_numpy()
@@ -209,19 +215,30 @@ class SegmentReader:
         self._fh = None
         self._pos_fh = None
 
+    @property
+    def terms(self) -> np.ndarray:
+        """Decoded str terms — built lazily; hot query paths only need
+        the utf-8 byte keys (multi-term expansion / merge / split decode
+        on first touch)."""
+        if self._terms is None:
+            self._terms = np.array(
+                [k.decode("utf-8") for k in self._term_keys], dtype=object
+            )
+        return self._terms
+
     def lookup(self, term: str) -> int | None:
         """-> term ordinal or None. Binary search in UTF-8 byte order."""
         key = term.encode("utf-8")
         # object array of bytes: searchsorted works with rich comparison
         i = int(np.searchsorted(self._term_keys, key))
-        if i < len(self.terms) and self._term_keys[i] == key:
+        if i < len(self._term_keys) and self._term_keys[i] == key:
             return i
         return None
 
     def term_range(self, lo: str | None = None, hi: str | None = None) -> range:
         """Ordinals of terms in [lo, hi) — powers prefix/range queries."""
         i = 0 if lo is None else int(np.searchsorted(self._term_keys, lo.encode("utf-8")))
-        j = len(self.terms) if hi is None else int(np.searchsorted(self._term_keys, hi.encode("utf-8")))
+        j = len(self._term_keys) if hi is None else int(np.searchsorted(self._term_keys, hi.encode("utf-8")))
         return range(i, j)
 
     def read_blob(self, ordinal: int) -> bytes:
