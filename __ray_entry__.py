@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "limit_token_counts": lambda sf: ts.limit_token_counts(sf, limit=10, k=20),
         "path_hierarchy_counts": ts.path_hierarchy_counts,
         "lang_dispatch_token_counts": ts.lang_dispatch_token_counts,
+        "ja_morphology_tokens": ts.ja_morphology_tokens,
         "charfilter_token_counts": ts.charfilter_token_counts,
         "synonym_graph_counts": ts.synonym_graph_counts,
         "common_grams_counts": ts.common_grams_counts,
@@ -1685,18 +1686,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN n > 0 THEN (s + n - 1) // 256 - s // 256 + 1 ELSE 1 END AS BIGINT) "
             "AS n_chunks_spanned FROM pre ORDER BY doc_id"
         ),
-        # lang_dispatch: zh/ja/ko rows route through the CJK chain, which
-        # degenerates to the standard chain on this CJK-free corpus (the
-        # routing itself shows in the analyzer column; real-CJK behavior is
-        # pinned in tests/test_analysis.py)
+        # lang_dispatch: ja rows route through the kuromoji-mechanism
+        # lattice morphology, zh/ko through the CJK bigram chain; both
+        # degenerate to the standard chain on this CJK-free corpus (the
+        # routing itself shows in the analyzer column; real-CJK gold
+        # segmentations are pinned in tests/test_analysis.py)
         "lang_dispatch_token_counts": (
             "WITH t AS (SELECT doc_id, lang, CASE WHEN trim(text) = '' THEN [] ELSE "
             "regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents) "
-            "SELECT doc_id, CASE WHEN lang IN ('zh', 'ja', 'ko') THEN 'cjk' ELSE 'standard' END "
+            "SELECT doc_id, CASE WHEN lang = 'ja' THEN 'ja_morph' "
+            "WHEN lang IN ('zh', 'ko') THEN 'cjk' ELSE 'standard' END "
             "AS analyzer, "
             f"CAST(len(list_filter(toks, x -> NOT list_contains({_STOP_SQL}, x))) AS BIGINT) "
             "AS n_tokens FROM t ORDER BY doc_id"
         ),
+        # the oracle side is the HAND-written gold segmentation table —
+        # the engine side runs the real Viterbi lattice at query time
+        "ja_morphology_tokens": __import__(
+            "lucene_solr_ray.functions.textstats", fromlist=["ja_morphology_sql"]
+        ).ja_morphology_sql(),
         # charfilter chain rewrites whole-word merge->combine and the char
         # sequence window->pane BEFORE tokenizing; neither target token
         # exists in the corpus, so rewritten counts == original counts

@@ -731,13 +731,104 @@ def char_filtered_tokenize(char_filters, tokenizer=None):
     return fn
 
 
+# ---------------- Japanese morphological analysis (SURVEY §2.2) ----------------
+# Kuromoji's mechanism, reduced ([U] lucene/analysis/kuromoji/...
+# /JapaneseTokenizer.java): a Viterbi search over a word lattice built
+# from a dictionary plus unknown-word character-class rules. Reductions:
+# a pinned embedded lexicon instead of mecab-ipadic, and a flat
+# connection model (uniform per-word costs by entry class instead of the
+# left/right connection matrix). Costs: dictionary word 1.0, unknown
+# katakana run 1.5, unknown single char 2.5 — so the minimum-cost path
+# prefers fewest tokens, resolving 日本語 as one word (1.0) over
+# 日本+語 (1.0 + 2.5) the way dictionary segmentation should.
+
+_JA_STOP = frozenset(
+    "は が を に で と も の へ や から まで より".split()
+)
+
+_JA_LEXICON = frozenset(
+    """
+    私 彼 彼女 友達 先生 学生 学校 大学 会社 図書館 本 駅 電車 映画 音楽 料理 寿司
+    東京 京都 日本 日本語 言語 自然 処理 形態素 解析 検索 索引 文書 情報 技術
+    研究 開発 勉強 旅行 今日 明日 昨日 天気 時間 良い 新しい
+    する します した です ます 行く 行き 食べる 食べ 読む 読み
+    は が を に で と も の へ や から まで より
+    """.split()
+)
+
+_JA_MAXLEN = max(map(len, _JA_LEXICON))
+
+
+def _is_katakana(ch: str) -> bool:
+    return "ァ" <= ch <= "ヺ" or ch == "ー"  # ァ..ヺ + ー
+
+
+def _ja_lattice_segment(run: str) -> list[str]:
+    """Minimum-cost Viterbi segmentation of one CJK run. Deterministic
+    tie-break: equal cost prefers the longer final token."""
+    n = len(run)
+    inf = float("inf")
+    # best[j] = (cost, start_of_last_token, last_token)
+    best: list[tuple[float, int, str]] = [(inf, -1, "")] * (n + 1)
+    best[0] = (0.0, -1, "")
+
+    def relax(j: int, cand: tuple[float, int, str]) -> None:
+        cur = best[j]
+        if cand[0] < cur[0] or (cand[0] == cur[0] and len(cand[2]) > len(cur[2])):
+            best[j] = cand
+
+    for i in range(n):
+        ci = best[i][0]
+        if ci == inf:
+            continue
+        for length in range(1, min(_JA_MAXLEN, n - i) + 1):
+            w = run[i : i + length]
+            if w in _JA_LEXICON:
+                relax(i + length, (ci + 1.0, i, w))
+        if _is_katakana(run[i]):
+            # unknown-word rule: a maximal katakana run is one token
+            j = i
+            while j < n and _is_katakana(run[j]):
+                j += 1
+            relax(j, (ci + 1.5, i, run[i:j]))
+        relax(i + 1, (ci + 2.5, i, run[i]))  # unknown single char
+    out = []
+    j = n
+    while j > 0:
+        _, i, w = best[j]
+        out.append(w)
+        j = i
+    out.reverse()
+    return out
+
+
+def japanese_tokenize(text: str) -> list[str]:
+    """JapaneseAnalyzer-equivalent chain: CJK runs are lattice-segmented
+    over the pinned lexicon with particle stop-filtering (the analyzer's
+    stoptags/stopword role); non-CJK spans go through the standard
+    chain. Degenerates to the standard chain on CJK-free text."""
+    if not text:
+        return []
+    out: list[str] = []
+    last = 0
+    for m in _CJK_RE.finditer(text):
+        if m.start() > last:
+            out.extend(tokenize(text[last : m.start()]))
+        out.extend(w for w in _ja_lattice_segment(m.group()) if w not in _JA_STOP)
+        last = m.end()
+    out.extend(tokenize(text[last:]))
+    return out
+
+
 # per-language analyzer dispatch (lang_id output routes each doc to its
-# language's chain — kuromoji/nori/smartcn stand-ins: CJK bigram for
-# zh/ja/ko, the canonical standard chain otherwise)
+# language's chain — ja gets dictionary morphology; nori/smartcn
+# stand-in: CJK bigram for zh/ko; the canonical standard chain otherwise)
 CJK_LANGS = frozenset({"zh", "ja", "ko"})
 
 
 def analyzer_for_lang(lang: str):
+    if lang == "ja":
+        return japanese_tokenize
     return cjk_bigram_tokenize if lang in CJK_LANGS else tokenize
 
 
@@ -750,6 +841,7 @@ ANALYZERS = {
     "folding": folding_tokenize,   # standard + ASCII folding
     "phonetic": phonetic_tokenize,  # standard + Soundex PhoneticFilter
     "cjk": cjk_bigram_tokenize,    # CJK bigrams + standard for non-CJK
+    "japanese": japanese_tokenize,  # kuromoji-mechanism lattice morphology
     # canned char-filtered chains (the configurable path is
     # char_filtered_tokenize([MappingCharFilter(...), ...]))
     "quote_mapping_standard": char_filtered_tokenize(

@@ -302,11 +302,68 @@ def lang_dispatch_token_counts(sf_dir: str) -> ray.data.Dataset:
         return pa.table({
             "doc_id": t.column("doc_id"),
             "analyzer": pa.array(
-                ["cjk" if lg in CJK_LANGS else "standard" for lg in langs], pa.string()),
+                ["ja_morph" if lg == "ja" else
+                 "cjk" if lg in CJK_LANGS else "standard" for lg in langs],
+                pa.string()),
             "n_tokens": pa.array(out),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+# Gold sentences for the ja morphology gate entry: each doc_id is
+# deterministically assigned one sentence; the engine segments it with
+# the real lattice at runtime while the SQL oracle carries the
+# HAND-SPECIFIED segmentation (token count + head token) — the same
+# gold table tests/test_analysis.py pins — so a lattice regression
+# breaks the driver gate, not just pytest.
+JA_GOLD = [
+    ("私は東京大学で自然言語処理を研究する", 8, "私"),
+    ("今日は良い天気です", 4, "今日"),
+    ("形態素解析の検索索引", 4, "形態素"),
+    ("彼女はカタカナのテキストを読む", 4, "彼女"),
+    ("東京で寿司を食べる", 3, "東京"),
+    ("鰯を食べる", 2, "鰯"),
+    ("日本語の勉強をします", 3, "日本語"),
+    ("駅から大学まで電車で行きます", 5, "駅"),
+    ("BM25で日本語を検索する", 4, "bm25"),
+]
+
+
+def ja_morphology_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Dictionary-lattice Japanese segmentation as a gate-checked
+    operator: doc_id % len(JA_GOLD) picks a sentence, the engine runs
+    japanese_tokenize on it, and reports (doc_id, n_tokens, head)."""
+    from lucene_solr_ray.analysis import japanese_tokenize
+
+    seg = [japanese_tokenize(s) for s, _, _ in JA_GOLD]
+    n_tok = np.array([len(t) for t in seg], np.int64)
+    heads = np.array([t[0] if t else "" for t in seg], object)
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        idx = d % len(JA_GOLD)
+        return pa.table({
+            "doc_id": pa.array(d),
+            "n_tokens": pa.array(n_tok[idx]),
+            "head": pa.array(heads[idx], pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def ja_morphology_sql() -> str:
+    whens_n = " ".join(
+        f"WHEN {i} THEN {n}" for i, (_, n, _) in enumerate(JA_GOLD))
+    whens_h = " ".join(
+        f"WHEN {i} THEN '{h}'" for i, (_, _, h) in enumerate(JA_GOLD))
+    return (
+        f"SELECT doc_id, CAST(CASE doc_id % {len(JA_GOLD)} {whens_n} END AS BIGINT) "
+        f"AS n_tokens, CASE doc_id % {len(JA_GOLD)} {whens_h} END AS head "
+        "FROM documents ORDER BY doc_id"
+    )
 
 
 def charfilter_token_counts(sf_dir: str) -> ray.data.Dataset:

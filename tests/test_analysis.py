@@ -240,3 +240,42 @@ def test_refined_soundex_vectors():
     assert refined_soundex("scan") == "S308"         # s3 c3(collapse) a0 n8
     assert refined_soundex("bb") == "B1"             # consecutive collapse
     assert refined_soundex("") == ""
+
+
+def test_japanese_lattice_morphology_gold():
+    """Hand-specified gold segmentations for the kuromoji-mechanism
+    lattice (dictionary Viterbi + unknown-word rules + particle stop
+    filter), on sentences where the bigram chain disagrees."""
+    from lucene_solr_ray.analysis import (
+        analyzer_for_lang, cjk_bigram_tokenize, japanese_tokenize)
+
+    gold = [
+        # dictionary compounds split at word boundaries, particles drop
+        ("私は東京大学で自然言語処理を研究する",
+         ["私", "東京", "大学", "自然", "言語", "処理", "研究", "する"]),
+        ("今日は良い天気です", ["今日", "良い", "天気", "です"]),
+        ("形態素解析の検索索引", ["形態素", "解析", "検索", "索引"]),
+        # unknown-word rule: maximal katakana runs are single tokens
+        ("彼女はカタカナのテキストを読む",
+         ["彼女", "カタカナ", "テキスト", "読む"]),
+        ("東京で寿司を食べる", ["東京", "寿司", "食べる"]),
+        # unknown kanji falls back to a single-char token
+        ("鰯を食べる", ["鰯", "食べる"]),
+        # longest-match disambiguation: 日本語 (one entry) beats 日本+語
+        ("日本語の勉強をします", ["日本語", "勉強", "します"]),
+        ("駅から大学まで電車で行きます",
+         ["駅", "大学", "電車", "行き", "ます"]),
+        # mixed script: non-CJK spans run the standard chain
+        ("BM25で日本語を検索する", ["bm25", "日本語", "検索", "する"]),
+    ]
+    for text, want in gold:
+        got = japanese_tokenize(text)
+        assert got == want, f"{text!r}: {got} != {want}"
+        # the dispatch routes ja to morphology, zh/ko stay bigram
+        assert analyzer_for_lang("ja")(text) == want
+        assert analyzer_for_lang("zh")(text) == cjk_bigram_tokenize(text)
+        assert got != cjk_bigram_tokenize(text)  # genuinely different
+    # CJK-free text degenerates to the standard chain (oracle invariant)
+    from lucene_solr_ray.analysis import tokenize
+    s = "the quick merge of Streams 42"
+    assert japanese_tokenize(s) == tokenize(s)
