@@ -583,3 +583,46 @@ def test_geo_polygon_concave_even_odd_and_boundary():
     assert ref_inside(-121, -41)        # on the notch edge vertex row -> boundary
     assert ref_inside(141, 0)           # (70.5, 0.0): on the north edge
     assert not ref_inside(143, 0)       # just north of it
+
+
+def test_ann_ivf_recall_on_clustered_corpus():
+    """The isotropic gate corpus forces n_probe ~ n_clusters; this pins
+    the REAL operating regime: a mixture-of-Gaussians corpus where IVF
+    at n_probe=8/32 must reach recall@10 >= 0.95 vs brute cosine, while
+    reading only the probed partitions."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from lucene_solr_ray.functions.ann import ann_brute_topk, ann_ivf_topk
+
+    sf = "/tmp/lsr_mog_fixture"
+    path = os.path.join(sf, "embeddings.parquet")
+    if not os.path.exists(path):
+        shutil.rmtree(sf, ignore_errors=True)
+        os.makedirs(sf)
+        rng = np.random.default_rng(7)
+        n_centers, per, d = 16, 250, 32
+        centers = rng.normal(size=(n_centers, d)) * 4.0
+        pts = (centers[:, None, :] + rng.normal(size=(n_centers, per, d))
+               ).reshape(-1, d).astype(np.float32)
+        labels = np.repeat(np.arange(n_centers, dtype=np.int32), per)
+        pd.DataFrame({
+            "vec_id": np.arange(len(pts), dtype=np.int64),
+            "embedding": [row for row in pts],
+            "label": labels,
+        }).to_parquet(path, index=False)
+
+    k, nq = 10, 8
+    brute = ann_brute_topk(sf, k=k, n_queries=nq).to_pandas()
+    ivf = ann_ivf_topk(sf, k=k, n_queries=nq, n_clusters=32, n_probe=8).to_pandas()
+    hits = total = 0
+    for qid, grp in brute.groupby("query_id"):
+        want = set(grp["neighbor_id"])
+        got = set(ivf[ivf["query_id"] == qid]["neighbor_id"])
+        hits += len(want & got)
+        total += len(want)
+    recall = hits / total
+    assert recall >= 0.95, f"recall@10 {recall:.3f} < 0.95 at n_probe=8/32"
