@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_id_routing": lambda sf: ft.composite_id_routing(sf, n_shards=8),
         "ft_termfreq_topk": lambda sf: ft.termfreq_topk(sf, "merge", k=20),
         "ft_atomic_update_rtg": lambda sf: ft.atomic_update_rtg(sf, [7, 123, 400]),
+        "ft_tlog_rtg": ft.tlog_rtg,
         # --- Solr request-handler surface (SURVEY §2.11) ---
         "solr_select_docs": solrapi.solr_select_docs,
         "solr_field_analysis": lambda sf: solrapi.field_analysis(sf, max_doc_id=5),
@@ -2080,6 +2081,19 @@ def oracle_sql() -> dict[str, str]:
         "ft_atomic_update_rtg": (
             "SELECT doc_id, text || ' zzzupdated' AS text FROM documents "
             "WHERE doc_id IN (7, 123, 400) ORDER BY doc_id"
+        ),
+        # tlog-lite: pending docs are RTG-visible pre-commit (pending=true),
+        # committed docs via fallback; after soft_commit the term search
+        # hits exactly the appended docs (asserted in-engine)
+        "ft_tlog_rtg": (
+            "WITH newdocs AS (SELECT UNNEST([90000001, 90000002, 90000003]) AS doc_id) "
+            "SELECT 'rtg_pre' AS phase, CAST(doc_id AS BIGINT) AS doc_id, TRUE AS pending, "
+            "'zzztlogrtg pending doc ' || CAST(doc_id AS VARCHAR) AS text FROM newdocs "
+            "UNION ALL SELECT 'rtg_pre', CAST(doc_id AS BIGINT), FALSE, text "
+            "FROM documents WHERE doc_id IN (1, 2) "
+            "UNION ALL SELECT 'search_post', CAST(doc_id AS BIGINT), FALSE, "
+            "'zzztlogrtg pending doc ' || CAST(doc_id AS VARCHAR) FROM newdocs "
+            "ORDER BY phase, doc_id"
         ),
         "cursor_mark_pages": (
             "WITH o AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, "

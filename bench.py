@@ -308,6 +308,30 @@ def main() -> None:
     annmod.ann_pq_topk(SF_DIR, k=10, n_queries=5)
     queries["ann_pq_topk"] = round(time.perf_counter() - t0, 3)
 
+    # tlog-lite commit-to-visible latency (micro path, no Ray spin-up).
+    # Runs LAST: it appends docs to the bench index.
+    import pyarrow as _pa
+
+    from lucene_solr_ray.state import tlog as _tlog
+
+    tl_batch = _pa.table({
+        "conv_id": _pa.array([f"tlog-{i:06d}" for i in range(8)], _pa.string()),
+        "turn_idx": _pa.array(np.zeros(8, np.int32), _pa.int32()),
+        "role": _pa.array(["user"] * 8, _pa.string()),
+        "text": _pa.array([f"zzztlogbench doc {i} stream" for i in range(8)],
+                          _pa.string()),
+        "tool": _pa.array([""] * 8, _pa.string()),
+        "ts": _pa.array(np.full(8, np.datetime64("2026-02-01T00:00:00", "us")),
+                        _pa.timestamp("us")),
+    })
+    t0 = time.perf_counter()
+    _tlog.tlog_append(index_dir, tl_batch)
+    _tlog.soft_commit(index_dir)
+    d, _ = IndexSearcher(index_dir).search(["zzztlogbench"], k=16, mode="or")
+    tl_ms = (time.perf_counter() - t0) * 1000
+    assert len(d) == tl_batch.num_rows
+    queries["tlog_visible_ms"] = round(tl_ms, 2)
+
     lat_ms = np.array(lat) * 1000
     out = {
         "metric": "index_build_sec",

@@ -1135,7 +1135,18 @@ def realtime_get(index_dir: str, doc_ids: list[int]) -> pa.Table:
 
     manifest = load_manifest(index_dir)
     dead = _rtg_live(index_dir, manifest)
-    t = _pads.dataset(os.path.join(index_dir, "docs"), format="parquet").to_table(
+    # unify schemas across docs files: generations appended by the tlog
+    # micro path may carry columns (doc_id) the base build lacks — rows
+    # from key-less files read as null and can never match the id filter
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(os.path.join(index_dir, "docs", "*.parquet")))
+    schema = pa.unify_schemas([_pq.read_schema(f).remove_metadata() for f in files])
+    if "doc_id" not in schema.names:
+        raise ValueError(f"index {index_dir} has no doc_id key column for RTG")
+    t = _pads.dataset(files, format="parquet", schema=schema).to_table(
         columns=["docid", "doc_id", "text"],
         filter=_pads.field("doc_id").isin([int(d) for d in doc_ids]),
     )
@@ -1292,6 +1303,64 @@ def atomic_update_rtg(sf_dir: str, update_ids: list[int], suffix: str = " zzzupd
     assert hit_ids.tolist() == update_ids, (hit_ids, update_ids)
     # ...and RTG returns the new stored fields for them
     return realtime_get(tmp, update_ids)
+
+
+def tlog_rtg(sf_dir: str, new_ids=(90000001, 90000002, 90000003),
+             committed_ids=(1, 2)) -> pa.Table:
+    """Transaction-log-lite end-to-end ([U] solr/core/.../update/
+    UpdateLog.java semantics) on a copy of the cached index: append a
+    micro-batch to the tlog; RealTimeGet sees the PENDING docs from the
+    log (pending=true) and committed docs via fallback BEFORE any
+    commit; soft_commit folds the log into a new generation; a term
+    query then hits exactly the appended docs. Output phases:
+    'rtg_pre' (overlay reads) and 'search_post' (post-commit hits)."""
+    import shutil
+
+    from lucene_solr_ray.state import tlog
+
+    src = docs_index(sf_dir)
+    tmp = src + "-tlogcopy"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(src, tmp)
+
+    new_ids = sorted(int(d) for d in new_ids)
+    rows = []
+    for did in new_ids:
+        text = f"zzztlogrtg pending doc {did}"
+        rows.append({
+            "conv_id": f"tlog-{did:012d}", "turn_idx": np.int32(0),
+            "role": "user", "text": text, "tool": "",
+            "ts": np.datetime64("2026-02-01T00:00:00", "us")
+            + np.timedelta64(int(did) % 86400, "s"),
+            "doc_id": np.int64(did), "n_chars": np.int64(len(text)),
+            "lang": "en", "source": "tlog",
+        })
+    batch = pa.Table.from_pylist(rows, schema=pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()), ("role", pa.string()),
+        ("text", pa.string()), ("tool", pa.string()), ("ts", pa.timestamp("us")),
+        ("doc_id", pa.int64()), ("n_chars", pa.int64()), ("lang", pa.string()),
+        ("source", pa.string()),
+    ]))
+    tlog.tlog_append(tmp, batch)
+    pre = tlog.realtime_get_overlay(
+        tmp, new_ids + [int(d) for d in committed_ids]).to_pylist()
+    tlog.soft_commit(tmp)
+    s = IndexSearcher(tmp)
+    d, _ = s.search(["zzztlogrtg"], k=max(1, s.n_docs), mode="or")
+    mapping = _docid_to_doc_id(tmp)
+    hit_ids = np.sort(mapping[d])
+    assert hit_ids.tolist() == new_ids, (hit_ids, new_ids)
+    post = realtime_get(tmp, new_ids).to_pylist()
+    out = (
+        [("rtg_pre", r["doc_id"], r["pending"], r["text"]) for r in pre]
+        + [("search_post", r["doc_id"], False, r["text"]) for r in post]
+    )
+    return pa.table({
+        "phase": pa.array([r[0] for r in out], pa.string()),
+        "doc_id": pa.array([r[1] for r in out], pa.int64()),
+        "pending": pa.array([r[2] for r in out], pa.bool_()),
+        "text": pa.array([r[3] for r in out], pa.string()),
+    })
 
 
 def tv_component(sf_dir: str, query_term: str = "vector", max_docs: int = 20) -> pa.Table:
