@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_hierarchy_counts": ts.path_hierarchy_counts,
         "lang_dispatch_token_counts": ts.lang_dispatch_token_counts,
         "ja_morphology_tokens": ts.ja_morphology_tokens,
+        "icu_folding_tokens": ts.icu_folding_tokens,
         "charfilter_token_counts": ts.charfilter_token_counts,
         "synonym_graph_counts": ts.synonym_graph_counts,
         "common_grams_counts": ts.common_grams_counts,
@@ -1706,6 +1707,11 @@ def oracle_sql() -> dict[str, str]:
         "ja_morphology_tokens": __import__(
             "lucene_solr_ray.functions.textstats", fromlist=["ja_morphology_sql"]
         ).ja_morphology_sql(),
+        # ICUFoldingFilter: oracle carries hand-written NFKC+casefold+strip
+        # golds; the engine folds the raw forms at runtime
+        "icu_folding_tokens": __import__(
+            "lucene_solr_ray.functions.textstats", fromlist=["icu_folding_sql"]
+        ).icu_folding_sql(),
         # charfilter chain rewrites whole-word merge->combine and the char
         # sequence window->pane BEFORE tokenizing; neither target token
         # exists in the corpus, so rewritten counts == original counts

@@ -604,6 +604,38 @@ def folding_tokenize(text: str) -> list[str]:
     return [ascii_fold(t) for t in tokenize(text)]
 
 
+def icu_fold(token: str) -> str:
+    """ICUFoldingFilter-equivalent ([U] lucene/analysis/icu/src/java/org/
+    apache/lucene/analysis/icu/ICUFoldingFilter.java — the UTR #30
+    foldings most relevant to search), via stdlib unicodedata: NFKC
+    compatibility normalization (full-width forms, ligatures, circled
+    digits, roman numerals), Unicode case folding (casefold, not lower:
+    handles ß->ss, Ǌ->nj), then combining-mark removal under NFD and
+    recomposition."""
+    import unicodedata
+
+    t = unicodedata.normalize("NFKC", token)
+    t = t.casefold()
+    t = "".join(
+        c for c in unicodedata.normalize("NFD", t) if not unicodedata.combining(c)
+    )
+    return unicodedata.normalize("NFC", t)
+
+
+def icu_tokenize(text: str) -> list[str]:
+    """ICU analysis chain: ICUNormalizer2CharFilter (NFKC on the raw
+    text, so full-width stopwords like ｔｈｅ normalize BEFORE the stop
+    filter) + standard chain + ICUFoldingFilter per token."""
+    import unicodedata
+
+    out = []
+    for t in tokenize(unicodedata.normalize("NFKC", text)):
+        f = icu_fold(t)
+        if f and f not in STOPWORDS:
+            out.append(f)
+    return out
+
+
 # ---------------- PhoneticFilter / Soundex (SURVEY §2.2) ----------------
 
 _SOUNDEX_CODE = {}
@@ -839,6 +871,7 @@ ANALYZERS = {
     "html_standard": html_strip_standard_tokenize,
     "english": english_tokenize,   # standard + Porter stem
     "folding": folding_tokenize,   # standard + ASCII folding
+    "icu_folding": icu_tokenize,   # NFKC char filter + ICU folding filter
     "phonetic": phonetic_tokenize,  # standard + Soundex PhoneticFilter
     "cjk": cjk_bigram_tokenize,    # CJK bigrams + standard for non-CJK
     "japanese": japanese_tokenize,  # kuromoji-mechanism lattice morphology

@@ -366,6 +366,50 @@ def ja_morphology_sql() -> str:
     )
 
 
+# ICU folding gold pairs (raw -> hand-specified fold), same gate pattern
+# as JA_GOLD: the engine folds at runtime, the oracle carries the gold.
+ICU_GOLD = [
+    ("Ｃａｆé", "cafe"),       # full-width + acute
+    ("ﬁle", "file"),           # fi ligature
+    ("ＮＡÏＶＥ", "naive"),    # full-width + diaeresis
+    ("Ｓｔｒａßｅ", "strasse"),  # sharp s case-folds to ss
+    ("①", "1"),                # circled digit
+    ("Ǌegoš", "njegos"),       # digraph + caron
+    ("Ångström", "angstrom"),  # combining marks stripped under NFD
+    ("Ⅻ", "xii"),              # roman numeral
+]
+
+
+def icu_folding_tokens(sf_dir: str) -> ray.data.Dataset:
+    """ICUFoldingFilter as a gate-checked operator: doc_id % len(ICU_GOLD)
+    picks a raw form, the engine runs the real NFKC+casefold+mark-strip
+    chain at runtime, the SQL oracle carries the hand-written folds."""
+    from lucene_solr_ray.analysis import icu_fold
+
+    folded = np.array([icu_fold(raw) for raw, _ in ICU_GOLD], object)
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        idx = d % len(ICU_GOLD)
+        return pa.table({
+            "doc_id": pa.array(d),
+            "folded": pa.array(folded[idx], pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def icu_folding_sql() -> str:
+    whens = " ".join(
+        f"WHEN {i} THEN '{gold}'" for i, (_, gold) in enumerate(ICU_GOLD))
+    return (
+        f"SELECT doc_id, CASE doc_id % {len(ICU_GOLD)} {whens} END AS folded "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
 def charfilter_token_counts(sf_dir: str) -> ray.data.Dataset:
     """Char-filter chain demo over real data: PatternReplaceCharFilter
     rewrites whole-word 'merge' -> 'combine', MappingCharFilter maps the

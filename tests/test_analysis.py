@@ -279,3 +279,24 @@ def test_japanese_lattice_morphology_gold():
     from lucene_solr_ray.analysis import tokenize
     s = "the quick merge of Streams 42"
     assert japanese_tokenize(s) == tokenize(s)
+
+
+def test_icu_folding_chain():
+    """ICUFoldingFilter-equivalent: NFKC + casefold + combining-mark
+    strip; char-filter order means full-width stopwords die in the stop
+    filter and folded-to-stopword tokens are dropped too."""
+    from lucene_solr_ray.analysis import get_analyzer, icu_fold
+
+    assert icu_fold("Ｃａｆé") == "cafe"
+    assert icu_fold("ﬁle") == "file"
+    assert icu_fold("Ｓｔｒａßｅ") == "strasse"
+    assert icu_fold("Ǌegoš") == "njegos"
+    assert icu_fold("①") == "1"
+    assert icu_fold("Ⅻ") == "xii"
+    chain = get_analyzer("icu_folding")
+    assert chain("ｔｈｅ Ｃａｆé ﬁle") == ["cafe", "file"]  # NFKC'd stopword dies
+    assert chain("Thé naïve") == ["naive"]  # folded-to-stopword drops
+    # plain ASCII degenerates to the standard chain
+    from lucene_solr_ray.analysis import tokenize
+    s = "the quick merge of Streams 42"
+    assert chain(s) == tokenize(s)
