@@ -127,7 +127,13 @@ class TermCursor:
 
     def gather(self, docids: np.ndarray):
         """(tfs, norms) for docids ALL present in this list (intersection
-        results). Decodes only the blocks containing them."""
+        results). Decodes only the blocks containing them — unless the
+        list is already fully decoded (warmed hot term), in which case
+        one searchsorted into the memoized arrays suffices."""
+        if self._decoded is not None:
+            d, t, m = self._decoded
+            pos = np.searchsorted(d, docids)
+            return t[pos], m[pos]
         blocks = np.unique(np.searchsorted(self.last_docid, docids, side="left"))
         d, t, m = self.docids_in_blocks(blocks)
         pos = np.searchsorted(d, docids)
@@ -143,6 +149,14 @@ class TermCursor:
         tfs = np.zeros(n, dtype=np.int64)
         norms = np.zeros(n, dtype=np.int64)
         if n == 0 or self.n_blocks == 0:
+            return mask, tfs, norms
+        if self._decoded is not None:  # warmed hot term: no block decode
+            d, t, m = self._decoded
+            pos = np.minimum(np.searchsorted(d, docids), len(d) - 1)
+            hit = d[pos] == docids
+            mask[hit] = True
+            tfs[hit] = t[pos[hit]]
+            norms[hit] = m[pos[hit]]
             return mask, tfs, norms
         blocks = np.searchsorted(self.last_docid, docids, side="left")
         ok = blocks < self.n_blocks
@@ -247,6 +261,7 @@ class IndexSearcher:
         self._dense_scores_postings = 0
         if warm:
             self.warm_readers()
+            self.warm_hot_terms()
 
     def warm_readers(self) -> None:
         """Eagerly open every segment's reader (term dict into memory) —
@@ -278,6 +293,36 @@ class IndexSearcher:
                 ),
             ):
                 self._readers[f"{p}/{name}"] = r
+
+    def warm_hot_terms(self, min_frac: float = 1 / 32) -> None:
+        """Pre-decode + pre-score the Zipf-hot posting lists (global
+        df >= n_docs * min_frac — the dense-scan trigger band) so no
+        query ever pays a hot list's first-touch decode. The cache
+        budget still bounds memory; rare terms stay lazy. Lucene's
+        analogue is index warming on reader open
+        ([U] lucene/core/.../index/IndexWriter.java IndexReaderWarmer)."""
+        thresh = max(2, int(self.n_docs * min_frac))
+        for p, segs in self._by_partition.items():
+            df_by_key: dict[bytes, int] = {}
+            for seg in segs:
+                r = self._reader(p, seg["name"])
+                for i in np.flatnonzero(r.df >= max(1, thresh // len(segs))):
+                    k = r._term_keys[i]
+                    df_by_key[k] = df_by_key.get(k, 0) + int(r.df[i])
+            for k, df in df_by_key.items():
+                if df < thresh:
+                    continue
+                term = k.decode("utf-8")
+                tdf, tcf, cur = self.term_stats_and_cursor(term)
+                if cur is None:
+                    continue
+                d, tf, m = cur.decode_all()
+                if (term not in self._dense_scores
+                        and self._dense_scores_postings + len(d)
+                        <= self.term_cache_budget):
+                    self._dense_scores[term] = self.simcls.score_term(
+                        self._term_w(tdf, tcf), tf, m, self.cache)
+                    self._dense_scores_postings += len(d)
 
     def _reader(self, partition: int, name: str) -> SegmentReader:
         key = f"{partition}/{name}"
@@ -584,13 +629,19 @@ class IndexSearcher:
             cand = self._live(rare.block(b)[0])
             for j in by_rarity[1:]:
                 oc = weighted[j][2]
-                blocks = np.searchsorted(oc.last_docid, cand, side="left")
-                ok = blocks < oc.n_blocks
-                cand = cand[ok]
-                if len(cand) == 0:
+                if oc._decoded is not None:  # warmed: direct membership
+                    od = oc._decoded[0]
+                else:
+                    blocks = np.searchsorted(oc.last_docid, cand, side="left")
+                    ok = blocks < oc.n_blocks
+                    cand = cand[ok]
+                    if len(cand) == 0:
+                        break
+                    need = np.unique(blocks[ok])
+                    od, _, _ = oc.docids_in_blocks(need)
+                if len(od) == 0:
+                    cand = cand[:0]
                     break
-                need = np.unique(blocks[ok])
-                od, _, _ = oc.docids_in_blocks(need)
                 sel = np.searchsorted(od, cand)
                 sel = np.minimum(sel, len(od) - 1)
                 cand = cand[od[sel] == cand]
