@@ -22,7 +22,9 @@ import pyarrow as pa
 
 import ray.data
 
-from lucene_solr_ray.io_utils import emb_matrix, join_partitions, pool_size, read_parquet_clean
+from lucene_solr_ray.io_utils import (
+    emb_matrix, join_partitions, pool_size, read_parquet_clean,
+    sized_join_partitions)
 
 _WS = re.compile(r"\s+")
 
@@ -785,8 +787,6 @@ def connected_components(edges: ray.data.Dataset, max_rounds: int = 64,
     """
     from ray.data.aggregate import Min
 
-    num_partitions = num_partitions or join_partitions()
-
     def sym(t: pa.Table) -> pa.Table:
         a = t.column("doc_a").to_numpy().astype(np.int64)
         b = t.column("doc_b").to_numpy().astype(np.int64)
@@ -794,6 +794,10 @@ def connected_components(edges: ray.data.Dataset, max_rounds: int = 64,
                          "dst": pa.array(np.concatenate([b, a]))})
 
     edges2 = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    if num_partitions is None:
+        # edge list is materialized: size the per-round exchanges to it
+        # (iterative rounds pay per-partition fixed cost twice per round)
+        num_partitions = sized_join_partitions(edges2.count())
 
     def init_label(t: pa.Table) -> pa.Table:
         n = t.column("src")
