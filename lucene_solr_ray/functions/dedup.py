@@ -794,10 +794,45 @@ def connected_components(edges: ray.data.Dataset, max_rounds: int = 64,
                          "dst": pa.array(np.concatenate([b, a]))})
 
     edges2 = edges.map_batches(sym, batch_format="pyarrow").materialize()
+    n_edge_rows = edges2.count()
+    # The edge list is pair-output-sized — at gate scales a few thousand
+    # rows, for which each distributed round's fixed cost (2 joins + a
+    # groupby) dwarfs the work (measured 11.5 s for a job a single task
+    # does in milliseconds). Below the one-task threshold run union-find
+    # in ONE Ray task (same "output-sized combine in one task" medicine
+    # as ngram_jaccard/BENCH round-3); the label-propagation loop is the
+    # >threshold scale path and stays the algorithm of record.
+    if n_edge_rows <= 5_000_000:
+        @ray.remote
+        def _unionfind(*parts: pa.Table) -> pa.Table:
+            t = pa.concat_tables(parts)
+            src = t.column("src").to_numpy().astype(np.int64)
+            dst = t.column("dst").to_numpy().astype(np.int64)
+            nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+            parent = np.arange(len(nodes), dtype=np.int64)
+
+            def find(i: int) -> int:
+                while parent[i] != i:
+                    parent[i] = parent[parent[i]]  # path halving
+                    i = parent[i]
+                return i
+
+            a_ix, b_ix = inv[: len(src)], inv[len(src):]
+            for i in range(len(src)):
+                ra, rb = find(int(a_ix[i])), find(int(b_ix[i]))
+                if ra != rb:
+                    # union by MIN node id == min-label propagation's fixpoint
+                    lo, hi = (ra, rb) if nodes[ra] < nodes[rb] else (rb, ra)
+                    parent[hi] = lo
+            roots = np.array([find(int(i)) for i in range(len(nodes))], np.int64)
+            return pa.table({"node": pa.array(nodes), "lab": pa.array(nodes[roots])})
+
+        blocks = list(edges2.to_arrow_refs())
+        return ray.data.from_arrow_refs([_unionfind.remote(*blocks)])
     if num_partitions is None:
-        # edge list is materialized: size the per-round exchanges to it
+        # size the per-round exchanges to the materialized edge count
         # (iterative rounds pay per-partition fixed cost twice per round)
-        num_partitions = sized_join_partitions(edges2.count())
+        num_partitions = sized_join_partitions(n_edge_rows)
 
     def init_label(t: pa.Table) -> pa.Table:
         n = t.column("src")
