@@ -28,7 +28,21 @@ def analyze_query_terms(raw_terms) -> list[str]:
 
 
 def topk_order(docids: np.ndarray, scores: np.ndarray, k: int) -> np.ndarray:
-    """Indices of the top-k under (score desc, docid asc)."""
+    """Indices of the top-k under (score desc, docid asc) — EXACT.
+
+    O(n) selection instead of a full O(n log n) lexsort (a hot-term
+    dense scan hands this ~corpus-sized candidate arrays): argpartition
+    finds the k-th largest score, the pool keeps every element tied at
+    or above it (so score ties can never be cut arbitrarily), and only
+    the pool pays the lexsort. Identical output to the full-sort
+    formulation; shared by engine and oracle."""
+    n = len(scores)
+    if n > max(k, 1) * 4 and k > 0:
+        part = np.argpartition(-scores, k - 1)[:k]
+        thresh = scores[part].min()
+        pool = np.flatnonzero(scores >= thresh)
+        order = pool[np.lexsort((docids[pool], -scores[pool].astype(np.float64)))]
+        return order[:k]
     order = np.lexsort((docids, -scores.astype(np.float64)))
     return order[:k]
 
