@@ -400,8 +400,11 @@ class IndexSearcher:
             # fraction of the corpus (Zipf-hot terms): WAND windows would
             # decode nearly everything anyway, with per-window overhead.
             if mode == "and":
+                # measured crossover at rarest coverage ~0.3% (800k docs:
+                # wand ~0.55 us/rarest-posting vs dense ~1 ns/doc base);
+                # 256x (0.39%) is safely past it at any N
                 rarest = min(c.n_docs for _, _, c in weighted)
-                algorithm = "dense" if rarest * 16 > self.n_docs else "wand"
+                algorithm = "dense" if rarest * 256 > self.n_docs else "wand"
             else:
                 # crossover measured at ~1% coverage (dense is one
                 # vectorized scatter-add/list vs per-window Python in
