@@ -1697,7 +1697,8 @@ def oracle_sql() -> dict[str, str]:
             "WITH t AS (SELECT doc_id, lang, CASE WHEN trim(text) = '' THEN [] ELSE "
             "regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents) "
             "SELECT doc_id, CASE WHEN lang = 'ja' THEN 'ja_morph' "
-            "WHEN lang IN ('zh', 'ko') THEN 'cjk' ELSE 'standard' END "
+            "WHEN lang = 'zh' THEN 'zh_dict' "
+            "WHEN lang = 'ko' THEN 'cjk' ELSE 'standard' END "
             "AS analyzer, "
             f"CAST(len(list_filter(toks, x -> NOT list_contains({_STOP_SQL}, x))) AS BIGINT) "
             "AS n_tokens FROM t ORDER BY doc_id"

@@ -795,9 +795,12 @@ def _is_katakana(ch: str) -> bool:
     return "ァ" <= ch <= "ヺ" or ch == "ー"  # ァ..ヺ + ー
 
 
-def _ja_lattice_segment(run: str) -> list[str]:
-    """Minimum-cost Viterbi segmentation of one CJK run. Deterministic
-    tie-break: equal cost prefers the longer final token."""
+def _lattice_segment(run: str, lexicon: frozenset, maxlen: int) -> list[str]:
+    """Minimum-cost Viterbi segmentation of one CJK run over a pinned
+    lexicon — the shared mechanism behind the ja (kuromoji-style) and zh
+    (smartcn-role, dictionary-DP) chains. Deterministic tie-break: equal
+    cost prefers the longer final token. The katakana unknown-word rule
+    only fires on katakana codepoints, so it is a no-op for Chinese."""
     n = len(run)
     inf = float("inf")
     # best[j] = (cost, start_of_last_token, last_token)
@@ -813,9 +816,9 @@ def _ja_lattice_segment(run: str) -> list[str]:
         ci = best[i][0]
         if ci == inf:
             continue
-        for length in range(1, min(_JA_MAXLEN, n - i) + 1):
+        for length in range(1, min(maxlen, n - i) + 1):
             w = run[i : i + length]
-            if w in _JA_LEXICON:
+            if w in lexicon:
                 relax(i + length, (ci + 1.0, i, w))
         if _is_katakana(run[i]):
             # unknown-word rule: a maximal katakana run is one token
@@ -832,6 +835,10 @@ def _ja_lattice_segment(run: str) -> list[str]:
         j = i
     out.reverse()
     return out
+
+
+def _ja_lattice_segment(run: str) -> list[str]:
+    return _lattice_segment(run, _JA_LEXICON, _JA_MAXLEN)
 
 
 def japanese_tokenize(text: str) -> list[str]:
@@ -852,15 +859,55 @@ def japanese_tokenize(text: str) -> list[str]:
     return out
 
 
+# Chinese word segmentation ([U] lucene/analysis/smartcn/ fills this
+# role upstream via an HMM; the public dictionary-DP formulation — a DAG
+# of lexicon matches + min-cost dynamic programming, the jieba shape —
+# uses the same lattice machinery as the ja chain).
+_ZH_STOP = frozenset("的 了 是 在 和 有 我 你 他 她 它 吗 呢 也 都".split())
+
+_ZH_LEXICON = frozenset(
+    """
+    中文 分词 搜索 引擎 索引 文档 信息 检索 自然 语言 处理 机器 学习 数据
+    我们 他们 今天 明天 昨天 天气 很好 北京 上海 大学 学生 老师 公司
+    电脑 手机 喜欢 工作 时间 问题 研究 开发 技术
+    的 了 是 在 和 有 我 你 他 她 它 吗 呢 也 都
+    """.split()
+)
+
+_ZH_MAXLEN = max(map(len, _ZH_LEXICON))
+
+
+def chinese_tokenize(text: str) -> list[str]:
+    """SmartChineseAnalyzer-equivalent chain (reduced): CJK runs are
+    lattice-segmented over the pinned zh lexicon with function-word stop
+    filtering; non-CJK spans run the standard chain."""
+    if not text:
+        return []
+    out: list[str] = []
+    last = 0
+    for m in _CJK_RE.finditer(text):
+        if m.start() > last:
+            out.extend(tokenize(text[last : m.start()]))
+        out.extend(
+            w for w in _lattice_segment(m.group(), _ZH_LEXICON, _ZH_MAXLEN)
+            if w not in _ZH_STOP
+        )
+        last = m.end()
+    out.extend(tokenize(text[last:]))
+    return out
+
+
 # per-language analyzer dispatch (lang_id output routes each doc to its
-# language's chain — ja gets dictionary morphology; nori/smartcn
-# stand-in: CJK bigram for zh/ko; the canonical standard chain otherwise)
+# language's chain — ja and zh get dictionary segmentation; nori
+# stand-in: CJK bigram for ko; the canonical standard chain otherwise)
 CJK_LANGS = frozenset({"zh", "ja", "ko"})
 
 
 def analyzer_for_lang(lang: str):
     if lang == "ja":
         return japanese_tokenize
+    if lang == "zh":
+        return chinese_tokenize
     return cjk_bigram_tokenize if lang in CJK_LANGS else tokenize
 
 
@@ -875,6 +922,7 @@ ANALYZERS = {
     "phonetic": phonetic_tokenize,  # standard + Soundex PhoneticFilter
     "cjk": cjk_bigram_tokenize,    # CJK bigrams + standard for non-CJK
     "japanese": japanese_tokenize,  # kuromoji-mechanism lattice morphology
+    "chinese": chinese_tokenize,    # smartcn-role dictionary-DP segmentation
     # canned char-filtered chains (the configurable path is
     # char_filtered_tokenize([MappingCharFilter(...), ...]))
     "quote_mapping_standard": char_filtered_tokenize(

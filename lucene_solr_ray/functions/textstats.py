@@ -303,6 +303,7 @@ def lang_dispatch_token_counts(sf_dir: str) -> ray.data.Dataset:
             "doc_id": t.column("doc_id"),
             "analyzer": pa.array(
                 ["ja_morph" if lg == "ja" else
+                 "zh_dict" if lg == "zh" else
                  "cjk" if lg in CJK_LANGS else "standard" for lg in langs],
                 pa.string()),
             "n_tokens": pa.array(out),

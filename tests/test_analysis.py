@@ -143,10 +143,14 @@ def test_char_filters_compose_in_order():
 def test_lang_routed_analyzer_cjk():
     from lucene_solr_ray.analysis import analyzer_for_lang
 
-    assert analyzer_for_lang("zh")("中文分析 merge") == [
+    # ko keeps the bigram chain (nori stand-in)
+    assert analyzer_for_lang("ko")("中文分析 merge") == [
         "中文", "文分", "分析", "merge"]
+    # zh routes to dictionary segmentation: lexicon words split at word
+    # boundaries, out-of-vocabulary chars fall back to singles
+    assert analyzer_for_lang("zh")("中文分词 merge") == ["中文", "分词", "merge"]
     # the standard chain treats the CJK run as ONE \w token; the routed
-    # chain bigrams it — the dispatch is observable
+    # chain segments it — the dispatch is observable
     assert analyzer_for_lang("en")("中文分析 merge") == ["中文分析", "merge"]
     assert analyzer_for_lang("en")("the merge") == ["merge"]
     from lucene_solr_ray.analysis import get_analyzer
@@ -271,9 +275,9 @@ def test_japanese_lattice_morphology_gold():
     for text, want in gold:
         got = japanese_tokenize(text)
         assert got == want, f"{text!r}: {got} != {want}"
-        # the dispatch routes ja to morphology, zh/ko stay bigram
+        # the dispatch routes ja to morphology, ko stays bigram
         assert analyzer_for_lang("ja")(text) == want
-        assert analyzer_for_lang("zh")(text) == cjk_bigram_tokenize(text)
+        assert analyzer_for_lang("ko")(text) == cjk_bigram_tokenize(text)
         assert got != cjk_bigram_tokenize(text)  # genuinely different
     # CJK-free text degenerates to the standard chain (oracle invariant)
     from lucene_solr_ray.analysis import tokenize
@@ -300,3 +304,33 @@ def test_icu_folding_chain():
     from lucene_solr_ray.analysis import tokenize
     s = "the quick merge of Streams 42"
     assert chain(s) == tokenize(s)
+
+
+def test_chinese_lattice_segmentation_gold():
+    """Hand-specified gold segmentations for the zh dictionary-DP chain
+    (smartcn's role): compound splitting, stop-word removal, unknown
+    chars as singles, mixed script."""
+    from lucene_solr_ray.analysis import (
+        analyzer_for_lang, chinese_tokenize, cjk_bigram_tokenize)
+
+    gold = [
+        ("我们在北京大学研究自然语言处理",
+         ["我们", "北京", "大学", "研究", "自然", "语言", "处理"]),
+        ("今天天气很好", ["今天", "天气", "很好"]),
+        ("中文分词是搜索引擎的技术",
+         ["中文", "分词", "搜索", "引擎", "技术"]),
+        ("我喜欢机器学习", ["喜欢", "机器", "学习"]),
+        # unknown char falls back to a single-char token
+        ("鑫是技术", ["鑫", "技术"]),
+        # mixed script: non-CJK spans run the standard chain
+        ("BM25是搜索技术", ["bm25", "搜索", "技术"]),
+    ]
+    for text, want in gold:
+        got = chinese_tokenize(text)
+        assert got == want, f"{text!r}: {got} != {want}"
+        assert analyzer_for_lang("zh")(text) == want
+        assert got != cjk_bigram_tokenize(text)
+    # CJK-free text degenerates to the standard chain
+    from lucene_solr_ray.analysis import tokenize
+    s = "the quick merge of Streams 42"
+    assert chinese_tokenize(s) == tokenize(s)
