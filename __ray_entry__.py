@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_nearest_topk": lambda sf: geo.geo_nearest_topk(sf, k=25),
         "geo_polygon_docs": geo.geo_polygon_docs,
         "geo_polygon_concave_docs": geo.geo_polygon_concave_docs,
+        "shape_bbox_relation": geo.shape_bbox_relation,
         "geo_heatmap": geo.geo_heatmap,
         "point_bbox_docs": lambda sf: geo.point_bbox_query(sf, (-30.0, 40.0, -100.0, 50.0)),
         "expression_sort": expr.expression_sort,
@@ -1921,6 +1922,11 @@ def oracle_sql() -> dict[str, str]:
         "geo_polygon_concave_docs": __import__(
             "lucene_solr_ray.functions.geo", fromlist=["polygon_concave_sql"]
         ).polygon_concave_sql(),
+        # LatLonShape-style box-vs-box relate: WITHIN/INTERSECTS/DISJOINT
+        # on the doubled integer grid, identical interval tests both sides
+        "shape_bbox_relation": __import__(
+            "lucene_solr_ray.functions.geo", fromlist=["shape_bbox_relation_sql"]
+        ).shape_bbox_relation_sql(),
         "geo_nearest_topk": (
             "WITH g AS (SELECT c_custkey, "
             "CAST(((c_custkey * 37) % 180) AS DOUBLE) - 90 + 0.5 AS lat, "

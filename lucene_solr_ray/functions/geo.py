@@ -376,6 +376,55 @@ def geo_polygon_concave_docs(sf_dir: str, poly=CONCAVE_POLY) -> ray.data.Dataset
     )
 
 
+def shape_bbox_relation(sf_dir: str,
+                        qbox=(-20.5, 40.5, -60.5, 60.5)) -> ray.data.Dataset:
+    """Shape-vs-shape relation query ([U] lucene/core/.../document/
+    LatLonShapeBoundingBoxQuery.java semantics over indexed SHAPES, not
+    points): every customer carries a derived box shape (its point
+    buffered by 1 deg lat / 2 deg lon on the half-degree grid), the
+    query is a box, and each doc classifies as WITHIN (shape fully
+    inside the query), INTERSECTS (partial overlap), or DISJOINT.
+    All comparisons are interval tests on the doubled integer grid —
+    exact, boundary-inclusive (touching edges INTERSECT, as Lucene's
+    relate treats shared boundaries). One stateless pass, zero shuffle."""
+    qla0, qla1, qlo0, qlo1 = (int(round(v * 2)) for v in qbox)
+
+    def fn(t: pa.Table) -> pa.Table:
+        key = t.column("c_custkey").to_numpy().astype(np.int64)
+        py = ((key * 37) % 180) * 2 - 179
+        px = ((key * 73) % 360) * 2 - 359
+        la0, la1 = py - 2, py + 2   # +-1 degree on the doubled grid
+        lo0, lo1 = px - 4, px + 4   # +-2 degrees
+        disjoint = (la1 < qla0) | (la0 > qla1) | (lo1 < qlo0) | (lo0 > qlo1)
+        within = (la0 >= qla0) & (la1 <= qla1) & (lo0 >= qlo0) & (lo1 <= qlo1)
+        rel = np.where(disjoint, "DISJOINT", np.where(within, "WITHIN", "INTERSECTS"))
+        return pa.table({
+            "c_custkey": pa.array(key),
+            "relation": pa.array(rel.astype(object), pa.string()),
+        })
+
+    return (
+        read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort("c_custkey")
+    )
+
+
+def shape_bbox_relation_sql(qbox=(-20.5, 40.5, -60.5, 60.5)) -> str:
+    qla0, qla1, qlo0, qlo1 = (int(round(v * 2)) for v in qbox)
+    return (
+        "WITH g AS (SELECT c_custkey, "
+        "CAST((c_custkey * 37) % 180 AS BIGINT) * 2 - 179 AS py, "
+        "CAST((c_custkey * 73) % 360 AS BIGINT) * 2 - 359 AS px FROM customer) "
+        "SELECT c_custkey, CASE "
+        f"WHEN py + 2 < {qla0} OR py - 2 > {qla1} OR px + 4 < {qlo0} "
+        f"OR px - 4 > {qlo1} THEN 'DISJOINT' "
+        f"WHEN py - 2 >= {qla0} AND py + 2 <= {qla1} AND px - 4 >= {qlo0} "
+        f"AND px + 4 <= {qlo1} THEN 'WITHIN' "
+        "ELSE 'INTERSECTS' END AS relation FROM g ORDER BY c_custkey"
+    )
+
+
 def polygon_concave_sql(poly=CONCAVE_POLY) -> str:
     """Generate the DuckDB oracle for geo_polygon_concave_docs: the
     IDENTICAL even-odd + on-segment integer arithmetic, unrolled per
