@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_stream_join": sqlmod.sql_stream_join,
         "sql_stream_left_join": sqlmod.sql_stream_left_join,
         "sql_stream_distinct": sqlmod.sql_stream_distinct,
+        "sql_stream_join3": sqlmod.sql_stream_join3,
         "gather_nodes": graph.gather_nodes,
         "score_nodes": graph.score_nodes,
         "shortest_path": graph.shortest_path_pairs,
@@ -1881,6 +1882,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_stream_join": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_JOIN_DEMO"]).SQL_JOIN_DEMO,
         "sql_stream_left_join": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_LEFT_JOIN_DEMO"]).SQL_LEFT_JOIN_DEMO,
         "sql_stream_distinct": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_DISTINCT_DEMO"]).SQL_DISTINCT_DEMO,
+        "sql_stream_join3": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_JOIN3_DEMO"]).SQL_JOIN3_DEMO,
         "geo_bbox_dist": (
             # identical coordinate derivation + haversine as geo.py
             "WITH g AS (SELECT c_custkey, "

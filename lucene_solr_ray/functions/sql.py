@@ -49,17 +49,24 @@ _AGG_FNS = {"count", "sum", "min", "max"}
 _KEYWORDS = r"INNER|LEFT|OUTER|JOIN|WHERE|GROUP|ORDER|LIMIT|HAVING|ON|AS"
 
 _SELECT_RE = re.compile(
-    r"^\s*SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<items>.+?)\s+FROM\s+(?P<table>\w+)"
-    rf"(?:\s+(?:AS\s+)?(?P<t_alias>(?!(?:{_KEYWORDS})\b)\w+))?"
-    rf"(?:\s+(?P<jtype>INNER|LEFT(?:\s+OUTER)?)\s+JOIN\s+(?P<jtable>\w+)"
-    rf"(?:\s+(?:AS\s+)?(?P<j_alias>(?!(?:{_KEYWORDS})\b)\w+))?"
-    r"\s+ON\s+(?P<jon>.+?))?"
+    r"^\s*SELECT\s+(?P<distinct>DISTINCT\s+)?(?P<items>.+?)\s+FROM\s+(?P<from_clause>.+?)"
     r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
     r"(?:\s+HAVING\s+(?P<having>.+?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
     re.I | re.S,
+)
+# FROM clause pieces: base table then a left-deep chain of joins
+_FROM_BASE_RE = re.compile(
+    rf"^\s*(?P<table>\w+)(?:\s+(?:AS\s+)?(?P<alias>(?!(?:{_KEYWORDS})\b)\w+))?",
+    re.I,
+)
+_JOIN_RE = re.compile(
+    rf"\s+(?P<jtype>INNER|LEFT(?:\s+OUTER)?)\s+JOIN\s+(?P<jtable>\w+)"
+    rf"(?:\s+(?:AS\s+)?(?P<j_alias>(?!(?:{_KEYWORDS})\b)\w+))?"
+    r"\s+ON\s+(?P<l>\w+\.\w+)\s*=\s*(?P<r>\w+\.\w+)",
+    re.I,
 )
 _AGG_RE = re.compile(r"^(?P<fn>\w+)\s*\(\s*(?P<arg>\*|[\w.]+)\s*\)$")
 _PRED_RE = re.compile(
@@ -84,18 +91,29 @@ def parse_select(sql: str) -> dict:
     m = _SELECT_RE.match(sql)
     if not m:
         raise ValueError(f"cannot plan SQL (unsupported shape): {sql!r}")
-    plan: dict = {"table": m.group("table"), "items": [], "where": [], "group": [],
-                  "order": [], "limit": None, "join": None, "having": [],
+    fm = _FROM_BASE_RE.match(m.group("from_clause"))
+    if not fm:
+        raise ValueError(f"cannot parse FROM clause: {m.group('from_clause')!r}")
+    plan: dict = {"table": fm.group("table"), "items": [], "where": [], "group": [],
+                  "order": [], "limit": None, "joins": [], "having": [],
                   "distinct": bool(m.group("distinct"))}
-    aliases = {(m.group("t_alias") or m.group("table")): m.group("table")}
-    if m.group("jtype"):
-        jt = "left_outer" if m.group("jtype").upper().startswith("LEFT") else "inner"
-        on = _ON_RE.match(m.group("jon"))
-        if not on:
-            raise ValueError(f"unsupported join condition: {m.group('jon')!r}")
-        aliases[m.group("j_alias") or m.group("jtable")] = m.group("jtable")
-        plan["join"] = {"table": m.group("jtable"), "type": jt,
-                        "on": (on.group("l"), on.group("r"))}
+    aliases = {(fm.group("alias") or fm.group("table")): fm.group("table")}
+    rest = m.group("from_clause")[fm.end():]
+    pos = 0
+    while pos < len(rest) and rest[pos:].strip():
+        jm = _JOIN_RE.match(rest, pos)
+        if not jm:
+            raise ValueError(
+                f"unsupported FROM-clause tail: {rest[pos:].strip()!r} "
+                "(left-deep [INNER|LEFT] JOIN ... ON a.c = b.c chains only)")
+        jt = "left_outer" if jm.group("jtype").upper().startswith("LEFT") else "inner"
+        jalias = jm.group("j_alias") or jm.group("jtable")
+        if jalias in aliases:
+            raise ValueError(f"duplicate table alias {jalias!r}")
+        aliases[jalias] = jm.group("jtable")
+        plan["joins"].append({"table": jm.group("jtable"), "alias": jalias,
+                              "type": jt, "on": (jm.group("l"), jm.group("r"))})
+        pos = jm.end()
     plan["aliases"] = aliases
 
     for raw in _split_commas(m.group("items")):
@@ -187,7 +205,7 @@ def _validate(plan: dict) -> None:
         raise ValueError("GROUP BY without aggregates is unsupported")
     if plan["having"] and not has_agg:
         raise ValueError("HAVING requires aggregates")
-    if plan["join"]:
+    if plan["joins"]:
         # every real column reference must be alias-qualified
         refs = ([it[1] for it in plan["items"] if it[0] == "col"]
                 + [it[2] for it in plan["items"] if it[0] == "agg" and it[2] != "*"]
@@ -197,6 +215,18 @@ def _validate(plan: dict) -> None:
         bare = [r for r in refs if "." not in r]
         if bare:
             raise ValueError(f"join queries require qualified column refs: {bare}")
+        # left-deep: each ON must link one already-joined alias to the
+        # alias being joined
+        joined = {a for a in plan["aliases"]
+                  if plan["aliases"][a] == plan["table"]
+                  and a not in {j["alias"] for j in plan["joins"]}}
+        for j in plan["joins"]:
+            sides = {j["on"][0].split(".")[0], j["on"][1].split(".")[0]}
+            if j["alias"] not in sides or not (sides - {j["alias"]}) <= joined:
+                raise ValueError(
+                    f"join ON {j['on']} must link {j['alias']!r} to an "
+                    f"already-joined table (have {sorted(joined)})")
+            joined.add(j["alias"])
 
 
 _OPS = {
@@ -236,37 +266,62 @@ def execute(sf_dir: str, sql: str) -> ray.data.Dataset:
                 | {c for c, _, _ in plan["where"]}
                 | set(plan["group"]))
 
-    if plan["join"]:
-        lkey, rkey = plan["join"]["on"]
-        ltab = _side_of(lkey, plan)
-        rtab = _side_of(rkey, plan)
-        if ltab == plan["join"]["table"]:  # ON written right-side-first
-            lkey, rkey, ltab, rtab = rkey, lkey, rtab, ltab
-        side_cols: dict[str, set] = {plan["table"]: {bare(lkey)},
-                                     plan["join"]["table"]: {bare(rkey)}}
+    if plan["joins"]:
+        base_alias = next(a for a, t in plan["aliases"].items()
+                          if t == plan["table"]
+                          and a not in {j["alias"] for j in plan["joins"]})
+        # per-ALIAS pruned column sets: the alias's join keys + its refs
+        side_cols: dict[str, set] = {base_alias: set()}
+        for j in plan["joins"]:
+            side_cols[j["alias"]] = set()
+        for j in plan["joins"]:
+            for ref in j["on"]:
+                side_cols[ref.split(".")[0]].add(bare(ref))
         for r in col_refs:
-            side_cols[_side_of(r, plan)].add(bare(r))
-        left = read_parquet_clean(f"{sf_dir}/{plan['table']}.parquet",
-                                  columns=sorted(side_cols[plan["table"]]))
-        right = read_parquet_clean(f"{sf_dir}/{plan['join']['table']}.parquet",
-                                   columns=sorted(side_cols[plan["join"]["table"]]))
-        # predicate pushdown: inner joins push both sides below the
-        # exchange; left joins keep nullable-side predicates post-join
-        # (SQL outer semantics: the WHERE sees NULLs for unmatched rows)
-        pre_l = [(bare(c), op, v) for c, op, v in plan["where"]
-                 if _side_of(c, plan) == plan["table"]]
-        pre_r = [(bare(c), op, v) for c, op, v in plan["where"]
-                 if _side_of(c, plan) == plan["join"]["table"]]
+            a = r.split(".")[0]
+            if a not in side_cols:
+                raise ValueError(f"unknown table alias in {r!r}")
+            side_cols[a].add(bare(r))
+        # bare output names must be globally unique: the join output is a
+        # flat namespace (fail loudly instead of silently shadowing)
+        seen: dict[str, str] = {}
+        for a, cols in side_cols.items():
+            for c in cols:
+                if c in seen and seen[c] != a:
+                    raise ValueError(
+                        f"column name {c!r} appears in both {seen[c]!r} and "
+                        f"{a!r}; bare names must be unique across the join")
+                seen[c] = a
+        # a table's predicates push below its exchange UNLESS it enters
+        # via LEFT JOIN (outer semantics: the WHERE sees NULLs for
+        # unmatched rows, so nullable-side predicates stay post-join)
+        nullable = {j["alias"] for j in plan["joins"] if j["type"] == "left_outer"}
+        pre: dict[str, list] = {a: [] for a in side_cols}
         post: list = []
-        if plan["join"]["type"] == "left_outer" and pre_r:
-            post, pre_r = pre_r, []
-        if pre_l:
-            left = left.map_batches(_filter_stage(pre_l), batch_format="pyarrow")
-        if pre_r:
-            right = right.map_batches(_filter_stage(pre_r), batch_format="pyarrow")
-        ds = left.join(right, plan["join"]["type"],
-                       num_partitions=join_partitions(),
-                       on=(bare(lkey),), right_on=(bare(rkey),))
+        for c, op, v in plan["where"]:
+            a = c.split(".")[0]
+            if a not in side_cols:
+                raise ValueError(f"unknown table alias in {c!r}")
+            (post if a in nullable else pre[a]).append((bare(c), op, v))
+
+        def _load(alias: str) -> ray.data.Dataset:
+            d = read_parquet_clean(
+                f"{sf_dir}/{plan['aliases'][alias]}.parquet",
+                columns=sorted(side_cols[alias]))
+            if pre[alias]:
+                d = d.map_batches(_filter_stage(pre[alias]), batch_format="pyarrow")
+            return d
+
+        ds = _load(base_alias)
+        joined_aliases = {base_alias}
+        for j in plan["joins"]:
+            lref, rref = j["on"]
+            if rref.split(".")[0] != j["alias"]:  # ON written new-side-first
+                lref, rref = rref, lref
+            ds = ds.join(_load(j["alias"]), j["type"],
+                         num_partitions=join_partitions(),
+                         on=(bare(lref),), right_on=(bare(rref),))
+            joined_aliases.add(j["alias"])
         if post:
             # arrow comparisons yield NULL for NULL; filter drops NULLs —
             # exactly SQL's unknown-is-false WHERE semantics
@@ -289,8 +344,13 @@ def execute(sf_dir: str, sql: str) -> ray.data.Dataset:
         # never null, so bind star to it.
         if group_bare:
             star_col = group_bare[0]
-        elif plan["join"]:
-            star_col = bare(plan["join"]["on"][0])
+        elif plan["joins"]:
+            # the non-new side of the first join is the base table's key:
+            # never null under a left-deep chain (outer joins keep all
+            # left rows; inner joins drop rows entirely)
+            j0 = plan["joins"][0]
+            star_col = bare(next(
+                r for r in j0["on"] if r.split(".")[0] != j0["alias"]))
         else:
             star_col = sorted({bare(r) for r in col_refs})[0] if col_refs else ds.schema().names[0]
         def _spec(fn, arg, alias):
@@ -402,6 +462,15 @@ SQL_DISTINCT_DEMO = (
     "ORDER BY o_orderstatus, o_orderpriority"
 )
 
+# left-deep 3-way chain: orders -> customer -> nation, predicates pushed
+# below each table's exchange
+SQL_JOIN3_DEMO = (
+    "SELECT n.n_name AS nation, COUNT(*) AS n, MAX(o.o_orderkey) AS max_ok "
+    "FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey "
+    "INNER JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "WHERE o.o_totalprice >= 150000 GROUP BY n.n_name ORDER BY nation"
+)
+
 
 def sql_stream_agg(sf_dir: str) -> ray.data.Dataset:
     """Driver-contract entry: the oracle runs the IDENTICAL SQL string."""
@@ -418,3 +487,7 @@ def sql_stream_left_join(sf_dir: str) -> ray.data.Dataset:
 
 def sql_stream_distinct(sf_dir: str) -> ray.data.Dataset:
     return execute(sf_dir, SQL_DISTINCT_DEMO)
+
+
+def sql_stream_join3(sf_dir: str) -> ray.data.Dataset:
+    return execute(sf_dir, SQL_JOIN3_DEMO)

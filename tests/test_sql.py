@@ -10,7 +10,7 @@ SF = "/root/testdata/sf0.001"
 
 def _duck(sql: str) -> pd.DataFrame:
     con = duckdb.connect()
-    for t in ("orders", "customer", "part"):
+    for t in ("orders", "customer", "part", "nation", "region"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     return con.sql(sql).df()
 
@@ -139,6 +139,56 @@ def test_sql_order_desc_limit(ray_session):
     ],
 )
 def test_sql_unsupported_raises(sql):
+    from lucene_solr_ray.functions.sql import parse_select
+
+    with pytest.raises(ValueError):
+        parse_select(sql)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # left-deep 3-way inner chain with pushdown on two tables
+        "SELECT n.n_name AS nation, COUNT(*) AS cnt FROM orders o "
+        "INNER JOIN customer c ON o.o_custkey = c.c_custkey "
+        "INNER JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE o.o_totalprice >= 100000 AND n.n_regionkey = 1 GROUP BY n.n_name",
+        # 4-way: region on top, ON written new-side-first once
+        "SELECT r.r_name AS region, COUNT(*) AS cnt FROM orders o "
+        "INNER JOIN customer c ON c.c_custkey = o.o_custkey "
+        "INNER JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "INNER JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name",
+        # LEFT join in the middle of a chain: nullable-side WHERE stays post-join
+        "SELECT c.c_custkey AS ck, COUNT(o.o_orderkey) AS n FROM customer c "
+        "LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+        "INNER JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE o.o_totalprice >= 100000 GROUP BY c.c_custkey",
+        # projection-only 3-way
+        "SELECT o.o_orderkey AS ok, n.n_name AS nation FROM orders o "
+        "INNER JOIN customer c ON o.o_custkey = c.c_custkey "
+        "INNER JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE c.c_custkey = 7 ORDER BY ok",
+    ],
+)
+def test_sql_multi_join_matches_duckdb(ray_session, sql):
+    _check(sql)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # ON referencing a not-yet-joined alias (not left-deep)
+        "SELECT o.o_orderkey AS k FROM orders o "
+        "INNER JOIN customer c ON n.n_nationkey = c.c_nationkey "
+        "INNER JOIN nation n ON c.c_nationkey = n.n_nationkey",
+        # duplicate alias
+        "SELECT o.o_orderkey AS k FROM orders o "
+        "INNER JOIN customer o ON o.o_custkey = o.c_custkey",
+        # cross join (no ON) is unsupported
+        "SELECT o.o_orderkey AS k FROM orders o, customer c",
+    ],
+)
+def test_sql_multi_join_unsupported_raises(ray_session, sql):
     from lucene_solr_ray.functions.sql import parse_select
 
     with pytest.raises(ValueError):
