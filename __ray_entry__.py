@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_hierarchy_counts": ts.path_hierarchy_counts,
         "lang_dispatch_token_counts": ts.lang_dispatch_token_counts,
         "ja_morphology_tokens": ts.ja_morphology_tokens,
+        "ko_morphology_tokens": ts.ko_morphology_tokens,
         "icu_folding_tokens": ts.icu_folding_tokens,
         "charfilter_token_counts": ts.charfilter_token_counts,
         "synonym_graph_counts": ts.synonym_graph_counts,
@@ -1690,17 +1691,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE WHEN n > 0 THEN (s + n - 1) // 256 - s // 256 + 1 ELSE 1 END AS BIGINT) "
             "AS n_chunks_spanned FROM pre ORDER BY doc_id"
         ),
-        # lang_dispatch: ja rows route through the kuromoji-mechanism
-        # lattice morphology, zh/ko through the CJK bigram chain; both
-        # degenerate to the standard chain on this CJK-free corpus (the
-        # routing itself shows in the analyzer column; real-CJK gold
-        # segmentations are pinned in tests/test_analysis.py)
+        # lang_dispatch: ja/zh/ko rows route through their dictionary
+        # lattice chains; all degenerate to the standard chain on this
+        # CJK-free corpus (the routing itself shows in the analyzer
+        # column; real-CJK gold segmentations are pinned in
+        # tests/test_analysis.py)
         "lang_dispatch_token_counts": (
             "WITH t AS (SELECT doc_id, lang, CASE WHEN trim(text) = '' THEN [] ELSE "
             "regexp_split_to_array(trim(text), '\\s+') END AS toks FROM documents) "
             "SELECT doc_id, CASE WHEN lang = 'ja' THEN 'ja_morph' "
             "WHEN lang = 'zh' THEN 'zh_dict' "
-            "WHEN lang = 'ko' THEN 'cjk' ELSE 'standard' END "
+            "WHEN lang = 'ko' THEN 'ko_morph' ELSE 'standard' END "
             "AS analyzer, "
             f"CAST(len(list_filter(toks, x -> NOT list_contains({_STOP_SQL}, x))) AS BIGINT) "
             "AS n_tokens FROM t ORDER BY doc_id"
@@ -1710,6 +1711,9 @@ def oracle_sql() -> dict[str, str]:
         "ja_morphology_tokens": __import__(
             "lucene_solr_ray.functions.textstats", fromlist=["ja_morphology_sql"]
         ).ja_morphology_sql(),
+        "ko_morphology_tokens": __import__(
+            "lucene_solr_ray.functions.textstats", fromlist=["ko_morphology_sql"]
+        ).ko_morphology_sql(),
         # ICUFoldingFilter: oracle carries hand-written NFKC+casefold+strip
         # golds; the engine folds the raw forms at runtime
         "icu_folding_tokens": __import__(

@@ -897,9 +897,64 @@ def chinese_tokenize(text: str) -> list[str]:
     return out
 
 
+# ---------------- Korean morphological analysis (SURVEY §2.2) ----------------
+# Nori's mechanism, reduced ([U] lucene/analysis/nori/.../
+# KoreanTokenizer.java + KoreanPartOfSpeechStopFilter.java): Viterbi over
+# a dictionary lattice (mecab-ko-dic upstream), POS-driven stop filtering
+# (particles/josa and verbal endings/eomi are discarded the way the
+# stop-tag set drops J*/E* tags), and decompounding expressed through
+# lexicon granularity — compound PARTS are entries, the compound is not,
+# so the min-cost path splits 자연어처리 -> 자연어+처리 (nori's
+# DECOMPOUND mode). Unknown syllables fall back to single-char tokens
+# (cost 2.5), the same reduction the ja chain documents.
+
+_HANGUL_RE = re.compile(r"[가-힣]+")
+
+_KO_PARTICLES = frozenset(
+    "은 는 이 가 을 를 에 에서 의 와 과 도 로 으로 부터 까지 에게 한테 보다".split()
+)
+_KO_ENDINGS = frozenset("하다 한다 합니다 했다 입니다 이다 습니다".split())
+_KO_STOP = _KO_PARTICLES | _KO_ENDINGS
+
+_KO_LEXICON = frozenset(
+    """
+    나 너 우리 그녀 친구 선생님 학생 학교 대학 대학교 회사 도서관 책 역 기차
+    영화 음악 요리 서울 부산 한국 한국어 언어 자연 자연어 처리 형태소 분석
+    검색 색인 문서 정보 기술 연구 개발 공부 여행 감상 김치 오늘 내일 어제
+    날씨 시간 좋다 먹다 읽다
+    """.split()
+) | _KO_STOP
+
+_KO_MAXLEN = max(map(len, _KO_LEXICON))
+
+
+def korean_tokenize(text: str) -> list[str]:
+    """KoreanAnalyzer-equivalent chain (nori mechanism, reduced): hangul
+    runs are lattice-segmented over the pinned lexicon, then particles
+    and verbal endings are stop-filtered (the KoreanPartOfSpeechStopFilter
+    role). Non-hangul spans run the CJK-bigram chain, so hanja/kana runs
+    in Korean text keep bigram recall (nori's hanja reading role) and
+    plain text degenerates to the standard chain."""
+    if not text:
+        return []
+    out: list[str] = []
+    last = 0
+    for m in _HANGUL_RE.finditer(text):
+        if m.start() > last:
+            out.extend(cjk_bigram_tokenize(text[last : m.start()]))
+        out.extend(
+            w for w in _lattice_segment(m.group(), _KO_LEXICON, _KO_MAXLEN)
+            if w not in _KO_STOP
+        )
+        last = m.end()
+    out.extend(cjk_bigram_tokenize(text[last:]))
+    return out
+
+
 # per-language analyzer dispatch (lang_id output routes each doc to its
-# language's chain — ja and zh get dictionary segmentation; nori
-# stand-in: CJK bigram for ko; the canonical standard chain otherwise)
+# language's chain — ja, zh and ko get dictionary segmentation; other
+# CJK-tagged docs keep the bigram chain; the canonical standard chain
+# otherwise)
 CJK_LANGS = frozenset({"zh", "ja", "ko"})
 
 
@@ -908,6 +963,8 @@ def analyzer_for_lang(lang: str):
         return japanese_tokenize
     if lang == "zh":
         return chinese_tokenize
+    if lang == "ko":
+        return korean_tokenize
     return cjk_bigram_tokenize if lang in CJK_LANGS else tokenize
 
 
@@ -923,6 +980,7 @@ ANALYZERS = {
     "cjk": cjk_bigram_tokenize,    # CJK bigrams + standard for non-CJK
     "japanese": japanese_tokenize,  # kuromoji-mechanism lattice morphology
     "chinese": chinese_tokenize,    # smartcn-role dictionary-DP segmentation
+    "korean": korean_tokenize,      # nori-mechanism lattice + josa/eomi stops
     # canned char-filtered chains (the configurable path is
     # char_filtered_tokenize([MappingCharFilter(...), ...]))
     "quote_mapping_standard": char_filtered_tokenize(

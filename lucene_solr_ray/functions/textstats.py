@@ -304,6 +304,7 @@ def lang_dispatch_token_counts(sf_dir: str) -> ray.data.Dataset:
             "analyzer": pa.array(
                 ["ja_morph" if lg == "ja" else
                  "zh_dict" if lg == "zh" else
+                 "ko_morph" if lg == "ko" else
                  "cjk" if lg in CJK_LANGS else "standard" for lg in langs],
                 pa.string()),
             "n_tokens": pa.array(out),
@@ -353,6 +354,60 @@ def ja_morphology_tokens(sf_dir: str) -> ray.data.Dataset:
         })
 
     return ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+# Gold sentences for the ko morphology gate entry, same pattern as
+# JA_GOLD: the engine lattice-segments at runtime; the oracle carries the
+# HAND-SPECIFIED token count + head token.
+KO_GOLD = [
+    ("나는 학교에서 한국어를 공부한다", 4, "나"),
+    ("오늘은 날씨가 좋다", 3, "오늘"),
+    ("자연어처리를 연구합니다", 3, "자연어"),   # decompound via lexicon parts
+    ("나는 서울에서 친구와 영화를 감상한다", 5, "나"),
+    ("한국 대학교 학생입니다", 3, "한국"),
+    ("BM25로 한국어를 검색한다", 3, "bm25"),    # mixed script
+    ("비빔밥을 먹다", 4, "비"),                 # unknown -> single-char fallback
+    ("정보 검색 기술을 개발한다", 4, "정보"),
+    ("그녀는 도서관에서 책을 읽다", 4, "그녀"),
+]
+
+
+def ko_morphology_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Dictionary-lattice Korean segmentation (nori mechanism: josa/eomi
+    stop-tag filtering + lexicon-granularity decompounding) as a
+    gate-checked operator: doc_id % len(KO_GOLD) picks a sentence, the
+    engine runs korean_tokenize on it, and reports (doc_id, n_tokens,
+    head)."""
+    from lucene_solr_ray.analysis import korean_tokenize
+
+    seg = [korean_tokenize(s) for s, _, _ in KO_GOLD]
+    n_tok = np.array([len(t) for t in seg], np.int64)
+    heads = np.array([t[0] if t else "" for t in seg], object)
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy().astype(np.int64)
+        idx = d % len(KO_GOLD)
+        return pa.table({
+            "doc_id": pa.array(d),
+            "n_tokens": pa.array(n_tok[idx]),
+            "head": pa.array(heads[idx], pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
+
+
+def ko_morphology_sql() -> str:
+    whens_n = " ".join(
+        f"WHEN {i} THEN {n}" for i, (_, n, _) in enumerate(KO_GOLD))
+    whens_h = " ".join(
+        f"WHEN {i} THEN '{h}'" for i, (_, _, h) in enumerate(KO_GOLD))
+    return (
+        f"SELECT doc_id, CAST(CASE doc_id % {len(KO_GOLD)} {whens_n} END AS BIGINT) "
+        f"AS n_tokens, CASE doc_id % {len(KO_GOLD)} {whens_h} END AS head "
+        "FROM documents ORDER BY doc_id"
+    )
 
 
 def ja_morphology_sql() -> str:

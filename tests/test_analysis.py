@@ -143,9 +143,11 @@ def test_char_filters_compose_in_order():
 def test_lang_routed_analyzer_cjk():
     from lucene_solr_ray.analysis import analyzer_for_lang
 
-    # ko keeps the bigram chain (nori stand-in)
+    # ko routes to the nori-mechanism lattice; hanja (non-hangul CJK)
+    # runs keep bigram recall inside the ko chain
     assert analyzer_for_lang("ko")("中文分析 merge") == [
         "中文", "文分", "分析", "merge"]
+    assert analyzer_for_lang("ko")("한국어를 검색") == ["한국어", "검색"]
     # zh routes to dictionary segmentation: lexicon words split at word
     # boundaries, out-of-vocabulary chars fall back to singles
     assert analyzer_for_lang("zh")("中文分词 merge") == ["中文", "分词", "merge"]
@@ -275,14 +277,52 @@ def test_japanese_lattice_morphology_gold():
     for text, want in gold:
         got = japanese_tokenize(text)
         assert got == want, f"{text!r}: {got} != {want}"
-        # the dispatch routes ja to morphology, ko stays bigram
+        # the dispatch routes ja to morphology
         assert analyzer_for_lang("ja")(text) == want
-        assert analyzer_for_lang("ko")(text) == cjk_bigram_tokenize(text)
         assert got != cjk_bigram_tokenize(text)  # genuinely different
     # CJK-free text degenerates to the standard chain (oracle invariant)
     from lucene_solr_ray.analysis import tokenize
     s = "the quick merge of Streams 42"
     assert japanese_tokenize(s) == tokenize(s)
+
+
+def test_korean_lattice_morphology_gold():
+    """Hand-specified gold segmentations for the nori-mechanism lattice
+    (dictionary Viterbi + josa/eomi stop filtering + decompounding via
+    lexicon granularity)."""
+    from lucene_solr_ray.analysis import (
+        analyzer_for_lang, cjk_bigram_tokenize, korean_tokenize, tokenize)
+
+    gold = [
+        # particles (josa) and verbal endings (eomi) are stop-filtered
+        ("나는 학교에서 한국어를 공부한다", ["나", "학교", "한국어", "공부"]),
+        ("오늘은 날씨가 좋다", ["오늘", "날씨", "좋다"]),
+        # decompound: 자연어처리 has no lexicon entry, its parts do
+        ("자연어처리를 연구합니다", ["자연어", "처리", "연구"]),
+        ("나는 서울에서 친구와 영화를 감상한다",
+         ["나", "서울", "친구", "영화", "감상"]),
+        # longest match: 대학교 (one entry) beats 대학+교
+        ("한국 대학교 학생입니다", ["한국", "대학교", "학생"]),
+        # mixed script: non-hangul spans run the standard chain
+        ("BM25로 한국어를 검색한다", ["bm25", "한국어", "검색"]),
+        # unknown word falls back to single-char tokens
+        ("비빔밥을 먹다", ["비", "빔", "밥", "먹다"]),
+        ("정보 검색 기술을 개발한다", ["정보", "검색", "기술", "개발"]),
+        ("그녀는 도서관에서 책을 읽다", ["그녀", "도서관", "책", "읽다"]),
+    ]
+    for text, want in gold:
+        got = korean_tokenize(text)
+        assert got == want, f"{text!r}: {got} != {want}"
+        assert analyzer_for_lang("ko")(text) == want
+        assert got != cjk_bigram_tokenize(text)  # genuinely different
+    # hangul-free text degenerates to the standard chain (oracle invariant)
+    s = "the quick merge of Streams 42"
+    assert korean_tokenize(s) == tokenize(s)
+    # gate gold table stays in sync with the lattice
+    from lucene_solr_ray.functions.textstats import KO_GOLD
+    for text, n, head in KO_GOLD:
+        toks = korean_tokenize(text)
+        assert len(toks) == n and toks[0] == head
 
 
 def test_icu_folding_chain():
