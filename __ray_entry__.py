@@ -201,6 +201,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, ["merge", "join", "vector"], k_docs=10),
         "ft_feature_boost_topk": lambda sf: ft.feature_boost_topk(
             sf, ["merge", "join"], k=10),
+        "ft_diversified_topk": lambda sf: ft.diversified_topk(
+            sf, ["merge", "join"], key="source", max_per_key=2, k=10),
+        "ft_feature_log_topk": lambda sf: ft.feature_boost_topk(
+            sf, ["merge", "join"], k=10, func="log", weight=0.4, pivot=1.0),
+        "ft_feature_sigmoid_topk": lambda sf: ft.feature_boost_topk(
+            sf, ["merge", "join"], k=10, func="sigm"),
         "ft_boost_query_topk": lambda sf: ft.boost_query_topk(
             sf, ["merge", "join"], k=10),
         "ft_intervals_maxgaps": lambda sf: ft.intervals_maxgaps_retrieve(
@@ -223,6 +229,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, ("merge join", "join vector", "sort window")),
         "ft_point_in_set": lambda sf: ft.point_in_set_docs(
             sf, "n_chars", (54, 62, 78, 132)),
+        "ft_multi_range": lambda sf: ft.multi_range_docs(
+            sf, "n_chars", ((60, 80), (150, 170), (240, 260))),
+        "ft_index_or_dv_lead": lambda sf: ft.index_or_docvalues_docs(
+            sf, term="dup", lo=100, hi=300),
+        "ft_index_or_dv_range": lambda sf: ft.index_or_docvalues_docs(
+            sf, term="merge", lo=100, hi=300),
         "ft_simple_query_docs": lambda sf: ft.simple_query_docs(
             sf, '"merge join" | vector + -stream*'),
         "ft_more_like_this": lambda sf: ft.more_like_this_topk(sf, doc_id=0, k=10),
@@ -517,6 +529,16 @@ def oracle_sql() -> dict[str, str]:
             ["merge", "join", "vector"], k_docs=10),
         "ft_feature_boost_topk": _ft_oracle().feature_boost_sql(
             ["merge", "join"], k=10),
+        # DiversifiedTopDocsCollector: per-key ROW_NUMBER cap in score
+        # order, then global rank
+        "ft_diversified_topk": _ft_oracle().diversified_sql(
+            ["merge", "join"], key="source", max_per_key=2, k=10),
+        # FeatureField newLogQuery / newSigmoidQuery (exponent 2): same
+        # BM25 fold, different trailing float32 feature clause
+        "ft_feature_log_topk": _ft_oracle().feature_boost_sql(
+            ["merge", "join"], k=10, func="log", weight=0.4, pivot=1.0),
+        "ft_feature_sigmoid_topk": _ft_oracle().feature_boost_sql(
+            ["merge", "join"], k=10, func="sigm"),
         "ft_boost_query_topk": _ft_oracle().boost_query_sql(
             ["merge", "join"], k=10),
         "ft_fuzzy_like_this": _ft_oracle().fuzzy_like_this_sql(
@@ -872,6 +894,30 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_point_in_set": (
             "SELECT doc_id FROM documents WHERE n_chars IN (54, 62, 78, 132) "
+            "ORDER BY doc_id"
+        ),
+        # IndexOrDocValuesQuery: result set is lead AND range; the chosen
+        # path replicates the reference's leadCost*8 < rangeCost rule
+        "ft_index_or_dv_lead": (
+            "WITH lead AS (SELECT doc_id FROM documents WHERE "
+            f"list_contains({split}, 'dup')), "
+            "rng AS (SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 300) "
+            "SELECT l.doc_id AS doc_id, CASE WHEN (SELECT count(*) FROM lead)*8 "
+            "< (SELECT count(*) FROM rng) THEN 'docvalues' ELSE 'index' END AS path "
+            "FROM lead l JOIN rng r ON l.doc_id = r.doc_id ORDER BY doc_id"
+        ),
+        "ft_index_or_dv_range": (
+            "WITH lead AS (SELECT doc_id FROM documents WHERE "
+            f"list_contains({split}, 'merge')), "
+            "rng AS (SELECT doc_id FROM documents WHERE n_chars BETWEEN 100 AND 300) "
+            "SELECT l.doc_id AS doc_id, CASE WHEN (SELECT count(*) FROM lead)*8 "
+            "< (SELECT count(*) FROM rng) THEN 'docvalues' ELSE 'index' END AS path "
+            "FROM lead l JOIN rng r ON l.doc_id = r.doc_id ORDER BY doc_id"
+        ),
+        # MultiRangeQuery: one scan, OR of pushed range predicates
+        "ft_multi_range": (
+            "SELECT doc_id FROM documents WHERE (n_chars BETWEEN 60 AND 80) "
+            "OR (n_chars BETWEEN 150 AND 170) OR (n_chars BETWEEN 240 AND 260) "
             "ORDER BY doc_id"
         ),
         # ('"merge join" | vector) AND NOT prefix(stream) — SQP left-assoc fold

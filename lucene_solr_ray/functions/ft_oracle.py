@@ -784,9 +784,13 @@ def unified_highlight_sql(raw_terms: list[str], k_docs: int = 10,
 
 
 def feature_boost_sql(raw_terms: list[str], field: str = "n_chars",
-                      weight: float = 1.5, pivot: float = 300.0, k: int = 10) -> str:
+                      weight: float = 1.5, pivot: float = 300.0, k: int = 10,
+                      func: str = "satu") -> str:
     """Oracle for fulltext.feature_boost_topk: the BM25 fold plus one
-    trailing float32 saturation clause CAST(w*(v/(v+pivot)) AS FLOAT)."""
+    trailing float32 FeatureField clause — satu CAST(w*(v/(v+pivot)) AS
+    FLOAT), log CAST(w*LN(pivot+v) AS FLOAT), sigm (exponent 2)
+    CAST(w*((v*v)/((v*v)+pivot^2)) AS FLOAT) — same f64 op order as the
+    engine."""
     from lucene_solr_ray.oracle import analyze_query_terms
 
     terms = analyze_query_terms(raw_terms)
@@ -804,8 +808,17 @@ def feature_boost_sql(raw_terms: list[str], field: str = "n_chars",
         joins += f" JOIN {tf_n} {a} ON {aliases[0]}.doc_id = {a}.doc_id"
     joins += f" JOIN denom ON denom.doc_id = {aliases[0]}.doc_id"
     joins += f" JOIN documents dv ON dv.doc_id = {aliases[0]}.doc_id"
-    sat = (f"CAST({weight!r} * (CAST(dv.{field} AS DOUBLE)"
-           f"/(CAST(dv.{field} AS DOUBLE) + {pivot!r})) AS FLOAT)")
+    vexpr = f"CAST(dv.{field} AS DOUBLE)"
+    if func == "satu":
+        sat = f"CAST({weight!r} * ({vexpr}/({vexpr} + {pivot!r})) AS FLOAT)"
+    elif func == "log":
+        sat = f"CAST({weight!r} * LN({pivot!r} + {vexpr}) AS FLOAT)"
+    elif func == "sigm":
+        p2 = float(pivot) * float(pivot)
+        sat = (f"CAST({weight!r} * (({vexpr}*{vexpr})"
+               f"/(({vexpr}*{vexpr}) + {p2!r})) AS FLOAT)")
+    else:
+        raise ValueError(f"unknown FeatureField function {func!r}")
     fold = fold_f32([score_expr(a, w_n) for a, w_n in zip(aliases, w_names)] + [sat])
     cond = " OR ".join(f"{a}.tf > 0" for a in aliases)
     return ("WITH " + ", ".join(ctes) + " "
@@ -814,6 +827,43 @@ def feature_boost_sql(raw_terms: list[str], field: str = "n_chars",
             "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
             f"FROM (SELECT {aliases[0]}.doc_id AS doc_id, {fold} AS score "
             f"FROM {joins} WHERE {cond}) sub"
+            f") ranked WHERE rank < {int(k)} ORDER BY rank")
+
+
+def diversified_sql(raw_terms: list[str], key: str = "source",
+                    max_per_key: int = 2, k: int = 10) -> str:
+    """Oracle for fulltext.diversified_topk: the BM25 float32 fold, a
+    per-key ROW_NUMBER cap in (score desc, doc_id) order, then the
+    global rank over surviving rows."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    terms = analyze_query_terms(raw_terms)
+    ctes = [prelude_ctes()]
+    tf_names, w_names = [], []
+    for ti, t in enumerate(terms):
+        tf_n, w_n = f"dv_tf{ti}", f"dv_w{ti}"
+        ctes.append(tf_cte(tf_n, t))
+        ctes.append(w_cte(w_n, tf_n))
+        tf_names.append(tf_n)
+        w_names.append(w_n)
+    aliases = [f"t{ti}" for ti in range(len(terms))]
+    joins = f"{tf_names[0]} {aliases[0]}"
+    for tf_n, a in zip(tf_names[1:], aliases[1:]):
+        joins += f" JOIN {tf_n} {a} ON {aliases[0]}.doc_id = {a}.doc_id"
+    joins += f" JOIN denom ON denom.doc_id = {aliases[0]}.doc_id"
+    joins += f" JOIN documents dv ON dv.doc_id = {aliases[0]}.doc_id"
+    fold = fold_f32([score_expr(a, w_n) for a, w_n in zip(aliases, w_names)])
+    cond = " OR ".join(f"{a}.tf > 0" for a in aliases)
+    return ("WITH " + ", ".join(ctes) + ", "
+            f"scored AS (SELECT {aliases[0]}.doc_id AS doc_id, dv.{key} AS kv, "
+            f"{fold} AS score FROM {joins} WHERE {cond}), "
+            "capped AS (SELECT doc_id, score, "
+            "ROW_NUMBER() OVER (PARTITION BY kv ORDER BY score DESC, doc_id) AS occ "
+            "FROM scored) "
+            "SELECT 'dv-1' AS query_id, rank, doc_id FROM ("
+            "SELECT doc_id, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+            f"FROM capped WHERE occ <= {int(max_per_key)}"
             f") ranked WHERE rank < {int(k)} ORDER BY rank")
 
 

@@ -1546,14 +1546,22 @@ def unified_highlight_topk(sf_dir: str, terms: list[str], k_docs: int = 10,
 
 
 def feature_boost_topk(sf_dir: str, terms: list[str], field: str = "n_chars",
-                       weight: float = 1.5, pivot: float = 300.0, k: int = 10) -> pa.Table:
-    """FeatureField saturation boost ([U] lucene/core/.../document/
-    FeatureField.java, newSaturationQuery): static per-document signals
-    (pagerank, length, freshness) contribute ``weight * v/(v+pivot)``
-    as one more SHOULD clause on top of the BM25 text score. Pinned
-    float order: sat = float32(weight * (v/(v+pivot))) in float64, then
-    one more float32 fold step AFTER the ascending-term BM25
-    accumulation (the feature clause sorts last). Rank-only output.
+                       weight: float = 1.5, pivot: float = 300.0, k: int = 10,
+                       func: str = "satu") -> pa.Table:
+    """FeatureField boost ([U] lucene/core/.../document/FeatureField.java):
+    static per-document signals (pagerank, length, freshness) contribute
+    one more SHOULD clause on top of the BM25 text score. The three
+    public scoring functions:
+
+    - ``satu`` (newSaturationQuery):  weight * v/(v+pivot)
+    - ``log``  (newLogQuery):         weight * log(scaling + v), pivot
+      plays the scalingFactor role
+    - ``sigm`` (newSigmoidQuery):     weight * v^a/(v^a + pivot^a),
+      exponent a pinned at 2.0
+
+    Pinned float order: clause = float32(f(v) in float64), then one more
+    float32 fold step AFTER the ascending-term BM25 accumulation (the
+    feature clause sorts last). Rank-only output.
 
     Scale shape: the feature value rides docs.parquet doc-values — the
     fetch is a docid-pushdown pruned read of (docid, field) for the
@@ -1576,7 +1584,16 @@ def feature_boost_topk(sf_dir: str, terms: list[str], field: str = "n_chars",
     v_sorted = docs.column(field).take(order).to_numpy().astype(np.float64)
     # align to d's (score-desc) order — search() does not return docid order
     v = v_sorted[np.searchsorted(did_sorted, d)]
-    sat = (np.float64(weight) * (v / (v + np.float64(pivot)))).astype(np.float32)
+    if func == "satu":
+        clause = np.float64(weight) * (v / (v + np.float64(pivot)))
+    elif func == "log":
+        clause = np.float64(weight) * np.log(np.float64(pivot) + v)
+    elif func == "sigm":
+        v2, p2 = v * v, np.float64(pivot) * np.float64(pivot)
+        clause = np.float64(weight) * (v2 / (v2 + p2))
+    else:
+        raise ValueError(f"unknown FeatureField function {func!r}")
+    sat = clause.astype(np.float32)
     final = (bm25.astype(np.float64) + sat.astype(np.float64)).astype(np.float32)
     top = topk_order(d, final, k)
     mapping = _docid_to_doc_id(index_dir)
@@ -1584,6 +1601,53 @@ def feature_boost_topk(sf_dir: str, terms: list[str], field: str = "n_chars",
         "query_id": pa.array(["fb-1"] * len(top), pa.string()),
         "rank": pa.array(np.arange(len(top)), pa.int64()),
         "doc_id": pa.array(mapping[d[top]].astype(np.int64), pa.int64()),
+    })
+
+
+def diversified_topk(sf_dir: str, terms: list[str], key: str = "source",
+                     max_per_key: int = 2, k: int = 10) -> pa.Table:
+    """DiversifiedTopDocsCollector ([U] lucene/misc/.../search/
+    DiversifiedTopDocsCollector.java): BM25 top-k where at most
+    ``max_per_key`` hits may share one key value (de-duplicated results
+    a la "only 2 hits per site"). Deterministic definition: walk the
+    (score desc, docid asc) order and keep a hit iff fewer than
+    max_per_key better-ranked hits carry its key — vectorized here as a
+    stable per-key occurrence index instead of the reference's
+    row-at-a-time priority queues. Rank-only output.
+
+    Scale shape: the key rides docs.parquet doc-values; the fetch is a
+    docid-pushdown pruned read for the match set only."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    from lucene_solr_ray.oracle import analyze_query_terms, topk_order
+
+    qterms = analyze_query_terms(terms)
+    d, bm25 = s.search(qterms, k=max(1, s.n_docs), mode="or")
+    if len(d) == 0:
+        return pa.Table.from_pylist([], schema=pa.schema(
+            [("query_id", pa.string()), ("rank", pa.int64()), ("doc_id", pa.int64())]))
+    order = topk_order(d, bm25, len(d))  # full (score desc, docid) order
+    d_ord = d[order]
+    docs = pads.dataset(os.path.join(index_dir, "docs"), format="parquet").to_table(
+        columns=["docid", key],
+        filter=pa.compute.field("docid").isin(pa.array(d_ord.astype(np.int64))))
+    so = pa.compute.sort_indices(docs.column("docid"))
+    did_sorted = docs.column("docid").take(so).to_numpy().astype(np.int64)
+    key_sorted = np.asarray(docs.column(key).take(so).to_pylist(), object)
+    kv = key_sorted[np.searchsorted(did_sorted, d_ord)]
+    # per-key occurrence index in score order: stable sort by key keeps
+    # the score order within each key group
+    codes = np.unique(kv, return_inverse=True)[1]
+    grp = np.argsort(codes, kind="stable")
+    occ = np.empty(len(kv), np.int64)
+    starts = np.r_[0, np.flatnonzero(np.diff(codes[grp])) + 1]
+    occ[grp] = np.arange(len(kv)) - np.repeat(starts, np.diff(np.r_[starts, len(kv)]))
+    keep = np.flatnonzero(occ < max_per_key)[:k]
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({
+        "query_id": pa.array(["dv-1"] * len(keep), pa.string()),
+        "rank": pa.array(np.arange(len(keep)), pa.int64()),
+        "doc_id": pa.array(mapping[d_ord[keep]].astype(np.int64), pa.int64()),
     })
 
 
@@ -2022,6 +2086,71 @@ def point_in_set_docs(sf_dir: str, field: str = "n_chars",
     d = s._live(np.sort(tbl.column("docid").to_numpy().astype(np.int64)))
     mapping = _docid_to_doc_id(index_dir)
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
+def multi_range_docs(sf_dir: str, field: str = "n_chars",
+                     ranges: tuple = ((60, 80), (150, 170), (240, 260))) -> pa.Table:
+    """MultiRangeQuery ([U] lucene/sandbox/.../search/MultiRangeQuery.java):
+    a disjunction of numeric ranges on one point dimension, rewritten as
+    ONE pass over the tree instead of N separate range queries. The
+    parquet analogue: a single dataset scan whose pushed filter is the OR
+    of the range predicates — row groups whose [min, max] statistics miss
+    every range never leave storage, and only the docid column of
+    survivors materializes."""
+    import pyarrow.compute as pc
+
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    expr = None
+    for lo, hi in ranges:
+        e = (pc.field(field) >= int(lo)) & (pc.field(field) <= int(hi))
+        expr = e if expr is None else expr | e
+    tbl = pads.dataset(os.path.join(index_dir, "docs"), format="parquet").to_table(
+        columns=["docid"], filter=expr)
+    d = s._live(np.sort(tbl.column("docid").to_numpy().astype(np.int64)))
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
+def index_or_docvalues_docs(sf_dir: str, term: str = "merge",
+                            field: str = "n_chars", lo: int = 100,
+                            hi: int = 300) -> pa.Table:
+    """IndexOrDocValuesQuery ([U] lucene/core/.../search/
+    IndexOrDocValuesQuery.java): a range filter wrapped so the execution
+    strategy is chosen by lead cost — when the lead (term) iterator is
+    much more selective than the range (leadCost * 8 < rangeCost, the
+    reference's ScorerSupplier /8 rule), each candidate is verified
+    against doc values; otherwise the point index drives and the sets
+    intersect. Both plans produce the same doc set; the entry returns
+    the set plus the chosen path, and the oracle replicates the cost
+    rule in SQL so a mis-chosen plan fails the gate."""
+    import pyarrow.compute as pc
+
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    chunks = list(s.iter_matches([term], mode="or"))
+    lead = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+    ds = pads.dataset(os.path.join(index_dir, "docs"), format="parquet")
+    range_expr = (pc.field(field) >= int(lo)) & (pc.field(field) <= int(hi))
+    range_count = ds.count_rows(filter=range_expr)  # BKD cost estimate role
+    if len(lead) * 8 < range_count:
+        path = "docvalues"
+        t = ds.to_table(columns=["docid", field],
+                        filter=pc.field("docid").isin(pa.array(lead)))
+        did = t.column("docid").to_numpy().astype(np.int64)
+        v = t.column(field).to_numpy()
+        d = np.sort(did[(v >= lo) & (v <= hi)])
+    else:
+        path = "index"
+        rt = ds.to_table(columns=["docid"], filter=range_expr)
+        rd = np.sort(rt.column("docid").to_numpy().astype(np.int64))
+        d = np.intersect1d(lead, rd, assume_unique=True)
+    d = s._live(d)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({
+        "doc_id": pa.array(np.sort(mapping[d]), type=pa.int64()),
+        "path": pa.array([path] * len(d), pa.string()),
+    })
 
 
 def edismax_pf2_topk(sf_dir: str, terms: list[str], k: int = 10) -> pa.Table:
