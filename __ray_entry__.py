@@ -151,6 +151,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_stream_left_join": sqlmod.sql_stream_left_join,
         "sql_stream_distinct": sqlmod.sql_stream_distinct,
         "sql_stream_join3": sqlmod.sql_stream_join3,
+        "sql_stream_in_like": sqlmod.sql_stream_in_like,
+        "sql_stream_union": sqlmod.sql_stream_union,
+        "sql_stream_count_distinct": sqlmod.sql_stream_count_distinct,
         "gather_nodes": graph.gather_nodes,
         "score_nodes": graph.score_nodes,
         "shortest_path": graph.shortest_path_pairs,
@@ -340,6 +343,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_expr_describe": streamexpr.stream_expr_describe,
         "stream_expr_select_eval": streamexpr.stream_expr_select_eval,
         "stream_expr_timeseries": streamexpr.stream_expr_timeseries,
+        "stream_expr_cartesian_analyze": streamexpr.stream_expr_cartesian_analyze,
+        "stream_expr_update": streamexpr.stream_expr_update,
         "stream_expr_random": streamexpr.stream_expr_random,
         "stream_expr_hist": streamexpr.stream_expr_hist,
         "stream_expr_regress": streamexpr.stream_expr_regress,
@@ -1116,6 +1121,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents "
             f"WHERE list_contains({split}, 'vector') "
             "AND (doc_id * 2654435761) % 4294967296 < 429496729 ORDER BY doc_id"
+        ),
+        # cartesianProduct + analyze(): one row per analyzed token; the
+        # standard chain == stopword-filtered whitespace split on this
+        # corpus (the pinned oracle invariant)
+        "stream_expr_cartesian_analyze": (
+            "SELECT doc_id, term FROM ("
+            f"SELECT doc_id, unnest(list_filter({split}, "
+            f"x -> NOT list_contains({_STOP_SQL}, x))) AS term FROM documents "
+            f"WHERE list_contains({split}, 'dup')) ORDER BY doc_id, term"
+        ),
+        # update()+commit() through the tlog: the appended copies carry
+        # doc_id+90000000 and the source rows' n_chars
+        "stream_expr_update": (
+            "SELECT doc_id + 90000000 AS doc_id, n_chars FROM documents "
+            f"WHERE list_contains({split}, 'dup') ORDER BY doc_id"
         ),
         # math streams: exact-integer sums; the one float op (sqrt) is a
         # single pinned IEEE float64 tree shared with the engine
@@ -1933,6 +1953,9 @@ def oracle_sql() -> dict[str, str]:
         "sql_stream_left_join": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_LEFT_JOIN_DEMO"]).SQL_LEFT_JOIN_DEMO,
         "sql_stream_distinct": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_DISTINCT_DEMO"]).SQL_DISTINCT_DEMO,
         "sql_stream_join3": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_JOIN3_DEMO"]).SQL_JOIN3_DEMO,
+        "sql_stream_in_like": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_IN_LIKE_DEMO"]).SQL_IN_LIKE_DEMO,
+        "sql_stream_union": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_UNION_DEMO"]).SQL_UNION_DEMO,
+        "sql_stream_count_distinct": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_COUNT_DISTINCT_DEMO"]).SQL_COUNT_DISTINCT_DEMO,
         "geo_bbox_dist": (
             # identical coordinate derivation + haversine as geo.py
             "WITH g AS (SELECT c_custkey, "

@@ -1122,12 +1122,14 @@ def _rtg_live(index_dir: str, manifest: dict) -> "np.ndarray":
     return np.union1d(*parts) if len(parts) == 2 else parts[0]
 
 
-def realtime_get(index_dir: str, doc_ids: list[int]) -> pa.Table:
+def realtime_get(index_dir: str, doc_ids: list[int],
+                 fl: tuple = ("text",)) -> pa.Table:
     """RealTimeGet ([U] solr/core/.../handler/component/
-    RealTimeGetComponent.java): latest live stored-fields row per doc_id.
-    Reads only the docs.parquet files whose docid range can hold the ids
-    (row-group pruning via the filter); the latest version of a doc is
-    its highest live docid (appends always assign docids after maxDoc)."""
+    RealTimeGetComponent.java): latest live stored-fields row per doc_id,
+    projected to ``fl``. Reads only the docs.parquet files whose docid
+    range can hold the ids (row-group pruning via the filter); the latest
+    version of a doc is its highest live docid (appends always assign
+    docids after maxDoc)."""
     import pyarrow.compute as pc
     import pyarrow.dataset as _pads
 
@@ -1147,7 +1149,7 @@ def realtime_get(index_dir: str, doc_ids: list[int]) -> pa.Table:
     if "doc_id" not in schema.names:
         raise ValueError(f"index {index_dir} has no doc_id key column for RTG")
     t = _pads.dataset(files, format="parquet", schema=schema).to_table(
-        columns=["docid", "doc_id", "text"],
+        columns=["docid", "doc_id"] + [f for f in fl if f not in ("docid", "doc_id")],
         filter=_pads.field("doc_id").isin([int(d) for d in doc_ids]),
     )
     if len(dead):
@@ -1155,8 +1157,14 @@ def realtime_get(index_dir: str, doc_ids: list[int]) -> pa.Table:
         t = t.filter(pa.array(live))
     df = t.to_pandas().sort_values("docid").groupby("doc_id", as_index=False).last()
     df = df.sort_values("doc_id")
-    return pa.table({"doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
-                     "text": pa.array(df["text"].tolist(), pa.string())})
+    out = {"doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64())}
+    for f in fl:
+        if f == "doc_id":
+            continue
+        col = pa.array(df[f].tolist())
+        out[f] = (pa.array(df[f].to_numpy().astype(np.int64))
+                  if pa.types.is_integer(col.type) else col)
+    return pa.table(out)
 
 
 _JSON_ADD_BASE = 10_000_000

@@ -6,14 +6,19 @@ arrow filter → partitioned `Dataset.join` → `groupby().aggregate(...)`
 → HAVING filter → `sort` → `limit`.
 
 Supported (mirroring what SQLHandler's push-down planner covers):
-  SELECT [DISTINCT] col [AS a] | COUNT(*) | SUM/MIN/MAX/COUNT(col) [AS a], ...
+  SELECT [DISTINCT] col [AS a] | COUNT(*) | SUM/MIN/MAX/COUNT(col)
+         | COUNT(DISTINCT col) [AS a], ...
   FROM <table> [alias]
   [INNER|LEFT [OUTER] JOIN <table> [alias] ON a.col = b.col]
   [WHERE col op literal [AND ...]]        op ∈ = != <> < <= > >=
+                                          | col IN ('a', 'b', ...)
+                                          | col LIKE 'pat%'
   [GROUP BY col, ...]
   [HAVING agg op literal [AND ...]]       agg = alias or fn(arg) from SELECT
   [ORDER BY col|alias [DESC], ...]
   [LIMIT n]
+  <select> UNION ALL <select> [...]       (trailing ORDER BY / LIMIT
+                                           applies to the union, per SQL)
 
 Everything else raises ValueError up front (Solr's behavior for SQL it
 cannot plan).  The planner prunes each parquet read to exactly the
@@ -68,11 +73,19 @@ _JOIN_RE = re.compile(
     r"\s+ON\s+(?P<l>\w+\.\w+)\s*=\s*(?P<r>\w+\.\w+)",
     re.I,
 )
-_AGG_RE = re.compile(r"^(?P<fn>\w+)\s*\(\s*(?P<arg>\*|[\w.]+)\s*\)$")
+_AGG_RE = re.compile(
+    r"^(?P<fn>\w+)\s*\(\s*(?P<distinct>DISTINCT\s+)?(?P<arg>\*|[\w.]+)\s*\)$",
+    re.I)
 _PRED_RE = re.compile(
     r"^\s*(?P<col>\w+(?:\.\w+)?)\s*(?P<op>=|!=|<>|<=|>=|<|>)\s*"
     r"(?P<lit>'[^']*'|-?\d+(?:\.\d+)?)\s*$"
 )
+_IN_RE = re.compile(
+    r"^\s*(?P<col>\w+(?:\.\w+)?)\s+IN\s*\(\s*(?P<lits>'[^']*'(?:\s*,\s*'[^']*')*"
+    r"|-?\d+(?:\.\d+)?(?:\s*,\s*-?\d+(?:\.\d+)?)*)\s*\)\s*$", re.I)
+_LIKE_RE = re.compile(
+    r"^\s*(?P<col>\w+(?:\.\w+)?)\s+LIKE\s+(?P<lit>'[^']*')\s*$", re.I)
+_UNION_RE = re.compile(r"\s+UNION\s+ALL\s+", re.I)
 _ON_RE = re.compile(r"^\s*(?P<l>\w+\.\w+)\s*=\s*(?P<r>\w+\.\w+)\s*$")
 # HAVING operand: an aggregate expression or a bare alias
 _HAVING_RE = re.compile(
@@ -121,9 +134,13 @@ def parse_select(sql: str) -> dict:
         agg = _AGG_RE.match(item)
         if agg:
             fn = agg.group("fn").lower()
-            if fn not in _AGG_FNS:
-                raise ValueError(f"unsupported aggregate: {fn}")
             arg = agg.group("arg")
+            if agg.group("distinct"):
+                if fn != "count" or arg == "*":
+                    raise ValueError(f"only COUNT(DISTINCT col) is supported: {raw!r}")
+                fn = "count_distinct"
+            elif fn not in _AGG_FNS:
+                raise ValueError(f"unsupported aggregate: {fn}")
             plan["items"].append(("agg", fn, arg, alias or _default_agg_alias(fn, arg)))
         elif re.fullmatch(r"\w+(?:\.\w+)?", item):
             plan["items"].append(("col", item, None, alias or item.split(".")[-1]))
@@ -133,9 +150,21 @@ def parse_select(sql: str) -> dict:
     if m.group("where"):
         for p in re.split(r"\s+AND\s+", m.group("where"), flags=re.I):
             pm = _PRED_RE.match(p)
-            if not pm:
-                raise ValueError(f"unsupported predicate: {p!r}")
-            plan["where"].append((pm.group("col"), pm.group("op"), _lit(pm.group("lit"))))
+            if pm:
+                plan["where"].append(
+                    (pm.group("col"), pm.group("op"), _lit(pm.group("lit"))))
+                continue
+            im = _IN_RE.match(p)
+            if im:
+                lits = tuple(_lit(x.strip())
+                             for x in _split_commas(im.group("lits")))
+                plan["where"].append((im.group("col"), "in", lits))
+                continue
+            lm = _LIKE_RE.match(p)
+            if lm:
+                plan["where"].append((lm.group("col"), "like", _lit(lm.group("lit"))))
+                continue
+            raise ValueError(f"unsupported predicate: {p!r}")
 
     if m.group("group"):
         plan["group"] = [g.strip() for g in m.group("group").split(",")]
@@ -147,6 +176,8 @@ def parse_select(sql: str) -> dict:
             expr = hm.group("expr").strip()
             am = _AGG_RE.match(expr)
             if am:
+                if am.group("distinct"):
+                    raise ValueError("COUNT(DISTINCT) in HAVING is unsupported")
                 fn = am.group("fn").lower()
                 if fn not in _AGG_FNS:
                     raise ValueError(f"unsupported HAVING aggregate: {fn}")
@@ -247,7 +278,12 @@ def _filter_stage(preds: list[tuple[str, str, object]]):
     def apply_where(t: pa.Table) -> pa.Table:
         mask = None
         for col, op, lit in preds:
-            m = _OPS[op](t.column(col), pa.scalar(lit))
+            if op == "in":
+                m = pc.is_in(t.column(col), value_set=pa.array(list(lit)))
+            elif op == "like":
+                m = pc.match_like(t.column(col), lit)
+            else:
+                m = _OPS[op](t.column(col), pa.scalar(lit))
             mask = m if mask is None else pc.and_(mask, m)
         return t.filter(mask)
 
@@ -255,8 +291,34 @@ def _filter_stage(preds: list[tuple[str, str, object]]):
 
 
 def execute(sf_dir: str, sql: str) -> ray.data.Dataset:
-    """Plan + execute against the sf_dir parquet tables."""
-    plan = parse_select(sql)
+    """Plan + execute against the sf_dir parquet tables. UNION ALL
+    splits into branch plans executed independently and unioned (the
+    trailing ORDER BY / LIMIT applies to the whole union, per SQL)."""
+    parts = _UNION_RE.split(sql)
+    if len(parts) == 1:
+        return _execute_plan(sf_dir, parse_select(sql))
+    plans = [parse_select(p) for p in parts]
+    for p in plans[:-1]:
+        if p["order"] or p["limit"] is not None:
+            raise ValueError("ORDER BY / LIMIT inside a UNION ALL branch "
+                             "is unsupported (put them after the union)")
+    order, limit = plans[-1]["order"], plans[-1]["limit"]
+    plans[-1]["order"], plans[-1]["limit"] = [], None
+    names = [[it[3] for it in p["items"]] for p in plans]
+    if any(n != names[0] for n in names[1:]):
+        raise ValueError(
+            f"UNION ALL branches must share output column names: {names}")
+    outs = [_execute_plan(sf_dir, p) for p in plans]
+    ds = outs[0].union(*outs[1:])
+    if order:
+        ds = ds.sort([k.split(".")[-1] for k, _ in order],
+                     descending=[d for _, d in order])
+    if limit is not None:
+        ds = ds.limit(limit)
+    return ds
+
+
+def _execute_plan(sf_dir: str, plan: dict) -> ray.data.Dataset:
     bare = lambda r: r.split(".")[-1]  # noqa: E731
 
     col_refs = ({it[1] for it in plan["items"] if it[0] == "col"}
@@ -364,7 +426,9 @@ def execute(sf_dir: str, sql: str) -> ray.data.Dataset:
                 return Min(bare(arg), alias_name=alias)
             return Max(bare(arg), alias_name=alias)
 
-        specs = [_spec(fn, arg, alias) for _, fn, arg, alias in aggs]
+        cd_aggs = [a for a in aggs if a[1] == "count_distinct"]
+        specs = [_spec(fn, arg, alias) for _, fn, arg, alias in aggs
+                 if fn != "count_distinct"]
         # resolve HAVING operands: a SELECT-agg alias, a matching SELECT
         # aggregate, or a HIDDEN aggregate computed alongside (SQL allows
         # HAVING on aggregates absent from the SELECT list) and dropped
@@ -372,7 +436,7 @@ def execute(sf_dir: str, sql: str) -> ray.data.Dataset:
         hpreds, hidden = [], []
         by_expr = {(fn, "*" if arg == "*" else bare(arg)): alias
                    for _, fn, arg, alias in aggs}
-        by_alias = {alias for _, _, _, alias in aggs}
+        by_alias = {alias for _, fn, _, alias in aggs if fn != "count_distinct"}
         for operand, op, lit in plan["having"]:
             if operand[0] == "alias":
                 if operand[1] not in by_alias:
@@ -389,12 +453,65 @@ def execute(sf_dir: str, sql: str) -> ray.data.Dataset:
                     hidden.append(halias)
                     specs.append(_spec(fn, arg, halias))
                     hpreds.append((halias, op, lit))
-        if group_bare:
-            ds = ds.groupby(group_bare).aggregate(*specs)
+        base = ds
+        branches: list = []
+        if specs:
+            if group_bare:
+                branches.append(base.groupby(group_bare).aggregate(*specs))
+            else:
+                r = base.aggregate(*specs)
+                # global aggregate returns a dict — lift back into a Dataset
+                branches.append(
+                    ray.data.from_items([r]) if isinstance(r, dict) else r)
+        # COUNT(DISTINCT col): distinct (group, col) pairs first (one
+        # hash shuffle over the pair key), then a group-sized count of
+        # non-null values
+        for _, _, arg, alias in cd_aggs:
+            keys = group_bare + [bare(arg)]
+            dd = base.select_columns(keys).groupby(keys).aggregate(
+                Count(on=keys[0], ignore_nulls=False, alias_name="__o"))
+            if group_bare:
+                dd = dd.drop_columns(["__o"]).groupby(group_bare).aggregate(
+                    Count(on=bare(arg), ignore_nulls=True, alias_name=alias))
+            else:
+                r = dd.aggregate(
+                    Count(on=bare(arg), ignore_nulls=True, alias_name=alias))
+                dd = ray.data.from_items([r]) if isinstance(r, dict) else r
+            branches.append(dd)
+        if len(branches) == 1:
+            ds = branches[0]
+        elif not group_bare:  # single-row global results: driver merge
+            row: dict = {}
+            for b in branches:
+                row.update(b.take_all()[0])
+            ds = ray.data.from_items([row])
         else:
-            ds = ds.aggregate(*specs)
-            # global aggregate returns a dict — lift back into a Dataset
-            ds = ray.data.from_items([ds]) if isinstance(ds, dict) else ds
+            # joining two groupby-aggregate lineages crashes Ray 2.49's
+            # hash-shuffle join (zero-row partitions from unresolved
+            # schemas) — merge as NULL-padded union + one groupby
+            # instead: each group appears exactly once per branch, so a
+            # null-skipping Max per value column is the exact merge
+            all_cols: dict[str, pa.DataType] = {}
+            for b in branches:
+                sch = b.schema()
+                for n_, t_ in zip(sch.names, sch.types):
+                    all_cols.setdefault(n_, t_)
+            value_cols = [c for c in all_cols if c not in group_bare]
+
+            def _pad(cols_all):
+                def pad(t: pa.Table) -> pa.Table:
+                    return pa.table({
+                        c: (t.column(c) if c in t.column_names
+                            else pa.nulls(t.num_rows, ty))
+                        for c, ty in cols_all.items()})
+                return pad
+
+            ds = branches[0].map_batches(_pad(all_cols), batch_format="pyarrow")
+            for b in branches[1:]:
+                ds = ds.union(
+                    b.map_batches(_pad(all_cols), batch_format="pyarrow"))
+            ds = ds.groupby(group_bare).aggregate(
+                *[Max(c, alias_name=c) for c in value_cols])
         if hpreds:
             ds = ds.map_batches(_filter_stage(hpreds), batch_format="pyarrow")
         if hidden:
@@ -472,6 +589,30 @@ SQL_JOIN3_DEMO = (
 )
 
 
+# IN + LIKE predicate pushdown (both filter below any exchange)
+SQL_IN_LIKE_DEMO = (
+    "SELECT c_custkey, c_mktsegment FROM customer "
+    "WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') "
+    "AND c_name LIKE '%1' ORDER BY c_custkey"
+)
+
+# UNION ALL of two pruned scans; the trailing ORDER BY sorts the union
+SQL_UNION_DEMO = (
+    "SELECT o_orderkey AS id, o_custkey AS k FROM orders "
+    "WHERE o_orderstatus = 'P' "
+    "UNION ALL "
+    "SELECT l_orderkey AS id, l_suppkey AS k FROM lineitem "
+    "WHERE l_linenumber >= 6 ORDER BY id, k"
+)
+
+# COUNT(DISTINCT): distinct-pair shuffle + group-sized count, joined to
+# the plain aggregates on the group key
+SQL_COUNT_DISTINCT_DEMO = (
+    "SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS n_prio, "
+    "COUNT(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+)
+
+
 def sql_stream_agg(sf_dir: str) -> ray.data.Dataset:
     """Driver-contract entry: the oracle runs the IDENTICAL SQL string."""
     return execute(sf_dir, SQL_DEMO)
@@ -491,3 +632,15 @@ def sql_stream_distinct(sf_dir: str) -> ray.data.Dataset:
 
 def sql_stream_join3(sf_dir: str) -> ray.data.Dataset:
     return execute(sf_dir, SQL_JOIN3_DEMO)
+
+
+def sql_stream_in_like(sf_dir: str) -> ray.data.Dataset:
+    return execute(sf_dir, SQL_IN_LIKE_DEMO)
+
+
+def sql_stream_union(sf_dir: str) -> ray.data.Dataset:
+    return execute(sf_dir, SQL_UNION_DEMO)
+
+
+def sql_stream_count_distinct(sf_dir: str) -> ray.data.Dataset:
+    return execute(sf_dir, SQL_COUNT_DISTINCT_DEMO)

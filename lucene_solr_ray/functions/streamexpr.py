@@ -732,8 +732,115 @@ def _build_regress(node: Node, ctx: dict) -> ray.data.Dataset:
     }))
 
 
+def _tuples_to_docs(b: pa.Table) -> pa.Table:
+    """Map stream tuples onto the documents collection schema, filling
+    schema defaults for fields the tuple stream does not carry (the
+    update handler's add-missing-fields role)."""
+    n = b.num_rows
+    cols = {c: b.column(c) for c in b.column_names}
+    texts = cols["text"].to_pylist() if "text" in cols else [""] * n
+    doc_ids = cols["doc_id"].to_numpy().astype(np.int64)
+    out = {
+        "conv_id": pa.array([f"upd-{d:012d}" for d in doc_ids], pa.string()),
+        "turn_idx": pa.array(np.zeros(n, np.int32), pa.int32()),
+        "role": pa.array(["user"] * n, pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "tool": pa.array([""] * n, pa.string()),
+        "ts": pa.array(
+            np.full(n, np.datetime64("2026-02-01T00:00:00", "us")),
+            pa.timestamp("us")),
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "n_chars": (pa.array(cols["n_chars"].to_numpy().astype(np.int64))
+                    if "n_chars" in cols
+                    else pa.array([len(t) for t in texts], pa.int64())),
+        "lang": cols.get("lang", pa.array(["en"] * n, pa.string())),
+        "source": cols.get("source", pa.array(["update"] * n, pa.string())),
+    }
+    return pa.table(out)
+
+
+def _dest_dir(node: Node, ctx: dict) -> str:
+    dest = node.args[0]
+    dest_dir = ctx.get("collections", {}).get(dest)
+    if dest_dir is None:
+        raise ValueError(f"unknown destination collection {dest!r} "
+                         "(pass collections= to run_stream)")
+    return dest_dir
+
+
+def _build_update(node: Node, ctx: dict) -> ray.data.Dataset:
+    """update(destination, stream, batchSize=N) ([U] solr/solrj/.../io/
+    stream/UpdateStream.java): pull tuples from the inner stream in
+    batches and send each batch to the destination collection's update
+    handler — here tlog_append on the destination index, the
+    transaction-log ingest path — emitting one ack tuple
+    {batchIndexed: n} per batch exactly like the reference. Writes are
+    durable in the log immediately; visibility needs commit()."""
+    from lucene_solr_ray.state import tlog
+
+    dest_dir = _dest_dir(node, ctx)
+    inner = _build(node.args[1], ctx)
+    bs = int(node.kwargs.get("batchSize", 100))
+    acks = []
+    for b in inner.iter_batches(batch_size=bs, batch_format="pyarrow"):
+        tlog.tlog_append(dest_dir, _tuples_to_docs(b))
+        acks.append(b.num_rows)
+    return ray.data.from_arrow(
+        pa.table({"batchIndexed": pa.array(acks, pa.int64())}))
+
+
+def _build_commit(node: Node, ctx: dict) -> ray.data.Dataset:
+    """commit(destination, stream) ([U] solr/solrj/.../io/stream/
+    CommitStream.java): pass the inner tuples through and issue a commit
+    once the stream is exhausted — tlog.soft_commit folds every pending
+    log entry into a new visible index generation."""
+    from lucene_solr_ray.state import tlog
+
+    dest_dir = _dest_dir(node, ctx)
+    inner = _build(node.args[1], ctx).materialize()  # EOF: all batches acked
+    tlog.soft_commit(dest_dir)
+    return inner
+
+
+def _build_cartesian(node: Node, ctx: dict) -> ray.data.Dataset:
+    """cartesianProduct(stream, analyze(field) as term) ([U] solr/solrj/
+    .../io/stream/CartesianProductStream.java + io/eval/
+    AnalyzeEvaluator.java): explode each tuple into one tuple per
+    analyzed token of ``field`` — the canonical Solr idiom for token
+    streams as relations. Other columns are repeated; the analyzed
+    field's source column is dropped from the output."""
+    from lucene_solr_ray.analysis import get_analyzer
+
+    inner = _build(node.args[0], ctx)
+    spec = node.args[1]
+    if not (isinstance(spec, Node) and spec.name == "__as"
+            and isinstance(spec.args[0], Node)
+            and spec.args[0].name == "analyze"):
+        raise ValueError("cartesianProduct(): second arg must be "
+                         "'analyze(field) as name'")
+    an = spec.args[0]
+    field = an.args[0]
+    analyzer = get_analyzer(an.args[1] if len(an.args) > 1 else "standard")
+    out_name = spec.args[1]
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = [analyzer(x) for x in t.column(field).to_pylist()]
+        counts = np.array([len(x) for x in toks], np.int64)
+        idx = np.repeat(np.arange(t.num_rows), counts)
+        cols = {c: t.column(c).take(pa.array(idx))
+                for c in t.column_names if c != field}
+        cols[out_name] = pa.array(
+            [w for row in toks for w in row], pa.string())
+        return pa.table(cols)
+
+    return inner.map_batches(explode, batch_format="pyarrow")
+
+
 STREAM_FUNCTIONS = {
     "search": _build_search,
+    "update": _build_update,
+    "commit": _build_commit,
+    "cartesianProduct": _build_cartesian,
     "select": _build_select,
     "rollup": _build_rollup,
     "sort": _build_sort,
@@ -767,10 +874,15 @@ def _build(node, ctx: dict) -> ray.data.Dataset:
     return STREAM_FUNCTIONS[node.name](node, ctx)
 
 
-def run_stream(sf_dir: str, expression: str) -> ray.data.Dataset:
+def run_stream(sf_dir: str, expression: str,
+               collections: dict | None = None) -> ray.data.Dataset:
     """Parse + execute one streaming expression against ``sf_dir``'s
-    documents collection; returns the lazy Dataset."""
-    return _build(parse_expr(expression), {"sf_dir": sf_dir})
+    documents collection; returns the lazy Dataset. ``collections`` maps
+    destination collection names (for update()/commit()) to index dirs."""
+    ctx = {"sf_dir": sf_dir}
+    if collections:
+        ctx["collections"] = collections
+    return _build(parse_expr(expression), ctx)
 
 
 # ---------------------------------------------------------------------------
@@ -883,6 +995,56 @@ def stream_expr_select_eval(sf_dir: str) -> ray.data.Dataset:
         '"doc_id", if(gt(n_chars, 150), 1, 0) as big, '
         'add(mult(n_chars, 2), 7) as scaled), by="doc_id asc")',
     )
+
+
+def stream_expr_cartesian_analyze(sf_dir: str) -> ray.data.Dataset:
+    """cartesianProduct + analyze(): one row per analyzed token of each
+    matching doc's text — the token-stream-as-relation idiom."""
+    return run_stream(
+        sf_dir,
+        'sort(cartesianProduct(search(documents, q="dup", fl="doc_id,text"), '
+        'analyze(text) as term), by="doc_id asc, term asc")',
+    )
+
+
+def stream_expr_update(sf_dir: str) -> "pa.Table":
+    """UpdateStream + CommitStream end-to-end: stream the 'dup' match
+    set (doc_ids remapped past maxDoc) into a COPY of the documents
+    collection through the transaction log, commit, then prove
+    visibility twice — RealTimeGet returns the appended stored fields,
+    and a term query over the destination counts old + new 'dup' docs.
+    Output: (doc_id, n_chars) of the appended docs via post-commit RTG."""
+    import shutil
+
+    from lucene_solr_ray.functions.fulltext import (
+        _docid_to_doc_id, docs_index, realtime_get)
+    from lucene_solr_ray.pipelines.search import IndexSearcher
+
+    src = docs_index(sf_dir)
+    dest = src + "-updstream"
+    shutil.rmtree(dest, ignore_errors=True)
+    shutil.copytree(src, dest)
+
+    acks = run_stream(
+        sf_dir,
+        'commit(dest, update(dest, '
+        'select(search(documents, q="dup", fl="doc_id,text,lang,source,n_chars"), '
+        'add(doc_id, 90000000) as doc_id, "text", "lang", "source", "n_chars"), '
+        "batchSize=10))",
+        collections={"dest": dest},
+    ).to_pandas()
+    n_written = int(acks["batchIndexed"].sum())
+
+    s_src = IndexSearcher(src)
+    d_old, _ = s_src.search(["dup"], k=max(1, s_src.n_docs), mode="or")
+    s = IndexSearcher(dest)
+    d_new, _ = s.search(["dup"], k=max(1, s.n_docs), mode="or")
+    assert len(d_new) == len(d_old) + n_written, (len(d_new), len(d_old), n_written)
+
+    mapping = _docid_to_doc_id(src)
+    new_ids = sorted(int(mapping[i]) + 90000000 for i in d_old)
+    got = realtime_get(dest, new_ids, fl=("n_chars",))
+    return got.sort_by("doc_id")
 
 
 def stream_expr_timeseries(sf_dir: str) -> ray.data.Dataset:

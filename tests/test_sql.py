@@ -193,3 +193,59 @@ def test_sql_multi_join_unsupported_raises(ray_session, sql):
 
     with pytest.raises(ValueError):
         parse_select(sql)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # IN over strings, LIKE with leading wildcard
+        "SELECT c_custkey, c_mktsegment FROM customer "
+        "WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AND c_name LIKE '%1'",
+        # IN over numbers
+        "SELECT o_orderkey FROM orders WHERE o_custkey IN (1, 2, 3, 5, 8, 13)",
+        # LIKE with mid-pattern % and _
+        "SELECT c_custkey FROM customer WHERE c_name LIKE 'Customer#00000000_'",
+        # UNION ALL, trailing ORDER BY applies to the union
+        "SELECT o_orderkey AS id, o_custkey AS k FROM orders WHERE o_orderstatus = 'P' "
+        "UNION ALL SELECT c_custkey AS id, c_nationkey AS k FROM customer "
+        "WHERE c_nationkey <= 3 ORDER BY id, k",
+        # three-branch union
+        "SELECT n_nationkey AS k FROM nation UNION ALL "
+        "SELECT r_regionkey AS k FROM region UNION ALL "
+        "SELECT c_nationkey AS k FROM customer WHERE c_custkey <= 5",
+        # COUNT(DISTINCT) alongside plain aggregates, grouped
+        "SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS n_prio, "
+        "COUNT(*) AS n, MAX(o_custkey) AS mx FROM orders GROUP BY o_orderstatus",
+        # COUNT(DISTINCT) alone, grouped
+        "SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nat "
+        "FROM customer GROUP BY c_mktsegment",
+        # global COUNT(DISTINCT) + plain aggregate (single-row merge)
+        "SELECT COUNT(DISTINCT o_orderpriority) AS n_prio, COUNT(*) AS n FROM orders",
+    ],
+)
+def test_sql_in_like_union_count_distinct(ray_session, sql):
+    _check(sql)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # ORDER BY inside a non-final union branch
+        "SELECT o_orderkey AS id FROM orders ORDER BY id "
+        "UNION ALL SELECT c_custkey AS id FROM customer",
+        # mismatched output column names across branches
+        "SELECT o_orderkey AS a FROM orders UNION ALL SELECT c_custkey AS b FROM customer",
+        # DISTINCT on a non-count aggregate
+        "SELECT SUM(DISTINCT o_custkey) AS s FROM orders",
+        # COUNT(DISTINCT *) is meaningless
+        "SELECT COUNT(DISTINCT *) AS n FROM orders",
+        # COUNT(DISTINCT) in HAVING
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus "
+        "HAVING COUNT(DISTINCT o_orderpriority) > 1",
+    ],
+)
+def test_sql_union_distinct_unsupported_raises(ray_session, sql):
+    from lucene_solr_ray.functions.sql import execute
+
+    with pytest.raises(ValueError):
+        execute(SF, sql)
