@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_keep": lambda sf: dedup.semdedup_keep(sf, n_clusters=16, threshold=0.42),
         # --- similarity search ---
         "ann_brute_topk": lambda sf: ann.ann_brute_topk(sf, k=10, n_queries=5),
+        "ann_sq_topk": lambda sf: ann.ann_sq_topk(sf, k=10, n_queries=5),
         "ann_range_search": lambda sf: ann.ann_range_search(sf, threshold=0.30, n_queries=5),
         "ann_filtered_topk": lambda sf: ann.ann_filtered_topk(sf, label=1, k=10, n_queries=5),
         "ann_ivf_topk": lambda sf: ann.ann_ivf_topk(sf, k=10, n_queries=5),
@@ -178,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_functions": rel.date_functions,
         "deterministic_sample": rel.deterministic_sample,
         "sample_fixed_k": rel.sample_fixed_k,
+        "stratified_sample": lambda sf: rel.stratified_sample(sf, k=20),
         # --- full-text core (SURVEY §2.3/§2.5/§2.6) ---
         "ft_payload_score": lambda sf: ft.payload_score_topk(sf, "merge", k=10),
         "ft_payload_function": lambda sf: ft.payload_function_stats(sf, "merge"),
@@ -1251,6 +1253,15 @@ def oracle_sql() -> dict[str, str]:
             "- 9223372036854775808 AS BIGINT) AS priority "
             "FROM documents ORDER BY priority LIMIT 100"
         ),
+        # stratified bottom-k: k smallest priorities PER lang
+        "stratified_sample": (
+            "SELECT lang, doc_id, priority FROM ("
+            "SELECT lang, doc_id, CAST(CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT) "
+            "- 9223372036854775808 AS BIGINT) AS priority, "
+            "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY "
+            "CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT)) AS rn "
+            "FROM documents) WHERE rn <= 20 ORDER BY lang, priority"
+        ),
         "select_having": (
             "SELECT l_orderkey, l_linenumber, "
             f"{c(x='l_quantity')} AS qty, "
@@ -1612,6 +1623,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT q.query_id, b.vec_id AS neighbor_id, ROW_NUMBER() OVER ("
             "PARTITION BY q.query_id ORDER BY list_cosine_similarity(q.qe, b.embedding) DESC, b.vec_id) AS rn "
             "FROM q, embeddings b WHERE b.vec_id != q.query_id) t WHERE rn <= 10 ORDER BY query_id, rank"
+        ),
+        # SQ8 scalar quantization: exact integer pipeline — micro-int
+        # components, ONE global symmetric scale amax, codes
+        # (xi+amax)*127//amax - 127 (zero-centered: preserves the dot
+        # ranking), integer dot-product scores
+        "ann_sq_topk": (
+            "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS dim, "
+            "CAST(FLOOR(unnest(embedding)*1000000 + 0.5) AS BIGINT) AS xi FROM embeddings), "
+            "mm AS (SELECT GREATEST(MAX(ABS(xi)), 1) AS amax FROM e), "
+            "c AS (SELECT vec_id, dim, ((xi + amax)*127)//amax - 127 AS code "
+            "FROM e, mm), "
+            "qids AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5), "
+            "q AS (SELECT * FROM c WHERE vec_id IN (SELECT vec_id FROM qids)), "
+            "s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "SUM(q.code*c.code) AS score FROM q JOIN c ON q.dim = c.dim "
+            "AND c.vec_id != q.vec_id GROUP BY 1, 2) "
+            "SELECT query_id, CAST(rn - 1 AS BIGINT) AS rank, neighbor_id FROM ("
+            "SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
+            "PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM s) t "
+            "WHERE rn <= 10 ORDER BY query_id, rank"
         ),
         # 0.30 sits >= 4.5e-4 from every query-x-corpus cosine (measured
         # at all 3 sfs, pinned by pytest) — membership can't flip

@@ -1135,6 +1135,52 @@ def sample_fixed_k(sf_dir: str, k: int = 100) -> ray.data.Dataset:
     )
 
 
+def stratified_sample(sf_dir: str, k: int = 20,
+                      group: str = "lang") -> ray.data.Dataset:
+    """Stratified fixed-k-per-group sample — the per-stratum bottom-k
+    priority sketch (language-balanced subcorpus selection for training
+    mixes). Each batch keeps only its k smallest md5 priorities PER
+    GROUP, so the exchange is O(batches x groups x k) rows regardless of
+    corpus size; the final per-group head-k runs on that output-sized
+    table. Deterministic and resume-identical — re-running selects the
+    same docs."""
+    import hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        gv = np.asarray(t.column(group).to_pylist(), object)
+        pri = np.empty(len(ids), np.uint64)
+        for i, d in enumerate(ids):
+            pri[i] = int.from_bytes(
+                hashlib.md5(str(int(d)).encode()).digest()[:8], "little")
+        keep_idx = []
+        codes = np.unique(gv, return_inverse=True)[1]
+        for c in np.unique(codes):
+            rows = np.flatnonzero(codes == c)
+            if len(rows) > k:
+                rows = rows[np.argpartition(pri[rows], k)[:k]]
+            keep_idx.append(rows)
+        sel = np.concatenate(keep_idx) if keep_idx else np.empty(0, np.int64)
+        return pa.table({
+            group: pa.array(gv[sel], pa.string()),
+            "doc_id": pa.array(ids[sel], pa.int64()),
+            "priority": pa.array(
+                (pri[sel] - np.uint64(1 << 63)).view(np.int64)),
+        })
+
+    def head_k(t: pa.Table) -> pa.Table:  # one group, priority-sorted rows
+        order = pc.sort_indices(t, sort_keys=[("priority", "ascending")])
+        return t.take(order[:k])
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", group])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(group)
+        .map_groups(head_k, batch_format="pyarrow")
+        .sort([group, "priority"])
+    )
+
+
 # ---------------- cursorMark deep paging ----------------
 
 def cursor_mark_pages(sf_dir: str, page_size: int = 50, n_pages: int = 3) -> pa.Table:

@@ -626,3 +626,36 @@ def test_ann_ivf_recall_on_clustered_corpus():
         total += len(want)
     recall = hits / total
     assert recall >= 0.95, f"recall@10 {recall:.3f} < 0.95 at n_probe=8/32"
+
+
+def test_ann_sq_recall_vs_brute(ray_session):
+    """SQ8 quantized top-k must closely track the exact cosine top-k
+    (recall@10 >= 0.8 on the gate corpus) — quantization compresses, it
+    must not scramble neighborhoods."""
+    from lucene_solr_ray.functions.ann import ann_brute_topk, ann_sq_topk
+
+    exact = ann_brute_topk(SF, k=10, n_queries=5).to_pandas()
+    sq = ann_sq_topk(SF, k=10, n_queries=5).to_pandas()
+    recalls = []
+    for qid in exact["query_id"].unique():
+        e = set(exact[exact.query_id == qid]["neighbor_id"])
+        s = set(sq[sq.query_id == qid]["neighbor_id"])
+        recalls.append(len(e & s) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_stratified_sample_per_group_k(ray_session):
+    """Exactly min(k, group size) rows per group, deterministic."""
+    import duckdb
+
+    from lucene_solr_ray.functions.relational import stratified_sample
+
+    got = stratified_sample(SF, k=7).to_pandas()
+    sizes = duckdb.sql(
+        f"SELECT lang, count(*) AS n FROM read_parquet('{SF}/documents.parquet') "
+        "GROUP BY lang").df().set_index("lang")["n"]
+    per = got.groupby("lang").size()
+    for lang, n in per.items():
+        assert n == min(7, int(sizes[lang])), (lang, n)
+    again = stratified_sample(SF, k=7).to_pandas()
+    assert got["doc_id"].tolist() == again["doc_id"].tolist()
