@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_sample": rel.deterministic_sample,
         "sample_fixed_k": rel.sample_fixed_k,
         "stratified_sample": lambda sf: rel.stratified_sample(sf, k=20),
+        "child_doc_transform": lambda sf: rel.child_doc_transform(sf),
         # --- full-text core (SURVEY §2.3/§2.5/§2.6) ---
         "ft_payload_score": lambda sf: ft.payload_score_topk(sf, "merge", k=10),
         "ft_payload_function": lambda sf: ft.payload_function_stats(sf, "merge"),
@@ -1252,6 +1253,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS HUGEINT) "
             "- 9223372036854775808 AS BIGINT) AS priority "
             "FROM documents ORDER BY priority LIMIT 100"
+        ),
+        # [child]/[subquery] transformers: page-sized parent set, pushed
+        # child filter, per-parent ordered head-k
+        "child_doc_transform": (
+            "WITH p AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P' "
+            "ORDER BY o_orderkey LIMIT 20), "
+            "c AS (SELECT l_orderkey, l_linenumber, l_suppkey, "
+            "ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn "
+            "FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM p) "
+            "AND l_quantity >= 30) "
+            "SELECT l_orderkey AS o_orderkey, CAST(rn - 1 AS BIGINT) AS child_rank, "
+            "l_linenumber, l_suppkey FROM c WHERE rn <= 3 "
+            "ORDER BY o_orderkey, child_rank"
         ),
         # stratified bottom-k: k smallest priorities PER lang
         "stratified_sample": (

@@ -1135,6 +1135,47 @@ def sample_fixed_k(sf_dir: str, k: int = 100) -> ray.data.Dataset:
     )
 
 
+def child_doc_transform(sf_dir: str, status: str = "P", min_qty: int = 30,
+                        n_parents: int = 20, limit: int = 3) -> pa.Table:
+    """[child] / [subquery] document transformers ([U] solr/core/.../
+    response/transform/ChildDocTransformerFactory.java +
+    SubQueryAugmenterFactory.java): each parent result row is augmented
+    with its child documents, filtered by childFilter, ordered, and
+    capped at ``limit`` per parent.
+
+    Scale shape: the parent result is page-sized by construction (a
+    result page), so its key set broadcasts into a PUSHED child-table
+    filter — one pruned scan of the child columns, then an output-sized
+    per-parent head-k; no shuffle at any corpus size."""
+    import pyarrow.dataset as pads
+
+    p = (_read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+         .map_batches(
+             lambda t: t.filter(pc.equal(t.column("o_orderstatus"), status))
+                        .select(["o_orderkey"]),
+             batch_format="pyarrow")
+         .sort("o_orderkey").limit(n_parents).to_pandas())
+    pk = p["o_orderkey"].to_numpy().astype(np.int64)
+    c = pads.dataset(f"{sf_dir}/lineitem.parquet", format="parquet").to_table(
+        columns=["l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"],
+        filter=(pc.field("l_orderkey").isin(pa.array(pk))
+                & (pc.field("l_quantity") >= min_qty)))
+    ok = c.column("l_orderkey").to_numpy().astype(np.int64)
+    ln = c.column("l_linenumber").to_numpy().astype(np.int64)
+    sk = c.column("l_suppkey").to_numpy().astype(np.int64)
+    order = np.lexsort((ln, ok))  # (parent, child order)
+    ok, ln, sk = ok[order], ln[order], sk[order]
+    starts = np.r_[0, np.flatnonzero(np.diff(ok)) + 1]
+    occ = np.arange(len(ok)) - np.repeat(starts, np.diff(np.r_[starts, len(ok)]))
+    keep = occ < limit
+    return pa.table({
+        "o_orderkey": pa.array(ok[keep], pa.int64()),
+        "child_rank": pa.array(occ[keep], pa.int64()),
+        "l_linenumber": pa.array(ln[keep], pa.int64()),
+        "l_suppkey": pa.array(sk[keep], pa.int64()),
+    })
+
+
 def stratified_sample(sf_dir: str, k: int = 20,
                       group: str = "lang") -> ray.data.Dataset:
     """Stratified fixed-k-per-group sample — the per-stratum bottom-k
