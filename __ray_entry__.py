@@ -405,6 +405,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_stats_ext": rel.stats_extended,
         "range_facet_other": lambda sf: rel.range_facet_other(
             sf, "n_chars", start=100, end=400, gap=100),
+        "facet_multiselect_ex": lambda sf: rel.facet_multiselect_ex(sf),
+        "facet_allbuckets": lambda sf: rel.facet_allbuckets(sf, top=3),
+        "uniqueblock_facet": lambda sf: rel.uniqueblock_facet(sf, min_qty=25),
+        "sampled_facets": lambda sf: rel.sampled_facets(sf, pct=20),
         "timeseries_facet": rel.timeseries_facet,
         "asof_join": win.asof_join,
         "session_window": lambda sf: win.session_window(sf, gap_minutes=30),
@@ -1211,6 +1215,44 @@ def oracle_sql() -> dict[str, str]:
             "FROM names nm LEFT JOIN cnt c USING (bucket) "
             "UNION ALL SELECT 'between', CAST(COALESCE(SUM(n), 0) AS BIGINT) "
             "FROM cnt WHERE bucket LIKE 'r%'"
+        ),
+        # multi-select faceting: the lang facet EXCLUDES its own tagged
+        # lang filter ({!tag=L}/ex=L), the source facet applies all fq's
+        "facet_multiselect_ex": (
+            "SELECT 'lang' AS facet_field, lang AS bucket, COUNT(*) AS n_docs "
+            "FROM documents WHERE n_chars >= 200 GROUP BY lang "
+            "UNION ALL "
+            "SELECT 'source', source, COUNT(*) FROM documents "
+            "WHERE n_chars >= 200 AND lang = 'en' GROUP BY source "
+            "ORDER BY facet_field, bucket"
+        ),
+        # terms facet sorted by stat (sum_n desc, bucket asc), limit 3,
+        # plus allBuckets whole-domain stats and numBuckets
+        "facet_allbuckets": (
+            "WITH b AS (SELECT source AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_n FROM documents GROUP BY source) "
+            "SELECT * FROM ("
+            "SELECT bucket, n_docs, sum_n FROM "
+            "(SELECT * FROM b ORDER BY sum_n DESC, bucket LIMIT 3) "
+            "UNION ALL SELECT '__all__', (SELECT CAST(COUNT(*) AS BIGINT) FROM documents), "
+            "(SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) "
+            "UNION ALL SELECT '__numBuckets__', (SELECT CAST(COUNT(*) AS BIGINT) FROM b), 0"
+            ") ORDER BY bucket"
+        ),
+        # uniqueBlock(_root_): unique parent orders per child bucket
+        "uniqueblock_facet": (
+            "SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_parents "
+            "FROM lineitem WHERE l_quantity >= 25 "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        # sampling facets: deterministic multiplicative-hash 20% sample,
+        # exact integer amplification n*100//pct
+        "sampled_facets": (
+            "WITH s AS (SELECT lang FROM documents "
+            "WHERE (doc_id * 2654435761) % 4294967296 < 4294967296 * 20 // 100) "
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled, "
+            "CAST(COUNT(*) * 100 // 20 AS BIGINT) AS n_estimated "
+            "FROM s GROUP BY lang ORDER BY lang"
         ),
         "facet_stats_ext": (
             f"WITH e AS (SELECT event_type, {c(x='value')} AS cents, value FROM events) "

@@ -1424,3 +1424,177 @@ def range_facet_other(sf_dir: str, field: str = "n_chars", start: int = 100,
                          "n": pa.array([r[1] for r in rows], pa.int64())})
 
     return ds.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def facet_multiselect_ex(sf_dir: str, min_chars: int = 200,
+                         tag_lang: str = "en") -> pa.Table:
+    """Multi-select faceting with tagged-filter exclusion ([U]
+    solr/core/.../search/facet/FacetProcessor.java `excludeTags` +
+    QueryParsing localparams {!tag=}/ex=): fq1 = {!tag=L}lang:en,
+    fq2 = n_chars>=min_chars; the `lang` facet EXCLUDES its own tagged
+    filter (so every language bucket stays visible while one is
+    selected — the e-commerce multi-select pattern) and the `source`
+    facet applies the full filter set.
+
+    Scale shape: ONE corpus pass — each batch evaluates both masks and
+    emits tiny (facet_field, bucket, n) partials; combine is a
+    bucket-domain-sized groupby. No row data is shuffled."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        base = pc.greater_equal(t.column("n_chars"), pa.scalar(min_chars))
+        tagged = pc.equal(t.column("lang"), tag_lang)
+        out = []
+        # lang facet: ex=L drops the lang filter; domain = base only
+        g = (t.filter(base).select(["lang"])
+              .group_by("lang").aggregate([([], "count_all")]))
+        out.append(pa.table({
+            "facet_field": pa.array(["lang"] * g.num_rows, pa.string()),
+            "bucket": g.column("lang").cast(pa.string()),
+            "n": g.column("count_all").cast(pa.int64()),
+        }))
+        # source facet: full filter set (base AND tagged)
+        g = (t.filter(pc.and_(base, tagged)).select(["source"])
+              .group_by("source").aggregate([([], "count_all")]))
+        out.append(pa.table({
+            "facet_field": pa.array(["source"] * g.num_rows, pa.string()),
+            "bucket": g.column("source").cast(pa.string()),
+            "n": g.column("count_all").cast(pa.int64()),
+        }))
+        return pa.concat_tables(out)
+
+    def finish(t: pa.Table) -> pa.Table:
+        # single combined key so the tiny combine is ONE groupby
+        df = t.to_pandas().groupby(["facet_field", "bucket"], as_index=False)["n"].sum()
+        df = df.sort_values(["facet_field", "bucket"]).reset_index(drop=True)
+        return pa.table({
+            "facet_field": pa.array(df["facet_field"], pa.string()),
+            "bucket": pa.array(df["bucket"], pa.string()),
+            "n_docs": pa.array(df["n"].astype(np.int64), pa.int64()),
+        })
+
+    return (
+        _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def facet_allbuckets(sf_dir: str, top: int = 3) -> pa.Table:
+    """JSON facet bucket refinements ([U] solr/core/.../search/facet/
+    FacetField.java): terms facet on `source` with a stat sort
+    (sort: "sum_n desc", tie -> bucket asc), `limit: top`, plus the
+    `allBuckets` pseudo-bucket (stats over the WHOLE domain, not just
+    returned buckets) and `numBuckets` (distinct bucket count).
+
+    Scale shape: one groupby over the bucket domain, then everything —
+    top-k, allBuckets totals, numBuckets — derives from the
+    bucket-domain-sized result (exact integer sums commute)."""
+    from ray.data.aggregate import Count, Sum
+
+    buckets = (
+        _read(sf_dir, "documents", ["source", "n_chars"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_n"))
+        .to_pandas()
+    )
+    buckets["n_docs"] = buckets["n_docs"].astype(np.int64)
+    buckets["sum_n"] = buckets["sum_n"].astype(np.int64)
+    head = buckets.sort_values(["sum_n", "source"],
+                               ascending=[False, True]).head(top)
+    rows = [(str(b), int(n), int(s))
+            for b, n, s in zip(head["source"], head["n_docs"], head["sum_n"])]
+    rows.append(("__all__", int(buckets["n_docs"].sum()), int(buckets["sum_n"].sum())))
+    rows.append(("__numBuckets__", int(len(buckets)), 0))
+    rows.sort()
+    return pa.table({
+        "bucket": pa.array([r[0] for r in rows], pa.string()),
+        "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+        "sum_n": pa.array([r[2] for r in rows], pa.int64()),
+    })
+
+
+def uniqueblock_facet(sf_dir: str, min_qty: int = 25) -> pa.Table:
+    """uniqueBlock(_root_) block-join facet ([U] solr/core/.../search/
+    facet/UniqueBlockAgg.java): facet over CHILD docs (lineitem rows with
+    l_quantity >= min_qty) bucketed by l_returnflag, counting unique
+    PARENTS (orders) per bucket — "how many orders have a matching
+    child in this bucket".
+
+    Scale shape: (flag, parent) pairs pack into one int64 key
+    (parent*4 + flag_code), each batch pre-dedups its keys, ONE hash
+    groupby dedups globally, then per-flag counts are tiny map-side
+    partials + a 3-row combine. No corpus-sized driver state."""
+    from ray.data.aggregate import Sum
+
+    flags = ["A", "N", "R"]
+    code = {f: i for i, f in enumerate(flags)}
+
+    def pack(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("l_quantity"), pa.scalar(float(min_qty))))
+        ok = t.column("l_orderkey").to_numpy().astype(np.int64)
+        fl = np.array([code[f] for f in t.column("l_returnflag").to_pylist()],
+                      dtype=np.int64)
+        return pa.table({"k": pa.array(np.unique(ok * 4 + fl), pa.int64())})
+
+    def per_flag(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy()
+        cnt = np.bincount(k % 4, minlength=4)[: len(flags)]
+        return pa.table({"l_returnflag": pa.array(flags, pa.string()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    out = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
+        .map_batches(pack, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(lambda t: per_flag(t), batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("n", alias_name="n_parents"))
+        .sort("l_returnflag")
+        .to_pandas()
+    )
+    out = out[out["n_parents"] > 0]
+    return pa.table({
+        "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+        "n_parents": pa.array(out["n_parents"].astype(np.int64), pa.int64()),
+    })
+
+
+def sampled_facets(sf_dir: str, pct: int = 20) -> pa.Table:
+    """RandomSamplingFacetsCollector ([U] lucene/facet/.../sampling —
+    RandomSamplingFacetsCollector.java): facet counts computed over a
+    deterministic sample of the corpus, then amplified back to corpus
+    scale (count * 100 // pct — exact integer amplification so the
+    oracle agrees bit-for-bit). The sample is the same multiplicative
+    hash on doc_id as deterministic_sample (reproducible, no RNG).
+
+    Scale shape: the sample predicate is evaluated per batch (no
+    materialized sample), facet combine is bucket-domain-sized."""
+    from ray.data.aggregate import Sum
+
+    thresh = (4294967296 * pct) // 100
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        keep = (ids * 2654435761) % 4294967296 < thresh
+        g = (t.filter(pa.array(keep)).select(["lang"])
+              .group_by("lang").aggregate([([], "count_all")]))
+        return pa.table({"lang": g.column("lang").cast(pa.string()),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    out = (
+        _read(sf_dir, "documents", ["doc_id", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n_sampled"))
+        .sort("lang")
+        .to_pandas()
+    )
+    n_sampled = out["n_sampled"].astype(np.int64)
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "n_sampled": pa.array(n_sampled, pa.int64()),
+        "n_estimated": pa.array((n_sampled * 100 // pct).astype(np.int64), pa.int64()),
+    })
