@@ -346,6 +346,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_expr_describe": streamexpr.stream_expr_describe,
         "stream_expr_select_eval": streamexpr.stream_expr_select_eval,
         "stream_expr_timeseries": streamexpr.stream_expr_timeseries,
+        "stream_expr_moving_avg": streamexpr.stream_expr_moving_avg,
+        "stream_expr_diff": streamexpr.stream_expr_diff,
+        "stream_expr_corr": streamexpr.stream_expr_corr,
         "stream_expr_cartesian_analyze": streamexpr.stream_expr_cartesian_analyze,
         "stream_expr_update": streamexpr.stream_expr_update,
         "stream_expr_random": streamexpr.stream_expr_random,
@@ -1164,6 +1167,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n, "
             "CAST(MIN(n_chars) AS BIGINT) AS lo, CAST(MAX(n_chars) AS BIGINT) AS hi "
             "FROM b GROUP BY bin ORDER BY bin"
+        ),
+        # trailing window-3 mean over the 10-min 'merge' series, from the
+        # 3rd bucket on; mean_micro = trunc(window_sum*1e6/3)
+        "stream_expr_moving_avg": (
+            "WITH s AS (SELECT CAST(epoch_us(TIMESTAMP '2026-01-01 00:00:00' "
+            "+ to_seconds(doc_id)) // 60000000 * 60000000 AS BIGINT) AS bucket_us, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM documents "
+            f"WHERE list_contains({split}, 'merge') GROUP BY bucket_us), "
+            "w AS (SELECT bucket_us, SUM(c) OVER (ORDER BY bucket_us "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ws, "
+            "ROW_NUMBER() OVER (ORDER BY bucket_us) AS rn FROM s) "
+            "SELECT bucket_us, CAST(ws * 1000000 // 3 AS BIGINT) AS moving_avg_micro "
+            "FROM w WHERE rn >= 3 ORDER BY bucket_us"
+        ),
+        # lag-1 first difference of the same series, from the 2nd bucket on
+        "stream_expr_diff": (
+            "WITH s AS (SELECT CAST(epoch_us(TIMESTAMP '2026-01-01 00:00:00' "
+            "+ to_seconds(doc_id)) // 60000000 * 60000000 AS BIGINT) AS bucket_us, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM documents "
+            f"WHERE list_contains({split}, 'merge') GROUP BY bucket_us), "
+            "w AS (SELECT bucket_us, c - LAG(c) OVER (ORDER BY bucket_us) AS delta, "
+            "ROW_NUMBER() OVER (ORDER BY bucket_us) AS rn FROM s) "
+            "SELECT bucket_us, CAST(delta AS BIGINT) AS delta "
+            "FROM w WHERE rn >= 2 ORDER BY bucket_us"
+        ),
+        # Pearson r from exact HUGEINT moments; ONE pinned float64
+        # division/sqrt, quantized to micro (same formula as the engine)
+        "stream_expr_corr": (
+            "WITH s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+            "CAST(SUM(doc_id) AS HUGEINT) AS sx, CAST(SUM(n_chars) AS HUGEINT) AS sy, "
+            "CAST(SUM(doc_id*doc_id) AS HUGEINT) AS sxx, "
+            "CAST(SUM(n_chars*n_chars) AS HUGEINT) AS syy, "
+            "CAST(SUM(doc_id*n_chars) AS HUGEINT) AS sxy FROM documents) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "CAST(FLOOR(CAST(n*sxy - sx*sy AS DOUBLE) "
+            "/ SQRT(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) "
+            "* 1000000 + 0.5) AS BIGINT) AS corr_micro FROM s"
         ),
         "stream_expr_regress": (
             "WITH s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "

@@ -732,6 +732,92 @@ def _build_regress(node: Node, ctx: dict) -> ray.data.Dataset:
     }))
 
 
+def _build_corr(node: Node, ctx: dict) -> ray.data.Dataset:
+    """corr(stream, x="a", y="b") ([U] solr/solrj/.../io/eval/
+    CorrelationEvaluator.java, Pearson): all moments as EXACT int64
+    map-side sums (n, sx, sy, sxx, syy, sxy), then ONE pinned float64
+    formula shared verbatim with the SQL oracle —
+    corr_micro = floor(num / sqrt(f64(d1)*f64(d2)) * 1e6 + 0.5) with
+    num = n*sxy - sx*sy, d1 = n*sxx - sx^2, d2 = n*syy - sy^2."""
+    import math
+
+    xc, yc = node.kwargs["x"], node.kwargs["y"]
+    ds = _build(node.args[0], ctx)
+
+    def prods(t: pa.Table) -> pa.Table:
+        x = t.column(xc).to_numpy().astype(np.int64)
+        y = t.column(yc).to_numpy().astype(np.int64)
+        return pa.table({xc: x, yc: y, "__xx": x * x, "__yy": y * y,
+                         "__xy": x * y})
+
+    row = _int_sums(ds.map_batches(prods, batch_format="pyarrow"),
+                    [xc, yc, "__xx", "__yy", "__xy"])
+    n = int(row["n"])
+    sx, sy = int(row[f"s_{xc}"]), int(row[f"s_{yc}"])
+    sxx, syy, sxy = int(row["s___xx"]), int(row["s___yy"]), int(row["s___xy"])
+    num = n * sxy - sx * sy
+    d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+    if n < 2 or d1 == 0 or d2 == 0:
+        corr_micro = 0
+    else:
+        corr_micro = int(math.floor(
+            float(num) / math.sqrt(float(d1) * float(d2)) * 1_000_000 + 0.5))
+    return ray.data.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "corr_micro": pa.array([corr_micro], pa.int64()),
+    }))
+
+
+def _series_pass(node: Node, ctx: dict):
+    """Shared shape for the series evaluators (movingAvg/diff): the inner
+    stream is bucket-count-sized by construction (a timeseries/rollup),
+    so ONE ordered output-sized pass is the scale-right plan."""
+    by = node.kwargs.get("by", "bucket_us")
+    col = node.kwargs["col"]
+    ds = _build(node.args[0], ctx)
+    return ds, by, col
+
+
+def _build_moving_avg(node: Node, ctx: dict) -> ray.data.Dataset:
+    """movingAvg(series, col="count", window=w, by="bucket_us") ([U]
+    solr/solrj/.../io/eval/MovingAverageEvaluator.java): trailing-window
+    mean over the ordered series, emitted from the w-th point on.
+    Exact ints: mean_micro = trunc(window_sum * 1e6 / w)."""
+    ds, by, col = _series_pass(node, ctx)
+    w = int(node.kwargs.get("window", 3))
+
+    def roll(t: pa.Table) -> pa.Table:
+        order = np.argsort(t.column(by).to_numpy(), kind="stable")
+        keys = t.column(by).to_numpy()[order]
+        v = t.column(col).to_numpy().astype(np.int64)[order]
+        if len(v) < w:
+            return pa.table({by: pa.array([], pa.int64()),
+                             "moving_avg_micro": pa.array([], pa.int64())})
+        csum = np.r_[0, np.cumsum(v)]
+        wsum = csum[w:] - csum[:-w]
+        micro = np.array([_tdiv(int(s) * 1_000_000, w) for s in wsum], np.int64)
+        return pa.table({by: pa.array(keys[w - 1:], pa.int64()),
+                         "moving_avg_micro": pa.array(micro, pa.int64())})
+
+    return ds.repartition(1).map_batches(roll, batch_format="pyarrow")
+
+
+def _build_diff(node: Node, ctx: dict) -> ray.data.Dataset:
+    """diff(series, col=, by=) ([U] solr/solrj/.../io/eval/
+    DifferenceEvaluator.java lag-1): first difference of the ordered
+    series — exact int64 subtraction, emitted from the 2nd point on."""
+    ds, by, col = _series_pass(node, ctx)
+
+    def lag(t: pa.Table) -> pa.Table:
+        order = np.argsort(t.column(by).to_numpy(), kind="stable")
+        keys = t.column(by).to_numpy()[order]
+        v = t.column(col).to_numpy().astype(np.int64)[order]
+        return pa.table({by: pa.array(keys[1:], pa.int64()),
+                         "delta": pa.array(np.diff(v), pa.int64())})
+
+    return ds.repartition(1).map_batches(lag, batch_format="pyarrow")
+
+
 def _tuples_to_docs(b: pa.Table) -> pa.Table:
     """Map stream tuples onto the documents collection schema, filling
     schema defaults for fields the tuple stream does not carry (the
@@ -861,6 +947,9 @@ STREAM_FUNCTIONS = {
     "regress": _build_regress,
     "timeseries": _build_timeseries,
     "random": _build_random,
+    "corr": _build_corr,
+    "movingAvg": _build_moving_avg,
+    "diff": _build_diff,
 }
 
 
@@ -1059,4 +1148,28 @@ def stream_expr_random(sf_dir: str) -> ray.data.Dataset:
     return run_stream(
         sf_dir,
         'random(documents, q="vector", fl="doc_id,lang", pct=10)',
+    )
+
+
+def stream_expr_moving_avg(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(
+        sf_dir,
+        'movingAvg(timeseries(documents, q="merge", field="ts", '
+        'gap="+60SECONDS", count(*)), col="count", window=3)',
+    )
+
+
+def stream_expr_diff(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(
+        sf_dir,
+        'diff(timeseries(documents, q="merge", field="ts", '
+        'gap="+60SECONDS", count(*)), col="count")',
+    )
+
+
+def stream_expr_corr(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(
+        sf_dir,
+        'corr(search(documents, q="*:*", fl="doc_id,n_chars"), '
+        'x="doc_id", y="n_chars")',
     )
