@@ -349,6 +349,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_expr_moving_avg": streamexpr.stream_expr_moving_avg,
         "stream_expr_diff": streamexpr.stream_expr_diff,
         "stream_expr_corr": streamexpr.stream_expr_corr,
+        "stream_expr_train": streamexpr.stream_expr_train,
+        "stream_expr_classify": streamexpr.stream_expr_classify,
         "stream_expr_cartesian_analyze": streamexpr.stream_expr_cartesian_analyze,
         "stream_expr_update": streamexpr.stream_expr_update,
         "stream_expr_random": streamexpr.stream_expr_random,
@@ -453,6 +455,57 @@ def _data_oracle():
 from lucene_solr_ray.analysis import STOPWORDS as _STOPWORDS
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(_STOPWORDS)) + "]"
+
+
+def _logit_sql(mode: str, label: str = "merge", iters: int = 3) -> str:
+    """Unrolled exact-int SQL replica of classify.text_logit_train /
+    text_logit_classify: one CTE layer per GD iteration; DuckDB BIGINT
+    // truncates toward zero == the engine's _logit_tdiv; the single
+    float op per doc (sigmoid -> floor(p*1e6+0.5)) is written with the
+    identical formula."""
+    from lucene_solr_ray.functions.classify import LOGIT_TERMS
+
+    terms = LOGIT_TERMS
+    m = len(terms)
+    split = "regexp_split_to_array(text, '\\s+')"
+    xs = ", ".join(
+        f"CASE WHEN list_contains(sp, '{t}') THEN 1 ELSE 0 END AS x{j}"
+        for j, t in enumerate(terms))
+    ctes = [
+        f"d AS (SELECT doc_id, CASE WHEN list_contains(sp, '{label}') "
+        f"THEN 1 ELSE 0 END AS y, {xs} "
+        f"FROM (SELECT doc_id, {split} AS sp FROM documents))",
+        "w0 AS (SELECT "
+        + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(m))
+        + ", CAST(0 AS BIGINT) AS wb)",
+    ]
+    z = " + ".join(f"x{j}*w{j}" for j in range(m)) + " + wb"
+    for k in range(1, iters + 1):
+        wcols = ", ".join(f"w{j}" for j in range(m))
+        xcols = ", ".join(f"x{j}" for j in range(m))
+        ctes.append(
+            f"r{k} AS (SELECT {wcols}, wb, {xcols}, "
+            f"CAST(FLOOR(1.0/(1.0 + EXP(-(({z}) * 1e-6)))*1000000 + 0.5) "
+            f"AS BIGINT) - y*1000000 AS r FROM d CROSS JOIN w{k-1})")
+        ups = ", ".join(
+            f"CAST(MIN(w{j}) - SUM(r*x{j}) // COUNT(*) AS BIGINT) AS w{j}"
+            for j in range(m))
+        ctes.append(
+            f"w{k} AS (SELECT {ups}, "
+            f"CAST(MIN(wb) - SUM(r) // COUNT(*) AS BIGINT) AS wb FROM r{k})")
+    with_sql = "WITH " + ", ".join(ctes)
+    if mode == "train":
+        rows = " UNION ALL ".join(
+            f"SELECT '{t}' AS feature, w{j} AS weight_micro FROM w{iters}"
+            for j, t in enumerate(terms))
+        rows += f" UNION ALL SELECT '__bias__' AS feature, wb AS weight_micro FROM w{iters}"
+        return f"{with_sql} {rows}"
+    return (
+        f"{with_sql} SELECT doc_id, prob_micro, "
+        f"CASE WHEN prob_micro >= 500000 THEN 1 ELSE 0 END AS predicted "
+        f"FROM (SELECT doc_id, CAST(FLOOR(1.0/(1.0 + EXP(-(({z}) * 1e-6)))"
+        f"*1000000 + 0.5) AS BIGINT) AS prob_micro "
+        f"FROM d CROSS JOIN w{iters}) ORDER BY doc_id")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1205,6 +1258,8 @@ def oracle_sql() -> dict[str, str]:
             "/ SQRT(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) "
             "* 1000000 + 0.5) AS BIGINT) AS corr_micro FROM s"
         ),
+        "stream_expr_train": _logit_sql("train"),
+        "stream_expr_classify": _logit_sql("classify"),
         "stream_expr_regress": (
             "WITH s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
             "CAST(SUM(doc_id) AS HUGEINT) AS sx, CAST(SUM(n_chars) AS HUGEINT) AS sy, "

@@ -376,3 +376,122 @@ def cluster_kmeans_docs(sf_dir: str, k: int = 8, iters: int = 5) -> ray.data.Dat
                          "dist_sq": pa.array(d2[np.arange(len(f)), assign])})
 
     return prof.map_batches(final, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------- TextLogitStream (distributed logistic regression) ---------
+
+
+LOGIT_TERMS = ("batch", "scan", "hash", "join", "sort", "stream", "window",
+               "vector")
+
+
+def _logit_tdiv(a: int, b: int) -> int:
+    """Truncating integer division toward zero — DuckDB BIGINT ``//``."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _logit_xy(t: pa.Table, terms: tuple, label_term: str):
+    """Term-presence design matrix (n x m, {0,1} int64) + label vector
+    (contains ``label_term``) from whitespace-split text — the identical
+    predicate the SQL oracle writes as list_contains(split, term)."""
+    texts = t.column("text").to_pylist()
+    n, m = len(texts), len(terms)
+    X = np.zeros((n, m), np.int64)
+    y = np.zeros(n, np.int64)
+    for i, s in enumerate(texts):
+        toks = set(s.split())
+        if label_term in toks:
+            y[i] = 1
+        for j, trm in enumerate(terms):
+            if trm in toks:
+                X[i, j] = 1
+    return X, y
+
+
+def _logit_weights(sf_dir: str, terms: tuple, label_term: str,
+                   iters: int) -> np.ndarray:
+    """Batch gradient descent for logistic regression with an EXACT
+    integer protocol ([U] solr/solrj/.../io/stream/TextLogitStream.java
+    trains the same model with per-shard partial gradients):
+
+    - weights live as int64 micro-units, w0 = 0;
+    - per doc: z_micro = X @ w + w_bias (exact int64),
+      p = 1/(1+exp(-z_micro*1e-6)) (float64, the ONE pinned float op),
+      r_micro = floor(p*1e6 + 0.5) - y*1e6 (order-independent exact int);
+    - per-feature gradient g_j = sum(r_micro * x_j) — map-side partial
+      int64 sums per batch, one model-sized Sum aggregate (the dsir
+      micro-nat pattern);
+    - update w_j -= tdiv(g_j, n) (learning rate 1, truncating division
+      = DuckDB BIGINT //, so the unrolled SQL oracle replicates every
+      iteration bit-for-bit).
+
+    Scale shape: each iteration is ONE streaming pass emitting an
+    (m+2)-column single-row partial per batch; the model (9 ints) is
+    closure-captured, never a dict, never re-shipped per row."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+    m = len(terms)
+    w = np.zeros(m + 1, np.int64)  # [0..m-1] term weights, [m] bias
+    for _ in range(iters):
+        wc = w.copy()
+
+        def grad(t: pa.Table, wc=wc) -> pa.Table:
+            X, y = _logit_xy(t, terms, label_term)
+            z = X @ wc[:-1] + wc[-1]
+            p = 1.0 / (1.0 + np.exp(-(z * 1e-6)))
+            r = np.floor(p * 1e6 + 0.5).astype(np.int64) - y * 1_000_000
+            g = X.T @ r
+            cols = {f"g{j}": pa.array([int(g[j])], pa.int64())
+                    for j in range(m)}
+            cols["gb"] = pa.array([int(r.sum())], pa.int64())
+            cols["nn"] = pa.array([t.num_rows], pa.int64())
+            return pa.table(cols)
+
+        aggs = [Sum(f"g{j}", alias_name=f"g{j}") for j in range(m)]
+        aggs += [Sum("gb", alias_name="gb"), Sum("nn", alias_name="nn")]
+        row = ds.map_batches(grad, batch_format="pyarrow").aggregate(*aggs)
+        n = int(row["nn"])
+        for j in range(m):
+            w[j] -= _logit_tdiv(int(row[f"g{j}"]), n)
+        w[m] -= _logit_tdiv(int(row["gb"]), n)
+    return w
+
+
+def text_logit_train(sf_dir: str, terms: tuple = LOGIT_TERMS,
+                     label_term: str = "merge",
+                     iters: int = 3) -> ray.data.Dataset:
+    """train() stream: final-iteration model as (feature, weight_micro)
+    rows (bias = '__bias__')."""
+    w = _logit_weights(sf_dir, terms, label_term, iters)
+    feats = list(terms) + ["__bias__"]
+    return ray.data.from_arrow(pa.table({
+        "feature": pa.array(feats, pa.string()),
+        "weight_micro": pa.array(w.tolist(), pa.int64()),
+    }))
+
+
+def text_logit_classify(sf_dir: str, terms: tuple = LOGIT_TERMS,
+                        label_term: str = "merge",
+                        iters: int = 3) -> ray.data.Dataset:
+    """classify() stream ([U] solr/solrj/.../io/stream/ClassifyStream.java):
+    score every doc under the trained model — one streaming pass with
+    the 9-int model closure-captured; prob_micro = floor(p*1e6+0.5),
+    predicted = prob_micro >= 500000."""
+    w = _logit_weights(sf_dir, terms, label_term, iters)
+
+    def score(t: pa.Table) -> pa.Table:
+        X, _ = _logit_xy(t, terms, label_term)
+        z = X @ w[:-1] + w[-1]
+        p = 1.0 / (1.0 + np.exp(-(z * 1e-6)))
+        pm = np.floor(p * 1e6 + 0.5).astype(np.int64)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "prob_micro": pa.array(pm, pa.int64()),
+            "predicted": pa.array((pm >= 500_000).astype(np.int64)),
+        })
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")

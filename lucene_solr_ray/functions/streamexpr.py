@@ -818,6 +818,40 @@ def _build_diff(node: Node, ctx: dict) -> ray.data.Dataset:
     return ds.repartition(1).map_batches(lag, batch_format="pyarrow")
 
 
+def _logit_spec(node: Node):
+    from lucene_solr_ray.functions.classify import LOGIT_TERMS
+
+    feats = node.kwargs.get("features")
+    terms = tuple(feats.split(",")) if feats else LOGIT_TERMS
+    label = node.kwargs.get("q", "merge")
+    iters = int(node.kwargs.get("iterations", 3))
+    return terms, label, iters
+
+
+def _build_train(node: Node, ctx: dict) -> ray.data.Dataset:
+    """train(documents, q="label-term", features="a,b,...", iterations=k)
+    ([U] solr/solrj/.../io/stream/TextLogitStream.java): distributed
+    batch logistic regression; emits the final model as
+    (feature, weight_micro) rows. Exact-int protocol in
+    classify.text_logit_train."""
+    from lucene_solr_ray.functions.classify import text_logit_train
+
+    terms, label, iters = _logit_spec(node)
+    return text_logit_train(ctx["sf_dir"], terms, label, iters)
+
+
+def _build_classify(node: Node, ctx: dict) -> ray.data.Dataset:
+    """classify(train(documents, ...)) ([U] solr/solrj/.../io/stream/
+    ClassifyStream.java): scores every doc under the trained model in
+    one streaming pass -> (doc_id, prob_micro, predicted)."""
+    from lucene_solr_ray.functions.classify import text_logit_classify
+
+    inner = node.args[0]
+    spec_node = inner if isinstance(inner, Node) and inner.name == "train" else node
+    terms, label, iters = _logit_spec(spec_node)
+    return text_logit_classify(ctx["sf_dir"], terms, label, iters)
+
+
 def _tuples_to_docs(b: pa.Table) -> pa.Table:
     """Map stream tuples onto the documents collection schema, filling
     schema defaults for fields the tuple stream does not carry (the
@@ -950,6 +984,8 @@ STREAM_FUNCTIONS = {
     "corr": _build_corr,
     "movingAvg": _build_moving_avg,
     "diff": _build_diff,
+    "train": _build_train,
+    "classify": _build_classify,
 }
 
 
@@ -1173,3 +1209,12 @@ def stream_expr_corr(sf_dir: str) -> ray.data.Dataset:
         'corr(search(documents, q="*:*", fl="doc_id,n_chars"), '
         'x="doc_id", y="n_chars")',
     )
+
+
+def stream_expr_train(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(sf_dir, 'train(documents, q="merge", iterations=3)')
+
+
+def stream_expr_classify(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(
+        sf_dir, 'classify(train(documents, q="merge", iterations=3))')

@@ -153,3 +153,36 @@ def test_timeseries_and_random_streams(ray_session):
         columns=["doc_id"]).column("doc_id").to_numpy()
     want = np.sort(ids[(ids * 2654435761) % 4294967296 < (4294967296 * 10) // 100])
     assert np.array_equal(rnd["doc_id"].to_numpy(), want)
+
+
+def test_text_logit_train_separates_planted_corpus(ray_session, tmp_path):
+    """train()/classify() (TextLogitStream mechanism): on a perfectly
+    separable planted corpus ('join' <=> 'merge' label) the trained
+    weight for the predictive term must dominate and classify() must
+    predict every doc correctly after 3 iterations."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.functions.classify import (
+        text_logit_classify, text_logit_train)
+
+    texts, labels = [], []
+    for i in range(200):
+        pos = i % 2 == 0
+        base = "batch scan row" if i % 3 else "hash sort table"
+        texts.append(base + (" join merge" if pos else " window"))
+        labels.append(1 if pos else 0)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    w = text_logit_train(str(tmp_path)).to_pandas().set_index("feature")[
+        "weight_micro"]
+    assert w["join"] > 0 and w["join"] >= w.drop("__bias__").abs().max()
+
+    got = text_logit_classify(str(tmp_path)).to_pandas()
+    assert (got["predicted"].to_numpy() == labels).all()
+    # determinism: a second run reproduces every micro-int exactly
+    again = text_logit_classify(str(tmp_path)).to_pandas()
+    assert (got["prob_micro"].to_numpy() == again["prob_micro"].to_numpy()).all()
