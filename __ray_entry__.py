@@ -351,6 +351,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_expr_corr": streamexpr.stream_expr_corr,
         "stream_expr_train": streamexpr.stream_expr_train,
         "stream_expr_classify": streamexpr.stream_expr_classify,
+        "stream_expr_knn": streamexpr.stream_expr_knn,
+        "stream_expr_significant_terms": streamexpr.stream_expr_significant_terms,
+        "stream_expr_reduce": streamexpr.stream_expr_reduce,
+        "stream_expr_score_nodes": streamexpr.stream_expr_score_nodes,
+        "stream_expr_shortest_path": streamexpr.stream_expr_shortest_path,
         "stream_expr_cartesian_analyze": streamexpr.stream_expr_cartesian_analyze,
         "stream_expr_update": streamexpr.stream_expr_update,
         "stream_expr_random": streamexpr.stream_expr_random,
@@ -425,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scored_join_avg": lambda sf: rel.scored_join_modes(sf, mode="avg", k=20),
         "scored_join_total": lambda sf: rel.scored_join_modes(sf, mode="total", k=20),
         "significant_terms": rel.significant_terms,
+        "facet_join_domain": rel.facet_join_domain,
         "relatedness_facets": rel.relatedness_facets,
         "collapse_top_order": rel.collapse_top_order,
         "grouping_topk": lambda sf: rel.grouping_topk(sf, k=2),
@@ -1260,6 +1266,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_expr_train": _logit_sql("train"),
         "stream_expr_classify": _logit_sql("classify"),
+        "stream_expr_knn": _ft_oracle().more_like_this_sql(0, 8, 10),
         "stream_expr_regress": (
             "WITH s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
             "CAST(SUM(doc_id) AS HUGEINT) AS sx, CAST(SUM(n_chars) AS HUGEINT) AS sy, "
@@ -1579,6 +1586,17 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS bg FROM "
             f"(SELECT unnest({split}) AS term, lang FROM documents) "
             "GROUP BY term ORDER BY term"
+        ),
+        "stream_expr_significant_terms": (
+            "SELECT term, CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS fg, "
+            "COUNT(*) AS bg FROM "
+            f"(SELECT unnest({split}) AS term, lang FROM documents) "
+            "GROUP BY term ORDER BY term"
+        ),
+        "facet_join_domain": (
+            "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS count FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') "
+            "GROUP BY c_mktsegment ORDER BY count DESC, c_mktsegment LIMIT 5"
         ),
         "grouping_by_query": (
             "SELECT grp, CAST(rn - 1 AS BIGINT) AS rank, doc_id, n_chars FROM ("
@@ -2282,6 +2300,25 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_suppkey ORDER BY l_suppkey"
         ),
         "score_nodes": _data_oracle().score_nodes_sql(),
+        "stream_expr_score_nodes": _data_oracle().score_nodes_sql(),
+        "stream_expr_reduce": (
+            "SELECT doc_id, lang, n_chars FROM ("
+            "SELECT doc_id, lang, n_chars, ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 2 ORDER BY lang, doc_id"
+        ),
+        "stream_expr_shortest_path": (
+            "WITH RECURSIVE adj AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v "
+            "FROM lineitem a JOIN lineitem b ON a.l_partkey = b.l_partkey), "
+            "pairs(src, dst) AS (VALUES (1, 7)), "
+            "walk(src, node, d) AS ("
+            "SELECT src, src, 0 FROM pairs UNION "
+            "SELECT w.src, adj.v, w.d + 1 FROM walk w JOIN adj ON adj.u = w.node WHERE w.d < 4) "
+            "SELECT CAST(p.src AS BIGINT) AS src, CAST(p.dst AS BIGINT) AS dst, "
+            "CAST(COALESCE(MIN(w.d), -1) AS BIGINT) AS distance "
+            "FROM pairs p LEFT JOIN walk w ON w.src = p.src AND w.node = p.dst "
+            "GROUP BY p.src, p.dst ORDER BY src, dst"
+        ),
         # --- ingest ---
         # bad docs = doc_id % 25 == 0 (text blanked) -> skipped, not fatal
         # RFC-4122 v3: version nibble forced '3', variant = (n & 3) | 8

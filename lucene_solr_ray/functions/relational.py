@@ -1598,3 +1598,36 @@ def sampled_facets(sf_dir: str, pct: int = 20) -> pa.Table:
         "n_sampled": pa.array(n_sampled, pa.int64()),
         "n_estimated": pa.array((n_sampled * 100 // pct).astype(np.int64), pa.int64()),
     })
+
+
+def facet_join_domain(sf_dir: str, status: str = "F", top: int = 5) -> pa.Table:
+    """JSON facet domain change via join ([U] solr/core/.../search/facet/
+    FacetRequest.java `domain: {join: {from,to}}` + JoinQParserPlugin):
+    the facet domain becomes the DISTINCT customer docs reachable from
+    the filtered orders domain through o_custkey -> c_custkey, then a
+    terms facet on c_mktsegment (count desc, index-order tiebreak).
+
+    Scale shape: the from-side key set is deduped DISTRIBUTED and
+    broadcast as one sorted numpy array (semi-join membership via
+    searchsorted, never a dict); the facet itself is a low-cardinality
+    groupby."""
+    keys = _order_custkeys(sf_dir, status)
+
+    def member(t: pa.Table) -> pa.Table:
+        ck = t.column("c_custkey").to_numpy().astype(np.int64)
+        pos = np.searchsorted(keys, ck)
+        pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+        ok = (pos < len(keys)) & (keys[pos_c] == ck) if len(keys) else np.zeros(len(ck), bool)
+        return t.filter(pa.array(ok))
+
+    counts = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(member, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="count"))
+        .to_pandas()
+    )
+    counts = counts.sort_values(["count", "c_mktsegment"],
+                                ascending=[False, True]).head(top)
+    return pa.Table.from_pandas(counts.reset_index(drop=True),
+                                preserve_index=False)

@@ -852,6 +852,98 @@ def _build_classify(node: Node, ctx: dict) -> ray.data.Dataset:
     return text_logit_classify(ctx["sf_dir"], terms, label, iters)
 
 
+def _build_knn(node: Node, ctx: dict) -> ray.data.Dataset:
+    """knn(documents, id=N, k=K) ([U] solr/solrj/.../io/stream/
+    KnnStream.java): text k-nearest-neighbors of one document — the
+    MoreLikeThis mechanism (significant terms of the doc -> OR query ->
+    top-k), reusing fulltext.more_like_this_topk."""
+    from lucene_solr_ray.functions.fulltext import more_like_this_topk
+
+    return ray.data.from_arrow(more_like_this_topk(
+        ctx["sf_dir"], doc_id=int(node.kwargs.get("id", 0)),
+        k=int(node.kwargs.get("k", 10))))
+
+
+def _build_significant_terms(node: Node, ctx: dict) -> ray.data.Dataset:
+    """significantTerms(documents) ([U] solr/solrj/.../io/stream/
+    SignificantTermsStream.java) -> relational.significant_terms."""
+    from lucene_solr_ray.functions.relational import significant_terms
+
+    return significant_terms(ctx["sf_dir"])
+
+
+def _build_nodes(node: Node, ctx: dict) -> ray.data.Dataset:
+    """nodes(...) / gatherNodes(...) ([U] solr/solrj/.../io/graph/
+    GatherNodesStream.java) TEXT-grammar form -> graph.gather_nodes."""
+    from lucene_solr_ray.functions.graph import gather_nodes
+
+    return gather_nodes(ctx["sf_dir"],
+                        segment=node.kwargs.get("segment", "BUILDING"))
+
+
+def _build_shortest_path(node: Node, ctx: dict) -> ray.data.Dataset:
+    """shortestPath(collection, from=a, to=b) ([U] .../io/graph/
+    ShortestPathStream.java) -> graph.shortest_path_pairs (multi-source
+    distributed BFS)."""
+    from lucene_solr_ray.functions.graph import shortest_path_pairs
+
+    pairs = ((int(node.kwargs.get("from", 1)), int(node.kwargs.get("to", 7))),)
+    tab = shortest_path_pairs(ctx["sf_dir"], pairs=pairs,
+                              max_hops=int(node.kwargs.get("maxDepth", 4)))
+    return tab if isinstance(tab, ray.data.Dataset) else ray.data.from_arrow(tab)
+
+
+def _build_score_nodes(node: Node, ctx: dict) -> ray.data.Dataset:
+    """scoreNodes(nodes(...)) ([U] .../io/graph/ScoreNodesStream.java)
+    -> graph.score_nodes (tf-idf-style node relevance)."""
+    from lucene_solr_ray.functions.graph import score_nodes
+
+    inner = node.args[0] if node.args else None
+    seg = (inner.kwargs.get("segment", "BUILDING")
+           if isinstance(inner, Node) else
+           node.kwargs.get("segment", "BUILDING"))
+    out = score_nodes(ctx["sf_dir"], segment=seg)
+    return out if isinstance(out, ray.data.Dataset) else ray.data.from_arrow(out)
+
+
+def _flatten_fl(node) -> set:
+    """Columns a stream subtree carries (best effort, for tie-breaks)."""
+    cols = set()
+    if isinstance(node, Node):
+        fl = node.kwargs.get("fl")
+        if fl:
+            cols |= {c.strip() for c in fl.split(",")}
+        for a in node.args:
+            cols |= _flatten_fl(a)
+    return cols
+
+
+def _build_reduce(node: Node, ctx: dict) -> ray.data.Dataset:
+    """reduce(stream, by="k", group(sort="f desc", n=N)) ([U]
+    solr/solrj/.../io/stream/ReducerStream.java + GroupOperation): group
+    the stream's tuples by key and keep the top-N of each group by the
+    group sort — one map_groups over a hash-partitioned groupby (the
+    reference's sorted-adjacency contract relaxed to the shuffle Ray
+    Data already does; output is identical because groups are total)."""
+    by = node.kwargs["by"].strip()
+    gop = next(a for a in node.args[1:] if isinstance(a, Node) and a.name == "group")
+    sort_spec = gop.kwargs.get("sort", "")
+    n = int(gop.kwargs.get("n", 1))
+    col, _, direction = sort_spec.strip().partition(" ")
+    desc = direction.strip().lower() == "desc"
+    ds = _build(node.args[0], ctx)
+
+    tie_col = "doc_id" if "doc_id" in _flatten_fl(node.args[0]) else col
+
+    def topn(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy()
+        tie = t.column(tie_col).to_numpy()
+        order = np.lexsort((tie, -v if desc else v))[:n]
+        return t.take(np.sort(order))
+
+    return ds.groupby(by).map_groups(topn, batch_format="pyarrow")
+
+
 def _tuples_to_docs(b: pa.Table) -> pa.Table:
     """Map stream tuples onto the documents collection schema, filling
     schema defaults for fields the tuple stream does not carry (the
@@ -986,6 +1078,13 @@ STREAM_FUNCTIONS = {
     "diff": _build_diff,
     "train": _build_train,
     "classify": _build_classify,
+    "knn": _build_knn,
+    "significantTerms": _build_significant_terms,
+    "nodes": _build_nodes,
+    "gatherNodes": _build_nodes,
+    "shortestPath": _build_shortest_path,
+    "scoreNodes": _build_score_nodes,
+    "reduce": _build_reduce,
 }
 
 
@@ -1218,3 +1317,27 @@ def stream_expr_train(sf_dir: str) -> ray.data.Dataset:
 def stream_expr_classify(sf_dir: str) -> ray.data.Dataset:
     return run_stream(
         sf_dir, 'classify(train(documents, q="merge", iterations=3))')
+
+
+def stream_expr_knn(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(sf_dir, "knn(documents, id=0, k=10)")
+
+
+def stream_expr_significant_terms(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(sf_dir, "significantTerms(documents)")
+
+
+def stream_expr_reduce(sf_dir: str) -> ray.data.Dataset:
+    """Top-2 longest docs per language via ReducerStream semantics."""
+    return run_stream(
+        sf_dir,
+        'reduce(search(documents, q="*:*", fl="doc_id,lang,n_chars"), '
+        'by="lang", group(sort="n_chars desc", n=2))')
+
+
+def stream_expr_score_nodes(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(sf_dir, 'scoreNodes(nodes(orders, segment="BUILDING"))')
+
+
+def stream_expr_shortest_path(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(sf_dir, 'shortestPath(supplier_graph, from=1, to=7)')
