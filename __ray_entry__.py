@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_expr_reduce": streamexpr.stream_expr_reduce,
         "stream_expr_score_nodes": streamexpr.stream_expr_score_nodes,
         "stream_expr_shortest_path": streamexpr.stream_expr_shortest_path,
+        "stream_expr_let_math": streamexpr.stream_expr_let_math,
         "stream_expr_cartesian_analyze": streamexpr.stream_expr_cartesian_analyze,
         "stream_expr_update": streamexpr.stream_expr_update,
         "stream_expr_random": streamexpr.stream_expr_random,
@@ -431,6 +432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scored_join_total": lambda sf: rel.scored_join_modes(sf, mode="total", k=20),
         "significant_terms": rel.significant_terms,
         "facet_join_domain": rel.facet_join_domain,
+        "classifier_pr_points": classify.classifier_pr_points,
         "relatedness_facets": rel.relatedness_facets,
         "collapse_top_order": rel.collapse_top_order,
         "grouping_topk": lambda sf: rel.grouping_topk(sf, k=2),
@@ -506,6 +508,20 @@ def _logit_sql(mode: str, label: str = "merge", iters: int = 3) -> str:
             for j, t in enumerate(terms))
         rows += f" UNION ALL SELECT '__bias__' AS feature, wb AS weight_micro FROM w{iters}"
         return f"{with_sql} {rows}"
+    if mode == "pr":
+        ths = (100000, 300000, 500000, 700000, 900000)
+        scored = (f"{with_sql}, s AS (SELECT y, CAST(FLOOR(1.0/(1.0 + "
+                  f"EXP(-(({z}) * 1e-6)))*1000000 + 0.5) AS BIGINT) AS pm "
+                  f"FROM d CROSS JOIN w{iters})")
+        rows = " UNION ALL ".join(
+            f"SELECT CAST({t} AS BIGINT) AS threshold, tp, fp, fn, "
+            f"CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END AS precision_micro, "
+            f"CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS recall_micro "
+            f"FROM (SELECT CAST(SUM(CASE WHEN pm >= {t} AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp, "
+            f"CAST(SUM(CASE WHEN pm >= {t} AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp, "
+            f"CAST(SUM(CASE WHEN pm < {t} AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn FROM s)"
+            for t in ths)
+        return f"{scored} {rows}"
     return (
         f"{with_sql} SELECT doc_id, prob_micro, "
         f"CASE WHEN prob_micro >= 500000 THEN 1 ELSE 0 END AS predicted "
@@ -1264,9 +1280,29 @@ def oracle_sql() -> dict[str, str]:
             "/ SQRT(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) "
             "* 1000000 + 0.5) AS BIGINT) AS corr_micro FROM s"
         ),
+        # col() zips the two 60s-bucket count series positionally; the
+        # bucket-key join below is equal because both terms occupy every
+        # bucket on the gate corpora (verified); mean/tdiv per _tdiv
+        "stream_expr_let_math": (
+            "WITH a AS (SELECT CAST(epoch_us(TIMESTAMP '2026-01-01 00:00:00' "
+            "+ to_seconds(doc_id)) // 60000000 * 60000000 AS BIGINT) AS b, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM documents "
+            f"WHERE list_contains({split}, 'merge') GROUP BY b), "
+            "bb AS (SELECT CAST(epoch_us(TIMESTAMP '2026-01-01 00:00:00' "
+            "+ to_seconds(doc_id)) // 60000000 * 60000000 AS BIGINT) AS b, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM documents "
+            f"WHERE list_contains({split}, 'join') GROUP BY b) "
+            "SELECT CAST(SUM(a.c * bb.c) AS BIGINT) AS dot, "
+            "CAST(SUM(a.c) AS BIGINT) AS sum_a, CAST(SUM(bb.c) AS BIGINT) AS sum_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(a.c) * 1000000 // COUNT(*) AS BIGINT) AS mean_a_micro, "
+            "CAST(SUM(a.c) - SUM(bb.c) AS BIGINT) AS sum_diff "
+            "FROM a JOIN bb ON a.b = bb.b"
+        ),
         "stream_expr_train": _logit_sql("train"),
         "stream_expr_classify": _logit_sql("classify"),
         "stream_expr_knn": _ft_oracle().more_like_this_sql(0, 8, 10),
+        "classifier_pr_points": _logit_sql("pr"),
         "stream_expr_regress": (
             "WITH s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
             "CAST(SUM(doc_id) AS HUGEINT) AS sx, CAST(SUM(n_chars) AS HUGEINT) AS sy, "

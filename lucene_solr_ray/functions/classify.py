@@ -495,3 +495,55 @@ def text_logit_classify(sf_dir: str, terms: tuple = LOGIT_TERMS,
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
                             columns=["doc_id", "text"])
     return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+def classifier_pr_points(sf_dir: str, terms: tuple = LOGIT_TERMS,
+                         label_term: str = "merge", iters: int = 3,
+                         thresholds: tuple = (100_000, 300_000, 500_000,
+                                              700_000, 900_000)
+                         ) -> ray.data.Dataset:
+    """Classifier calibration sweep — the eval operator a model-based
+    curation stage needs before picking a keep threshold: for each
+    probability cutoff, exact (tp, fp, fn) counts plus
+    precision/recall in micro-units (tdiv, 0 when undefined).
+
+    Scale shape: ONE streaming scoring pass; each batch emits a
+    len(thresholds) x 3 integer partial, combined by one model-sized
+    Sum aggregate — no per-doc rows leave the pass."""
+    from ray.data.aggregate import Sum
+
+    w = _logit_weights(sf_dir, terms, label_term, iters)
+    ths = tuple(int(t) for t in thresholds)
+
+    def counts(t: pa.Table) -> pa.Table:
+        X, y = _logit_xy(t, terms, label_term)
+        z = X @ w[:-1] + w[-1]
+        p = 1.0 / (1.0 + np.exp(-(z * 1e-6)))
+        pm = np.floor(p * 1e6 + 0.5).astype(np.int64)
+        cols = {}
+        for th in ths:
+            pred = pm >= th
+            cols[f"tp{th}"] = pa.array([int((pred & (y == 1)).sum())], pa.int64())
+            cols[f"fp{th}"] = pa.array([int((pred & (y == 0)).sum())], pa.int64())
+            cols[f"fn{th}"] = pa.array([int((~pred & (y == 1)).sum())], pa.int64())
+        return pa.table(cols)
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+    aggs = [Sum(f"{m}{th}", alias_name=f"{m}{th}")
+            for th in ths for m in ("tp", "fp", "fn")]
+    row = ds.map_batches(counts, batch_format="pyarrow").aggregate(*aggs)
+    out = {"threshold": [], "tp": [], "fp": [], "fn": [],
+           "precision_micro": [], "recall_micro": []}
+    for th in ths:
+        tp, fp, fn = (int(row[f"tp{th}"]), int(row[f"fp{th}"]),
+                      int(row[f"fn{th}"]))
+        out["threshold"].append(th)
+        out["tp"].append(tp)
+        out["fp"].append(fp)
+        out["fn"].append(fn)
+        out["precision_micro"].append(
+            _logit_tdiv(tp * 1_000_000, tp + fp) if tp + fp else 0)
+        out["recall_micro"].append(
+            _logit_tdiv(tp * 1_000_000, tp + fn) if tp + fn else 0)
+    return ray.data.from_arrow(pa.table(
+        {k: pa.array(v, pa.int64()) for k, v in out.items()}))

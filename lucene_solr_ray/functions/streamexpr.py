@@ -944,6 +944,60 @@ def _build_reduce(node: Node, ctx: dict) -> ray.data.Dataset:
     return ds.groupby(by).map_groups(topn, batch_format="pyarrow")
 
 
+def _eval_math(v, ctx: dict):
+    """Evaluate one math-program value ([U] solr/solrj/.../io/eval/*):
+    a variable name, a literal, or an evaluator call over variables.
+    Vectors are Python lists of exact ints (the streams feeding col()
+    are bucket-count-sized by construction, so driver-side lists are the
+    scale-right representation — the corpus pass already happened
+    distributed inside the inner stream)."""
+    if isinstance(v, str):
+        return ctx.get("vars", {}).get(v, v)
+    if not isinstance(v, Node):
+        return v
+    if v.name == "col":
+        ds = _build(v.args[0], ctx)
+        field = v.args[1] if len(v.args) > 1 else v.kwargs["field"]
+        df = ds.to_pandas()
+        return [int(x) for x in df[field]]
+    args = [_eval_math(a, ctx) for a in v.args]
+    if v.name == "sum":
+        return sum(args[0])
+    if v.name == "length":
+        return len(args[0])
+    if v.name == "mean":  # exact micro-units, truncating division
+        return _tdiv(sum(args[0]) * 1_000_000, len(args[0]))
+    if v.name == "dotProduct":
+        return sum(x * y for x, y in zip(args[0], args[1], strict=True))
+    if v.name == "ebeAdd":
+        return [x + y for x, y in zip(args[0], args[1], strict=True)]
+    if v.name == "ebeSubtract":
+        return [x - y for x, y in zip(args[0], args[1], strict=True)]
+    raise ValueError(f"unknown math evaluator {v.name!r}")
+
+
+def _build_let(node: Node, ctx: dict) -> ray.data.Dataset:
+    """let(a=col(stream, "f"), ..., tuple(out=eval(...), ...)) ([U]
+    solr/solrj/.../io/stream/LetStream.java + TupStream): bind variables
+    in declaration order, then emit the tuple() as one row of exact-int
+    scalars. col() zips positionally in the inner stream's sort order
+    (TupleStream contract); the SQL oracle's key-join form is equal
+    whenever both series cover the same key set (holds on the gate
+    corpora — both probe terms occupy every time bucket)."""
+    ctx = dict(ctx)
+    ctx["vars"] = {}
+    for k, v in node.kwargs.items():
+        ctx["vars"][k] = _eval_math(v, ctx)
+    tup = next(a for a in node.args if isinstance(a, Node) and a.name == "tuple")
+    cols = {}
+    for k, v in tup.kwargs.items():
+        out = _eval_math(v, ctx)
+        if isinstance(out, list):
+            raise ValueError(f"tuple() field {k!r} is a vector; reduce it first")
+        cols[k] = pa.array([int(out)], pa.int64())
+    return ray.data.from_arrow(pa.table(cols))
+
+
 def _tuples_to_docs(b: pa.Table) -> pa.Table:
     """Map stream tuples onto the documents collection schema, filling
     schema defaults for fields the tuple stream does not carry (the
@@ -1085,6 +1139,7 @@ STREAM_FUNCTIONS = {
     "shortestPath": _build_shortest_path,
     "scoreNodes": _build_score_nodes,
     "reduce": _build_reduce,
+    "let": _build_let,
 }
 
 
@@ -1341,3 +1396,17 @@ def stream_expr_score_nodes(sf_dir: str) -> ray.data.Dataset:
 
 def stream_expr_shortest_path(sf_dir: str) -> ray.data.Dataset:
     return run_stream(sf_dir, 'shortestPath(supplier_graph, from=1, to=7)')
+
+
+def stream_expr_let_math(sf_dir: str) -> ray.data.Dataset:
+    """Math program: two aligned time series -> dot product / sums /
+    exact-micro mean via let()/col()/tuple() evaluators."""
+    return run_stream(
+        sf_dir,
+        'let(a=col(timeseries(documents, q="merge", field="ts", '
+        'gap="+60SECONDS", count(*)), "count"), '
+        'b=col(timeseries(documents, q="join", field="ts", '
+        'gap="+60SECONDS", count(*)), "count"), '
+        'c=ebeSubtract(a, b), '
+        'tuple(dot=dotProduct(a, b), sum_a=sum(a), sum_b=sum(b), '
+        'n=length(a), mean_a_micro=mean(a), sum_diff=sum(c)))')

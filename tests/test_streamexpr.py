@@ -186,3 +186,28 @@ def test_text_logit_train_separates_planted_corpus(ray_session, tmp_path):
     # determinism: a second run reproduces every micro-int exactly
     again = text_logit_classify(str(tmp_path)).to_pandas()
     assert (got["prob_micro"].to_numpy() == again["prob_micro"].to_numpy()).all()
+
+
+def test_let_col_tuple_math_program(se, ray_session):
+    """let() binds in order; col() extracts; evaluators are exact ints."""
+    out = se.stream_expr_let_math("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["n"] >= 1 and r["sum_diff"] == r["sum_a"] - r["sum_b"]
+    assert r["mean_a_micro"] == (r["sum_a"] * 1_000_000) // r["n"]
+
+
+def test_reduce_group_topn(se, ray_session):
+    """reduce()+group(): per-key top-n by the group sort, doc_id ties."""
+    import duckdb
+
+    got = se.stream_expr_reduce("/root/testdata/sf0.001").to_pandas()
+    exp = duckdb.sql(
+        "SELECT doc_id, lang, n_chars FROM ("
+        "SELECT doc_id, lang, n_chars, ROW_NUMBER() OVER ("
+        "PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
+        "FROM '/root/testdata/sf0.001/documents.parquet') WHERE rn <= 2"
+    ).to_df()
+    g = got.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    e = exp.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    assert (g["doc_id"].to_numpy() == e["doc_id"].to_numpy()).all()
