@@ -285,6 +285,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, "merge", payload=3, mod=5),
         "ft_span_or_near": lambda sf: ft.span_or_near_retrieve(
             sf, [["merge", "join"], "vector"], slop=4, in_order=False),
+        "ft_phrase_wildcard": lambda sf: ft.phrase_wildcard_retrieve(
+            sf, lead="merge", prefix="v"),
+        "ft_span_multiterm": lambda sf: ft.span_multiterm_near_retrieve(
+            sf, pattern="s*m", other="sort", slop=4, in_order=False),
         "ft_span_not_docs": lambda sf: ft.span_not_retrieve(
             sf, "vector", "merge", pre=2, post=2),
         "ft_surround_query": lambda sf: ft.surround_docs(
@@ -911,6 +915,32 @@ def oracle_sql() -> dict[str, str]:
             f"FROM (SELECT doc_id, {split} AS l FROM documents)), "
             "a AS (SELECT doc_id, pos FROM toks WHERE term IN ('merge', 'join')), "
             "b AS (SELECT doc_id, pos FROM toks WHERE term = 'vector') "
+            "SELECT DISTINCT a.doc_id AS doc_id FROM a JOIN b ON a.doc_id = b.doc_id "
+            "WHERE abs(a.pos - b.pos) - 1 <= 4 ORDER BY doc_id"
+        ),
+        # PhraseWildcardQuery "merge v*": the wildcard slot expands over
+        # the STOP-FILTERED indexed vocabulary (same rule as
+        # ft_complex_phrase); adjacency = pos+1 in whitespace positions
+        "ft_phrase_wildcard": (
+            f"WITH toks AS (SELECT doc_id, unnest(l) AS term, "
+            f"CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos "
+            f"FROM (SELECT doc_id, {split} AS l FROM documents)), "
+            "a AS (SELECT doc_id, pos FROM toks WHERE term = 'merge'), "
+            f"b AS (SELECT doc_id, pos FROM toks WHERE term LIKE 'v%' "
+            f"AND NOT list_contains({_STOP_SQL}, term)) "
+            "SELECT DISTINCT a.doc_id AS doc_id FROM a JOIN b "
+            "ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 ORDER BY doc_id"
+        ),
+        # SpanMultiTermQueryWrapper(wildcard s*m) near 'sort', unordered
+        # slop 4: gap = |pos_a - pos_b| - 1; the wildcard slot expands
+        # over the stop-filtered vocabulary (LIKE 's%m' == glob s*m)
+        "ft_span_multiterm": (
+            f"WITH toks AS (SELECT doc_id, unnest(l) AS term, "
+            f"CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos "
+            f"FROM (SELECT doc_id, {split} AS l FROM documents)), "
+            f"a AS (SELECT doc_id, pos FROM toks WHERE term LIKE 's%m' "
+            f"AND NOT list_contains({_STOP_SQL}, term)), "
+            "b AS (SELECT doc_id, pos FROM toks WHERE term = 'sort') "
             "SELECT DISTINCT a.doc_id AS doc_id FROM a JOIN b ON a.doc_id = b.doc_id "
             "WHERE abs(a.pos - b.pos) - 1 <= 4 ORDER BY doc_id"
         ),

@@ -100,6 +100,45 @@ def span_or_near_retrieve(sf_dir: str, clauses: list, slop: int = 0,
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
 
 
+def phrase_wildcard_retrieve(sf_dir: str, lead: str = "merge",
+                             prefix: str = "v") -> pa.Table:
+    """PhraseWildcardQuery ([U] lucene/sandbox/.../search/
+    PhraseWildcardQuery.java): a phrase where one slot is a multi-term
+    expansion — here "<lead> <prefix>*". The sandbox query's
+    segment-by-segment term expansion is replaced by the sorted-dict
+    scan (expand_terms), then evaluated as SpanNear(ordered, slop=0)
+    over [lead, SpanOr(expansion)] — identical match semantics
+    (adjacency in position space, so a stopword gap between the slots
+    correctly rejects). -> sorted doc_id set."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    exp = s.expand_terms("prefix", prefix)
+    if not exp:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    d = s.search_span_near([lead, exp], slop=0, in_order=True)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
+def span_multiterm_near_retrieve(sf_dir: str, pattern: str = "s*m",
+                                 other: str = "sort", slop: int = 4,
+                                 in_order: bool = False) -> pa.Table:
+    """SpanMultiTermQueryWrapper ([U] lucene/core/.../search/spans/
+    SpanMultiTermQueryWrapper.java): a WildcardQuery rewritten to a
+    SpanOr over its dictionary expansion (SpanRewriteMethod), composed
+    inside a SpanNear with a literal clause. Expansion runs over the
+    stop-filtered indexed vocabulary, so stopwords can never satisfy
+    the wildcard slot. -> sorted doc_id set."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    exp = s.expand_terms("wildcard", pattern)
+    if not exp:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    d = s.search_span_near([exp, other], slop=slop, in_order=in_order)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
 def span_position_range_retrieve(sf_dir: str, term: str, start: int, end: int) -> pa.Table:
     """SpanPositionRangeQuery match set ([U] .../spans/
     SpanPositionRangeQuery.java) -> sorted doc_id set."""

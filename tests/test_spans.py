@@ -237,3 +237,37 @@ def test_synonym_query_degenerates_to_single_term(ray_session):
     syn = synonym_topk(sf, ["merge", "zzz-absent"], k=10).to_pandas()
     single = bm25_topk(sf, [("q", ["merge"], "or")], k=10).to_pandas()
     assert syn["doc_id"].tolist() == single["doc_id"].tolist()
+
+
+def test_phrase_wildcard_and_span_multiterm(tmp_path, ray_session):
+    """PhraseWildcardQuery + SpanMultiTermQueryWrapper on a hand-built
+    corpus: the wildcard slot expands over the stop-filtered vocabulary
+    (stopwords can never fill it), adjacency/slop in position space."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.functions.fulltext import (
+        phrase_wildcard_retrieve, span_multiterm_near_retrieve)
+
+    texts = [
+        "merge value table",       # merge v* adjacent -> match
+        "merge the vector",        # stopword gap at pos 1 -> NO match
+        "merge stream sort",       # s*m 'stream'@1, sort@2: gap 0 -> match
+        "value merge",             # v* before merge -> NO phrase match
+        "stream key agg row sort", # gap 3 <= 4 -> multiterm match
+        "stream key agg row scan sort",  # gap 4 <= 4 -> match
+        "stream key agg row scan big sort",  # gap 5 > 4 -> NO match
+    ]
+    tab = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    pw = phrase_wildcard_retrieve(str(tmp_path), lead="merge", prefix="v")
+    assert pw.column("doc_id").to_pylist() == [0]
+    mt = span_multiterm_near_retrieve(str(tmp_path), pattern="s*m",
+                                      other="sort", slop=4, in_order=False)
+    assert mt.column("doc_id").to_pylist() == [2, 4, 5]
