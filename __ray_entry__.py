@@ -215,6 +215,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, ["merge", "join"], k=10, func="sigm"),
         "ft_boost_query_topk": lambda sf: ft.boost_query_topk(
             sf, ["merge", "join"], k=10),
+        "ft_boosting_demote": lambda sf: ft.boosting_demote_topk(
+            sf, ["merge", "join"], demote_term="vector", demote_factor=0.5, k=10),
         "ft_intervals_maxgaps": lambda sf: ft.intervals_maxgaps_retrieve(
             sf, "merge", "join", "sort", max_gaps=4),
         "ft_fuzzy_like_this": lambda sf: ft.fuzzy_like_this_topk(
@@ -635,6 +637,8 @@ def oracle_sql() -> dict[str, str]:
             ["merge", "join"], k=10, func="sigm"),
         "ft_boost_query_topk": _ft_oracle().boost_query_sql(
             ["merge", "join"], k=10),
+        "ft_boosting_demote": _ft_oracle().boosting_demote_sql(
+            ["merge", "join"], demote_term="vector", demote_factor=0.5, k=10),
         "ft_fuzzy_like_this": _ft_oracle().fuzzy_like_this_sql(
             ("merg", "vectr"), max_edits=1, max_num_terms=6, k=10),
         "ft_intervals_containing": _ft_oracle().intervals_containing_sql(

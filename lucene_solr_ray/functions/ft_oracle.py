@@ -903,6 +903,48 @@ def boost_query_sql(raw_terms: list[str], field: str = "n_chars",
             f") ranked WHERE rank < {int(k)} ORDER BY rank")
 
 
+def boosting_demote_sql(raw_terms: list[str], demote_term: str = "vector",
+                        demote_factor: float = 0.5, k: int = 10) -> str:
+    """Oracle for fulltext.boosting_demote_topk: the BM25 float32 fold
+    multiplied (float64 product, float32 narrow) by a float32 constant
+    factor when the doc matches the demote term, by 1.0 otherwise —
+    the exact op order the engine pins."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    import numpy as np
+
+    terms = analyze_query_terms(raw_terms)
+    dterm = analyze_query_terms([demote_term])[0]
+    f32 = float(np.float32(demote_factor))
+    ctes = [prelude_ctes()]
+    tf_names, w_names = [], []
+    for ti, t in enumerate(terms):
+        tf_n, w_n = f"bd_tf{ti}", f"bd_w{ti}"
+        ctes.append(tf_cte(tf_n, t))
+        ctes.append(w_cte(w_n, tf_n))
+        tf_names.append(tf_n)
+        w_names.append(w_n)
+    ctes.append(tf_cte("bd_dm", dterm))
+    aliases = [f"t{ti}" for ti in range(len(terms))]
+    joins = f"{tf_names[0]} {aliases[0]}"
+    for tf_n, a in zip(tf_names[1:], aliases[1:]):
+        joins += f" JOIN {tf_n} {a} ON {aliases[0]}.doc_id = {a}.doc_id"
+    joins += f" JOIN denom ON denom.doc_id = {aliases[0]}.doc_id"
+    joins += f" JOIN bd_dm dm ON dm.doc_id = {aliases[0]}.doc_id"
+    boost = (f"CASE WHEN dm.tf > 0 THEN CAST({f32!r} AS FLOAT) "
+             "ELSE CAST(1.0 AS FLOAT) END")
+    fold = fold_f32([score_expr(a, w_n) for a, w_n in zip(aliases, w_names)])
+    final = f"CAST(CAST({fold} AS DOUBLE) * CAST({boost} AS DOUBLE) AS FLOAT)"
+    cond = " OR ".join(f"{a}.tf > 0" for a in aliases)
+    return ("WITH " + ", ".join(ctes) + " "
+            "SELECT 'bd-1' AS query_id, rank, doc_id FROM ("
+            "SELECT doc_id, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+            f"FROM (SELECT {aliases[0]}.doc_id AS doc_id, {final} AS score "
+            f"FROM {joins} WHERE {cond}) sub"
+            f") ranked WHERE rank < {int(k)} ORDER BY rank")
+
+
 def intervals_containing_sql(term_a: str, term_b: str, small: str,
                              max_width: int = 8) -> str:
     """Oracle for fulltext.intervals_containing_retrieve — an independent

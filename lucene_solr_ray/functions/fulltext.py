@@ -1733,6 +1733,40 @@ def boost_query_topk(sf_dir: str, terms: list[str], field: str = "n_chars",
     })
 
 
+def boosting_demote_topk(sf_dir: str, terms: list[str],
+                         demote_term: str = "vector",
+                         demote_factor: float = 0.5, k: int = 10) -> pa.Table:
+    """FunctionScoreQuery.boostByQuery ([U] lucene/queries/.../function/
+    FunctionScoreQuery.java boostByQuery — the BoostingQuery demotion
+    idiom): docs matching the demote query keep their BM25 match set but
+    their score is MULTIPLIED by a <1 factor, final = float32(
+    float64(bm25_f32) * float64(factor_f32)). The demote query's match
+    set comes from its posting list (one term cursor, no rescore pass);
+    rank-only output."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    from lucene_solr_ray.oracle import analyze_query_terms, topk_order
+
+    qterms = analyze_query_terms(terms)
+    d, bm25 = s.search(qterms, k=max(1, s.n_docs), mode="or")
+    if len(d) == 0:
+        return pa.Table.from_pylist([], schema=pa.schema(
+            [("query_id", pa.string()), ("rank", pa.int64()), ("doc_id", pa.int64())]))
+    dm = analyze_query_terms([demote_term])
+    _, _, cur = s.term_stats_and_cursor(dm[0]) if dm else (0, 0, None)
+    demote_docs = cur.decode_all()[0] if cur is not None else np.empty(0, np.int64)
+    factor = np.where(np.isin(d, demote_docs),
+                      np.float32(demote_factor), np.float32(1.0))
+    final = (bm25.astype(np.float64) * factor.astype(np.float64)).astype(np.float32)
+    top = topk_order(d, final, k)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({
+        "query_id": pa.array(["bd-1"] * len(top), pa.string()),
+        "rank": pa.array(np.arange(len(top)), pa.int64()),
+        "doc_id": pa.array(mapping[d[top]].astype(np.int64), pa.int64()),
+    })
+
+
 def intervals_containing_retrieve(sf_dir: str, term_a: str, term_b: str,
                                   small: str, max_width: int = 8) -> pa.Table:
     """IntervalQuery containing(maxwidth(w, unordered(a,b)), c) match set

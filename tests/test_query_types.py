@@ -384,3 +384,18 @@ def test_query_elevation_semantics(ray_session):
     expect_rest = [d for d in base_ids if d not in drop][:8]
     assert out["doc_id"].tolist()[2:] == expect_rest
     assert excluded[0] not in out["doc_id"].tolist()
+
+
+def test_boosting_demote_reorders_and_matchset_fixed(ray_session):
+    """FunctionScoreQuery.boostByQuery demotion: factor 1.0 == plain BM25
+    order; factor 0.5 reorders (demote term present in the corpus) but
+    never changes the match SET — only scores scale."""
+    from lucene_solr_ray.functions.fulltext import boosting_demote_topk
+
+    sf = "/root/testdata/sf0.001"
+    full = boosting_demote_topk(sf, ["merge", "join"], demote_factor=1.0,
+                                k=10**6).to_pandas()
+    dem = boosting_demote_topk(sf, ["merge", "join"], demote_factor=0.5,
+                               k=10**6).to_pandas()
+    assert sorted(full["doc_id"]) == sorted(dem["doc_id"])
+    assert full["doc_id"].tolist() != dem["doc_id"].tolist()
