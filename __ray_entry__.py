@@ -424,6 +424,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, "n_chars", start=100, end=400, gap=100),
         "facet_multiselect_ex": lambda sf: rel.facet_multiselect_ex(sf),
         "facet_allbuckets": lambda sf: rel.facet_allbuckets(sf, top=3),
+        "group_facet_counts": lambda sf: rel.group_facet_counts(
+            sf, facet_field="lang", group_field="source", min_chars=200),
+        "facet_missing_bucket": lambda sf: rel.facet_missing_bucket(sf, min_chars=200),
         "uniqueblock_facet": lambda sf: rel.uniqueblock_facet(sf, min_qty=25),
         "sampled_facets": lambda sf: rel.sampled_facets(sf, pct=20),
         "timeseries_facet": rel.timeseries_facet,
@@ -1410,6 +1413,19 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT CAST(SUM(n_chars) AS BIGINT) FROM documents) "
             "UNION ALL SELECT '__numBuckets__', (SELECT CAST(COUNT(*) AS BIGINT) FROM b), 0"
             ") ORDER BY bucket"
+        ),
+        # group.facet=true: each lang bucket counts DISTINCT source
+        # groups holding >= 1 matching doc (match = n_chars >= 200)
+        "group_facet_counts": (
+            "SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups "
+            "FROM documents WHERE n_chars >= 200 GROUP BY lang ORDER BY lang"
+        ),
+        # facet.missing: docs whose derived nullable field is NULL land
+        # in one extra __missing__ bucket
+        "facet_missing_bucket": (
+            "SELECT COALESCE(CASE WHEN n_chars >= 200 THEN source END, '__missing__') "
+            "AS bucket, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY 1 ORDER BY bucket"
         ),
         # uniqueBlock(_root_): unique parent orders per child bucket
         "uniqueblock_facet": (

@@ -1515,6 +1515,73 @@ def facet_allbuckets(sf_dir: str, top: int = 3) -> pa.Table:
     })
 
 
+def group_facet_counts(sf_dir: str, facet_field: str = "lang",
+                       group_field: str = "source",
+                       min_chars: int = 200) -> pa.Table:
+    """Grouped faceting, ``group.facet=true`` ([U] solr/core/.../search/
+    grouping/TermGroupFacetCollector.java via SimpleFacets): facet counts
+    computed over GROUPS rather than documents — each facet value counts
+    the distinct groups that contain at least one matching doc. Match set
+    here = a docvalues filter (n_chars >= min_chars) pushed into the
+    columnar read.
+
+    Scale shape (the uniqueBlock recipe): (facet, group) pairs pre-dedup
+    map-side per batch, ONE hash groupby dedups globally, per-facet
+    counts are facet-domain-sized partials + one combine."""
+    from ray.data.aggregate import Count
+
+    pairs = (
+        _read(sf_dir, "documents", [facet_field, group_field, "n_chars"])
+        .filter(expr=f"n_chars >= {int(min_chars)}")
+        .map_batches(
+            lambda t: pa.table({
+                facet_field: t.column(facet_field),
+                group_field: t.column(group_field),
+            }).group_by([facet_field, group_field]).aggregate([]),
+            batch_format="pyarrow")
+        .groupby([facet_field, group_field])
+        .count()
+        .groupby(facet_field)
+        .aggregate(Count(alias_name="n_groups"))
+        .to_pandas()
+    )
+    pairs = pairs.sort_values(facet_field).reset_index(drop=True)
+    return pa.table({
+        facet_field: pa.array(pairs[facet_field].astype(str), pa.string()),
+        "n_groups": pa.array(pairs["n_groups"].astype(np.int64), pa.int64()),
+    })
+
+
+def facet_missing_bucket(sf_dir: str, min_chars: int = 200) -> pa.Table:
+    """Terms facet with the ``missing`` bucket ([U] solr/core/.../search/
+    facet/FacetField.java missing:true; classic facet.missing): facet
+    over a NULLABLE derived field (source, defined only for docs with
+    n_chars >= min_chars) — docs with no value land in one extra
+    ``__missing__`` bucket instead of being dropped. One map-side
+    partial count per batch, one bucket-domain groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = t.column("source").to_pandas().astype(str)
+        src[t.column("n_chars").to_numpy() < min_chars] = "__missing__"
+        vc = src.value_counts()
+        return pa.table({"bucket": pa.array(vc.index.astype(str), pa.string()),
+                         "n_docs": pa.array(vc.to_numpy().astype(np.int64), pa.int64())})
+
+    out = (
+        _read(sf_dir, "documents", ["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .sort("bucket")
+        .to_pandas()
+    )
+    return pa.table({
+        "bucket": pa.array(out["bucket"].astype(str), pa.string()),
+        "n_docs": pa.array(out["n_docs"].astype(np.int64), pa.int64()),
+    })
+
+
 def uniqueblock_facet(sf_dir: str, min_qty: int = 25) -> pa.Table:
     """uniqueBlock(_root_) block-join facet ([U] solr/core/.../search/
     facet/UniqueBlockAgg.java): facet over CHILD docs (lineitem rows with
