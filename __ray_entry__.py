@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_expr_score_nodes": streamexpr.stream_expr_score_nodes,
         "stream_expr_shortest_path": streamexpr.stream_expr_shortest_path,
         "stream_expr_let_math": streamexpr.stream_expr_let_math,
+        "stream_expr_cov_percentile": streamexpr.stream_expr_cov_percentile,
         "stream_expr_cartesian_analyze": streamexpr.stream_expr_cartesian_analyze,
         "stream_expr_update": streamexpr.stream_expr_update,
         "stream_expr_random": streamexpr.stream_expr_random,
@@ -1335,6 +1336,31 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(a.c) * 1000000 // COUNT(*) AS BIGINT) AS mean_a_micro, "
             "CAST(SUM(a.c) - SUM(bb.c) AS BIGINT) AS sum_diff "
             "FROM a JOIN bb ON a.b = bb.b"
+        ),
+        # cov()/variance(): sample (n-1) denominators, micro-units,
+        # truncating division; percentile(): nearest-rank on exact ints.
+        # Series align positionally == join on bucket (full coverage)
+        "stream_expr_cov_percentile": (
+            "WITH a AS (SELECT CAST(epoch_us(TIMESTAMP '2026-01-01 00:00:00' "
+            "+ to_seconds(doc_id)) // 60000000 * 60000000 AS BIGINT) AS b, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM documents "
+            f"WHERE list_contains({split}, 'merge') GROUP BY b), "
+            "bb AS (SELECT CAST(epoch_us(TIMESTAMP '2026-01-01 00:00:00' "
+            "+ to_seconds(doc_id)) // 60000000 * 60000000 AS BIGINT) AS b, "
+            "CAST(COUNT(*) AS BIGINT) AS c FROM documents "
+            f"WHERE list_contains({split}, 'join') GROUP BY b), "
+            "j AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+            "CAST(SUM(a.c * bb.c) AS HUGEINT) AS sxy, "
+            "CAST(SUM(a.c) AS HUGEINT) AS sx, CAST(SUM(bb.c) AS HUGEINT) AS sy, "
+            "CAST(SUM(a.c * a.c) AS HUGEINT) AS sxx, "
+            "CAST(SUM(a.c * bb.c) AS BIGINT) AS dot "
+            "FROM a JOIN bb ON a.b = bb.b), "
+            "p AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn FROM a), "
+            "pn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM a) "
+            "SELECT CAST(((j.n*j.sxy - j.sx*j.sy) * 1000000) // (j.n*(j.n-1)) AS BIGINT) AS cov_micro, "
+            "CAST(((j.n*j.sxx - j.sx*j.sx) * 1000000) // (j.n*(j.n-1)) AS BIGINT) AS var_a_micro, "
+            "(SELECT c FROM p, pn WHERE rn = GREATEST(1, (90*pn.n + 99) // 100)) AS p90_a, "
+            "j.dot AS dot FROM j"
         ),
         "stream_expr_train": _logit_sql("train"),
         "stream_expr_classify": _logit_sql("classify"),

@@ -973,6 +973,33 @@ def _eval_math(v, ctx: dict):
         return [x + y for x, y in zip(args[0], args[1], strict=True)]
     if v.name == "ebeSubtract":
         return [x - y for x, y in zip(args[0], args[1], strict=True)]
+    if v.name == "ebeMultiply":
+        return [x * y for x, y in zip(args[0], args[1], strict=True)]
+    if v.name == "cov":
+        # sample covariance ([U] io/eval/CovarianceEvaluator — Commons
+        # Math bias-corrected /(n-1)), exact micro-units, truncating div
+        a, b = args[0], args[1]
+        n = len(a)
+        if n < 2:
+            return 0
+        num = n * sum(x * y for x, y in zip(a, b, strict=True)) - sum(a) * sum(b)
+        return _tdiv(num * 1_000_000, n * (n - 1))
+    if v.name == "variance":
+        # sample variance ([U] io/eval/VarianceEvaluator), micro-units
+        a = args[0]
+        n = len(a)
+        if n < 2:
+            return 0
+        return _tdiv((n * sum(x * x for x in a) - sum(a) ** 2) * 1_000_000,
+                     n * (n - 1))
+    if v.name == "percentile":
+        # nearest-rank percentile over exact ints ([U] io/eval/
+        # PercentileEvaluator; Commons Math R-6 interpolation pinned down
+        # to the discrete nearest-rank form percentile_disc also uses)
+        a = sorted(args[0])
+        p = int(args[1])
+        idx = max(1, (p * len(a) + 99) // 100)
+        return a[idx - 1]
     raise ValueError(f"unknown math evaluator {v.name!r}")
 
 
@@ -1396,6 +1423,21 @@ def stream_expr_score_nodes(sf_dir: str) -> ray.data.Dataset:
 
 def stream_expr_shortest_path(sf_dir: str) -> ray.data.Dataset:
     return run_stream(sf_dir, 'shortestPath(supplier_graph, from=1, to=7)')
+
+
+def stream_expr_cov_percentile(sf_dir: str) -> ray.data.Dataset:
+    """Math program: sample covariance / variance (micro-units),
+    nearest-rank percentile and element-wise product over two aligned
+    time series — the cov()/variance()/percentile()/ebeMultiply()
+    evaluators ([U] solr/solrj/.../io/eval/)."""
+    return run_stream(
+        sf_dir,
+        'let(a=col(timeseries(documents, q="merge", field="ts", '
+        'gap="+60SECONDS", count(*)), "count"), '
+        'b=col(timeseries(documents, q="join", field="ts", '
+        'gap="+60SECONDS", count(*)), "count"), '
+        'tuple(cov_micro=cov(a, b), var_a_micro=variance(a), '
+        'p90_a=percentile(a, 90), dot=sum(ebeMultiply(a, b))))')
 
 
 def stream_expr_let_math(sf_dir: str) -> ray.data.Dataset:

@@ -211,3 +211,25 @@ def test_reduce_group_topn(se, ray_session):
     g = got.sort_values(["lang", "doc_id"]).reset_index(drop=True)
     e = exp.sort_values(["lang", "doc_id"]).reset_index(drop=True)
     assert (g["doc_id"].to_numpy() == e["doc_id"].to_numpy()).all()
+
+
+def test_math_evaluators_cov_variance_percentile(ray_session):
+    """cov/variance (sample, micro-units, truncating div), nearest-rank
+    percentile, ebeMultiply — against hand-computed exact values."""
+    from lucene_solr_ray.functions.streamexpr import Node, _eval_math
+
+    ctx = {"vars": {"a": [1, 2, 3, 4], "b": [2, 4, 6, 9], "one": [7]}}
+
+    def ev(name, *args):
+        return _eval_math(Node(name, list(args), {}), ctx)
+
+    # cov: n=4, sxy=2+8+18+36=64, sx=10, sy=21 -> (256-210)*1e6 // 12
+    assert ev("cov", "a", "b") == (4 * 64 - 10 * 21) * 1_000_000 // 12
+    # variance: sxx=30 -> (120-100)*1e6 // 12 = 1666666
+    assert ev("variance", "a") == 1_666_666
+    assert ev("cov", "one", "one") == 0 and ev("variance", "one") == 0
+    # nearest-rank: p50 of [1,2,3,4] -> rank ceil(2.0)=2 -> 2; p90 -> 4
+    assert ev("percentile", "a", 50) == 2
+    assert ev("percentile", "a", 90) == 4
+    assert ev("percentile", "one", 99) == 7
+    assert ev("ebeMultiply", "a", "b") == [2, 8, 18, 36]
