@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis ---
         "token_count": ts.token_count,
         "bpe_ish_count": ts.bpe_ish_count,
+        "ngram_diversity": lambda sf: ts.ngram_diversity(sf, n=3),
+        "token_fertility": ts.token_fertility,
         "quality_signals": ts.quality_signals,
         "lang_id": ts.lang_id,
         "md5_fingerprint": ts.md5_fingerprint,
@@ -1973,6 +1975,29 @@ def oracle_sql() -> dict[str, str]:
         "bpe_ish_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) "
             "AS n_bpe_tokens FROM documents ORDER BY doc_id"
+        ),
+        # per-source trigram diversity: distinct/total grams, micro-units
+        "ngram_diversity": (
+            "WITH toks AS (SELECT source, doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS l FROM documents "
+            "WHERE trim(text) <> ''), "
+            "g AS (SELECT source, list_extract(l, i) || ' ' || list_extract(l, i+1) "
+            "|| ' ' || list_extract(l, i+2) AS gram "
+            "FROM toks, UNNEST(range(1, len(l) - 1)) AS t(i)) "
+            "SELECT source, CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct, "
+            "CAST(COUNT(*) AS BIGINT) AS n_total, "
+            "CAST(COUNT(DISTINCT gram) * 1000000 // COUNT(*) AS BIGINT) AS diversity_micro "
+            "FROM g GROUP BY source ORDER BY source"
+        ),
+        # per-lang subword fertility: BPE-ish tokens per whitespace word
+        "token_fertility": (
+            "SELECT lang, CAST(SUM(w) AS BIGINT) AS n_words, "
+            "CAST(SUM(bpe) AS BIGINT) AS n_subwords, "
+            "CAST(SUM(bpe) * 1000000 // GREATEST(SUM(w), 1) AS BIGINT) AS fertility_micro "
+            "FROM (SELECT lang, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END AS w, "
+            "len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS bpe "
+            "FROM documents) GROUP BY lang ORDER BY lang"
         ),
         "quality_signals": (
             "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE "

@@ -58,6 +58,106 @@ def bpe_ish_count(sf_dir: str) -> ray.data.Dataset:
     return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
 
 
+def ngram_diversity(sf_dir: str, n: int = 3) -> pa.Table:
+    """Per-source n-gram diversity — distinct n-grams over total n-grams
+    (micro-units, truncating div): the corpus-level repetitiveness /
+    self-similarity signal LLM curation pipelines track per domain
+    (Gopher's repetition family lifted from doc level to source level).
+
+    Scale shape: gram rows pre-dedup map-side per batch, ONE
+    (source, gram) hash groupby dedups globally (the wide step), then a
+    source-domain-sized count; totals are per-batch integer partials +
+    one tiny groupby. Gram identity is the exact token string — a
+    hash-bucketed variant would shrink shuffle bytes at 100 TB, at the
+    cost of collision risk in the distinct count."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["text", "source"])
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        seen: set = set()
+        for src, s in zip(t.column("source").to_pylist(),
+                          t.column("text").to_pylist()):
+            toks = _WS.split(s.strip()) if s and s.strip() else []
+            for i in range(len(toks) - n + 1):
+                seen.add((src, " ".join(toks[i:i + n])))
+        srcs = [p[0] for p in seen]
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "gram": pa.array([p[1] for p in seen], pa.string())})
+
+    def total_partials(t: pa.Table) -> pa.Table:
+        tot: dict = {}
+        for src, s in zip(t.column("source").to_pylist(),
+                          t.column("text").to_pylist()):
+            toks = _WS.split(s.strip()) if s and s.strip() else []
+            tot[src] = tot.get(src, 0) + max(0, len(toks) - n + 1)
+        return pa.table({"source": pa.array(list(tot), pa.string()),
+                         "n_total": pa.array(list(tot.values()), pa.int64())})
+
+    distinct = (
+        ds.map_batches(gram_rows, batch_format="pyarrow")
+        .groupby(["source", "gram"]).count()
+        .groupby("source").aggregate(Count(alias_name="n_distinct"))
+        .to_pandas().set_index("source")
+    )
+    totals = (
+        ds.map_batches(total_partials, batch_format="pyarrow")
+        .groupby("source").aggregate(Sum("n_total", alias_name="n_total"))
+        .to_pandas().set_index("source")
+    )
+    out = distinct.join(totals, how="inner").sort_index()
+    nd = out["n_distinct"].to_numpy().astype(np.int64)
+    nt = out["n_total"].to_numpy().astype(np.int64)
+    return pa.table({
+        "source": pa.array(out.index.astype(str), pa.string()),
+        "n_distinct": pa.array(nd, pa.int64()),
+        "n_total": pa.array(nt, pa.int64()),
+        "diversity_micro": pa.array(nd * 1_000_000 // nt, pa.int64()),
+    })
+
+
+def token_fertility(sf_dir: str) -> pa.Table:
+    """Per-language tokenizer fertility — subword tokens (the BPE-ish
+    regex pre-tokenizer) per whitespace word, micro-units: the standard
+    "how many pieces does this tokenizer cut a word of language X into"
+    diagnostic for multilingual training mixes. One stateless pass of
+    integer partials, one lang-domain groupby."""
+    from ray.data.aggregate import Sum
+
+    def partials(t: pa.Table) -> pa.Table:
+        agg: dict = {}
+        for lang, s in zip(t.column("lang").to_pylist(),
+                           t.column("text").to_pylist()):
+            w = len(_WS.split(s.strip())) if s and s.strip() else 0
+            bpe = len(_TOKEN_OR_PUNCT.findall(s.lower())) if s else 0
+            cw, cb = agg.get(lang, (0, 0))
+            agg[lang] = (cw + w, cb + bpe)
+        return pa.table({
+            "lang": pa.array(list(agg), pa.string()),
+            "n_words": pa.array([v[0] for v in agg.values()], pa.int64()),
+            "n_subwords": pa.array([v[1] for v in agg.values()], pa.int64()),
+        })
+
+    out = (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_words", alias_name="n_words"),
+                   Sum("n_subwords", alias_name="n_subwords"))
+        .to_pandas().sort_values("lang")
+    )
+    nw = out["n_words"].to_numpy().astype(np.int64)
+    nb = out["n_subwords"].to_numpy().astype(np.int64)
+    fert = np.where(nw > 0, nb * 1_000_000 // np.maximum(nw, 1), 0)
+    return pa.table({
+        "lang": pa.array(out["lang"].astype(str), pa.string()),
+        "n_words": pa.array(nw, pa.int64()),
+        "n_subwords": pa.array(nb, pa.int64()),
+        "fertility_micro": pa.array(fert.astype(np.int64), pa.int64()),
+    })
+
+
 def quality_signals(sf_dir: str) -> ray.data.Dataset:
     """Per-doc quality counters (length / stopword-ratio numerators kept
     as exact integers; ratios are the caller's division)."""
