@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_sq_topk": lambda sf: ann.ann_sq_topk(sf, k=10, n_queries=5),
         "ann_range_search": lambda sf: ann.ann_range_search(sf, threshold=0.30, n_queries=5),
         "ann_filtered_topk": lambda sf: ann.ann_filtered_topk(sf, label=1, k=10, n_queries=5),
+        "hard_negative_mining": lambda sf: ann.hard_negative_mining(sf, k=10, n_anchors=5),
         "ann_ivf_topk": lambda sf: ann.ann_ivf_topk(sf, k=10, n_queries=5),
         "ann_pq_topk": lambda sf: ann.ann_pq_topk(sf, k=10, n_queries=5),
         "ann_ivfpq_topk": lambda sf: ann.ann_ivfpq_topk(sf, k=10, n_queries=5),
@@ -1942,6 +1943,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT q.query_id, b.vec_id AS neighbor_id, ROW_NUMBER() OVER ("
             "PARTITION BY q.query_id ORDER BY list_cosine_similarity(q.qe, b.embedding) DESC, b.vec_id) AS rn "
             "FROM q, embeddings b WHERE b.vec_id != q.query_id AND b.label = 1) t "
+            "WHERE rn <= 10 ORDER BY query_id, rank"
+        ),
+        # hard negatives: per-anchor top-k among DIFFERENT-label vectors
+        "hard_negative_mining": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql "
+            "FROM embeddings ORDER BY vec_id LIMIT 5) "
+            "SELECT query_id, CAST(rn - 1 AS BIGINT) AS rank, neighbor_id FROM ("
+            "SELECT q.query_id, b.vec_id AS neighbor_id, ROW_NUMBER() OVER ("
+            "PARTITION BY q.query_id ORDER BY list_cosine_similarity(q.qe, b.embedding) DESC, b.vec_id) AS rn "
+            "FROM q, embeddings b WHERE b.label != q.ql) t "
             "WHERE rn <= 10 ORDER BY query_id, rank"
         ),
         # ann_ivf_topk: served from the persisted cluster-partitioned IVF

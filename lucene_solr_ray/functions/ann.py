@@ -287,6 +287,78 @@ def ann_filtered_topk(sf_dir: str, label: int = 1, k: int = 10,
     return pa.Table.from_pylist(rows, schema=schema)
 
 
+class _HardNegStage:
+    """Per-batch cosine vs the broadcast anchor matrix, masked to
+    DIFFERENT-label vectors per anchor -> per-batch top-k partials."""
+
+    def __init__(self, q_ref, qids, qlabels, k):
+        self.q = ray.get(q_ref)
+        self.qn = self.q / np.linalg.norm(self.q, axis=1, keepdims=True)
+        self.qids = qids
+        self.qlabels = qlabels
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        x = emb_matrix(t.column("embedding"))
+        ids = t.column("vec_id").to_numpy().astype(np.int64)
+        labels = t.column("label").to_numpy().astype(np.int64)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        cos = self.qn @ xn.T
+        out_q, out_n, out_c = [], [], []
+        for qi in range(len(self.qids)):
+            mask = labels != self.qlabels[qi]  # wrong-class only
+            cand_ids, cand_cos = ids[mask], cos[qi][mask]
+            if len(cand_ids) > self.k:
+                order = np.lexsort((cand_ids, -cand_cos))[: self.k]
+                cand_ids, cand_cos = cand_ids[order], cand_cos[order]
+            out_q.extend([int(self.qids[qi])] * len(cand_ids))
+            out_n.extend(cand_ids.tolist())
+            out_c.extend(cand_cos.tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "cos": pa.array(out_c, pa.float64()),
+        })
+
+
+def hard_negative_mining(sf_dir: str, k: int = 10, n_anchors: int = 5) -> pa.Table:
+    """Hard-negative mining for contrastive training (the DPR/Contriever
+    recipe): for each anchor vector, the top-k most-similar vectors with
+    a DIFFERENT label — near neighbors from the wrong class are the
+    hardest negatives. The per-anchor label mask is applied inside the
+    brute stage (anchor matrix + labels broadcast once via ray.put);
+    exchange stays O(n_anchors * k) rows per block, exact by
+    construction. Scale path: swap the brute stage for the IVF probe
+    the same way ann_ivf_topk does."""
+    head = (_read_emb_labeled(sf_dir).sort("vec_id").limit(n_anchors).to_pandas())
+    qids = head["vec_id"].to_numpy().astype(np.int64)
+    qlabels = head["label"].to_numpy().astype(np.int64)
+    q = np.array(head["embedding"].tolist(), dtype=np.float64)
+    q_ref = ray.put(q)
+    partials = (
+        _read_emb_labeled(sf_dir)
+        .map_batches(
+            _HardNegStage,
+            fn_constructor_kwargs={"q_ref": q_ref, "qids": qids,
+                                   "qlabels": qlabels, "k": k},
+            batch_format="pyarrow",
+            batch_size=4096,
+            concurrency=pool_size(),
+        )
+        .to_pandas()
+    )
+    rows = []
+    for qid, g in partials.groupby("query_id"):
+        order = np.lexsort((g["neighbor_id"].to_numpy(), -g["cos"].to_numpy()))[:k]
+        for rank, idx in enumerate(order):
+            rows.append({"query_id": int(qid), "rank": rank,
+                         "neighbor_id": int(g["neighbor_id"].iloc[idx])})
+    rows.sort(key=lambda r: (r["query_id"], r["rank"]))
+    schema = pa.schema([("query_id", pa.int64()), ("rank", pa.int64()),
+                        ("neighbor_id", pa.int64())])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
 def _read_emb_labeled(sf_dir: str) -> ray.data.Dataset:
     return read_parquet_clean(f"{sf_dir}/embeddings.parquet",
                               columns=["vec_id", "embedding", "label"])

@@ -659,3 +659,25 @@ def test_stratified_sample_per_group_k(ray_session):
         assert n == min(7, int(sizes[lang])), (lang, n)
     again = stratified_sample(SF, k=7).to_pandas()
     assert got["doc_id"].tolist() == again["doc_id"].tolist()
+
+
+def test_hard_negative_rank_gap():
+    """Measured float-safety for hard_negative_mining's cosine ordering:
+    within each anchor's DIFFERENT-label candidate list, adjacent sorted
+    cosines are far enough apart that numpy-vs-DuckDB float64 rounding
+    (~1e-15 relative) cannot swap ranks."""
+    import duckdb
+    import numpy as _np
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        df = con.sql(
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql "
+            f"FROM read_parquet('{sf}/embeddings.parquet') ORDER BY vec_id LIMIT 5) "
+            "SELECT q.query_id AS qid, list_cosine_similarity(q.qe, b.embedding) AS c "
+            f"FROM q, read_parquet('{sf}/embeddings.parquet') b WHERE b.label != q.ql"
+        ).df()
+        for qid, g in df.groupby("qid"):
+            c = _np.sort(g["c"].to_numpy())
+            gaps = _np.diff(c)
+            assert gaps.min() >= 1e-7, (sf, qid, gaps.min())
