@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_nearest_topk": lambda sf: geo.geo_nearest_topk(sf, k=25),
         "geo_polygon_docs": geo.geo_polygon_docs,
         "geo_polygon_concave_docs": geo.geo_polygon_concave_docs,
+        "geo_polygon_holes_docs": geo.geo_polygon_holes_docs,
         "shape_bbox_relation": geo.shape_bbox_relation,
         "geo_heatmap": geo.geo_heatmap,
         "point_bbox_docs": lambda sf: geo.point_bbox_query(sf, (-30.0, 40.0, -100.0, 50.0)),
@@ -2345,6 +2346,11 @@ def oracle_sql() -> dict[str, str]:
         "geo_polygon_concave_docs": __import__(
             "lucene_solr_ray.functions.geo", fromlist=["polygon_concave_sql"]
         ).polygon_concave_sql(),
+        # polygon WITH HOLES: even-odd accumulated across all rings, so
+        # hole interiors land outside; ring boundaries stay contained
+        "geo_polygon_holes_docs": __import__(
+            "lucene_solr_ray.functions.geo", fromlist=["polygon_holes_sql"]
+        ).polygon_holes_sql(),
         # LatLonShape-style box-vs-box relate: WITHIN/INTERSECTS/DISJOINT
         # on the doubled integer grid, identical interval tests both sides
         "shape_bbox_relation": __import__(

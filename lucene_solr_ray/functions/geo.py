@@ -376,6 +376,55 @@ def geo_polygon_concave_docs(sf_dir: str, poly=CONCAVE_POLY) -> ray.data.Dataset
     )
 
 
+HOLED_POLY = (
+    # outer ring (box) ...
+    ((-60.5, -120.5), (70.5, -120.5), (70.5, 140.5), (-60.5, 140.5)),
+    # ... with one rectangular hole punched out of the middle-west
+    ((-30.5, -80.5), (20.5, -80.5), (20.5, -20.5), (-30.5, -20.5)),
+)
+
+
+def geo_polygon_holes_docs(sf_dir: str, rings=HOLED_POLY) -> ray.data.Dataset:
+    """Polygon-with-holes containment ([U] lucene/core/.../geo/
+    Polygon2D.java — a Polygon carries hole rings; contains() is the
+    component test minus the holes): even-odd ray crossing accumulated
+    across ALL rings, so a point inside the outer ring AND inside a hole
+    crosses an odd+odd = even total and lands outside. Boundary points
+    of ANY ring (outer or hole) count as contained — the same
+    boundary-inclusive pin as the hole-free variant, applied per ring.
+    Doubled-integer-grid arithmetic, exact; one stateless pass."""
+    ring_verts = [_poly_int_verts(r) for r in rings]
+
+    def fn(t: pa.Table) -> pa.Table:
+        key = t.column("c_custkey").to_numpy().astype(np.int64)
+        py = ((key * 37) % 180) * 2 - 179
+        px = ((key * 73) % 360) * 2 - 359
+        inside = np.zeros(len(key), dtype=bool)
+        on_edge = np.zeros(len(key), dtype=bool)
+        for verts in ring_verts:
+            n = len(verts)
+            for i in range(n):
+                (y1, x1), (y2, x2) = verts[i], verts[(i + 1) % n]
+                cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+                on_edge |= (
+                    (cross == 0)
+                    & (px >= min(x1, x2)) & (px <= max(x1, x2))
+                    & (py >= min(y1, y2)) & (py <= max(y1, y2))
+                )
+                if y1 == y2:
+                    continue
+                straddle = (y1 > py) != (y2 > py)
+                lhs = (py - y1) * (x2 - x1) - (px - x1) * (y2 - y1)
+                inside ^= straddle & ((lhs > 0) if y2 > y1 else (lhs < 0))
+        return pa.table({"c_custkey": pa.array(key[inside | on_edge], pa.int64())})
+
+    return (
+        read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort("c_custkey")
+    )
+
+
 def shape_bbox_relation(sf_dir: str,
                         qbox=(-20.5, 40.5, -60.5, 60.5)) -> ray.data.Dataset:
     """Shape-vs-shape relation query ([U] lucene/core/.../document/
@@ -447,6 +496,38 @@ def polygon_concave_sql(poly=CONCAVE_POLY) -> str:
             f"((py-({y1}))*({x2}-({x1})) - (px-({x1}))*({y2}-({y1})) {op} 0) "
             f"THEN 1 ELSE 0 END"
         )
+    return (
+        "WITH g AS (SELECT c_custkey, "
+        "CAST((c_custkey * 37) % 180 AS BIGINT) * 2 - 179 AS py, "
+        "CAST((c_custkey * 73) % 360 AS BIGINT) * 2 - 359 AS px FROM customer) "
+        "SELECT c_custkey FROM g WHERE ((" + " + ".join(cross_terms) + ") % 2 = 1) "
+        "OR (" + " OR ".join(on_terms) + ") ORDER BY c_custkey"
+    )
+
+
+def polygon_holes_sql(rings=HOLED_POLY) -> str:
+    """Generate the DuckDB oracle for geo_polygon_holes_docs: the same
+    even-odd + on-segment integer arithmetic, unrolled per edge across
+    ALL rings from the same vertex lists."""
+    cross_terms, on_terms = [], []
+    for ring in rings:
+        verts = _poly_int_verts(ring)
+        n = len(verts)
+        for i in range(n):
+            (y1, x1), (y2, x2) = verts[i], verts[(i + 1) % n]
+            on_terms.append(
+                f"(({x2}-({x1}))*(py-({y1})) - ({y2}-({y1}))*(px-({x1})) = 0 "
+                f"AND px BETWEEN {min(x1, x2)} AND {max(x1, x2)} "
+                f"AND py BETWEEN {min(y1, y2)} AND {max(y1, y2)})"
+            )
+            if y1 == y2:
+                continue
+            op = ">" if y2 > y1 else "<"
+            cross_terms.append(
+                f"CASE WHEN (({y1} > py) <> ({y2} > py)) AND "
+                f"((py-({y1}))*({x2}-({x1})) - (px-({x1}))*({y2}-({y1})) {op} 0) "
+                f"THEN 1 ELSE 0 END"
+            )
     return (
         "WITH g AS (SELECT c_custkey, "
         "CAST((c_custkey * 37) % 180 AS BIGINT) * 2 - 179 AS py, "

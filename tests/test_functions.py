@@ -681,3 +681,51 @@ def test_hard_negative_rank_gap():
             c = _np.sort(g["c"].to_numpy())
             gaps = _np.diff(c)
             assert gaps.min() >= 1e-7, (sf, qid, gaps.min())
+
+
+def test_geo_polygon_holes_even_odd_multi_ring():
+    """Polygon-with-holes: engine == scalar multi-ring even-odd reference
+    on every customer point; a hole-interior point is OUT, a
+    hole-boundary point is IN (boundary-inclusive per ring), and at
+    least one gate point is genuinely excluded by the hole."""
+    import pyarrow.parquet as pq
+    from lucene_solr_ray.functions import geo
+
+    sf = "/root/testdata/sf0.001"
+    rings = [geo._poly_int_verts(r) for r in geo.HOLED_POLY]
+
+    def ref_inside(py: int, px: int) -> bool:
+        inside, on_edge = False, False
+        for verts in rings:
+            n = len(verts)
+            for i in range(n):
+                (y1, x1), (y2, x2) = verts[i], verts[(i + 1) % n]
+                cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+                if (cross == 0 and min(x1, x2) <= px <= max(x1, x2)
+                        and min(y1, y2) <= py <= max(y1, y2)):
+                    on_edge = True
+                if y1 == y2:
+                    continue
+                if (y1 > py) != (y2 > py):
+                    lhs = (py - y1) * (x2 - x1) - (px - x1) * (y2 - y1)
+                    if (lhs > 0) if y2 > y1 else (lhs < 0):
+                        inside = not inside
+        return inside or on_edge
+
+    got = set(geo.geo_polygon_holes_docs(sf).to_pandas()["c_custkey"])
+    keys = pq.read_table(f"{sf}/customer.parquet",
+                         columns=["c_custkey"])["c_custkey"].to_numpy()
+    exp = {int(k) for k in keys
+           if ref_inside(int((k * 37) % 180) * 2 - 179,
+                         int((k * 73) % 360) * 2 - 359)}
+    assert got == exp and len(exp) > 0
+    # hole interior (-10.0, -50.0) -> OUT; hole boundary west edge -> IN;
+    # outer interior west of the hole -> IN
+    assert not ref_inside(-20, -100)
+    assert ref_inside(-20, -161)        # (-10.0, -80.5) on hole edge
+    assert ref_inside(-20, -200)        # (-10.0, -100.0) between rings
+    # some sf0.001 customer must actually fall in the hole
+    in_hole = [int(k) for k in keys if int(k) not in exp
+               and -61 <= ((int(k) * 37) % 180) * 2 - 179 <= 41
+               and -161 <= ((int(k) * 73) % 360) * 2 - 359 <= -41]
+    assert len(in_hole) > 0
