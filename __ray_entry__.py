@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_labels": classify.cluster_labels,
         # --- data mixing + sequence packing ---
         "mix_weighted_sample": curation.mix_weighted_sample,
+        "token_budget_select": lambda sf: curation.token_budget_select(sf, budget=600),
         "pack_concat_chunks": lambda sf: curation.pack_concat_chunks(sf, budget=256),
         # --- substring/line-level exact dedup (Lee et al. / C4 passes) ---
         "dup_gram_exposure": curation.dup_gram_exposure,
@@ -2089,6 +2090,16 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus_export": _data_oracle().clean_corpus_sql(),
         # hash-Bernoulli domain mixing: md5_number_upper == the engine's
         # int.from_bytes(md5[:8], 'little') (simhash-oracle convention)
+        # token-budget domain mixing: inclusive per-source running token
+        # count in doc_id order, keep while <= budget
+        "token_budget_select": (
+            "WITH t AS (SELECT doc_id, source, CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n FROM documents), "
+            "c AS (SELECT doc_id, source, CAST(SUM(n) OVER ("
+            "PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum_tokens FROM t) "
+            "SELECT doc_id, source, cum_tokens FROM c WHERE cum_tokens <= 600 "
+            "ORDER BY doc_id"
+        ),
         "mix_weighted_sample": (
             "SELECT doc_id, source, CAST(20 + md5_number_upper(source) % 61 AS BIGINT) AS rate_pct "
             "FROM documents "

@@ -479,6 +479,69 @@ def pack_concat_chunks(sf_dir: str, budget: int = 256, bucket_docs: int = 128) -
     )
 
 
+def token_budget_select(sf_dir: str, budget: int = 600,
+                        bucket_docs: int = 128) -> ray.data.Dataset:
+    """Token-budget domain mixing: keep each source's documents in
+    doc_id order until the source's cumulative whitespace-token count
+    (inclusive) exceeds ``budget`` — the "sample N tokens per domain"
+    step of training-mix construction (the data-budget counterpart of
+    the hash-Bernoulli domain mixer). Runs as the pack_concat_chunks
+    two-level distributed prefix sum keyed by (source, doc_id-bucket):
+    per-(source, bucket) totals -> driver holds only source x bucket
+    base rows -> broadcast bases (numpy arrays + searchsorted, not a
+    dict) + within-bucket inclusive cumsum in the data plane."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text", "source"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        n = np.fromiter((len((s or "").split()) for s in t.column("text").to_pylist()),
+                        dtype=np.int64, count=len(ids))
+        return pa.table({"doc_id": pa.array(ids),
+                         "source": t.column("source"),
+                         "bucket": pa.array(ids // bucket_docs),
+                         "n_tokens": pa.array(n)})
+
+    tok = ds.map_batches(counts, batch_format="pyarrow").materialize()
+    totals = (tok.groupby(["source", "bucket"])
+              .aggregate(Sum("n_tokens", alias_name="tot")).to_pandas())
+    totals = totals.sort_values(["source", "bucket"]).reset_index(drop=True)
+    # per-source exclusive prefix over its bucket totals
+    bases = (totals.groupby("source")["tot"].cumsum()
+             - totals["tot"]).to_numpy().astype(np.int64)
+    srcs_sorted = sorted(totals["source"].unique())
+    src_idx = {s: i for i, s in enumerate(srcs_sorted)}
+    keys = (totals["source"].map(src_idx).to_numpy().astype(np.int64) * (1 << 32)
+            + totals["bucket"].to_numpy().astype(np.int64))
+    order = np.argsort(keys)
+    base_ref = ray.put((keys[order], bases[order], tuple(srcs_sorted)))
+
+    def within(g) -> pa.Table:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        n = g["n_tokens"].to_numpy().astype(np.int64)
+        ks, bs, srcs = ray.get(base_ref)
+        import bisect
+        si = bisect.bisect_left(srcs, str(g["source"].iloc[0]))
+        key = si * (1 << 32) + int(g["bucket"].iloc[0])
+        base = int(bs[np.searchsorted(ks, key)])
+        cum_inc = base + n.cumsum()
+        keep = cum_inc <= budget
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "source": pa.array(g["source"].to_numpy()[keep].astype(str), pa.string()),
+            "cum_tokens": pa.array(cum_inc[keep].astype(np.int64)),
+        })
+
+    return (
+        tok.groupby(["source", "bucket"])
+        .map_groups(within, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
 # ---------------- exact substring-duplication exposure ----------------
 
 def dup_gram_exposure(sf_dir: str, ngram: int = 8) -> ray.data.Dataset:

@@ -408,3 +408,21 @@ def test_chunk_documents_overlap_continuity(ray_session):
         g1 = out[out["doc_id"] == 1]
         assert len(g1) == 1 and g1["chunk_text"].iloc[0] == short
         assert (out["doc_id"] != 2).all()
+
+
+def test_token_budget_select_prefix_and_bucket_invariance(ray_session):
+    """token_budget_select keeps, per source, exactly the doc_id-order
+    prefix whose inclusive running token count fits the budget — and the
+    distributed two-level prefix sum is invariant to the bucket size."""
+    import numpy as np
+
+    from lucene_solr_ray.functions.curation import token_budget_select
+
+    sf = "/root/testdata/sf0.001"
+    a = token_budget_select(sf, budget=600, bucket_docs=128).to_pandas()
+    b = token_budget_select(sf, budget=600, bucket_docs=7).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
+    assert (a["cum_tokens"] <= 600).all() and len(a) > 0
+    for _, g in a.groupby("source"):
+        cum = g.sort_values("doc_id")["cum_tokens"].to_numpy()
+        assert (np.diff(cum) > 0).all()  # strictly increasing prefix
