@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scale_map_function": expr.scale_map_function,
         # --- LTR / classification (SURVEY §2.6/§2.7 aux) ---
         "ltr_linear_rescore": ltr.ltr_linear_rescore,
+        "ltr_minmax_rescore": ltr.ltr_minmax_rescore,
         "ltr_feature_log": lambda sf: ltr.feature_log(sf, ["merge", "sort"], 20),
         "ltr_trees_rescore": ltr.ltr_trees_rescore,
         "ltr_bm25_rescore": ltr.bm25_rescore,
@@ -447,6 +448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scored_join_total": lambda sf: rel.scored_join_modes(sf, mode="total", k=20),
         "significant_terms": rel.significant_terms,
         "facet_join_domain": rel.facet_join_domain,
+        "facet_filter_domain": lambda sf: rel.facet_filter_domain(
+            sf, term="merge", min_chars=300),
         "classifier_pr_points": classify.classifier_pr_points,
         "relatedness_facets": rel.relatedness_facets,
         "collapse_top_order": rel.collapse_top_order,
@@ -1710,6 +1713,14 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT unnest({split}) AS term, lang FROM documents) "
             "GROUP BY term ORDER BY term"
         ),
+        # domain: {filter}: facet domain REPLACED by the filter's match
+        # set; the main-query column sits beside it for contrast
+        "facet_filter_domain": (
+            "SELECT lang, "
+            f"CAST(COUNT(CASE WHEN list_contains({split}, 'merge') THEN 1 END) AS BIGINT) AS n_query_domain, "
+            "CAST(COUNT(CASE WHEN n_chars >= 300 THEN 1 END) AS BIGINT) AS n_filter_domain "
+            "FROM documents GROUP BY lang ORDER BY lang"
+        ),
         "facet_join_domain": (
             "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS count FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') "
@@ -2422,6 +2433,10 @@ def oracle_sql() -> dict[str, str]:
         "ltr_trees_rescore": __import__(
             "lucene_solr_ray.functions.ltr", fromlist=["trees_oracle_sql"]
         ).trees_oracle_sql(),
+        # MinMaxNormalizer: candidate-set extrema + micro-int normalize
+        "ltr_minmax_rescore": __import__(
+            "lucene_solr_ray.functions.ltr", fromlist=["minmax_oracle_sql"]
+        ).minmax_oracle_sql(),
         "knn_classify": __import__(
             "lucene_solr_ray.functions.classify", fromlist=["KNN_ORACLE_SQL"]
         ).KNN_ORACLE_SQL,

@@ -145,6 +145,93 @@ def ltr_trees_rescore(sf_dir: str, term: str = "merge", k: int = 50) -> ray.data
     return _rescore(sf_dir, term, TREES_MODEL, "trees", k)
 
 
+_FEATS = ("tf_term", "n_tokens", "n_chars", "is_en")
+
+
+class _MinMaxStage:
+    """Scoring pass: min-max normalize each feature with the broadcast
+    candidate-set extrema, then apply the linear model. Normalization is
+    exact micro-int: (f - min) * 1e6 // max(1, max - min)."""
+
+    def __init__(self, term: str, mm_ref):
+        self.term = term
+        self.mm = ray.get(mm_ref)  # {feat: (min, max)}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats = _feature_batch(t, self.term)
+        keep = feats["tf_term"] >= 1
+        score = np.zeros(int(keep.sum()), dtype=np.int64)
+        for f, w in LINEAR_MODEL.items():
+            mn, mx = self.mm[f]
+            norm = (feats[f][keep] - mn) * 1_000_000 // max(1, mx - mn)
+            score += w * norm
+        return pa.table({
+            "doc_id": pa.array(t.column("doc_id").to_numpy()[keep], pa.int64()),
+            "ltr_score": pa.array(score, pa.int64()),
+        })
+
+
+def ltr_minmax_rescore(sf_dir: str, term: str = "merge", k: int = 50) -> ray.data.Dataset:
+    """LinearModel with MinMaxNormalizers ([U] solr/contrib/ltr/.../norm/
+    MinMaxNormalizer.java): every feature is min-max normalized before
+    the dot product. The normalizer params derive from the candidate set
+    (the offline fit that produces the min/max a deployed Solr model
+    carries); normalization is exact micro-int so the SQL oracle matches
+    bit-for-bit. Two passes: per-batch min/max partials over candidates
+    (feature-count-sized exchange), broadcast extrema, one scoring pass."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars"],
+    )
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        feats = _feature_batch(t, term)
+        keep = feats["tf_term"] >= 1
+        if not keep.any():
+            return pa.table({"feat": pa.array([], pa.string()),
+                             "mn": pa.array([], pa.int64()),
+                             "mx": pa.array([], pa.int64())})
+        return pa.table({
+            "feat": pa.array(list(_FEATS), pa.string()),
+            "mn": pa.array([int(feats[f][keep].min()) for f in _FEATS], pa.int64()),
+            "mx": pa.array([int(feats[f][keep].max()) for f in _FEATS], pa.int64()),
+        })
+
+    from ray.data.aggregate import Max, Min
+
+    mm_df = (ds.map_batches(mm_partial, batch_format="pyarrow")
+             .groupby("feat")
+             .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+             .to_pandas())
+    mm = {r["feat"]: (int(r["mn"]), int(r["mx"])) for _, r in mm_df.iterrows()}
+    mm_ref = ray.put(mm)
+    scored = ds.map_batches(
+        _MinMaxStage,
+        fn_constructor_kwargs={"term": term, "mm_ref": mm_ref},
+        batch_format="pyarrow",
+        concurrency=pool_size(),
+    )
+    return scored.sort(["ltr_score", "doc_id"], descending=[True, False]).limit(k)
+
+
+def minmax_oracle_sql(term: str = "merge", k: int = 50) -> str:
+    """Oracle for ltr_minmax_rescore — identical candidate-set min/max
+    and micro-int normalization in SQL."""
+    norm = {f: (f"(({f} - (SELECT MIN({f}) FROM c)) * 1000000 // "
+                f"GREATEST(1, (SELECT MAX({f}) FROM c) - (SELECT MIN({f}) FROM c)))")
+            for f in _FEATS}
+    terms = " + ".join(f"({w}) * {norm[f]}" for f, w in LINEAR_MODEL.items())
+    return (
+        f"WITH f AS (SELECT doc_id, "
+        f"len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x = '{term}')) AS tf_term, "
+        f"len(regexp_split_to_array(text, '\\s+')) AS n_tokens, n_chars, "
+        f"CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en FROM documents), "
+        f"c AS (SELECT * FROM f WHERE tf_term >= 1) "
+        f"SELECT doc_id, CAST({terms} AS BIGINT) AS ltr_score FROM c "
+        f"ORDER BY ltr_score DESC, doc_id LIMIT {k}"
+    )
+
+
 def trees_oracle_sql(term: str = "merge", k: int = 50) -> str:
     """CASE-WHEN transcription of TREES_MODEL (kept next to the model so
     they can't drift apart)."""

@@ -1515,6 +1515,48 @@ def facet_allbuckets(sf_dir: str, top: int = 3) -> pa.Table:
     })
 
 
+def facet_filter_domain(sf_dir: str, term: str = "merge",
+                        min_chars: int = 300) -> pa.Table:
+    """JSON facet domain change via filter ([U] solr/core/.../search/
+    facet/FacetRequest.java `domain: {filter: "..."}`): the facet's
+    domain is REPLACED by the filter's match set, independent of the
+    main query. Output shows both domains per bucket — the main-query
+    count next to the filter-domain count — so the replacement is
+    visible. One stateless pass of integer partials, one lang-domain
+    groupby."""
+    from ray.data.aggregate import Sum
+
+    from lucene_solr_ray.analysis import tokenize
+
+    def partials(t: pa.Table) -> pa.Table:
+        agg: dict = {}
+        for lang, s, nc in zip(t.column("lang").to_pylist(),
+                               t.column("text").to_pylist(),
+                               t.column("n_chars").to_numpy()):
+            q, f = agg.get(lang, (0, 0))
+            agg[lang] = (q + (term in tokenize(s or "")),
+                         f + (int(nc) >= min_chars))
+        return pa.table({
+            "lang": pa.array(list(agg), pa.string()),
+            "n_query_domain": pa.array([v[0] for v in agg.values()], pa.int64()),
+            "n_filter_domain": pa.array([v[1] for v in agg.values()], pa.int64()),
+        })
+
+    out = (
+        _read(sf_dir, "documents", ["lang", "text", "n_chars"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_query_domain", alias_name="n_query_domain"),
+                   Sum("n_filter_domain", alias_name="n_filter_domain"))
+        .to_pandas().sort_values("lang")
+    )
+    return pa.table({
+        "lang": pa.array(out["lang"].astype(str), pa.string()),
+        "n_query_domain": pa.array(out["n_query_domain"].astype(np.int64), pa.int64()),
+        "n_filter_domain": pa.array(out["n_filter_domain"].astype(np.int64), pa.int64()),
+    })
+
+
 def group_facet_counts(sf_dir: str, facet_field: str = "lang",
                        group_field: str = "source",
                        min_chars: int = 200) -> pa.Table:
