@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_ngram_counts": ts.edge_ngram_counts,
         "term_facet_prefix": lambda sf: ts.term_facet_prefix(sf, prefix="s", k=10),
         "urlemail_token_counts": ts.urlemail_token_counts,
+        "elision_token_counts": ts.elision_token_counts,
         "bpe_pair_counts": lambda sf: ts.bpe_pair_counts(sf, k=20),
         "heavy_hitters_topk": sketches.heavy_hitters_topk,
         "count_min_estimate": sketches.count_min_estimate,
@@ -2179,6 +2180,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         # UAX29URLEmail: emails = one token; totals = emails + standard
         # tokens of the email-stripped remainder (same two regexes)
+        # ElisionFilter over the French-augmented view: every (doc_id +
+        # pos) % 4 == 0 token gains an elidable-article prefix the chain
+        # must strip back; token count is invariant, elided count exact
+        "elision_token_counts": (
+            "SELECT doc_id, CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS n_tokens, "
+            "CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(len(list_filter(range(len(regexp_split_to_array(trim(text), '\\s+'))), "
+            "i -> (doc_id + i) % 4 = 0)) AS BIGINT) END AS n_elided "
+            "FROM documents WHERE lang = 'fr' ORDER BY doc_id"
+        ),
         "urlemail_token_counts": (
             "WITH aug AS (SELECT doc_id, text || ' contact u' || doc_id || '@example.org ip 10.0.' "
             "|| (doc_id % 256) || '.' || (doc_id % 100) || ' tel 555-' "

@@ -999,6 +999,28 @@ def get_analyzer(name: str):
         raise ValueError(f"unknown analyzer {name!r}; known: {sorted(ANALYZERS)}")
 
 
+# FrenchAnalyzer's default elidable articles ([U] lucene/analysis/common/
+# .../fr/FrenchAnalyzer.java DEFAULT_ARTICLES)
+FRENCH_ARTICLES = frozenset(
+    ["l", "m", "t", "qu", "n", "s", "j", "d", "c", "jusqu", "quoiqu",
+     "lorsqu", "puisqu"])
+
+
+def elision_filter(tokens: list[str]) -> list[str]:
+    """ElisionFilter ([U] lucene/analysis/common/.../util/
+    ElisionFilter.java): strip a leading "<article>'" from each token
+    when the prefix is an elidable French article — "l'avenir" ->
+    "avenir". Non-article apostrophe prefixes pass through unchanged."""
+    out = []
+    for t in tokens:
+        head, ap, rest = t.partition("'")
+        if ap and rest and head.lower() in FRENCH_ARTICLES:
+            out.append(rest)
+        else:
+            out.append(t)
+    return out
+
+
 def fingerprint_filter(tokens: list[str], separator: str = " ") -> str:
     """FingerprintFilter ([U] lucene/analysis/common/.../miscellaneous/
     FingerprintFilter.java, Solr's FingerprintFilterFactory): collapse

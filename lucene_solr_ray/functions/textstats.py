@@ -764,6 +764,48 @@ def urlemail_token_counts(sf_dir: str) -> ray.data.Dataset:
     return _read_docs(sf_dir).map_batches(fn, batch_format="pyarrow").sort("doc_id")
 
 
+def elision_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """ElisionFilter counts over the deterministically French-augmented
+    view of lang='fr' docs (the urlemail derivation pattern — the raw
+    corpus has no apostrophes by construction): token pos i gains an
+    elidable article prefix "<art>'" when (doc_id + i) % 4 == 0, the
+    chain re-tokenizes (apostrophes kept, the FrenchAnalyzer tokenizer
+    contract) and elides, and the counts land back at the view's exact
+    integers: n_tokens = token count, n_elided = positions the filter
+    stripped. A broken filter (wrong article set, wrong split) changes
+    both."""
+    import re as _re
+
+    from lucene_solr_ray.analysis import elision_filter
+
+    word_re = _re.compile(r"\w+(?:'\w+)*")
+    arts = ("l", "d", "qu", "j", "n", "m", "t", "s", "c")
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        texts = t.column("text").to_pylist()
+        n_tok = np.zeros(len(ids), np.int64)
+        n_eli = np.zeros(len(ids), np.int64)
+        for i, (d, s) in enumerate(zip(ids, texts)):
+            toks = _WS.split(s.strip()) if s and s.strip() else []
+            aug = [f"{arts[p % len(arts)]}'{tok}" if (int(d) + p) % 4 == 0 else tok
+                   for p, tok in enumerate(toks)]
+            retok = word_re.findall(" ".join(aug))
+            stripped = elision_filter(retok)
+            n_tok[i] = len(stripped)
+            n_eli[i] = sum(a != b for a, b in zip(retok, stripped))
+        return pa.table({"doc_id": pa.array(ids), "n_tokens": pa.array(n_tok),
+                         "n_elided": pa.array(n_eli)})
+
+    return (
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+        .filter(expr='lang == "fr"')
+        .map_batches(fn, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
 def _word_counts(sf_dir: str) -> pd.DataFrame:
     """Distributed raw-token histogram (the BPE training input): per-batch
     Counter partials -> groupby-Sum; the result is VOCABULARY-sized, the

@@ -374,3 +374,15 @@ def test_chinese_lattice_segmentation_gold():
     from lucene_solr_ray.analysis import tokenize
     s = "the quick merge of Streams 42"
     assert chinese_tokenize(s) == tokenize(s)
+
+
+def test_elision_filter_gold():
+    """ElisionFilter gold vectors: elidable articles strip, non-article
+    apostrophes and bare tokens pass through."""
+    from lucene_solr_ray.analysis import elision_filter
+
+    assert elision_filter(["l'avenir", "qu'il", "d'une", "jusqu'ici"]) == \
+        ["avenir", "il", "une", "ici"]
+    assert elision_filter(["o'brien", "avenir", "l'", "rock'n'roll"]) == \
+        ["o'brien", "avenir", "l'", "rock'n'roll"]
+    assert elision_filter(["L'Avenir"]) == ["Avenir"]  # case-blind article
