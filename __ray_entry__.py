@@ -318,6 +318,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_query_elevation": lambda sf: ft.elevation_topk(
             sf, ["merge", "join"], elevated=[17, 4], excluded=[2], k=10),
         "ft_prefix_suggest": lambda sf: ft.prefix_suggest(sf, "s", k=5),
+        "ft_context_suggest": lambda sf: ft.context_suggest(
+            sf, prefix="s", context_lang="en", k=5),
         "ft_infix_suggest": lambda sf: ft.infix_suggest(sf, "or", k=5),
         "ft_blended_infix": lambda sf: ft.blended_infix_suggest(sf, "or", k=5),
         "ft_docdict_suggest": lambda sf: ft.document_dict_suggest(sf, prefix="s", k=5),
@@ -982,6 +984,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ft_prefix_suggest": (
             f"WITH toks AS (SELECT unnest({split}) AS x FROM documents), "
+            f"vocab AS (SELECT x AS term, CAST(COUNT(*) AS BIGINT) AS cf FROM toks "
+            f"WHERE NOT list_contains({_STOP_SQL}, x) AND x LIKE 's%' GROUP BY x) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, term) - 1 AS BIGINT) AS sugg_rank, "
+            "term, cf FROM vocab ORDER BY cf DESC, term LIMIT 5"
+        ),
+        # ContextQuery: same ranking, cf scoped to the lang='en' context
+        "ft_context_suggest": (
+            f"WITH toks AS (SELECT unnest({split}) AS x FROM documents WHERE lang = 'en'), "
             f"vocab AS (SELECT x AS term, CAST(COUNT(*) AS BIGINT) AS cf FROM toks "
             f"WHERE NOT list_contains({_STOP_SQL}, x) AND x LIKE 's%' GROUP BY x) "
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, term) - 1 AS BIGINT) AS sugg_rank, "

@@ -765,6 +765,45 @@ def prefix_suggest(sf_dir: str, prefix: str, k: int = 5) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=schema)
 
 
+def context_suggest(sf_dir: str, prefix: str = "s", context_lang: str = "en",
+                    k: int = 5) -> pa.Table:
+    """Context-filtered suggester ([U] lucene/suggest/.../document/
+    ContextQuery.java over ContextSuggestField): completions restricted
+    to documents carrying the context (lang = context_lang), suggestion
+    weight = collection frequency WITHIN the context — the same ranking
+    contract as suggest_prefix, scoped. Per-context cf can't come from
+    the global term dicts, so it runs as the term_facet_prefix shape:
+    the context filter and the prefix cut both apply map-side, then one
+    vocabulary groupby."""
+    from ray.data.aggregate import Sum
+
+    from lucene_solr_ray.analysis import tokenize
+
+    def partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for s in t.column("text").to_pylist():
+            c.update(tok for tok in tokenize(s or "") if tok.startswith(prefix))
+        return pa.table({"term": pa.array(list(c.keys()), pa.string()),
+                         "cf": pa.array(list(c.values()), pa.int64())})
+
+    vocab = (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+        .filter(expr=f'lang == "{context_lang}"')
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cf", alias_name="cf"))
+        .to_pandas()
+    )
+    vocab = vocab.sort_values(["cf", "term"], ascending=[False, True]).head(k)
+    return pa.table({
+        "sugg_rank": pa.array(np.arange(len(vocab)), pa.int64()),
+        "term": pa.array(vocab["term"].astype(str), pa.string()),
+        "cf": pa.array(vocab["cf"].astype(np.int64), pa.int64()),
+    })
+
+
 def word_break_suggest(sf_dir: str, term: str, min_break_length: int = 2,
                        k: int = 10) -> pa.Table:
     """WordBreakSpellChecker suggestions for a run-together term ->
