@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_expr_diff": streamexpr.stream_expr_diff,
         "stream_expr_corr": streamexpr.stream_expr_corr,
         "stream_expr_train": streamexpr.stream_expr_train,
+        "stream_expr_features": streamexpr.stream_expr_features,
         "stream_expr_classify": streamexpr.stream_expr_classify,
         "stream_expr_knn": streamexpr.stream_expr_knn,
         "stream_expr_significant_terms": streamexpr.stream_expr_significant_terms,
@@ -1383,6 +1384,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_expr_train": _logit_sql("train"),
         "stream_expr_classify": _logit_sql("classify"),
+        # FeaturesSelectionStream: IG * N as exact scaled-entropy ints
+        "stream_expr_features": __import__(
+            "lucene_solr_ray.functions.classify", fromlist=["features_select_sql"]
+        ).features_select_sql(label_lang="en", k=12),
         "stream_expr_knn": _ft_oracle().more_like_this_sql(0, 8, 10),
         "classifier_pr_points": _logit_sql("pr"),
         "stream_expr_regress": (

@@ -547,3 +547,122 @@ def classifier_pr_points(sf_dir: str, terms: tuple = LOGIT_TERMS,
             _logit_tdiv(tp * 1_000_000, tp + fn) if tp + fn else 0)
     return ray.data.from_arrow(pa.table(
         {k: pa.array(v, pa.int64()) for k, v in out.items()}))
+
+
+# ---------------- feature selection (information gain) ----------------
+
+def _h_scaled(a: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """n * binaryEntropy(a/n) in micro-nats, EXACT int64: per-log
+    micro-nat quantization L(x) = floor(ln(x)*1e6 + 0.5) makes every
+    term an integer product, and 0*log0 terms drop. H_scaled(a, n) =
+    a*(L(n)-L(a)) + (n-a)*(L(n)-L(n-a))."""
+    a = np.asarray(a, np.int64)
+    n = np.asarray(n, np.int64)
+
+    def L(x):
+        x = np.asarray(x, np.float64)
+        out = np.zeros_like(x)
+        pos = x > 0
+        out[pos] = np.floor(np.log(x[pos]) * 1e6 + 0.5)
+        return out.astype(np.int64)
+
+    ln_, la, lr = L(n), L(a), L(n - a)
+    t1 = np.where(a > 0, a * (ln_ - la), 0)
+    t2 = np.where(n - a > 0, (n - a) * (ln_ - lr), 0)
+    return (t1 + t2).astype(np.int64)
+
+
+def features_select(sf_dir: str, label_lang: str = "en", k: int = 12) -> pa.Table:
+    """FeaturesSelectionStream ([U] solr/solrj/.../io/stream/
+    FeaturesSelectionStream.java + solr/core/.../search/
+    IGainTermsQParserPlugin.java): the top-k terms by information gain
+    for the binary class lang == label_lang —
+    ig = H(C) - P(t)H(C|t) - P(!t)H(C|!t). Multiplying through by N
+    turns it into ig_scaled = Hs(Np,N) - Hs(pdf,df) - Hs(Np-pdf,N-df)
+    with Hs the exact-int scaled entropy above, so the score is an
+    exact int64 the SQL oracle reproduces (same rank order as ig: the
+    1/N factor is constant).
+
+    Scale shape: per-batch Counter partials over DISTINCT stop-filtered
+    doc terms -> one vocab groupby; the IG pass runs on the vocab-sized
+    table."""
+    from ray.data.aggregate import Sum
+
+    from lucene_solr_ray.analysis import tokenize
+    from lucene_solr_ray.io_utils import read_parquet_clean
+
+    def partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        df_c: Counter = Counter()
+        pdf_c: Counter = Counter()
+        n = np.int64(len(t))
+        np_ = np.int64(0)
+        for lang, s in zip(t.column("lang").to_pylist(),
+                           t.column("text").to_pylist()):
+            ts = set(tokenize(s or ""))
+            df_c.update(ts)
+            if lang == label_lang:
+                np_ += 1
+                pdf_c.update(ts)
+        terms = list(df_c)
+        return pa.table({
+            "term": pa.array(terms + ["\x00N"], pa.string()),
+            "df": pa.array([df_c[t_] for t_ in terms] + [int(n)], pa.int64()),
+            "pdf": pa.array([pdf_c.get(t_, 0) for t_ in terms] + [int(np_)], pa.int64()),
+        })
+
+    vocab = (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("pdf", alias_name="pdf"))
+        .to_pandas()
+    )
+    tot = vocab[vocab["term"] == "\x00N"]
+    n, np_ = int(tot["df"].iloc[0]), int(tot["pdf"].iloc[0])
+    vocab = vocab[vocab["term"] != "\x00N"]
+    df = vocab["df"].to_numpy().astype(np.int64)
+    pdf = vocab["pdf"].to_numpy().astype(np.int64)
+    hc = int(_h_scaled(np.array([np_]), np.array([n]))[0])
+    ig = hc - _h_scaled(pdf, df) - _h_scaled(np_ - pdf, n - df)
+    order = np.lexsort((vocab["term"].to_numpy(), -ig))[:k]
+    return pa.table({
+        "sel_rank": pa.array(np.arange(len(order)), pa.int64()),
+        "term": pa.array(vocab["term"].to_numpy()[order].astype(str), pa.string()),
+        "df": pa.array(df[order], pa.int64()),
+        "positive_df": pa.array(pdf[order], pa.int64()),
+        "ig_n_micro": pa.array(ig[order].astype(np.int64), pa.int64()),
+    })
+
+
+def features_select_sql(label_lang: str = "en", k: int = 12) -> str:
+    """Oracle for features_select — identical per-log micro-nat
+    quantization and scaled-entropy integer arithmetic in SQL."""
+    from lucene_solr_ray.analysis import STOPWORDS
+
+    def L(x):
+        return f"CAST(FLOOR(ln(CAST({x} AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+
+    def hs(a, n):
+        return (f"(CASE WHEN {a} > 0 THEN {a} * ({L(n)} - {L(a)}) ELSE 0 END "
+                f"+ CASE WHEN {n} - {a} > 0 THEN ({n} - {a}) * ({L(n)} - {L(f'{n} - {a}')}) ELSE 0 END)")
+
+    stop = "[" + ", ".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
+    split = ("list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+             f"x -> NOT list_contains({stop}, x))")
+    return (
+        "WITH d AS (SELECT doc_id, lang, CASE WHEN trim(text) = '' THEN [] ELSE "
+        f"list_distinct({split}) END AS ts FROM documents), "
+        f"tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(CASE WHEN lang = '{label_lang}' THEN 1 ELSE 0 END) AS BIGINT) AS np FROM d), "
+        "t AS (SELECT unnest(ts) AS term, lang FROM d), "
+        "c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df, "
+        f"CAST(SUM(CASE WHEN lang = '{label_lang}' THEN 1 ELSE 0 END) AS BIGINT) AS pdf "
+        "FROM t GROUP BY term), "
+        "ig AS (SELECT term, df, pdf AS positive_df, "
+        f"{hs('tot.np', 'tot.n')} - {hs('c.pdf', 'c.df')} - {hs('(tot.np - c.pdf)', '(tot.n - c.df)')} "
+        "AS ig_n_micro FROM c, tot) "
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY ig_n_micro DESC, term) - 1 AS BIGINT) AS sel_rank, "
+        f"term, df, positive_df, ig_n_micro FROM ig ORDER BY ig_n_micro DESC, term LIMIT {int(k)}"
+    )

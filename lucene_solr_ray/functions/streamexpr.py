@@ -852,6 +852,18 @@ def _build_classify(node: Node, ctx: dict) -> ray.data.Dataset:
     return text_logit_classify(ctx["sf_dir"], terms, label, iters)
 
 
+def _build_features(node: Node, ctx: dict) -> ray.data.Dataset:
+    """features(documents, field="lang", label="en", k=N) ([U]
+    solr/solrj/.../io/stream/FeaturesSelectionStream.java): top-k terms
+    by information gain for the binary class — classify.features_select
+    (exact-int scaled entropy)."""
+    from lucene_solr_ray.functions.classify import features_select
+
+    return ray.data.from_arrow(features_select(
+        ctx["sf_dir"], label_lang=node.kwargs.get("label", "en"),
+        k=int(node.kwargs.get("k", 12))))
+
+
 def _build_knn(node: Node, ctx: dict) -> ray.data.Dataset:
     """knn(documents, id=N, k=K) ([U] solr/solrj/.../io/stream/
     KnnStream.java): text k-nearest-neighbors of one document — the
@@ -1159,6 +1171,7 @@ STREAM_FUNCTIONS = {
     "diff": _build_diff,
     "train": _build_train,
     "classify": _build_classify,
+    "features": _build_features,
     "knn": _build_knn,
     "significantTerms": _build_significant_terms,
     "nodes": _build_nodes,
@@ -1394,6 +1407,10 @@ def stream_expr_corr(sf_dir: str) -> ray.data.Dataset:
 
 def stream_expr_train(sf_dir: str) -> ray.data.Dataset:
     return run_stream(sf_dir, 'train(documents, q="merge", iterations=3)')
+
+
+def stream_expr_features(sf_dir: str) -> ray.data.Dataset:
+    return run_stream(sf_dir, 'features(documents, field="lang", label="en", k=12)')
 
 
 def stream_expr_classify(sf_dir: str) -> ray.data.Dataset:

@@ -107,3 +107,52 @@ def test_cluster_kmeans_exact_oracle_and_vocab_closure(ray_session):
     assert got.equals(again)
     # every cluster is used at this scale (non-degenerate clustering)
     assert got["cluster_id"].nunique() == 8
+
+
+def test_h_scaled_matches_float_entropy():
+    """_h_scaled == n * binaryEntropy(a/n) in micro-nats up to the per-log
+    quantization (error < #logs * 0.5 micro-nats * weights); degenerate
+    a=0 / a=n / n=0 are exactly 0."""
+    import numpy as np
+
+    from lucene_solr_ray.functions.classify import _h_scaled
+
+    rng = [(1, 7), (3, 10), (250, 500), (499, 500), (123456, 1000000)]
+    for a, n in rng:
+        got = int(_h_scaled(np.array([a]), np.array([n]))[0])
+        p = a / n
+        want = n * (-(p * np.log(p)) - (1 - p) * np.log(1 - p)) * 1e6
+        assert abs(got - want) <= n  # each of the n weighted logs off by <= 0.5 ulp-of-micro
+    for a, n in [(0, 9), (9, 9), (0, 0)]:
+        assert int(_h_scaled(np.array([a]), np.array([n]))[0]) == 0
+
+
+def test_features_select_ig_orders_separating_term(tmp_path, ray_session):
+    """A term appearing in ALL positive docs and NO negative docs gets the
+    maximal IG (== H(C) scaled) and ranks first."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.functions.classify import features_select
+
+    texts = ["zzsep common filler", "zzsep common words", "zzsep common row",
+             "common other row", "common other words", "common filler row"]
+    langs = ["en", "en", "en", "de", "de", "de"]
+    tab = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(["s"] * 6, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    out = features_select(str(tmp_path), label_lang="en", k=3).to_pandas()
+    assert out["term"].iloc[0] == "zzsep"
+    # perfectly separating term: H(C|t) = H(C|!t) = 0 -> ig == Hs(np, n)
+    import numpy as np
+    from lucene_solr_ray.functions.classify import _h_scaled
+    assert int(out["ig_n_micro"].iloc[0]) == int(
+        _h_scaled(np.array([3]), np.array([6]))[0])
+    # 'common' appears everywhere -> zero information gain
+    row = out[out["term"] == "common"]
+    assert row.empty or int(row["ig_n_micro"].iloc[0]) == 0
