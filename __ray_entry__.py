@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- percolator / highlighter (SURVEY §2.5/§2.6 aux) ---
         "percolate": lambda sf: monitor.percolate(sf, PERCOLATE_QUERIES),
         "highlight_snippets": lambda sf: monitor.highlight(sf, ["vector", "stream"]),
+        "ft_classic_highlight": lambda sf: ft.classic_highlight_fragments(
+            sf, terms=("merge", "vector"), fragsize=80),
         # --- sketches (SURVEY §2.7 hll / percentile aggs) ---
         "hll_distinct": sketches.hll_distinct,
         # max_centroids=16384 >= every batch -> singleton centroids, the
@@ -2315,6 +2317,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM lim WHERE rn <= 5 ORDER BY doc_id, frame_idx"
         ),
         "highlight_snippets": _data_oracle().highlight_sql(["vector", "stream"]),
+        # classic Highlighter / SimpleFragmenter: token -> fragment
+        # floor(end_offset/80), end offset = whitespace prefix sums;
+        # best fragment per doc = (hit count desc, frag asc)
+        "ft_classic_highlight": (
+            f"WITH toks AS (SELECT doc_id, unnest(l) AS tok, "
+            f"CAST(generate_subscripts(l, 1) AS BIGINT) AS i "
+            f"FROM (SELECT doc_id, {split} AS l FROM documents WHERE trim(text) <> '')), "
+            "off AS (SELECT doc_id, tok, "
+            "SUM(len(tok) + 1) OVER (PARTITION BY doc_id ORDER BY i) - 2 AS end_off FROM toks), "
+            "sc AS (SELECT doc_id, CAST(end_off // 80 AS BIGINT) AS frag_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_hits FROM off "
+            "WHERE tok IN ('merge', 'vector') GROUP BY 1, 2), "
+            "best AS (SELECT doc_id, frag_id, n_hits, ROW_NUMBER() OVER ("
+            "PARTITION BY doc_id ORDER BY n_hits DESC, frag_id) AS rn FROM sc) "
+            "SELECT doc_id, frag_id, n_hits FROM best WHERE rn = 1 ORDER BY doc_id"
+        ),
         "hll_distinct": _data_oracle().hll_distinct_sql(),
         # heavy hitters: the closed vocab sits far below sketch capacity,
         # so SpaceSaving never evicts -> exact counts, err identically 0

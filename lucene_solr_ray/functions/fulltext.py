@@ -765,6 +765,52 @@ def prefix_suggest(sf_dir: str, prefix: str, k: int = 5) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=schema)
 
 
+def classic_highlight_fragments(sf_dir: str, terms=("merge", "vector"),
+                                fragsize: int = 80) -> ray.data.Dataset:
+    """Classic Highlighter with SimpleFragmenter ([U] lucene/highlighter/
+    .../highlight/Highlighter.java + SimpleFragmenter.java +
+    QueryTermScorer): the document splits into fixed-char fragments —
+    a token belongs to fragment floor(end_offset / fragsize)
+    (SimpleFragmenter's isNewFragment contract) — and each fragment
+    scores the count of query-term occurrences it holds. Emits every
+    matching doc's best fragment (score desc, fragment asc). Char
+    offsets are the whitespace prefix sums the stored-TV entry already
+    proved equal to Lucene offsets on this corpus. One stateless
+    vectorized pass, zero shuffle."""
+    from lucene_solr_ray.analysis import tokenize as _tok
+
+    qset = set()
+    for t in terms:
+        qset.update(_tok(t))
+
+    def fn(t: pa.Table) -> pa.Table:
+        out_d, out_f, out_h = [], [], []
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            if not s or not s.strip():
+                continue
+            toks = s.strip().split()
+            lens = np.fromiter((len(w) for w in toks), np.int64, count=len(toks))
+            ends = np.cumsum(lens + 1) - 2  # char index of each token's last char
+            hit = np.fromiter((w in qset for w in toks), bool, count=len(toks))
+            if not hit.any():
+                continue
+            counts = np.bincount(ends[hit] // fragsize)
+            best = int(np.argmax(counts))  # first max == smallest frag id
+            out_d.append(d)
+            out_f.append(best)
+            out_h.append(int(counts[best]))
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "frag_id": pa.array(out_f, pa.int64()),
+                         "n_hits": pa.array(out_h, pa.int64())})
+
+    return (
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
 def context_suggest(sf_dir: str, prefix: str = "s", context_lang: str = "en",
                     k: int = 5) -> pa.Table:
     """Context-filtered suggester ([U] lucene/suggest/.../document/
