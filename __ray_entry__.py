@@ -296,6 +296,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, [["merge", "join"], "vector"], slop=4, in_order=False),
         "ft_phrase_wildcard": lambda sf: ft.phrase_wildcard_retrieve(
             sf, lead="merge", prefix="v"),
+        "ft_span_nested": lambda sf: ft.span_nested_retrieve(
+            sf, inner=("merge", "join"), inner_slop=2,
+            outer_term="vector", outer_slop=3),
         "ft_span_multiterm": lambda sf: ft.span_multiterm_near_retrieve(
             sf, pattern="s*m", other="sort", slop=4, in_order=False),
         "ft_span_not_docs": lambda sf: ft.span_not_retrieve(
@@ -952,6 +955,20 @@ def oracle_sql() -> dict[str, str]:
             f"AND NOT list_contains({_STOP_SQL}, term)) "
             "SELECT DISTINCT a.doc_id AS doc_id FROM a JOIN b "
             "ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 ORDER BY doc_id"
+        ),
+        # NESTED spanNear: ordered (merge, join) pair with its OWN slop,
+        # then vector after the pair's end with the outer slop — each
+        # level's gap binds separately (not a flat 3-term total gap)
+        "ft_span_nested": (
+            f"WITH toks AS (SELECT doc_id, unnest(l) AS term, "
+            f"CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos "
+            f"FROM (SELECT doc_id, {split} AS l FROM documents)) "
+            "SELECT DISTINCT a.doc_id AS doc_id FROM toks a "
+            "JOIN toks b ON a.doc_id = b.doc_id AND b.term = 'join' "
+            "AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2 "
+            "JOIN toks c ON a.doc_id = c.doc_id AND c.term = 'vector' "
+            "AND c.pos > b.pos AND c.pos - b.pos - 1 <= 3 "
+            "WHERE a.term = 'merge' ORDER BY a.doc_id"
         ),
         # SpanMultiTermQueryWrapper(wildcard s*m) near 'sort', unordered
         # slop 4: gap = |pos_a - pos_b| - 1; the wildcard slot expands

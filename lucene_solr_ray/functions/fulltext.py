@@ -139,6 +139,20 @@ def span_multiterm_near_retrieve(sf_dir: str, pattern: str = "s*m",
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
 
 
+def span_nested_retrieve(sf_dir: str, inner=("merge", "join"),
+                         inner_slop: int = 2, outer_term: str = "vector",
+                         outer_slop: int = 3) -> pa.Table:
+    """Nested SpanNearQuery (SpanNear composed of a SpanNear sub-span
+    plus a term — see IndexSearcher.search_span_nested for the exact
+    per-level slop semantic) -> sorted doc_id set."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    d = s.search_span_nested(inner[0], inner[1], inner_slop,
+                             outer_term, outer_slop)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
 def span_position_range_retrieve(sf_dir: str, term: str, start: int, end: int) -> pa.Table:
     """SpanPositionRangeQuery match set ([U] .../spans/
     SpanPositionRangeQuery.java) -> sorted doc_id set."""

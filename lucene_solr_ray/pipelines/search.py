@@ -1355,6 +1355,51 @@ class IndexSearcher:
                          for terms in clause_terms], slop)]
         return np.asarray(out, dtype=np.int64)
 
+    def search_span_nested(self, inner_a: str, inner_b: str, inner_slop: int,
+                           outer_term: str, outer_slop: int) -> np.ndarray:
+        """NESTED SpanNearQuery ([U] lucene/core/.../search/spans/
+        SpanNearQuery.java — clauses are SpanQueries, so nears compose):
+        spanNear([spanNear([a, b], inner_slop, inOrder=true), c],
+        outer_slop, inOrder=true). An inner span is an ordered (a, b)
+        pair with gap b-a-1 <= inner_slop (span start=a, end=b+1,
+        end-exclusive); the outer ordered near requires c to start at or
+        after the inner span's end with gap c-(b+1) <= outer_slop. Each
+        level's slop binds separately — NOT the flat 3-clause total-gap
+        semantic. Existence per doc via nearest-neighbor searchsorted
+        around each b occurrence (nearest a before / nearest c after
+        minimize both gaps, so the check is exact)."""
+        views, clause_terms = self._span_clause_views(
+            [inner_a, inner_b, outer_term])
+        if views is None:
+            return np.empty(0, dtype=np.int64)
+        cand = None
+        for terms in clause_terms:
+            docs = views[terms[0]].docids
+            cand = docs if cand is None else np.intersect1d(cand, docs, assume_unique=True)
+            if len(cand) == 0:
+                return cand.astype(np.int64)
+        cand = self._live(cand)
+        out = []
+        for doc in cand:
+            p_a = views[inner_a].positions(int(doc))
+            p_b = views[inner_b].positions(int(doc))
+            p_c = views[outer_term].positions(int(doc))
+            # nearest a strictly before each b
+            ia = np.searchsorted(p_a, p_b, side="left") - 1
+            # nearest c strictly after each b
+            ic = np.searchsorted(p_c, p_b, side="right")
+            ok_b = (ia >= 0) & (ic < len(p_c))
+            if not ok_b.any():
+                continue
+            b_ok = p_b[ok_b]
+            a_near = p_a[ia[ok_b]]
+            c_near = p_c[ic[ok_b]]
+            hit = ((b_ok - a_near - 1 <= inner_slop)
+                   & (c_near - b_ok - 1 <= outer_slop))
+            if hit.any():
+                out.append(int(doc))
+        return np.asarray(out, dtype=np.int64)
+
     def search_intervals_containing(self, term_a: str, term_b: str,
                                     small: str, max_width: int) -> np.ndarray:
         """IntervalQuery `containing(maxwidth(w, unordered(a, b)), c)`

@@ -271,3 +271,33 @@ def test_phrase_wildcard_and_span_multiterm(tmp_path, ray_session):
     mt = span_multiterm_near_retrieve(str(tmp_path), pattern="s*m",
                                       other="sort", slop=4, in_order=False)
     assert mt.column("doc_id").to_pylist() == [2, 4, 5]
+
+
+def test_span_nested_per_level_slop(tmp_path, ray_session):
+    """Nested spanNear: each level's slop binds separately — a doc that
+    satisfies the flat 3-term total gap but violates the inner pair's
+    own slop must NOT match."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.functions.fulltext import span_nested_retrieve
+
+    texts = [
+        "merge join vector",                  # gaps 0,0 -> match
+        "merge row join row vector",          # inner gap 1<=1, outer 1<=1 -> match
+        "merge row row join vector",          # inner gap 2 > 1 -> NO (flat total gap 2 would pass a slop-3 flat query)
+        "merge join row row vector",          # outer gap 2 > 1 -> NO
+        "vector merge join",                  # c before pair -> NO
+    ]
+    tab = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    got = span_nested_retrieve(str(tmp_path), inner=("merge", "join"),
+                               inner_slop=1, outer_term="vector",
+                               outer_slop=1)
+    assert got.column("doc_id").to_pylist() == [0, 1]
