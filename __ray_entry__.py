@@ -40,6 +40,16 @@ PERCOLATE_QUERIES = [
     {"query_id": "sq-parsed", "type": "parsed", "query": '+vector +"merge join" -spark'},
 ]
 
+# PointRangeQuery monitor clauses: a range-only query (termless/ANYTOKEN
+# routing) and a term-AND-range query (term-routed)
+PERCOLATE_RANGE_QUERIES = [
+    {"query_id": "rq-short", "type": "range", "field": "n_chars",
+     "lo": 0, "hi": 150},
+    {"query_id": "rq-merge-mid", "type": "range", "field": "n_chars",
+     "lo": 150, "hi": 400, "terms": ["merge"]},
+    {"query_id": "rq-or", "type": "or", "terms": ["vector"]},
+]
+
 
 def entry() -> Any:
     """Flagship: build the inverted index over sf0.001 documents (sort ->
@@ -172,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "urp_tolerant_update": lambda sf: urp.tolerant_update(sf, bad_mod=25),
         # --- percolator / highlighter (SURVEY §2.5/§2.6 aux) ---
         "percolate": lambda sf: monitor.percolate(sf, PERCOLATE_QUERIES),
+        "percolate_range": lambda sf: monitor.percolate(sf, PERCOLATE_RANGE_QUERIES),
         "highlight_snippets": lambda sf: monitor.highlight(sf, ["vector", "stream"]),
         "ft_classic_highlight": lambda sf: ft.classic_highlight_fragments(
             sf, terms=("merge", "vector"), fragsize=80),
@@ -1528,6 +1539,17 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT d.doc_id, 'sq-parsed' FROM d JOIN documents doc ON d.doc_id = doc.doc_id "
             "WHERE list_contains(sp, 'vector') AND regexp_matches(doc.text, '\\bmerge\\s+join\\b') "
             "AND NOT list_contains(sp, 'spark')"
+            ") ORDER BY doc_id, query_id"
+        ),
+        # monitor queries with PointRangeQuery clauses: range-only
+        # (ANYTOKEN-routed) and term-AND-range, beside a plain term query
+        "percolate_range": (
+            f"WITH d AS (SELECT doc_id, n_chars, {split} AS sp FROM documents) "
+            "SELECT doc_id, query_id FROM ("
+            "SELECT doc_id, 'rq-short' AS query_id FROM d WHERE n_chars >= 0 AND n_chars < 150 "
+            "UNION ALL SELECT doc_id, 'rq-merge-mid' FROM d "
+            "WHERE n_chars >= 150 AND n_chars < 400 AND list_contains(sp, 'merge') "
+            "UNION ALL SELECT doc_id, 'rq-or' FROM d WHERE list_contains(sp, 'vector')"
             ") ORDER BY doc_id, query_id"
         ),
         "scalar_functions": (

@@ -69,6 +69,18 @@ class PercolateStage:
                             for w in cl["terms"]:
                                 terms.update(tokenize(w))
                 self.compiled.append((q["query_id"], "parsed", clauses))
+            elif qtype == "range":
+                # PointRangeQuery clause ([U] lucene/core/.../search/
+                # PointRangeQuery.java as a monitor query): numeric
+                # [lo, hi) on a stream field, optionally ANDed with
+                # terms. A range-only query has no routing vocabulary —
+                # it takes the termless (ANYTOKEN) probe path.
+                terms = set()
+                for t in q.get("terms", ()):
+                    terms.update(tokenize(t))
+                self.compiled.append(
+                    (q["query_id"], "range",
+                     (q["field"], int(q["lo"]), int(q["hi"]), frozenset(terms))))
             else:
                 terms = set()
                 for t in q["terms"]:
@@ -129,7 +141,10 @@ class PercolateStage:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         doc_ids, query_ids = [], []
-        for d, s in zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()):
+        fields = {c: t.column(c).to_pylist() for c in t.column_names
+                  if c not in ("doc_id", "text")}
+        for row, (d, s) in enumerate(zip(t.column("doc_id").to_pylist(),
+                                         t.column("text").to_pylist())):
             toks = frozenset(tokenize(s or ""))
             cand: set[int] = set(self.termless)
             for tok in toks:
@@ -139,6 +154,11 @@ class PercolateStage:
                 qid, qtype, qbody = self.compiled[qi]
                 if qtype == "parsed":
                     if self._matches_parsed(qbody, toks, s or ""):
+                        hits.append(qid)
+                elif qtype == "range":
+                    field, lo, hi, terms = qbody
+                    v = fields[field][row]
+                    if v is not None and lo <= int(v) < hi and terms <= toks:
                         hits.append(qid)
                 elif qtype != "and" or qbody <= toks:  # candidates already share a term
                     hits.append(qid)
@@ -159,9 +179,11 @@ def percolate(sf_dir: str, stored_queries: list[dict], concurrency=None) -> ray.
 
     if concurrency is None:
         concurrency = pool_size()
+    cols = ["doc_id", "text"]
+    cols += sorted({q["field"] for q in stored_queries if q.get("type") == "range"})
     ref = ray.put(stored_queries)
     return (
-        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        read_parquet_clean(f"{sf_dir}/documents.parquet", columns=cols)
         .map_batches(
             PercolateStage,
             fn_constructor_kwargs={"queries_ref": ref},
