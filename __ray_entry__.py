@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frame_sample": multimodal.frame_sample,
         "multimodal_resample": lambda sf: multimodal.resample(sf, stride=2),
         "multimodal_feature_extract": lambda sf: multimodal.feature_extract(sf, dim=8),
+        "multimodal_crossmodal_topk": lambda sf: multimodal.crossmodal_topk(
+            sf, n_queries=3, k=5, dim=8),
         # --- SqlStream / graph streams (SURVEY §2.8) ---
         "sql_stream_agg": sqlmod.sql_stream_agg,
         "sql_stream_join": sqlmod.sql_stream_join,
@@ -2344,6 +2346,23 @@ def oracle_sql() -> dict[str, str]:
                 f"CAST(md5_number_upper(dg || '-{i}') % 256 AS BIGINT) AS f{i}"
                 for i in range(8))
             + " FROM d ORDER BY doc_id"
+        ),
+        # cross-modal retrieval: exact-int squared-L2 on the fake
+        # feature grid, first-3 payloads as queries, self excluded
+        "multimodal_crossmodal_topk": (
+            "WITH f AS (SELECT doc_id, "
+            + ", ".join(
+                f"CAST(md5_number_upper(md5(text) || '-{i}') % 256 AS BIGINT) AS f{i}"
+                for i in range(8))
+            + " FROM documents), "
+            "q AS (SELECT * FROM f ORDER BY doc_id LIMIT 3) "
+            "SELECT query_id, CAST(rn - 1 AS BIGINT) AS rank, neighbor_id, dist FROM ("
+            "SELECT q.doc_id AS query_id, b.doc_id AS neighbor_id, "
+            + " + ".join(f"(q.f{i} - b.f{i}) * (q.f{i} - b.f{i})" for i in range(8))
+            + " AS dist, ROW_NUMBER() OVER (PARTITION BY q.doc_id ORDER BY "
+            + " + ".join(f"(q.f{i} - b.f{i}) * (q.f{i} - b.f{i})" for i in range(8))
+            + ", b.doc_id) AS rn FROM q, f b WHERE b.doc_id != q.doc_id) t "
+            "WHERE rn <= 5 ORDER BY query_id, rank"
         ),
         # payload == utf-8 text bytes (pure-ASCII corpus), so SQL string
         # slices == the engine's byte slices; stride 4, max 5 frames

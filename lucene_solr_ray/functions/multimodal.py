@@ -215,3 +215,67 @@ def feature_extract(sf_dir: str, dim: int = 8, batch_size: int = 256) -> ray.dat
         batch_size=batch_size,
         concurrency=pool_size(),
     ).sort("doc_id")
+
+
+class _CrossModalStage:
+    """Exact-int squared-L2 scoring vs the broadcast query feature
+    matrix -> per-batch top-k partials (the ANN brute shape on integer
+    embeddings — collision-free oracle comparison, no float ordering)."""
+
+    def __init__(self, q_ref, k: int):
+        self.qids, self.q = ray.get(q_ref)  # (nq,), (nq, dim) int64
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        x = np.stack([t.column(f"f{i}").to_numpy().astype(np.int64)
+                      for i in range(self.q.shape[1])], axis=1)
+        out_q, out_n, out_d = [], [], []
+        for qi in range(len(self.qids)):
+            diff = x - self.q[qi]
+            dist = (diff * diff).sum(axis=1)
+            mask = ids != self.qids[qi]
+            cand_ids, cand_d = ids[mask], dist[mask]
+            if len(cand_ids) > self.k:
+                order = np.lexsort((cand_ids, cand_d))[: self.k]
+                cand_ids, cand_d = cand_ids[order], cand_d[order]
+            out_q.extend([int(self.qids[qi])] * len(cand_ids))
+            out_n.extend(cand_ids.tolist())
+            out_d.extend(cand_d.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "dist": pa.array(out_d, pa.int64())})
+
+
+def crossmodal_topk(sf_dir: str, n_queries: int = 3, k: int = 5,
+                    dim: int = 8) -> pa.Table:
+    """Cross-modal retrieval composition (the CLIP-retrieval slot):
+    query payloads' embeddings search the corpus of payload embeddings —
+    the feature-extract actor stage PIPED into the brute ANN stage, two
+    map_batches in one streaming plan. Distances are exact integer
+    squared-L2 on the int feature grid (no float ordering to defend);
+    broadcast query matrix via ray.put; per-batch top-k partials."""
+    from lucene_solr_ray.io_utils import pool_size
+
+    feats = payload_dataset(sf_dir).map_batches(
+        FeatureExtractStage, fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow", batch_size=256, concurrency=pool_size())
+    head = feats.sort("doc_id").limit(n_queries).to_pandas()
+    qids = head["doc_id"].to_numpy().astype(np.int64)
+    q = head[[f"f{i}" for i in range(dim)]].to_numpy().astype(np.int64)
+    q_ref = ray.put((qids, q))
+    partials = feats.map_batches(
+        _CrossModalStage, fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=pool_size()).to_pandas()
+    rows = []
+    for qid, g in partials.groupby("query_id"):
+        order = np.lexsort((g["neighbor_id"].to_numpy(), g["dist"].to_numpy()))[:k]
+        for rank, idx in enumerate(order):
+            rows.append({"query_id": int(qid), "rank": rank,
+                         "neighbor_id": int(g["neighbor_id"].iloc[idx]),
+                         "dist": int(g["dist"].iloc[idx])})
+    rows.sort(key=lambda r: (r["query_id"], r["rank"]))
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("query_id", pa.int64()), ("rank", pa.int64()),
+         ("neighbor_id", pa.int64()), ("dist", pa.int64())]))
