@@ -307,6 +307,12 @@ def main() -> None:
     t0 = time.perf_counter()
     annmod.ann_pq_topk(SF_DIR, k=10, n_queries=5)
     queries["ann_pq_topk"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    annmod.hard_negative_mining(SF_DIR, k=10, n_anchors=5)
+    queries["hard_negative_mining"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    curmod.token_budget_select(SF_DIR, budget=600).count()
+    queries["token_budget_select"] = round(time.perf_counter() - t0, 3)
 
     # tlog-lite commit-to-visible latency (micro path, no Ray spin-up).
     # Runs LAST: it appends docs to the bench index.
