@@ -356,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_terms_regex": lambda sf: ft.terms_enum(sf, "s", limit=20, regex="s.*a.*"),
         "composite_id_routing": lambda sf: ft.composite_id_routing(sf, n_shards=8),
         "ft_termfreq_topk": lambda sf: ft.termfreq_topk(sf, "merge", k=20),
+        "ft_function_values": lambda sf: ft.function_values(sf, "merge", k=20),
         "ft_atomic_update_rtg": lambda sf: ft.atomic_update_rtg(sf, [7, 123, 400]),
         "ft_tlog_rtg": ft.tlog_rtg,
         # --- Solr request-handler surface (SURVEY §2.11) ---
@@ -673,6 +674,8 @@ def oracle_sql() -> dict[str, str]:
             ["merge", "join"], k=10),
         "ft_boosting_demote": _ft_oracle().boosting_demote_sql(
             ["merge", "join"], demote_term="vector", demote_factor=0.5, k=10),
+        # termfreq()/docfreq()/idf()/norm() value sources in one row
+        "ft_function_values": _ft_oracle().function_values_sql("merge", k=20),
         "ft_fuzzy_like_this": _ft_oracle().fuzzy_like_this_sql(
             ("merg", "vectr"), max_edits=1, max_num_terms=6, k=10),
         "ft_intervals_containing": _ft_oracle().intervals_containing_sql(

@@ -903,6 +903,28 @@ def boost_query_sql(raw_terms: list[str], field: str = "n_chars",
             f") ranked WHERE rank < {int(k)} ORDER BY rank")
 
 
+def function_values_sql(term: str = "merge", k: int = 20) -> str:
+    """Oracle for fulltext.function_values — tf/df over the stop-filtered
+    split, idf quantized to micro-units with the same FLOOR(+0.5), and
+    norm_dl = greatest byte4-representable value <= dl (the same
+    DECODED_TABLE-generated reps list the scoring oracles use)."""
+    t = _esc(term)
+    return (
+        "WITH toks AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE "
+        "list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        f"x -> NOT list_contains({_STOP}, x)) END AS tk FROM documents), "
+        f"reps(v) AS (VALUES {_REPS}), "
+        f"f AS (SELECT doc_id, len(list_filter(tk, x -> x = '{t}')) AS tf, "
+        "len(tk) AS dl FROM toks), "
+        "s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+        "CAST(COUNT(CASE WHEN tf > 0 THEN 1 END) AS DOUBLE) AS df FROM f) "
+        "SELECT doc_id, CAST(tf AS BIGINT) AS tf, CAST(s.df AS BIGINT) AS df, "
+        "CAST(FLOOR(ln(1.0 + ((s.n - s.df) + 0.5)/(s.df + 0.5)) * 1000000 + 0.5) AS BIGINT) AS idf_micro, "
+        "CAST((SELECT MAX(v) FROM reps WHERE v <= f.dl) AS BIGINT) AS norm_dl "
+        f"FROM f, s WHERE tf > 0 ORDER BY doc_id LIMIT {int(k)}"
+    )
+
+
 def boosting_demote_sql(raw_terms: list[str], demote_term: str = "vector",
                         demote_factor: float = 0.5, k: int = 10) -> str:
     """Oracle for fulltext.boosting_demote_topk: the BM25 float32 fold

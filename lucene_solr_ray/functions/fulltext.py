@@ -1086,6 +1086,43 @@ def termfreq_topk(sf_dir: str, term: str = "merge", k: int = 20) -> pa.Table:
     })
 
 
+def function_values(sf_dir: str, term: str = "merge", k: int = 20) -> pa.Table:
+    """The function-query value family in one row per matching doc ([U]
+    lucene/queries/.../function/valuesource/: TermFreqValueSource,
+    DocFreqValueSource, IDFValueSource, NormValueSource — Solr's
+    termfreq()/docfreq()/idf()/norm()): tf from the posting list, global
+    df, idf in exact micro-units (the BM25 idf form), and the byte4-
+    decoded doc length the norm encodes. Everything served from ONE
+    term's postings + norms — never a corpus scan; df/idf are
+    per-query constants (TermStates), repeated per row as Solr's
+    fl=docfreq(...),idf(...) does."""
+    from lucene_solr_ray.codec.norms import DECODED_TABLE
+
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    df, _, cur = s.term_stats_and_cursor(term)
+    if df == 0:
+        return pa.table({c: pa.array([], pa.int64()) for c in
+                         ("doc_id", "tf", "df", "idf_micro", "norm_dl")})
+    docids, tfs, norms = cur.decode_all()
+    live = s._live(docids)
+    mask = np.isin(docids, live) if len(live) != len(docids) else np.ones(len(docids), bool)
+    n = float(s.n_docs)
+    idf_micro = int(np.floor(np.log(1.0 + ((n - df) + 0.5) / (df + 0.5)) * 1e6 + 0.5))
+    mapping = _docid_to_doc_id(index_dir)
+    doc_ids = mapping[docids[mask]]
+    order = np.argsort(doc_ids)[:k]
+    dl = np.asarray(DECODED_TABLE, np.float64)[norms[mask][order]].astype(np.int64)
+    m = len(order)
+    return pa.table({
+        "doc_id": pa.array(doc_ids[order], pa.int64()),
+        "tf": pa.array(tfs[mask][order].astype(np.int64), pa.int64()),
+        "df": pa.array(np.full(m, df, np.int64), pa.int64()),
+        "idf_micro": pa.array(np.full(m, idf_micro, np.int64), pa.int64()),
+        "norm_dl": pa.array(dl, pa.int64()),
+    })
+
+
 def wildcard_topterms_retrieve(sf_dir: str, prefix: str = "s", top_n: int = 2) -> pa.Table:
     """TopTermsRewrite ([U] lucene/core/.../search/TopTermsRewrite.java,
     MultiTermQuery.TOP_TERMS_SCORING_BOOLEAN_REWRITE): instead of
