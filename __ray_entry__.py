@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_facet_prefix": lambda sf: ts.term_facet_prefix(sf, prefix="s", k=10),
         "urlemail_token_counts": ts.urlemail_token_counts,
         "elision_token_counts": ts.elision_token_counts,
+        "german_stem_counts": lambda sf: ts.german_stem_counts(sf, k=20),
         "bpe_pair_counts": lambda sf: ts.bpe_pair_counts(sf, k=20),
         "heavy_hitters_topk": sketches.heavy_hitters_topk,
         "count_min_estimate": sketches.count_min_estimate,
@@ -2104,6 +2105,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rolling_fingerprint": _data_oracle().rolling_fingerprint_sql(),
         "stemmed_term_counts": _data_oracle().stemmed_term_counts_sql(),
+        # GermanLightStemmer over the umlaut/ending-augmented de view
+        "german_stem_counts": _data_oracle().german_stem_counts_sql(k=20),
         "stemmer_override_counts": _data_oracle().stemmed_term_counts_sql(
             overrides={"merge": "merge", "filter": "filt3r"}),
         "phonetic_term_groups": _data_oracle().phonetic_term_groups_sql(k=50),

@@ -999,6 +999,44 @@ def get_analyzer(name: str):
         raise ValueError(f"unknown analyzer {name!r}; known: {sorted(ANALYZERS)}")
 
 
+def german_light_stem(token: str) -> str:
+    """GermanLightStemFilter ([U] lucene/analysis/common/.../de/
+    GermanLightStemmer.java — Savoy's light German stemmer): fold
+    umlauts/accents to base vowels, then two suffix-stripping steps
+    (-ern / -e[mnrs] / -e / -s-after-consonant, then -est / -e[rn] /
+    -st-after-consonant). Case endings and plurals collapse; short
+    tokens pass through."""
+    s = list(token)
+    fold = {"ä": "a", "à": "a", "á": "a", "â": "a",
+            "ö": "o", "ò": "o", "ó": "o", "ô": "o",
+            "ï": "i", "ì": "i", "í": "i", "î": "i",
+            "ü": "u", "ù": "u", "ú": "u", "û": "u",
+            "ß": "ss"}
+    s = list("".join(fold.get(c, c) for c in s))
+
+    def st_ending(ch: str) -> bool:
+        return ch in "bdfghklmnt"
+
+    n = len(s)
+    # step 1
+    if n > 5 and s[n - 3] == "e" and s[n - 2] == "r" and s[n - 1] == "n":
+        n -= 3
+    elif n > 4 and s[n - 2] == "e" and s[n - 1] in "mnrs":
+        n -= 2
+    elif n > 3 and s[n - 1] == "e":
+        n -= 1
+    elif n > 3 and s[n - 1] == "s" and st_ending(s[n - 2]):
+        n -= 1
+    # step 2
+    if n > 5 and s[n - 3] == "e" and s[n - 2] == "s" and s[n - 1] == "t":
+        n -= 3
+    elif n > 4 and s[n - 2] == "e" and s[n - 1] in "rn":
+        n -= 2
+    elif n > 5 and s[n - 2] == "s" and s[n - 1] == "t" and st_ending(s[n - 3]):
+        n -= 2
+    return "".join(s[:n])
+
+
 # FrenchAnalyzer's default elidable articles ([U] lucene/analysis/common/
 # .../fr/FrenchAnalyzer.java DEFAULT_ARTICLES)
 FRENCH_ARTICLES = frozenset(

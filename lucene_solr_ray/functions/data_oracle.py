@@ -229,6 +229,53 @@ def stemmed_term_counts_sql(overrides: dict[str, str] | None = None) -> str:
     )
 
 
+def german_stem_counts_sql(k: int = 20) -> str:
+    """Oracle for textstats.german_stem_counts — the same deterministic
+    inflection (first 'a' -> 'ä' + ending by pos % 4 at (doc_id+pos)%5
+    positions) rebuilt in SQL, and a form->stem VALUES map generated
+    from the engine's german_light_stem over the CLOSED derived
+    vocabulary (every corpus token plus its four inflected forms)."""
+    import duckdb
+
+    from lucene_solr_ray.analysis import german_light_stem
+    from lucene_solr_ray.functions.textstats import GERMAN_ENDINGS
+
+    con = duckdb.connect()
+    vocab: set[str] = set()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        rows = con.sql(
+            "SELECT DISTINCT tok FROM (SELECT unnest("
+            "regexp_split_to_array(trim(text), '\\s+')) AS tok "
+            f"FROM read_parquet('/root/testdata/{sf}/documents.parquet') "
+            "WHERE trim(text) <> '')"
+        ).fetchall()
+        vocab.update(r[0] for r in rows)
+    con.close()
+    forms: set[str] = set(vocab)
+    for v in vocab:
+        uml = v.replace("a", "ä", 1)
+        for e in GERMAN_ENDINGS:
+            forms.add(uml + e)
+    vals = ", ".join(
+        "('{}', '{}')".format(f.replace("'", "''"),
+                              german_light_stem(f).replace("'", "''"))
+        for f in sorted(forms))
+    endings_sql = "[" + ", ".join(f"'{e}'" for e in GERMAN_ENDINGS) + "]"
+    return (
+        "WITH toks AS (SELECT doc_id, unnest(l) AS term, "
+        "CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS pos "
+        "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS l "
+        "FROM documents WHERE lang = 'de' AND trim(text) <> '')), "
+        "infl AS (SELECT CASE WHEN (doc_id + pos) % 5 = 0 THEN "
+        f"regexp_replace(term, 'a', 'ä') || list_extract({endings_sql}, CAST(pos % 4 AS BIGINT) + 1) "
+        "ELSE term END AS form FROM toks), "
+        f"stems(form, stem) AS (VALUES {vals}) "
+        "SELECT s.stem AS stem, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM infl i JOIN stems s ON i.form = s.form "
+        f"GROUP BY s.stem ORDER BY n DESC, stem LIMIT {int(k)}"
+    )
+
+
 def rolling_fingerprint_sql(window: int = 8, base: int = 257) -> str:
     """Oracle for textstats.rolling_fingerprint: Karp-Rabin polynomial
     hashes mod 2^61-1 as exact HUGEINT folds over codepoints (== UTF-8

@@ -806,6 +806,53 @@ def elision_token_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+GERMAN_ENDINGS = ("ern", "en", "es", "e")
+
+
+def german_stem_counts(sf_dir: str, k: int = 20) -> pa.Table:
+    """GermanLightStemFilter counts over the deterministically
+    German-augmented view of lang='de' docs (the elision-entry
+    derivation pattern — the raw corpus has no umlauts or case endings
+    by construction): token at position p with (doc_id + p) % 5 == 0 is
+    inflected — its FIRST 'a' umlautized to 'ä' and a case ending from
+    GERMAN_ENDINGS[p % 4] appended — then every token passes through
+    the stemmer and the stem histogram (top-k by count desc, stem asc)
+    must land back at exact counts. A broken fold or suffix step shifts
+    the histogram."""
+    from ray.data.aggregate import Sum
+
+    from lucene_solr_ray.analysis import german_light_stem
+
+    def partials(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c = Counter()
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            toks = _WS.split(s.strip()) if s and s.strip() else []
+            for p, tok in enumerate(toks):
+                if (int(d) + p) % 5 == 0:
+                    tok = tok.replace("a", "ä", 1) + GERMAN_ENDINGS[p % 4]
+                c[german_light_stem(tok)] += 1
+        return pa.table({"stem": pa.array(list(c), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    out = (
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+        .filter(expr='lang == "de"')
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("stem")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out = out.sort_values(["n", "stem"], ascending=[False, True]).head(k)
+    return pa.table({
+        "stem": pa.array(out["stem"].astype(str), pa.string()),
+        "n": pa.array(out["n"].astype(np.int64), pa.int64()),
+    })
+
+
 def _word_counts(sf_dir: str) -> pd.DataFrame:
     """Distributed raw-token histogram (the BPE training input): per-batch
     Counter partials -> groupby-Sum; the result is VOCABULARY-sized, the

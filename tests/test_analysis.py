@@ -386,3 +386,20 @@ def test_elision_filter_gold():
     assert elision_filter(["o'brien", "avenir", "l'", "rock'n'roll"]) == \
         ["o'brien", "avenir", "l'", "rock'n'roll"]
     assert elision_filter(["L'Avenir"]) == ["Avenir"]  # case-blind article
+
+
+def test_german_light_stem_gold():
+    """GermanLightStemmer gold vectors (Savoy light stemmer): umlaut
+    fold + the two suffix steps; short tokens and vowel-s pass through."""
+    from lucene_solr_ray.analysis import german_light_stem as g
+
+    assert g("häusern") == "haus"      # fold + -ern
+    assert g("bücher") == "buch"       # fold + -er
+    assert g("jahres") == "jahr"       # -es
+    assert g("kindes") == "kind"
+    assert g("frauen") == "frau"       # -en
+    assert g("schönsten") == "schon"   # -en then -st after consonant
+    assert g("tages") == "tag"
+    assert g("autos") == "autos"       # 's' after vowel: not an st-ending
+    assert g("rot") == "rot"           # too short to strip
+    assert g("straße") == "strass"     # ß -> ss, then -e
