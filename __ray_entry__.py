@@ -238,6 +238,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, ["merge", "join"], k=10),
         "ft_boosting_demote": lambda sf: ft.boosting_demote_topk(
             sf, ["merge", "join"], demote_term="vector", demote_factor=0.5, k=10),
+        "ft_req_opt_topk": lambda sf: ft.req_opt_topk(
+            sf, must="merge", optional="vector", k=10),
+        "ft_req_excl_topk": lambda sf: ft.req_excl_topk(
+            sf, must="merge", excluded="vector", k=10),
         "ft_intervals_maxgaps": lambda sf: ft.intervals_maxgaps_retrieve(
             sf, "merge", "join", "sort", max_gaps=4),
         "ft_fuzzy_like_this": lambda sf: ft.fuzzy_like_this_topk(
@@ -677,6 +681,11 @@ def oracle_sql() -> dict[str, str]:
             ["merge", "join"], demote_term="vector", demote_factor=0.5, k=10),
         # termfreq()/docfreq()/idf()/norm() value sources in one row
         "ft_function_values": _ft_oracle().function_values_sql("merge", k=20),
+        # ReqOptSumScorer / ReqExclScorer boolean scoring shapes
+        "ft_req_opt_topk": _ft_oracle().req_opt_excl_sql(
+            "merge", "vector", mode="opt", qid="ro-1", k=10),
+        "ft_req_excl_topk": _ft_oracle().req_opt_excl_sql(
+            "merge", "vector", mode="excl", qid="re-1", k=10),
         "ft_fuzzy_like_this": _ft_oracle().fuzzy_like_this_sql(
             ("merg", "vectr"), max_edits=1, max_num_terms=6, k=10),
         "ft_intervals_containing": _ft_oracle().intervals_containing_sql(

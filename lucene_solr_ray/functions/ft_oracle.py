@@ -903,6 +903,36 @@ def boost_query_sql(raw_terms: list[str], field: str = "n_chars",
             f") ranked WHERE rank < {int(k)} ORDER BY rank")
 
 
+def req_opt_excl_sql(must: str, other: str, mode: str, qid: str,
+                     k: int = 10) -> str:
+    """Oracle for fulltext.req_opt_topk (mode='opt': MUST + SHOULD, the
+    two-term float32 fold restricted to the required match set) and
+    fulltext.req_excl_topk (mode='excl': MUST + MUST_NOT, the
+    single-term fold minus the excluded match set)."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    m = analyze_query_terms([must])[0]
+    o = analyze_query_terms([other])[0]
+    ctes = [prelude_ctes(), tf_cte("ro_tm", m), tf_cte("ro_to", o)]
+    ctes.append(w_cte("ro_wm", "ro_tm"))
+    if mode == "opt":
+        ctes.append(w_cte("ro_wo", "ro_to"))
+        fold = fold_f32([score_expr("tm", "ro_wm"), score_expr("to_", "ro_wo")])
+        cond = "tm.tf > 0"
+    else:
+        fold = score_expr("tm", "ro_wm")
+        cond = "tm.tf > 0 AND to_.tf = 0"
+    return ("WITH " + ", ".join(ctes) + " "
+            f"SELECT '{qid}' AS query_id, rank, doc_id FROM ("
+            "SELECT doc_id, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+            f"FROM (SELECT tm.doc_id AS doc_id, {fold} AS score "
+            "FROM ro_tm tm JOIN ro_to to_ ON tm.doc_id = to_.doc_id "
+            "JOIN denom ON denom.doc_id = tm.doc_id "
+            f"WHERE {cond}) sub"
+            f") ranked WHERE rank < {int(k)} ORDER BY rank")
+
+
 def function_values_sql(term: str = "merge", k: int = 20) -> str:
     """Oracle for fulltext.function_values — tf/df over the stop-filtered
     split, idf quantized to micro-units with the same FLOOR(+0.5), and

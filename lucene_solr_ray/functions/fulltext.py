@@ -1869,6 +1869,60 @@ def boost_query_topk(sf_dir: str, terms: list[str], field: str = "n_chars",
     })
 
 
+def req_opt_topk(sf_dir: str, must: str = "merge", optional: str = "vector",
+                 k: int = 10) -> pa.Table:
+    """ReqOptSumScorer ([U] lucene/core/.../search/ReqOptSumScorer.java):
+    BooleanQuery MUST + SHOULD — the match set is the required clause's
+    alone, but an optional match ADDS its score. Evaluated as the full
+    two-term float32 OR fold restricted to the required posting set (the
+    fold is identical; the optional clause only ever contributes on top).
+    Rank-only output."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    from lucene_solr_ray.oracle import analyze_query_terms, topk_order
+
+    qterms = analyze_query_terms([must, optional])
+    d, sc = s.search(qterms, k=max(1, s.n_docs), mode="or")
+    _, _, cur = s.term_stats_and_cursor(qterms[0])
+    req = s._live(cur.decode_all()[0]) if cur is not None else np.empty(0, np.int64)
+    keep = np.isin(d, req)
+    d, sc = d[keep], sc[keep]
+    top = topk_order(d, sc, k)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({
+        "query_id": pa.array(["ro-1"] * len(top), pa.string()),
+        "rank": pa.array(np.arange(len(top)), pa.int64()),
+        "doc_id": pa.array(mapping[d[top]].astype(np.int64), pa.int64()),
+    })
+
+
+def req_excl_topk(sf_dir: str, must: str = "merge", excluded: str = "vector",
+                  k: int = 10) -> pa.Table:
+    """ReqExclScorer ([U] lucene/core/.../search/ReqExclScorer.java):
+    BooleanQuery MUST + MUST_NOT where scoring comes from the required
+    clause ONLY and the excluded clause's matches drop out. Single-term
+    BM25 over the required postings minus the excluded posting set.
+    Rank-only output."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    from lucene_solr_ray.oracle import analyze_query_terms, topk_order
+
+    qterms = analyze_query_terms([must])
+    d, sc = s.search(qterms, k=max(1, s.n_docs), mode="or")
+    ex = analyze_query_terms([excluded])
+    _, _, cur = s.term_stats_and_cursor(ex[0]) if ex else (0, 0, None)
+    ex_docs = cur.decode_all()[0] if cur is not None else np.empty(0, np.int64)
+    keep = ~np.isin(d, ex_docs)
+    d, sc = d[keep], sc[keep]
+    top = topk_order(d, sc, k)
+    mapping = _docid_to_doc_id(index_dir)
+    return pa.table({
+        "query_id": pa.array(["re-1"] * len(top), pa.string()),
+        "rank": pa.array(np.arange(len(top)), pa.int64()),
+        "doc_id": pa.array(mapping[d[top]].astype(np.int64), pa.int64()),
+    })
+
+
 def boosting_demote_topk(sf_dir: str, terms: list[str],
                          demote_term: str = "vector",
                          demote_factor: float = 0.5, k: int = 10) -> pa.Table:
