@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_keep_set": lambda sf: dedup.semdedup_keep_set(sf, threshold=0.42),
         "dedup_embedding_lsh": lambda sf: dedup.embedding_lsh_pairs(sf, threshold=0.42),
         "dedup_connected_components": dedup.dedup_connected_components,
+        "dedup_cluster_representatives": dedup.dedup_cluster_representatives,
         "semdedup_keep": lambda sf: dedup.semdedup_keep(sf, n_clusters=16, threshold=0.42),
         # --- similarity search ---
         "ann_brute_topk": lambda sf: ann.ann_brute_topk(sf, k=10, n_queries=5),
@@ -1957,6 +1958,29 @@ def oracle_sql() -> dict[str, str]:
             "sz AS (SELECT canon_id, COUNT(*) AS n_members FROM cc GROUP BY canon_id) "
             "SELECT node AS doc_id, cc.canon_id, sz.n_members, CAST(node = cc.canon_id AS BIGINT) AS keep "
             "FROM cc JOIN sz USING (canon_id) ORDER BY doc_id"
+        ),
+        # representative selection: same components, keep the max-n_chars
+        # member (doc_id asc tiebreak) instead of the min id
+        "dedup_cluster_representatives": (
+            "WITH RECURSIVE docs AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS a FROM documents), "
+            "tri AS (SELECT DISTINCT doc_id, list_extract(a, i) || ' ' || list_extract(a, i+1) || ' ' || "
+            "list_extract(a, i+2) AS g FROM docs, UNNEST(range(1, len(a)-1)) AS t(i) WHERE len(a) >= 3), "
+            "sizes AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY 1), "
+            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i FROM tri a "
+            "JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "pairs AS (SELECT doc_a, doc_b FROM inter JOIN sizes sa ON sa.doc_id = doc_a "
+            "JOIN sizes sb ON sb.doc_id = doc_b WHERE i*100 >= 30*(sa.n + sb.n - i)), "
+            "edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs), "
+            "reach(node, lab) AS (SELECT s, s FROM edges UNION "
+            "SELECT e.d, r.lab FROM reach r JOIN edges e ON e.s = r.node), "
+            "cc AS (SELECT node, MIN(lab) AS canon_id FROM reach GROUP BY node), "
+            "sz AS (SELECT canon_id, COUNT(*) AS n_members FROM cc GROUP BY canon_id), "
+            "q AS (SELECT cc.node, cc.canon_id, sz.n_members, d.n_chars, "
+            "ROW_NUMBER() OVER (PARTITION BY cc.canon_id "
+            "ORDER BY d.n_chars DESC, cc.node) AS rn "
+            "FROM cc JOIN sz USING (canon_id) JOIN documents d ON d.doc_id = cc.node) "
+            "SELECT canon_id, node AS rep_doc_id, n_members, "
+            "CAST(n_chars AS BIGINT) AS rep_n_chars FROM q WHERE rn = 1 ORDER BY canon_id"
         ),
         # semdedup: centroid sampling/assignment exact int64 (ann_pq
         # convention); within-cluster cosine uses the 0.42 margin bound

@@ -19,6 +19,7 @@ import zlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.dataset as pads
 
 import ray.data
 
@@ -909,6 +910,39 @@ def dedup_connected_components(sf_dir: str, threshold_pct: int = 30,
         "canon_id": pa.array(df["canon_id"].astype(np.int64)),
         "n_members": pa.array(df["n_members"].astype(np.int64)),
         "keep": pa.array(df["keep"].astype(np.int64)),
+    })
+
+
+def dedup_cluster_representatives(sf_dir: str, threshold_pct: int = 30,
+                                  ngram: int = 3) -> pa.Table:
+    """Near-dup cluster REPRESENTATIVE selection — the production policy
+    of keeping each cluster's best-quality member rather than its
+    minimum id (keep-first is an arbitrary survivor; quality-keep
+    retains the longest/cleanest copy). Components come from the same
+    pair graph as dedup_connected_components; the representative is the
+    member with max n_chars (doc_id asc tiebreak). The quality join is a
+    docid-pushdown read over only the clustered docs (cluster-member-
+    sized, never the corpus), and the argmax is one component-keyed
+    pass."""
+    cc = dedup_connected_components(sf_dir, threshold_pct=threshold_pct,
+                                    ngram=ngram).to_pandas()
+    if cc.empty:
+        return pa.table({c: pa.array([], pa.int64()) for c in
+                         ("canon_id", "rep_doc_id", "n_members", "rep_n_chars")})
+    ds = pads.dataset(f"{sf_dir}/documents.parquet", format="parquet")
+    quality = ds.to_table(
+        columns=["doc_id", "n_chars"],
+        filter=pa.compute.field("doc_id").isin(
+            pa.array(cc["doc_id"].to_numpy().astype(np.int64)))).to_pandas()
+    m = cc.merge(quality, on="doc_id")
+    m = m.sort_values(["canon_id", "n_chars", "doc_id"],
+                      ascending=[True, False, True])
+    rep = m.groupby("canon_id", sort=True).first().reset_index()
+    return pa.table({
+        "canon_id": pa.array(rep["canon_id"].astype(np.int64), pa.int64()),
+        "rep_doc_id": pa.array(rep["doc_id"].astype(np.int64), pa.int64()),
+        "n_members": pa.array(rep["n_members"].astype(np.int64), pa.int64()),
+        "rep_n_chars": pa.array(rep["n_chars"].astype(np.int64), pa.int64()),
     })
 
 
