@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_expr_corr": streamexpr.stream_expr_corr,
         "stream_expr_train": streamexpr.stream_expr_train,
         "stream_expr_features": streamexpr.stream_expr_features,
+        "stream_expr_timeseries_metrics": streamexpr.stream_expr_timeseries_metrics,
         "stream_expr_classify": streamexpr.stream_expr_classify,
         "stream_expr_knn": streamexpr.stream_expr_knn,
         "stream_expr_significant_terms": streamexpr.stream_expr_significant_terms,
@@ -1430,6 +1431,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_expr_train": _logit_sql("train"),
         "stream_expr_classify": _logit_sql("classify"),
+        "stream_expr_timeseries_metrics": (
+            "SELECT CAST(epoch_us(TIMESTAMP '2026-01-01 00:00:00' "
+            "+ to_seconds(doc_id)) // 120000000 * 120000000 AS BIGINT) AS bucket_us, "
+            "CAST(COUNT(*) AS BIGINT) AS count, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars, "
+            "CAST(MIN(n_chars) AS BIGINT) AS min_n_chars, "
+            "CAST(MAX(n_chars) AS BIGINT) AS max_n_chars "
+            f"FROM documents WHERE list_contains({split}, 'merge') "
+            "GROUP BY bucket_us ORDER BY bucket_us"
+        ),
         # FeaturesSelectionStream: IG * N as exact scaled-entropy ints
         "stream_expr_features": __import__(
             "lucene_solr_ray.functions.classify", fromlist=["features_select_sql"]

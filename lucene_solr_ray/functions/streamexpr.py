@@ -1409,6 +1409,15 @@ def stream_expr_train(sf_dir: str) -> ray.data.Dataset:
     return run_stream(sf_dir, 'train(documents, q="merge", iterations=3)')
 
 
+def stream_expr_timeseries_metrics(sf_dir: str) -> ray.data.Dataset:
+    """timeseries() with the full metric set (count + sum/min/max over a
+    field) — the multi-metric TimeSeriesStream form."""
+    return run_stream(
+        sf_dir,
+        'timeseries(documents, q="merge", field="ts", gap="+120SECONDS", '
+        'count(*), sum(n_chars), min(n_chars), max(n_chars))')
+
+
 def stream_expr_features(sf_dir: str) -> ray.data.Dataset:
     return run_stream(sf_dir, 'features(documents, field="lang", label="en", k=12)')
 
