@@ -338,6 +338,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_common_terms_topk": lambda sf: ft.common_terms_topk(
             sf, ["merge", "join", "vector"], max_df_frac=0.55, k=10),
         "ft_spell_suggest": lambda sf: ft.spell_suggest(sf, "mergee", max_suggestions=5),
+        "ft_spell_more_popular": lambda sf: ft.spell_suggest_more_popular(
+            sf, "part", max_suggestions=5, max_edits=2),
         "ft_word_break": lambda sf: ft.word_break_suggest(sf, "streamline"),
         "ft_query_elevation": lambda sf: ft.elevation_topk(
             sf, ["merge", "join"], elevated=[17, 4], excluded=[2], k=10),
@@ -1027,6 +1029,18 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE NOT list_contains({_STOP_SQL}, x) GROUP BY x), "
             "cand AS (SELECT term, CAST(levenshtein(term, 'mergee') AS BIGINT) AS distance, df "
             "FROM vocab WHERE levenshtein(term, 'mergee') BETWEEN 1 AND 2) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY distance, df DESC, term) - 1 AS BIGINT) AS sugg_rank, "
+            "term, distance, df FROM cand ORDER BY distance, df DESC, term LIMIT 5"
+        ),
+        # onlyMorePopular: keep candidates with df strictly above the
+        # query term's own df
+        "ft_spell_more_popular": (
+            f"WITH toks AS (SELECT doc_id, unnest({split}) AS x FROM documents), "
+            f"vocab AS (SELECT x AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks "
+            f"WHERE NOT list_contains({_STOP_SQL}, x) GROUP BY x), "
+            "base AS (SELECT df AS bdf FROM vocab WHERE term = 'part'), "
+            "cand AS (SELECT term, CAST(levenshtein(term, 'part') AS BIGINT) AS distance, df "
+            "FROM vocab, base WHERE levenshtein(term, 'part') BETWEEN 1 AND 2 AND df > base.bdf) "
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY distance, df DESC, term) - 1 AS BIGINT) AS sugg_rank, "
             "term, distance, df FROM cand ORDER BY distance, df DESC, term LIMIT 5"
         ),

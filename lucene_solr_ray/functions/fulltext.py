@@ -825,6 +825,32 @@ def classic_highlight_fragments(sf_dir: str, terms=("merge", "vector"),
     )
 
 
+def spell_suggest_more_popular(sf_dir: str, term: str = "part",
+                               max_suggestions: int = 5,
+                               max_edits: int = 2) -> pa.Table:
+    """DirectSpellChecker suggestMode=SUGGEST_MORE_POPULAR ([U]
+    lucene/suggest/.../spell/DirectSpellChecker.java; Solr
+    spellcheck.onlyMorePopular): fuzzy candidates keep only dictionary
+    terms whose df is STRICTLY higher than the query term's own — the
+    "did you mean" mode for terms that exist in the index but are rarer
+    than a near neighbor. Ranking stays (distance asc, df desc, term
+    asc)."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    base_df, _, _ = s.term_stats_and_cursor(term)
+    rows = [
+        {"sugg_rank": 0, "term": t, "distance": dist, "df": df}
+        for t, dist, df in s.suggest_spelling(term, max_suggestions=100_000,
+                                              max_edits=max_edits)
+        if df > base_df
+    ][:max_suggestions]
+    for i, r in enumerate(rows):
+        r["sugg_rank"] = i
+    schema = pa.schema([("sugg_rank", pa.int64()), ("term", pa.string()),
+                        ("distance", pa.int64()), ("df", pa.int64())])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
 def context_suggest(sf_dir: str, prefix: str = "s", context_lang: str = "en",
                     k: int = 5) -> pa.Table:
     """Context-filtered suggester ([U] lucene/suggest/.../document/
