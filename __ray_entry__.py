@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": ts.token_count,
         "bpe_ish_count": ts.bpe_ish_count,
         "ngram_diversity": lambda sf: ts.ngram_diversity(sf, n=3),
+        "winnowing_fingerprints": lambda sf: ts.winnowing_fingerprints(
+            sf, window=8, guarantee=4),
         "token_fertility": ts.token_fertility,
         "quality_signals": ts.quality_signals,
         "lang_id": ts.lang_id,
@@ -2121,6 +2123,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) "
             "AS n_bpe_tokens FROM documents ORDER BY doc_id"
         ),
+        # winnowing (MOSS): min k-gram hash per guarantee window
+        "winnowing_fingerprints": _data_oracle().winnowing_sql(
+            window=8, guarantee=4),
         # per-source trigram diversity: distinct/total grams, micro-units
         "ngram_diversity": (
             "WITH toks AS (SELECT source, doc_id, "

@@ -301,6 +301,36 @@ def rolling_fingerprint_sql(window: int = 8, base: int = 257) -> str:
     )
 
 
+def winnowing_sql(window: int = 8, guarantee: int = 4, base: int = 257) -> str:
+    """Oracle for textstats.winnowing_fingerprints — the same Karp-Rabin
+    k-gram hashes (HUGEINT folds) with the winnowing min-per-guarantee-
+    window selection, emitted as the per-doc DISTINCT value set."""
+    p = _MERSENNE61
+
+    def fold(char_range: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+            f"list_transform({char_range}, c_i -> CAST(unicode(text[c_i]) AS HUGEINT))), "
+            f"(acc, ch) -> (acc * {base} + ch) % {p})"
+        )
+
+    full = fold("range(1, length(text)+1)")
+    win = fold(f"range(j, j+{window})")
+    g = int(guarantee)
+    return (
+        "WITH h AS (SELECT doc_id, CASE "
+        f"WHEN length(text) < {window} THEN [{full}] "
+        f"ELSE list_transform(range(1, length(text)-{window}+2), j -> {win}) END AS hs "
+        "FROM documents WHERE length(text) > 0), "
+        "sel AS (SELECT doc_id, CASE "
+        f"WHEN len(hs) <= {g} THEN [list_min(hs)] "
+        f"ELSE list_transform(range(1, len(hs)-{g}+2), j -> list_min(list_slice(hs, j, j+{g}-1))) "
+        "END AS fps FROM h) "
+        "SELECT DISTINCT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM sel "
+        "ORDER BY doc_id, fp"
+    )
+
+
 def _mulmod64_sql(a: str, b_const: int) -> str:
     """(a * b) mod 2^64 for HUGEINT expressions: 32-bit split so every
     product stays inside HUGEINT."""

@@ -806,6 +806,68 @@ def elision_token_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def winnowing_fingerprints(sf_dir: str, window: int = 8,
+                           guarantee: int = 4, base: int = 257) -> ray.data.Dataset:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken 2003,
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    MOSS algorithm; the fingerprint-SELECTION step on top of the
+    Karp-Rabin rolling hashes rolling_fingerprint computes): slide a
+    width-``guarantee`` window over the k-gram hash sequence and keep
+    each window's MINIMUM hash. Any shared substring of length
+    window + guarantee - 1 is guaranteed a shared selected fingerprint.
+    Emitted as the per-doc DISTINCT selected-value set (tie position
+    doesn't affect the value set, so the SQL oracle is position-free).
+    Vectorized: sliding_window_view over the hash array, row-min,
+    unique. Docs shorter than one k-gram select their full-doc hash."""
+    mod = _MERSENNE61
+
+    class Winnow:
+        def __init__(self):
+            pows = [1]
+            for _ in range(max(window, 64)):
+                pows.append(pows[-1] * base % mod)
+            self._pows = np.array(pows, dtype=np.uint64)
+            self.win_pows = self._pows[:window][::-1].copy()
+
+        def _full(self, b: np.ndarray) -> int:
+            n = len(b)
+            pw = self._pows
+            while len(pw) < n:
+                pw = np.append(pw, np.uint64(int(pw[-1]) * base % mod))
+            self._pows = pw
+            return int(_summod(_mulmod_bytes_pows(b, pw[:n][::-1])))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out_d, out_f = [], []
+            for d, s in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+                b = np.frombuffer((s or "").encode("utf-8"),
+                                  dtype=np.uint8).astype(np.uint64)
+                if len(b) == 0:
+                    continue
+                if len(b) < window:
+                    sel = np.array([self._full(b)], np.int64)
+                else:
+                    wins = np.lib.stride_tricks.sliding_window_view(b, window)
+                    hs = _summod(_mulmod_bytes_pows(wins, self.win_pows[None, :]),
+                                 axis=1).astype(np.int64)
+                    if len(hs) <= guarantee:
+                        sel = np.array([hs.min()], np.int64)
+                    else:
+                        gw = np.lib.stride_tricks.sliding_window_view(hs, guarantee)
+                        sel = np.unique(gw.min(axis=1))
+                out_d.extend([d] * len(sel))
+                out_f.extend(sel.tolist())
+            return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                             "fp": pa.array(out_f, pa.int64())})
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(Winnow, batch_format="pyarrow", concurrency=pool_size())
+        .sort(["doc_id", "fp"])
+    )
+
+
 GERMAN_ENDINGS = ("ern", "en", "es", "e")
 
 

@@ -426,3 +426,35 @@ def test_token_budget_select_prefix_and_bucket_invariance(ray_session):
     for _, g in a.groupby("source"):
         cum = g.sort_values("doc_id")["cum_tokens"].to_numpy()
         assert (np.diff(cum) > 0).all()  # strictly increasing prefix
+
+
+def test_winnowing_guarantee_property(ray_session):
+    """Winnowing's core guarantee (Schleimer et al. §2): two documents
+    sharing a substring of length >= window + guarantee - 1 share at
+    least one selected fingerprint."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.functions.textstats import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps"   # 25 chars >= 8 + 4 - 1
+    texts = [
+        f"aaa {shared} zzz",
+        f"completely different prefix {shared}",
+        "nothing in common here at all",
+    ]
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    tab = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+    })
+    pq.write_table(tab, os.path.join(d, "documents.parquet"))
+    fps = winnowing_fingerprints(d, window=8, guarantee=4).to_pandas()
+    sets = {i: set(g["fp"]) for i, g in fps.groupby("doc_id")}
+    assert sets[0] & sets[1], "shared substring must share a fingerprint"
+    # selection actually prunes: far fewer fingerprints than k-grams
+    assert len(sets[0]) < len(texts[0]) - 8 + 1
