@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_wildcard_topterms": lambda sf: ft.wildcard_topterms_retrieve(sf, prefix="s", top_n=2),
         "ft_terms_qparser": lambda sf: ft.terms_qparser_docs(sf, "lang", ("en", "fr")),
         "luke_index_stats": ft.luke_index_stats,
+        "luke_top_terms": lambda sf: ft.luke_top_terms(sf, k=10),
         "ft_fuzzy_suggest": lambda sf: ft.fuzzy_suggest(sf, "stram", k=5),
         "ft_free_text_suggest": lambda sf: ft.free_text_suggest(sf, "merge", k=10),
         "ft_spell_collate": lambda sf: ft.spell_collate(sf, ("mergee", "sortt")),
@@ -1163,6 +1164,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT), "
             "(SELECT source FROM documents GROUP BY source ORDER BY COUNT(*) DESC, source LIMIT 1) FROM documents) "
             "SELECT * FROM txt UNION ALL SELECT * FROM lg UNION ALL SELECT * FROM src"
+        ),
+        # /admin/luke topTerms: highest-df dictionary terms, term-asc ties
+        "luke_top_terms": (
+            f"WITH toks AS (SELECT doc_id, unnest({split}) AS x FROM documents), "
+            f"vocab AS (SELECT x AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df "
+            f"FROM toks WHERE NOT list_contains({_STOP_SQL}, x) GROUP BY x) "
+            "SELECT term, df FROM vocab ORDER BY df DESC, term LIMIT 10"
         ),
         "ft_term_vector": (
             f"SELECT x AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM "

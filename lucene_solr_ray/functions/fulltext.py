@@ -1112,6 +1112,37 @@ def termfreq_topk(sf_dir: str, term: str = "merge", k: int = 20) -> pa.Table:
     })
 
 
+def luke_top_terms(sf_dir: str, k: int = 10) -> pa.Table:
+    """LukeRequestHandler topTerms ([U] solr/core/.../handler/admin/
+    LukeRequestHandler.java getTopTerms): the index's highest-docFreq
+    terms. Served from the segment term DICTIONARIES only (vocabulary-
+    bound Ray read + one vocab groupby — corpus text never touched);
+    df sums across segments because a term's postings are disjoint per
+    segment. Ties break term asc."""
+    from ray.data.aggregate import Sum
+
+    from lucene_solr_ray.pipelines.build import segment_dir
+    from lucene_solr_ray.state.manifest import load_manifest
+
+    index_dir = docs_index(sf_dir)
+    manifest = load_manifest(index_dir)
+    paths = [
+        os.path.join(segment_dir(index_dir, s["partition"], s["name"]), "terms.parquet")
+        for s in manifest["segments"]
+    ]
+    vocab = (
+        read_parquet_clean(paths, columns=["term", "df"])
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    vocab = vocab.sort_values(["df", "term"], ascending=[False, True]).head(k)
+    return pa.table({
+        "term": pa.array(vocab["term"].astype(str), pa.string()),
+        "df": pa.array(vocab["df"].astype(np.int64), pa.int64()),
+    })
+
+
 def function_values(sf_dir: str, term: str = "merge", k: int = 20) -> pa.Table:
     """The function-query value family in one row per matching doc ([U]
     lucene/queries/.../function/valuesource/: TermFreqValueSource,
