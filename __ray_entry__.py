@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_diversity": lambda sf: ts.ngram_diversity(sf, n=3),
         "winnowing_fingerprints": lambda sf: ts.winnowing_fingerprints(
             sf, window=8, guarantee=4),
+        "unigram_segment_counts": lambda sf: ts.unigram_segment_counts(
+            sf, max_piece_len=4, top_k=64, k_out=30),
         "token_fertility": ts.token_fertility,
         "quality_signals": ts.quality_signals,
         "lang_id": ts.lang_id,
@@ -2131,6 +2133,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) "
             "AS n_bpe_tokens FROM documents ORDER BY doc_id"
         ),
+        # unigram-LM segmentation: Viterbi piece map generated from the
+        # engine over the sf-invariant word set; counts corpus-weighted
+        "unigram_segment_counts": _data_oracle().unigram_segment_sql(
+            max_piece_len=4, top_k=64, k_out=30),
         # winnowing (MOSS): min k-gram hash per guarantee window
         "winnowing_fingerprints": _data_oracle().winnowing_sql(
             window=8, guarantee=4),

@@ -301,6 +301,66 @@ def rolling_fingerprint_sql(window: int = 8, base: int = 257) -> str:
     )
 
 
+def unigram_segment_sql(max_piece_len: int = 4, top_k: int = 64,
+                        k_out: int = 30) -> str:
+    """Oracle for textstats.unigram_segment_counts — the distributed
+    corpus word histogram rebuilt in SQL, joined to a (word, piece,
+    times) VALUES map generated from the engine's exact-int Viterbi over
+    the CLOSED corpus word vocabulary (the stemmer-map convention; the
+    Viterbi semantics themselves are pinned by gold pytests)."""
+    import duckdb
+    from collections import Counter
+
+    import numpy as _np
+    import pandas as _pd
+
+    from lucene_solr_ray.functions.textstats import (
+        _unigram_vocab, unigram_viterbi)
+
+    # piece statistics derive from the DISTINCT word set (weight 1), so
+    # the piece table — and every word's segmentation — is invariant to
+    # corpus scale. The word SET itself must agree across sf dirs (the
+    # generator draws from one fixed word list); asserted below.
+    word_sets = {}
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        rows = con.sql(
+            "SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\\s+')) "
+            f"FROM read_parquet('/root/testdata/{sf}/documents.parquet') "
+            "WHERE trim(text) <> ''"
+        ).fetchall()
+        con.close()
+        word_sets[sf] = {r[0] for r in rows}
+    assert word_sets["sf0.001"] == word_sets["sf0.01"] == word_sets["sf0.1"], \
+        "unigram oracle requires an sf-invariant word set"
+    words = sorted(word_sets["sf0.01"])
+    wc = _pd.DataFrame({"term": words, "n": [1] * len(words)})
+    vocab = _unigram_vocab(wc, max_piece_len, top_k)
+    total = sum(vocab.values())
+
+    def L(x):
+        return int(_np.floor(_np.log(_np.float64(x)) * 1e6 + 0.5))
+
+    lt = L(total)
+    logp = {p: L(c) - lt for p, c in vocab.items()}
+    merged = {w: tuple(unigram_viterbi(str(w), logp, max_piece_len))
+              for w in words}
+    vals = []
+    for w, pieces in sorted(merged.items()):
+        for piece, times in sorted(Counter(pieces).items()):
+            vals.append("('{}', '{}', {})".format(
+                w.replace("'", "''"), piece.replace("'", "''"), times))
+    return (
+        "WITH wc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+        "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+        "FROM documents WHERE trim(text) <> '') GROUP BY tok), "
+        f"seg(tok, piece, times) AS (VALUES {', '.join(vals)}) "
+        "SELECT piece, CAST(SUM(wc.n * seg.times) AS BIGINT) AS n_uses "
+        "FROM wc JOIN seg USING (tok) GROUP BY piece "
+        f"ORDER BY n_uses DESC, piece LIMIT {int(k_out)}"
+    )
+
+
 def winnowing_sql(window: int = 8, guarantee: int = 4, base: int = 257) -> str:
     """Oracle for textstats.winnowing_fingerprints — the same Karp-Rabin
     k-gram hashes (HUGEINT folds) with the winnowing min-per-guarantee-

@@ -1113,3 +1113,97 @@ def stemmer_override_counts(sf_dir: str,
         .aggregate(Count(alias_name="n"))
         .sort("term")
     )
+
+
+# ---------------- unigram-LM (SentencePiece-style) segmentation ----------------
+
+def _unigram_vocab(wc: pd.DataFrame, max_piece_len: int = 4,
+                   top_k: int = 64) -> dict[str, int]:
+    """Seed piece vocabulary: every substring of length 1..max_piece_len
+    of every corpus word, weighted by word frequency; keep the top_k by
+    (total count desc, piece asc) PLUS all single characters (coverage
+    guarantee — any word always segments). -> {piece: count}."""
+    from collections import Counter
+
+    sub = Counter()
+    for w, n in zip(wc["term"], wc["n"]):
+        w = str(w)
+        for i in range(len(w)):
+            for l in range(1, max_piece_len + 1):
+                if i + l <= len(w):
+                    sub[w[i:i + l]] += int(n)
+    singles = {p: c for p, c in sub.items() if len(p) == 1}
+    top = dict(sorted(sub.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k])
+    top.update(singles)
+    return top
+
+
+def unigram_viterbi(word: str, logp: dict[str, int],
+                    max_piece_len: int = 4) -> list[str]:
+    """Exact-int Viterbi segmentation (the SentencePiece unigram-LM
+    decode, Kudo 2018 "Subword Regularization" eq. 2): maximize the sum
+    of micro-nat piece log-probs. Deterministic tie-break: for equal
+    scores prefer the SMALLEST split point (longest final piece)."""
+    n = len(word)
+    NEG = -(1 << 62)
+    best = [NEG] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_piece_len), i):
+            p = word[j:i]
+            lp = logp.get(p)
+            if lp is None or best[j] == NEG:
+                continue
+            sc = best[j] + lp
+            if sc > best[i] or (sc == best[i] and j < back[i]):
+                best[i] = sc
+                back[i] = j
+    out = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def unigram_segment_counts(sf_dir: str, max_piece_len: int = 4,
+                           top_k: int = 64, k_out: int = 30) -> pa.Table:
+    """SentencePiece-style unigram-LM segmentation over the corpus: seed
+    a piece vocabulary from substring frequencies, assign each piece the
+    micro-nat log-prob L(count) - L(total) (the per-log quantization
+    making every Viterbi score an exact int), Viterbi-decode every
+    distinct word, and emit corpus-weighted piece usage counts (one EM
+    E-step's sufficient statistics — the M-step would renormalize these
+    counts and iterate).
+
+    Scale shape: the corpus pass is the distributed word histogram
+    (_word_counts: per-batch Counter partials -> vocab groupby); the
+    vocabulary and the Viterbi loop are vocab-sized driver work, the BPE
+    training precedent. Piece statistics come from the DISTINCT word set
+    (each word weight 1), so the piece table — and with it every word's
+    segmentation — is invariant to corpus scale; only the usage counts
+    are corpus-weighted."""
+    wc = _word_counts(sf_dir)
+    wset = wc.copy()
+    wset["n"] = 1
+    vocab = _unigram_vocab(wset, max_piece_len, top_k)
+    total = sum(vocab.values())
+
+    def L(x: int) -> int:
+        return int(np.floor(np.log(np.float64(x)) * 1e6 + 0.5))
+
+    lt = L(total)
+    logp = {p: L(c) - lt for p, c in vocab.items()}
+    from collections import Counter
+
+    usage: Counter = Counter()
+    for w, n in zip(wc["term"], wc["n"]):
+        for piece in unigram_viterbi(str(w), logp, max_piece_len):
+            usage[piece] += int(n)
+    rows = sorted(usage.items(), key=lambda kv: (-kv[1], kv[0]))[:k_out]
+    return pa.table({
+        "piece": pa.array([r[0] for r in rows], pa.string()),
+        "n_uses": pa.array([r[1] for r in rows], pa.int64()),
+    })

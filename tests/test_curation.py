@@ -458,3 +458,24 @@ def test_winnowing_guarantee_property(ray_session):
     assert sets[0] & sets[1], "shared substring must share a fingerprint"
     # selection actually prunes: far fewer fingerprints than k-grams
     assert len(sets[0]) < len(texts[0]) - 8 + 1
+
+
+def test_unigram_viterbi_gold():
+    """Exact-int Viterbi segmentation gold cases: maximize summed
+    micro-nat log-probs; ties prefer the smallest split point."""
+    from lucene_solr_ray.functions.textstats import unigram_viterbi
+
+    # 'ab' as one piece beats 'a'+'b' when its log-prob exceeds the sum
+    assert unigram_viterbi("ab", {"a": -10, "b": -10, "ab": -15}) == ["ab"]
+    assert unigram_viterbi("ab", {"a": -5, "b": -5, "ab": -15}) == ["a", "b"]
+    # coverage fallback: single chars segment anything
+    assert unigram_viterbi("abc", {"a": -1, "b": -1, "c": -1}) == ["a", "b", "c"]
+    # tie (equal scores): smallest split point -> longest FINAL piece
+    lp = {"a": -10, "ab": -20, "b": -10}
+    assert unigram_viterbi("ab", lp) == ["ab"]
+    # equal-score decomposition ties to the single longer piece (j=0)
+    lp = {"merge": -30, "mer": -10, "ge": -20, "m": -50, "e": -50, "r": -50, "g": -50}
+    assert unigram_viterbi("merge", lp, max_piece_len=5) == ["merge"]
+    # strictly better decomposition wins
+    lp["mer"] = -5
+    assert unigram_viterbi("merge", lp, max_piece_len=5) == ["mer", "ge"]
