@@ -475,6 +475,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_facets": lambda sf: rel.sampled_facets(sf, pct=20),
         "timeseries_facet": rel.timeseries_facet,
         "asof_join": win.asof_join,
+        "asof_join_tolerance": lambda sf: win.asof_join(
+            sf, tolerance_us=3_600_000_000),
         "session_window": lambda sf: win.session_window(sf, gap_minutes=30),
         "sliding_window_agg": lambda sf: win.sliding_window_agg(sf, preceding=2),
         "range_join_bands": win.range_join_bands,
@@ -1729,6 +1731,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') l "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id"
+        ),
+        # bounded-lookback as-of: matches older than 1h drop
+        "asof_join_tolerance": (
+            "SELECT l.event_id, l.user_id, l.ts, r.ts AS right_ts "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') l "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') r "
+            "ON l.user_id = r.user_id AND l.ts >= r.ts "
+            "WHERE l.ts - r.ts <= INTERVAL 1 HOUR ORDER BY l.event_id"
         ),
         "session_window": (
             "WITH m AS (SELECT user_id, ts, CASE WHEN "

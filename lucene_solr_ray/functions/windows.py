@@ -41,11 +41,14 @@ def _bucketed(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
 
 
 def asof_join(sf_dir: str, left_type: str = "purchase",
-              right_type: str = "signup") -> pa.Table:
+              right_type: str = "signup",
+              tolerance_us: int | None = None) -> pa.Table:
     """As-of join: for each ``left_type`` event, the most recent
     ``right_type`` event of the same user at or before its timestamp
     (backward, inclusive — DuckDB ``ASOF JOIN`` semantics; rows with no
-    earlier match drop, inner join).
+    earlier match drop, inner join). ``tolerance_us`` bounds the lookback
+    (kdb aj / pandas merge_asof tolerance): matches older than the
+    window drop too.
 
     One hash shuffle on user-bucket co-locates both sides; each bucket
     resolves with a single vectorized ``pd.merge_asof`` (sorted merge,
@@ -66,7 +69,9 @@ def asof_join(sf_dir: str, left_type: str = "purchase",
                              "right_ts": pa.array([], pa.timestamp("us"))})
         m = pd.merge_asof(left, right, left_on="ts", right_on="right_ts",
                           by="user_id", direction="backward",
-                          allow_exact_matches=True)
+                          allow_exact_matches=True,
+                          tolerance=(pd.Timedelta(tolerance_us, "us")
+                                     if tolerance_us is not None else None))
         m = m.dropna(subset=["right_ts"])
         out = pa.table({
             "event_id": pa.array(m["event_id"].to_numpy().astype(np.int64)),
