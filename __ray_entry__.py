@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "urlemail_token_counts": ts.urlemail_token_counts,
         "elision_token_counts": ts.elision_token_counts,
         "german_stem_counts": lambda sf: ts.german_stem_counts(sf, k=20),
+        "keyword_repeat_docs": lambda sf: ts.keyword_repeat_docs(
+            sf, surface_q="value", stem_q="valu"),
         "bpe_pair_counts": lambda sf: ts.bpe_pair_counts(sf, k=20),
         "heavy_hitters_topk": sketches.heavy_hitters_topk,
         "count_min_estimate": sketches.count_min_estimate,
@@ -2192,6 +2194,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "rolling_fingerprint": _data_oracle().rolling_fingerprint_sql(),
         "stemmed_term_counts": _data_oracle().stemmed_term_counts_sql(),
+        # KeywordRepeat: surface query hits exact forms, stem query hits
+        # every inflection through either emitted token
+        "keyword_repeat_docs": _data_oracle().keyword_repeat_sql("value", "valu"),
         # GermanLightStemmer over the umlaut/ending-augmented de view
         "german_stem_counts": _data_oracle().german_stem_counts_sql(k=20),
         "stemmer_override_counts": _data_oracle().stemmed_term_counts_sql(

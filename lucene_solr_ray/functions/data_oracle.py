@@ -301,6 +301,45 @@ def rolling_fingerprint_sql(window: int = 8, base: int = 257) -> str:
     )
 
 
+def keyword_repeat_sql(surface_q: str = "value", stem_q: str = "valu") -> str:
+    """Oracle for textstats.keyword_repeat_docs — the emitted token set
+    per doc is (analyzed tokens UNION their Porter stems); stem map via
+    the generated closed-vocabulary VALUES convention."""
+    import duckdb
+
+    from lucene_solr_ray.analysis import porter_stem
+
+    con = duckdb.connect()
+    vocab: set[str] = set()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        rows = con.sql(
+            "SELECT DISTINCT lower(tok) FROM ("
+            f"SELECT unnest(regexp_extract_all(text, '{_TOKEN_SQL}')) AS tok "
+            f"FROM read_parquet('/root/testdata/{sf}/documents.parquet')) "
+            "WHERE length(tok) <= 255 AND trim(tok, '_') != ''"
+        ).fetchall()
+        vocab.update(r[0] for r in rows)
+    con.close()
+    vocab -= STOPWORDS
+    vals = ", ".join(
+        "('{}', '{}')".format(w.replace("'", "''"),
+                              porter_stem(w).replace("'", "''"))
+        for w in sorted(vocab))
+    sq = surface_q.replace("'", "''")
+    tq = stem_q.replace("'", "''")
+    return (
+        "WITH toks AS (SELECT doc_id, lower(tok) AS x FROM ("
+        f"SELECT doc_id, unnest(regexp_extract_all(text, '{_TOKEN_SQL}')) AS tok FROM documents) "
+        "WHERE length(tok) <= 255 AND trim(tok, '_') != ''), "
+        f"stems(tok, stem) AS (VALUES {vals}), "
+        "m AS (SELECT t.doc_id, t.x, s.stem FROM toks t "
+        f"JOIN stems s ON t.x = s.tok WHERE NOT list_contains({_STOP_SQL}, t.x)) "
+        f"SELECT 'surface' AS query_kind, doc_id FROM m WHERE x = '{sq}' GROUP BY doc_id "
+        f"UNION ALL SELECT 'stem', doc_id FROM m WHERE x = '{tq}' OR stem = '{tq}' GROUP BY doc_id "
+        "ORDER BY query_kind DESC, doc_id"
+    )
+
+
 def unigram_segment_sql(max_piece_len: int = 4, top_k: int = 64,
                         k_out: int = 30) -> str:
     """Oracle for textstats.unigram_segment_counts — the distributed

@@ -868,6 +868,40 @@ def winnowing_fingerprints(sf_dir: str, window: int = 8,
     )
 
 
+def keyword_repeat_docs(sf_dir: str, surface_q: str = "value",
+                        stem_q: str = "valu") -> ray.data.Dataset:
+    """KeywordRepeatFilter + PorterStem + RemoveDuplicates retrieval
+    semantics ([U] lucene/analysis/common/.../miscellaneous/
+    KeywordRepeatFilter.java): the chain emits BOTH the original surface
+    token and its stem at the same position, so an exact query hits
+    surface forms and a stem query hits every inflection. Two query
+    kinds in one result: docs matching the surface query exactly, and
+    docs matching the stem query through either path. One stateless
+    pass, zero shuffle."""
+    from lucene_solr_ray.analysis import porter_stem, tokenize
+
+    def fn(t: pa.Table) -> pa.Table:
+        out_k, out_d = [], []
+        for d, s in zip(t.column("doc_id").to_pylist(),
+                        t.column("text").to_pylist()):
+            toks = set(tokenize(s or ""))
+            emitted = toks | {porter_stem(x) for x in toks}
+            if surface_q in emitted:
+                out_k.append("surface")
+                out_d.append(d)
+            if stem_q in emitted:
+                out_k.append("stem")
+                out_d.append(d)
+        return pa.table({"query_kind": pa.array(out_k, pa.string()),
+                         "doc_id": pa.array(out_d, pa.int64())})
+
+    return (
+        _read_docs(sf_dir)
+        .map_batches(fn, batch_format="pyarrow")
+        .sort(["query_kind", "doc_id"])
+    )
+
+
 GERMAN_ENDINGS = ("ern", "en", "es", "e")
 
 
