@@ -399,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_expr_train": streamexpr.stream_expr_train,
         "stream_expr_features": streamexpr.stream_expr_features,
         "stream_expr_timeseries_metrics": streamexpr.stream_expr_timeseries_metrics,
+        "stream_expr_select_strings": streamexpr.stream_expr_select_strings,
         "stream_expr_classify": streamexpr.stream_expr_classify,
         "stream_expr_knn": streamexpr.stream_expr_knn,
         "stream_expr_significant_terms": streamexpr.stream_expr_significant_terms,
@@ -1461,6 +1462,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stream_expr_train": _logit_sql("train"),
         "stream_expr_classify": _logit_sql("classify"),
+        "stream_expr_select_strings": (
+            "SELECT doc_id, lang || source AS lang_source, upper(lang) AS lang_uc "
+            f"FROM documents WHERE list_contains({split}, 'merge') ORDER BY doc_id"
+        ),
         "stream_expr_timeseries_metrics": (
             "SELECT CAST(epoch_us(TIMESTAMP '2026-01-01 00:00:00' "
             "+ to_seconds(doc_id)) // 120000000 * 120000000 AS BIGINT) AS bucket_us, "

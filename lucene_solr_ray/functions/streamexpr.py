@@ -183,8 +183,23 @@ def _eval_evaluator(n, t: pa.Table) -> np.ndarray:
     if isinstance(n, str):
         if n.lstrip("-").isdigit():
             return np.int64(int(n))
-        return t.column(n).to_numpy().astype(np.int64)
+        col = t.column(n)
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            return np.asarray(col.to_pylist(), dtype=object)
+        return col.to_numpy().astype(np.int64)
     args = [_eval_evaluator(a, t) for a in n.args]
+    if n.name == "concat":
+        # string evaluators ([U] io/eval/ConcatOperation.java /
+        # UpperEvaluator): operate on stringified operands
+        out = np.asarray([""] * len(t), dtype=object)
+        for a in args:
+            out = np.asarray([x + str(y) for x, y in
+                              zip(out, np.broadcast_to(a, (len(t),)))],
+                             dtype=object)
+        return out
+    if n.name == "upper":
+        return np.asarray([str(x).upper() for x in
+                           np.broadcast_to(args[0], (len(t),))], dtype=object)
     if n.name == "add":
         return args[0] + args[1]
     if n.name == "sub":
@@ -246,7 +261,10 @@ def _build_select(node: Node, ctx: dict) -> ray.data.Dataset:
                 v = _eval_evaluator(src, t)
                 if np.ndim(v) == 0:  # literal-only tree
                     v = np.full(t.num_rows, v, dtype=np.int64)
-                cols[dst] = pa.array(v, pa.int64())
+                if v.dtype == object:  # string evaluator output
+                    cols[dst] = pa.array([str(x) for x in v], pa.string())
+                else:
+                    cols[dst] = pa.array(v, pa.int64())
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
@@ -1407,6 +1425,16 @@ def stream_expr_corr(sf_dir: str) -> ray.data.Dataset:
 
 def stream_expr_train(sf_dir: str) -> ray.data.Dataset:
     return run_stream(sf_dir, 'train(documents, q="merge", iterations=3)')
+
+
+def stream_expr_select_strings(sf_dir: str) -> ray.data.Dataset:
+    """select() with string evaluators (concat/upper) beside the
+    arithmetic set."""
+    return run_stream(
+        sf_dir,
+        'sort(select(search(documents, q="merge", fl="doc_id,lang,source"), '
+        'doc_id, concat(lang, source) as lang_source, upper(lang) as lang_uc), '
+        'by="doc_id asc")')
 
 
 def stream_expr_timeseries_metrics(sf_dir: str) -> ray.data.Dataset:
