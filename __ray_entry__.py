@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, n_queries=3, k=5, dim=8),
         # --- SqlStream / graph streams (SURVEY §2.8) ---
         "sql_stream_agg": sqlmod.sql_stream_agg,
+        "sql_stream_offset": sqlmod.sql_stream_offset,
         "sql_stream_join": sqlmod.sql_stream_join,
         "sql_stream_left_join": sqlmod.sql_stream_left_join,
         "sql_stream_distinct": sqlmod.sql_stream_distinct,
@@ -2526,6 +2527,7 @@ def oracle_sql() -> dict[str, str]:
         "tdigest_quantiles": _data_oracle().tdigest_quantiles_sql(),
         # --- SqlStream: the oracle runs the IDENTICAL SQL our planner ran ---
         "sql_stream_agg": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_DEMO"]).SQL_DEMO,
+        "sql_stream_offset": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_OFFSET_DEMO"]).SQL_OFFSET_DEMO,
         "sql_stream_join": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_JOIN_DEMO"]).SQL_JOIN_DEMO,
         "sql_stream_left_join": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_LEFT_JOIN_DEMO"]).SQL_LEFT_JOIN_DEMO,
         "sql_stream_distinct": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_DISTINCT_DEMO"]).SQL_DISTINCT_DEMO,

@@ -59,7 +59,7 @@ _SELECT_RE = re.compile(
     r"(?:\s+GROUP\s+BY\s+(?P<group>.+?))?"
     r"(?:\s+HAVING\s+(?P<having>.+?))?"
     r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
-    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
+    r"(?:\s+LIMIT\s+(?P<limit>\d+)(?:\s+OFFSET\s+(?P<offset>\d+))?)?\s*;?\s*$",
     re.I | re.S,
 )
 # FROM clause pieces: base table then a left-deep chain of joins
@@ -192,6 +192,7 @@ def parse_select(sql: str) -> dict:
             plan["order"].append((parts[0], desc))
     if m.group("limit"):
         plan["limit"] = int(m.group("limit"))
+        plan["offset"] = int(m.group("offset") or 0)
     _validate(plan)
     return plan
 
@@ -545,7 +546,17 @@ def _execute_plan(sf_dir: str, plan: dict) -> ray.data.Dataset:
         descending = [d for _, d in plan["order"]]
         ds = ds.sort(keys, descending=descending)
     if plan["limit"] is not None:
-        ds = ds.limit(plan["limit"])
+        offset = plan.get("offset") or 0
+        if offset:
+            # LIMIT n OFFSET m: pull the (bounded) n+m head once and
+            # slice — a skip can't stream, but the head is output-sized
+            # by construction
+            import pyarrow as _pa
+
+            head = ds.limit(plan["limit"] + offset).take_all()[offset:]
+            ds = ray.data.from_arrow(_pa.Table.from_pylist(head))
+        else:
+            ds = ds.limit(plan["limit"])
     return ds
 
 
@@ -613,9 +624,20 @@ SQL_COUNT_DISTINCT_DEMO = (
 )
 
 
+# LIMIT/OFFSET paging (deterministic under the total ORDER BY)
+SQL_OFFSET_DEMO = (
+    "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 150000 "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 15"
+)
+
+
 def sql_stream_agg(sf_dir: str) -> ray.data.Dataset:
     """Driver-contract entry: the oracle runs the IDENTICAL SQL string."""
     return execute(sf_dir, SQL_DEMO)
+
+
+def sql_stream_offset(sf_dir: str) -> ray.data.Dataset:
+    return execute(sf_dir, SQL_OFFSET_DEMO)
 
 
 def sql_stream_join(sf_dir: str) -> ray.data.Dataset:
