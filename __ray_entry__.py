@@ -248,6 +248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, ["merge", "join"], demote_term="vector", demote_factor=0.5, k=10),
         "ft_req_opt_topk": lambda sf: ft.req_opt_topk(
             sf, must="merge", optional="vector", k=10),
+        "hybrid_rrf_topk": lambda sf: ft.hybrid_rrf_topk(
+            sf, terms=("merge", "vector"), anchor_vec=0, n_each=50, k=10),
         "ft_req_excl_topk": lambda sf: ft.req_excl_topk(
             sf, must="merge", excluded="vector", k=10),
         "ft_intervals_maxgaps": lambda sf: ft.intervals_maxgaps_retrieve(
@@ -696,6 +698,9 @@ def oracle_sql() -> dict[str, str]:
             ["merge", "join"], demote_term="vector", demote_factor=0.5, k=10),
         # termfreq()/docfreq()/idf()/norm() value sources in one row
         "ft_function_values": _ft_oracle().function_values_sql("merge", k=20),
+        # hybrid sparse+dense RRF: exact-int reciprocal-rank combine
+        "hybrid_rrf_topk": _ft_oracle().hybrid_rrf_sql(
+            ("merge", "vector"), anchor_vec=0, n_each=50, k=10),
         # ReqOptSumScorer / ReqExclScorer boolean scoring shapes
         "ft_req_opt_topk": _ft_oracle().req_opt_excl_sql(
             "merge", "vector", mode="opt", qid="ro-1", k=10),

@@ -903,6 +903,54 @@ def boost_query_sql(raw_terms: list[str], field: str = "n_chars",
             f") ranked WHERE rank < {int(k)} ORDER BY rank")
 
 
+def hybrid_rrf_sql(terms=("merge", "vector"), anchor_vec: int = 0,
+                   n_each: int = 50, rrf_k: int = 60, k: int = 10) -> str:
+    """Oracle for fulltext.hybrid_rrf_topk — the BM25 float32-fold
+    ranking and the cosine ranking (ann-entry convention) each cut to
+    n_each, fused with the exact-integer RRF combine."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    ts = analyze_query_terms(list(terms))
+    ctes = [prelude_ctes()]
+    tf_names, w_names = [], []
+    for ti, t in enumerate(ts):
+        tf_n, w_n = f"hy_tf{ti}", f"hy_w{ti}"
+        ctes.append(tf_cte(tf_n, t))
+        ctes.append(w_cte(w_n, tf_n))
+        tf_names.append(tf_n)
+        w_names.append(w_n)
+    aliases = [f"t{ti}" for ti in range(len(ts))]
+    joins = f"{tf_names[0]} {aliases[0]}"
+    for tf_n, a in zip(tf_names[1:], aliases[1:]):
+        joins += f" JOIN {tf_n} {a} ON {aliases[0]}.doc_id = {a}.doc_id"
+    joins += f" JOIN denom ON denom.doc_id = {aliases[0]}.doc_id"
+    fold = fold_f32([score_expr(a, w_n) for a, w_n in zip(aliases, w_names)])
+    cond = " OR ".join(f"{a}.tf > 0" for a in aliases)
+    sparse = (
+        f"sparse AS (SELECT doc_id, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY score DESC, doc_id) AS BIGINT) AS r FROM ("
+        f"SELECT {aliases[0]}.doc_id AS doc_id, {fold} AS score FROM {joins} "
+        f"WHERE {cond}) s ORDER BY r LIMIT {int(n_each)})"
+    )
+    dense = (
+        "dense AS (SELECT neighbor_id AS doc_id, CAST(rn AS BIGINT) AS r FROM ("
+        "SELECT b.vec_id AS neighbor_id, ROW_NUMBER() OVER (ORDER BY "
+        "list_cosine_similarity(q.qe, b.embedding) DESC, b.vec_id) AS rn "
+        f"FROM (SELECT embedding AS qe FROM embeddings WHERE vec_id = {int(anchor_vec)}) q, "
+        f"embeddings b WHERE b.vec_id != {int(anchor_vec)}) d WHERE rn <= {int(n_each)})"
+    )
+    return (
+        "WITH " + ", ".join(ctes) + ", " + sparse + ", " + dense + " "
+        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) - 1 AS BIGINT) AS rank, "
+        "doc_id, rrf_micro FROM ("
+        "SELECT COALESCE(sparse.doc_id, dense.doc_id) AS doc_id, "
+        f"COALESCE(1000000 // ({int(rrf_k)} + sparse.r), 0) "
+        f"+ COALESCE(1000000 // ({int(rrf_k)} + dense.r), 0) AS rrf_micro "
+        "FROM sparse FULL OUTER JOIN dense ON sparse.doc_id = dense.doc_id) f "
+        f"ORDER BY rrf_micro DESC, doc_id LIMIT {int(k)}"
+    )
+
+
 def req_opt_excl_sql(must: str, other: str, mode: str, qid: str,
                      k: int = 10) -> str:
     """Oracle for fulltext.req_opt_topk (mode='opt': MUST + SHOULD, the

@@ -1926,6 +1926,42 @@ def boost_query_topk(sf_dir: str, terms: list[str], field: str = "n_chars",
     })
 
 
+def hybrid_rrf_topk(sf_dir: str, terms=("merge", "vector"), anchor_vec: int = 0,
+                    n_each: int = 50, rrf_k: int = 60, k: int = 10) -> pa.Table:
+    """Hybrid sparse+dense retrieval with Reciprocal Rank Fusion
+    (Cormack, Clarke, Büttcher 2009; the Solr 9 dense+lexical hybrid
+    recipe): fuse the BM25 top-N ranking with the embedding-cosine top-N
+    ranking (vec_id == doc_id on these tables) by
+    score = sum over lists of 1/(rrf_k + rank_1based), kept exact as
+    1_000_000 // (rrf_k + rank). Each side is its existing engine path —
+    the WAND index search and the broadcast brute ANN stage — so the
+    fusion step is a candidate-set-sized integer combine."""
+    from lucene_solr_ray.functions.ann import ann_brute_topk
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    qterms = analyze_query_terms(list(terms))
+    d, _sc = s.search(qterms, k=n_each, mode="or")
+    mapping = _docid_to_doc_id(index_dir)
+    sparse_rank = {int(mapping[doc]): r for r, doc in enumerate(d)}
+    dense = ann_brute_topk(sf_dir, k=n_each, n_queries=anchor_vec + 1).to_pandas()
+    dense = dense[dense["query_id"] == anchor_vec]
+    dense_rank = {int(n): int(r) for n, r in
+                  zip(dense["neighbor_id"], dense["rank"])}
+    fused = {}
+    for doc, r in sparse_rank.items():
+        fused[doc] = fused.get(doc, 0) + 1_000_000 // (rrf_k + r + 1)
+    for doc, r in dense_rank.items():
+        fused[doc] = fused.get(doc, 0) + 1_000_000 // (rrf_k + r + 1)
+    rows = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(len(rows)), pa.int64()),
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "rrf_micro": pa.array([r[1] for r in rows], pa.int64()),
+    })
+
+
 def req_opt_topk(sf_dir: str, must: str = "merge", optional: str = "vector",
                  k: int = 10) -> pa.Table:
     """ReqOptSumScorer ([U] lucene/core/.../search/ReqOptSumScorer.java):
