@@ -265,6 +265,62 @@ class DFRInL2:
         return ub * (1.0 + 1e-6) + 1e-12
 
 
+class DFRGL2:
+    """Lucene DFRSimilarity(BasicModelG, AfterEffectL, NormalizationH2)
+    — the "GL2" geometric DFR model ([U] lucene/core/.../search/
+    similarities/BasicModelG.java + AfterEffectL + NormalizationH2,
+    c = 1; Lucene 8's geometric replacement after BasicModelP/BE were
+    dropped):
+
+        lambda = cf / (N + cf)                       (geometric prior)
+        tfn    = tf * log2(1 + c * avgdl / dl')      (H2 normalization)
+        score  = float32(max(0, (log2(1/(1+lambda))
+                               + tfn * log2((1+lambda)/lambda)) / (1 + tfn)))
+
+    The ``w`` slot carries float64 lambda (needs_cf protocol, like the
+    LM models). Increasing in tfn — d/dtfn = (B - A)/(1+tfn)^2 with
+    A = log2(1/(1+lambda)) <= 0 <= B — and tfn decreases in dl, so
+    impacts (max_tf, min_norm) give exact WAND bounds."""
+
+    name = "dfr_gl2"
+    needs_cf = True
+    C = 1.0
+
+    @classmethod
+    def term_weight_stats(cls, n_docs: int, df: int, cf: int, sum_dl: int) -> np.float64:
+        return np.float64(cf) / np.float64(n_docs + cf)
+
+    @classmethod
+    def denom_cache(cls, avgdl: float) -> np.ndarray:
+        dl = np.maximum(DECODED_TABLE.astype(np.float64), 1.0)
+        return np.log2(1.0 + cls.C * avgdl / dl)
+
+    @staticmethod
+    def _ab(lam: np.float64) -> tuple[np.float64, np.float64]:
+        return (np.log2(1.0 / (1.0 + lam)), np.log2((1.0 + lam) / lam))
+
+    @classmethod
+    def score_term(cls, w, tfs, norm_bytes, cache) -> np.ndarray:
+        a, b = cls._ab(np.float64(w))
+        tfn = np.asarray(tfs, dtype=np.float64) * cache[norm_bytes]
+        s = (a + tfn * b) / (1.0 + tfn)
+        return np.maximum(s, 0.0).astype(np.float32)
+
+    @classmethod
+    def score_upper_bound(cls, w, max_tf, min_norm, cache):
+        a, b = cls._ab(np.float64(w))
+        tfn = np.float64(max_tf) * cache[min_norm]
+        ub = max(float((a + tfn * b) / (1.0 + tfn)), 0.0)
+        return ub * (1.0 + 1e-6) + 1e-12
+
+    @classmethod
+    def block_upper_bounds(cls, w, max_tfs: np.ndarray, min_norms: np.ndarray, cache) -> np.ndarray:
+        a, b = cls._ab(np.float64(w))
+        tfn = max_tfs.astype(np.float64) * cache[min_norms]
+        ub = np.maximum((a + tfn * b) / (1.0 + tfn), 0.0)
+        return ub * (1.0 + 1e-6) + 1e-12
+
+
 class BooleanSim:
     """Lucene BooleanSimilarity ([U] lucene/core/.../search/similarities/
     BooleanSimilarity.java): score = boost, norms ignored — every match
@@ -494,6 +550,7 @@ SIMILARITIES = {
     "lmdirichlet": LMDirichlet,
     "lmjelinekmercer": LMJelinekMercer,
     "dfr_inl2": DFRInL2,
+    "dfr_gl2": DFRGL2,
     "dfi_chi2": DFIChiSquared,
     "ib_ll": IBLogLogistic,
     "ax_f2exp": AxiomaticF2EXP,

@@ -222,3 +222,33 @@ def test_edismax_pf2_matches_duckdb_and_boosts(con):
     # the pf2 boost must actually reorder vs the plain OR query
     plain = bm25_topk(SF, [("e-1", ["merge", "join", "vector"], "or")], k=10).to_pandas()
     assert got.to_pandas()["doc_id"].tolist() != plain["doc_id"].tolist()
+
+
+def test_gl2_topk_matches_duckdb(con):
+    from lucene_solr_ray.functions import ft_oracle as FO
+    from lucene_solr_ray.functions.fulltext import bm25_topk
+
+    _eq(bm25_topk(SF, BM25_QUERIES, k=10, similarity="dfr_gl2"),
+        con.sql(FO.dfr_gl2_topk_sql(BM25_QUERIES, k=10)))
+
+
+def test_gl2_gap_bound():
+    """DFR GL2's non-IEEE-pinned op is log2 (libm vs DuckDB last-ulp,
+    relative 2^-52). Measure: adjacent ranked scores are exactly equal
+    or separated by > 2 float32 ulps."""
+    from lucene_solr_ray.functions.fulltext import docs_index
+    from lucene_solr_ray.pipelines.search import IndexSearcher
+
+    s = IndexSearcher(docs_index(SF), similarity="dfr_gl2")
+    checked = 0
+    for _qid, terms, mode in BM25_QUERIES:
+        _d, sc = s.search(terms, k=s.n_docs, mode=mode)
+        sc = sc.astype(np.float32)
+        for a, b in zip(sc[:-1], sc[1:]):
+            if a == b:
+                continue
+            gap = float(a) - float(b)
+            ulp = float(np.spacing(a))
+            assert gap > 2 * ulp, (float(a), float(b), gap, ulp)
+            checked += 1
+    assert checked > 100
