@@ -226,6 +226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, FT_BM25_QUERIES, k=10, similarity="lmdirichlet"),
         "ft_gl2_topk": lambda sf: ft.bm25_topk(
             sf, FT_BM25_QUERIES, k=10, similarity="dfr_gl2"),
+        "ft_spl_topk": lambda sf: ft.bm25_topk(
+            sf, FT_BM25_QUERIES, k=10, similarity="ib_spl"),
         "ft_dfi_topk": lambda sf: ft.bm25_topk(
             sf, FT_BM25_QUERIES, k=10, similarity="dfi_chi2"),
         "ft_axiomatic_topk": lambda sf: ft.bm25_topk(
@@ -677,6 +679,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_bm25_topk": _ft_oracle().bm25_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_lmdirichlet_topk": _ft_oracle().lmdirichlet_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_gl2_topk": _ft_oracle().dfr_gl2_topk_sql(FT_BM25_QUERIES, k=10),
+        "ft_spl_topk": _ft_oracle().ib_spl_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_dfi_topk": _ft_oracle().dfi_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_axiomatic_topk": _ft_oracle().axiomatic_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_sweetspot_topk": _ft_oracle().sweetspot_topk_sql(FT_BM25_QUERIES, k=10),

@@ -323,6 +323,66 @@ def dfr_gl2_topk_sql(queries: list[tuple[str, list[str], str]], k: int = 10) -> 
             + " ORDER BY query_id, rank")
 
 
+def ib_spl_topk_sql(queries: list[tuple[str, list[str], str]], k: int = 10) -> str:
+    """Oracle for fulltext.bm25_topk(similarity='ib_spl') — the IB
+    smoothed-power-law model (similarity.IBSmoothedPowerLaw):
+
+        lam = (df+1)/(N+1),  tfn = tf * log2(1 + avgdl/dl')
+        s(t,d) = float32(max(0, -ln((lam^(tfn/(tfn+1)) - 1)/(lam - 1))))
+
+    pow/ln/log2 are the non-IEEE-pinned ops — the pytest gap bound
+    covers them."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    ctes = [prelude_ctes()]
+    ctes.append(
+        "splden AS (SELECT d.doc_id, log2(1.0 + (stats.sum_dl/stats.n)/"
+        "GREATEST(CAST((SELECT MAX(v) FROM reps WHERE v <= d.dl) AS DOUBLE), 1.0)"
+        ") AS h2 FROM dltab d, stats)"
+    )
+    selects = []
+    for qi, (qid, raw_terms, mode) in enumerate(queries):
+        terms = analyze_query_terms(raw_terms)
+        tf_names, l_names = [], []
+        for ti, t in enumerate(terms):
+            tf_n, l_n = f"stf_q{qi}_{ti}", f"sl_q{qi}_{ti}"
+            ctes.append(tf_cte(tf_n, t))
+            ctes.append(
+                f"{l_n} AS (SELECT (CAST(COUNT(CASE WHEN tf > 0 THEN 1 END) AS DOUBLE) + 1.0)"
+                f"/(stats.n + 1.0) AS lam FROM {tf_n}, stats GROUP BY stats.n)"
+            )
+            tf_names.append(tf_n)
+            l_names.append(l_n)
+        aliases = [f"t{ti}" for ti in range(len(terms))]
+        joins = f"{tf_names[0]} {aliases[0]}"
+        for tf_n, a in zip(tf_names[1:], aliases[1:]):
+            joins += f" JOIN {tf_n} {a} ON {aliases[0]}.doc_id = {a}.doc_id"
+        joins += f" JOIN splden ON splden.doc_id = {aliases[0]}.doc_id"
+        parts = []
+        for a, l_n in zip(aliases, l_names):
+            lam = f"(SELECT lam FROM {l_n})"
+            tfn = f"(CAST({a}.tf AS DOUBLE) * splden.h2)"
+            parts.append(
+                f"CASE WHEN {a}.tf > 0 THEN "
+                f"CAST(GREATEST(-ln((pow({lam}, {tfn}/({tfn} + 1.0)) - 1.0)/({lam} - 1.0)), 0.0) AS FLOAT) "
+                "ELSE CAST(0.0 AS FLOAT) END"
+            )
+        fold = fold_f32(parts)
+        glue = " AND " if mode == "and" else " OR "
+        cond = glue.join(f"{a}.tf > 0" for a in aliases)
+        selects.append(
+            f"SELECT '{_esc(qid)}' AS query_id, rank, doc_id FROM ("
+            "SELECT doc_id, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+            f"FROM (SELECT {aliases[0]}.doc_id AS doc_id, {fold} AS score "
+            f"FROM {joins} WHERE {cond}) sub"
+            f") ranked WHERE rank < {int(k)}"
+        )
+    return ("WITH " + ", ".join(ctes) + " "
+            + " UNION ALL ".join(f"({s})" for s in selects)
+            + " ORDER BY query_id, rank")
+
+
 def dfi_topk_sql(queries: list[tuple[str, list[str], str]], k: int = 10) -> str:
     """Oracle for fulltext.bm25_topk(similarity='dfi_chi2') — Lucene's
     DFISimilarity with the ChiSquared independence measure

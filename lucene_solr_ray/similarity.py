@@ -447,6 +447,59 @@ class IBLogLogistic:
         return ub * (1.0 + 1e-6) + 1e-12
 
 
+class IBSmoothedPowerLaw:
+    """Lucene IBSimilarity(DistributionSPL, LambdaDF, NormalizationH2)
+    ([U] lucene/core/.../search/similarities/DistributionSPL.java +
+    LambdaDF/NormalizationH2, c = 1) — the other shipped
+    information-based distribution:
+
+        tfn  = tf * log2(1 + avgdl/dl')            (H2)
+        lam  = (df + 1)/(N + 1)                    (LambdaDF, the w slot)
+        s    = float32(max(0, -ln((lam^(tfn/(tfn+1)) - 1)/(lam - 1))))
+
+    lam in (0, 1), so both numerator and denominator are negative and
+    the ratio is a probability in (0, 1) increasing toward lam as
+    tfn grows — its -ln is positive and increasing in tfn, decreasing
+    in dl: exact WAND bounds from (max_tf, min_norm) impacts."""
+
+    name = "ib_spl"
+
+    @staticmethod
+    def idf(n_docs: int, df: int) -> float:
+        return math.log(1.0 + (n_docs + 1.0) / (df + 1.0))  # monotone df proxy
+
+    @staticmethod
+    def term_weight(n_docs: int, df: int) -> np.float64:
+        return np.float64((df + 1.0) / (n_docs + 1.0))
+
+    @staticmethod
+    def denom_cache(avgdl: float) -> np.ndarray:
+        dl = np.maximum(DECODED_TABLE.astype(np.float64), 1.0)
+        return np.log2(1.0 + avgdl / dl)
+
+    @staticmethod
+    def _score64(lam, tfn):
+        r = (np.power(lam, tfn / (tfn + 1.0)) - 1.0) / (lam - 1.0)
+        return np.maximum(-np.log(r), 0.0)
+
+    @classmethod
+    def score_term(cls, w, tfs, norm_bytes, cache) -> np.ndarray:
+        tfn = np.asarray(tfs, dtype=np.float64) * cache[norm_bytes]
+        return cls._score64(np.float64(w), tfn).astype(np.float32)
+
+    @classmethod
+    def score_upper_bound(cls, w, max_tf, min_norm, cache):
+        tfn = np.float64(max_tf) * cache[min_norm]
+        ub = float(cls._score64(np.float64(w), tfn))
+        return ub * (1.0 + 1e-6) + 1e-12
+
+    @classmethod
+    def block_upper_bounds(cls, w, max_tfs: np.ndarray, min_norms: np.ndarray, cache) -> np.ndarray:
+        tfn = max_tfs.astype(np.float64) * cache[min_norms]
+        ub = cls._score64(np.float64(w), tfn)
+        return ub * (1.0 + 1e-6) + 1e-12
+
+
 class AxiomaticF2EXP:
     """Lucene AxiomaticF2EXP ([U] lucene/core/.../search/similarities/
     AxiomaticF2EXP.java + Axiomatic.java, s = 0.5, k = 0.35 defaults):
@@ -553,6 +606,7 @@ SIMILARITIES = {
     "dfr_gl2": DFRGL2,
     "dfi_chi2": DFIChiSquared,
     "ib_ll": IBLogLogistic,
+    "ib_spl": IBSmoothedPowerLaw,
     "ax_f2exp": AxiomaticF2EXP,
     "sweetspot": SweetSpot,
     "boolean": BooleanSim,
