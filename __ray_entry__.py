@@ -379,6 +379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_id_routing": lambda sf: ft.composite_id_routing(sf, n_shards=8),
         "ft_termfreq_topk": lambda sf: ft.termfreq_topk(sf, "merge", k=20),
         "ft_function_values": lambda sf: ft.function_values(sf, "merge", k=20),
+        "ft_strdist_sort": lambda sf: ft.strdist_sort(
+            sf, target="src1", field="source", k=30),
         "ft_atomic_update_rtg": lambda sf: ft.atomic_update_rtg(sf, [7, 123, 400]),
         "ft_tlog_rtg": ft.tlog_rtg,
         # --- Solr request-handler surface (SURVEY §2.11) ---
@@ -704,6 +706,11 @@ def oracle_sql() -> dict[str, str]:
             ["merge", "join"], demote_term="vector", demote_factor=0.5, k=10),
         # termfreq()/docfreq()/idf()/norm() value sources in one row
         "ft_function_values": _ft_oracle().function_values_sql("merge", k=20),
+        # strdist(source, 'src1', edit) as the sort
+        "ft_strdist_sort": (
+            "SELECT doc_id, CAST(levenshtein(source, 'src1') AS BIGINT) AS dist "
+            "FROM documents ORDER BY dist, doc_id LIMIT 30"
+        ),
         # hybrid sparse+dense RRF: exact-int reciprocal-rank combine
         "hybrid_rrf_topk": _ft_oracle().hybrid_rrf_sql(
             ("merge", "vector"), anchor_vec=0, n_each=50, k=10),

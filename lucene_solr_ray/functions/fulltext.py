@@ -1112,6 +1112,49 @@ def termfreq_topk(sf_dir: str, term: str = "merge", k: int = 20) -> pa.Table:
     })
 
 
+def strdist_sort(sf_dir: str, target: str = "src1", field: str = "source",
+                 k: int = 30) -> pa.Table:
+    """Solr ``strdist()`` function query ([U] solr/core/.../search/
+    function/distance/StringDistanceFunction.java, edit-distance
+    flavor) used as the sort: order docs by the Levenshtein distance
+    between a stored field's value and a constant (dist asc, doc_id
+    asc). The distance computes once per DISTINCT field value (the
+    value-source cache role) and broadcasts as a tiny map; the corpus
+    pass is stateless."""
+    from lucene_solr_ray.pipelines.search import _levenshtein_leq
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", field])
+    distinct = set(ds.unique(field))
+    dmap = {v: lev(str(v), target) for v in distinct}
+    dmap_ref = ray.put(dmap)
+
+    def score(t: pa.Table) -> pa.Table:
+        m = ray.get(dmap_ref)
+        vals = t.column(field).to_pylist()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "dist": pa.array([m[v] for v in vals], pa.int64()),
+        })
+
+    out = (ds.map_batches(score, batch_format="pyarrow")
+           .sort(["dist", "doc_id"]).limit(k).to_pandas())
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].astype(np.int64), pa.int64()),
+        "dist": pa.array(out["dist"].astype(np.int64), pa.int64()),
+    })
+
+
 def luke_top_terms(sf_dir: str, k: int = 10) -> pa.Table:
     """LukeRequestHandler topTerms ([U] solr/core/.../handler/admin/
     LukeRequestHandler.java getTopTerms): the index's highest-docFreq
