@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- percolator / highlighter (SURVEY §2.5/§2.6 aux) ---
         "percolate": lambda sf: monitor.percolate(sf, PERCOLATE_QUERIES),
         "percolate_range": lambda sf: monitor.percolate(sf, PERCOLATE_RANGE_QUERIES),
+        "percolate_stream_alerts": lambda sf: monitor.percolate_stream_alerts(sf),
         "highlight_snippets": lambda sf: monitor.highlight(sf, ["vector", "stream"]),
         "ft_classic_highlight": lambda sf: ft.classic_highlight_fragments(
             sf, terms=("merge", "vector"), fragsize=80),
@@ -1619,6 +1620,26 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id, 'sq-or2' FROM d WHERE list_contains(sp, 'spark') OR list_contains(sp, 'window') "
             "UNION ALL SELECT d.doc_id, 'sq-parsed' FROM d JOIN documents doc ON d.doc_id = doc.doc_id "
             "WHERE list_contains(sp, 'vector') AND regexp_matches(doc.text, '\\bmerge\\s+join\\b') "
+            "AND NOT list_contains(sp, 'spark')"
+            ") ORDER BY doc_id, query_id"
+        ),
+        # streaming alerts: the monitor over the ingest batch (constants
+        # shared with monitor.ALERT_DOCS), same boolean/phrase semantics
+        "percolate_stream_alerts": (
+            "WITH nd(doc_id, text) AS (VALUES "
+            "(91000001, 'merge join alert fires here'), "
+            "(91000002, 'vector drift detected'), "
+            "(91000003, 'nothing interesting at all'), "
+            "(91000004, 'merge join vector spark noise'), "
+            "(91000005, 'vector merge join combo')), "
+            "d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "regexp_split_to_array(text, '\\s+') AS sp, text FROM nd) "
+            "SELECT doc_id, query_id FROM ("
+            "SELECT doc_id, 'al-and' AS query_id FROM d "
+            "WHERE list_contains(sp, 'merge') AND list_contains(sp, 'join') "
+            "UNION ALL SELECT doc_id, 'al-or' FROM d WHERE list_contains(sp, 'vector') "
+            "UNION ALL SELECT doc_id, 'al-parsed' FROM d "
+            "WHERE list_contains(sp, 'vector') AND regexp_matches(text, '\\bmerge\\s+join\\b') "
             "AND NOT list_contains(sp, 'spark')"
             ") ORDER BY doc_id, query_id"
         ),

@@ -232,3 +232,48 @@ def highlight(sf_dir: str, terms: list[str], window_tokens: int = 5) -> ray.data
         .map_batches(fn, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+ALERT_DOCS = (
+    (91000001, "merge join alert fires here"),
+    (91000002, "vector drift detected"),
+    (91000003, "nothing interesting at all"),
+    (91000004, "merge join vector spark noise"),
+    (91000005, "vector merge join combo"),
+)
+
+
+def percolate_stream_alerts(sf_dir: str, stored_queries=None) -> pa.Table:
+    """Streaming alerting — the monitor applied to an INGEST stream
+    rather than the stored corpus (the Lucene monitor's deployment
+    shape: a Topic/Daemon feeds newly arriving docs through the
+    registered query set; [U] lucene/monitor/.../Monitor.java match()).
+    The micro-batch of new docs streams through the same PercolateStage
+    actor the corpus entry uses — the stored-query compile happens once
+    per actor, each arriving batch probes via the term-routed
+    presearcher, and the corpus is never rescanned. Alerts =
+    (doc_id, query_id) for the new docs only."""
+    if stored_queries is None:
+        stored_queries = [
+            {"query_id": "al-and", "type": "and", "terms": ["merge", "join"]},
+            {"query_id": "al-or", "type": "or", "terms": ["vector"]},
+            {"query_id": "al-parsed", "type": "parsed",
+             "query": '+vector +"merge join" -spark'},
+        ]
+    batch = pa.table({
+        "doc_id": pa.array([d for d, _ in ALERT_DOCS], pa.int64()),
+        "text": pa.array([t for _, t in ALERT_DOCS], pa.string()),
+    })
+    ref = ray.put(stored_queries)
+    return (
+        ray.data.from_arrow(batch)
+        .map_batches(PercolateStage,
+                     fn_constructor_kwargs={"queries_ref": ref},
+                     batch_format="pyarrow", concurrency=1)
+        .sort(["doc_id", "query_id"])
+        .to_pandas()
+        .pipe(lambda df: pa.table({
+            "doc_id": pa.array(df["doc_id"].astype("int64"), pa.int64()),
+            "query_id": pa.array(df["query_id"].astype(str), pa.string()),
+        }))
+    )
