@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, ["merge", "join", "vector", "sort"], "2<-25%"),
         "ft_min_should_match": lambda sf: ft.min_should_match_retrieve(
             sf, ["merge", "join", "vector"], mm=2),
+        "ft_mm_with_must": lambda sf: ft.min_should_match_retrieve(
+            sf, ["vector", "join", "sort"], mm=2, must=("merge",)),
         "ft_sorted_by_field": lambda sf: ft.sorted_by_field_topk(sf, ["spark"], "n_chars", k=10),
         "ft_index_sorted_topk": lambda sf: ft.index_sorted_topk(
             sf, ["merge", "vector"], "n_chars", k=10),
@@ -857,6 +859,14 @@ def oracle_sql() -> dict[str, str]:
             f"(CAST(list_contains({split}, 'merge') AS INT) + "
             f"CAST(list_contains({split}, 'join') AS INT) + "
             f"CAST(list_contains({split}, 'vector') AS INT)) >= 2 ORDER BY doc_id"
+        ),
+        # mm binds the SHOULD set only; the MUST clause intersects
+        "ft_mm_with_must": (
+            "SELECT doc_id FROM documents WHERE "
+            f"list_contains({split}, 'merge') AND "
+            f"(CAST(list_contains({split}, 'vector') AS INT) + "
+            f"CAST(list_contains({split}, 'join') AS INT) + "
+            f"CAST(list_contains({split}, 'sort') AS INT)) >= 2 ORDER BY doc_id"
         ),
         "export_sorted": (
             "SELECT doc_id, lang, n_chars FROM documents ORDER BY n_chars DESC, doc_id"

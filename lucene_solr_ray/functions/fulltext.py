@@ -710,12 +710,16 @@ def fuzzy_retrieve(sf_dir: str, pattern: str) -> pa.Table:
     return multi_term_retrieve(sf_dir, "fuzzy", pattern)
 
 
-def min_should_match_retrieve(sf_dir: str, should: list[str], mm: int) -> pa.Table:
+def min_should_match_retrieve(sf_dir: str, should: list[str], mm: int,
+                              must: tuple = ()) -> pa.Table:
     """BooleanQuery minimumNumberShouldMatch: docs matching at least
-    ``mm`` of the SHOULD terms -> sorted doc_id set."""
+    ``mm`` of the SHOULD terms -> sorted doc_id set. With MUST clauses
+    present, mm still binds the SHOULD set ONLY (the Lucene semantic:
+    SHOULD clauses are otherwise optional beside a MUST)."""
     index_dir = docs_index(sf_dir)
     s = IndexSearcher(index_dir)
-    d, _ = s.search_boolean(should=should, min_should_match=mm, k=max(1, s.n_docs))
+    d, _ = s.search_boolean(should=should, must=list(must),
+                            min_should_match=mm, k=max(1, s.n_docs))
     mapping = _docid_to_doc_id(index_dir)
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
 
