@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_range_docs": lambda sf: ft.multi_term_retrieve(sf, "range", "key:part"),
         "ft_leading_wildcard": lambda sf: ft.leading_wildcard_retrieve(sf, "*er"),
         "ft_dv_update_sort": lambda sf: ft.dv_update_sort(sf, mod=7, k=15),
+        "ft_optimistic_update": lambda sf: ft.optimistic_update(sf),
         "ft_atomic_inc": lambda sf: ft.atomic_inc_requery(sf, mod=11, delta=5, k=15),
         "ft_tag_dictionary": lambda sf: ft.tag_dictionary_matches(
             sf, ("merge join", "join vector", "sort window")),
@@ -1124,6 +1125,19 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT doc_id, 'join vector', pos FROM pairs WHERE w1 = 'join' AND w2 = 'vector' "
             "UNION ALL SELECT doc_id, 'sort window', pos FROM pairs WHERE w1 = 'sort' AND w2 = 'window') "
             "ORDER BY doc_id, tag, pos"
+        ),
+        # optimistic concurrency: op 1 applies (v1->2), op 2 conflicts
+        # (expected 5, actual 1), op 3 retries doc 1 with STALE v1 ->
+        # conflict, op 4 with v2 -> applies; finals read the overlay
+        "ft_optimistic_update": (
+            "SELECT * FROM (VALUES "
+            "(CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'applied', CAST(2 AS BIGINT)), "
+            "(1, 2, 'conflict', 1), "
+            "(2, 1, 'conflict', 2), "
+            "(3, 1, 'applied', 3), "
+            "(4, 1, 'final', 800), "
+            "(4, 2, 'final', (SELECT CAST(n_chars AS BIGINT) FROM documents WHERE doc_id = 2))"
+            ") t(op_idx, doc_id, outcome, value) ORDER BY op_idx, doc_id"
         ),
         "ft_atomic_inc": (
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY val DESC, doc_id) - 1 AS BIGINT) AS rank, "

@@ -2845,6 +2845,54 @@ def tag_dictionary_matches(sf_dir: str,
     )
 
 
+def optimistic_update(sf_dir: str,
+                      ops=((1, 1, 500), (2, 5, 600), (1, 1, 700),
+                           (1, 2, 800))) -> pa.Table:
+    """Optimistic concurrency control ([U] solr/core/.../update/
+    processor/DistributedUpdateProcessor.java ``_version_`` semantics):
+    every update carries the version it expects; a mismatch is a 409
+    conflict and writes NOTHING, a match applies and bumps the doc's
+    version. Versions start at 1 (the index-time assignment); applied
+    writes are dv-overlay generation commits (update_numeric_docvalues),
+    so a conflict leaves the committed generation untouched. Ops here:
+    (doc_id, expected_version, new n_chars) — op 3 retries doc 1 with
+    the STALE version 1 and must conflict; op 4 retries with version 2
+    and lands. Output = per-op outcome plus the final doc_values
+    read-back for the touched docs."""
+    import shutil
+
+    from lucene_solr_ray.pipelines.deletes import update_numeric_docvalues
+
+    src = docs_index(sf_dir)
+    tmp = src + "-occcopy"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(src, tmp)
+    mapping = _docid_to_doc_id(tmp)
+    assert (mapping == np.arange(len(mapping))).all(), \
+        "optimistic_update assumes docid == doc_id (contiguous corpus)"
+    versions: dict[int, int] = {}
+    out_rows = []
+    for i, (doc, expected, newval) in enumerate(ops):
+        cur_v = versions.get(int(doc), 1)
+        if cur_v == int(expected):
+            update_numeric_docvalues(tmp, "n_chars", {int(doc): int(newval)})
+            versions[int(doc)] = cur_v + 1
+            out_rows.append((i, int(doc), "applied", cur_v + 1))
+        else:
+            out_rows.append((i, int(doc), "conflict", cur_v))
+    s = IndexSearcher(tmp)
+    dv = s.doc_values("n_chars")
+    touched = sorted({int(doc) for doc, _, _ in ops})
+    for doc in touched:
+        out_rows.append((len(ops), doc, "final", int(dv[doc])))
+    return pa.table({
+        "op_idx": pa.array([r[0] for r in out_rows], pa.int64()),
+        "doc_id": pa.array([r[1] for r in out_rows], pa.int64()),
+        "outcome": pa.array([r[2] for r in out_rows], pa.string()),
+        "value": pa.array([r[3] for r in out_rows], pa.int64()),
+    })
+
+
 def atomic_inc_requery(sf_dir: str, mod: int = 11, delta: int = 5,
                        k: int = 15) -> pa.Table:
     """Atomic update ``{"field": {"inc": delta}}`` on a numeric
