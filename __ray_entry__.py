@@ -458,6 +458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- spatial / expressions (SURVEY §2.6 aux) ---
         "geo_bbox_dist": geo.geo_bbox_dist,
         "geo_filt": geo.geo_filt,
+        "geo_annulus_docs": lambda sf: geo.geo_annulus_docs(
+            sf, inner_km=2000, outer_km=6000),
         "geo_nearest_topk": lambda sf: geo.geo_nearest_topk(sf, k=25),
         "geo_polygon_docs": geo.geo_polygon_docs,
         "geo_polygon_concave_docs": geo.geo_polygon_concave_docs,
@@ -478,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_classify": classify.nb_classify,
         # --- facets / aggs (SURVEY §2.7) ---
         "taxonomy_facets": rel.taxonomy_facets,
+        "taxonomy_assoc_facets": rel.taxonomy_assoc_facets,
         "facet_terms": rel.facet_terms,
         "facet_stats_ext": rel.stats_extended,
         "range_facet_other": lambda sf: rel.range_facet_other(
@@ -2620,6 +2623,18 @@ def oracle_sql() -> dict[str, str]:
             ")) * 10 + 0.5) AS BIGINT) AS dist_100m FROM g) "
             "SELECT c_custkey, dist_100m FROM d WHERE dist_100m <= 30000 ORDER BY c_custkey"
         ),
+        # annulus: {!frange}geodist() ring on the quantized distance
+        "geo_annulus_docs": (
+            "WITH g AS (SELECT c_custkey, "
+            "CAST(((c_custkey * 37) % 180) AS DOUBLE) - 90 + 0.5 AS lat, "
+            "CAST(((c_custkey * 73) % 360) AS DOUBLE) - 180 + 0.5 AS lon FROM customer), "
+            "d AS (SELECT c_custkey, CAST(FLOOR(2 * 6371.0087714 * asin(sqrt("
+            "pow(sin(radians(12.5 - lat)/2), 2) + "
+            "cos(radians(lat)) * cos(radians(12.5)) * pow(sin(radians(42.5 - lon)/2), 2)"
+            ")) * 10 + 0.5) AS BIGINT) AS dist_100m FROM g) "
+            "SELECT c_custkey, dist_100m FROM d "
+            "WHERE dist_100m BETWEEN 20000 AND 60000 ORDER BY c_custkey"
+        ),
         # 0.5-grid coords + 0.5-grid vertices -> integer cross products,
         # bit-exact both sides including boundary points
         "geo_polygon_docs": (
@@ -2717,6 +2732,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM ("
             "SELECT list_extract(a, 1) AS path FROM w "
             "UNION ALL SELECT list_extract(a, 1) || '/' || list_extract(a, 2) FROM w WHERE len(a) >= 2"
+            ") GROUP BY path ORDER BY path"
+        ),
+        # association facets: each doc's retailprice CENTS roll up to
+        # every ancestor node beside the count
+        "taxonomy_assoc_facets": (
+            "WITH w AS (SELECT regexp_split_to_array(p_type, ' ') AS a, "
+            + _CENTS.format(x="p_retailprice") + " AS cents FROM part) "
+            "SELECT path, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(cents) AS BIGINT) AS assoc_cents FROM ("
+            "SELECT list_extract(a, 1) AS path, cents FROM w "
+            "UNION ALL SELECT list_extract(a, 1) || '/' || list_extract(a, 2), cents "
+            "FROM w WHERE len(a) >= 2"
             ") GROUP BY path ORDER BY path"
         ),
         "shortest_path": (

@@ -96,6 +96,28 @@ def geo_filt(sf_dir: str, origin=(12.5, 42.5), d_km: int = 3000) -> ray.data.Dat
     return ds.map_batches(fn, batch_format="pyarrow").sort("c_custkey")
 
 
+def geo_annulus_docs(sf_dir: str, origin=(12.5, 42.5), inner_km: int = 2000,
+                     outer_km: int = 6000) -> ray.data.Dataset:
+    """Annulus (ring) distance filter — the ``{!frange l=.. u=..}geodist()``
+    composition ([U] solr/core/.../search/FunctionRangeQuery.java over
+    GeoDistValueSource): keep points whose distance lies in
+    [inner_km, outer_km]. Same quantized-integer-distance comparison as
+    geo_filt (100 m rounding shared with the oracle), one stateless
+    pass."""
+    full_bbox = (-90.0, 90.0, -180.0, 180.0)
+    ds = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    lo, hi = int(inner_km) * 10, int(outer_km) * 10
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = _GeoStage(origin[0], origin[1], full_bbox)(t)
+        d = out.column("dist_100m")
+        keep = pa.compute.and_(pa.compute.greater_equal(d, pa.scalar(lo)),
+                               pa.compute.less_equal(d, pa.scalar(hi)))
+        return out.filter(keep)
+
+    return ds.map_batches(fn, batch_format="pyarrow").sort("c_custkey")
+
+
 def geo_heatmap(sf_dir: str, cell_deg: int = 10) -> pa.Table:
     """Heatmap faceting ([U] solr/core/.../handler/component/
     SpatialHeatmapFacets.java, facet.heatmap): counts over a lat/lon

@@ -1481,6 +1481,37 @@ def facet_multiselect_ex(sf_dir: str, min_chars: int = 200,
     )
 
 
+def taxonomy_assoc_facets(sf_dir: str) -> ray.data.Dataset:
+    """Association facets ([U] lucene/facet/.../taxonomy/
+    TaxonomyFacetSumIntAssociations.java): every document contributes an
+    integer ASSOCIATION VALUE (p_retailprice cents) — not just a count —
+    to each ancestor node of its category path. Same explode + one
+    groupby shuffle as the counting taxonomy facet, with a Sum beside
+    the Count."""
+    from ray.data.aggregate import Count, Sum
+
+    def explode(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(pc.cast(t.column("p_type"), pa.string()), " ")
+        cents = _cents(pc.cast(t.column("p_retailprice"), pa.float64()))
+        l1 = pc.cast(pc.list_element(parts, 0), pa.string()).combine_chunks()
+        has2 = pc.greater_equal(pc.list_value_length(parts), 2)
+        l2 = pc.cast(pc.binary_join(pc.list_slice(parts, 0, 2), "/"),
+                     pa.string()).filter(has2).combine_chunks()
+        return pa.table({
+            "path": pa.concat_arrays([l1, l2]),
+            "assoc": pa.concat_arrays([cents.combine_chunks(),
+                                       cents.filter(has2).combine_chunks()]),
+        })
+
+    return (
+        _read(sf_dir, "part", ["p_type", "p_retailprice"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Count(alias_name="n"), Sum("assoc", alias_name="assoc_cents"))
+        .sort("path")
+    )
+
+
 def facet_allbuckets(sf_dir: str, top: int = 3) -> pa.Table:
     """JSON facet bucket refinements ([U] solr/core/.../search/facet/
     FacetField.java): terms facet on `source` with a stat sort
