@@ -483,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "taxonomy_assoc_facets": rel.taxonomy_assoc_facets,
         "facet_terms": rel.facet_terms,
         "facet_stats_ext": rel.stats_extended,
+        "stats_moments": rel.stats_moments,
         "range_facet_other": lambda sf: rel.range_facet_other(
             sf, "n_chars", start=100, end=400, gap=100),
         "facet_multiselect_ex": lambda sf: rel.facet_multiselect_ex(sf),
@@ -1630,6 +1631,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled, "
             "CAST(COUNT(*) * 100 // 20 AS BIGINT) AS n_estimated "
             "FROM s GROUP BY lang ORDER BY lang"
+        ),
+        # higher moments on floor-dollars: exact-int skewness inputs
+        "stats_moments": (
+            "WITH e AS (SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS d, "
+            "CASE WHEN value IS NULL THEN 0 ELSE 1 END AS present FROM events) "
+            "SELECT event_type, CAST(SUM(present) AS BIGINT) AS n_vals, "
+            "CAST(SUM(d) AS BIGINT) AS sum_d, CAST(SUM(d*d) AS BIGINT) AS sumsq_d, "
+            "CAST(SUM(d*d*d) AS BIGINT) AS sumcube_d "
+            "FROM e GROUP BY event_type ORDER BY event_type"
         ),
         "facet_stats_ext": (
             f"WITH e AS (SELECT event_type, {c(x='value')} AS cents, value FROM events) "

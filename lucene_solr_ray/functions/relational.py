@@ -1481,6 +1481,45 @@ def facet_multiselect_ex(sf_dir: str, min_chars: int = 200,
     )
 
 
+def stats_moments(sf_dir: str) -> ray.data.Dataset:
+    """Higher-moment stats per group — the skewness/kurtosis sufficient
+    statistics (the Solr analytics component's moment aggregates beyond
+    StatsComponent's stddev): the shuffle carries ONLY exact-int moment
+    partials (n_vals, sum, sumsq, sumcube over floor-dollars); g1
+    skewness derives from these downstream, so the oracle hashes raw
+    integers and no float ever crosses the exchange."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = pc.cast(t.column("value"), pa.float64())
+        d = pc.cast(pc.floor(vals), pa.int64())
+        present = pc.cast(pc.is_valid(vals), pa.int64())
+        tt = pa.table({
+            "event_type": t.column("event_type"),
+            "n_vals": present,
+            "sum_d": d,
+            "sumsq_d": pc.multiply(d, d),
+            "sumcube_d": pc.multiply(pc.multiply(d, d), d),
+        })
+        return (
+            pa.TableGroupBy(tt, ["event_type"])
+            .aggregate([("n_vals", "sum"), ("sum_d", "sum"),
+                        ("sumsq_d", "sum"), ("sumcube_d", "sum")])
+            .rename_columns(["event_type", "n_vals", "sum_d", "sumsq_d", "sumcube_d"])
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("n_vals", alias_name="n_vals"),
+                   Sum("sum_d", alias_name="sum_d"),
+                   Sum("sumsq_d", alias_name="sumsq_d"),
+                   Sum("sumcube_d", alias_name="sumcube_d"))
+        .sort("event_type")
+    )
+
+
 def taxonomy_assoc_facets(sf_dir: str) -> ray.data.Dataset:
     """Association facets ([U] lucene/facet/.../taxonomy/
     TaxonomyFacetSumIntAssociations.java): every document contributes an
