@@ -484,6 +484,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_terms": rel.facet_terms,
         "facet_stats_ext": rel.stats_extended,
         "stats_moments": rel.stats_moments,
+        "props_json_facet": lambda sf: rel.props_json_facet(sf, key="k", bucket=10),
         "range_facet_other": lambda sf: rel.range_facet_other(
             sf, "n_chars", start=100, end=400, gap=100),
         "facet_multiselect_ex": lambda sf: rel.facet_multiselect_ex(sf),
@@ -1631,6 +1632,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled, "
             "CAST(COUNT(*) * 100 // 20 AS BIGINT) AS n_estimated "
             "FROM s GROUP BY lang ORDER BY lang"
+        ),
+        # facet on a JSON-extracted int, decade buckets; missing -> -1
+        "props_json_facet": (
+            "SELECT COALESCE(CAST(json_extract(props, '$.k') AS BIGINT) // 10, -1) "
+            "AS bucket, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events GROUP BY bucket ORDER BY bucket"
         ),
         # higher moments on floor-dollars: exact-int skewness inputs
         "stats_moments": (

@@ -1481,6 +1481,38 @@ def facet_multiselect_ex(sf_dir: str, min_chars: int = 200,
     )
 
 
+def props_json_facet(sf_dir: str, key: str = "k", bucket: int = 10) -> ray.data.Dataset:
+    """Facet over a field extracted from an untyped JSON payload column
+    (the semi-structured-ingest role Solr fills with schemaless/dynamic
+    fields + the JSON update path): parse ``props`` per batch, bucket
+    the integer value by ``bucket``, count per bucket. JSON decode is
+    per-batch inside map_batches (stateless); the exchange is
+    bucket-domain-sized partials."""
+    import json
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg: dict = {}
+        for p in t.column("props").to_pylist():
+            try:
+                v = json.loads(p).get(key)
+            except (TypeError, ValueError):
+                v = None
+            b = -1 if v is None else int(v) // bucket
+            agg[b] = agg.get(b, 0) + 1
+        return pa.table({"bucket": pa.array(list(agg), pa.int64()),
+                         "n": pa.array(list(agg.values()), pa.int64())})
+
+    return (
+        _read(sf_dir, "events", ["props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort("bucket")
+    )
+
+
 def stats_moments(sf_dir: str) -> ray.data.Dataset:
     """Higher-moment stats per group — the skewness/kurtosis sufficient
     statistics (the Solr analytics component's moment aggregates beyond
