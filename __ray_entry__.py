@@ -485,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_stats_ext": rel.stats_extended,
         "stats_moments": rel.stats_moments,
         "props_json_facet": lambda sf: rel.props_json_facet(sf, key="k", bucket=10),
+        "enum_field_sort": rel.enum_field_sort,
         "range_facet_other": lambda sf: rel.range_facet_other(
             sf, "n_chars", start=100, end=400, gap=100),
         "facet_multiselect_ex": lambda sf: rel.facet_multiselect_ex(sf),
@@ -1632,6 +1633,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled, "
             "CAST(COUNT(*) * 100 // 20 AS BIGINT) AS n_estimated "
             "FROM s GROUP BY lang ORDER BY lang"
+        ),
+        # enum ordinal order: 5-LOW pinned BEFORE 4-NOT SPECIFIED
+        "enum_field_sort": (
+            "WITH m(v, ordinal) AS (VALUES ('1-URGENT', 0), ('2-HIGH', 1), "
+            "('3-MEDIUM', 2), ('5-LOW', 3), ('4-NOT SPECIFIED', 4)) "
+            "SELECT CAST(m.ordinal AS BIGINT) AS ordinal, "
+            "o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM orders JOIN m ON o_orderpriority = m.v "
+            "GROUP BY 1, 2 ORDER BY ordinal"
         ),
         # facet on a JSON-extracted int, decade buckets; missing -> -1
         "props_json_facet": (

@@ -1481,6 +1481,35 @@ def facet_multiselect_ex(sf_dir: str, min_chars: int = 200,
     )
 
 
+ENUM_PRIORITY = ("1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW", "4-NOT SPECIFIED")
+
+
+def enum_field_sort(sf_dir: str) -> pa.Table:
+    """EnumFieldType ordering ([U] solr/core/.../schema/EnumFieldType.java
+    + enumsConfig.xml): a string field orders by its CONFIGURED ordinal,
+    not lexicographically — this config pins 5-LOW BEFORE 4-NOT
+    SPECIFIED, so the enum order provably diverges from the string
+    order. Output = per-value counts in enum order with the ordinal a
+    sort on this field would use. One bucket-domain groupby; the enum
+    map is config-sized."""
+    from ray.data.aggregate import Count
+
+    ordinal = {v: i for i, v in enumerate(ENUM_PRIORITY)}
+    counts = (
+        _read(sf_dir, "orders", ["o_orderpriority"])
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    counts["ordinal"] = counts["o_orderpriority"].map(ordinal).astype(np.int64)
+    counts = counts.sort_values("ordinal")
+    return pa.table({
+        "ordinal": pa.array(counts["ordinal"].to_numpy(), pa.int64()),
+        "o_orderpriority": pa.array(counts["o_orderpriority"].astype(str), pa.string()),
+        "n_orders": pa.array(counts["n_orders"].astype(np.int64), pa.int64()),
+    })
+
+
 def props_json_facet(sf_dir: str, key: str = "k", bucket: int = 10) -> ray.data.Dataset:
     """Facet over a field extracted from an untyped JSON payload column
     (the semi-structured-ingest role Solr fills with schemaless/dynamic
