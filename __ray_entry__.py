@@ -496,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uniqueblock_facet": lambda sf: rel.uniqueblock_facet(sf, min_qty=25),
         "sampled_facets": lambda sf: rel.sampled_facets(sf, pct=20),
         "timeseries_facet": rel.timeseries_facet,
+        "timeseries_tz_facet": lambda sf: rel.timeseries_tz_facet(sf, tz_offset_min=330),
         "asof_join": win.asof_join,
         "asof_join_tolerance": lambda sf: win.asof_join(
             sf, tolerance_us=3_600_000_000),
@@ -1821,6 +1822,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "facet_terms": (
             "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        # TZ-shifted day buckets (+05:30): local midnight boundaries
+        "timeseries_tz_facet": (
+            "SELECT CAST(epoch_us(ts + INTERVAL 330 MINUTES) // 86400000000 "
+            "* 86400000000 - CAST(330 AS BIGINT) * 60000000 AS BIGINT) AS day_start_us, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "timeseries_facet": (
             "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n, "

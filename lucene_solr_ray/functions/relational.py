@@ -418,6 +418,33 @@ def taxonomy_facets(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def timeseries_tz_facet(sf_dir: str, tz_offset_min: int = 330) -> ray.data.Dataset:
+    """Range facet over time with a TZ offset ([U] solr/core/.../util/
+    DateMathParser.java TZ handling; facet.range TZ param): day buckets
+    computed in a non-UTC zone (+05:30 here) — the bucket boundary is
+    the LOCAL midnight, so counts shift relative to the UTC facet.
+    Bucketing is exact int64 microsecond arithmetic: shift, floor to
+    day, shift back."""
+    off_us = int(tz_offset_min) * 60_000_000
+    day_us_const = 86_400_000_000
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        local = pc.add(us, pa.scalar(off_us))
+        day_local = pc.multiply(pc.divide(local, pa.scalar(day_us_const)),
+                                pa.scalar(day_us_const))
+        day = pc.subtract(day_local, pa.scalar(off_us))
+        return pa.table({"day_start_us": pc.cast(day, pa.int64())})
+
+    return (
+        _read(sf_dir, "events", ["ts"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("day_start_us")
+        .aggregate(Count(alias_name="n"))
+        .sort("day_start_us")
+    )
+
+
 def timeseries_facet(sf_dir: str) -> ray.data.Dataset:
     """Range facet over time ([U] .../io/stream/TimeSeriesStream.java):
     per-day buckets with count + sum(value cents)."""
