@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, terms=("merge", "vector"), fragsize=80),
         # --- sketches (SURVEY §2.7 hll / percentile aggs) ---
         "hll_distinct": sketches.hll_distinct,
+        "hll_union_distinct": lambda sf: sketches.hll_union_distinct(
+            sf, a="purchase", b="signup"),
         # max_centroids=16384 >= every batch -> singleton centroids, the
         # sketch's exact regime (SQL-checkable); bench/pytest use the real
         # compression budget
@@ -2597,6 +2599,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, frag_id, n_hits FROM best WHERE rn = 1 ORDER BY doc_id"
         ),
         "hll_distinct": _data_oracle().hll_distinct_sql(),
+        # sketch-union identity: union registers == registers of the
+        # OR-filtered set, so each side is the replicated HLL pipeline
+        "hll_union_distinct": (
+            "SELECT * FROM ("
+            "SELECT 'a' AS subset, ("
+            + _data_oracle().hll_distinct_sql(
+                table="(SELECT user_id FROM events WHERE event_type = 'purchase')")
+            + ") AS approx_distinct "
+            "UNION ALL SELECT 'b', ("
+            + _data_oracle().hll_distinct_sql(
+                table="(SELECT user_id FROM events WHERE event_type = 'signup')")
+            + ") UNION ALL SELECT 'union', ("
+            + _data_oracle().hll_distinct_sql(
+                table="(SELECT user_id FROM events WHERE event_type IN ('purchase', 'signup'))")
+            + ")) ORDER BY subset"
+        ),
         # heavy hitters: the closed vocab sits far below sketch capacity,
         # so SpaceSaving never evicts -> exact counts, err identically 0
         "heavy_hitters_topk": (

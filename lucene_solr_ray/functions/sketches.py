@@ -88,6 +88,45 @@ def hll_distinct(sf_dir: str, table: str = "events", column: str = "user_id") ->
     return pa.table({"approx_distinct": pa.array([_hll_estimate(merged)], pa.int64())})
 
 
+def hll_union_distinct(sf_dir: str, table: str = "events",
+                       column: str = "user_id",
+                       split_field: str = "event_type",
+                       a: str = "purchase", b: str = "signup") -> pa.Table:
+    """HLL sketch UNION ([U] solr/core/.../util/hll/HLL.java union — the
+    mergeability that makes the sketch distributed-correct): build one
+    register set per subset (column restricted to split_field == a / b),
+    union them by register-wise max, and estimate. The union estimate
+    must EQUAL the estimate of the OR-filtered set — the sketch identity
+    the SQL oracle checks by replicating the register pipeline over the
+    combined subset. Output: per-subset estimates + the union."""
+    out = {}
+    regsets = []
+    for label, val in (("a", a), ("b", b)):
+        ds = read_parquet_clean(f"{sf_dir}/{table}.parquet",
+                                columns=[column, split_field])
+        ds = ds.filter(expr=f'{split_field} == "{val}"')
+
+        def partial(t: pa.Table) -> pa.Table:
+            vals = t.column(column).to_numpy().astype(np.int64)
+            return pa.table({"regs": pa.array([_hll_registers(vals).tobytes()],
+                                              type=pa.binary())})
+
+        merged = np.zeros(_M, dtype=np.int8)
+        for batch in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_size=256, batch_format="pyarrow"
+        ):
+            for blob in batch.column("regs").to_pylist():
+                merged = np.maximum(merged, np.frombuffer(blob, dtype=np.int8))
+        regsets.append(merged)
+        out[label] = _hll_estimate(merged)
+    union = np.maximum(regsets[0], regsets[1])
+    out["union"] = _hll_estimate(union)
+    return pa.table({
+        "subset": pa.array(["a", "b", "union"], pa.string()),
+        "approx_distinct": pa.array([out["a"], out["b"], out["union"]], pa.int64()),
+    })
+
+
 # ---------------- t-digest-lite (mergeable centroid quantile sketch) ----------------
 
 def _compress(means: np.ndarray, weights: np.ndarray, max_centroids: int = 128):
