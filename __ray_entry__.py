@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, window=8, guarantee=4),
         "unigram_segment_counts": lambda sf: ts.unigram_segment_counts(
             sf, max_piece_len=4, top_k=64, k_out=30),
+        "bpe_encode_counts": lambda sf: ts.bpe_encode_counts(
+            sf, n_merges=10, k_out=30),
         "token_fertility": ts.token_fertility,
         "quality_signals": ts.quality_signals,
         "lang_id": ts.lang_id,
@@ -2258,6 +2260,10 @@ def oracle_sql() -> dict[str, str]:
         # engine over the sf-invariant word set; counts corpus-weighted
         "unigram_segment_counts": _data_oracle().unigram_segment_sql(
             max_piece_len=4, top_k=64, k_out=30),
+        # BPE encode: rules from the sf-invariant word set, counts
+        # corpus-weighted
+        "bpe_encode_counts": _data_oracle().bpe_encode_sql(
+            n_merges=10, k_out=30),
         # winnowing (MOSS): min k-gram hash per guarantee window
         "winnowing_fingerprints": _data_oracle().winnowing_sql(
             window=8, guarantee=4),

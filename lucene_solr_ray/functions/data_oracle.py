@@ -400,6 +400,47 @@ def unigram_segment_sql(max_piece_len: int = 4, top_k: int = 64,
     )
 
 
+def bpe_encode_sql(n_merges: int = 10, k_out: int = 30) -> str:
+    """Oracle for textstats.bpe_encode_counts — merge rules trained on
+    the sf-invariant DISTINCT word set (asserted), encode map generated
+    from the engine's bpe_apply, usage counts corpus-weighted in SQL."""
+    from collections import Counter
+
+    import duckdb
+
+    from lucene_solr_ray.functions.textstats import (
+        bpe_apply, bpe_merges_from_counts)
+
+    word_sets = {}
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        rows = con.sql(
+            "SELECT DISTINCT unnest(regexp_split_to_array(trim(text), '\\s+')) "
+            f"FROM read_parquet('/root/testdata/{sf}/documents.parquet') "
+            "WHERE trim(text) <> ''"
+        ).fetchall()
+        con.close()
+        word_sets[sf] = {r[0] for r in rows}
+    assert word_sets["sf0.001"] == word_sets["sf0.01"] == word_sets["sf0.1"], \
+        "bpe_encode oracle requires an sf-invariant word set"
+    words = sorted(word_sets["sf0.01"])
+    merges = bpe_merges_from_counts({w: 1 for w in words}, n_merges)
+    vals = []
+    for w in words:
+        for piece, times in sorted(Counter(bpe_apply(w, merges)).items()):
+            vals.append("('{}', '{}', {})".format(
+                w.replace("'", "''"), piece.replace("'", "''"), times))
+    return (
+        "WITH wc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+        "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+        "FROM documents WHERE trim(text) <> '') GROUP BY tok), "
+        f"enc(tok, piece, times) AS (VALUES {', '.join(vals)}) "
+        "SELECT piece, CAST(SUM(wc.n * enc.times) AS BIGINT) AS n_uses "
+        "FROM wc JOIN enc USING (tok) GROUP BY piece "
+        f"ORDER BY n_uses DESC, piece LIMIT {int(k_out)}"
+    )
+
+
 def winnowing_sql(window: int = 8, guarantee: int = 4, base: int = 257) -> str:
     """Oracle for textstats.winnowing_fingerprints — the same Karp-Rabin
     k-gram hashes (HUGEINT folds) with the winnowing min-per-guarantee-

@@ -1003,7 +1003,17 @@ def bpe_train_merges(sf_dir: str, n_merges: int = 10) -> list[tuple[str, str]]:
     from collections import Counter
 
     wc = _word_counts(sf_dir)
-    vocab = {tuple(term): int(n) for term, n in zip(wc["term"], wc["n"]) if len(term)}
+    return bpe_merges_from_counts(
+        {str(t): int(n) for t, n in zip(wc["term"], wc["n"])}, n_merges)
+
+
+def bpe_merges_from_counts(word_counts: dict, n_merges: int) -> list[tuple[str, str]]:
+    """The greedy merge loop over an explicit word histogram (shared by
+    the frequency-weighted trainer above and the distinct-word-set
+    basis bpe_encode_counts uses for scale-invariant encode maps)."""
+    from collections import Counter
+
+    vocab = {tuple(term): int(n) for term, n in word_counts.items() if len(term)}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs: Counter = Counter()
@@ -1029,6 +1039,50 @@ def bpe_train_merges(sf_dir: str, n_merges: int = 10) -> list[tuple[str, str]]:
             new_vocab[key] = new_vocab.get(key, 0) + n
         vocab = new_vocab
     return merges
+
+
+def bpe_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply trained BPE merge rules IN TRAINING ORDER to one word
+    (Sennrich et al. apply_bpe): start from characters, replay each rule
+    everywhere it fires. Deterministic by construction."""
+    sym = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_encode_counts(sf_dir: str, n_merges: int = 10, k_out: int = 30) -> pa.Table:
+    """BPE ENCODE — the apply side of the train/apply pair: train the
+    merge rules, replay them over every distinct word, and emit the
+    corpus-weighted subword-token histogram (the 'what does the corpus
+    look like under this tokenizer' diagnostic). The merge rules here
+    train on the DISTINCT word set (weight 1), making the rule list —
+    and every word's encoding — invariant to corpus scale (the unigram
+    entry's lesson; frequency-weighted training stays the
+    bpe_pair_counts/bpe_train_merges surface); usage counts weight by
+    corpus word frequency."""
+    from collections import Counter
+
+    wc0 = _word_counts(sf_dir)
+    merges = bpe_merges_from_counts({str(t): 1 for t in wc0["term"]}, n_merges)
+    wc = _word_counts(sf_dir)
+    usage: Counter = Counter()
+    for w, n in zip(wc["term"], wc["n"]):
+        for piece in bpe_apply(str(w), merges):
+            usage[piece] += int(n)
+    rows = sorted(usage.items(), key=lambda kv: (-kv[1], kv[0]))[:k_out]
+    return pa.table({
+        "piece": pa.array([r[0] for r in rows], pa.string()),
+        "n_uses": pa.array([r[1] for r in rows], pa.int64()),
+    })
 
 
 def fingerprint_dedup_groups(sf_dir: str, k: int = 20) -> ray.data.Dataset:
