@@ -501,6 +501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sampled_facets": lambda sf: rel.sampled_facets(sf, pct=20),
         "timeseries_facet": rel.timeseries_facet,
         "timeseries_tz_facet": lambda sf: rel.timeseries_tz_facet(sf, tz_offset_min=330),
+        "windowed_topk_types": lambda sf: rel.windowed_topk_types(sf, k=3),
         "asof_join": win.asof_join,
         "asof_join_tolerance": lambda sf: win.asof_join(
             sf, tolerance_us=3_600_000_000),
@@ -1826,6 +1827,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "facet_terms": (
             "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        # per-day continuous top-k event types (count desc, type asc)
+        "windowed_topk_types": (
+            "WITH c AS (SELECT CAST(epoch_us(ts) // 86400000000 * 86400000000 AS BIGINT) "
+            "AS day_us, event_type, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "r AS (SELECT day_us, event_type, n, CAST(ROW_NUMBER() OVER ("
+            "PARTITION BY day_us ORDER BY n DESC, event_type) - 1 AS BIGINT) AS win_rank FROM c) "
+            "SELECT day_us, win_rank, event_type, n FROM r WHERE win_rank < 3 "
+            "ORDER BY day_us, win_rank"
         ),
         # TZ-shifted day buckets (+05:30): local midnight boundaries
         "timeseries_tz_facet": (

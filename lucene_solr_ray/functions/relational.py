@@ -418,6 +418,47 @@ def taxonomy_facets(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def windowed_topk_types(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Continuous top-k over streaming windows (the ICDE'18/'19
+    continuous top-k-frequent-items shape; Solr-side: a facet inside
+    every range bucket): per day window, the k most frequent event
+    types (count desc, type asc). One (day, type) groupby of map-side
+    partials, then a per-window top-k map_groups — both exchanges are
+    bucket-domain-sized."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        day = pc.multiply(pc.divide(us, pa.scalar(86_400_000_000)),
+                          pa.scalar(86_400_000_000))
+        tt = pa.table({"day_us": day, "event_type": t.column("event_type"),
+                       "one": pa.array(np.ones(t.num_rows, np.int64))})
+        return (pa.TableGroupBy(tt, ["day_us", "event_type"])
+                .aggregate([("one", "sum")])
+                .rename_columns(["day_us", "event_type", "n"]))
+
+    def topk(g) -> pa.Table:
+        # plain-arrow output (no from_pandas: its schema metadata breaks
+        # Ray's schema-hash dedup — the io_utils lesson)
+        g = g.sort_values(["n", "event_type"], ascending=[False, True]).head(k)
+        return pa.table({
+            "day_us": pa.array(g["day_us"].to_numpy().astype(np.int64), pa.int64()),
+            "win_rank": pa.array(np.arange(len(g), dtype=np.int64), pa.int64()),
+            "event_type": pa.array(g["event_type"].astype(str), pa.string()),
+            "n": pa.array(g["n"].to_numpy().astype(np.int64), pa.int64()),
+        })
+
+    return (
+        _read(sf_dir, "events", ["ts", "event_type"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day_us", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .groupby("day_us")
+        .map_groups(topk, batch_format="pandas")
+        .sort(["day_us", "win_rank"])
+    )
+
+
 def timeseries_tz_facet(sf_dir: str, tz_offset_min: int = 330) -> ray.data.Dataset:
     """Range facet over time with a TZ offset ([U] solr/core/.../util/
     DateMathParser.java TZ handling; facet.range TZ param): day buckets
