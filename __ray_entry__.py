@@ -503,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "timeseries_tz_facet": lambda sf: rel.timeseries_tz_facet(sf, tz_offset_min=330),
         "windowed_topk_types": lambda sf: rel.windowed_topk_types(sf, k=3),
         "asof_join": win.asof_join,
+        "cohort_retention": win.cohort_retention,
         "asof_join_tolerance": lambda sf: win.asof_join(
             sf, tolerance_us=3_600_000_000),
         "session_window": lambda sf: win.session_window(sf, gap_minutes=30),
@@ -1855,6 +1856,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') l "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') r "
             "ON l.user_id = r.user_id AND l.ts >= r.ts ORDER BY l.event_id"
+        ),
+        # signup-week cohorts x weeks-since-signup distinct active users
+        "cohort_retention": (
+            "WITH s AS (SELECT user_id, MIN(ts) AS s_ts FROM events "
+            "WHERE event_type = 'signup' GROUP BY user_id), "
+            "a AS (SELECT DISTINCT e.user_id, "
+            "CAST(epoch_us(s.s_ts) // (CAST(7 AS BIGINT) * 86400000000) AS BIGINT) AS cohort_week, "
+            "CAST((epoch_us(e.ts) - epoch_us(s.s_ts)) // (CAST(7 AS BIGINT) * 86400000000) AS BIGINT) AS week_offset "
+            "FROM events e JOIN s USING (user_id) WHERE e.ts >= s.s_ts) "
+            "SELECT cohort_week, week_offset, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM a GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # bounded-lookback as-of: matches older than 1h drop
         "asof_join_tolerance": (

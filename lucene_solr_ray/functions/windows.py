@@ -231,3 +231,56 @@ def range_join_bands(sf_dir: str) -> pa.Table:
         .to_pandas(),
         preserve_index=False,
     ).replace_schema_metadata(None)
+
+
+def cohort_retention(sf_dir: str) -> pa.Table:
+    """Cohort retention analysis — the canonical product-analytics
+    rollup (signup-week cohorts x weeks-since-signup active users) a
+    warehouse runs beside search: each user's events co-locate via the
+    user-bucket hash shuffle, per-bucket pandas derives the cohort
+    (first signup) and the distinct (cohort_week, week_offset, user)
+    activity grid, and one bucket-domain groupby counts users per cell.
+    Weeks are exact int64 microsecond arithmetic; events before the
+    user's signup drop (no negative offsets)."""
+    from ray.data.aggregate import Sum
+
+    wk = 7 * 86_400_000_000
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        su = g[g["event_type"] == "signup"]
+        if su.empty:
+            return pa.table({"cohort_week": pa.array([], pa.int64()),
+                             "week_offset": pa.array([], pa.int64()),
+                             "n_users": pa.array([], pa.int64())})
+        first = su.groupby("user_id")["ts"].min()
+        m = g.merge(first.rename("s_ts"), on="user_id")
+        m = m[m["ts"] >= m["s_ts"]]
+        s_us = m["s_ts"].astype("int64")
+        e_us = m["ts"].astype("int64")
+        cohort = (s_us // wk).astype("int64")
+        offset = ((e_us - s_us) // wk).astype("int64")
+        tri = pd.DataFrame({"cohort_week": cohort, "week_offset": offset,
+                            "user_id": m["user_id"]}).drop_duplicates()
+        cells = (tri.groupby(["cohort_week", "week_offset"])
+                 .size().reset_index(name="n_users"))
+        return pa.table({
+            "cohort_week": pa.array(cells["cohort_week"].to_numpy().astype(np.int64)),
+            "week_offset": pa.array(cells["week_offset"].to_numpy().astype(np.int64)),
+            "n_users": pa.array(cells["n_users"].to_numpy().astype(np.int64)),
+        })
+
+    out = (
+        _bucketed(ev, "user_id")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .sort(["cohort_week", "week_offset"])
+        .to_pandas()
+    )
+    return pa.table({
+        "cohort_week": pa.array(out["cohort_week"].astype(np.int64), pa.int64()),
+        "week_offset": pa.array(out["week_offset"].astype(np.int64), pa.int64()),
+        "n_users": pa.array(out["n_users"].astype(np.int64), pa.int64()),
+    })
