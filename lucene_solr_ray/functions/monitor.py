@@ -269,6 +269,8 @@ def percolate_stream_alerts(sf_dir: str, stored_queries=None) -> pa.Table:
         ray.data.from_arrow(batch)
         .map_batches(PercolateStage,
                      fn_constructor_kwargs={"queries_ref": ref},
+                     # one micro-batch in flight -> one actor; a real
+                     # topic feed would size this like percolate() does
                      batch_format="pyarrow", concurrency=1)
         .sort(["doc_id", "query_id"])
         .to_pandas()

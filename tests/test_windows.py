@@ -128,3 +128,26 @@ def test_range_join_drops_below_first_band(ray_session, tmp_path):
     assert out["band_id"].tolist() == [0, 3]
     assert out["n"].tolist() == [1, 1]
     assert out["sum_cents"].tolist() == [1000, 16000]
+
+
+def test_cohort_retention_invariants(ray_session):
+    """Cohort cells: week_offset 0 of each cohort counts every signup
+    user of that week (the signup event itself is activity at offset 0),
+    and cell counts never exceed the cohort size."""
+    import duckdb
+
+    from lucene_solr_ray.functions.windows import cohort_retention
+
+    sf = "/root/testdata/sf0.01"
+    got = cohort_retention(sf).to_pandas()
+    con = duckdb.connect()
+    sizes = con.sql(
+        "SELECT CAST(epoch_us(MIN(ts)) // (CAST(7 AS BIGINT) * 86400000000) AS BIGINT) "
+        f"AS cohort_week, user_id FROM read_parquet('{sf}/events.parquet') "
+        "WHERE event_type = 'signup' GROUP BY user_id"
+    ).df().groupby("cohort_week").size()
+    for cw, grp in got.groupby("cohort_week"):
+        base = int(sizes.loc[cw])
+        w0 = grp[grp["week_offset"] == 0]
+        assert len(w0) == 1 and int(w0["n_users"].iloc[0]) == base
+        assert (grp["n_users"] <= base).all()
