@@ -361,6 +361,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_spell_suggest": lambda sf: ft.spell_suggest(sf, "mergee", max_suggestions=5),
         "ft_spell_more_popular": lambda sf: ft.spell_suggest_more_popular(
             sf, "part", max_suggestions=5, max_edits=2),
+        "ft_spell_not_in_index": lambda sf: ft.spell_when_not_in_index(
+            sf, terms=("merge", "mergee"), max_suggestions=5, max_edits=2),
         "ft_word_break": lambda sf: ft.word_break_suggest(sf, "streamline"),
         "ft_query_elevation": lambda sf: ft.elevation_topk(
             sf, ["merge", "join"], elevated=[17, 4], excluded=[2], k=10),
@@ -1085,6 +1087,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM vocab WHERE levenshtein(term, 'mergee') BETWEEN 1 AND 2) "
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY distance, df DESC, term) - 1 AS BIGINT) AS sugg_rank, "
             "term, distance, df FROM cand ORDER BY distance, df DESC, term LIMIT 5"
+        ),
+        # SUGGEST_WHEN_NOT_IN_INDEX: present terms get zero rows
+        "ft_spell_not_in_index": (
+            f"WITH toks AS (SELECT doc_id, unnest({split}) AS x FROM documents), "
+            f"vocab AS (SELECT x AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks "
+            f"WHERE NOT list_contains({_STOP_SQL}, x) GROUP BY x), "
+            "q(query_term) AS (VALUES ('merge'), ('mergee')), "
+            "cand AS (SELECT q.query_term, v.term, "
+            "CAST(levenshtein(v.term, q.query_term) AS BIGINT) AS distance, v.df "
+            "FROM q, vocab v WHERE levenshtein(v.term, q.query_term) BETWEEN 1 AND 2 "
+            "AND NOT EXISTS (SELECT 1 FROM vocab x WHERE x.term = q.query_term)) "
+            "SELECT query_term, CAST(ROW_NUMBER() OVER (PARTITION BY query_term "
+            "ORDER BY distance, df DESC, term) - 1 AS BIGINT) AS sugg_rank, "
+            "term, distance, df FROM cand "
+            "QUALIFY sugg_rank < 5 ORDER BY query_term, sugg_rank"
         ),
         # onlyMorePopular: keep candidates with df strictly above the
         # query term's own df

@@ -829,6 +829,33 @@ def classic_highlight_fragments(sf_dir: str, terms=("merge", "vector"),
     )
 
 
+def spell_when_not_in_index(sf_dir: str, terms=("merge", "mergee"),
+                            max_suggestions: int = 5,
+                            max_edits: int = 2) -> pa.Table:
+    """DirectSpellChecker suggestMode=SUGGEST_WHEN_NOT_IN_INDEX ([U]
+    lucene/suggest/.../spell/SuggestMode.java — Solr's default
+    spellcheck behavior): a query term that EXISTS in the dictionary
+    gets no suggestions at all; only absent terms are corrected. One
+    row per (query term, suggestion); the present term contributes
+    zero rows."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    rows = []
+    for qt in terms:
+        df, _, _ = s.term_stats_and_cursor(qt)
+        if df > 0:
+            continue  # in index -> no suggestions under this mode
+        for rank, (t, dist, sdf) in enumerate(
+                s.suggest_spelling(qt, max_suggestions=max_suggestions,
+                                   max_edits=max_edits)):
+            rows.append({"query_term": qt, "sugg_rank": rank, "term": t,
+                         "distance": dist, "df": sdf})
+    schema = pa.schema([("query_term", pa.string()), ("sugg_rank", pa.int64()),
+                        ("term", pa.string()), ("distance", pa.int64()),
+                        ("df", pa.int64())])
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
 def spell_suggest_more_popular(sf_dir: str, term: str = "part",
                                max_suggestions: int = 5,
                                max_edits: int = 2) -> pa.Table:
