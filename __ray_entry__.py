@@ -233,6 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, FT_BM25_QUERIES, k=10, similarity="dfr_gl2"),
         "ft_spl_topk": lambda sf: ft.bm25_topk(
             sf, FT_BM25_QUERIES, k=10, similarity="ib_spl"),
+        "ft_bm25_tuned_topk": lambda sf: ft.bm25_topk(
+            sf, FT_BM25_QUERIES, k=10, similarity="bm25_tuned"),
         "ft_dfi_topk": lambda sf: ft.bm25_topk(
             sf, FT_BM25_QUERIES, k=10, similarity="dfi_chi2"),
         "ft_axiomatic_topk": lambda sf: ft.bm25_topk(
@@ -701,6 +703,13 @@ def oracle_sql() -> dict[str, str]:
         "ft_lmdirichlet_topk": _ft_oracle().lmdirichlet_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_gl2_topk": _ft_oracle().dfr_gl2_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_spl_topk": _ft_oracle().ib_spl_topk_sql(FT_BM25_QUERIES, k=10),
+        # tuned BM25Similarity(k1, b): constants from the engine class
+        "ft_bm25_tuned_topk": _ft_oracle().bm25_topk_sql(
+            FT_BM25_QUERIES, k=10,
+            k1=__import__("lucene_solr_ray.similarity",
+                          fromlist=["BM25Tuned"]).BM25Tuned.K1,
+            b=__import__("lucene_solr_ray.similarity",
+                         fromlist=["BM25Tuned"]).BM25Tuned.B),
         "ft_dfi_topk": _ft_oracle().dfi_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_axiomatic_topk": _ft_oracle().axiomatic_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_sweetspot_topk": _ft_oracle().sweetspot_topk_sql(FT_BM25_QUERIES, k=10),

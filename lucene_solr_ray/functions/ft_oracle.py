@@ -40,9 +40,11 @@ def _esc(t: str) -> str:
     return t.replace("'", "''")
 
 
-def prelude_ctes() -> str:
+def prelude_ctes(k1: float = K1, b: float = B) -> str:
     """Shared CTEs: stop-filtered tokens, dl, corpus stats, per-doc BM25
-    denominator (k1*(1-b+b*dl'/avgdl), float64, dl' byte4-quantised)."""
+    denominator (k1*(1-b+b*dl'/avgdl), float64, dl' byte4-quantised).
+    ``k1``/``b`` default to the engine constants; the tuned-BM25 oracle
+    passes its own pair."""
     return (
         "toks AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE "
         "list_filter(regexp_split_to_array(trim(text), '\\s+'), "
@@ -52,8 +54,8 @@ def prelude_ctes() -> str:
         "stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
         "CAST(SUM(dl) AS DOUBLE) AS sum_dl FROM dltab), "
         # numpy op order pinned: K1 * ((1-B) + (B*dl')/avgdl)
-        f"denom AS (SELECT d.doc_id, {K1!r}*(({1.0 - B!r}) + "
-        f"({B!r}*CAST((SELECT MAX(v) FROM reps WHERE v <= d.dl) AS DOUBLE))"
+        f"denom AS (SELECT d.doc_id, {k1!r}*(({1.0 - b!r}) + "
+        f"({b!r}*CAST((SELECT MAX(v) FROM reps WHERE v <= d.dl) AS DOUBLE))"
         "/(stats.sum_dl/stats.n)) AS dn FROM dltab d, stats)"
     )
 
@@ -90,11 +92,14 @@ def fold_f32(exprs: list[str]) -> str:
     return acc
 
 
-def bm25_topk_sql(queries: list[tuple[str, list[str], str]], k: int = 10) -> str:
-    """Oracle for fulltext.bm25_topk -> (query_id, rank, doc_id)."""
+def bm25_topk_sql(queries: list[tuple[str, list[str], str]], k: int = 10,
+                  k1: float = K1, b: float = B) -> str:
+    """Oracle for fulltext.bm25_topk -> (query_id, rank, doc_id). Pass
+    k1/b to replicate a tuned BM25Similarity(k1, b) — the constants are
+    imported from the engine class by the entry so they cannot drift."""
     from lucene_solr_ray.oracle import analyze_query_terms
 
-    ctes = [prelude_ctes()]
+    ctes = [prelude_ctes(k1=k1, b=b)]
     selects = []
     for qi, (qid, raw_terms, mode) in enumerate(queries):
         terms = analyze_query_terms(raw_terms)  # distinct, ascending UTF-8

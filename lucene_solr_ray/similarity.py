@@ -90,6 +90,50 @@ class BM25:
         return ub * (1.0 + 1e-6) + 1e-12
 
 
+class BM25Tuned:
+    """BM25 with non-default constructor parameters ([U] lucene/core/
+    .../search/similarities/BM25Similarity.java ``BM25Similarity(k1, b)``
+    — the plug point Solr exposes as <similarity class=... k1=.. b=..>):
+    k1 = 0.9, b = 0.3, the common short-field tuning. Same pinned float
+    tree as the default model, different constants; registered as its
+    own similarity so the ctor-parameter surface is a first-class
+    registry entry."""
+
+    name = "bm25_tuned"
+    K1 = 0.9
+    B = 0.3
+
+    @staticmethod
+    def idf(n_docs: int, df: int) -> float:
+        return idf(n_docs, df)
+
+    @staticmethod
+    def term_weight(n_docs: int, df: int) -> np.float32:
+        return term_weight(n_docs, df)
+
+    @classmethod
+    def denom_cache(cls, avgdl: float) -> np.ndarray:
+        dl = DECODED_TABLE.astype(np.float64)
+        return np.float64(cls.K1) * ((1.0 - cls.B) + (cls.B * dl) / avgdl)
+
+    @staticmethod
+    def score_term(w, tfs, norm_bytes, cache) -> np.ndarray:
+        tfs = np.asarray(tfs, dtype=np.float64)
+        return (np.float64(w) * (tfs / (tfs + cache[norm_bytes]))).astype(np.float32)
+
+    @staticmethod
+    def score_upper_bound(w, max_tf, min_norm, cache):
+        mt = np.float64(max_tf)
+        ub = np.float64(w) * (mt / (mt + cache[min_norm]))
+        return ub * (1.0 + 1e-6) + 1e-12
+
+    @staticmethod
+    def block_upper_bounds(w, max_tfs: np.ndarray, min_norms: np.ndarray, cache) -> np.ndarray:
+        mt = max_tfs.astype(np.float64)
+        ub = np.float64(w) * (mt / (mt + cache[min_norms]))
+        return ub * (1.0 + 1e-6) + 1e-12
+
+
 class ClassicTFIDF:
     """Lucene ClassicSimilarity (TF-IDF,
     [U] lucene/core/.../search/similarities/ClassicSimilarity.java):
@@ -599,6 +643,7 @@ class SweetSpot:
 
 SIMILARITIES = {
     "bm25": BM25,
+    "bm25_tuned": BM25Tuned,
     "classic": ClassicTFIDF,
     "lmdirichlet": LMDirichlet,
     "lmjelinekmercer": LMJelinekMercer,
