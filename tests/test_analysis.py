@@ -403,3 +403,44 @@ def test_german_light_stem_gold():
     assert g("autos") == "autos"       # 's' after vowel: not an st-ending
     assert g("rot") == "rot"           # too short to strip
     assert g("straße") == "strass"     # ß -> ss, then -e
+
+
+def test_analysis_properties_fuzz():
+    """Property fuzz for the round-4 analysis additions: the German
+    light stemmer never lengthens a token and always folds umlauts;
+    elision strips exactly the article prefix; unigram Viterbi
+    segmentations concatenate back to the word whenever single chars
+    are in the vocabulary."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucene_solr_ray.analysis import (
+        FRENCH_ARTICLES, elision_filter, german_light_stem)
+    from lucene_solr_ray.functions.textstats import unigram_viterbi
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyzäöüß", min_size=1,
+                   max_size=12))
+    def p_stem(w):
+        s = german_light_stem(w)
+        # ß -> ss may lengthen by the fold, never by stripping
+        assert len(s) <= len(w) + w.count("ß")
+        assert not set(s) & set("äöüß")
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.sampled_from(sorted(FRENCH_ARTICLES)),
+           st.text(alphabet="abcdefghij", min_size=1, max_size=8))
+    def p_elision(art, w):
+        assert elision_filter([f"{art}'{w}"]) == [w]
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="abcd", min_size=1, max_size=10))
+    def p_viterbi(w):
+        logp = {c: -10 for c in "abcd"}
+        logp.update({"ab": -15, "cd": -12})
+        pieces = unigram_viterbi(w, logp)
+        assert "".join(pieces) == w
+
+    p_stem()
+    p_elision()
+    p_viterbi()
