@@ -235,6 +235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, FT_BM25_QUERIES, k=10, similarity="ib_spl"),
         "ft_bm25_tuned_topk": lambda sf: ft.bm25_topk(
             sf, FT_BM25_QUERIES, k=10, similarity="bm25_tuned"),
+        "ft_ine_topk": lambda sf: ft.bm25_topk(
+            sf, FT_BM25_QUERIES, k=10, similarity="dfr_ine_l2"),
         "ft_dfi_topk": lambda sf: ft.bm25_topk(
             sf, FT_BM25_QUERIES, k=10, similarity="dfi_chi2"),
         "ft_axiomatic_topk": lambda sf: ft.bm25_topk(
@@ -703,6 +705,7 @@ def oracle_sql() -> dict[str, str]:
         "ft_lmdirichlet_topk": _ft_oracle().lmdirichlet_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_gl2_topk": _ft_oracle().dfr_gl2_topk_sql(FT_BM25_QUERIES, k=10),
         "ft_spl_topk": _ft_oracle().ib_spl_topk_sql(FT_BM25_QUERIES, k=10),
+        "ft_ine_topk": _ft_oracle().dfr_ine_topk_sql(FT_BM25_QUERIES, k=10),
         # tuned BM25Similarity(k1, b): constants from the engine class
         "ft_bm25_tuned_topk": _ft_oracle().bm25_topk_sql(
             FT_BM25_QUERIES, k=10,

@@ -328,6 +328,63 @@ def dfr_gl2_topk_sql(queries: list[tuple[str, list[str], str]], k: int = 10) -> 
             + " ORDER BY query_id, rank")
 
 
+def dfr_ine_topk_sql(queries: list[tuple[str, list[str], str]], k: int = 10) -> str:
+    """Oracle for fulltext.bm25_topk(similarity='dfr_ine_l2') — the
+    IneL2 DFR model: ne = N*(1-((N-1)/N)^cf), w = f32(log2((N+1)/(ne+0.5))),
+    s = f32(w64 * tfn/(tfn+1)) with the H2 tfn. pow/log2 are the
+    non-IEEE-pinned ops; the pytest gap bound covers them."""
+    from lucene_solr_ray.oracle import analyze_query_terms
+
+    ctes = [prelude_ctes()]
+    ctes.append(
+        "ineden AS (SELECT d.doc_id, log2(1.0 + (stats.sum_dl/stats.n)/"
+        "GREATEST(CAST((SELECT MAX(v) FROM reps WHERE v <= d.dl) AS DOUBLE), 1.0)"
+        ") AS h2 FROM dltab d, stats)"
+    )
+    selects = []
+    for qi, (qid, raw_terms, mode) in enumerate(queries):
+        terms = analyze_query_terms(raw_terms)
+        tf_names, w_names = [], []
+        for ti, t in enumerate(terms):
+            tf_n, w_n = f"itf_q{qi}_{ti}", f"iw_q{qi}_{ti}"
+            ctes.append(tf_cte(tf_n, t))
+            ctes.append(
+                f"{w_n} AS (SELECT CAST(log2((stats.n + 1.0)/"
+                "(stats.n * (1.0 - pow((stats.n - 1.0)/stats.n, "
+                f"CAST(SUM(tf) AS DOUBLE))) + 0.5)) AS FLOAT) AS w "
+                f"FROM {tf_n}, stats GROUP BY stats.n)"
+            )
+            tf_names.append(tf_n)
+            w_names.append(w_n)
+        aliases = [f"t{ti}" for ti in range(len(terms))]
+        joins = f"{tf_names[0]} {aliases[0]}"
+        for tf_n, a in zip(tf_names[1:], aliases[1:]):
+            joins += f" JOIN {tf_n} {a} ON {aliases[0]}.doc_id = {a}.doc_id"
+        joins += f" JOIN ineden ON ineden.doc_id = {aliases[0]}.doc_id"
+        parts = []
+        for a, w_n in zip(aliases, w_names):
+            tfn = f"(CAST({a}.tf AS DOUBLE) * ineden.h2)"
+            parts.append(
+                f"CASE WHEN {a}.tf > 0 THEN "
+                f"CAST(CAST((SELECT w FROM {w_n}) AS DOUBLE) * ({tfn}/({tfn} + 1.0)) AS FLOAT) "
+                "ELSE CAST(0.0 AS FLOAT) END"
+            )
+        fold = fold_f32(parts)
+        glue = " AND " if mode == "and" else " OR "
+        cond = glue.join(f"{a}.tf > 0" for a in aliases)
+        selects.append(
+            f"SELECT '{_esc(qid)}' AS query_id, rank, doc_id FROM ("
+            "SELECT doc_id, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+            f"FROM (SELECT {aliases[0]}.doc_id AS doc_id, {fold} AS score "
+            f"FROM {joins} WHERE {cond}) sub"
+            f") ranked WHERE rank < {int(k)}"
+        )
+    return ("WITH " + ", ".join(ctes) + " "
+            + " UNION ALL ".join(f"({s})" for s in selects)
+            + " ORDER BY query_id, rank")
+
+
 def ib_spl_topk_sql(queries: list[tuple[str, list[str], str]], k: int = 10) -> str:
     """Oracle for fulltext.bm25_topk(similarity='ib_spl') — the IB
     smoothed-power-law model (similarity.IBSmoothedPowerLaw):

@@ -309,6 +309,60 @@ class DFRInL2:
         return ub * (1.0 + 1e-6) + 1e-12
 
 
+class DFRIneL2:
+    """Lucene DFRSimilarity(BasicModelIne, AfterEffectL, NormalizationH2)
+    ([U] lucene/core/.../search/similarities/BasicModelIne.java — I(n_e),
+    the expected-document-frequency variant of I(n); c = 1):
+
+        ne    = N * (1 - ((N-1)/N)^cf)         (expected df under a
+                                                binomial scatter of the
+                                                cf occurrences)
+        w     = float32( log2((N+1)/(ne+0.5)) )
+        tfn   = tf * log2(1 + c*avgdl/dl')      (H2)
+        score = float32( w * tfn/(tfn+1) )      (L after-effect)
+
+    needs_cf protocol: the w slot carries the float32 I(ne) weight
+    (computed in float64 then narrowed, like the other tf-idf models).
+    Same monotonicity as InL2 -> exact WAND bounds."""
+
+    name = "dfr_ine_l2"
+    needs_cf = True
+    C = 1.0
+
+    @staticmethod
+    def idf(n_docs: int, df: int) -> float:
+        # df-proxy for the boosted/phrase folds (cf unavailable there)
+        return math.log2((n_docs + 1.0) / (df + 0.5))
+
+    @classmethod
+    def term_weight_stats(cls, n_docs: int, df: int, cf: int, sum_dl: int) -> np.float32:
+        n = np.float64(n_docs)
+        ne = n * (1.0 - np.power((n - 1.0) / n, np.float64(cf)))
+        return np.float32(np.log2((n + 1.0) / (ne + 0.5)))
+
+    @classmethod
+    def denom_cache(cls, avgdl: float) -> np.ndarray:
+        dl = np.maximum(DECODED_TABLE.astype(np.float64), 1.0)
+        return np.log2(1.0 + cls.C * avgdl / dl)
+
+    @staticmethod
+    def score_term(w, tfs, norm_bytes, cache) -> np.ndarray:
+        tfn = np.asarray(tfs, dtype=np.float64) * cache[norm_bytes]
+        return (np.float64(w) * (tfn / (tfn + 1.0))).astype(np.float32)
+
+    @staticmethod
+    def score_upper_bound(w, max_tf, min_norm, cache):
+        tfn = np.float64(max_tf) * cache[min_norm]
+        ub = np.float64(w) * (tfn / (tfn + 1.0))
+        return ub * (1.0 + 1e-6) + 1e-12
+
+    @staticmethod
+    def block_upper_bounds(w, max_tfs: np.ndarray, min_norms: np.ndarray, cache) -> np.ndarray:
+        tfn = max_tfs.astype(np.float64) * cache[min_norms]
+        ub = np.float64(w) * (tfn / (tfn + 1.0))
+        return ub * (1.0 + 1e-6) + 1e-12
+
+
 class DFRGL2:
     """Lucene DFRSimilarity(BasicModelG, AfterEffectL, NormalizationH2)
     — the "GL2" geometric DFR model ([U] lucene/core/.../search/
@@ -649,6 +703,7 @@ SIMILARITIES = {
     "lmjelinekmercer": LMJelinekMercer,
     "dfr_inl2": DFRInL2,
     "dfr_gl2": DFRGL2,
+    "dfr_ine_l2": DFRIneL2,
     "dfi_chi2": DFIChiSquared,
     "ib_ll": IBLogLogistic,
     "ib_spl": IBSmoothedPowerLaw,

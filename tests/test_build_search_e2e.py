@@ -106,7 +106,8 @@ def test_explain_sums_to_score(t1_index, t1_oracle):
 @pytest.mark.parametrize(
     "similarity, n_q",
     [("classic", 60), ("bm25_tuned", 200), ("lmdirichlet", 200), ("lmjelinekmercer", 200),
-     ("dfr_inl2", 200), ("dfr_gl2", 200), ("dfi_chi2", 200), ("ib_ll", 200),
+     ("dfr_inl2", 200), ("dfr_gl2", 200), ("dfr_ine_l2", 200),
+     ("dfi_chi2", 200), ("ib_ll", 200),
      ("ib_spl", 200),
      ("ax_f2exp", 200), ("sweetspot", 200), ("boolean", 60)],
 )

@@ -272,3 +272,23 @@ def test_spl_topk_matches_duckdb_and_gap(con):
             assert float(a) - float(b) > 2 * float(np.spacing(a))
             checked += 1
     assert checked > 100
+
+
+def test_ine_topk_matches_duckdb_and_gap(con):
+    from lucene_solr_ray.functions import ft_oracle as FO
+    from lucene_solr_ray.functions.fulltext import bm25_topk, docs_index
+    from lucene_solr_ray.pipelines.search import IndexSearcher
+
+    _eq(bm25_topk(SF, BM25_QUERIES, k=10, similarity="dfr_ine_l2"),
+        con.sql(FO.dfr_ine_topk_sql(BM25_QUERIES, k=10)))
+    s = IndexSearcher(docs_index(SF), similarity="dfr_ine_l2")
+    checked = 0
+    for _qid, terms, mode in BM25_QUERIES:
+        _d, sc = s.search(terms, k=s.n_docs, mode=mode)
+        sc = sc.astype(np.float32)
+        for a, b in zip(sc[:-1], sc[1:]):
+            if a == b:
+                continue
+            assert float(a) - float(b) > 2 * float(np.spacing(a))
+            checked += 1
+    assert checked > 100
