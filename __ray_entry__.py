@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dih_csv_ingest": ingest.dih_ingest,
         "tika_extract": ingest.tika_extract,
         "urp_chain_process": urp.urp_chain_process,
+        "urp_truncate": lambda sf: urp.urp_truncate(sf, max_len=120),
         "urp_uuid_clone": urp.urp_uuid_clone,
         "urp_tolerant_update": lambda sf: urp.tolerant_update(sf, bad_mod=25),
         # --- percolator / highlighter (SURVEY §2.5/§2.6 aux) ---
@@ -2911,6 +2912,14 @@ def oracle_sql() -> dict[str, str]:
         # --- ingest ---
         # bad docs = doc_id % 25 == 0 (text blanked) -> skipped, not fatal
         # RFC-4122 v3: version nibble forced '3', variant = (n & 3) | 8
+        # TruncateField runs FIRST, so sig/count see the capped text
+        "urp_truncate": (
+            "WITH t AS (SELECT doc_id, substring(text, 1, 120) AS tx FROM documents) "
+            "SELECT doc_id, md5(tx) AS sig, "
+            "CASE WHEN trim(tx) = '' THEN CAST(0 AS BIGINT) ELSE "
+            "CAST(len(regexp_split_to_array(trim(tx), '\\s+')) AS BIGINT) END AS n_tokens "
+            "FROM t ORDER BY doc_id"
+        ),
         "urp_uuid_clone": (
             "WITH h AS (SELECT doc_id, md5(text) AS x, lang FROM documents) "
             "SELECT doc_id, substr(x, 1, 8) || '-' || substr(x, 9, 4) || '-3' || "

@@ -98,6 +98,22 @@ class TokenCount:
         return t.append_column(self.out, pa.array(n, type=pa.int64()))
 
 
+class TruncateField:
+    """TruncateFieldUpdateProcessor ([U] solr/core/.../update/processor/
+    TruncateFieldUpdateProcessorFactory.java): cap a string field at
+    ``max_len`` characters at ingest time."""
+
+    def __init__(self, field: str, max_len: int):
+        self.field = field
+        self.max_len = int(max_len)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        col = pc.utf8_slice_codeunits(
+            pc.cast(t.column(self.field), pa.string()), 0, self.max_len)
+        return t.set_column(t.schema.get_field_index(self.field),
+                            self.field, col)
+
+
 class URPChain:
     """The fused chain — ONE callable-class map_batches stage."""
 
@@ -265,3 +281,23 @@ def urp_uuid_clone(sf_dir: str) -> ray.data.Dataset:
         ],
     )
     return out.select_columns(["doc_id", "uuid", "lang_copy"]).sort("doc_id")
+
+
+def urp_truncate(sf_dir: str, max_len: int = 120) -> ray.data.Dataset:
+    """TruncateField entry: cap text at ``max_len`` chars, then sign and
+    count the truncated stream — proves the truncation ran BEFORE the
+    downstream processors (the chain-order contract)."""
+    from lucene_solr_ray.io_utils import read_parquet_clean
+
+    ds = read_parquet_clean(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = run_chain(
+        ds,
+        [
+            (TruncateField, {"field": "text", "max_len": max_len}),
+            (MD5Signature, {"fields": ["text"], "out": "sig"}),
+            (TokenCount, {"field": "text", "out": "n_tokens"}),
+        ],
+    )
+    return out.select_columns(["doc_id", "sig", "n_tokens"]).sort("doc_id")
