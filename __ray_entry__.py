@@ -509,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "timeseries_facet": rel.timeseries_facet,
         "timeseries_tz_facet": lambda sf: rel.timeseries_tz_facet(sf, tz_offset_min=330),
         "windowed_topk_types": lambda sf: rel.windowed_topk_types(sf, k=3),
+        "value_range_facet": lambda sf: rel.value_range_facet(sf, width_cents=2500),
         "asof_join": win.asof_join,
         "cohort_retention": win.cohort_retention,
         "asof_join_tolerance": lambda sf: win.asof_join(
@@ -1858,6 +1859,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "facet_terms": (
             "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        # DoubleRange facet on the exact-cents grid, 25.00-wide ranges
+        "value_range_facet": (
+            f"WITH e AS (SELECT {c(x='value')} AS cents FROM events) "
+            "SELECT COALESCE(cents // 2500, -1) AS bucket, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(COALESCE(cents, 0)) AS BIGINT) AS sum_cents "
+            "FROM e GROUP BY 1 ORDER BY bucket"
         ),
         # per-day continuous top-k event types (count desc, type asc)
         "windowed_topk_types": (

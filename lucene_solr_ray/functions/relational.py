@@ -418,6 +418,38 @@ def taxonomy_facets(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def value_range_facet(sf_dir: str, width_cents: int = 2500) -> ray.data.Dataset:
+    """DoubleRangeFacetCounts ([U] lucene/facet/.../range/
+    DoubleRangeFacetCounts.java) over the float ``value`` column: fixed
+    ranges on the exact-cents grid (the FIXTURES money rule — floats
+    become cents per row BEFORE any bucketing, so boundaries can't
+    float-flip), count + sum per range, NULLs in their own bucket (-1).
+    One stateless pass of bucket partials, one bucket-domain groupby."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("value"))
+        c = cents.to_numpy(zero_copy_only=False)
+        bucket = np.where(pd.isna(c), -1, np.floor_divide(
+            np.nan_to_num(c, nan=0.0), width_cents)).astype(np.int64)
+        cz = np.nan_to_num(c, nan=0.0).astype(np.int64)
+        tt = pa.table({"bucket": pa.array(bucket, pa.int64()),
+                       "one": pa.array(np.ones(len(bucket), np.int64)),
+                       "sum_cents": pa.array(cz, pa.int64())})
+        return (pa.TableGroupBy(tt, ["bucket"])
+                .aggregate([("one", "sum"), ("sum_cents", "sum")])
+                .rename_columns(["bucket", "n", "sum_cents"]))
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "events", ["value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+        .sort("bucket")
+    )
+
+
 def windowed_topk_types(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     """Continuous top-k over streaming windows (the ICDE'18/'19
     continuous top-k-frequent-items shape; Solr-side: a facet inside
