@@ -510,6 +510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "timeseries_tz_facet": lambda sf: rel.timeseries_tz_facet(sf, tz_offset_min=330),
         "windowed_topk_types": lambda sf: rel.windowed_topk_types(sf, k=3),
         "value_range_facet": lambda sf: rel.value_range_facet(sf, width_cents=2500),
+        "facet_unique_users": rel.facet_unique_users,
         "asof_join": win.asof_join,
         "cohort_retention": win.cohort_retention,
         "asof_join_tolerance": lambda sf: win.asof_join(
@@ -1859,6 +1860,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "facet_terms": (
             "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        # unique(user_id) per event_type bucket
+        "facet_unique_users": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         # DoubleRange facet on the exact-cents grid, 25.00-wide ranges
         "value_range_facet": (

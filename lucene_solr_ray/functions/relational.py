@@ -418,6 +418,34 @@ def taxonomy_facets(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def facet_unique_users(sf_dir: str) -> pa.Table:
+    """json.facet ``unique(field)`` inside a terms facet ([U] solr/core/
+    .../search/facet/UniqueAgg.java): per event_type, the DISTINCT
+    user count. Same scale recipe as uniqueBlock/group.facet: (type,
+    user) pairs pre-dedup map-side, ONE hash groupby dedups globally,
+    then a type-domain-sized count."""
+    from ray.data.aggregate import Count
+
+    pairs = (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(
+            lambda t: pa.table({
+                "event_type": t.column("event_type"),
+                "user_id": t.column("user_id"),
+            }).group_by(["event_type", "user_id"]).aggregate([]),
+            batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .count()
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas().sort_values("event_type")
+    )
+    return pa.table({
+        "event_type": pa.array(pairs["event_type"].astype(str), pa.string()),
+        "n_users": pa.array(pairs["n_users"].astype(np.int64), pa.int64()),
+    })
+
+
 def value_range_facet(sf_dir: str, width_cents: int = 2500) -> ray.data.Dataset:
     """DoubleRangeFacetCounts ([U] lucene/facet/.../range/
     DoubleRangeFacetCounts.java) over the float ``value`` column: fixed
