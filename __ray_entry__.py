@@ -530,6 +530,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_pr_points": classify.classifier_pr_points,
         "relatedness_facets": rel.relatedness_facets,
         "collapse_top_order": rel.collapse_top_order,
+        "collapse_min_field": rel.collapse_min_field,
+        "stats_dates": rel.stats_dates,
         "grouping_topk": lambda sf: rel.grouping_topk(sf, k=2),
         "grouping_by_query": lambda sf: rel.grouping_by_query(sf, k=3),
         "expand_collapsed": lambda sf: rel.expand_collapsed(sf, page_size=20, expand_rows=2),
@@ -2067,6 +2069,20 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT o_custkey, o_orderkey, {c(x='o_totalprice')} AS total_cents, "
             f"ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY {c(x='o_totalprice')} DESC, o_orderkey) AS rn "
             "FROM orders) WHERE rn = 1 ORDER BY o_custkey"
+        ),
+        # min= head selector: smallest totalprice per customer
+        "collapse_min_field": (
+            "SELECT o_custkey, o_orderkey, total_cents FROM ("
+            f"SELECT o_custkey, o_orderkey, {c(x='o_totalprice')} AS total_cents, "
+            f"ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY {c(x='o_totalprice')} ASC, o_orderkey) AS rn "
+            "FROM orders) WHERE rn = 1 ORDER BY o_custkey"
+        ),
+        # date-field stats: exact int64 microsecond extrema per bucket
+        "stats_dates": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us, "
+            "CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "grouping_topk": (
             "SELECT o_custkey, o_orderkey, total_cents, CAST(rn - 1 AS BIGINT) AS group_rank FROM ("

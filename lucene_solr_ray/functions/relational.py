@@ -692,6 +692,57 @@ def collapse_top_order(sf_dir: str) -> ray.data.Dataset:
     return ds.groupby("o_custkey").map_groups(top1, batch_format="pandas").sort("o_custkey")
 
 
+def collapse_min_field(sf_dir: str) -> ray.data.Dataset:
+    """CollapsingQParser with the ``min=`` head selector ([U] solr/core/
+    .../search/CollapsingQParserPlugin.java min/max numeric collapse —
+    distinct from the sort-based head): per customer keep the order with
+    the MINIMUM totalprice (cents, orderkey asc tiebreak). Same
+    group-keyed shuffle as the sort collapse; only the selector
+    changes."""
+
+    def min1(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["total_cents", "o_orderkey"], ascending=[True, True])
+        return pa.Table.from_pandas(g.head(1), preserve_index=False) \
+            .replace_schema_metadata(None)
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "total_cents": _cents(t.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("o_custkey").map_groups(min1, batch_format="pandas").sort("o_custkey")
+
+
+def stats_dates(sf_dir: str) -> ray.data.Dataset:
+    """StatsComponent over a DATE field ([U] solr/core/.../handler/
+    component/StatsValuesFactory.java date stats): per event_type the
+    min/max timestamp and count — exact int64 microsecond extrema, the
+    one stats flavor the numeric entries don't cover. Bucket-domain
+    partials only."""
+    from ray.data.aggregate import Count, Max, Min
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "ts_us": pc.cast(t.column("ts"), pa.int64()),
+        })
+
+    return (
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(to_us, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"),
+                   Min("ts_us", alias_name="min_ts_us"),
+                   Max("ts_us", alias_name="max_ts_us"))
+        .sort("event_type")
+    )
+
+
 def grouping_topk(sf_dir: str, k: int = 2) -> ray.data.Dataset:
     """Result grouping ([U] lucene/grouping/, Solr group.field with
     group.limit=k): top-k orders per customer by (totalprice desc,
