@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_range_search": lambda sf: ann.ann_range_search(sf, threshold=0.30, n_queries=5),
         "ann_filtered_topk": lambda sf: ann.ann_filtered_topk(sf, label=1, k=10, n_queries=5),
         "hard_negative_mining": lambda sf: ann.hard_negative_mining(sf, k=10, n_anchors=5),
+        "contrastive_triples": lambda sf: ann.contrastive_triples(sf, n_anchors=5),
         "ann_ivf_topk": lambda sf: ann.ann_ivf_topk(sf, k=10, n_queries=5),
         "ann_pq_topk": lambda sf: ann.ann_pq_topk(sf, k=10, n_queries=5),
         "ann_ivfpq_topk": lambda sf: ann.ann_ivfpq_topk(sf, k=10, n_queries=5),
@@ -2297,6 +2298,21 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY q.query_id ORDER BY list_cosine_similarity(q.qe, b.embedding) DESC, b.vec_id) AS rn "
             "FROM q, embeddings b WHERE b.vec_id != q.query_id AND b.label = 1) t "
             "WHERE rn <= 10 ORDER BY query_id, rank"
+        ),
+        # (anchor, positive, hard-negative) triples: top-1 same-label
+        # and top-1 different-label neighbor per anchor
+        "contrastive_triples": (
+            "WITH q AS (SELECT vec_id AS anchor_id, embedding AS qe, label AS ql "
+            "FROM embeddings ORDER BY vec_id LIMIT 5), "
+            "p AS (SELECT q.anchor_id, b.vec_id AS positive_id, ROW_NUMBER() OVER ("
+            "PARTITION BY q.anchor_id ORDER BY list_cosine_similarity(q.qe, b.embedding) DESC, b.vec_id) AS rn "
+            "FROM q, embeddings b WHERE b.label = q.ql AND b.vec_id != q.anchor_id), "
+            "n AS (SELECT q.anchor_id, b.vec_id AS negative_id, ROW_NUMBER() OVER ("
+            "PARTITION BY q.anchor_id ORDER BY list_cosine_similarity(q.qe, b.embedding) DESC, b.vec_id) AS rn "
+            "FROM q, embeddings b WHERE b.label != q.ql) "
+            "SELECT p.anchor_id, p.positive_id, n.negative_id "
+            "FROM p JOIN n ON p.anchor_id = n.anchor_id AND p.rn = 1 AND n.rn = 1 "
+            "ORDER BY p.anchor_id"
         ),
         # hard negatives: per-anchor top-k among DIFFERENT-label vectors
         "hard_negative_mining": (

@@ -291,12 +291,13 @@ class _HardNegStage:
     """Per-batch cosine vs the broadcast anchor matrix, masked to
     DIFFERENT-label vectors per anchor -> per-batch top-k partials."""
 
-    def __init__(self, q_ref, qids, qlabels, k):
+    def __init__(self, q_ref, qids, qlabels, k, same_label: bool = False):
         self.q = ray.get(q_ref)
         self.qn = self.q / np.linalg.norm(self.q, axis=1, keepdims=True)
         self.qids = qids
         self.qlabels = qlabels
         self.k = k
+        self.same_label = same_label
 
     def __call__(self, t: pa.Table) -> pa.Table:
         x = emb_matrix(t.column("embedding"))
@@ -306,7 +307,9 @@ class _HardNegStage:
         cos = self.qn @ xn.T
         out_q, out_n, out_c = [], [], []
         for qi in range(len(self.qids)):
-            mask = labels != self.qlabels[qi]  # wrong-class only
+            # wrong-class only by default; same-class for positive mining
+            mask = ((labels == self.qlabels[qi]) == self.same_label) \
+                & (ids != self.qids[qi])
             cand_ids, cand_cos = ids[mask], cos[qi][mask]
             if len(cand_ids) > self.k:
                 order = np.lexsort((cand_ids, -cand_cos))[: self.k]
@@ -357,6 +360,49 @@ def hard_negative_mining(sf_dir: str, k: int = 10, n_anchors: int = 5) -> pa.Tab
     schema = pa.schema([("query_id", pa.int64()), ("rank", pa.int64()),
                         ("neighbor_id", pa.int64())])
     return pa.Table.from_pylist(rows, schema=schema)
+
+
+def contrastive_triples(sf_dir: str, n_anchors: int = 5) -> pa.Table:
+    """Contrastive training-triple construction — the (anchor, positive,
+    hard negative) export a contrastive fine-tune consumes (the
+    DPR/SimCSE data shape): positive = the anchor's nearest SAME-label
+    vector, negative = its nearest DIFFERENT-label vector (the top hard
+    negative). Both sides run the distributed _HardNegStage brute pass
+    (broadcast anchors, per-batch top-1 partials) — at 100 TB they ride
+    the IVF probe instead."""
+    def top1(same_label: bool) -> dict:
+        head = (_read_emb_labeled(sf_dir).sort("vec_id")
+                .limit(n_anchors).to_pandas())
+        qids = head["vec_id"].to_numpy().astype(np.int64)
+        qlabels = head["label"].to_numpy().astype(np.int64)
+        q_ref = ray.put(np.array(head["embedding"].tolist(), dtype=np.float64))
+        partials = (
+            _read_emb_labeled(sf_dir)
+            .map_batches(
+                _HardNegStage,
+                fn_constructor_kwargs={"q_ref": q_ref, "qids": qids,
+                                       "qlabels": qlabels, "k": 1,
+                                       "same_label": same_label},
+                batch_format="pyarrow", batch_size=4096,
+                concurrency=pool_size(),
+            )
+            .to_pandas()
+        )
+        out = {}
+        for qid, g in partials.groupby("query_id"):
+            j = np.lexsort((g["neighbor_id"].to_numpy(),
+                            -g["cos"].to_numpy()))[0]
+            out[int(qid)] = int(g["neighbor_id"].iloc[j])
+        return out
+
+    pos = top1(True)
+    neg = top1(False)
+    anchors = sorted(pos)
+    return pa.table({
+        "anchor_id": pa.array(anchors, pa.int64()),
+        "positive_id": pa.array([pos[a] for a in anchors], pa.int64()),
+        "negative_id": pa.array([neg[a] for a in anchors], pa.int64()),
+    })
 
 
 def _read_emb_labeled(sf_dir: str) -> ray.data.Dataset:
