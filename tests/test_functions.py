@@ -769,3 +769,23 @@ def test_group_facet_counts_bounds(ray_session):
     for lang, row in got.iterrows():
         assert 1 <= row["n_groups"] <= 20
         assert row["n_groups"] <= int(docs.loc[lang, "n"])
+
+
+def test_contrastive_positive_rank_gap():
+    """Float-safety for the SAME-label (positive) side of
+    contrastive_triples, mirroring the hard-negative gap test."""
+    import duckdb
+    import numpy as _np
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        df = con.sql(
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql "
+            f"FROM read_parquet('{sf}/embeddings.parquet') ORDER BY vec_id LIMIT 5) "
+            "SELECT q.query_id AS qid, list_cosine_similarity(q.qe, b.embedding) AS c "
+            f"FROM q, read_parquet('{sf}/embeddings.parquet') b "
+            "WHERE b.label = q.ql AND b.vec_id != q.query_id"
+        ).df()
+        for qid, g in df.groupby("qid"):
+            gaps = _np.diff(_np.sort(g["c"].to_numpy()))
+            assert gaps.min() >= 1e-7, (sf, qid, gaps.min())
