@@ -512,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_topk_types": lambda sf: rel.windowed_topk_types(sf, k=3),
         "value_range_facet": lambda sf: rel.value_range_facet(sf, width_cents=2500),
         "facet_unique_users": rel.facet_unique_users,
+        "value_outliers": lambda sf: rel.value_outliers(sf, n_sigma=3),
         "asof_join": win.asof_join,
         "cohort_retention": win.cohort_retention,
         "asof_join_tolerance": lambda sf: win.asof_join(
@@ -1863,6 +1864,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "facet_terms": (
             "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        # 3-sigma outliers, cross-multiplied exact ints (no float mean)
+        "value_outliers": (
+            f"WITH e AS (SELECT event_id, event_type, CAST({c(x='value')} AS HUGEINT) AS cc FROM events), "
+            "m AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n, "
+            "CAST(SUM(cc) AS HUGEINT) AS s, CAST(SUM(cc*cc) AS HUGEINT) AS ss "
+            "FROM e GROUP BY 1) "
+            "SELECT e.event_id, e.event_type, CAST(e.cc AS BIGINT) AS cents "
+            "FROM e JOIN m USING (event_type) "
+            "WHERE (m.n*e.cc - m.s)*(m.n*e.cc - m.s) > 9*(m.n*m.ss - m.s*m.s) "
+            "ORDER BY e.event_id"
         ),
         # unique(user_id) per event_type bucket
         "facet_unique_users": (

@@ -418,6 +418,56 @@ def taxonomy_facets(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def value_outliers(sf_dir: str, n_sigma: int = 3) -> ray.data.Dataset:
+    """Per-group z-score outlier flagging (the anomaly-detection pass an
+    event warehouse runs; Solr-side cousin: stats + frange over the
+    stats) kept EXACT: (v - mean)^2 > s^2 * var cross-multiplies to
+    (n*v - sum)^2 > s^2 * (n*sumsq - sum^2), all int64 on cents — no
+    float mean/stddev ever computed, so no boundary can flip. Two
+    passes: group-domain moment partials broadcast, then a stateless
+    flag pass."""
+    from ray.data.aggregate import Sum
+
+    def moments(t: pa.Table) -> pa.Table:
+        cents = _cents(t.column("value"))
+        tt = pa.table({"event_type": t.column("event_type"),
+                       "one": pa.array(np.ones(t.num_rows, np.int64)),
+                       "s": cents, "ss": pc.multiply(cents, cents)})
+        return (pa.TableGroupBy(tt, ["event_type"])
+                .aggregate([("one", "sum"), ("s", "sum"), ("ss", "sum")])
+                .rename_columns(["event_type", "n", "s", "ss"]))
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    m = (ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+         .groupby("event_type")
+         .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                    Sum("ss", alias_name="ss"))
+         .to_pandas())
+    stats = {r["event_type"]: (int(r["n"]), int(r["s"]), int(r["ss"]))
+             for _, r in m.iterrows()}
+    stats_ref = ray.put(stats)
+    s2 = int(n_sigma) * int(n_sigma)
+
+    def flag(t: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        cents = _cents(t.column("value")).to_numpy(zero_copy_only=False).astype(np.int64)
+        types = t.column("event_type").to_pylist()
+        ids = t.column("event_id").to_numpy().astype(np.int64)
+        keep = np.zeros(len(ids), bool)
+        for i, ty in enumerate(types):
+            n, s, ss = st[ty]
+            lhs = (n * int(cents[i]) - s) ** 2
+            rhs = s2 * (n * ss - s * s)
+            keep[i] = lhs > rhs
+        return pa.table({"event_id": pa.array(ids[keep], pa.int64()),
+                         "event_type": pa.array(
+                             [ty for i, ty in enumerate(types) if keep[i]],
+                             pa.string()),
+                         "cents": pa.array(cents[keep], pa.int64())})
+
+    return ds.map_batches(flag, batch_format="pyarrow").sort("event_id")
+
+
 def facet_unique_users(sf_dir: str) -> pa.Table:
     """json.facet ``unique(field)`` inside a terms facet ([U] solr/core/
     .../search/facet/UniqueAgg.java): per event_type, the DISTINCT
