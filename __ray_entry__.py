@@ -485,6 +485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- LTR / classification (SURVEY §2.6/§2.7 aux) ---
         "ltr_linear_rescore": ltr.ltr_linear_rescore,
         "ltr_minmax_rescore": ltr.ltr_minmax_rescore,
+        "ltr_ensemble_rescore": ltr.ltr_ensemble_rescore,
         "ltr_feature_log": lambda sf: ltr.feature_log(sf, ["merge", "sort"], 20),
         "ltr_trees_rescore": ltr.ltr_trees_rescore,
         "ltr_bm25_rescore": ltr.bm25_rescore,
@@ -2894,6 +2895,10 @@ def oracle_sql() -> dict[str, str]:
         "ltr_minmax_rescore": __import__(
             "lucene_solr_ray.functions.ltr", fromlist=["minmax_oracle_sql"]
         ).minmax_oracle_sql(),
+        # linear + trees summed (stacked rescore)
+        "ltr_ensemble_rescore": __import__(
+            "lucene_solr_ray.functions.ltr", fromlist=["ensemble_oracle_sql"]
+        ).ensemble_oracle_sql(),
         "knn_classify": __import__(
             "lucene_solr_ray.functions.classify", fromlist=["KNN_ORACLE_SQL"]
         ).KNN_ORACLE_SQL,

@@ -145,6 +145,55 @@ def ltr_trees_rescore(sf_dir: str, term: str = "merge", k: int = 50) -> ray.data
     return _rescore(sf_dir, term, TREES_MODEL, "trees", k)
 
 
+def ltr_ensemble_rescore(sf_dir: str, term: str = "merge", k: int = 50) -> ray.data.Dataset:
+    """Model ensemble rerank — the linear model and the additive-trees
+    model summed per doc (the stacked-reranker pattern Solr serves by
+    chaining rq rescores; both models are integer-exact so the ensemble
+    is too). One pass: features extract once, both models evaluate on
+    the same feature batch."""
+    from lucene_solr_ray.io_utils import pool_size, read_parquet_clean
+
+    class Ensemble:
+        def __init__(self):
+            self.term = term
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            feats = _feature_batch(t, self.term)
+            score = (eval_linear(LINEAR_MODEL, feats)
+                     + eval_trees(TREES_MODEL, feats))
+            keep = feats["tf_term"] >= 1
+            return pa.table({
+                "doc_id": pa.array(t.column("doc_id").to_numpy()[keep], pa.int64()),
+                "ltr_score": pa.array(score[keep], pa.int64()),
+            })
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "n_chars"],
+    )
+    scored = ds.map_batches(Ensemble, batch_format="pyarrow",
+                            concurrency=pool_size())
+    return scored.sort(["ltr_score", "doc_id"], descending=[True, False]).limit(k)
+
+
+def ensemble_oracle_sql(term: str = "merge", k: int = 50) -> str:
+    """Oracle for ltr_ensemble_rescore — the linear VALUES expression
+    plus the unrolled tree CASE expressions, summed."""
+    import re as _re
+
+    lin = linear_oracle_sql(term, k)
+    trees = trees_oracle_sql(term, k)
+    lin_expr = _re.search(r"SELECT doc_id, CAST\((.+) AS BIGINT\) AS ltr_score",
+                          lin).group(1)
+    tree_expr = _re.search(r"SELECT doc_id, CAST\((.+) AS BIGINT\) AS ltr_score",
+                           trees).group(1)
+    prefix = lin[:lin.rindex("SELECT doc_id")]
+    return (
+        f"{prefix}SELECT doc_id, CAST(({lin_expr}) + ({tree_expr}) AS BIGINT) AS ltr_score "
+        f"FROM f WHERE tf_term >= 1 ORDER BY ltr_score DESC, doc_id LIMIT {k}"
+    )
+
+
 _FEATS = ("tf_term", "n_tokens", "n_chars", "is_en")
 
 
