@@ -369,6 +369,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, "part", max_suggestions=5, max_edits=2),
         "ft_spell_not_in_index": lambda sf: ft.spell_when_not_in_index(
             sf, terms=("merge", "mergee"), max_suggestions=5, max_edits=2),
+        "ft_auto_correct_search": lambda sf: ft.auto_correct_search(
+            sf, terms=("mergee", "vector"), k=10),
         "ft_word_break": lambda sf: ft.word_break_suggest(sf, "streamline"),
         "ft_query_elevation": lambda sf: ft.elevation_topk(
             sf, ["merge", "join"], elevated=[17, 4], excluded=[2], k=10),
@@ -628,6 +630,46 @@ def _logit_sql(mode: str, label: str = "merge", iters: int = 3) -> str:
         f"FROM (SELECT doc_id, CAST(FLOOR(1.0/(1.0 + EXP(-(({z}) * 1e-6)))"
         f"*1000000 + 0.5) AS BIGINT) AS prob_micro "
         f"FROM d CROSS JOIN w{iters}) ORDER BY doc_id")
+
+
+def _auto_correct_oracle(terms=("mergee", "vector"), k: int = 10) -> str:
+    """Oracle for ft_auto_correct_search: the correction is re-derived in
+    DuckDB over the closed corpus vocabulary (distance asc, df desc,
+    term asc — the DirectSpellChecker order), asserted sf-invariant like
+    the other generated maps, then the corrected query's BM25 fold runs
+    through the standard float32 oracle with the collation constant
+    alongside."""
+    import duckdb
+
+    corrections = {}
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        fixed = []
+        for qt in terms:
+            row = con.sql(
+                "WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array("
+                "trim(text), '\\s+')) AS x FROM "
+                f"read_parquet('/root/testdata/{sf}/documents.parquet') "
+                "WHERE trim(text) <> ''), "
+                "vocab AS (SELECT x AS term, COUNT(DISTINCT doc_id) AS df "
+                f"FROM toks WHERE NOT list_contains({_STOP_SQL}, x) GROUP BY x) "
+                "SELECT term FROM ("
+                f"SELECT term, 0 AS d, df FROM vocab WHERE term = '{qt}' "
+                "UNION ALL "
+                f"SELECT term, levenshtein(term, '{qt}') AS d, df FROM vocab "
+                f"WHERE levenshtein(term, '{qt}') BETWEEN 1 AND 2 "
+                f"AND NOT EXISTS (SELECT 1 FROM vocab v2 WHERE v2.term = '{qt}')"
+                ") ORDER BY d, df DESC, term LIMIT 1"
+            ).fetchall()
+            fixed.append(row[0][0] if row else qt)
+        con.close()
+        corrections[sf] = tuple(fixed)
+    assert len(set(corrections.values())) == 1, corrections
+    corrected = list(corrections["sf0.01"])
+    collation = " ".join(corrected).replace("'", "''")
+    inner = _ft_oracle().bm25_topk_sql([("ac-1", corrected, "or")], k=k)
+    return (f"SELECT '{collation}' AS collation, rank, doc_id "
+            f"FROM ({inner}) ORDER BY rank")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1108,6 +1150,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY distance, df DESC, term) - 1 AS BIGINT) AS sugg_rank, "
             "term, distance, df FROM cand ORDER BY distance, df DESC, term LIMIT 5"
         ),
+        # did-you-mean auto-requery: correction re-derived in SQL,
+        # corrected BM25 fold + collation column
+        "ft_auto_correct_search": _auto_correct_oracle(("mergee", "vector"), k=10),
         # SUGGEST_WHEN_NOT_IN_INDEX: present terms get zero rows
         "ft_spell_not_in_index": (
             f"WITH toks AS (SELECT doc_id, unnest({split}) AS x FROM documents), "

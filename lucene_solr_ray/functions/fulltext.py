@@ -829,6 +829,35 @@ def classic_highlight_fragments(sf_dir: str, terms=("merge", "vector"),
     )
 
 
+def auto_correct_search(sf_dir: str, terms=("mergee", "vector"),
+                        k: int = 10) -> pa.Table:
+    """Spellcheck-collate auto-requery — the "did you mean" loop run to
+    completion ([U] solr/core/.../handler/component/SpellCheckComponent
+    collation + client re-query): terms absent from the dictionary are
+    replaced by their top SUGGEST_WHEN_NOT_IN_INDEX correction
+    (distance asc, df desc, term asc), then the corrected query runs as
+    plain BM25. Output rows carry the corrected term list (the collation
+    string the response would show) beside the ranking."""
+    index_dir = docs_index(sf_dir)
+    s = IndexSearcher(index_dir)
+    corrected = []
+    for qt in terms:
+        df, _, _ = s.term_stats_and_cursor(qt)
+        if df > 0:
+            corrected.append(qt)
+            continue
+        sugg = s.suggest_spelling(qt, max_suggestions=1, max_edits=2)
+        corrected.append(sugg[0][0] if sugg else qt)
+    d, _sc = s.search(corrected, k=k, mode="or")
+    mapping = _docid_to_doc_id(index_dir)
+    collation = " ".join(corrected)
+    return pa.table({
+        "collation": pa.array([collation] * len(d), pa.string()),
+        "rank": pa.array(np.arange(len(d)), pa.int64()),
+        "doc_id": pa.array(mapping[d].astype(np.int64), pa.int64()),
+    })
+
+
 def spell_when_not_in_index(sf_dir: str, terms=("merge", "mergee"),
                             max_suggestions: int = 5,
                             max_edits: int = 2) -> pa.Table:
