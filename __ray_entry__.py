@@ -516,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_range_facet": lambda sf: rel.value_range_facet(sf, width_cents=2500),
         "facet_unique_users": rel.facet_unique_users,
         "value_outliers": lambda sf: rel.value_outliers(sf, n_sigma=3),
+        "daily_unique_users": rel.daily_unique_users,
         "asof_join": win.asof_join,
         "cohort_retention": win.cohort_retention,
         "asof_join_tolerance": lambda sf: win.asof_join(
@@ -1910,6 +1911,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "facet_terms": (
             "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        # DAU: distinct users per day bucket
+        "daily_unique_users": (
+            "SELECT CAST(epoch_us(ts) // 86400000000 * 86400000000 AS BIGINT) AS day_us, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1 ORDER BY 1"
         ),
         # 3-sigma outliers, cross-multiplied exact ints (no float mean)
         "value_outliers": (

@@ -418,6 +418,36 @@ def taxonomy_facets(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def daily_unique_users(sf_dir: str) -> pa.Table:
+    """Daily active users — distinct users per day window (the DAU
+    rollup; Solr-side: unique() inside a range facet). Same two-stage
+    distinct recipe as facet_unique_users with the day bucket as the
+    facet key: (day, user) pairs pre-dedup map-side, one hash groupby
+    dedups globally, day-domain count."""
+    from ray.data.aggregate import Count
+
+    def pairs(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        day = pc.multiply(pc.divide(us, pa.scalar(86_400_000_000)),
+                          pa.scalar(86_400_000_000))
+        tt = pa.table({"day_us": day, "user_id": t.column("user_id")})
+        return tt.group_by(["day_us", "user_id"]).aggregate([])
+
+    out = (
+        _read(sf_dir, "events", ["ts", "user_id"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["day_us", "user_id"])
+        .count()
+        .groupby("day_us")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas().sort_values("day_us")
+    )
+    return pa.table({
+        "day_us": pa.array(out["day_us"].astype(np.int64), pa.int64()),
+        "n_users": pa.array(out["n_users"].astype(np.int64), pa.int64()),
+    })
+
+
 def value_outliers(sf_dir: str, n_sigma: int = 3) -> ray.data.Dataset:
     """Per-group z-score outlier flagging (the anomaly-detection pass an
     event warehouse runs; Solr-side cousin: stats + frange over the
