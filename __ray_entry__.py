@@ -517,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_unique_users": rel.facet_unique_users,
         "value_outliers": lambda sf: rel.value_outliers(sf, n_sigma=3),
         "daily_unique_users": rel.daily_unique_users,
+        "user_ltv_topk": lambda sf: rel.user_ltv_topk(sf, k=20),
         "asof_join": win.asof_join,
         "cohort_retention": win.cohort_retention,
         "asof_join_tolerance": lambda sf: win.asof_join(
@@ -1911,6 +1912,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "facet_terms": (
             "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        # LTV: summed purchase cents per user, top-k
+        "user_ltv_topk": (
+            f"WITH p AS (SELECT user_id, {c(x='value')} AS cents FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT user_id, CAST(SUM(cents) AS BIGINT) AS ltv_cents "
+            "FROM p GROUP BY user_id ORDER BY ltv_cents DESC, user_id LIMIT 20"
         ),
         # DAU: distinct users per day bucket
         "daily_unique_users": (

@@ -418,6 +418,28 @@ def taxonomy_facets(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def user_ltv_topk(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Per-user lifetime value — summed purchase cents, top-k (the LTV
+    leaderboard; Solr-side: terms facet on user with a sum agg, stat
+    sort). Exact cents per row before aggregation, one user-domain
+    groupby, distributed sort + limit."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t.column("user_id"),
+                         "cents": _cents(t.column("value"))})
+
+    return (
+        _read(sf_dir, "events", ["user_id", "value", "event_type"])
+        .filter(expr='event_type == "purchase"')
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cents", alias_name="ltv_cents"))
+        .sort(["ltv_cents", "user_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def daily_unique_users(sf_dir: str) -> pa.Table:
     """Daily active users — distinct users per day window (the DAU
     rollup; Solr-side: unique() inside a range facet). Same two-stage
