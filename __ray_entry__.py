@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_counts": lambda sf: ts.bpe_encode_counts(
             sf, n_merges=10, k_out=30),
         "token_fertility": ts.token_fertility,
+        "pmi_term_pairs": lambda sf: ts.pmi_term_pairs(sf, min_pairs=20, k=20),
         "quality_signals": ts.quality_signals,
         "lang_id": ts.lang_id,
         "md5_fingerprint": ts.md5_fingerprint,
@@ -2452,6 +2453,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_total, "
             "CAST(COUNT(DISTINCT gram) * 1000000 // COUNT(*) AS BIGINT) AS diversity_micro "
             "FROM g GROUP BY source ORDER BY source"
+        ),
+        # PMI collocations: L(N*cab) - L(ca*cb) micro-nats, doc-level
+        # co-occurrence of the stop-filtered distinct term sets
+        "pmi_term_pairs": (
+            "WITH d AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE "
+            "list_distinct(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            f"x -> NOT list_contains({_STOP_SQL}, x))) END AS ts FROM documents), "
+            "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents), "
+            "t AS (SELECT doc_id, unnest(ts) AS term FROM d), "
+            "c1 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY term), "
+            "cp AS (SELECT a.term AS ta, b.term AS tb, CAST(COUNT(*) AS BIGINT) AS cab "
+            "FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.term < b.term GROUP BY 1, 2) "
+            "SELECT ta AS term_a, tb AS term_b, cab AS n_docs_both, "
+            "CAST(FLOOR(ln(CAST(n.nd * cab AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) "
+            "- CAST(FLOOR(ln(CAST(ca.df * cb.df AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS pmi_micro "
+            "FROM cp JOIN c1 ca ON ca.term = cp.ta JOIN c1 cb ON cb.term = cp.tb, n "
+            "WHERE cab >= 20 ORDER BY pmi_micro DESC, term_a, term_b LIMIT 20"
         ),
         # per-lang subword fertility: BPE-ish tokens per whitespace word
         "token_fertility": (

@@ -1295,3 +1295,74 @@ def unigram_segment_counts(sf_dir: str, max_piece_len: int = 4,
         "piece": pa.array([r[0] for r in rows], pa.string()),
         "n_uses": pa.array([r[1] for r in rows], pa.int64()),
     })
+
+
+def pmi_term_pairs(sf_dir: str, min_pairs: int = 20, k: int = 20) -> pa.Table:
+    """Pointwise mutual information over document-level term
+    co-occurrence — the collocation-mining signal (the pairwise cousin
+    of significantTerms/SKG relatedness): pmi = ln(N*c(ab)/(c(a)*c(b))),
+    kept exact as pmi_micro = L(N*cab) - L(ca*cb) with the per-log
+    micro-nat quantization L(x) = floor(ln(x)*1e6 + 0.5) (a difference
+    of two quantized logs — order-stable integers, the dsir
+    convention). N pins to the documents row count.
+
+    Distributed shape: per-doc DISTINCT unordered pairs explode
+    map-side with per-batch Counter pre-aggregation, ONE pair-domain
+    groupby (vocab^2-bounded); single-term dfs ride a vocab groupby of
+    the same pass. Top-k by (pmi desc, pair asc) among pairs with
+    cab >= min_pairs."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from lucene_solr_ray.analysis import tokenize
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        cp: Counter = Counter()
+        c1: Counter = Counter()
+        n = 0
+        for s in t.column("text").to_pylist():
+            n += 1
+            ts = sorted(set(tokenize(s or "")))
+            c1.update(ts)
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    cp[(ts[i], ts[j])] += 1
+        rows_a = [p[0] for p in cp] + list(c1) + ["\x00N"]
+        rows_b = [p[1] for p in cp] + ["\x00df"] * len(c1) + ["\x00N"]
+        rows_n = list(cp.values()) + list(c1.values()) + [n]
+        return pa.table({"ta": pa.array(rows_a, pa.string()),
+                         "tb": pa.array(rows_b, pa.string()),
+                         "n": pa.array(rows_n, pa.int64())})
+
+    agg = (
+        ds.map_batches(pair_partials, batch_format="pyarrow")
+        .groupby(["ta", "tb"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n_docs = int(agg.loc[agg["ta"] == "\x00N", "n"].iloc[0])
+    dfs = {r["ta"]: int(r["n"]) for _, r in agg[agg["tb"] == "\x00df"].iterrows()}
+    pairs = agg[(agg["tb"] != "\x00df") & (agg["ta"] != "\x00N")]
+
+    def L(x: int) -> int:
+        return int(np.floor(np.log(np.float64(x)) * 1e6 + 0.5))
+
+    rows = []
+    for _, r in pairs.iterrows():
+        cab = int(r["n"])
+        if cab < min_pairs:
+            continue
+        ta, tb = str(r["ta"]), str(r["tb"])
+        pmi = L(n_docs * cab) - L(dfs[ta] * dfs[tb])
+        rows.append((pmi, ta, tb, cab))
+    rows.sort(key=lambda x: (-x[0], x[1], x[2]))
+    rows = rows[:k]
+    return pa.table({
+        "term_a": pa.array([r[1] for r in rows], pa.string()),
+        "term_b": pa.array([r[2] for r in rows], pa.string()),
+        "n_docs_both": pa.array([r[3] for r in rows], pa.int64()),
+        "pmi_micro": pa.array([r[0] for r in rows], pa.int64()),
+    })
