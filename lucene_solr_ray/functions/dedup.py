@@ -596,13 +596,39 @@ class _BlockPairStage:
         )
 
 
+#: embedding_cosine_pairs refuses above this many vectors: all-pairs is
+#: O(n^2) block matmuls BY DESIGN (it is the exactness anchor the LSH
+#: paths verify against), and at 250k rows that is already ~3e10 dot
+#: products — far past where SRP-LSH/SemDeDup are the right tool. The
+#: guard makes the anchor impossible to point at a 100 TB corpus by
+#: accident.
+MAX_EXACT_COSINE_ROWS = 250_000
+
+
 def embedding_cosine_pairs(sf_dir: str, threshold: float = 0.42,
-                           chunk_rows: int = 4096) -> ray.data.Dataset:
+                           chunk_rows: int = 4096,
+                           max_exact_rows: int = MAX_EXACT_COSINE_ROWS,
+                           on_overflow: str = "raise") -> ray.data.Dataset:
     """EXACT embedding near-dup: all (a, b) with cosine >= threshold, via
     a distributed block-pair cartesian (each unordered chunk pair is
     scored by exactly one task, so no cross-band dedupe is needed).
     This is the exactness baseline; the 100 TB path is
-    ``embedding_lsh_pairs`` (banding prunes the pair space)."""
+    ``embedding_lsh_pairs`` (banding prunes the pair space). Size-guarded:
+    above ``max_exact_rows`` vectors (parquet-metadata row count, nothing
+    read) it raises, or auto-dispatches to the LSH path when
+    ``on_overflow='lsh'``."""
+    import pyarrow.parquet as _pq
+
+    n_rows = _pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    if n_rows > max_exact_rows:
+        if on_overflow == "lsh":
+            return embedding_lsh_pairs(sf_dir, threshold=threshold)
+        raise ValueError(
+            f"embedding_cosine_pairs is the exact all-pairs ANCHOR: {n_rows} "
+            f"vectors > max_exact_rows={max_exact_rows} would run O(n^2) "
+            "block products. Use embedding_lsh_pairs / semdedup for scale, "
+            "or pass on_overflow='lsh' to auto-dispatch."
+        )
     refs = _emb_chunks(sf_dir, chunk_rows)
     n = len(refs)
     pair_rows = [{"i": i, "j": j} for i in range(n) for j in range(i, n)]

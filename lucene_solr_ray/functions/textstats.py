@@ -1297,7 +1297,8 @@ def unigram_segment_counts(sf_dir: str, max_piece_len: int = 4,
     })
 
 
-def pmi_term_pairs(sf_dir: str, min_pairs: int = 20, k: int = 20) -> pa.Table:
+def pmi_term_pairs(sf_dir: str, min_pairs: int = 20, k: int = 20,
+                   prune: bool = True, diag: dict | None = None) -> pa.Table:
     """Pointwise mutual information over document-level term
     co-occurrence — the collocation-mining signal (the pairwise cousin
     of significantTerms/SKG relatedness): pmi = ln(N*c(ab)/(c(a)*c(b))),
@@ -1306,11 +1307,19 @@ def pmi_term_pairs(sf_dir: str, min_pairs: int = 20, k: int = 20) -> pa.Table:
     of two quantized logs — order-stable integers, the dsir
     convention). N pins to the documents row count.
 
-    Distributed shape: per-doc DISTINCT unordered pairs explode
-    map-side with per-batch Counter pre-aggregation, ONE pair-domain
-    groupby (vocab^2-bounded); single-term dfs ride a vocab groupby of
-    the same pass. Top-k by (pmi desc, pair asc) among pairs with
-    cab >= min_pairs."""
+    Distributed shape (two passes, the standard collocation prune):
+    pass 1 counts per-term dfs (vocab-sized groupby); the driver keeps
+    only terms with df >= min_pairs — EXACT by pigeonhole, since
+    c(ab) <= min(df_a, df_b), so a pair with a pruned member can never
+    reach the min_pairs output threshold — and broadcasts the surviving
+    vocabulary as a sorted numpy array (ray.put once, searchsorted
+    membership per doc). Pass 2 explodes per-doc DISTINCT unordered
+    pairs over SURVIVORS only, with per-batch Counter pre-aggregation
+    and ONE pair-domain groupby now bounded by candidates^2 instead of
+    vocab^2 (on an open web vocab the unpruned domain is the
+    scale-killer; hot terms are few). ``prune=False`` keeps the old
+    single-pass shape for the parity pytest. Top-k by (pmi desc, pair
+    asc) among pairs with cab >= min_pairs."""
     from collections import Counter
 
     from ray.data.aggregate import Sum
@@ -1319,14 +1328,51 @@ def pmi_term_pairs(sf_dir: str, min_pairs: int = 20, k: int = 20) -> pa.Table:
 
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["text"])
 
+    cand_ref = None
+    n_docs = None
+    dfs: dict = {}
+    if prune:
+        def df_partials(t: pa.Table) -> pa.Table:
+            c1: Counter = Counter()
+            n = 0
+            for s in t.column("text").to_pylist():
+                n += 1
+                c1.update(set(tokenize(s or "")))
+            return pa.table({"term": pa.array(list(c1) + ["\x00N"], pa.string()),
+                             "n": pa.array(list(c1.values()) + [n], pa.int64())})
+
+        dfa = (
+            ds.map_batches(df_partials, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        n_docs = int(dfa.loc[dfa["term"] == "\x00N", "n"].iloc[0])
+        voc = dfa[dfa["term"] != "\x00N"]
+        dfs = dict(zip(voc["term"].astype(str), voc["n"].astype(int)))
+        cand = np.sort(voc.loc[voc["n"] >= min_pairs, "term"].to_numpy().astype(str))
+        if diag is not None:
+            diag["n_vocab"] = len(voc)
+            diag["n_candidates"] = len(cand)
+        cand_ref = ray.put(cand)
+
     def pair_partials(t: pa.Table) -> pa.Table:
         cp: Counter = Counter()
         c1: Counter = Counter()
         n = 0
+        cand = ray.get(cand_ref) if cand_ref is not None else None
         for s in t.column("text").to_pylist():
             n += 1
             ts = sorted(set(tokenize(s or "")))
-            c1.update(ts)
+            if cand is not None:
+                arr = np.asarray(ts, dtype=str)
+                if len(arr):
+                    idx = np.searchsorted(cand, arr)
+                    np.minimum(idx, max(0, len(cand) - 1), out=idx)
+                    ok = (cand[idx] == arr) if len(cand) else np.zeros(len(arr), bool)
+                    ts = [w for w, o in zip(ts, ok) if o]
+            else:
+                c1.update(ts)
             for i in range(len(ts)):
                 for j in range(i + 1, len(ts)):
                     cp[(ts[i], ts[j])] += 1
@@ -1343,8 +1389,9 @@ def pmi_term_pairs(sf_dir: str, min_pairs: int = 20, k: int = 20) -> pa.Table:
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()
     )
-    n_docs = int(agg.loc[agg["ta"] == "\x00N", "n"].iloc[0])
-    dfs = {r["ta"]: int(r["n"]) for _, r in agg[agg["tb"] == "\x00df"].iterrows()}
+    if not prune:
+        n_docs = int(agg.loc[agg["ta"] == "\x00N", "n"].iloc[0])
+        dfs = {r["ta"]: int(r["n"]) for _, r in agg[agg["tb"] == "\x00df"].iterrows()}
     pairs = agg[(agg["tb"] != "\x00df") & (agg["ta"] != "\x00N")]
 
     def L(x: int) -> int:
