@@ -185,6 +185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_stream_in_like": sqlmod.sql_stream_in_like,
         "sql_stream_union": sqlmod.sql_stream_union,
         "sql_stream_count_distinct": sqlmod.sql_stream_count_distinct,
+        "sql_stream_avg": sqlmod.sql_stream_avg,
+        "sql_stream_or_not": sqlmod.sql_stream_or_not,
+        "sql_stream_scalar_expr": sqlmod.sql_stream_scalar_expr,
         "gather_nodes": graph.gather_nodes,
         "score_nodes": graph.score_nodes,
         "shortest_path": graph.shortest_path_pairs,
@@ -2851,6 +2854,9 @@ def oracle_sql() -> dict[str, str]:
         "sql_stream_in_like": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_IN_LIKE_DEMO"]).SQL_IN_LIKE_DEMO,
         "sql_stream_union": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_UNION_DEMO"]).SQL_UNION_DEMO,
         "sql_stream_count_distinct": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_COUNT_DISTINCT_DEMO"]).SQL_COUNT_DISTINCT_DEMO,
+        "sql_stream_avg": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_AVG_DEMO"]).SQL_AVG_DEMO,
+        "sql_stream_or_not": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_OR_NOT_DEMO"]).SQL_OR_NOT_DEMO,
+        "sql_stream_scalar_expr": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_SCALAR_EXPR_DEMO"]).SQL_SCALAR_EXPR_DEMO,
         "geo_bbox_dist": (
             # identical coordinate derivation + haversine as geo.py
             "WITH g AS (SELECT c_custkey, "

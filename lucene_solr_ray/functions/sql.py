@@ -6,13 +6,15 @@ arrow filter → partitioned `Dataset.join` → `groupby().aggregate(...)`
 → HAVING filter → `sort` → `limit`.
 
 Supported (mirroring what SQLHandler's push-down planner covers):
-  SELECT [DISTINCT] col [AS a] | COUNT(*) | SUM/MIN/MAX/COUNT(col)
+  SELECT [DISTINCT] col [AS a] | <int arithmetic over cols: + - * % ()>
+         | COUNT(*) | SUM/MIN/MAX/COUNT/AVG(col)
          | COUNT(DISTINCT col) [AS a], ...
   FROM <table> [alias]
   [INNER|LEFT [OUTER] JOIN <table> [alias] ON a.col = b.col]
-  [WHERE col op literal [AND ...]]        op ∈ = != <> < <= > >=
-                                          | col IN ('a', 'b', ...)
-                                          | col LIKE 'pat%'
+  [WHERE <boolean tree of predicates: AND OR NOT ()>]
+         atoms: col op literal            op ∈ = != <> < <= > >=
+              | col IN ('a', 'b', ...)
+              | col LIKE 'pat%'
   [GROUP BY col, ...]
   [HAVING agg op literal [AND ...]]       agg = alias or fn(arg) from SELECT
   [ORDER BY col|alias [DESC], ...]
@@ -49,7 +51,7 @@ import ray.data
 from lucene_solr_ray.io_utils import join_partitions, read_parquet_clean
 from ray.data.aggregate import Count, Max, Min, Sum
 
-_AGG_FNS = {"count", "sum", "min", "max"}
+_AGG_FNS = {"count", "sum", "min", "max", "avg"}
 
 _KEYWORDS = r"INNER|LEFT|OUTER|JOIN|WHERE|GROUP|ORDER|LIMIT|HAVING|ON|AS"
 
@@ -76,15 +78,6 @@ _JOIN_RE = re.compile(
 _AGG_RE = re.compile(
     r"^(?P<fn>\w+)\s*\(\s*(?P<distinct>DISTINCT\s+)?(?P<arg>\*|[\w.]+)\s*\)$",
     re.I)
-_PRED_RE = re.compile(
-    r"^\s*(?P<col>\w+(?:\.\w+)?)\s*(?P<op>=|!=|<>|<=|>=|<|>)\s*"
-    r"(?P<lit>'[^']*'|-?\d+(?:\.\d+)?)\s*$"
-)
-_IN_RE = re.compile(
-    r"^\s*(?P<col>\w+(?:\.\w+)?)\s+IN\s*\(\s*(?P<lits>'[^']*'(?:\s*,\s*'[^']*')*"
-    r"|-?\d+(?:\.\d+)?(?:\s*,\s*-?\d+(?:\.\d+)?)*)\s*\)\s*$", re.I)
-_LIKE_RE = re.compile(
-    r"^\s*(?P<col>\w+(?:\.\w+)?)\s+LIKE\s+(?P<lit>'[^']*')\s*$", re.I)
 _UNION_RE = re.compile(r"\s+UNION\s+ALL\s+", re.I)
 _ON_RE = re.compile(r"^\s*(?P<l>\w+\.\w+)\s*=\s*(?P<r>\w+\.\w+)\s*$")
 # HAVING operand: an aggregate expression or a bare alias
@@ -98,6 +91,238 @@ def _lit(raw: str):
     if raw.startswith("'"):
         return raw[1:-1]
     return float(raw) if "." in raw else int(raw)
+
+
+# --- WHERE boolean trees (AND/OR/NOT with parens, SQL Kleene logic) ----------
+
+_TOK_RE = re.compile(
+    r"\s*(?:(?P<str>'[^']*')|(?P<num>-?\d+(?:\.\d+)?)|(?P<op><=|>=|<>|!=|=|<|>)"
+    r"|(?P<lp>\()|(?P<rp>\))|(?P<comma>,)|(?P<word>\w+(?:\.\w+)?))"
+)
+
+
+def _pred_tokens(s: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOK_RE.match(s, pos)
+        if not m or m.end() == pos:
+            if s[pos:].strip():
+                raise ValueError(f"cannot tokenize predicate near {s[pos:pos+20]!r}")
+            break
+        pos = m.end()
+        kind = m.lastgroup
+        out.append((kind, m.group(kind)))
+    return out
+
+
+class _PredParser:
+    """Recursive descent over the predicate token stream:
+    expr := and_expr (OR and_expr)* ; and_expr := not_expr (AND not_expr)* ;
+    not_expr := NOT not_expr | '(' expr ')' | atom. AST nodes:
+    ('or', [..]) ('and', [..]) ('not', x) ('atom', (col, op, lit))."""
+
+    def __init__(self, s: str):
+        self.toks = _pred_tokens(s)
+        self.i = 0
+
+    def _peek_word(self):
+        if self.i < len(self.toks) and self.toks[self.i][0] == "word":
+            return self.toks[self.i][1].upper()
+        return None
+
+    def parse(self):
+        node = self._or()
+        if self.i != len(self.toks):
+            raise ValueError(
+                f"unsupported predicate tail: {self.toks[self.i:]!r}")
+        return node
+
+    def _or(self):
+        subs = [self._and()]
+        while self._peek_word() == "OR":
+            self.i += 1
+            subs.append(self._and())
+        return subs[0] if len(subs) == 1 else ("or", subs)
+
+    def _and(self):
+        subs = [self._not()]
+        while self._peek_word() == "AND":
+            self.i += 1
+            subs.append(self._not())
+        return subs[0] if len(subs) == 1 else ("and", subs)
+
+    def _not(self):
+        if self._peek_word() == "NOT":
+            self.i += 1
+            return ("not", self._not())
+        if self.i < len(self.toks) and self.toks[self.i][0] == "lp":
+            # '(' could open a grouped boolean expr — atoms never start
+            # with a paren, so this is unambiguous
+            self.i += 1
+            node = self._or()
+            if self.i >= len(self.toks) or self.toks[self.i][0] != "rp":
+                raise ValueError("unbalanced parens in predicate")
+            self.i += 1
+            return node
+        return self._atom()
+
+    def _atom(self):
+        if self.i >= len(self.toks) or self.toks[self.i][0] != "word":
+            raise ValueError(f"expected predicate at token {self.i}")
+        col = self.toks[self.i][1]
+        self.i += 1
+        if self.i < len(self.toks) and self.toks[self.i][0] == "op":
+            op = self.toks[self.i][1]
+            self.i += 1
+            kind, raw = self.toks[self.i]
+            if kind not in ("str", "num"):
+                raise ValueError(f"expected literal after {col} {op}")
+            self.i += 1
+            return ("atom", (col, op, _lit(raw)))
+        kw = self._peek_word()
+        if kw == "IN":
+            self.i += 1
+            if self.toks[self.i][0] != "lp":
+                raise ValueError("expected ( after IN")
+            self.i += 1
+            lits = []
+            while True:
+                kind, raw = self.toks[self.i]
+                if kind not in ("str", "num"):
+                    raise ValueError("expected literal in IN list")
+                lits.append(_lit(raw))
+                self.i += 1
+                if self.toks[self.i][0] == "comma":
+                    self.i += 1
+                    continue
+                if self.toks[self.i][0] == "rp":
+                    self.i += 1
+                    break
+                raise ValueError("malformed IN list")
+            return ("atom", (col, "in", tuple(lits)))
+        if kw == "LIKE":
+            self.i += 1
+            kind, raw = self.toks[self.i]
+            if kind != "str":
+                raise ValueError("expected string literal after LIKE")
+            self.i += 1
+            return ("atom", (col, "like", _lit(raw)))
+        raise ValueError(f"unsupported predicate on {col!r}")
+
+
+def parse_where(s: str) -> list:
+    """WHERE -> list of top-level conjunct trees (flattened AND), each
+    pushed below the exchange independently when single-sided."""
+    tree = _PredParser(s).parse()
+    return list(tree[1]) if tree[0] == "and" else [tree]
+
+
+def _pred_cols(tree) -> set:
+    if tree[0] == "atom":
+        return {tree[1][0]}
+    if tree[0] == "not":
+        return _pred_cols(tree[1])
+    return set().union(*(_pred_cols(s) for s in tree[1]))
+
+
+def _pred_bare(tree):
+    """Rewrite qualified refs to bare names for post-prune evaluation."""
+    if tree[0] == "atom":
+        col, op, lit = tree[1]
+        return ("atom", (col.split(".")[-1], op, lit))
+    if tree[0] == "not":
+        return ("not", _pred_bare(tree[1]))
+    return (tree[0], [_pred_bare(s) for s in tree[1]])
+
+
+# --- scalar SELECT expressions (int arithmetic over columns) -----------------
+
+
+class _ScalarParser:
+    """Precedence climbing over + - (low) * % (high) with parens; leaves
+    are column refs or integer literals. AST: ('bin', op, l, r) |
+    ('col', name) | ('int', v). Float literals / division are rejected —
+    integer arithmetic is the exactness contract with the DuckDB oracle
+    (DuckDB '/' returns DOUBLE and '%' is C-truncated; we match % via
+    np.fmod and refuse '/')."""
+
+    def __init__(self, s: str):
+        self.toks = re.findall(r"\w+(?:\.\w+)?|\d+|[()+\-*%]", s)
+        if "".join(self.toks).replace(" ", "") != s.replace(" ", ""):
+            raise ValueError(f"unsupported scalar expression: {s!r}")
+        self.i = 0
+
+    def parse(self):
+        node = self._add()
+        if self.i != len(self.toks):
+            raise ValueError(f"trailing tokens in scalar expression: {self.toks[self.i:]}")
+        return node
+
+    def _add(self):
+        node = self._mul()
+        while self.i < len(self.toks) and self.toks[self.i] in "+-":
+            op = self.toks[self.i]
+            self.i += 1
+            node = ("bin", op, node, self._mul())
+        return node
+
+    def _mul(self):
+        node = self._leaf()
+        while self.i < len(self.toks) and self.toks[self.i] in "*%":
+            op = self.toks[self.i]
+            self.i += 1
+            node = ("bin", op, node, self._leaf())
+        return node
+
+    def _leaf(self):
+        if self.i >= len(self.toks):
+            raise ValueError("truncated scalar expression")
+        t = self.toks[self.i]
+        self.i += 1
+        if t == "(":
+            node = self._add()
+            if self.i >= len(self.toks) or self.toks[self.i] != ")":
+                raise ValueError("unbalanced parens in scalar expression")
+            self.i += 1
+            return node
+        if re.fullmatch(r"\d+", t):
+            return ("int", int(t))
+        if re.fullmatch(r"\w+(?:\.\w+)?", t):
+            return ("col", t)
+        raise ValueError(f"unexpected token {t!r} in scalar expression")
+
+
+def _scalar_cols(node) -> set:
+    if node[0] == "col":
+        return {node[1]}
+    if node[0] == "bin":
+        return _scalar_cols(node[2]) | _scalar_cols(node[3])
+    return set()
+
+
+def _eval_scalar(node, t: pa.Table):
+    """int64 numpy evaluation (exact; %% via np.fmod == DuckDB's
+    C-truncated modulo, unlike numpy's floor-mod %%)."""
+    import numpy as np
+
+    if node[0] == "int":
+        return np.int64(node[1])
+    if node[0] == "col":
+        arr = t.column(node[1].split(".")[-1]).to_numpy()
+        if not np.issubdtype(arr.dtype, np.integer):
+            raise ValueError(
+                f"scalar expressions support integer columns only, got "
+                f"{arr.dtype} for {node[1]!r}")
+        return arr.astype(np.int64)
+    _, op, l, r = node
+    a, b = _eval_scalar(l, t), _eval_scalar(r, t)
+    if op == "+":
+        return a + b
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    return np.fmod(a, b)
 
 
 def parse_select(sql: str) -> dict:
@@ -145,26 +370,19 @@ def parse_select(sql: str) -> dict:
         elif re.fullmatch(r"\w+(?:\.\w+)?", item):
             plan["items"].append(("col", item, None, alias or item.split(".")[-1]))
         else:
-            raise ValueError(f"unsupported select item: {raw!r}")
+            try:
+                node = _ScalarParser(item).parse()
+            except ValueError:
+                raise ValueError(f"unsupported select item: {raw!r}") from None
+            if node[0] != "bin":
+                raise ValueError(f"unsupported select item: {raw!r}")
+            if alias is None:
+                raise ValueError(
+                    f"scalar select expressions require an AS alias: {raw!r}")
+            plan["items"].append(("expr", node, None, alias))
 
     if m.group("where"):
-        for p in re.split(r"\s+AND\s+", m.group("where"), flags=re.I):
-            pm = _PRED_RE.match(p)
-            if pm:
-                plan["where"].append(
-                    (pm.group("col"), pm.group("op"), _lit(pm.group("lit"))))
-                continue
-            im = _IN_RE.match(p)
-            if im:
-                lits = tuple(_lit(x.strip())
-                             for x in _split_commas(im.group("lits")))
-                plan["where"].append((im.group("col"), "in", lits))
-                continue
-            lm = _LIKE_RE.match(p)
-            if lm:
-                plan["where"].append((lm.group("col"), "like", _lit(lm.group("lit"))))
-                continue
-            raise ValueError(f"unsupported predicate: {p!r}")
+        plan["where"] = parse_where(m.group("where"))
 
     if m.group("group"):
         plan["group"] = [g.strip() for g in m.group("group").split(",")]
@@ -233,6 +451,9 @@ def _validate(plan: dict) -> None:
                      if it[0] == "col" and it[1].split(".")[-1] not in group_bare]
         if non_group:
             raise ValueError(f"non-grouped column(s) with aggregates: {non_group}")
+        if any(it[0] == "expr" for it in plan["items"]):
+            raise ValueError(
+                "scalar expressions alongside aggregates are unsupported")
     elif plan["group"]:
         raise ValueError("GROUP BY without aggregates is unsupported")
     if plan["having"] and not has_agg:
@@ -241,9 +462,12 @@ def _validate(plan: dict) -> None:
         # every real column reference must be alias-qualified
         refs = ([it[1] for it in plan["items"] if it[0] == "col"]
                 + [it[2] for it in plan["items"] if it[0] == "agg" and it[2] != "*"]
+                + [c for it in plan["items"] if it[0] == "expr"
+                   for c in _scalar_cols(it[1])]
                 + [h[0][2] for h in plan["having"]
                    if h[0][0] == "agg" and h[0][2] != "*"]
-                + [c for c, _, _ in plan["where"]] + plan["group"])
+                + [c for w in plan["where"] for c in _pred_cols(w)]
+                + plan["group"])
         bare = [r for r in refs if "." not in r]
         if bare:
             raise ValueError(f"join queries require qualified column refs: {bare}")
@@ -275,16 +499,37 @@ def _side_of(ref: str, plan: dict) -> str:
     return plan["aliases"][alias]
 
 
-def _filter_stage(preds: list[tuple[str, str, object]]):
+def _eval_pred(tree, t: pa.Table):
+    """Predicate-tree evaluation with SQL three-valued logic: Kleene
+    AND/OR (NULL AND FALSE = FALSE, so NOT over it keeps the row —
+    plain and_()'s NULL would wrongly drop it); arrow invert preserves
+    NULL = SQL's NOT(UNKNOWN)."""
+    kind = tree[0]
+    if kind == "atom":
+        col, op, lit = tree[1]
+        if op == "in":
+            return pc.is_in(t.column(col), value_set=pa.array(list(lit)))
+        if op == "like":
+            return pc.match_like(t.column(col), lit)
+        return _OPS[op](t.column(col), pa.scalar(lit))
+    if kind == "not":
+        return pc.invert(_eval_pred(tree[1], t))
+    fn = pc.and_kleene if kind == "and" else pc.or_kleene
+    acc = _eval_pred(tree[1][0], t)
+    for s in tree[1][1:]:
+        acc = fn(acc, _eval_pred(s, t))
+    return acc
+
+
+def _filter_stage(preds: list):
+    """preds: legacy (col, op, lit) triples (HAVING path) or predicate
+    trees (WHERE path) — a final NULL mask value drops the row, SQL's
+    unknown-is-false filter semantics."""
     def apply_where(t: pa.Table) -> pa.Table:
         mask = None
-        for col, op, lit in preds:
-            if op == "in":
-                m = pc.is_in(t.column(col), value_set=pa.array(list(lit)))
-            elif op == "like":
-                m = pc.match_like(t.column(col), lit)
-            else:
-                m = _OPS[op](t.column(col), pa.scalar(lit))
+        for p in preds:
+            tree = p if len(p) == 2 else ("atom", p)
+            m = _eval_pred(tree, t)
             mask = m if mask is None else pc.and_(mask, m)
         return t.filter(mask)
 
@@ -324,9 +569,11 @@ def _execute_plan(sf_dir: str, plan: dict) -> ray.data.Dataset:
 
     col_refs = ({it[1] for it in plan["items"] if it[0] == "col"}
                 | {it[2] for it in plan["items"] if it[0] == "agg" and it[2] != "*"}
+                | {c for it in plan["items"] if it[0] == "expr"
+                   for c in _scalar_cols(it[1])}
                 | {h[0][2] for h in plan["having"]
                    if h[0][0] == "agg" and h[0][2] != "*"}
-                | {c for c, _, _ in plan["where"]}
+                | {c for w in plan["where"] for c in _pred_cols(w)}
                 | set(plan["group"]))
 
     if plan["joins"]:
@@ -355,17 +602,23 @@ def _execute_plan(sf_dir: str, plan: dict) -> ray.data.Dataset:
                         f"column name {c!r} appears in both {seen[c]!r} and "
                         f"{a!r}; bare names must be unique across the join")
                 seen[c] = a
-        # a table's predicates push below its exchange UNLESS it enters
-        # via LEFT JOIN (outer semantics: the WHERE sees NULLs for
-        # unmatched rows, so nullable-side predicates stay post-join)
+        # a conjunct pushes below ITS table's exchange when all its
+        # column refs come from one table, UNLESS that table enters via
+        # LEFT JOIN (outer semantics: the WHERE sees NULLs for unmatched
+        # rows, so nullable-side predicates stay post-join). Multi-table
+        # conjuncts (OR across sides) evaluate post-join.
         nullable = {j["alias"] for j in plan["joins"] if j["type"] == "left_outer"}
         pre: dict[str, list] = {a: [] for a in side_cols}
         post: list = []
-        for c, op, v in plan["where"]:
-            a = c.split(".")[0]
-            if a not in side_cols:
-                raise ValueError(f"unknown table alias in {c!r}")
-            (post if a in nullable else pre[a]).append((bare(c), op, v))
+        for conj in plan["where"]:
+            conj_aliases = {c.split(".")[0] for c in _pred_cols(conj)}
+            unknown = conj_aliases - set(side_cols)
+            if unknown:
+                raise ValueError(f"unknown table alias in {sorted(unknown)!r}")
+            if len(conj_aliases) == 1 and not (conj_aliases & nullable):
+                pre[next(iter(conj_aliases))].append(_pred_bare(conj))
+            else:
+                post.append(_pred_bare(conj))
 
         def _load(alias: str) -> ray.data.Dataset:
             d = read_parquet_clean(
@@ -377,6 +630,7 @@ def _execute_plan(sf_dir: str, plan: dict) -> ray.data.Dataset:
 
         ds = _load(base_alias)
         joined_aliases = {base_alias}
+        coalesced: dict[str, tuple[str, str]] = {}  # right key -> (left key, jtype)
         for j in plan["joins"]:
             lref, rref = j["on"]
             if rref.split(".")[0] != j["alias"]:  # ON written new-side-first
@@ -385,6 +639,31 @@ def _execute_plan(sf_dir: str, plan: dict) -> ray.data.Dataset:
                          num_partitions=join_partitions(),
                          on=(bare(lref),), right_on=(bare(rref),))
             joined_aliases.add(j["alias"])
+            if bare(rref) != bare(lref):
+                coalesced[bare(rref)] = (bare(lref), j["type"])
+        # Ray's join coalesces the right key column out of the output;
+        # references to it are restored as a copy of the left key (exact
+        # for INNER joins — the values are equal by the ON predicate).
+        # Under LEFT OUTER the SQL value would be NULL on unmatched rows
+        # and the information is gone: fail loudly, point at the left key.
+        needed = {bare(r) for r in col_refs} & set(coalesced)
+        if needed:
+            outer = [k for k in needed if coalesced[k][1] != "inner"]
+            if outer:
+                raise ValueError(
+                    f"right-side join key(s) {sorted(outer)} of a LEFT JOIN "
+                    "are coalesced into the left key; reference the left "
+                    "key column instead")
+
+            def restore_keys(t: pa.Table,
+                             pairs=tuple((k, coalesced[k][0]) for k in sorted(needed))
+                             ) -> pa.Table:
+                for rk, lk in pairs:
+                    if rk not in t.column_names:
+                        t = t.append_column(rk, t.column(lk))
+                return t
+
+            ds = ds.map_batches(restore_keys, batch_format="pyarrow")
         if post:
             # arrow comparisons yield NULL for NULL; filter drops NULLs —
             # exactly SQL's unknown-is-false WHERE semantics
@@ -395,7 +674,7 @@ def _execute_plan(sf_dir: str, plan: dict) -> ray.data.Dataset:
                                 columns=cols or None)
         if plan["where"]:
             ds = ds.map_batches(
-                _filter_stage([(bare(c), op, v) for c, op, v in plan["where"]]),
+                _filter_stage([_pred_bare(w) for w in plan["where"]]),
                 batch_format="pyarrow")
 
     group_bare = [bare(g) for g in plan["group"]]
@@ -428,8 +707,19 @@ def _execute_plan(sf_dir: str, plan: dict) -> ray.data.Dataset:
             return Max(bare(arg), alias_name=alias)
 
         cd_aggs = [a for a in aggs if a[1] == "count_distinct"]
+        # AVG(col) = float64(SUM)/float64(COUNT non-null): both partials
+        # are exact integers through the shuffle, the single IEEE
+        # division happens once output-side — bit-equal to DuckDB's AVG
+        # on integer columns (verified in tests/test_sql.py); floating
+        # input columns are refused (order-dependent sums can't be
+        # SQL-checked)
+        avg_aggs = [a for a in aggs if a[1] == "avg"]
         specs = [_spec(fn, arg, alias) for _, fn, arg, alias in aggs
-                 if fn != "count_distinct"]
+                 if fn not in ("count_distinct", "avg")]
+        for i, (_, _, arg, _alias) in enumerate(avg_aggs):
+            specs.append(Sum(bare(arg), alias_name=f"__avs{i}"))
+            specs.append(Count(on=bare(arg), ignore_nulls=True,
+                               alias_name=f"__avc{i}"))
         # resolve HAVING operands: a SELECT-agg alias, a matching SELECT
         # aggregate, or a HIDDEN aggregate computed alongside (SQL allows
         # HAVING on aggregates absent from the SELECT list) and dropped
@@ -452,7 +742,14 @@ def _execute_plan(sf_dir: str, plan: dict) -> ray.data.Dataset:
                 else:
                     halias = f"__h{len(hidden)}"
                     hidden.append(halias)
-                    specs.append(_spec(fn, arg, halias))
+                    if fn == "avg":
+                        i = len(avg_aggs)
+                        avg_aggs.append(("agg", "avg", arg, halias))
+                        specs.append(Sum(bare(arg), alias_name=f"__avs{i}"))
+                        specs.append(Count(on=bare(arg), ignore_nulls=True,
+                                           alias_name=f"__avc{i}"))
+                    else:
+                        specs.append(_spec(fn, arg, halias))
                     hpreds.append((halias, op, lit))
         base = ds
         branches: list = []
@@ -513,6 +810,28 @@ def _execute_plan(sf_dir: str, plan: dict) -> ray.data.Dataset:
                     b.map_batches(_pad(all_cols), batch_format="pyarrow"))
             ds = ds.groupby(group_bare).aggregate(
                 *[Max(c, alias_name=c) for c in value_cols])
+        if avg_aggs:
+            def compute_avgs(t: pa.Table, av=tuple(enumerate(avg_aggs))) -> pa.Table:
+                import numpy as np
+
+                for i, (_, _, _arg, alias) in av:
+                    if pa.types.is_floating(t.column(f"__avs{i}").type):
+                        raise ValueError(
+                            "AVG over a floating column is order-dependent "
+                            "and cannot be SQL-checked; quantize to ints first")
+                    s = t.column(f"__avs{i}").to_numpy(zero_copy_only=False)
+                    c = t.column(f"__avc{i}").to_numpy(zero_copy_only=False)
+                    s = s.astype(np.float64)
+                    c64 = c.astype(np.float64)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        v = np.where(c64 > 0, s / np.where(c64 > 0, c64, 1.0), np.nan)
+                    arr = pc.if_else(pa.array(c64 > 0), pa.array(v, pa.float64()),
+                                     pa.nulls(len(v), pa.float64()))
+                    t = t.append_column(alias, arr)
+                return t.drop_columns(
+                    [f"__av{sc}{i}" for i, _ in av for sc in ("s", "c")])
+
+            ds = ds.map_batches(compute_avgs, batch_format="pyarrow")
         if hpreds:
             ds = ds.map_batches(_filter_stage(hpreds), batch_format="pyarrow")
         if hidden:
@@ -526,9 +845,19 @@ def _execute_plan(sf_dir: str, plan: dict) -> ray.data.Dataset:
                     [rn.get(c, c) for c in t.column_names]),
                 batch_format="pyarrow")
     else:
+        expr_items = [it for it in plan["items"] if it[0] == "expr"]
+        if expr_items:
+            def eval_exprs(t: pa.Table, items=tuple(expr_items)) -> pa.Table:
+                for _, node, _, alias in items:
+                    vals = _eval_scalar(node, t)  # col refs bare-ified inside
+                    t = t.append_column(alias, pa.array(vals, pa.int64()))
+                return t
+
+            ds = ds.map_batches(eval_exprs, batch_format="pyarrow")
         renames = {bare(it[1]): it[3] for it in plan["items"]
                    if it[0] == "col" and bare(it[1]) != it[3]}
-        keep = [bare(it[1]) for it in plan["items"]]
+        keep = [bare(it[1]) if it[0] == "col" else it[3]
+                for it in plan["items"]]
         ds = ds.select_columns(keep)
         if renames:
             ds = ds.rename_columns(renames)
@@ -624,6 +953,32 @@ SQL_COUNT_DISTINCT_DEMO = (
 )
 
 
+# AVG: exact int partials (SUM + COUNT) through the shuffle, one IEEE
+# float64 division output-side — bit-equal to DuckDB AVG on int columns
+SQL_AVG_DEMO = (
+    "SELECT o_orderstatus, AVG(o_custkey) AS avg_ck, COUNT(*) AS n "
+    "FROM orders GROUP BY o_orderstatus "
+    "HAVING AVG(o_orderkey) >= 0 ORDER BY o_orderstatus"
+)
+
+# OR/NOT predicate tree with parens: single-sided conjuncts still push
+# below the read; Kleene three-valued logic under NOT
+SQL_OR_NOT_DEMO = (
+    "SELECT o_orderkey, o_custkey FROM orders "
+    "WHERE (o_orderstatus = 'P' OR o_totalprice >= 400000) "
+    "AND NOT (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH') "
+    "ORDER BY o_orderkey"
+)
+
+# scalar int arithmetic in SELECT (numpy-vectorized per batch; % is
+# C-truncated to match DuckDB)
+SQL_SCALAR_EXPR_DEMO = (
+    "SELECT o_orderkey, o_orderkey % 7 AS bucket7, "
+    "(o_custkey * 3 + 1) - o_orderkey % 5 AS ck3 FROM orders "
+    "WHERE o_totalprice >= 490000 ORDER BY o_orderkey"
+)
+
+
 # LIMIT/OFFSET paging (deterministic under the total ORDER BY)
 SQL_OFFSET_DEMO = (
     "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 150000 "
@@ -666,3 +1021,15 @@ def sql_stream_union(sf_dir: str) -> ray.data.Dataset:
 
 def sql_stream_count_distinct(sf_dir: str) -> ray.data.Dataset:
     return execute(sf_dir, SQL_COUNT_DISTINCT_DEMO)
+
+
+def sql_stream_avg(sf_dir: str) -> ray.data.Dataset:
+    return execute(sf_dir, SQL_AVG_DEMO)
+
+
+def sql_stream_or_not(sf_dir: str) -> ray.data.Dataset:
+    return execute(sf_dir, SQL_OR_NOT_DEMO)
+
+
+def sql_stream_scalar_expr(sf_dir: str) -> ray.data.Dataset:
+    return execute(sf_dir, SQL_SCALAR_EXPR_DEMO)

@@ -132,7 +132,7 @@ def test_sql_order_desc_limit(ray_session):
     [
         "SELECT * FROM orders",                                 # star unsupported
         "SELECT o_orderkey FROM orders JOIN customer ON 1=1",   # join unsupported
-        "SELECT AVG(o_totalprice) FROM orders",                 # avg unsupported
+        "SELECT MEDIAN(o_totalprice) AS m FROM orders",         # median unsupported
         "SELECT o_orderkey, COUNT(*) FROM orders",              # non-grouped col
         "SELECT o_orderkey FROM orders GROUP BY o_orderkey",    # group w/o agg
         "DELETE FROM orders",                                   # not a select
@@ -249,3 +249,82 @@ def test_sql_union_distinct_unsupported_raises(ray_session, sql):
 
     with pytest.raises(ValueError):
         execute(SF, sql)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # AVG grouped (int column: exact sum/count partials, one IEEE division)
+        "SELECT o_orderstatus, AVG(o_custkey) AS avg_ck, COUNT(*) AS n "
+        "FROM orders GROUP BY o_orderstatus",
+        # global AVG (single-row merge path)
+        "SELECT AVG(o_orderkey) AS a, COUNT(*) AS n FROM orders",
+        # AVG in HAVING only (hidden aggregate computed then dropped)
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+        "GROUP BY o_orderstatus HAVING AVG(o_custkey) > 40",
+        # AVG under a join
+        "SELECT c.c_mktsegment AS seg, AVG(o.o_orderkey) AS avg_ok FROM orders o "
+        "INNER JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment",
+    ],
+)
+def test_sql_avg_matches_duckdb(ray_session, sql):
+    _check(sql)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # OR at top level
+        "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P' OR o_custkey < 5",
+        # NOT over a paren group (Kleene semantics)
+        "SELECT o_orderkey FROM orders WHERE NOT (o_orderstatus = 'O' OR o_custkey < 50)",
+        # nested parens, mixed AND/OR precedence
+        "SELECT o_orderkey FROM orders WHERE (o_orderstatus = 'F' AND o_custkey < 50) "
+        "OR (o_orderstatus = 'P' AND NOT o_custkey >= 80)",
+        # NOT IN-ish via NOT (col IN ...)
+        "SELECT c_custkey FROM customer WHERE NOT c_mktsegment IN ('BUILDING', 'MACHINERY')",
+        # OR in a join query: single-sided disjunction still pushes below
+        # the exchange; cross-side disjunction evaluates post-join
+        "SELECT o.o_orderkey AS ok, c.c_custkey AS ck FROM orders o "
+        "INNER JOIN customer c ON o.o_custkey = c.c_custkey "
+        "WHERE (o.o_orderstatus = 'P' OR o.o_totalprice >= 400000) "
+        "AND (c.c_mktsegment = 'BUILDING' OR o.o_custkey < 10)",
+    ],
+)
+def test_sql_or_not_matches_duckdb(ray_session, sql):
+    _check(sql)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT o_orderkey, o_orderkey % 7 AS b7 FROM orders WHERE o_custkey < 20",
+        "SELECT o_orderkey, (o_custkey * 3 + 1) - o_orderkey % 5 AS x FROM orders "
+        "WHERE o_custkey < 20 ORDER BY o_orderkey",
+        "SELECT c_custkey * 2 AS dbl, c_nationkey FROM customer WHERE c_custkey <= 10",
+    ],
+)
+def test_sql_scalar_expr_matches_duckdb(ray_session, sql):
+    _check(sql)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # scalar expr without alias
+        "SELECT o_orderkey % 7 FROM orders",
+        # scalar expr mixed with aggregates
+        "SELECT o_orderkey % 7 AS b, COUNT(*) AS n FROM orders GROUP BY b",
+        # division is refused (DuckDB '/' returns DOUBLE)
+        "SELECT o_orderkey / 2 AS h FROM orders",
+        # AVG over a floating column is order-dependent
+        "SELECT AVG(o_totalprice) AS a FROM orders",
+    ],
+)
+def test_sql_new_unsupported_raises(ray_session, sql):
+    import ray as _ray
+    from lucene_solr_ray.functions.sql import execute
+
+    with pytest.raises((ValueError, Exception)):
+        ds = execute(SF, sql)
+        ds.materialize()
