@@ -557,3 +557,111 @@ def polygon_holes_sql(rings=HOLED_POLY) -> str:
         "SELECT c_custkey FROM g WHERE ((" + " + ".join(cross_terms) + ") % 2 = 1) "
         "OR (" + " OR ".join(on_terms) + ") ORDER BY c_custkey"
     )
+
+
+def shape_polygon_relation(sf_dir: str, poly=CONCAVE_POLY) -> ray.data.Dataset:
+    """Polygon-vs-shape relation query ([U] lucene/core/.../document/
+    LatLonShape.java + geo/Component2D relate semantics: an indexed
+    shape classifies against an arbitrary simple-polygon query as
+    WITHIN / INTERSECTS / DISJOINT). Doc shapes are the same derived
+    boxes as shape_bbox_relation; the query is a simple polygon
+    (concave allowed).
+
+    Exact decision on the doubled integer grid, per doc box B vs
+    polygon P:
+      INTERSECTS  iff any polygon edge meets the closed box — decided
+                  by separating axes: the edge's bbox overlaps B (axes
+                  x, y) and B's four corners are not all strictly on
+                  one side of the edge's supporting line (axis = edge
+                  normal; cross products are exact int64).
+      otherwise   no edge meets B, so B is entirely inside or entirely
+                  outside P (a polygon vertex inside B would make both
+                  its edges meet B): WITHIN if B's center point is
+                  inside P by even-odd ray crossing, else DISJOINT.
+    Touching boundaries count as INTERSECTS (the boundary-inclusive
+    convention shared with shape_bbox_relation). One stateless
+    vectorized pass, zero shuffle; ~n_edges fused numpy ops per batch."""
+    verts = _poly_int_verts(poly)
+
+    def fn(t: pa.Table) -> pa.Table:
+        key = t.column("c_custkey").to_numpy().astype(np.int64)
+        py = ((key * 37) % 180) * 2 - 179
+        px = ((key * 73) % 360) * 2 - 359
+        la0, la1 = py - 2, py + 2
+        lo0, lo1 = px - 4, px + 4
+        intersects = np.zeros(len(key), dtype=bool)
+        inside = np.zeros(len(key), dtype=bool)
+        n = len(verts)
+        for i in range(n):
+            (y1, x1), (y2, x2) = verts[i], verts[(i + 1) % n]
+            overlap = (
+                (min(x1, x2) <= lo1) & (max(x1, x2) >= lo0)
+                & (min(y1, y2) <= la1) & (max(y1, y2) >= la0)
+            )
+            dx, dy = x2 - x1, y2 - y1
+            c1 = dx * (la0 - y1) - dy * (lo0 - x1)
+            c2 = dx * (la0 - y1) - dy * (lo1 - x1)
+            c3 = dx * (la1 - y1) - dy * (lo0 - x1)
+            c4 = dx * (la1 - y1) - dy * (lo1 - x1)
+            all_pos = (c1 > 0) & (c2 > 0) & (c3 > 0) & (c4 > 0)
+            all_neg = (c1 < 0) & (c2 < 0) & (c3 < 0) & (c4 < 0)
+            intersects |= overlap & ~(all_pos | all_neg)
+            if y1 == y2:
+                continue
+            straddle = (y1 > py) != (y2 > py)
+            lhs = (py - y1) * (x2 - x1) - (px - x1) * (y2 - y1)
+            inside ^= straddle & ((lhs > 0) if y2 > y1 else (lhs < 0))
+        rel = np.where(intersects, "INTERSECTS",
+                       np.where(inside, "WITHIN", "DISJOINT"))
+        return pa.table({
+            "c_custkey": pa.array(key),
+            "relation": pa.array(rel.astype(object), pa.string()),
+        })
+
+    return (
+        read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort("c_custkey")
+    )
+
+
+def shape_polygon_relation_sql(poly=CONCAVE_POLY) -> str:
+    """DuckDB oracle for shape_polygon_relation: the IDENTICAL per-edge
+    SAT + even-odd integer arithmetic, unrolled from the same vertex
+    list."""
+    verts = _poly_int_verts(poly)
+    n = len(verts)
+    inter_terms, cross_terms = [], []
+    for i in range(n):
+        (y1, x1), (y2, x2) = verts[i], verts[(i + 1) % n]
+        dx, dy = x2 - x1, y2 - y1
+        cs = [
+            f"({dx}*((py-2)-({y1})) - ({dy})*((px-4)-({x1})))",
+            f"({dx}*((py-2)-({y1})) - ({dy})*((px+4)-({x1})))",
+            f"({dx}*((py+2)-({y1})) - ({dy})*((px-4)-({x1})))",
+            f"({dx}*((py+2)-({y1})) - ({dy})*((px+4)-({x1})))",
+        ]
+        all_pos = " AND ".join(f"{c} > 0" for c in cs)
+        all_neg = " AND ".join(f"{c} < 0" for c in cs)
+        inter_terms.append(
+            f"({min(x1, x2)} <= px+4 AND {max(x1, x2)} >= px-4 "
+            f"AND {min(y1, y2)} <= py+2 AND {max(y1, y2)} >= py-2 "
+            f"AND NOT (({all_pos}) OR ({all_neg})))"
+        )
+        if y1 == y2:
+            continue
+        op = ">" if y2 > y1 else "<"
+        cross_terms.append(
+            f"CASE WHEN (({y1} > py) <> ({y2} > py)) AND "
+            f"((py-({y1}))*({x2}-({x1})) - (px-({x1}))*({y2}-({y1})) {op} 0) "
+            f"THEN 1 ELSE 0 END"
+        )
+    return (
+        "WITH g AS (SELECT c_custkey, "
+        "CAST((c_custkey * 37) % 180 AS BIGINT) * 2 - 179 AS py, "
+        "CAST((c_custkey * 73) % 360 AS BIGINT) * 2 - 359 AS px FROM customer) "
+        "SELECT c_custkey, CASE WHEN (" + " OR ".join(inter_terms) + ") "
+        "THEN 'INTERSECTS' WHEN ((" + " + ".join(cross_terms) + ") % 2 = 1) "
+        "THEN 'WITHIN' ELSE 'DISJOINT' END AS relation "
+        "FROM g ORDER BY c_custkey"
+    )

@@ -68,3 +68,20 @@ def test_cosine_anchor_size_guard(ray_session, tmp_path, monkeypatch):
     exact_set = set(zip(exact["doc_a"], exact["doc_b"])) if n_small else set()
     lsh_set = set(zip(df["doc_a"], df["doc_b"])) if len(df) else set()
     assert lsh_set <= exact_set
+
+
+def test_shape_polygon_relation_all_classes(ray_session):
+    """Polygon-vs-shape relate: all three relation classes occur at the
+    gate sf and the per-edge SAT agrees with DuckDB running the
+    generated oracle (same vertex list)."""
+    import duckdb
+
+    from lucene_solr_ray.functions import geo
+
+    mine = geo.shape_polygon_relation(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW customer AS SELECT * FROM '{SF}/customer.parquet'")
+    want = con.sql(geo.shape_polygon_relation_sql()).df()
+    assert set(mine["relation"]) == {"WITHIN", "INTERSECTS", "DISJOINT"}
+    assert (mine["c_custkey"].to_numpy() == want["c_custkey"].to_numpy()).all()
+    assert (mine["relation"].to_numpy() == want["relation"].to_numpy()).all()
