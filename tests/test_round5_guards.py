@@ -85,3 +85,34 @@ def test_shape_polygon_relation_all_classes(ray_session):
     assert set(mine["relation"]) == {"WITHIN", "INTERSECTS", "DISJOINT"}
     assert (mine["c_custkey"].to_numpy() == want["c_custkey"].to_numpy()).all()
     assert (mine["relation"].to_numpy() == want["relation"].to_numpy()).all()
+
+
+def test_ws_token_counts_split_parity():
+    """Vectorized whitespace token counter == len(str.split()) exactly,
+    including every code point Python considers whitespace (unicode ws
+    rows take the per-row fallback; ASCII stays pure numpy)."""
+    import sys
+
+    import pyarrow as pa
+
+    from lucene_solr_ray.functions.curation import ws_token_counts
+
+    py_ws = [chr(c) for c in range(sys.maxunicode + 1) if chr(c).isspace()]
+    probes = ["a b  c", "", "   ", None, "a\tb\nc\x0bd\x0ce\rf",
+              "héllo wörld", "a\xa0b", "　x y ", "solo",
+              " lead", "trail ", "\x1c\x1d\x1e\x1f", "a b c",
+              "日本語 テスト"] + [f"a{w}b{w}{w}c" for w in py_ws]
+    got = ws_token_counts(pa.array(probes, pa.string())).tolist()
+    want = [len((s or "").split()) for s in probes]
+    assert got == want
+
+
+def test_ws_token_counts_gate_corpus_parity(ray_session):
+    import pyarrow.parquet as pq
+
+    from lucene_solr_ray.functions.curation import ws_token_counts
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    got = ws_token_counts(t.column("text"))
+    want = [len((s or "").split()) for s in t.column("text").to_pylist()]
+    assert got.tolist() == want
