@@ -188,15 +188,35 @@ def batch_term_positions(texts):
     return out_rows, uniq_terms[out_codes], tfs, dl, pos_emit[order]
 
 
-def batch_term_counts(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+def batch_term_counts(texts, analyzer=None) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Per-(row, term) tf counts for a batch — the map-side combiner.
 
     Returns (row_idx, terms, tfs, dl): one entry per DISTINCT (row, term)
     pair; ``dl`` per input row. This is the in-RAM postings-hash analogue of
     Lucene's TermsHashPerField ([U] lucene/core/.../index/TermsHashPerField.java),
     expressed as a vectorized unique-count.
+
+    ``analyzer``: a per-text tokenize callable from ANALYZERS (the
+    PerFieldAnalyzerWrapper plug point, [U] lucene/analysis/common/.../
+    miscellaneous/PerFieldAnalyzerWrapper.java). None/`tokenize` keeps
+    the fully-vectorized canonical chain; other analyzers run per text
+    and feed the same factorize/count tail.
     """
-    row_idx, terms, dl = analyze_texts(texts)
+    if analyzer is not None and analyzer is not tokenize:
+        token_lists = [analyzer(t) if t else [] for t in texts]
+        counts = np.fromiter((len(r) for r in token_lists), dtype=np.int64,
+                             count=len(texts))
+        dl = counts.copy()
+        if counts.sum() == 0:
+            return (np.empty(0, np.int64), np.empty(0, object),
+                    np.empty(0, np.int64), dl)
+        import itertools
+
+        row_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        terms = np.array(list(itertools.chain.from_iterable(token_lists)),
+                         dtype=object)
+    else:
+        row_idx, terms, dl = analyze_texts(texts)
     if len(terms) == 0:
         return (
             np.empty(0, dtype=np.int64),

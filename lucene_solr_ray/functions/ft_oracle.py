@@ -1557,3 +1557,100 @@ def freshness_boost_sql(raw_terms: list[str], m: float = 1e-6, a: float = 1.0,
             f"FROM (SELECT {aliases[0]}.doc_id AS doc_id, {final} AS score "
             f"FROM {joins} WHERE {cond}) sub"
             f") ranked WHERE rank < {int(k)} ORDER BY rank")
+
+
+def multifield_dismax_sql(queries=None, n_title: int = 6, k: int = 10) -> str:
+    """Oracle for fulltext.multifield_dismax_topk -> (query_id, rank,
+    doc_id). Two derived fields from the SAME token slice the engine
+    indexes: title = stop-filtered first ``n_title`` whitespace tokens
+    (the standard chain on this corpus), body = the remaining tokens
+    verbatim (whitespace chain). Each field gets its OWN dl/N/sum_dl/
+    denominator CTEs and per-term df/w CTEs — per-field BM25 statistics
+    replicated literally — and the per-doc DisMax combine is
+    GREATEST(score_t, score_b) over the two float32 fold results (exact:
+    both operands are FLOAT, max introduces no rounding)."""
+    from lucene_solr_ray.analysis import tokenize, whitespace_tokenize
+    from lucene_solr_ray.functions.fulltext import (
+        FT_MULTIFIELD_QUERIES, N_TITLE_TOKENS)
+
+    queries = queries or FT_MULTIFIELD_QUERIES
+    n_title = n_title or N_TITLE_TOKENS
+
+    def sorted_terms(raws, chain):
+        out = set()
+        for r in raws:
+            out.update(chain(r))
+        return sorted(out, key=lambda t: t.encode("utf-8"))
+
+    ctes = [
+        "toks0 AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE "
+        "regexp_split_to_array(trim(text), '\\s+') END AS tk0 FROM documents)",
+        f"ttoks AS (SELECT doc_id, list_filter(tk0[1:{n_title}], "
+        f"x -> NOT list_contains({_STOP}, x)) AS tk FROM toks0)",
+        f"btoks AS (SELECT doc_id, CASE WHEN len(tk0) > {n_title} THEN "
+        f"tk0[{n_title + 1}:len(tk0)] ELSE [] END AS tk FROM toks0)",
+        f"reps(v) AS (VALUES {_REPS})",
+    ]
+    for f, src in (("t", "ttoks"), ("b", "btoks")):
+        ctes.append(f"dltab_{f} AS (SELECT doc_id, len(tk) AS dl FROM {src})")
+        ctes.append(
+            f"stats_{f} AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+            f"CAST(SUM(dl) AS DOUBLE) AS sum_dl FROM dltab_{f})")
+        ctes.append(
+            f"denom_{f} AS (SELECT d.doc_id, {K1!r}*(({1.0 - B!r}) + "
+            f"({B!r}*CAST((SELECT MAX(v) FROM reps WHERE v <= d.dl) AS DOUBLE))"
+            f"/(s.sum_dl/s.n)) AS dn FROM dltab_{f} d, stats_{f} s)")
+
+    def field_tf_cte(name: str, src: str, term: str) -> str:
+        return (f"{name} AS (SELECT doc_id, "
+                f"len(list_filter(tk, x -> x = '{_esc(term)}')) AS tf FROM {src})")
+
+    def field_w_cte(name: str, tf_name: str, f: str) -> str:
+        return (
+            f"{name} AS (SELECT CAST(ln(1.0 + ((s.n - d.df) + 0.5)/(d.df + 0.5)) AS FLOAT) AS w "
+            f"FROM (SELECT CAST(COUNT(CASE WHEN tf > 0 THEN 1 END) AS DOUBLE) AS df "
+            f"FROM {tf_name}) d, stats_{f} s)")
+
+    def field_score(alias: str, w_name: str, f: str) -> str:
+        return (
+            f"CASE WHEN {alias}.tf > 0 THEN "
+            f"CAST(CAST((SELECT w FROM {w_name}) AS DOUBLE) * "
+            f"(CAST({alias}.tf AS DOUBLE)/(CAST({alias}.tf AS DOUBLE) + dn_{f}.dn)) AS FLOAT) "
+            "ELSE CAST(0.0 AS FLOAT) END")
+
+    selects = []
+    for qi, (qid, t_raw, b_raw) in enumerate(queries):
+        parts = []  # (field, terms)
+        parts.append(("t", "ttoks", sorted_terms(t_raw, tokenize)))
+        parts.append(("b", "btoks", sorted_terms(b_raw, whitespace_tokenize)))
+        aliases, match_conds, field_folds = [], [], {}
+        for f, src, terms in parts:
+            exprs = []
+            for ti, term in enumerate(terms):
+                tf_n, w_n = f"tf_{f}_q{qi}_{ti}", f"w_{f}_q{qi}_{ti}"
+                ctes.append(field_tf_cte(tf_n, src, term))
+                ctes.append(field_w_cte(w_n, tf_n, f))
+                a = f"{f}{ti}_q{qi}"
+                aliases.append((tf_n, a))
+                exprs.append(field_score(a, w_n, f))
+                match_conds.append(f"{a}.tf > 0")
+            field_folds[f] = fold_f32(exprs) if exprs else "CAST(0.0 AS FLOAT)"
+        joins = f"{aliases[0][0]} {aliases[0][1]}" if aliases else "dltab_t a0"
+        anchor = aliases[0][1] if aliases else "a0"
+        for tf_n, a in aliases[1:]:
+            joins += f" JOIN {tf_n} {a} ON {anchor}.doc_id = {a}.doc_id"
+        joins += f" JOIN denom_t dn_t ON dn_t.doc_id = {anchor}.doc_id"
+        joins += f" JOIN denom_b dn_b ON dn_b.doc_id = {anchor}.doc_id"
+        score = f"GREATEST({field_folds['t']}, {field_folds['b']})"
+        cond = " OR ".join(match_conds) if match_conds else "FALSE"
+        selects.append(
+            f"SELECT '{_esc(qid)}' AS query_id, rank, doc_id FROM ("
+            "SELECT doc_id, "
+            "CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+            f"FROM (SELECT {anchor}.doc_id AS doc_id, {score} AS score "
+            f"FROM {joins} WHERE {cond}) sub"
+            f") ranked WHERE rank < {int(k)}"
+        )
+    return ("WITH " + ", ".join(ctes) + " "
+            + " UNION ALL ".join(f"({s})" for s in selects)
+            + " ORDER BY query_id, rank")

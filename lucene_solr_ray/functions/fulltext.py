@@ -3042,3 +3042,88 @@ def parser_numeric_range_docs(sf_dir: str, query: str = "merge n_chars:[100 TO 2
     d, _ = s.search_parsed(query, k=max(1, s.n_docs))
     mapping = _docid_to_doc_id(index_dir)
     return pa.table({"doc_id": pa.array(np.sort(mapping[d]), type=pa.int64())})
+
+
+# ---------------- multi-field indexing (round 5) ----------------
+
+#: derived-field split: title = first N_TITLE_TOKENS whitespace tokens,
+#: body = the rest — the SQL oracle slices the same token list
+N_TITLE_TOKENS = 6
+
+#: (query_id, title_terms, body_terms): per-field query sets exercising
+#: the per-field analyzers — 'the'/'a' are STOPWORDS in the title's
+#: standard chain (contribute nothing) but real terms in the body's
+#: whitespace chain; 'dup' is the corpus's rare term
+FT_MULTIFIELD_QUERIES = [
+    ("mf1", ["merge"], ["merge"]),
+    ("mf2", ["window", "vector"], ["stream"]),
+    ("mf3", ["the"], ["the", "a"]),
+    ("mf4", [], ["dup", "scan"]),
+    ("mf5", ["join", "hash"], ["query"]),
+]
+
+
+def multifield_docs_index(sf_dir: str, num_partitions: int = 4,
+                          salt: int = 1) -> str:
+    """Build (once, cached) the two-field documents index: the text's
+    first N_TITLE_TOKENS whitespace tokens become the ``title`` field
+    (standard analyzer: lowercase+stop), the rest the ``body`` field
+    (whitespace analyzer: no stop, case kept) — per-field postings/
+    norms/avgdl/df under index_dir/fields/<name>/ ([U] lucene/core/.../
+    index/IndexableField + PerFieldAnalyzerWrapper)."""
+    from lucene_solr_ray.pipelines.multifield import build_multifield_index
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.sha1(
+        f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{num_partitions}|"
+        f"{salt}|mf-v1".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(CACHE_ROOT, f"mf-index-{key}")
+    if not os.path.exists(os.path.join(index_dir, "fields.json")):
+        def add_fields(batch: pa.Table) -> pa.Table:
+            titles, bodies = [], []
+            for s in batch.column("text").to_pylist():
+                toks = (s or "").split()
+                titles.append(" ".join(toks[:N_TITLE_TOKENS]))
+                bodies.append(" ".join(toks[N_TITLE_TOKENS:]))
+            return batch.append_column(
+                "title", pa.array(titles, pa.string())
+            ).append_column("body", pa.array(bodies, pa.string()))
+
+        ds = transcripts_from_documents(sf_dir).map_batches(
+            add_fields, batch_format="pyarrow")
+        build_multifield_index(
+            ds, index_dir,
+            fields={"title": {"column": "title", "analyzer": "standard"},
+                    "body": {"column": "body", "analyzer": "whitespace"}},
+            num_partitions=num_partitions, salt=salt,
+        )
+    return index_dir
+
+
+def multifield_dismax_topk(sf_dir: str, queries=None, k: int = 10) -> pa.Table:
+    """Fielded DisMax top-k over the two-field index: each field scores
+    with ITS OWN BM25 stats (df/N/avgdl/norms from its sub-index), the
+    per-doc score is the float32 max across fields
+    ([U] lucene/core/.../search/DisjunctionMaxQuery.java, tie 0).
+    RANK-ONLY output (query_id, rank, doc_id); the DuckDB oracle
+    (ft_oracle.multifield_dismax_sql) replicates both field chains and
+    the GREATEST combine from the same query list."""
+    from lucene_solr_ray.pipelines.multifield import (
+        MultiFieldSearcher, multifield_docid_to_doc_id)
+
+    queries = queries or FT_MULTIFIELD_QUERIES
+    index_dir = multifield_docs_index(sf_dir)
+    s = MultiFieldSearcher(index_dir)
+    mapping = multifield_docid_to_doc_id(index_dir)
+    qids, ranks, doc_ids = [], [], []
+    for qid, t_terms, b_terms in queries:
+        d, _sc = s.search_dismax({"title": t_terms, "body": b_terms}, k=k)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(len(d)))
+        doc_ids.extend(mapping[d].tolist())
+    return pa.table({
+        "query_id": pa.array(qids, pa.string()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(doc_ids, pa.int64()),
+    })

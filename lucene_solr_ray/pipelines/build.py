@@ -114,9 +114,12 @@ class _AnalyzeStage:
     def __init__(self, docs_dir: str, num_partitions: int, salt: int, salt_range: int,
                  write_docs: bool, skip_buckets: frozenset[int], base_ref=None,
                  store_positions: bool = False, store_term_vectors: bool = False,
-                 tvs_dir: str | None = None):
+                 tvs_dir: str | None = None, text_column: str = "text",
+                 analyzer: str = "standard"):
         self.store_term_vectors = store_term_vectors
         self.tvs_dir = tvs_dir
+        self.text_column = text_column
+        self.analyzer = analyzer
         self.docs_dir = docs_dir
         self.num_partitions = num_partitions
         self.salt = salt
@@ -128,7 +131,7 @@ class _AnalyzeStage:
         self._bases = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
+        texts = batch.column(self.text_column).to_pylist()
         if "base" in batch.column_names:
             # conv-base-join mode: per-conv base arrived via the hash join
             docids = (
@@ -151,6 +154,12 @@ class _AnalyzeStage:
             from lucene_solr_ray.analysis import batch_term_positions
 
             rows, terms, tfs, dl, pos_flat = batch_term_positions(texts)
+        elif self.analyzer != "standard":
+            from lucene_solr_ray.analysis import get_analyzer
+
+            rows, terms, tfs, dl = batch_term_counts(
+                texts, analyzer=get_analyzer(self.analyzer))
+            pos_flat = None
         else:
             rows, terms, tfs, dl = batch_term_counts(texts)
             pos_flat = None
@@ -412,9 +421,21 @@ def build_index(
     store_positions: bool = False,
     store_term_vectors: bool = False,
     append: bool = False,
+    text_column: str = "text",
+    analyzer: str = "standard",
+    store_docs: bool = True,
 ) -> dict:
     """Full build -> committed manifest dict. Ray must be initialised by
     the caller (driver/bench/tests own the session).
+
+    ``text_column``/``analyzer`` make this the per-field build primitive
+    for build_multifield_index ([U] PerFieldAnalyzerWrapper): index any
+    string column through any ANALYZERS chain. ``store_docs=False``
+    skips the stored-fields/TV side-writes (a secondary field of a
+    multi-field index shares the primary field's stored docs — storing
+    text once, not once per field). Non-standard analyzers don't
+    support store_positions (the positional inverter is the vectorized
+    canonical chain).
 
     ``append=True`` is the IndexWriter.addIndexes / incremental-append
     path: new documents get docIDs after the existing index's maxDoc
@@ -464,8 +485,13 @@ def build_index(
     ncpus = int(ray.cluster_resources().get("CPU", 8))
     if isinstance(input_path, (str, list)):
         # oversplit the read so the analyze stage load-balances (tail
-        # tasks otherwise straggle when blocks == CPUs)
-        ds = read_parquet_clean(input_path, override_num_blocks=max(64, 4 * ncpus))
+        # tasks otherwise straggle when blocks == CPUs); a non-stored
+        # (secondary-field) build prunes the read to the docid keys +
+        # its own text column — the other fields' payloads never leave
+        # storage
+        cols = None if store_docs else ["conv_id", "turn_idx", text_column]
+        ds = read_parquet_clean(input_path, columns=cols,
+                                override_num_blocks=max(64, 4 * ncpus))
     else:
         ds = input_path
     base_ref = None
@@ -584,8 +610,13 @@ def build_index(
             name = segment_name(generation, bucket)
             if segment_is_complete(segment_dir(index_dir, bucket // salt, name)):
                 done[bucket] = name
+    if analyzer != "standard" and (store_positions or store_term_vectors):
+        raise ValueError(
+            "store_positions/store_term_vectors require the standard "
+            "analyzer (the positional inverter is the canonical chain)")
     docs_marker = os.path.join(index_dir, "docs.complete")
-    write_docs = append or not os.path.exists(docs_marker) or not resume
+    write_docs = store_docs and (append or not os.path.exists(docs_marker)
+                                 or not resume)
     if write_docs and not append:
         os.makedirs(docs_dir, exist_ok=True)
         for stale in os.listdir(docs_dir):  # boundaries may differ run-to-run
@@ -604,7 +635,7 @@ def build_index(
     analyzed = docs_ds.map_batches(
         _AnalyzeStage(docs_dir, num_partitions, salt, salt_range, write_docs,
                       frozenset(done), base_ref, store_positions,
-                      store_term_vectors, tvs_dir),
+                      store_term_vectors, tvs_dir, text_column, analyzer),
         batch_format="pyarrow",
         batch_size=analyze_batch_size,
         zero_copy_batch=True,
@@ -733,7 +764,8 @@ def build_index(
         "num_partitions": num_partitions,
         "salt": salt,
         "codec": codec_name,
-        "analysis": "standard-v1",
+        "analysis": "standard-v1" if analyzer == "standard" else analyzer,
+        **({"text_column": text_column} if text_column != "text" else {}),
         "docid_mode": docid_mode,
         **({"index_sort": index_sort} if index_sort is not None else {}),
         "positions": store_positions,

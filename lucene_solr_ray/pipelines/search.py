@@ -224,6 +224,17 @@ class IndexSearcher:
         # (deleted-but-unpurged docs still count — Lucene stats semantics)
         self.n_scoring = self.n_docs - int(self.manifest.get("n_docs_purged", 0))
         self.avgdl = self.sum_dl / self.n_scoring if self.n_scoring else 1.0
+        # per-field analyzer parity at query time ([U] PerFieldAnalyzer-
+        # Wrapper: the query parser analyzes with the FIELD's chain): a
+        # sub-index built with a non-standard analyzer analyzes its raw
+        # query terms through the same chain; None = canonical path
+        _analysis = self.manifest.get("analysis", "standard-v1")
+        if _analysis in ("standard-v1", "standard"):
+            self._qanalyzer = None
+        else:
+            from lucene_solr_ray.analysis import get_analyzer
+
+            self._qanalyzer = get_analyzer(_analysis)
         # pluggable Similarity (SURVEY §2.11); BM25 is the parity-pinned default
         self.simcls = sim.get_similarity(similarity)
         self.cache = self.simcls.denom_cache(self.avgdl)
@@ -381,9 +392,17 @@ class IndexSearcher:
 
     # ---------------- public search ----------------
 
+    def _analyze_query(self, raw_terms) -> list[str]:
+        if self._qanalyzer is None:
+            return analyze_query_terms(raw_terms)
+        out: set[str] = set()
+        for raw in raw_terms:
+            out.update(self._qanalyzer(raw))
+        return sorted(out, key=lambda t: t.encode("utf-8"))
+
     def search(self, raw_terms, k: int = 10, mode: str = "or", algorithm: str = "auto"):
         """-> (docids int64, scores float32) top-k, score desc / docid asc."""
-        terms = analyze_query_terms(raw_terms)
+        terms = self._analyze_query(raw_terms)
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
         weighted = []  # (term, w, cursor) in ascending UTF-8 term order
         for t in terms:

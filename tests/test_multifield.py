@@ -1,0 +1,148 @@
+"""Multi-field indexing: per-field analyzers/postings/norms/stats +
+fielded DisMax / Boolean-sum search, against a brute-force numpy oracle
+built from the SAME similarity/norms code (parity-by-shared-code)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def mf_corpus(tmp_path_factory):
+    """80 docs with a short stop-heavy Title (standard analyzer drops
+    stopwords + lowercases) and a cased body (whitespace analyzer keeps
+    BOTH case and stopwords) — the two chains disagree on dl, df and
+    the term space, so any cross-field leakage breaks parity."""
+    rng = np.random.default_rng(7)
+    words = ["Merge", "vector", "INDEX", "shard", "query", "the", "a",
+             "of", "token", "Stream", "replica", "codec"]
+    rows = []
+    for i in range(80):
+        title = " ".join(rng.choice(words, size=4))
+        body = " ".join(rng.choice(words, size=rng.integers(8, 30)))
+        rows.append({"conv_id": f"c{i:04d}", "turn_idx": 0,
+                     "title": title, "body": body})
+    path = tmp_path_factory.mktemp("mf") / "docs.parquet"
+    pq.write_table(pa.Table.from_pylist(rows), str(path))
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def mf_index(ray_session, mf_corpus, tmp_path_factory):
+    from lucene_solr_ray.pipelines.multifield import build_multifield_index
+
+    index_dir = str(tmp_path_factory.mktemp("mfidx"))
+    man = build_multifield_index(
+        mf_corpus, index_dir,
+        fields={"title": {"column": "title", "analyzer": "standard"},
+                "body": {"column": "body", "analyzer": "whitespace"}},
+        num_partitions=4, salt=2,
+    )
+    assert set(man["fields"]) == {"title", "body"}
+    return index_dir
+
+
+def _brute_field_scores(texts, raw_terms, analyzer_fn, query_analyzer_fn):
+    """Per-field BM25 replication from the shared engine modules
+    (analysis chain, byte4 norms, similarity float tree)."""
+    from lucene_solr_ray.codec.norms import DECODED_TABLE, encode_dl
+    from lucene_solr_ray import similarity as sim
+
+    toks = [analyzer_fn(t or "") for t in texts]
+    dl = np.array([len(x) for x in toks], np.int64)
+    n = len(texts)
+    sum_dl = int(dl.sum())
+    avgdl = sum_dl / n
+    cache = sim.BM25.denom_cache(avgdl)
+    norm_bytes = encode_dl(dl)
+    qterms = sorted({t for raw in raw_terms for t in query_analyzer_fn(raw)},
+                    key=lambda t: t.encode("utf-8"))
+    score = np.zeros(n, np.float32)
+    matched = np.zeros(n, bool)
+    for t in qterms:
+        tf = np.array([x.count(t) for x in toks], np.int64)
+        df = int((tf > 0).sum())
+        if df == 0:
+            continue
+        w = sim.BM25.term_weight(n, df)
+        s = np.where(tf > 0,
+                     sim.BM25.score_term(w, tf, norm_bytes, cache),
+                     np.float32(0.0)).astype(np.float32)
+        score = (score.astype(np.float64) + s.astype(np.float64)).astype(np.float32)
+        matched |= tf > 0
+    return score, matched
+
+
+def _brute(mf_corpus, field_terms, k, combine):
+    from lucene_solr_ray.analysis import tokenize, whitespace_tokenize
+
+    t = pq.read_table(mf_corpus)
+    titles = t.column("title").to_pylist()
+    bodies = t.column("body").to_pylist()
+    n = t.num_rows
+    s_title, m_title = _brute_field_scores(
+        titles, field_terms.get("title", []), tokenize, tokenize)
+    s_body, m_body = _brute_field_scores(
+        bodies, field_terms.get("body", []), whitespace_tokenize,
+        whitespace_tokenize)
+    matched = m_title | m_body
+    if combine == "dismax":
+        score = np.maximum(s_title, s_body)
+    else:
+        score = (s_title.astype(np.float64)
+                 + s_body.astype(np.float64)).astype(np.float32)
+    docids = np.flatnonzero(matched).astype(np.int64)
+    sc = score[docids]
+    order = np.lexsort((docids, -sc.astype(np.float64)))[:k]
+    return docids[order], sc[order]
+
+
+QUERIES = [
+    {"title": ["merge"], "body": ["Merge"]},          # case split across chains
+    {"title": ["the", "vector"], "body": ["the"]},    # stopword: dropped in title, real term in body
+    {"title": ["index", "codec"], "body": ["INDEX", "query"]},
+    {"title": ["shard"], "body": []},
+    {"title": [], "body": ["Stream", "replica"]},
+]
+
+
+@pytest.mark.parametrize("qi", range(len(QUERIES)))
+@pytest.mark.parametrize("combine", ["dismax", "sum"])
+def test_multifield_parity(ray_session, mf_corpus, mf_index, qi, combine):
+    from lucene_solr_ray.pipelines.multifield import MultiFieldSearcher
+
+    ft = QUERIES[qi]
+    s = MultiFieldSearcher(mf_index)
+    if combine == "dismax":
+        d, sc = s.search_dismax(ft, k=15)
+    else:
+        d, sc = s.search_sum(ft, k=15)
+    # conv-base docid == row order of the (conv_id-sorted) corpus; the
+    # fixture writes conv_ids pre-sorted so docid == row index
+    bd, bsc = _brute(mf_corpus, ft, 15, combine)
+    assert d.tolist() == bd.tolist()
+    assert np.array_equal(sc, bsc.astype(np.float32))
+
+
+def test_multifield_fields_disagree(ray_session, mf_index):
+    """The two chains really disagree: 'the' exists in body's term space
+    (df>0) but not title's; 'Merge' only matches body (case)."""
+    from lucene_solr_ray.pipelines.multifield import MultiFieldSearcher
+
+    s = MultiFieldSearcher(mf_index)
+    d_t, _ = s.searchers["title"].search(["the"], k=100)
+    d_b, _ = s.searchers["body"].search(["the"], k=100)
+    assert len(d_t) == 0 and len(d_b) > 0
+    d_bm, _ = s.searchers["body"].search(["Merge"], k=100)
+    d_bl, _ = s.searchers["body"].search(["merge"], k=100)
+    assert set(d_bm.tolist()).isdisjoint(d_bl.tolist())
+    # per-field stats really come from each sub-index
+    assert s.searchers["title"].sum_dl != s.searchers["body"].sum_dl
+
+
+def test_multifield_unknown_field_raises(ray_session, mf_index):
+    from lucene_solr_ray.pipelines.multifield import MultiFieldSearcher
+
+    with pytest.raises(ValueError, match="unknown field"):
+        MultiFieldSearcher(mf_index).search_dismax({"nope": ["x"]})
