@@ -241,6 +241,47 @@ def main() -> None:
     query_total = time.perf_counter() - t_all
     queries["bm25_queries_total"] = round(query_total, 3)
 
+    # forced-hot doc-range slicing (round 5, [U] IndexSearcher leaf
+    # slices): the hottest OR query's dense scan, full vs the
+    # critical-path slice (max per-slice wall + merge) — the in-actor
+    # evidence that a hot query's accumulator parallelizes across docid
+    # ranges. (The Dataset-pipeline fan-out has a ~1s fixed floor per
+    # run at this scale, so the pool-level win is a cluster-scale
+    # feature; run_queries(slices=N) is bit-equal-tested in pytest.)
+    from lucene_solr_ray.oracle import topk_order as _topk
+
+    qterms = {t for row in qset for t in row["terms"]}
+    by_df = sorted(
+        ((searcher.term_stats_and_cursor(t)[0] or 0, t) for t in qterms),
+        reverse=True)
+    hot_terms = [t for _, t in by_df[:5]]
+    best_full = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        searcher.search(hot_terms, k=100, mode="or", algorithm="dense")
+        best_full = min(best_full, time.perf_counter() - t0)
+    queries["hot_dense_full_ms"] = round(best_full * 1000, 2)
+    for n_slices in (4, 8):
+        best_crit = 1e9
+        step = -(-searcher.n_docs // n_slices)
+        for _ in range(3):
+            walls, ds_, ss_ = [], [], []
+            for i in range(n_slices):
+                lo, hi = i * step, min(searcher.n_docs, (i + 1) * step)
+                t0 = time.perf_counter()
+                d_i, s_i = searcher.search(hot_terms, k=100, mode="or",
+                                           docid_range=(lo, hi))
+                walls.append(time.perf_counter() - t0)
+                ds_.append(d_i)
+                ss_.append(s_i)
+            t0 = time.perf_counter()
+            d_all = np.concatenate(ds_)
+            s_all = np.concatenate(ss_)
+            _topk(d_all, s_all, 100)
+            merge_w = time.perf_counter() - t0
+            best_crit = min(best_crit, max(walls) + merge_w)
+        queries[f"hot_dense_slice{n_slices}_crit_ms"] = round(best_crit * 1000, 2)
+
     # Ray actor-pool query path throughput
     import pyarrow as pa
 

@@ -400,8 +400,17 @@ class IndexSearcher:
             out.update(self._qanalyzer(raw))
         return sorted(out, key=lambda t: t.encode("utf-8"))
 
-    def search(self, raw_terms, k: int = 10, mode: str = "or", algorithm: str = "auto"):
-        """-> (docids int64, scores float32) top-k, score desc / docid asc."""
+    def search(self, raw_terms, k: int = 10, mode: str = "or", algorithm: str = "auto",
+               docid_range: tuple | None = None):
+        """-> (docids int64, scores float32) top-k, score desc / docid asc.
+
+        ``docid_range=(lo, hi)``: score only docids in [lo, hi) — the
+        per-query leaf-slice unit ([U] lucene/core/.../search/
+        IndexSearcher.java slices a hot query across leaf ranges and
+        merges k-heaps). Slicing forces the dense paths (it exists for
+        the hot queries where dense fires anyway); per-doc scores are
+        independent of the slicing, so a merge of slice top-ks is
+        bit-equal to the unsliced top-k (run_queries slices=N)."""
         terms = self._analyze_query(raw_terms)
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32))
         weighted = []  # (term, w, cursor) in ascending UTF-8 term order
@@ -414,6 +423,12 @@ class IndexSearcher:
             weighted.append((t, self._term_w(df, cf), cur))
         if not weighted:
             return empty
+        if docid_range is not None:
+            if algorithm not in ("auto", "dense"):
+                raise ValueError("docid_range slicing supports the dense paths only")
+            if mode == "and":
+                return self._search_and_dense(weighted, k, docid_range)
+            return self._search_or_dense(weighted, k, docid_range)
         if algorithm == "auto":
             # dense O(N) scan beats skipping once the lists cover a large
             # fraction of the corpus (Zipf-hot terms): WAND windows would
@@ -445,13 +460,18 @@ class IndexSearcher:
 
     # ---------------- dense scan (hot/stopword-grade term lists) ----------------
 
-    def _search_or_dense(self, weighted, k: int):
+    def _search_or_dense(self, weighted, k: int, docid_range: tuple | None = None):
         """Full-corpus float32 accumulator: per term (ascending order)
         scatter its scores into a dense N-vector and accumulate — float
         ops identical to the oracle's zero-padded accumulation, so scores
         stay bit-equal. Matching docs are exactly those with score > 0
-        (all contributions are strictly positive)."""
-        acc = np.zeros(self.n_docs, dtype=np.float32)
+        (all contributions are strictly positive). With ``docid_range``
+        the accumulator covers only [lo, hi): postings are sliced by
+        searchsorted AFTER scoring (score vectors are elementwise, and
+        slicing post-score keeps the per-term cache shared across
+        slices), so slice scores are bitwise the unsliced scores."""
+        lo, hi = docid_range if docid_range is not None else (0, self.n_docs)
+        acc = np.zeros(hi - lo, dtype=np.float32)
         for t, w, c in weighted:
             d, tf, m = c.decode_all()
             s = self._dense_scores.get(t)
@@ -463,19 +483,27 @@ class IndexSearcher:
             # scatter-add == zero-padded add bit-for-bit: docids are
             # unique per list, scores are float32 and strictly positive,
             # and x + 0.0f is the identity for x >= +0.0f
-            acc[d] += s
-        cand = self._live(np.flatnonzero(acc > 0))
-        top = topk_order(cand, acc[cand], k)
-        return cand[top].astype(np.int64), acc[cand][top]
+            if docid_range is not None:
+                i0, i1 = np.searchsorted(d, (lo, hi))
+                acc[d[i0:i1] - lo] += s[i0:i1]
+            else:
+                acc[d] += s
+        cand = self._live(np.flatnonzero(acc > 0) + lo)
+        top = topk_order(cand, acc[cand - lo], k)
+        return cand[top].astype(np.int64), acc[cand - lo][top]
 
-    def _search_and_dense(self, weighted, k: int):
-        cnt = np.zeros(self.n_docs, dtype=np.int16)
+    def _search_and_dense(self, weighted, k: int, docid_range: tuple | None = None):
+        lo, hi = docid_range if docid_range is not None else (0, self.n_docs)
+        cnt = np.zeros(hi - lo, dtype=np.int16)
         decoded = []
         for _, w, c in weighted:
             d, tf, m = c.decode_all()
-            cnt[d] += 1
+            if docid_range is not None:
+                i0, i1 = np.searchsorted(d, (lo, hi))
+                d, tf, m = d[i0:i1], tf[i0:i1], m[i0:i1]
+            cnt[d - lo] += 1
             decoded.append((w, d, tf, m))
-        cand = self._live(np.flatnonzero(cnt == len(weighted)).astype(np.int64))
+        cand = self._live((np.flatnonzero(cnt == len(weighted)) + lo).astype(np.int64))
         if len(cand) == 0:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
         parts = []
@@ -2047,8 +2075,12 @@ class QueryExecutor:
         qids, ranks, docids, scores = [], [], [], []
         for row in batch.to_pylist():
             mode = "and" if row.get("type") == "and" else "or"
+            rng = None
+            if row.get("docid_hi") is not None:
+                rng = (int(row["docid_lo"]), int(row["docid_hi"]))
             d, s = self.searcher.search(
-                row["terms"], k=int(row.get("k", 10)), mode=mode, algorithm=self.algorithm
+                row["terms"], k=int(row.get("k", 10)), mode=mode,
+                algorithm=self.algorithm, docid_range=rng
             )
             for r in range(len(d)):
                 qids.append(row["query_id"])
@@ -2067,9 +2099,18 @@ class QueryExecutor:
 
 def run_queries(index_dir: str, queries, concurrency=None, batch_size: int = 64,
                 generation: int | None = None, algorithm: str = "auto",
-                similarity: str = "bm25"):
+                similarity: str = "bm25", slices: int = 1):
     """Dataset-of-queries -> Dataset of (query_id, rank, docid, score),
-    deterministically ordered."""
+    deterministically ordered.
+
+    ``slices=N`` is the per-query leaf-slice fan-out for FEW, HUGE
+    queries ([U] lucene/core/.../search/IndexSearcher.java executor +
+    leaf slices): every query is split into N docid-range subqueries
+    (each its own single-row batch, so the pool can run a hot query's
+    slices on N actors concurrently), and the slice top-ks merge by a
+    second (query, rank<=k-bounded) selection — bit-equal to slices=1
+    because per-doc dense scores are independent of the slicing. The
+    default 1 keeps the throughput shape (parallelism across queries)."""
     import ray.data
 
     from lucene_solr_ray.io_utils import pool_size
@@ -2078,6 +2119,25 @@ def run_queries(index_dir: str, queries, concurrency=None, batch_size: int = 64,
         concurrency = pool_size()
 
     ds = queries if hasattr(queries, "map_batches") else ray.data.from_arrow(queries)
+    if slices > 1:
+        from lucene_solr_ray.state.manifest import load_manifest
+
+        n_docs = load_manifest(index_dir, generation)["n_docs"]
+        step = -(-n_docs // slices)
+
+        def explode(t: pa.Table) -> pa.Table:
+            outs = []
+            for i in range(slices):
+                lo, hi = i * step, min(n_docs, (i + 1) * step)
+                if lo >= hi:
+                    continue
+                s = t.append_column("docid_lo", pa.array([lo] * t.num_rows, pa.int64()))
+                s = s.append_column("docid_hi", pa.array([hi] * t.num_rows, pa.int64()))
+                outs.append(s)
+            return pa.concat_tables(outs)
+
+        ds = ds.map_batches(explode, batch_format="pyarrow")
+        batch_size = 1  # one slice per task -> slices spread across the pool
     out = ds.map_batches(
         QueryExecutor,
         fn_constructor_kwargs={"index_dir": index_dir, "generation": generation,
@@ -2086,4 +2146,29 @@ def run_queries(index_dir: str, queries, concurrency=None, batch_size: int = 64,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+    if slices > 1:
+        # merge slice top-ks: per query the union of slice candidates
+        # contains the global top-k (each slice returned ITS best k), so
+        # a (score desc, docid) re-selection capped at the query's k is
+        # exact. k per query is captured from the query table into the
+        # merge closure (pickled to the map_groups workers).
+        if hasattr(queries, "map_batches"):
+            qrows = queries.take_all()
+        else:
+            qrows = queries.to_pylist()
+        k_by_qid = {q["query_id"]: int(q.get("k", 10)) for q in qrows}
+
+        def merge(g: pa.Table, kq=k_by_qid) -> pa.Table:
+            d = g.column("docid").to_numpy()
+            s = g.column("score").to_numpy().astype(np.float32)
+            qid = g.column("query_id")[0].as_py()
+            top = topk_order(d, s, kq.get(qid, 10))
+            return pa.table({
+                "query_id": pa.array([qid] * len(top), pa.string()),
+                "rank": pa.array(np.arange(len(top), dtype=np.int32), pa.int32()),
+                "docid": pa.array(d[top], pa.int64()),
+                "score": pa.array(s[top], pa.float32()),
+            })
+
+        out = out.groupby("query_id").map_groups(merge, batch_format="pyarrow")
     return out.sort(["query_id", "rank"])
