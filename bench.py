@@ -379,6 +379,24 @@ def main() -> None:
     assert len(d) == tl_batch.num_rows
     queries["tlog_visible_ms"] = round(tl_ms, 2)
 
+    # partition-routed writer actors (round 5): same micro-batch through
+    # the distributed path with a warm (Solr-core-lifecycle) pool —
+    # commit-to-visible must stay within ~2x of the in-process path
+    _tlog.writer_pool(index_dir, 4)  # spinup outside the latency budget
+    tl2 = tl_batch.set_column(
+        0, "conv_id",
+        _pa.array([f"tlogd-{i:06d}" for i in range(8)], _pa.string()))
+    tl2 = tl2.set_column(
+        3, "text",
+        _pa.array([f"zzztlogdist doc {i} stream" for i in range(8)], _pa.string()))
+    t0 = time.perf_counter()
+    _tlog.tlog_append(index_dir, tl2)
+    _tlog.soft_commit(index_dir, distributed_writers=True, pool_size=4)
+    d, _ = IndexSearcher(index_dir).search(["zzztlogdist"], k=16, mode="or")
+    queries["tlog_visible_distributed_ms"] = round(
+        (time.perf_counter() - t0) * 1000, 2)
+    assert len(d) == tl2.num_rows
+
     lat_ms = np.array(lat) * 1000
     out = {
         "metric": "index_build_sec",

@@ -116,11 +116,70 @@ def realtime_get_overlay(index_dir: str, doc_ids: list[int]) -> pa.Table:
     })
 
 
+class TlogPartitionWriter:
+    """Per-partition segment writer actor ([U] solr/core/.../update/
+    TransactionLog.java keeps per-core logs; at cluster scale
+    micro-batches route to partition-owned writers instead of the
+    session process). One actor owns a stable subset of term partitions
+    (partition % pool size); the driver analyzes the micro-batch, ships
+    each partition's packed postings once, and commits the manifest only
+    after every owner acks — an actor death before ack leaves the
+    manifest and consumption marker untouched, so the batch replays
+    (at-least-once, same contract as the in-process path)."""
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+
+    def ping(self) -> bool:
+        # warm the writer's imports at pool spinup — the first write's
+        # latency budget must not pay module loading
+        from lucene_solr_ray.pipelines.build import segment_dir  # noqa: F401
+        from lucene_solr_ray.segment import write_segment  # noqa: F401
+        return True
+
+    def write(self, partition: int, name: str, terms, docids, tfs, norms,
+              codec_name: str, lineage: dict) -> tuple:
+        from lucene_solr_ray.pipelines.build import segment_dir
+        from lucene_solr_ray.segment import write_segment
+
+        sd = segment_dir(self.index_dir, partition, name)
+        meta = write_segment(sd, terms, docids, tfs, norms,
+                             codec_name=codec_name, lineage=lineage)
+        return partition, name, meta
+
+
+#: long-lived writer pools keyed by (index_dir, size) — Solr-core-like
+#: lifecycle; a dead actor drops the pool so the next commit rebuilds it
+_WRITER_POOLS: dict = {}
+
+
+def writer_pool(index_dir: str, size: int = 4) -> list:
+    import ray
+
+    key = (os.path.abspath(index_dir), size)
+    pool = _WRITER_POOLS.get(key)
+    if pool is None:
+        actor = ray.remote(num_cpus=0.5)(TlogPartitionWriter)
+        pool = [actor.remote(index_dir) for _ in range(size)]
+        ray.get([a.ping.remote() for a in pool])  # warm: spinup off the commit path
+        _WRITER_POOLS[key] = pool
+    return pool
+
+
+def _drop_writer_pool(index_dir: str) -> None:
+    for key in [k for k in _WRITER_POOLS if k[0] == os.path.abspath(index_dir)]:
+        del _WRITER_POOLS[key]
+
+
 def _micro_commit(index_dir: str, manifest: dict, tables: list[pa.Table],
-                  max_seq: int) -> dict:
+                  max_seq: int, distributed_writers: bool = False,
+                  pool_size: int = 4) -> dict:
     """In-process micro-batch index append: analyze pending rows, write
     one segment per touched term partition, side-write stored fields,
-    commit a new manifest generation. No Ray pipeline — bounded latency."""
+    commit a new manifest generation. No Ray pipeline — bounded latency.
+    ``distributed_writers=True`` routes each touched partition's segment
+    write to its owning TlogPartitionWriter actor (cluster path); the
+    manifest commit still happens only after every write acks."""
     from lucene_solr_ray.analysis import batch_term_counts
     from lucene_solr_ray.codec.norms import encode_dl
     from lucene_solr_ray.pipelines.build import (
@@ -142,17 +201,44 @@ def _micro_commit(index_dir: str, manifest: dict, tables: list[pa.Table],
     new_segments = []
     if len(terms):
         parts = stable_term_hash(terms) % int(manifest["num_partitions"])
-        for p in np.unique(parts):
-            sel = parts == p
-            name = f"g{gen_next:03d}-tlog{max_seq:06d}"
-            sd = segment_dir(index_dir, int(p), name)
-            meta = write_segment(
-                sd, terms[sel], docids[sel], tfs[sel], norms[sel],
-                codec_name=manifest["codec"],
-                lineage={"tlog_upto": max_seq},
-            )
+        name = f"g{gen_next:03d}-tlog{max_seq:06d}"
+        lineage = {"tlog_upto": max_seq}
+        touched = np.unique(parts)
+        if distributed_writers:
+            import ray
+
+            pool = writer_pool(index_dir, pool_size)
+            futs = []
+            for p in touched:
+                sel = parts == p
+                owner = pool[int(p) % len(pool)]  # stable partition ownership
+                futs.append(owner.write.remote(
+                    int(p), name, terms[sel], docids[sel], tfs[sel],
+                    norms[sel], manifest["codec"], lineage))
+            try:
+                results = ray.get(futs)
+            except ray.exceptions.RayActorError:
+                # a writer died mid-batch: nothing was committed (the
+                # manifest + consumed marker are written only after all
+                # acks), so drop the pool and let the caller replay —
+                # surviving writers' segment dirs are overwritten by the
+                # replay's identical (generation, tlog-seq) names
+                _drop_writer_pool(index_dir)
+                raise
+            metas = [(p_, n_, m) for p_, n_, m in results]
+        else:
+            metas = []
+            for p in touched:
+                sel = parts == p
+                sd = segment_dir(index_dir, int(p), name)
+                meta = write_segment(
+                    sd, terms[sel], docids[sel], tfs[sel], norms[sel],
+                    codec_name=manifest["codec"], lineage=lineage,
+                )
+                metas.append((int(p), name, meta))
+        for p_, n_, meta in metas:
             new_segments.append({
-                "partition": int(p), "name": name,
+                "partition": int(p_), "name": n_,
                 "n_terms": meta["n_terms"], "n_postings": meta["n_postings"],
                 "sum_tf": meta["sum_tf"],
                 "postings_bytes": meta["postings_bytes"],
@@ -202,12 +288,17 @@ def _micro_commit(index_dir: str, manifest: dict, tables: list[pa.Table],
     return new_manifest
 
 
-def soft_commit(index_dir: str) -> dict:
+def soft_commit(index_dir: str, distributed_writers: bool = False,
+                pool_size: int = 4) -> dict:
     """Fold every pending log entry into the index as a new generation
     and mark them consumed. Plain text indexes take the in-process micro
     path; positional / term-vector indexes fall back to
-    build_index(append=True). Returns the new manifest (or the current
-    one when nothing is pending) with metrics.tlog_visible_s set."""
+    build_index(append=True). ``distributed_writers=True`` routes the
+    micro path's per-partition segment writes to partition-owned writer
+    actors (the cluster NRT shape — ingest is no longer a single-process
+    hot spot; the at-least-once marker semantics are identical). Returns
+    the new manifest (or the current one when nothing is pending) with
+    metrics.tlog_visible_s set."""
     from lucene_solr_ray.state.manifest import load_manifest
 
     t0 = time.perf_counter()
@@ -223,7 +314,9 @@ def soft_commit(index_dir: str) -> dict:
         and not manifest.get("positions", False)
         and not manifest.get("term_vectors", False)
     ):
-        out = _micro_commit(index_dir, manifest, tables, max_seq)
+        out = _micro_commit(index_dir, manifest, tables, max_seq,
+                            distributed_writers=distributed_writers,
+                            pool_size=pool_size)
     else:
         import ray.data
 

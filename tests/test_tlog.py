@@ -129,3 +129,60 @@ def test_check_index_tool_after_micro_commits(tlogged):
 
     _, index_dir, _ = tlogged
     assert check_index(index_dir) == []
+
+
+@pytest.fixture()
+def dist_index(ray_session, tmp_path_factory):
+    base = tmp_path_factory.mktemp("tlogdist")
+    corpus = str(base / "c")
+    write_transcripts(corpus, n_convs=40, seed=42)
+    index_dir = str(base / "idx")
+    build_index(corpus, index_dir, num_partitions=4, salt=2)
+    return index_dir
+
+
+def test_distributed_writers_commit(dist_index):
+    """Partition-routed writer actors: soft_commit(distributed) makes
+    the batch searchable with the same manifest/search semantics as the
+    in-process micro path."""
+    index_dir = dist_index
+    tlog.tlog_append(index_dir, _batch([910001, 910002, 910003], "zzzdist"))
+    out = tlog.soft_commit(index_dir, distributed_writers=True, pool_size=2)
+    assert out["metrics"]["tlog_upto"] == 0
+    d, _ = IndexSearcher(index_dir).search(["zzzdist"], k=10)
+    assert len(d) == 3
+    # nothing pending anymore
+    assert tlog.pending_files(index_dir) == []
+
+
+def test_distributed_writer_killed_mid_batch_replays(dist_index):
+    """Kill a writer actor mid-batch: the commit fails BEFORE the
+    manifest/consumed marker are written, the pool is dropped, and a
+    replayed soft_commit succeeds with identical results."""
+    import ray as _ray
+
+    index_dir = dist_index
+    from lucene_solr_ray.state.manifest import load_manifest
+
+    # a first distributed commit creates the long-lived pool
+    tlog.tlog_append(index_dir, _batch([920001], "zzzwarm"))
+    tlog.soft_commit(index_dir, distributed_writers=True, pool_size=2)
+    gen_before = load_manifest(index_dir)["generation"]
+    pool = tlog.writer_pool(index_dir, 2)
+    _ray.kill(pool[0])
+    _ray.kill(pool[1])
+    tlog.tlog_append(index_dir, _batch([920002, 920003], "zzzkill"))
+    with pytest.raises(_ray.exceptions.RayActorError):
+        tlog.soft_commit(index_dir, distributed_writers=True, pool_size=2)
+    # no commit happened: generation unchanged, batch still pending,
+    # nothing searchable
+    assert load_manifest(index_dir)["generation"] == gen_before
+    assert len(tlog.pending_files(index_dir)) == 1
+    d, _ = IndexSearcher(index_dir).search(["zzzkill"], k=10)
+    assert len(d) == 0
+    # replay: the pool was dropped, a fresh one is built, commit succeeds
+    out = tlog.soft_commit(index_dir, distributed_writers=True, pool_size=2)
+    assert out["generation"] == gen_before + 1
+    d, _ = IndexSearcher(index_dir).search(["zzzkill"], k=10)
+    assert len(d) == 2
+    assert tlog.pending_files(index_dir) == []
