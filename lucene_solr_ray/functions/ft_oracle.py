@@ -1559,7 +1559,8 @@ def freshness_boost_sql(raw_terms: list[str], m: float = 1e-6, a: float = 1.0,
             f") ranked WHERE rank < {int(k)} ORDER BY rank")
 
 
-def multifield_dismax_sql(queries=None, n_title: int = 6, k: int = 10) -> str:
+def multifield_dismax_sql(queries=None, n_title: int = 6, k: int = 10,
+                          combine: str = "dismax") -> str:
     """Oracle for fulltext.multifield_dismax_topk -> (query_id, rank,
     doc_id). Two derived fields from the SAME token slice the engine
     indexes: title = stop-filtered first ``n_title`` whitespace tokens
@@ -1641,7 +1642,11 @@ def multifield_dismax_sql(queries=None, n_title: int = 6, k: int = 10) -> str:
             joins += f" JOIN {tf_n} {a} ON {anchor}.doc_id = {a}.doc_id"
         joins += f" JOIN denom_t dn_t ON dn_t.doc_id = {anchor}.doc_id"
         joins += f" JOIN denom_b dn_b ON dn_b.doc_id = {anchor}.doc_id"
-        score = f"GREATEST({field_folds['t']}, {field_folds['b']})"
+        if combine == "sum":
+            # BooleanQuery SHOULD across fields: f32 fold in schema order
+            score = fold_f32([field_folds["t"], field_folds["b"]])
+        else:
+            score = f"GREATEST({field_folds['t']}, {field_folds['b']})"
         cond = " OR ".join(match_conds) if match_conds else "FALSE"
         selects.append(
             f"SELECT '{_esc(qid)}' AS query_id, rank, doc_id FROM ("

@@ -3127,3 +3127,29 @@ def multifield_dismax_topk(sf_dir: str, queries=None, k: int = 10) -> pa.Table:
         "rank": pa.array(ranks, pa.int64()),
         "doc_id": pa.array(doc_ids, pa.int64()),
     })
+
+
+def multifield_sum_topk(sf_dir: str, queries=None, k: int = 10) -> pa.Table:
+    """Fielded BooleanQuery-SHOULD top-k: per-doc score = left-to-right
+    float32 fold of the per-field BM25 scores in schema order
+    ([U] lucene/core/.../search/BooleanQuery.java SHOULD sum across
+    fields). RANK-ONLY output; oracle = multifield_dismax_sql(
+    combine='sum')."""
+    from lucene_solr_ray.pipelines.multifield import (
+        MultiFieldSearcher, multifield_docid_to_doc_id)
+
+    queries = queries or FT_MULTIFIELD_QUERIES
+    index_dir = multifield_docs_index(sf_dir)
+    s = MultiFieldSearcher(index_dir)
+    mapping = multifield_docid_to_doc_id(index_dir)
+    qids, ranks, doc_ids = [], [], []
+    for qid, t_terms, b_terms in queries:
+        d, _sc = s.search_sum({"title": t_terms, "body": b_terms}, k=k)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(len(d)))
+        doc_ids.extend(mapping[d].tolist())
+    return pa.table({
+        "query_id": pa.array(qids, pa.string()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(doc_ids, pa.int64()),
+    })

@@ -1,9 +1,12 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata.
 
-The image/audio decode libraries are not in this container, so the decode
-kernel is STUBBED (NotImplementedError) behind ``decoder="real"``; the
-Ray-side plumbing — binary schema, actor-pool stage, batch sizing,
-output layout — is real and tested with a deterministic fake decoder.
+The image/audio decode libraries are not in this container (re-verified
+round 5: PIL/cv2/ffmpeg/soundfile/librosa/av/imageio all absent), so
+the decode kernel is STUBBED (NotImplementedError) behind
+``decoder="real"``; the Ray-side plumbing — binary schema, actor-pool
+stage, batch sizing, output layout — is real and tested with a
+deterministic fake decoder. Dropping a real library in means replacing
+ONLY the ``decoder="real"`` branch body; every signature/entry stays.
 
 At 100 TB scale the rules encoded here: binary columns stay in
 ``batch_format="pyarrow"`` (no pandas object round-trip), batch_size is
