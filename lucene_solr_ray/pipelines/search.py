@@ -488,9 +488,11 @@ class IndexSearcher:
                 acc[d[i0:i1] - lo] += s[i0:i1]
             else:
                 acc[d] += s
-        cand = self._live(np.flatnonzero(acc > 0) + lo)
-        top = topk_order(cand, acc[cand - lo], k)
-        return cand[top].astype(np.int64), acc[cand - lo][top]
+        idx = np.flatnonzero(acc > 0)
+        cand = self._live(idx + lo if lo else idx)
+        local = cand - lo if lo else cand
+        top = topk_order(cand, acc[local], k)
+        return cand[top].astype(np.int64), acc[local][top]
 
     def _search_and_dense(self, weighted, k: int, docid_range: tuple | None = None):
         lo, hi = docid_range if docid_range is not None else (0, self.n_docs)
