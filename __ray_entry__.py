@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, ("merge", "src3"), k=10),
         "ft_multifield_dismax": lambda sf: ft.multifield_dismax_topk(sf, k=10),
         "ft_multifield_sum": lambda sf: ft.multifield_sum_topk(sf, k=10),
+        "ft_multifield_qf_boost": lambda sf: ft.multifield_qf_boost_topk(sf, k=10),
         "ft_unified_highlight": lambda sf: ft.unified_highlight_topk(
             sf, ["merge", "join", "vector"], k_docs=10),
         "ft_feature_boost_topk": lambda sf: ft.feature_boost_topk(
@@ -778,6 +779,8 @@ def oracle_sql() -> dict[str, str]:
         "ft_combined_field_topk": _ft_oracle().combined_field_sql(("merge", "src3"), k=10),
         "ft_multifield_dismax": _ft_oracle().multifield_dismax_sql(k=10),
         "ft_multifield_sum": _ft_oracle().multifield_dismax_sql(k=10, combine="sum"),
+        "ft_multifield_qf_boost": _ft_oracle().multifield_dismax_sql(
+            k=10, boosts={"title": 0.3, "body": 3.0}),
         "ft_unified_highlight": _ft_oracle().unified_highlight_sql(
             ["merge", "join", "vector"], k_docs=10),
         "ft_feature_boost_topk": _ft_oracle().feature_boost_sql(

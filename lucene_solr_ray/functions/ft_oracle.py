@@ -1560,7 +1560,7 @@ def freshness_boost_sql(raw_terms: list[str], m: float = 1e-6, a: float = 1.0,
 
 
 def multifield_dismax_sql(queries=None, n_title: int = 6, k: int = 10,
-                          combine: str = "dismax") -> str:
+                          combine: str = "dismax", boosts: dict | None = None) -> str:
     """Oracle for fulltext.multifield_dismax_topk -> (query_id, rank,
     doc_id). Two derived fields from the SAME token slice the engine
     indexes: title = stop-filtered first ``n_title`` whitespace tokens
@@ -1642,6 +1642,14 @@ def multifield_dismax_sql(queries=None, n_title: int = 6, k: int = 10,
             joins += f" JOIN {tf_n} {a} ON {anchor}.doc_id = {a}.doc_id"
         joins += f" JOIN denom_t dn_t ON dn_t.doc_id = {anchor}.doc_id"
         joins += f" JOIN denom_b dn_b ON dn_b.doc_id = {anchor}.doc_id"
+        if boosts:
+            # qf boost: f32(boost64 * fold64) per field, same op as the
+            # engine's vector scaling
+            for f in list(field_folds):
+                b = boosts.get({"t": "title", "b": "body"}[f], 1.0)
+                if b != 1.0:
+                    field_folds[f] = (
+                        f"CAST({b!r} * CAST({field_folds[f]} AS DOUBLE) AS FLOAT)")
         if combine == "sum":
             # BooleanQuery SHOULD across fields: f32 fold in schema order
             score = fold_f32([field_folds["t"], field_folds["b"]])

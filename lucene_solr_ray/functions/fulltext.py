@@ -3153,3 +3153,32 @@ def multifield_sum_topk(sf_dir: str, queries=None, k: int = 10) -> pa.Table:
         "rank": pa.array(ranks, pa.int64()),
         "doc_id": pa.array(doc_ids, pa.int64()),
     })
+
+
+def multifield_qf_boost_topk(sf_dir: str, queries=None, k: int = 10,
+                             boosts=None) -> pa.Table:
+    """edismax qf with per-field boosts ([U] solr/core/.../search/
+    ExtendedDismaxQParser.java, qf="title^0.3 body^3"): DisMax over the
+    per-field BM25 scores with each field's score scaled
+    float32(boost64 * score64) before the max. RANK-ONLY output; oracle
+    = multifield_dismax_sql(boosts=...)."""
+    from lucene_solr_ray.pipelines.multifield import (
+        MultiFieldSearcher, multifield_docid_to_doc_id)
+
+    queries = queries or FT_MULTIFIELD_QUERIES
+    boosts = boosts or {"title": 0.3, "body": 3.0}
+    index_dir = multifield_docs_index(sf_dir)
+    s = MultiFieldSearcher(index_dir)
+    mapping = multifield_docid_to_doc_id(index_dir)
+    qids, ranks, doc_ids = [], [], []
+    for qid, t_terms, b_terms in queries:
+        d, _sc = s.search_dismax({"title": t_terms, "body": b_terms}, k=k,
+                                 boosts=boosts)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(len(d)))
+        doc_ids.extend(mapping[d].tolist())
+    return pa.table({
+        "query_id": pa.array(qids, pa.string()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(doc_ids, pa.int64()),
+    })

@@ -136,15 +136,28 @@ class MultiFieldSearcher:
         return union, vecs
 
     def search_dismax(self, field_terms: dict, k: int = 10,
-                      tie_breaker: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+                      tie_breaker: float = 0.0,
+                      boosts: dict | None = None) -> tuple[np.ndarray, np.ndarray]:
         """DisMax across fields: per-doc max of the per-field scores
-        (+ tie_breaker * the rest). -> (docids, float32 scores), rank
-        order (score desc, docid asc)."""
+        (+ tie_breaker * the rest). ``boosts`` maps field -> qf boost
+        ([U] solr/core/.../search/ExtendedDismaxQParser.java qf
+        "title^2 body"): each field's score vector is scaled
+        float32(boost64 * score64) BEFORE the max — Lucene folds query
+        boosts into the term weight; scaling the fold is bit-identical
+        here because each field's fold is a single f32 value per doc.
+        -> (docids, float32 scores), rank order (score desc, docid asc)."""
         from lucene_solr_ray.oracle import topk_order
 
         union, vecs = self._field_scores(field_terms)
         if not len(union):
             return np.empty(0, np.int64), np.empty(0, np.float32)
+        if boosts:
+            names = [n for n in self.manifest["fields"] if n in field_terms]
+            vecs = [
+                (np.float64(boosts.get(n, 1.0)) * v.astype(np.float64)
+                 ).astype(np.float32) if boosts.get(n, 1.0) != 1.0 else v
+                for n, v in zip(names, vecs)
+            ]
         best = vecs[0]
         for v in vecs[1:]:
             best = np.maximum(best, v)  # f32 max: exact, no rounding

@@ -146,3 +146,32 @@ def test_multifield_unknown_field_raises(ray_session, mf_index):
 
     with pytest.raises(ValueError, match="unknown field"):
         MultiFieldSearcher(mf_index).search_dismax({"nope": ["x"]})
+
+
+def test_multifield_qf_boosts_parity_and_discrimination(ray_session, mf_corpus, mf_index):
+    """edismax qf boosts: f32(boost64*score64) per field before the max
+    — parity vs the brute oracle with the same op, and the boosts
+    actually flip rankings vs unboosted DisMax."""
+    from lucene_solr_ray.analysis import tokenize, whitespace_tokenize
+    from lucene_solr_ray.pipelines.multifield import MultiFieldSearcher
+
+    ft = {"title": ["merge", "vector"], "body": ["Merge", "token"]}
+    boosts = {"title": 0.25, "body": 4.0}
+    s = MultiFieldSearcher(mf_index)
+    d, sc = s.search_dismax(ft, k=20, boosts=boosts)
+    d0, _ = s.search_dismax(ft, k=20)
+
+    t = pq.read_table(mf_corpus)
+    s_t, m_t = _brute_field_scores(t.column("title").to_pylist(),
+                                   ft["title"], tokenize, tokenize)
+    s_b, m_b = _brute_field_scores(t.column("body").to_pylist(),
+                                   ft["body"], whitespace_tokenize,
+                                   whitespace_tokenize)
+    s_t = (np.float64(boosts["title"]) * s_t.astype(np.float64)).astype(np.float32)
+    s_b = (np.float64(boosts["body"]) * s_b.astype(np.float64)).astype(np.float32)
+    score = np.maximum(s_t, s_b)
+    docids = np.flatnonzero(m_t | m_b).astype(np.int64)
+    order = np.lexsort((docids, -score[docids].astype(np.float64)))[:20]
+    assert d.tolist() == docids[order].tolist()
+    assert np.array_equal(sc, score[docids][order])
+    assert d.tolist() != d0.tolist()  # the boosts change the ranking
