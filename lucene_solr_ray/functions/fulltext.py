@@ -3182,3 +3182,50 @@ def multifield_qf_boost_topk(sf_dir: str, queries=None, k: int = 10,
         "rank": pa.array(ranks, pa.int64()),
         "doc_id": pa.array(doc_ids, pa.int64()),
     })
+
+
+#: fielded query strings for the parse entry — mixed per-field clauses,
+#: OR connectors, repeated fields
+FT_FIELDED_QUERY_STRINGS = [
+    ("fq1", "title:merge OR body:stream"),
+    ("fq2", "body:dup title:window title:vector"),
+    ("fq3", "title:the body:the body:a"),
+    ("fq4", "body:scan OR body:row OR title:join"),
+]
+
+
+def fielded_queries_as_term_sets():
+    """(qid, title_terms, body_terms) derived from the query STRINGS by
+    the engine's own parser — the oracle generator consumes this, so
+    parser and oracle cannot drift."""
+    from lucene_solr_ray.pipelines.multifield import parse_fielded_query
+
+    out = []
+    for qid, q in FT_FIELDED_QUERY_STRINGS:
+        ft = parse_fielded_query(q, ("title", "body"))
+        out.append((qid, ft.get("title", []), ft.get("body", [])))
+    return out
+
+
+def multifield_fielded_parse_topk(sf_dir: str, k: int = 10) -> pa.Table:
+    """The Missing-#1 user scenario end-to-end: a query STRING with
+    fielded syntax ("title:foo OR body:bar") parsed and executed over
+    the two-field index, each field with its own analyzer/stats.
+    RANK-ONLY output."""
+    from lucene_solr_ray.pipelines.multifield import (
+        MultiFieldSearcher, multifield_docid_to_doc_id)
+
+    index_dir = multifield_docs_index(sf_dir)
+    s = MultiFieldSearcher(index_dir)
+    mapping = multifield_docid_to_doc_id(index_dir)
+    qids, ranks, doc_ids = [], [], []
+    for qid, q in FT_FIELDED_QUERY_STRINGS:
+        d, _sc = s.search_parsed(q, k=k)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(len(d)))
+        doc_ids.extend(mapping[d].tolist())
+    return pa.table({
+        "query_id": pa.array(qids, pa.string()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(doc_ids, pa.int64()),
+    })

@@ -173,6 +173,12 @@ class MultiFieldSearcher:
         top = topk_order(union, score, k)
         return union[top], score[top]
 
+    def search_parsed(self, q: str, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
+        """``title:merge OR body:stream`` -> per-field BM25 SHOULD sum
+        (clauses grouped per field, fields folded in schema order — the
+        pinned accumulation order for the fielded BooleanQuery)."""
+        return self.search_sum(parse_fielded_query(q, self.searchers), k=k)
+
     def search_sum(self, field_terms: dict, k: int = 10) -> tuple[np.ndarray, np.ndarray]:
         """BooleanQuery SHOULD across fields: left-to-right float32 fold
         of the per-field scores in schema order."""
@@ -195,3 +201,22 @@ def multifield_docid_to_doc_id(index_dir: str) -> np.ndarray:
     with open(os.path.join(index_dir, FIELDS_FILENAME)) as fh:
         manifest = json.load(fh)
     return _docid_to_doc_id(os.path.join(index_dir, "fields", manifest["primary"]))
+
+
+def parse_fielded_query(q: str, known_fields) -> dict:
+    """Fielded query-string syntax ([U] lucene/queryparser/.../classic/
+    QueryParser.java field:term atoms): whitespace-separated
+    ``field:term`` clauses, optional OR connectors (BooleanQuery SHOULD
+    — the default operator), grouped per field. Unknown fields and
+    bare terms fail loudly (no catalog guessing)."""
+    out: dict = {}
+    for tok in q.split():
+        if tok.upper() == "OR":
+            continue
+        if ":" not in tok:
+            raise ValueError(f"bare term {tok!r}: fielded syntax requires field:term")
+        field, term = tok.split(":", 1)
+        if field not in known_fields:
+            raise ValueError(f"unknown field {field!r}; have {sorted(known_fields)}")
+        out.setdefault(field, []).append(term)
+    return out

@@ -175,3 +175,20 @@ def test_multifield_qf_boosts_parity_and_discrimination(ray_session, mf_corpus, 
     assert d.tolist() == docids[order].tolist()
     assert np.array_equal(sc, score[docids][order])
     assert d.tolist() != d0.tolist()  # the boosts change the ranking
+
+
+def test_fielded_query_string_parse(ray_session, mf_index):
+    """'title:foo OR body:bar' string syntax == the dict API; bare terms
+    and unknown fields fail loudly."""
+    from lucene_solr_ray.pipelines.multifield import (
+        MultiFieldSearcher, parse_fielded_query)
+
+    s = MultiFieldSearcher(mf_index)
+    d1, sc1 = s.search_parsed("title:merge OR body:Merge body:token", k=15)
+    d2, sc2 = s.search_sum({"title": ["merge"], "body": ["Merge", "token"]}, k=15)
+    assert d1.tolist() == d2.tolist()
+    assert np.array_equal(sc1, sc2)
+    with pytest.raises(ValueError, match="bare term"):
+        parse_fielded_query("merge", ("title", "body"))
+    with pytest.raises(ValueError, match="unknown field"):
+        parse_fielded_query("subject:merge", ("title", "body"))
