@@ -207,6 +207,34 @@ class _PredParser:
                 raise ValueError("expected string literal after LIKE")
             self.i += 1
             return ("atom", (col, "like", _lit(raw)))
+        if kw == "BETWEEN":
+            # sugar for col >= a AND col <= b; the atom consumes ITS
+            # OWN "AND" before the boolean-AND loop resumes
+            self.i += 1
+            kind, raw_lo = self.toks[self.i]
+            if kind not in ("str", "num"):
+                raise ValueError("expected literal after BETWEEN")
+            self.i += 1
+            if self._peek_word() != "AND":
+                raise ValueError("expected AND in BETWEEN")
+            self.i += 1
+            kind, raw_hi = self.toks[self.i]
+            if kind not in ("str", "num"):
+                raise ValueError("expected upper literal in BETWEEN")
+            self.i += 1
+            return ("and", [("atom", (col, ">=", _lit(raw_lo))),
+                            ("atom", (col, "<=", _lit(raw_hi)))])
+        if kw == "IS":
+            self.i += 1
+            neg = False
+            if self._peek_word() == "NOT":
+                neg = True
+                self.i += 1
+            if self._peek_word() != "NULL":
+                raise ValueError("expected NULL after IS [NOT]")
+            self.i += 1
+            node = ("atom", (col, "is_null", None))
+            return ("not", node) if neg else node
         raise ValueError(f"unsupported predicate on {col!r}")
 
 
@@ -511,6 +539,8 @@ def _eval_pred(tree, t: pa.Table):
             return pc.is_in(t.column(col), value_set=pa.array(list(lit)))
         if op == "like":
             return pc.match_like(t.column(col), lit)
+        if op == "is_null":
+            return pc.is_null(t.column(col))
         return _OPS[op](t.column(col), pa.scalar(lit))
     if kind == "not":
         return pc.invert(_eval_pred(tree[1], t))
@@ -979,6 +1009,22 @@ SQL_SCALAR_EXPR_DEMO = (
 )
 
 
+# BETWEEN (sugar for >= AND <=, consumed inside the atom) + NOT
+SQL_BETWEEN_DEMO = (
+    "SELECT o_orderkey, o_custkey FROM orders "
+    "WHERE o_totalprice BETWEEN 200000 AND 250000 "
+    "AND NOT o_orderstatus = 'O' ORDER BY o_orderkey"
+)
+
+# IS NULL against LEFT JOIN misses (the anti-join shape): orderkeys run
+# past the custkey domain, so unmatched orders carry NULL c_mktsegment
+SQL_IS_NULL_DEMO = (
+    "SELECT o.o_orderkey AS ok FROM orders o "
+    "LEFT OUTER JOIN customer c ON o.o_orderkey = c.c_custkey "
+    "WHERE c.c_mktsegment IS NULL AND o.o_totalprice >= 300000 ORDER BY ok"
+)
+
+
 # LIMIT/OFFSET paging (deterministic under the total ORDER BY)
 SQL_OFFSET_DEMO = (
     "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 150000 "
@@ -1033,3 +1079,11 @@ def sql_stream_or_not(sf_dir: str) -> ray.data.Dataset:
 
 def sql_stream_scalar_expr(sf_dir: str) -> ray.data.Dataset:
     return execute(sf_dir, SQL_SCALAR_EXPR_DEMO)
+
+
+def sql_stream_between(sf_dir: str) -> ray.data.Dataset:
+    return execute(sf_dir, SQL_BETWEEN_DEMO)
+
+
+def sql_stream_is_null(sf_dir: str) -> ray.data.Dataset:
+    return execute(sf_dir, SQL_IS_NULL_DEMO)

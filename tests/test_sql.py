@@ -328,3 +328,24 @@ def test_sql_new_unsupported_raises(ray_session, sql):
     with pytest.raises((ValueError, Exception)):
         ds = execute(SF, sql)
         ds.materialize()
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT o_orderkey FROM orders WHERE o_totalprice BETWEEN 200000 AND 250000",
+        # BETWEEN nested in a boolean tree with its own ANDs around it
+        "SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' "
+        "AND (o_custkey BETWEEN 10 AND 40 OR o_custkey BETWEEN 100 AND 120)",
+        "SELECT o_orderkey FROM orders WHERE NOT o_custkey BETWEEN 5 AND 140",
+        # IS NULL on left-join misses (anti-join shape) + IS NOT NULL
+        "SELECT o.o_orderkey AS ok FROM orders o "
+        "LEFT OUTER JOIN customer c ON o.o_orderkey = c.c_custkey "
+        "WHERE c.c_mktsegment IS NULL",
+        "SELECT o.o_orderkey AS ok, c.c_mktsegment AS seg FROM orders o "
+        "LEFT OUTER JOIN customer c ON o.o_orderkey = c.c_custkey "
+        "WHERE c.c_mktsegment IS NOT NULL",
+    ],
+)
+def test_sql_between_is_null_matches_duckdb(ray_session, sql):
+    _check(sql)
