@@ -1560,7 +1560,8 @@ def freshness_boost_sql(raw_terms: list[str], m: float = 1e-6, a: float = 1.0,
 
 
 def multifield_dismax_sql(queries=None, n_title: int = 6, k: int = 10,
-                          combine: str = "dismax", boosts: dict | None = None) -> str:
+                          combine: str = "dismax", boosts: dict | None = None,
+                          tie_breaker: float = 0.0) -> str:
     """Oracle for fulltext.multifield_dismax_topk -> (query_id, rank,
     doc_id). Two derived fields from the SAME token slice the engine
     indexes: title = stop-filtered first ``n_title`` whitespace tokens
@@ -1653,6 +1654,15 @@ def multifield_dismax_sql(queries=None, n_title: int = 6, k: int = 10,
         if combine == "sum":
             # BooleanQuery SHOULD across fields: f32 fold in schema order
             score = fold_f32([field_folds["t"], field_folds["b"]])
+        elif tie_breaker:
+            # DisjunctionMaxQuery tie: f32(max64 + tie*(total64 - max64)),
+            # the engine's exact float64 op tree (two-field total is one
+            # f64 add — exact)
+            st, sb = field_folds["t"], field_folds["b"]
+            score = (
+                f"CAST(CAST(GREATEST({st}, {sb}) AS DOUBLE) + {tie_breaker!r}*"
+                f"((CAST({st} AS DOUBLE) + CAST({sb} AS DOUBLE)) - "
+                f"CAST(GREATEST({st}, {sb}) AS DOUBLE)) AS FLOAT)")
         else:
             score = f"GREATEST({field_folds['t']}, {field_folds['b']})"
         cond = " OR ".join(match_conds) if match_conds else "FALSE"

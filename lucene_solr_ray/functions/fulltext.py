@@ -3229,3 +3229,30 @@ def multifield_fielded_parse_topk(sf_dir: str, k: int = 10) -> pa.Table:
         "rank": pa.array(ranks, pa.int64()),
         "doc_id": pa.array(doc_ids, pa.int64()),
     })
+
+
+def multifield_dismax_tie_topk(sf_dir: str, queries=None, k: int = 10,
+                               tie_breaker: float = 0.3) -> pa.Table:
+    """DisMax with a tie_breaker ([U] lucene/core/.../search/
+    DisjunctionMaxQuery.java tieBreakerMultiplier): docs matching BOTH
+    fields add tie * the losing field's score — f32(max64 +
+    tie*(total64 - max64)). RANK-ONLY output."""
+    from lucene_solr_ray.pipelines.multifield import (
+        MultiFieldSearcher, multifield_docid_to_doc_id)
+
+    queries = queries or FT_MULTIFIELD_QUERIES
+    index_dir = multifield_docs_index(sf_dir)
+    s = MultiFieldSearcher(index_dir)
+    mapping = multifield_docid_to_doc_id(index_dir)
+    qids, ranks, doc_ids = [], [], []
+    for qid, t_terms, b_terms in queries:
+        d, _sc = s.search_dismax({"title": t_terms, "body": b_terms}, k=k,
+                                 tie_breaker=tie_breaker)
+        qids.extend([qid] * len(d))
+        ranks.extend(range(len(d)))
+        doc_ids.extend(mapping[d].tolist())
+    return pa.table({
+        "query_id": pa.array(qids, pa.string()),
+        "rank": pa.array(ranks, pa.int64()),
+        "doc_id": pa.array(doc_ids, pa.int64()),
+    })
