@@ -220,3 +220,33 @@ def parse_fielded_query(q: str, known_fields) -> dict:
             raise ValueError(f"unknown field {field!r}; have {sorted(known_fields)}")
         out.setdefault(field, []).append(term)
     return out
+
+
+def multifield_delete_docs(index_dir: str, docids) -> dict:
+    """Delete docs from EVERY field sub-index ([U] lucene/core/.../index/
+    IndexWriter.deleteDocuments applies to the whole document, not one
+    field): docids are shared across fields by construction, so the same
+    tombstone set commits to each sub-manifest. Returns {field: delete
+    manifest}. A searcher opened after this sees the doc in NO field."""
+    from lucene_solr_ray.pipelines.deletes import delete_docs
+
+    with open(os.path.join(index_dir, FIELDS_FILENAME)) as fh:
+        manifest = json.load(fh)
+    return {
+        name: delete_docs(os.path.join(index_dir, "fields", name), docids)
+        for name in manifest["fields"]
+    }
+
+
+def multifield_merge_round(index_dir: str, **kwargs) -> dict:
+    """One TieredMergePolicy round per field sub-index (each field's
+    segment geometry is independent, exactly per-field Lucene codecs).
+    Returns {field: merge result}."""
+    from lucene_solr_ray.pipelines.merge import run_merge_round
+
+    with open(os.path.join(index_dir, FIELDS_FILENAME)) as fh:
+        manifest = json.load(fh)
+    return {
+        name: run_merge_round(os.path.join(index_dir, "fields", name), **kwargs)
+        for name in manifest["fields"]
+    }

@@ -192,3 +192,42 @@ def test_fielded_query_string_parse(ray_session, mf_index):
         parse_fielded_query("merge", ("title", "body"))
     with pytest.raises(ValueError, match="unknown field"):
         parse_fielded_query("subject:merge", ("title", "body"))
+
+
+def test_multifield_delete_and_merge(ray_session, mf_corpus, tmp_path_factory):
+    """Deletes tombstone the doc in EVERY field sub-index (it vanishes
+    from fielded results even when only one field matched it), and a
+    per-field merge round preserves parity."""
+    from lucene_solr_ray.pipelines.multifield import (
+        MultiFieldSearcher, build_multifield_index, multifield_delete_docs,
+        multifield_merge_round)
+
+    index_dir = str(tmp_path_factory.mktemp("mfdel"))
+    build_multifield_index(
+        mf_corpus, index_dir,
+        fields={"title": {"column": "title", "analyzer": "standard"},
+                "body": {"column": "body", "analyzer": "whitespace"}},
+        num_partitions=4, salt=2,
+    )
+    ft = {"title": ["merge", "index"], "body": ["token", "Stream"]}
+    s0 = MultiFieldSearcher(index_dir)
+    d0, sc0 = s0.search_dismax(ft, k=30)
+    assert len(d0) >= 3
+    victims = d0[:2].tolist()
+    res = multifield_delete_docs(index_dir, victims)
+    assert set(res) == {"title", "body"}
+    s1 = MultiFieldSearcher(index_dir)
+    d1, sc1 = s1.search_dismax(ft, k=30)
+    assert set(victims).isdisjoint(d1.tolist())
+    # survivors keep their exact scores (deletes don't change stats)
+    # (the post-delete top-30 backfills docs from beyond the original
+    # top-30, so only the surviving prefix is comparable)
+    keep = [i for i, d in enumerate(d0.tolist()) if d not in victims]
+    assert d1.tolist()[:len(keep)] == [d0[i] for i in keep]
+    assert np.array_equal(sc1[:len(keep)], sc0[keep])
+    # merge every field, re-check identical post-delete results
+    multifield_merge_round(index_dir, segs_per_tier=1, max_merge_at_once=8)
+    s2 = MultiFieldSearcher(index_dir)
+    d2, sc2 = s2.search_dismax(ft, k=30)
+    assert d2.tolist() == d1.tolist()
+    assert np.array_equal(sc2, sc1)
