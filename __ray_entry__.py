@@ -491,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_polygon_holes_docs": geo.geo_polygon_holes_docs,
         "shape_bbox_relation": geo.shape_bbox_relation,
         "shape_polygon_relation": geo.shape_polygon_relation,
+        "shape_triangle_relation": geo.shape_triangle_relation,
         "geo_heatmap": geo.geo_heatmap,
         "point_bbox_docs": lambda sf: geo.point_bbox_query(sf, (-30.0, 40.0, -100.0, 50.0)),
         "expression_sort": expr.expression_sort,
@@ -2944,6 +2945,9 @@ def oracle_sql() -> dict[str, str]:
         "shape_polygon_relation": __import__(
             "lucene_solr_ray.functions.geo", fromlist=["shape_polygon_relation_sql"]
         ).shape_polygon_relation_sql(),
+        "shape_triangle_relation": __import__(
+            "lucene_solr_ray.functions.geo", fromlist=["shape_triangle_relation_sql"]
+        ).shape_triangle_relation_sql(),
         "geo_nearest_topk": (
             "WITH g AS (SELECT c_custkey, "
             "CAST(((c_custkey * 37) % 180) AS DOUBLE) - 90 + 0.5 AS lat, "

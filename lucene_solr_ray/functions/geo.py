@@ -665,3 +665,160 @@ def shape_polygon_relation_sql(poly=CONCAVE_POLY) -> str:
         "THEN 'WITHIN' ELSE 'DISJOINT' END AS relation "
         "FROM g ORDER BY c_custkey"
     )
+
+
+def shape_triangle_relation(sf_dir: str, poly=CONCAVE_POLY) -> ray.data.Dataset:
+    """Triangle-vs-polygon relate — the ACTUAL LatLonShape primitive:
+    [U] lucene/core/.../document/LatLonShape.java tessellates every
+    indexed shape into TRIANGLES and the query relates each triangle
+    (Component2D.relateTriangle). Each customer carries a derived
+    triangle v0=(py,px), v1=(py+4,px+6), v2=(py-3,px+8) on the doubled
+    integer grid; the query is a simple polygon (concave allowed).
+
+    Exact decision, all int64:
+      INTERSECTS iff any triangle edge meets any polygon edge —
+                 boundary-inclusive segment-segment test: proper
+                 crossing by the four orientation signs, plus the four
+                 collinear-endpoint-on-segment touch cases — OR the
+                 polygon's first vertex lies inside the triangle (the
+                 doc-contains-query case: still INTERSECTS, the doc is
+                 not WITHIN).
+      otherwise  no boundary contact: WITHIN if v0 is inside the
+                 polygon by even-odd ray crossing, else DISJOINT.
+    One stateless vectorized pass: 3 x n_poly_edges fused edge-pair
+    tests per batch, zero shuffle."""
+    verts = _poly_int_verts(poly)
+    n = len(verts)
+
+    def fn(t: pa.Table) -> pa.Table:
+        key = t.column("c_custkey").to_numpy().astype(np.int64)
+        py = ((key * 37) % 180) * 2 - 179
+        px = ((key * 73) % 360) * 2 - 359
+        tri = [(py, px), (py + 4, px + 6), (py - 3, px + 8)]
+        m = len(key)
+        intersects = np.zeros(m, dtype=bool)
+
+        def orient(ay, ax, by, bx, cy, cx):
+            return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+        for e in range(3):
+            (a_y, a_x), (b_y, b_x) = tri[e], tri[(e + 1) % 3]
+            for j in range(n):
+                (y3, x3), (y4, x4) = verts[j], verts[(j + 1) % n]
+                d1 = orient(y3, x3, y4, x4, a_y, a_x)
+                d2 = orient(y3, x3, y4, x4, b_y, b_x)
+                d3 = orient(a_y, a_x, b_y, b_x,
+                            np.full(m, y3), np.full(m, x3))
+                d4 = orient(a_y, a_x, b_y, b_x,
+                            np.full(m, y4), np.full(m, x4))
+                proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & \
+                         (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+                on34_a = (d1 == 0) & (a_x >= min(x3, x4)) & (a_x <= max(x3, x4)) \
+                    & (a_y >= min(y3, y4)) & (a_y <= max(y3, y4))
+                on34_b = (d2 == 0) & (b_x >= min(x3, x4)) & (b_x <= max(x3, x4)) \
+                    & (b_y >= min(y3, y4)) & (b_y <= max(y3, y4))
+                on12_3 = (d3 == 0) & (x3 >= np.minimum(a_x, b_x)) & (x3 <= np.maximum(a_x, b_x)) \
+                    & (y3 >= np.minimum(a_y, b_y)) & (y3 <= np.maximum(a_y, b_y))
+                on12_4 = (d4 == 0) & (x4 >= np.minimum(a_x, b_x)) & (x4 <= np.maximum(a_x, b_x)) \
+                    & (y4 >= np.minimum(a_y, b_y)) & (y4 <= np.maximum(a_y, b_y))
+                intersects |= proper | on34_a | on34_b | on12_3 | on12_4
+
+        # doc-contains-query: polygon's first vertex strictly inside the
+        # triangle (consistent strict orientation vs all three edges)
+        qy, qx = verts[0]
+        s1 = orient(tri[0][0], tri[0][1], tri[1][0], tri[1][1],
+                    np.full(m, qy), np.full(m, qx))
+        s2 = orient(tri[1][0], tri[1][1], tri[2][0], tri[2][1],
+                    np.full(m, qy), np.full(m, qx))
+        s3 = orient(tri[2][0], tri[2][1], tri[0][0], tri[0][1],
+                    np.full(m, qy), np.full(m, qx))
+        intersects |= ((s1 > 0) & (s2 > 0) & (s3 > 0)) | \
+                      ((s1 < 0) & (s2 < 0) & (s3 < 0))
+
+        inside = np.zeros(m, dtype=bool)
+        for i in range(n):
+            (y1, x1), (y2, x2) = verts[i], verts[(i + 1) % n]
+            if y1 == y2:
+                continue
+            straddle = (y1 > py) != (y2 > py)
+            lhs = (py - y1) * (x2 - x1) - (px - x1) * (y2 - y1)
+            inside ^= straddle & ((lhs > 0) if y2 > y1 else (lhs < 0))
+        rel = np.where(intersects, "INTERSECTS",
+                       np.where(inside, "WITHIN", "DISJOINT"))
+        return pa.table({
+            "c_custkey": pa.array(key),
+            "relation": pa.array(rel.astype(object), pa.string()),
+        })
+
+    return (
+        read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .map_batches(fn, batch_format="pyarrow")
+        .sort("c_custkey")
+    )
+
+
+#: triangle vertex offsets on the doubled grid: v_i = (py+dy_i, px+dx_i)
+TRI_OFFSETS = ((0, 0), (4, 6), (-3, 8))
+
+
+def shape_triangle_relation_sql(poly=CONCAVE_POLY) -> str:
+    """DuckDB oracle for shape_triangle_relation: the IDENTICAL
+    edge-pair orientation tests, collinear-touch cases, vertex-in-
+    triangle signs and even-odd crossing, unrolled per (triangle edge x
+    polygon edge) from the same vertex/offset lists."""
+    verts = _poly_int_verts(poly)
+    n = len(verts)
+    inter_terms = []
+    for e in range(3):
+        (ady, adx), (bdy, bdx) = TRI_OFFSETS[e], TRI_OFFSETS[(e + 1) % 3]
+        ay, ax = f"(py+({ady}))", f"(px+({adx}))"
+        by, bx = f"(py+({bdy}))", f"(px+({bdx}))"
+        dxe, dye = bdx - adx, bdy - ady  # constant edge deltas
+        for j in range(n):
+            (y3, x3), (y4, x4) = verts[j], verts[(j + 1) % n]
+            d1 = f"(({x4}-({x3}))*({ay}-({y3})) - ({y4}-({y3}))*({ax}-({x3})))"
+            d2 = f"(({x4}-({x3}))*({by}-({y3})) - ({y4}-({y3}))*({bx}-({x3})))"
+            d3 = f"(({dxe})*(({y3})-{ay}) - ({dye})*(({x3})-{ax}))"
+            d4 = f"(({dxe})*(({y4})-{ay}) - ({dye})*(({x4})-{ax}))"
+            proper = (f"((({d1} > 0 AND {d2} < 0) OR ({d1} < 0 AND {d2} > 0)) AND "
+                      f"(({d3} > 0 AND {d4} < 0) OR ({d3} < 0 AND {d4} > 0)))")
+            on34_a = (f"({d1} = 0 AND {ax} BETWEEN {min(x3, x4)} AND {max(x3, x4)} "
+                      f"AND {ay} BETWEEN {min(y3, y4)} AND {max(y3, y4)})")
+            on34_b = (f"({d2} = 0 AND {bx} BETWEEN {min(x3, x4)} AND {max(x3, x4)} "
+                      f"AND {by} BETWEEN {min(y3, y4)} AND {max(y3, y4)})")
+            lo_x, hi_x = f"(px+({min(adx, bdx)}))", f"(px+({max(adx, bdx)}))"
+            lo_y, hi_y = f"(py+({min(ady, bdy)}))", f"(py+({max(ady, bdy)}))"
+            on12_3 = (f"({d3} = 0 AND {x3} BETWEEN {lo_x} AND {hi_x} "
+                      f"AND {y3} BETWEEN {lo_y} AND {hi_y})")
+            on12_4 = (f"({d4} = 0 AND {x4} BETWEEN {lo_x} AND {hi_x} "
+                      f"AND {y4} BETWEEN {lo_y} AND {hi_y})")
+            inter_terms.append(
+                f"({proper} OR {on34_a} OR {on34_b} OR {on12_3} OR {on12_4})")
+    qy, qx = verts[0]
+    signs = []
+    for e in range(3):
+        (ady, adx), (bdy, bdx) = TRI_OFFSETS[e], TRI_OFFSETS[(e + 1) % 3]
+        dxe, dye = bdx - adx, bdy - ady
+        signs.append(f"(({dxe})*(({qy})-(py+({ady}))) - ({dye})*(({qx})-(px+({adx}))))")
+    contains_q = ("((" + " AND ".join(f"{s} > 0" for s in signs) + ") OR ("
+                  + " AND ".join(f"{s} < 0" for s in signs) + "))")
+    inter_terms.append(contains_q)
+    cross_terms = []
+    for i in range(n):
+        (y1, x1), (y2, x2) = verts[i], verts[(i + 1) % n]
+        if y1 == y2:
+            continue
+        op = ">" if y2 > y1 else "<"
+        cross_terms.append(
+            f"CASE WHEN (({y1} > py) <> ({y2} > py)) AND "
+            f"((py-({y1}))*({x2}-({x1})) - (px-({x1}))*({y2}-({y1})) {op} 0) "
+            f"THEN 1 ELSE 0 END")
+    return (
+        "WITH g AS (SELECT c_custkey, "
+        "CAST((c_custkey * 37) % 180 AS BIGINT) * 2 - 179 AS py, "
+        "CAST((c_custkey * 73) % 360 AS BIGINT) * 2 - 359 AS px FROM customer) "
+        "SELECT c_custkey, CASE WHEN (" + " OR ".join(inter_terms) + ") "
+        "THEN 'INTERSECTS' WHEN ((" + " + ".join(cross_terms) + ") % 2 = 1) "
+        "THEN 'WITHIN' ELSE 'DISJOINT' END AS relation "
+        "FROM g ORDER BY c_custkey"
+    )

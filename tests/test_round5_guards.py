@@ -116,3 +116,20 @@ def test_ws_token_counts_gate_corpus_parity(ray_session):
     got = ws_token_counts(t.column("text"))
     want = [len((s or "").split()) for s in t.column("text").to_pylist()]
     assert got.tolist() == want
+
+
+def test_shape_triangle_relation_all_classes(ray_session):
+    """Triangle-vs-polygon relate (the LatLonShape tessellation
+    primitive): all three classes occur and the unrolled edge-pair SQL
+    agrees with the engine."""
+    import duckdb
+
+    from lucene_solr_ray.functions import geo
+
+    mine = geo.shape_triangle_relation(SF).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW customer AS SELECT * FROM '{SF}/customer.parquet'")
+    want = con.sql(geo.shape_triangle_relation_sql()).df()
+    assert set(mine["relation"]) == {"WITHIN", "INTERSECTS", "DISJOINT"}
+    assert (mine["c_custkey"].to_numpy() == want["c_custkey"].to_numpy()).all()
+    assert (mine["relation"].to_numpy() == want["relation"].to_numpy()).all()
