@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_stream_scalar_expr": sqlmod.sql_stream_scalar_expr,
         "sql_stream_between": sqlmod.sql_stream_between,
         "sql_stream_is_null": sqlmod.sql_stream_is_null,
+        "sql_stream_agg_expr": sqlmod.sql_stream_agg_expr,
         "gather_nodes": graph.gather_nodes,
         "score_nodes": graph.score_nodes,
         "shortest_path": graph.shortest_path_pairs,
@@ -2879,6 +2880,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_stream_scalar_expr": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_SCALAR_EXPR_DEMO"]).SQL_SCALAR_EXPR_DEMO,
         "sql_stream_between": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_BETWEEN_DEMO"]).SQL_BETWEEN_DEMO,
         "sql_stream_is_null": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_IS_NULL_DEMO"]).SQL_IS_NULL_DEMO,
+        "sql_stream_agg_expr": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_AGG_EXPR_DEMO"]).SQL_AGG_EXPR_DEMO,
         "geo_bbox_dist": (
             # identical coordinate derivation + haversine as geo.py
             "WITH g AS (SELECT c_custkey, "

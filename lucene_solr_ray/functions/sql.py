@@ -316,6 +316,28 @@ class _ScalarParser:
         if re.fullmatch(r"\d+", t):
             return ("int", int(t))
         if re.fullmatch(r"\w+(?:\.\w+)?", t):
+            # aggregate-call leaf: SUM(col)/COUNT(*)/MIN/MAX — evaluated
+            # over hidden aggregate columns post-groupby (int-only; AVG
+            # is DOUBLE and would break the int exactness contract)
+            if self.i < len(self.toks) and self.toks[self.i] == "(":
+                fn = t.lower()
+                if fn not in ("count", "sum", "min", "max"):
+                    raise ValueError(
+                        f"unsupported function {t!r} in scalar expression")
+                self.i += 1
+                arg = self.toks[self.i]
+                if arg == "*":
+                    if fn != "count":
+                        raise ValueError(f"{fn}(*) is not supported")
+                    self.i += 1
+                elif re.fullmatch(r"\w+(?:\.\w+)?", arg):
+                    self.i += 1
+                else:
+                    raise ValueError(f"bad aggregate argument {arg!r}")
+                if self.i >= len(self.toks) or self.toks[self.i] != ")":
+                    raise ValueError("unbalanced parens in aggregate call")
+                self.i += 1
+                return ("agg", fn, arg)
             return ("col", t)
         raise ValueError(f"unexpected token {t!r} in scalar expression")
 
@@ -323,9 +345,43 @@ class _ScalarParser:
 def _scalar_cols(node) -> set:
     if node[0] == "col":
         return {node[1]}
+    if node[0] == "agg":
+        return {node[2]} if node[2] != "*" else set()
     if node[0] == "bin":
         return _scalar_cols(node[2]) | _scalar_cols(node[3])
     return set()
+
+
+def _scalar_agg_leaves(node) -> list:
+    """Distinct (fn, arg) aggregate leaves of a scalar AST, in-order."""
+    out: list = []
+    if node[0] == "agg":
+        out.append((node[1], node[2]))
+    elif node[0] == "bin":
+        for sub in (node[2], node[3]):
+            for leaf in _scalar_agg_leaves(sub):
+                if leaf not in out:
+                    out.append(leaf)
+    return out
+
+
+def _scalar_col_leaves(node) -> set:
+    if node[0] == "col":
+        return {node[1]}
+    if node[0] == "bin":
+        return _scalar_col_leaves(node[2]) | _scalar_col_leaves(node[3])
+    return set()
+
+
+def _rewrite_agg_leaves(node, name_of: dict):
+    """Replace agg leaves with ('col', hidden-column-name) for post-
+    aggregation evaluation."""
+    if node[0] == "agg":
+        return ("col", name_of[(node[1], node[2])])
+    if node[0] == "bin":
+        return ("bin", node[1], _rewrite_agg_leaves(node[2], name_of),
+                _rewrite_agg_leaves(node[3], name_of))
+    return node
 
 
 def _eval_scalar(node, t: pa.Table):
@@ -407,7 +463,13 @@ def parse_select(sql: str) -> dict:
             if alias is None:
                 raise ValueError(
                     f"scalar select expressions require an AS alias: {raw!r}")
-            plan["items"].append(("expr", node, None, alias))
+            agg_leaves = _scalar_agg_leaves(node)
+            if agg_leaves and _scalar_col_leaves(node):
+                raise ValueError(
+                    f"cannot mix aggregate and bare-column leaves in one "
+                    f"scalar expression: {raw!r}")
+            plan["items"].append(("expr", node, "agg" if agg_leaves else None,
+                                  alias))
 
     if m.group("where"):
         plan["where"] = parse_where(m.group("where"))
@@ -472,16 +534,17 @@ def _default_agg_alias(fn: str, arg: str) -> str:
 
 
 def _validate(plan: dict) -> None:
-    has_agg = any(it[0] == "agg" for it in plan["items"])
+    has_agg = any(it[0] == "agg" or (it[0] == "expr" and it[2] == "agg")
+                  for it in plan["items"])
     group_bare = [g.split(".")[-1] for g in plan["group"]]
     if has_agg:
         non_group = [it for it in plan["items"]
                      if it[0] == "col" and it[1].split(".")[-1] not in group_bare]
         if non_group:
             raise ValueError(f"non-grouped column(s) with aggregates: {non_group}")
-        if any(it[0] == "expr" for it in plan["items"]):
+        if any(it[0] == "expr" and it[2] is None for it in plan["items"]):
             raise ValueError(
-                "scalar expressions alongside aggregates are unsupported")
+                "bare-column scalar expressions alongside aggregates are unsupported")
     elif plan["group"]:
         raise ValueError("GROUP BY without aggregates is unsupported")
     if plan["having"] and not has_agg:
@@ -709,7 +772,8 @@ def _execute_plan(sf_dir: str, plan: dict) -> ray.data.Dataset:
 
     group_bare = [bare(g) for g in plan["group"]]
     aggs = [it for it in plan["items"] if it[0] == "agg"]
-    if aggs:
+    agg_exprs = [it for it in plan["items"] if it[0] == "expr" and it[2] == "agg"]
+    if aggs or agg_exprs:
         # COUNT(*) counts rows: bind it to a concrete column with
         # ignore_nulls=False (Count with on=None returns 0 in the global
         # aggregate path of Ray 2.49). Under a left join the left key is
@@ -750,6 +814,16 @@ def _execute_plan(sf_dir: str, plan: dict) -> ray.data.Dataset:
             specs.append(Sum(bare(arg), alias_name=f"__avs{i}"))
             specs.append(Count(on=bare(arg), ignore_nulls=True,
                                alias_name=f"__avc{i}"))
+        # aggregate leaves of scalar-over-aggregate items: one hidden
+        # spec per distinct (fn, arg), shared across expressions
+        xleaf_name: dict = {}
+        for _, node, _, _alias in agg_exprs:
+            for fn, arg in _scalar_agg_leaves(node):
+                key = (fn, "*" if arg == "*" else bare(arg))
+                if key not in xleaf_name:
+                    name_ = f"__xe{len(xleaf_name)}"
+                    xleaf_name[key] = name_
+                    specs.append(_spec(fn, arg, name_))
         # resolve HAVING operands: a SELECT-agg alias, a matching SELECT
         # aggregate, or a HIDDEN aggregate computed alongside (SQL allows
         # HAVING on aggregates absent from the SELECT list) and dropped
@@ -862,6 +936,20 @@ def _execute_plan(sf_dir: str, plan: dict) -> ray.data.Dataset:
                     [f"__av{sc}{i}" for i, _ in av for sc in ("s", "c")])
 
             ds = ds.map_batches(compute_avgs, batch_format="pyarrow")
+        if agg_exprs:
+            def compute_agg_exprs(t: pa.Table, items=tuple(agg_exprs),
+                                  names=dict(xleaf_name)) -> pa.Table:
+                by_norm = {k: v for k, v in names.items()}
+                for _, node, _, alias in items:
+                    rw = _rewrite_agg_leaves(
+                        node,
+                        {(fn, arg): by_norm[(fn, "*" if arg == "*" else arg.split(".")[-1])]
+                         for fn, arg in _scalar_agg_leaves(node)})
+                    t = t.append_column(alias,
+                                        pa.array(_eval_scalar(rw, t), pa.int64()))
+                return t.drop_columns(list(names.values()))
+
+            ds = ds.map_batches(compute_agg_exprs, batch_format="pyarrow")
         if hpreds:
             ds = ds.map_batches(_filter_stage(hpreds), batch_format="pyarrow")
         if hidden:
@@ -1025,6 +1113,16 @@ SQL_IS_NULL_DEMO = (
 )
 
 
+# scalar arithmetic OVER aggregates: each distinct agg leaf becomes one
+# hidden spec through the shuffle, the int expression evaluates
+# group-side after the combine
+SQL_AGG_EXPR_DEMO = (
+    "SELECT o_orderstatus, SUM(o_custkey) * 2 - COUNT(*) AS xval, "
+    "(MAX(o_orderkey) - MIN(o_orderkey)) % 97 AS rng97 "
+    "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+)
+
+
 # LIMIT/OFFSET paging (deterministic under the total ORDER BY)
 SQL_OFFSET_DEMO = (
     "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 150000 "
@@ -1087,3 +1185,7 @@ def sql_stream_between(sf_dir: str) -> ray.data.Dataset:
 
 def sql_stream_is_null(sf_dir: str) -> ray.data.Dataset:
     return execute(sf_dir, SQL_IS_NULL_DEMO)
+
+
+def sql_stream_agg_expr(sf_dir: str) -> ray.data.Dataset:
+    return execute(sf_dir, SQL_AGG_EXPR_DEMO)

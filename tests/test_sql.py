@@ -349,3 +349,39 @@ def test_sql_new_unsupported_raises(ray_session, sql):
 )
 def test_sql_between_is_null_matches_duckdb(ray_session, sql):
     _check(sql)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT o_orderstatus, SUM(o_custkey) * 2 - COUNT(*) AS xval, "
+        "MAX(o_orderkey) % 97 AS mk FROM orders GROUP BY o_orderstatus",
+        # global (single-row) aggregate expression
+        "SELECT SUM(o_custkey) - MIN(o_custkey) AS spread FROM orders",
+        # shared leaves across expressions + HAVING alongside
+        "SELECT o_orderstatus, (MAX(o_orderkey) - MIN(o_orderkey)) + COUNT(*) AS rng, "
+        "COUNT(*) AS n FROM orders GROUP BY o_orderstatus HAVING COUNT(*) > 100",
+        # under a join with qualified args
+        "SELECT c.c_mktsegment AS seg, SUM(o.o_orderkey) % 1000 AS sm FROM orders o "
+        "INNER JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment",
+    ],
+)
+def test_sql_agg_expr_matches_duckdb(ray_session, sql):
+    _check(sql)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # mixing agg and bare-column leaves in one expression
+        "SELECT o_orderstatus, SUM(o_custkey) - o_orderkey AS x FROM orders "
+        "GROUP BY o_orderstatus",
+        # AVG inside a scalar expression (DOUBLE, breaks int contract)
+        "SELECT AVG(o_custkey) * 2 AS a FROM orders",
+    ],
+)
+def test_sql_agg_expr_unsupported_raises(ray_session, sql):
+    from lucene_solr_ray.functions.sql import parse_select
+
+    with pytest.raises(ValueError):
+        parse_select(sql)
