@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ft_multifield_qf_boost": lambda sf: ft.multifield_qf_boost_topk(sf, k=10),
         "ft_multifield_fielded_parse": lambda sf: ft.multifield_fielded_parse_topk(sf, k=10),
         "ft_multifield_dismax_tie": lambda sf: ft.multifield_dismax_tie_topk(sf, k=10),
+        "ft_multifield_title_phrase": lambda sf: ft.multifield_title_phrase_topk(sf, k=10),
         "ft_unified_highlight": lambda sf: ft.unified_highlight_topk(
             sf, ["merge", "join", "vector"], k_docs=10),
         "ft_feature_boost_topk": lambda sf: ft.feature_boost_topk(
@@ -794,6 +795,8 @@ def oracle_sql() -> dict[str, str]:
             k=10, combine="sum"),
         "ft_multifield_dismax_tie": _ft_oracle().multifield_dismax_sql(
             k=10, tie_breaker=0.3),
+        "ft_multifield_title_phrase": _ft_oracle().multifield_title_phrase_sql(
+            ("spark", "table"), k=10),
         "ft_unified_highlight": _ft_oracle().unified_highlight_sql(
             ["merge", "join", "vector"], k_docs=10),
         "ft_feature_boost_topk": _ft_oracle().feature_boost_sql(

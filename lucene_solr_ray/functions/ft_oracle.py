@@ -1677,3 +1677,55 @@ def multifield_dismax_sql(queries=None, n_title: int = 6, k: int = 10,
     return ("WITH " + ", ".join(ctes) + " "
             + " UNION ALL ".join(f"({s})" for s in selects)
             + " ORDER BY query_id, rank")
+
+
+def multifield_title_phrase_sql(phrase=("spark", "table"), n_title: int = 6,
+                                k: int = 10) -> str:
+    """Oracle for fulltext.multifield_title_phrase_topk: phrase tf =
+    non-overlapping adjacent occurrences within the derived title slice
+    (StopFilter position gaps == textual adjacency, the proven corpus
+    convention), scored with the TITLE FIELD's own dl/df/denominator
+    CTEs; weight = float32 sum of member idfs in phrase order."""
+    pat = "\\b" + "\\s+".join(_esc(t) for t in phrase) + "\\b"
+    ctes = [
+        "toks0 AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] ELSE "
+        "regexp_split_to_array(trim(text), '\\s+') END AS tk0 FROM documents)",
+        f"ttoks AS (SELECT doc_id, list_filter(tk0[1:{n_title}], "
+        f"x -> NOT list_contains({_STOP}, x)) AS tk FROM toks0)",
+        f"tstr AS (SELECT doc_id, array_to_string(tk0[1:{n_title}], ' ') AS ts "
+        "FROM toks0)",
+        f"reps(v) AS (VALUES {_REPS})",
+        "dltab_t AS (SELECT doc_id, len(tk) AS dl FROM ttoks)",
+        "stats_t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+        "CAST(SUM(dl) AS DOUBLE) AS sum_dl FROM dltab_t)",
+        f"denom_t AS (SELECT d.doc_id, {K1!r}*(({1.0 - B!r}) + "
+        f"({B!r}*CAST((SELECT MAX(v) FROM reps WHERE v <= d.dl) AS DOUBLE))"
+        "/(s.sum_dl/s.n)) AS dn FROM dltab_t d, stats_t s)",
+    ]
+    tf_names = []
+    for ti, t in enumerate(phrase):
+        tf_n = f"tf_tp{ti}"
+        ctes.append(f"{tf_n} AS (SELECT doc_id, "
+                    f"len(list_filter(tk, x -> x = '{_esc(t)}')) AS tf FROM ttoks)")
+        tf_names.append(tf_n)
+    idf_terms = []
+    for tf_n in tf_names:
+        idf_terms.append(
+            f"(SELECT ln(1.0 + ((s.n - d.df) + 0.5)/(d.df + 0.5)) "
+            f"FROM (SELECT CAST(COUNT(CASE WHEN tf > 0 THEN 1 END) AS DOUBLE) AS df "
+            f"FROM {tf_n}) d, stats_t s)")
+    w = "CAST(" + " + ".join(idf_terms) + " AS FLOAT)"
+    ctes.append(f"wp AS (SELECT {w} AS w)")
+    ctes.append(
+        "ptf AS (SELECT doc_id, CAST(len(regexp_extract_all(ts, "
+        f"'{pat}')) AS BIGINT) AS tf FROM tstr)")
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT rank, doc_id FROM ("
+        "SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS BIGINT) AS rank "
+        "FROM (SELECT p.doc_id, "
+        "CAST(CAST((SELECT w FROM wp) AS DOUBLE) * "
+        "(CAST(p.tf AS DOUBLE)/(CAST(p.tf AS DOUBLE) + dn.dn)) AS FLOAT) AS score "
+        "FROM ptf p JOIN denom_t dn ON dn.doc_id = p.doc_id WHERE p.tf > 0) s"
+        f") WHERE rank < {int(k)} ORDER BY rank"
+    )

@@ -3076,7 +3076,7 @@ def multifield_docs_index(sf_dir: str, num_partitions: int = 4,
     src = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.sha1(
         f"{os.path.abspath(src)}|{os.path.getmtime(src)}|{num_partitions}|"
-        f"{salt}|mf-v1".encode()
+        f"{salt}|mf-v2-pos".encode()
     ).hexdigest()[:16]
     index_dir = os.path.join(CACHE_ROOT, f"mf-index-{key}")
     if not os.path.exists(os.path.join(index_dir, "fields.json")):
@@ -3094,7 +3094,8 @@ def multifield_docs_index(sf_dir: str, num_partitions: int = 4,
             add_fields, batch_format="pyarrow")
         build_multifield_index(
             ds, index_dir,
-            fields={"title": {"column": "title", "analyzer": "standard"},
+            fields={"title": {"column": "title", "analyzer": "standard",
+                              "positions": True},
                     "body": {"column": "body", "analyzer": "whitespace"}},
             num_partitions=num_partitions, salt=salt,
         )
@@ -3255,4 +3256,26 @@ def multifield_dismax_tie_topk(sf_dir: str, queries=None, k: int = 10,
         "query_id": pa.array(qids, pa.string()),
         "rank": pa.array(ranks, pa.int64()),
         "doc_id": pa.array(doc_ids, pa.int64()),
+    })
+
+
+def multifield_title_phrase_topk(sf_dir: str, phrase=("spark", "table"),
+                                 k: int = 10) -> pa.Table:
+    """PhraseQuery on ONE field of the multi-field index ([U] lucene/
+    core/.../search/PhraseQuery.java is always fielded): the title
+    sub-index stores positions (per-field store_positions), and the
+    phrase scores with the TITLE's own stats. RANK-ONLY (rank, doc_id);
+    oracle = ft_oracle.multifield_title_phrase_sql (adjacency within
+    the derived title slice, title-field dl/df/denom CTEs)."""
+    from lucene_solr_ray.pipelines.multifield import (
+        MultiFieldSearcher, multifield_docid_to_doc_id)
+
+    index_dir = multifield_docs_index(sf_dir)
+    s = MultiFieldSearcher(index_dir)
+    d, _sc = s.searchers["title"].search_phrase(list(phrase), k=k)
+    mapping = multifield_docid_to_doc_id(index_dir)
+    return pa.table({
+        "rank": pa.array(np.arange(len(d)), pa.int64()),
+        "doc_id": pa.array(mapping[d].astype(np.int64) if len(d)
+                           else np.empty(0, np.int64), pa.int64()),
     })

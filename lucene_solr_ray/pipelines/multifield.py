@@ -63,11 +63,13 @@ def build_multifield_index(input_path, index_dir: str, fields: dict,
             docid_mode=docid_mode,
             text_column=spec.get("column", "text"),
             analyzer=spec.get("analyzer", "standard"),
+            store_positions=spec.get("positions", False),
             store_docs=(i == 0),
         )
         manifest["fields"][name] = {
             "column": spec.get("column", "text"),
             "analyzer": spec.get("analyzer", "standard"),
+            "positions": spec.get("positions", False),
             "n_docs": m["n_docs"],
             "sum_dl": m["sum_dl"],
         }
