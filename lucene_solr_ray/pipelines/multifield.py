@@ -252,3 +252,86 @@ def multifield_merge_round(index_dir: str, **kwargs) -> dict:
         name: run_merge_round(os.path.join(index_dir, "fields", name), **kwargs)
         for name in manifest["fields"]
     }
+
+
+def multifield_tlog_append(index_dir: str, table: pa.Table) -> int:
+    """Append a micro-batch (rows carry every field's column) to the
+    multifield index's SHARED log at the root — one durable log, N
+    consumers ([U] solr/core/.../update/TransactionLog.java: the log is
+    per core, fields fan out at apply time)."""
+    from lucene_solr_ray.state.tlog import tlog_append
+
+    return tlog_append(index_dir, table)
+
+
+def multifield_soft_commit(index_dir: str) -> dict:
+    """Fold pending log entries into EVERY field sub-index via
+    build_index(append=True) with that field's column/analyzer/positions
+    (docids align across fields: equal base offsets + the same
+    deterministic conv-base assignment over the same batch).
+
+    Consumption is marked PER FIELD (tlog/.consumed-upto-<field>) after
+    that field's manifest commit, so a crash mid-way replays only the
+    fields that had not committed — the same at-least-once window as the
+    single-field tlog (a crash between one field's commit and its marker
+    re-appends that field's batch; Solr dedups replays by doc version,
+    we keep the window explicit). Returns {field: new n_docs}."""
+    import json as _json
+
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from lucene_solr_ray.state.tlog import tlog_dir
+
+    with open(os.path.join(index_dir, FIELDS_FILENAME)) as fh:
+        manifest = json.load(fh)
+    td = tlog_dir(index_dir)
+    out: dict = {}
+    import glob as _glob
+
+    files = sorted(_glob.glob(os.path.join(td, "tlog-*.parquet")))
+    primary = manifest["primary"]
+    for name, spec in manifest["fields"].items():
+        sub = os.path.join(index_dir, "fields", name)
+        marker = os.path.join(td, f".consumed-upto-{name}")
+        upto = -1
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                upto = int(_json.load(fh)["upto"])
+        pend = [(int(os.path.basename(p)[5:13]), p) for p in files
+                if int(os.path.basename(p)[5:13]) > upto]
+        if not pend:
+            from lucene_solr_ray.state.manifest import load_manifest
+
+            out[name] = load_manifest(sub)["n_docs"]
+            continue
+        batch = pa.concat_tables([_pq.read_table(p) for _, p in pend],
+                                 promote_options="permissive")
+        from lucene_solr_ray.state.manifest import load_manifest
+
+        sub_man = load_manifest(sub)
+        m = build_index(
+            ray.data.from_arrow(batch), sub,
+            num_partitions=sub_man["num_partitions"], salt=sub_man["salt"],
+            codec_name=sub_man["codec"],
+            text_column=spec.get("column", "text"),
+            analyzer=spec.get("analyzer", "standard"),
+            store_positions=spec.get("positions", False),
+            store_docs=(name == primary),
+            append=True,
+        )
+        tmp = marker + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            _json.dump({"upto": max(s for s, _ in pend),
+                        "generation": m["generation"]}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, marker)
+        out[name] = m["n_docs"]
+    ns = set(out.values())
+    if len(ns) > 1:
+        raise RuntimeError(
+            f"field sub-indexes disagree on n_docs after soft commit {out}: "
+            "a previous partial commit left fields behind — re-run "
+            "multifield_soft_commit to let the per-field markers catch up")
+    return out
