@@ -144,7 +144,9 @@ def check_index(index_dir: str, generation: int | None = None) -> list[str]:
             live_sum = int(dl.sum())
         if live_sum != manifest["sum_dl"]:
             problems.append(f"docs live dl sum {live_sum} != manifest sum_dl")
-    else:
+    elif not os.path.exists(os.path.join(index_dir, "..", "..", "fields.json")):
+        # a secondary field of a multi-field index shares the primary's
+        # stored docs (store_docs=False) — missing docs/ is by design
         problems.append("docs/ directory missing")
 
     # stored term vectors (CheckIndex.testTermVectors analogue): per-row
@@ -199,6 +201,31 @@ def check_index(index_dir: str, generation: int | None = None) -> list[str]:
 def main() -> int:
     index_dir = sys.argv[1]
     generation = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    fields_json = os.path.join(index_dir, "fields.json")
+    if os.path.exists(fields_json):
+        # multi-field index: every field sub-index passes CheckIndex,
+        # plus the cross-field invariant (equal n_docs — aligned docids)
+        import json
+
+        with open(fields_json) as fh:
+            fields = json.load(fh)["fields"]
+        rc = 0
+        n_by_field = {}
+        for name in fields:
+            sub = os.path.join(index_dir, "fields", name)
+            problems = check_index(sub, generation)
+            man = load_manifest(sub, generation)
+            n_by_field[name] = man["n_docs"]
+            print(f"field {name!r} gen={man['generation']}: "
+                  f"{man['n_docs']} docs, {len(man['segments'])} segments")
+            for p in problems:
+                print("PROBLEM:", p)
+                rc = 1
+        if len(set(n_by_field.values())) > 1:
+            print(f"PROBLEM: field sub-indexes disagree on n_docs {n_by_field}")
+            rc = 1
+        print("OK: no problems found" if rc == 0 else "FAILED")
+        return rc
     problems = check_index(index_dir, generation)
     manifest = load_manifest(index_dir, generation)
     print(
