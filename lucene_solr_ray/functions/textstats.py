@@ -1413,3 +1413,57 @@ def pmi_term_pairs(sf_dir: str, min_pairs: int = 20, k: int = 20,
         "n_docs_both": pa.array([r[3] for r in rows], pa.int64()),
         "pmi_micro": pa.array([r[0] for r in rows], pa.int64()),
     })
+
+
+def domain_doc_counts(sf_dir: str,
+                      blocklist=("example-2.com", "example-5.com")
+                      ) -> pa.Table:
+    """URL-domain curation primitive (the domain-blocklist / per-domain
+    budget pass of web-corpus curation; the UAX29URLEmail tokenizer's
+    [U] lucene/analysis/common/.../standard/UAX29URLEmailTokenizer.java
+    URL recognition feeding a per-registered-domain rollup): extract the
+    registered domain of each doc's URL over the deterministically
+    URL-augmented view (the urlemail derivation pattern — the raw corpus
+    carries no URLs by construction), count docs per domain, and flag
+    blocklisted domains.
+
+    Distributed shape: stateless per-batch regex extraction with
+    map-side Counter partials, ONE domain-sized groupby — at web scale
+    the domain cardinality is millions (tiny vs docs) and the blocklist
+    broadcast is KB-sized."""
+    import re as _re
+
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    dom_re = _re.compile(r"https://(?:[\w-]+\.)*([\w-]+\.com)")
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        texts = t.column("text").to_pylist()
+        c: Counter = Counter()
+        for d, s in zip(ids, texts):
+            aug = f"{s} see https://sub{d % 13}.example-{d % 7}.com/p/{d}"
+            m = dom_re.search(aug)
+            if m:
+                c[m.group(1)] += 1
+        return pa.table({"domain": pa.array(list(c), pa.string()),
+                         "n": pa.array(list(c.values()), pa.int64())})
+
+    agg = (
+        read_parquet_clean(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .to_pandas()
+        .sort_values("domain")
+        .reset_index(drop=True)
+    )
+    blocked = agg["domain"].isin(set(blocklist)).astype(np.int64)
+    return pa.table({
+        "domain": pa.array(agg["domain"].astype(str), pa.string()),
+        "n_docs": pa.array(agg["n_docs"].astype(np.int64), pa.int64()),
+        "blocked": pa.array(blocked.to_numpy(), pa.int64()),
+    })
