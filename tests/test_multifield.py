@@ -278,3 +278,18 @@ def test_multifield_tlog_soft_commit(ray_session, mf_corpus, tmp_path_factory):
     with pytest.raises(RuntimeError, match="disagree"):
         # body re-appends the batch -> 84 vs title 82: the guard trips
         multifield_soft_commit(index_dir)
+
+
+def test_multifield_check_index(ray_session, mf_index):
+    """CheckIndex over a fields.json root: every sub-index validates and
+    the cross-field n_docs invariant holds; a secondary field's missing
+    docs/ is by design and reports no problem."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/check_index.py", mf_index],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "OK: no problems found" in r.stdout
+    assert "field 'title'" in r.stdout and "field 'body'" in r.stdout
