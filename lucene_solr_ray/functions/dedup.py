@@ -1089,3 +1089,51 @@ def semdedup_keep_set(sf_dir: str, threshold: float = 0.42,
         .map_batches(keep, batch_format="pyarrow")
         .sort("vec_id")
     )
+
+
+def dedup_incremental(sf_dir: str, prefix_tokens: int = 10) -> ray.data.Dataset:
+    """Incremental (cross-corpus) dedup — the "dedup the NEW crawl
+    against the already-ingested corpus" pass every production pipeline
+    runs between crawls. Stand-in split: even doc_ids are the existing
+    corpus, odd doc_ids the new batch (deterministic, so the SQL oracle
+    selects the same sides). Signature = the first ``prefix_tokens``
+    whitespace tokens (the content-prefix fingerprint; at web scale this
+    is a 64-bit hash, spelled out here so the oracle is a plain string
+    join).
+
+    Scale shape: ONE signature-keyed hash shuffle co-locates both
+    sides' (doc_id, side) rows per signature — no broadcast of the
+    corpus-sized existing set, no Dataset.join against a
+    groupby-aggregate lineage (the Ray 2.49 crash shape) — and an
+    arrow-native grouped emit pairs each new doc with the MIN existing
+    doc_id of its group. Output: (doc_id, dup_of) for flagged new docs,
+    doc_id-sorted."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def sig(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        prefixes = [" ".join((s or "").split()[:prefix_tokens])
+                    for s in t.column("text").to_pylist()]
+        return pa.table({"sig": pa.array(prefixes, pa.string()),
+                         "doc_id": pa.array(ids, pa.int64())})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy().astype(np.int64)
+        existing = ids[ids % 2 == 0]
+        new = np.sort(ids[ids % 2 == 1])
+        if len(existing) == 0 or len(new) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "dup_of": pa.array([], pa.int64())})
+        return pa.table({
+            "doc_id": pa.array(new, pa.int64()),
+            "dup_of": pa.array(np.full(len(new), int(existing.min())),
+                               pa.int64()),
+        })
+
+    return (
+        ds.map_batches(sig, batch_format="pyarrow")
+        .groupby("sig")
+        .map_groups(pairs, batch_format="pyarrow")
+        .sort("doc_id")
+    )
