@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_stream_between": sqlmod.sql_stream_between,
         "sql_stream_is_null": sqlmod.sql_stream_is_null,
         "sql_stream_agg_expr": sqlmod.sql_stream_agg_expr,
+        "sql_stream_topn_groups": sqlmod.sql_stream_topn_groups,
         "dedup_incremental": lambda sf: __import__(
             "lucene_solr_ray.functions.dedup",
             fromlist=["dedup_incremental"]).dedup_incremental(sf),
@@ -2890,6 +2891,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_stream_between": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_BETWEEN_DEMO"]).SQL_BETWEEN_DEMO,
         "sql_stream_is_null": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_IS_NULL_DEMO"]).SQL_IS_NULL_DEMO,
         "sql_stream_agg_expr": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_AGG_EXPR_DEMO"]).SQL_AGG_EXPR_DEMO,
+        "sql_stream_topn_groups": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_TOPN_GROUPS_DEMO"]).SQL_TOPN_GROUPS_DEMO,
         "dedup_incremental": "WITH p AS (SELECT doc_id, array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:10], ' ') AS sig FROM documents) SELECT n.doc_id, MIN(e.doc_id) AS dup_of FROM p n JOIN p e ON n.sig = e.sig AND n.doc_id % 2 = 1 AND e.doc_id % 2 = 0 GROUP BY n.doc_id ORDER BY n.doc_id",
         "domain_doc_counts": "WITH aug AS (SELECT doc_id, text || ' see https://sub' || (doc_id % 13) || '.example-' || (doc_id % 7) || '.com/p/' || doc_id AS a FROM documents) SELECT domain, COUNT(*) AS n_docs, CASE WHEN domain IN ('example-2.com', 'example-5.com') THEN 1 ELSE 0 END AS blocked FROM (SELECT regexp_extract(a, 'https://(?:[\\w-]+\\.)*([\\w-]+\\.com)', 1) AS domain FROM aug) GROUP BY domain ORDER BY domain",
         "geo_bbox_dist": (

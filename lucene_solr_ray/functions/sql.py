@@ -1123,6 +1123,14 @@ SQL_AGG_EXPR_DEMO = (
 )
 
 
+# top-N groups: ORDER BY an aggregate alias DESC + LIMIT — the
+# "heaviest keys" report (deterministic tie-break on the group key)
+SQL_TOPN_GROUPS_DEMO = (
+    "SELECT o_custkey, COUNT(*) AS n, SUM(o_orderkey) AS s FROM orders "
+    "GROUP BY o_custkey ORDER BY n DESC, o_custkey LIMIT 10"
+)
+
+
 # LIMIT/OFFSET paging (deterministic under the total ORDER BY)
 SQL_OFFSET_DEMO = (
     "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 150000 "
@@ -1189,3 +1197,7 @@ def sql_stream_is_null(sf_dir: str) -> ray.data.Dataset:
 
 def sql_stream_agg_expr(sf_dir: str) -> ray.data.Dataset:
     return execute(sf_dir, SQL_AGG_EXPR_DEMO)
+
+
+def sql_stream_topn_groups(sf_dir: str) -> ray.data.Dataset:
+    return execute(sf_dir, SQL_TOPN_GROUPS_DEMO)

@@ -293,3 +293,51 @@ def test_multifield_check_index(ray_session, mf_index):
     assert r.returncode == 0, r.stdout + r.stderr
     assert "OK: no problems found" in r.stdout
     assert "field 'title'" in r.stdout and "field 'body'" in r.stdout
+
+
+def test_multifield_full_lifecycle(ray_session, mf_corpus, tmp_path_factory):
+    """Capstone: the whole multi-field lifecycle composes — build ->
+    fielded query-string search -> whole-doc delete -> NRT append ->
+    per-field merge -> search again, with exact invariants at each step."""
+    from lucene_solr_ray.pipelines.multifield import (
+        MultiFieldSearcher, build_multifield_index, multifield_delete_docs,
+        multifield_merge_round, multifield_soft_commit, multifield_tlog_append)
+
+    index_dir = str(tmp_path_factory.mktemp("mflife"))
+    build_multifield_index(
+        mf_corpus, index_dir,
+        fields={"title": {"column": "title", "analyzer": "standard"},
+                "body": {"column": "body", "analyzer": "whitespace"}},
+        num_partitions=4, salt=2,
+    )
+    q = "title:merge OR body:token"
+    s = MultiFieldSearcher(index_dir)
+    d0, sc0 = s.search_parsed(q, k=50)
+    assert len(d0) > 3
+
+    # delete the top hit everywhere
+    victim = int(d0[0])
+    multifield_delete_docs(index_dir, [victim])
+    s = MultiFieldSearcher(index_dir)
+    d1, _ = s.search_parsed(q, k=50)
+    assert victim not in d1.tolist()
+
+    # NRT append a doc matching both fields
+    batch = pa.Table.from_pylist([
+        {"conv_id": "zz9001", "turn_idx": 0,
+         "title": "merge merge merge", "body": "token token token token"}])
+    multifield_tlog_append(index_dir, batch)
+    multifield_soft_commit(index_dir)
+    s = MultiFieldSearcher(index_dir)
+    d2, sc2 = s.search_parsed(q, k=50)
+    new_doc = 80  # appended after the 80-doc base
+    assert new_doc in d2.tolist()
+    # the tf-heavy new doc should rank first
+    assert int(d2[0]) == new_doc
+
+    # merge every field; results identical post-merge
+    multifield_merge_round(index_dir, segs_per_tier=1, max_merge_at_once=8)
+    s = MultiFieldSearcher(index_dir)
+    d3, sc3 = s.search_parsed(q, k=50)
+    assert d3.tolist() == d2.tolist()
+    assert np.array_equal(sc3, sc2)
