@@ -1231,3 +1231,57 @@ def quality_logit_select(sf_dir: str, k: int = 100) -> pa.Table:
         "doc_id": pa.array(out["doc_id"].to_numpy(), pa.int64()),
         "logit_milli": pa.array(out["logit_milli"].to_numpy(), pa.int64()),
     })
+
+
+def train_val_test_split(sf_dir: str, train_pct: int = 90,
+                         val_pct: int = 5) -> pa.Table:
+    """Deterministic hash split for training-data export: every doc is
+    assigned train/val/test by md5(doc_id) % 100 (< train_pct -> train,
+    < train_pct+val_pct -> val, else test) — stable across runs,
+    machines and partitionings, so a re-export never leaks val/test docs
+    into train. Output: per (source, split) doc counts, the stratified
+    audit table a release pipeline publishes beside the split.
+
+    Shape: stateless per-batch assignment + map-side Counter partials,
+    one (source, split)-sized groupby — zero corpus-sized state. The
+    md5 convention matches DuckDB's md5_number_upper (little-endian
+    first 8 bytes, unsigned), so the oracle is the identical SQL."""
+    import hashlib
+
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "source"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        srcs = t.column("source").to_pylist()
+        c: Counter = Counter()
+        for d, s in zip(ids, srcs):
+            b = int.from_bytes(
+                hashlib.md5(str(int(d)).encode()).digest()[:8], "little") % 100
+            split = ("train" if b < train_pct
+                     else "val" if b < train_pct + val_pct else "test")
+            c[(s, split)] += 1
+        ks = list(c)
+        return pa.table({
+            "source": pa.array([k[0] for k in ks], pa.string()),
+            "split": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([c[k] for k in ks], pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["source", "split"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .to_pandas()
+        .sort_values(["source", "split"])
+        .reset_index(drop=True)
+    )
+    return pa.table({
+        "source": pa.array(out["source"].astype(str), pa.string()),
+        "split": pa.array(out["split"].astype(str), pa.string()),
+        "n_docs": pa.array(out["n_docs"].astype(np.int64), pa.int64()),
+    })
