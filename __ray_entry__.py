@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_stream_is_null": sqlmod.sql_stream_is_null,
         "sql_stream_agg_expr": sqlmod.sql_stream_agg_expr,
         "sql_stream_topn_groups": sqlmod.sql_stream_topn_groups,
+        "split_leakage_audit": lambda sf: __import__(
+            "lucene_solr_ray.functions.curation",
+            fromlist=["split_leakage_audit"]).split_leakage_audit(sf),
         "split_train_val_test": lambda sf: __import__(
             "lucene_solr_ray.functions.curation",
             fromlist=["train_val_test_split"]).train_val_test_split(sf),
@@ -2895,6 +2898,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_stream_is_null": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_IS_NULL_DEMO"]).SQL_IS_NULL_DEMO,
         "sql_stream_agg_expr": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_AGG_EXPR_DEMO"]).SQL_AGG_EXPR_DEMO,
         "sql_stream_topn_groups": __import__("lucene_solr_ray.functions.sql", fromlist=["SQL_TOPN_GROUPS_DEMO"]).SQL_TOPN_GROUPS_DEMO,
+        "split_leakage_audit": "WITH p AS (SELECT doc_id, array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:10], ' ') AS sig, CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 90 THEN 'train' WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 95 THEN 'val' ELSE 'test' END AS split FROM documents) SELECT LEAST(a.split, b.split) AS split_a, GREATEST(a.split, b.split) AS split_b, COUNT(*) AS n_pairs FROM p a JOIN p b ON a.sig = b.sig AND a.doc_id < b.doc_id GROUP BY split_a, split_b ORDER BY split_a, split_b",
         "split_train_val_test": "SELECT source, CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 90 THEN 'train' WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % 100 < 95 THEN 'val' ELSE 'test' END AS split, COUNT(*) AS n_docs FROM documents GROUP BY source, split ORDER BY source, split",
         "dedup_incremental": "WITH p AS (SELECT doc_id, array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:10], ' ') AS sig FROM documents) SELECT n.doc_id, MIN(e.doc_id) AS dup_of FROM p n JOIN p e ON n.sig = e.sig AND n.doc_id % 2 = 1 AND e.doc_id % 2 = 0 GROUP BY n.doc_id ORDER BY n.doc_id",
         "domain_doc_counts": "WITH aug AS (SELECT doc_id, text || ' see https://sub' || (doc_id % 13) || '.example-' || (doc_id % 7) || '.com/p/' || doc_id AS a FROM documents) SELECT domain, COUNT(*) AS n_docs, CASE WHEN domain IN ('example-2.com', 'example-5.com') THEN 1 ELSE 0 END AS blocked FROM (SELECT regexp_extract(a, 'https://(?:[\\w-]+\\.)*([\\w-]+\\.com)', 1) AS domain FROM aug) GROUP BY domain ORDER BY domain",

@@ -1285,3 +1285,72 @@ def train_val_test_split(sf_dir: str, train_pct: int = 90,
         "split": pa.array(out["split"].astype(str), pa.string()),
         "n_docs": pa.array(out["n_docs"].astype(np.int64), pa.int64()),
     })
+
+
+def split_leakage_audit(sf_dir: str, prefix_tokens: int = 10,
+                        train_pct: int = 90, val_pct: int = 5) -> pa.Table:
+    """Eval-hygiene audit: count near-dup pairs that STRADDLE the
+    train/val/test boundary — hash-split assignment alone cannot prevent
+    a near-duplicate of a test doc landing in train, so release
+    pipelines publish exactly this table (pairs per split-pair class)
+    and gate on the cross-split rows. Near-dup relation: shared
+    content-prefix fingerprint (the dedup_incremental signature);
+    splits: the train_val_test_split md5 assignment.
+
+    Shape: one signature-keyed shuffle co-locates each signature's
+    docs; the grouped emit counts unordered split-pair combinations
+    in-plane (C(n,2) per group via per-split counts — no pair
+    materialization), then a tiny (split_a, split_b) groupby."""
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "text"])
+
+    def sig(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        prefixes = [" ".join((s or "").split()[:prefix_tokens])
+                    for s in t.column("text").to_pylist()]
+        splits = []
+        for d in ids:
+            b = int.from_bytes(
+                hashlib.md5(str(int(d)).encode()).digest()[:8], "little") % 100
+            splits.append("train" if b < train_pct
+                          else "val" if b < train_pct + val_pct else "test")
+        return pa.table({"sig": pa.array(prefixes, pa.string()),
+                         "split": pa.array(splits, pa.string())})
+
+    def pair_counts(g: pa.Table) -> pa.Table:
+        splits = g.column("split").to_pylist()
+        from collections import Counter
+
+        c = Counter(splits)
+        names = sorted(c)
+        out_a, out_b, out_n = [], [], []
+        for i, a in enumerate(names):
+            for b in names[i:]:
+                n = (c[a] * (c[a] - 1) // 2) if a == b else c[a] * c[b]
+                if n:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_n.append(n)
+        return pa.table({"split_a": pa.array(out_a, pa.string()),
+                         "split_b": pa.array(out_b, pa.string()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    out = (
+        ds.map_batches(sig, batch_format="pyarrow")
+        .groupby("sig")
+        .map_groups(pair_counts, batch_format="pyarrow")
+        .groupby(["split_a", "split_b"])
+        .aggregate(Sum("n", alias_name="n_pairs"))
+        .to_pandas()
+        .sort_values(["split_a", "split_b"])
+        .reset_index(drop=True)
+    )
+    return pa.table({
+        "split_a": pa.array(out["split_a"].astype(str), pa.string()),
+        "split_b": pa.array(out["split_b"].astype(str), pa.string()),
+        "n_pairs": pa.array(out["n_pairs"].astype(np.int64), pa.int64()),
+    })
